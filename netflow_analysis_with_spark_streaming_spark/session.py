@@ -1,0 +1,77 @@
+"""SparkSession factory.
+
+Defaults are chosen for correctness parity with the DuckDB oracle
+(UTC session timezone — Spark timestamps are session-TZ, DuckDB's are
+UTC-naive) and for scale (AQE on, skew-join handling on, Arrow for the
+few pandas-UDF paths).
+
+At 100 TB the same builder is used with a real ``master`` URL; only
+``spark.sql.shuffle.partitions`` / ``maxPartitionBytes`` move with the
+cluster size (see ``scale_hints``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Local test parallelism; the driver runs local[$SPARK_GRAFT_CPUS].
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "netflow-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``shuffle_partitions`` defaults to the local core count; on a real
+    cluster pass ~2-3x total executor cores (AQE coalesces down, so
+    over-provisioning is cheap, under-provisioning is not).
+    """
+    cpus = DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # Oracle parity: DuckDB timestamps are UTC-naive.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Runtime re-planning: shuffle-partition coalescing, skew-join
+        # splitting, dynamic broadcast — all essential at 100 TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        # Arrow transfer for pandas UDF paths (similarity/multimodal).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Bound single-task input so a 100 TB scan parallelizes sanely.
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Parquet TIMESTAMP(NANOS) (events.ts) is unsupported natively;
+        # read as long ns and convert in tables.load (exact integer math).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def scale_hints(total_executor_cores: int, input_tb: float) -> dict[str, str]:
+    """Suggested conf for a real cluster run (documentation-as-code).
+
+    E.g. 1000 executors x 4 cores reading 100 TB:
+    shuffle partitions ~ max(2x cores, input / 200 MB target partition).
+    """
+    target_partition_mb = 200
+    by_cores = 2 * total_executor_cores
+    by_bytes = int(input_tb * 1024 * 1024 / target_partition_mb)
+    return {
+        "spark.sql.shuffle.partitions": str(max(by_cores, min(by_bytes, 64000))),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.files.maxPartitionBytes": "256m",
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+    }

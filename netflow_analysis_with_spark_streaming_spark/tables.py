@@ -1,0 +1,76 @@
+"""Parquet loaders for the driver testdata (TESTDATA.md).
+
+The engine's "catalog": one parquet file per table under an sf dir.
+Loading is lazy — Catalyst prunes columns and pushes filters into the
+parquet scan, so ``load`` is cheap to call per-query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from .schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one testdata table as a DataFrame.
+
+    events.ts is parquet TIMESTAMP(NANOS), which Spark reads as long ns
+    under ``nanosAsLong``; convert to TimestampType with integer `div`
+    (truncation toward zero — identical to DuckDB's ns->us read).
+    """
+    df = spark.read.parquet(os.path.join(sf_dir or DEFAULT_SF_DIR, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _utc_ns(ts: str) -> int:
+    """Epoch nanoseconds of a 'YYYY-MM-DD[ HH:MM:SS]' UTC string (exact int math)."""
+    from datetime import datetime, timezone
+
+    fmt = "%Y-%m-%d %H:%M:%S" if " " in ts else "%Y-%m-%d"
+    dt = datetime.strptime(ts, fmt).replace(tzinfo=timezone.utc)
+    return int(dt.timestamp()) * 1_000_000_000
+
+
+def load_events_range(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    ts_from: str | None = None,
+    ts_to: str | None = None,
+) -> DataFrame:
+    """events with the time-range predicate applied on the RAW column.
+
+    Because events.ts arrives as long nanoseconds, a filter written
+    against the converted TimestampType column cannot reach the parquet
+    scan. Applying the equivalent long-ns bounds BEFORE conversion makes
+    the range a PushedFilter — row-group stats prune whole chunks, which
+    is the difference between scanning 100 TB and scanning the 10-day
+    slice at cluster scale.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir or DEFAULT_SF_DIR, "events.parquet"))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        if ts_from is not None:
+            df = df.filter(F.col("ts") >= F.lit(_utc_ns(ts_from)))
+        if ts_to is not None:
+            df = df.filter(F.col("ts") <= F.lit(_utc_ns(ts_to)))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        if ts_from is not None:
+            df = df.filter(F.col("ts") >= F.lit(ts_from))
+        if ts_to is not None:
+            df = df.filter(F.col("ts") <= F.lit(ts_to))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every testdata table as a temp view for spark.sql()."""
+    for name in TESTDATA_TABLES:
+        load(spark, name, sf_dir).createOrReplaceTempView(name)

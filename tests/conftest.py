@@ -1,0 +1,71 @@
+"""Shared fixtures: one SparkSession per test run, plus a DuckDB
+differential checker mirroring the driver's oracle compare (row count +
+column names + order-insensitive value hash)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from netflow_analysis_with_spark_streaming_spark.session import get_spark
+from netflow_analysis_with_spark_streaming_spark.schemas import TESTDATA_TABLES
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="netflow-engine-tests", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for name in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF_ORACLE}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return str(v)
+
+
+def rows_multiset(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for r in rows:
+        vals = list(r)
+        out.append(tuple(_norm(vals[i]) for i in order))
+    return sorted(out)
+
+
+def assert_matches_oracle(spark_df, duck_con, sql):
+    sdf = spark_df.collect()
+    scols = spark_df.columns
+    rel = duck_con.sql(sql)
+    drows = rel.fetchall()
+    dcols = [d[0] for d in rel.description]
+    assert sorted(scols) == sorted(dcols), f"columns differ: {scols} vs {dcols}"
+    assert len(sdf) == len(drows), f"row count differs: {len(sdf)} vs {len(drows)}"
+    sm = rows_multiset([tuple(r) for r in sdf], scols)
+    dm = rows_multiset(drows, dcols)
+    mismatches = [(a, b) for a, b in zip(sm, dm) if a != b]
+    assert not mismatches, f"value mismatch (first 3): {mismatches[:3]}"
