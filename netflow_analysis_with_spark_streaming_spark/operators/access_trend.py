@@ -51,10 +51,13 @@ def access_trend(
 ) -> DataFrame:
     """Per-day in/out value+count rollup over a timestamp range.
 
-    Range semantics follow the reference exactly: ``ts >= from AND
-    ts <= to`` where a bare-date upper bound excludes that day's
-    intra-day rows (accessTrend.ts:13-16 compares lexicographically;
-    Spark/DuckDB cast the date string to midnight — same result set).
+    Range semantics: ``ts >= from AND ts <= to`` with bare-date bounds
+    cast to midnight. Near-parity with the reference's lexicographic
+    string compare (accessTrend.ts:13-16) with one divergence: a row at
+    exactly midnight of the end date is INCLUDED here but excluded by
+    the reference ('YYYY-MM-DD 00:00:00' > 'YYYY-MM-DD' as strings).
+    The DuckDB oracle uses the same timestamp semantics as this code,
+    so the differential check is exact.
     """
     in_cond = F.expr(in_predicate) if isinstance(in_predicate, str) else in_predicate
     ts = F.col(ts_col)

@@ -53,8 +53,11 @@ def get_spark(
         # read as long ns and convert in tables.load (exact integer math).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    # NOTE: spark.driver.memory must be set BEFORE the JVM starts
+    # (spark-submit / env), so it is deliberately not set here — a
+    # builder value is a silent no-op when getOrCreate() reuses a
+    # running JVM. See SPARK_DRIVER_MEMORY in the launch environment.
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

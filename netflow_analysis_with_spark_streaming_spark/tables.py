@@ -18,6 +18,24 @@ from .schemas import TESTDATA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def harden_session(spark: SparkSession) -> None:
+    """Set must-have runtime confs on an externally-provided session.
+
+    The driver (and any embedding application) passes its OWN
+    SparkSession into the query callables — it never goes through
+    ``session.get_spark``. Two confs are correctness-critical and both
+    are runtime-settable:
+
+    - ``nanosAsLong``: events.parquet stores TIMESTAMP(NANOS), which a
+      vanilla session refuses to read (PARQUET_TYPE_ILLEGAL).
+    - UTC session timezone: ``date_format``/timestamp-literal compares
+      silently shift by the ambient zone otherwise, diverging from the
+      UTC-naive DuckDB oracle.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one testdata table as a DataFrame.
 
@@ -25,6 +43,7 @@ def load(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame
     under ``nanosAsLong``; convert to TimestampType with integer `div`
     (truncation toward zero — identical to DuckDB's ns->us read).
     """
+    harden_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir or DEFAULT_SF_DIR, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -55,6 +74,7 @@ def load_events_range(
     is the difference between scanning 100 TB and scanning the 10-day
     slice at cluster scale.
     """
+    harden_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir or DEFAULT_SF_DIR, "events.parquet"))
     if isinstance(df.schema["ts"].dataType, LongType):
         if ts_from is not None:
