@@ -1,1 +1,553 @@
-"""Placeholder — populated in later milestones."""
+"""Relational-completeness query corpus (SURVEY.md §2.7).
+
+The reference implements no joins, no window functions, no top-k and no
+set ops (SURVEY.md §2.5) — a general engine for its workload needs them
+(e.g. a host-dimension join replaces the hard-coded HOST constant of
+``accessTrend.ts:25-68``). Every operator here is a stock Catalyst
+built-in; the value is in the *plan shape*, asserted by
+``tests/test_relational_plans.py``:
+
+- dimension joins are broadcast (no shuffle of the fact side's keys),
+- fact-fact joins shuffle on the join key once,
+- aggregates are partial+final hash pairs,
+- filters and projections reach the parquet scan.
+
+Scale notes are per-query. Conventions for driver-oracle parity:
+every computed column is aliased identically in Spark and SQL; double
+aggregates are rounded to 2dp on both sides; any top-k/limit has a
+total deterministic ordering (unique tie-break key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import tables
+from .queries import register
+
+
+# --- Joins -----------------------------------------------------------------
+
+
+def _join_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast dims: orders enriched with customer → nation.
+
+    Scale: customer/nation are small dims; ``broadcast()`` pins a
+    BroadcastHashJoin so the 100 TB fact side is never shuffled — each
+    scan task joins locally. The groupBy(n_name) shuffle moves only
+    25 partial rows per task.
+    """
+    orders = tables.load(spark, "orders", sf_dir)
+    customer = tables.load(spark, "customer", sf_dir)
+    nation = tables.load(spark, "nation", sf_dir)
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_JOIN_BROADCAST_ENRICH_SQL = """
+SELECT n_name,
+       COUNT(*) AS order_cnt,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def _join_shuffle_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ fact: lineitem ⋈ orders on the shared key.
+
+    Scale: both sides are large → one shuffle each on l_orderkey /
+    o_orderkey (sort-merge or shuffled-hash, AQE decides; at 100 TB a
+    bucketed layout on orderkey would remove the shuffle entirely —
+    see plans/layout.py). Projection is pruned to 4 columns at scan.
+    """
+    lineitem = tables.load(spark, "lineitem", sf_dir)
+    orders = tables.load(spark, "orders", sf_dir)
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("item_cnt"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_JOIN_SHUFFLE_LARGE_SQL = """
+SELECT o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS item_cnt
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def _join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers having at least one finished order.
+
+    Scale: semi-join only propagates the left side — no row
+    multiplication, and the right side reduces to distinct keys
+    before the probe. The status filter pushes into the orders scan.
+    """
+    customer = tables.load(spark, "customer", sf_dir)
+    orders = tables.load(spark, "orders", sf_dir)
+    finished = orders.filter(F.col("o_orderstatus") == "F")
+    return (
+        customer.join(finished, customer.c_custkey == finished.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cust_cnt"))
+        .orderBy("c_mktsegment")
+    )
+
+
+_JOIN_SEMI_SQL = """
+SELECT c_mktsegment, COUNT(*) AS cust_cnt
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def _join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers who never placed an URGENT order, per nation."""
+    customer = tables.load(spark, "customer", sf_dir)
+    orders = tables.load(spark, "orders", sf_dir)
+    nation = tables.load(spark, "nation", sf_dir)
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_anti")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("cust_cnt"))
+        .orderBy("n_name")
+    )
+
+
+_JOIN_ANTI_SQL = """
+SELECT n_name, COUNT(*) AS cust_cnt
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def _join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way star join: region → nation → customer → orders.
+
+    Scale: the dim chain (region⋈nation⋈customer) is broadcast as a
+    unit; the orders fact streams through one BroadcastHashJoin chain
+    with zero fact-side shuffles before the 5-key aggregate.
+    """
+    region = tables.load(spark, "region", sf_dir)
+    nation = tables.load(spark, "nation", sf_dir)
+    customer = tables.load(spark, "customer", sf_dir)
+    orders = tables.load(spark, "orders", sf_dir)
+    dims = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("order_cnt"),
+        )
+        .orderBy("r_name")
+    )
+
+
+_JOIN_STAR_SQL = """
+SELECT r_name,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*) AS order_cnt
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+# --- Aggregations ----------------------------------------------------------
+
+
+def _agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped full-agg-set summary over lineitem.
+
+    sum/avg/min/max/count in one pass; Catalyst emits a single
+    partial+final HashAggregate pair — one shuffle of ~6 tiny rows
+    per task regardless of input size.
+    """
+    lineitem = tables.load(spark, "lineitem", sf_dir)
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("2024-06-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_AGG_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 2) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+       ROUND(MIN(l_extendedprice), 2) AS min_price,
+       ROUND(MAX(l_extendedprice), 2) AS max_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-06-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-user count per event type (netflow: distinct src
+    IPs per window — SURVEY.md §2.7).
+
+    Scale: exact count(distinct) expands to a two-phase aggregate
+    (distinct-expand shuffle then count). At 100 TB prefer the
+    ``agg_approx_distinct`` HLL variant below — one pass, mergeable
+    sketches, no expansion.
+    """
+    events = tables.load(spark, "events", sf_dir)
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("distinct_users"),
+            F.count("*").alias("event_cnt"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_AGG_COUNT_DISTINCT_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS distinct_users,
+       COUNT(*) AS event_cnt
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB-scale path.
+
+    No DuckDB oracle (sketch estimates differ across engines);
+    rows-only driver check + the invariant test in
+    tests/test_relational.py (estimate within rsd of exact).
+    """
+    events = tables.load(spark, "events", sf_dir)
+    return (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+def _agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup region → nation with grand total.
+
+    Scale: ROLLUP expands each input row once per grouping set in the
+    partial aggregate — output stays dim-sized, no extra fact shuffle.
+    """
+    customer = tables.load(spark, "customer", sf_dir)
+    nation = tables.load(spark, "nation", sf_dir)
+    region = tables.load(spark, "region", sf_dir)
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("cust_cnt"),
+            F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+_AGG_ROLLUP_SQL = """
+SELECT r_name, n_name,
+       COUNT(*) AS cust_cnt,
+       ROUND(SUM(c_acctbal), 2) AS acctbal_sum
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name, n_name
+"""
+
+
+# --- Window functions ------------------------------------------------------
+
+
+def _window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price within each priority (rank-in-partition).
+
+    Deterministic: row_number over (price DESC, orderkey ASC) — the
+    unique key breaks double ties identically in both engines.
+    Scale: one shuffle on the partition key; each partition keeps a
+    3-row heap via the WindowExec limit pushdown (rank<=k filter).
+    """
+    orders = tables.load(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rn",
+        )
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+_WINDOW_TOPK_SQL = """
+SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, rn
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+ORDER BY o_orderpriority, rn
+"""
+
+
+def _window_day_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue with lag delta and running total (the flagship's
+    day series extended with analytics — SURVEY.md §2.7).
+
+    Scale: the inner day-aggregate collapses data to #days rows;
+    the window then runs on a trivially small set (single partition
+    is fine at day cardinality — flagged, intentional).
+    """
+    events = tables.load(spark, "events", sf_dir)
+    daily = (
+        events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum("value").alias("_rev"))
+    )
+    w_lag = Window.orderBy("day")
+    w_run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.select(
+            "day",
+            F.round("_rev", 2).alias("revenue"),
+            F.round(F.col("_rev") - F.lag("_rev", 1).over(w_lag), 2).alias("delta"),
+            F.round(F.sum("_rev").over(w_run), 2).alias("running_total"),
+        )
+        .orderBy("day")
+    )
+
+
+_WINDOW_DAY_SERIES_SQL = """
+SELECT day,
+       ROUND(_rev, 2) AS revenue,
+       ROUND(_rev - LAG(_rev, 1) OVER (ORDER BY day), 2) AS delta,
+       ROUND(SUM(_rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, SUM(value) AS _rev
+  FROM events GROUP BY 1
+) t
+ORDER BY day
+"""
+
+
+# --- Top-k heavy hitters ---------------------------------------------------
+
+
+def _topk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by total value — 'top talkers' (SURVEY.md §2.7).
+
+    Deterministic: ordered by rounded total DESC then user_id ASC.
+    Scale: agg shrinks to #users rows; TakeOrderedAndProject keeps a
+    10-row heap per partition — no global sort materialization.
+    """
+    events = tables.load(spark, "events", sf_dir)
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.count("*").alias("event_cnt"),
+        )
+        .orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+_TOPK_HEAVY_HITTERS_SQL = """
+SELECT user_id,
+       ROUND(SUM(value), 2) AS total_value,
+       COUNT(*) AS event_cnt
+FROM events
+GROUP BY user_id
+ORDER BY total_value DESC, user_id ASC
+LIMIT 10
+"""
+
+
+# --- Set operations --------------------------------------------------------
+
+
+def _set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who placed both an URGENT and a LOW priority order."""
+    orders = tables.load(spark, "orders", sf_dir)
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.intersect(low).orderBy("custkey")
+
+
+_SET_INTERSECT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+ORDER BY custkey
+"""
+
+
+def _set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with URGENT orders but never a LOW one."""
+    orders = tables.load(spark, "orders", sf_dir)
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.subtract(low).orderBy("custkey")
+
+
+_SET_EXCEPT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
+ORDER BY custkey
+"""
+
+
+def _set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct union of two customer segments (schema-aligned unionByName)."""
+    customer = tables.load(spark, "customer", sf_dir)
+    a = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    b = customer.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    return a.unionByName(b).distinct().orderBy("custkey")
+
+
+_SET_UNION_SQL = """
+SELECT c_custkey AS custkey, c_mktsegment AS segment FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey AS custkey, c_mktsegment AS segment FROM customer WHERE c_acctbal > 9000
+ORDER BY custkey
+"""
+
+
+# --- Scalar functions ------------------------------------------------------
+
+
+def _scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON / date / string / math scalar surface in one query
+    (get_json_object on events.props — SURVEY.md §2.7 last row).
+
+    Scale: all narrow built-in expressions inside whole-stage codegen;
+    no Python boundary crossing.
+    """
+    events = tables.load(spark, "events", sf_dir)
+    return (
+        events.select(
+            F.col("event_type"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.month("ts").cast("long").alias("month"),
+            F.col("value"),
+        )
+        .withColumn("k_bucket", (F.col("k") % 10).cast("long"))
+        .withColumn("type_tag", F.concat(F.upper(F.substring("event_type", 1, 3)), F.lit("-"), F.col("month").cast("string")))
+        .groupBy("type_tag", "k_bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(F.sqrt(F.abs(F.col("value")))), 2).alias("sqrt_sum"),
+        )
+        .orderBy("type_tag", "k_bucket")
+    )
+
+
+_SCALAR_FUNCTIONS_SQL = """
+SELECT CONCAT(UPPER(SUBSTRING(event_type, 1, 3)), '-', CAST(CAST(MONTH(ts) AS BIGINT) AS VARCHAR)) AS type_tag,
+       CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket,
+       COUNT(*) AS cnt,
+       ROUND(SUM(SQRT(ABS(value))), 2) AS sqrt_sum
+FROM events
+GROUP BY type_tag, k_bucket
+ORDER BY type_tag, k_bucket
+"""
+
+
+register("join_broadcast_enrich", _join_broadcast_enrich, _JOIN_BROADCAST_ENRICH_SQL)
+register("join_shuffle_large", _join_shuffle_large, _JOIN_SHUFFLE_LARGE_SQL)
+register("join_semi", _join_semi, _JOIN_SEMI_SQL)
+register("join_anti", _join_anti, _JOIN_ANTI_SQL)
+register("join_star", _join_star, _JOIN_STAR_SQL)
+register("agg_pricing_summary", _agg_pricing_summary, _AGG_PRICING_SUMMARY_SQL)
+register("agg_count_distinct", _agg_count_distinct, _AGG_COUNT_DISTINCT_SQL)
+register("agg_approx_distinct", _agg_approx_distinct)  # rows-only: HLL estimate
+register("agg_rollup", _agg_rollup, _AGG_ROLLUP_SQL)
+register("window_topk_per_group", _window_topk_per_group, _WINDOW_TOPK_SQL)
+register("window_day_series", _window_day_series, _WINDOW_DAY_SERIES_SQL)
+register("topk_heavy_hitters", _topk_heavy_hitters, _TOPK_HEAVY_HITTERS_SQL)
+register("set_intersect", _set_intersect, _SET_INTERSECT_SQL)
+register("set_except", _set_except, _SET_EXCEPT_SQL)
+register("set_union", _set_union, _SET_UNION_SQL)
+register("scalar_functions", _scalar_functions, _SCALAR_FUNCTIONS_SQL)
