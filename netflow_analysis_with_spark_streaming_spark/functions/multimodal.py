@@ -1,0 +1,116 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design (SURVEY.md §2.9 / north-star extensions): media lives in a
+``binary`` column next to typed metadata; decode / feature-extract run
+as Arrow-batched ``mapInPandas`` transforms so each Python worker gets
+columnar batches (zero per-row pickling). The actual image/audio codec
+is NOT available in this environment, so ``decode_media`` with
+``fake=False`` raises NotImplementedError at the exact point a codec
+(Pillow/ffmpeg) would plug in; the deterministic fake path keeps the
+Spark-side contract — schema, batch shape, partitioning — fully real
+and differential-testable (md5-derived values, mirrored in DuckDB).
+
+Scale: mapInPandas streams batches (spark.sql.execution.arrow.
+maxRecordsPerBatch); payload bytes never hit the driver. For real
+media at 100 TB, keep payloads out of shuffle keys and repartition by
+a metadata column before decode so batches stay size-bounded.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+FEATURE_DIM = 8
+
+# media record: payload + typed metadata (the multimodal table shape)
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """Build a media table from `documents`: utf-8 text bytes play the
+    opaque payload (the testdata ships no real media)."""
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image/png"))
+        .otherwise(F.lit("audio/wav"))
+        .alias("media_type"),
+        F.encode("text", "utf-8").cast("binary").alias("payload"),
+    )
+
+
+def _fake_decode(payload: bytes, i: int) -> int:
+    """Deterministic 32-bit int from the payload (md5-derived)."""
+    h = hashlib.md5(payload + f":{i}".encode()).hexdigest()
+    return int(h[:8], 16)
+
+
+def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode payloads to metadata + a FEATURE_DIM-float feature vector.
+
+    ``fake=False`` is the plug-point for a real codec — unavailable in
+    this container, so it raises NotImplementedError (by design, not a
+    TODO). The fake path is deterministic: width/height/frames and
+    features derive from md5(payload), so the DuckDB oracle can mirror
+    them exactly.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real media decode requires an image/audio codec (Pillow/ffmpeg); "
+            "not available in this environment — use fake=True"
+        )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": [_fake_decode(p, 0) % 1920 + 1 for p in payloads],
+                    "height": [_fake_decode(p, 1) % 1080 + 1 for p in payloads],
+                    "n_frames": [_fake_decode(p, 2) % 240 + 1 for p in payloads],
+                    "feature": [
+                        [_fake_decode(p, 10 + k) / 2**32 for k in range(FEATURE_DIM)]
+                        for p in payloads
+                    ],
+                }
+            )
+
+    return df.mapInPandas(batches, DECODED_SCHEMA)

@@ -1,0 +1,140 @@
+"""Text-analysis expressions (SURVEY.md §2.9: LLM-pipeline operators).
+
+All pure Catalyst expressions — tokenize/shingle/hash/score run inside
+whole-stage codegen with zero Python crossings. Hashing is md5-based
+specifically because md5 is bit-identical in DuckDB, making MinHash /
+SimHash / fingerprints exactly oracle-checkable (a seeded murmur3
+would be Spark-only).
+
+Scale: every function here is a narrow per-row projection — no
+shuffle; the expensive parts (explode + groupBy for signatures) are
+in the query layer where the plan is visible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A BPE-ish token pattern: word pieces or single non-space punctuation.
+TOKEN_PATTERN = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization (array<string>)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: alnum runs + individual punctuation marks."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>, overlapping, in order).
+
+    transform(sequence(0, size-n)) is evaluated per-row JVM-side; the
+    caller explodes + distincts when set semantics are needed.
+    """
+    w = words(text)
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)])
+    )
+    # sequence(0, negative) would count DOWN; guard short docs explicitly.
+    return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def md5_hash32(value: Column, seed: int | Column = 0) -> Column:
+    """Deterministic 32-bit hash: first 8 hex chars of md5(seed:value).
+
+    Mirrored in DuckDB as CAST('0x' || substr(md5(..),1,8) AS BIGINT);
+    used by MinHash signatures and SimHash bits so oracles are exact.
+    """
+    seed_col = F.lit(str(seed)) if isinstance(seed, int) else seed.cast("string")
+    payload = F.concat(seed_col, F.lit(":"), value)
+    return F.conv(F.substring(F.md5(payload), 1, 8), 16, 10).cast("long")
+
+
+def md5_hash32_sql(value_sql: str, seed: int) -> str:
+    """The DuckDB-side mirror of md5_hash32 (oracle SQL fragment)."""
+    return (
+        f"CAST(('0x' || substr(md5(CONCAT('{seed}', ':', {value_sql})), 1, 8)) AS BIGINT)"
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (lower, trim,
+    collapsed whitespace). Identical duplicates collide, nothing else."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of non-alnum, non-space characters."""
+    stripped = F.regexp_replace(text, r"[a-zA-Z0-9\s]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_hits(text: Column, stopwords: list[str]) -> Column:
+    """Count of whole-word occurrences of any stopword."""
+    pat = r"\b(" + "|".join(stopwords) + r")\b"
+    return F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+
+
+def quality_score(text: Column, stopwords: list[str]) -> Column:
+    """Heuristic quality score in [0,1]: rewards mid-length docs with
+    a healthy stopword ratio and low punctuation noise — the standard
+    pretraining-corpus filter shape (length/punct/stopword ratios).
+    """
+    n_tok = token_count_ws(text)
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    stop_ratio = stopword_hits(text, stopwords) / F.greatest(n_tok, F.lit(1))
+    stop_score = F.least(stop_ratio * 5, F.lit(1.0))
+    noise = punct_ratio(text)
+    return F.round(
+        F.greatest(
+            F.lit(0.0),
+            len_score * 0.4 + stop_score * 0.4 + (1 - noise) * 0.2,
+        ),
+        4,
+    )
+
+
+# Marker vocabularies for the language-ID heuristic. The driver corpus
+# is synthetic (uniform SQL-ish vocabulary), so these markers are drawn
+# from that vocabulary to give the heuristic real signal; for natural
+# text, swap in actual function-word lists per language.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["group", "sort", "merge"],
+    "en": ["table", "query", "the"],
+    "es": ["scan", "row", "data"],
+    "fr": ["join", "filter", "line"],
+    "zh": ["hash", "batch", "stream"],
+}
+
+
+def lang_guess(text: Column) -> Column:
+    """n-gram/marker-word language ID: argmax of per-language marker
+    hits, ties broken by language code order (deterministic)."""
+    hits = {lang: stopword_hits(text, ws) for lang, ws in LANG_MARKERS.items()}
+    langs = sorted(LANG_MARKERS)
+    expr = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            ge = (
+                hits[lang] > hits[other]
+                if other < lang  # earlier code wins ties -> need strict >
+                else hits[lang] >= hits[other]
+            )
+            cond = ge if cond is None else (cond & ge)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit(langs[0]))

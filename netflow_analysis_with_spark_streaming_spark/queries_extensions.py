@@ -1,1 +1,560 @@
-"""Placeholder — populated in later milestones."""
+"""LLM-pipeline extension corpus (SURVEY.md §2.9): dedup, similarity
+search, text analysis over `documents` / `embeddings`.
+
+Oracle strategy: hashing uses md5 (bit-identical in DuckDB) so MinHash
+signatures, SimHash and fingerprints are *exactly* differential-tested
+— not rows-only. Jaccard values are ratios of integers (identical
+doubles in both engines). Only the LSH-bucketed ANN variant is
+rows-only (its recall is property-tested in tests/test_extensions.py).
+
+Scale notes inline; the common theme: never all-pairs. Candidate
+generation is always a bucket/band equi-join (LSH banding, shingle
+inverted index) so the join key distributes and AQE can split skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import tables
+from .functions import text as T
+from .functions import vectors as V
+from .queries import register
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+_ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+# DuckDB-side mirrors of the Spark tokenization (single normalization
+# for both engines: trim, collapse whitespace, split on single space).
+_WORDS_SQL = "string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle
+  FROM toks, unnest(range(1, len(w) - 1)) t(i)
+)
+"""
+
+
+# --- Exact deduplication ---------------------------------------------------
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per identical text.
+
+    Scale: hash-groupBy on text shuffles once on the text hash; at
+    100 TB group on fingerprint(text) instead (fixed-width key,
+    same result, 1/100 the shuffle bytes) — that variant is
+    dedup_fingerprint below.
+    """
+    docs = tables.load(spark, "documents", sf_dir)
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .select("keep_doc_id", "n_copies")
+        .orderBy("keep_doc_id")
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text ORDER BY keep_doc_id
+"""
+
+
+def _dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint dedup: md5 of normalized text as the group key —
+    the fixed-width-key variant of exact dedup (the 100 TB shape)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    return (
+        docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+_DEDUP_FINGERPRINT_SQL = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY keep_doc_id
+"""
+
+
+# --- MinHash LSH near-dup --------------------------------------------------
+
+
+def _shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the inverted-index base."""
+    return docs.select(
+        "doc_id", F.explode(T.shingles(F.col("text"), 3)).alias("shingle")
+    ).distinct()
+
+
+def _dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: sig_i = min over shingles of h_i(shingle).
+
+    One explode + one groupBy(doc_id): the shuffle key is doc_id, so
+    signature computation is embarrassingly parallel at any scale.
+    md5-derived h_i makes this exactly oracle-checked (seeds pinned).
+    """
+    docs = tables.load(spark, "documents", sf_dir)
+    sh = _shingle_sets(docs)
+    aggs = [
+        F.min(T.md5_hash32(F.col("shingle"), s)).alias(f"sig_{s}")
+        for s in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+_MINHASH_SIG_SQL = (
+    "WITH "
+    + _SHINGLES_CTE
+    + "SELECT doc_id, "
+    + ", ".join(
+        f"MIN({T.md5_hash32_sql('shingle', s)}) AS sig_{s}" for s in range(N_MINHASH)
+    )
+    + " FROM sh GROUP BY doc_id ORDER BY doc_id"
+)
+
+
+def _dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: docs sharing any of 4 bands (4 sigs each) become
+    candidate near-dup pairs — never an all-pairs comparison.
+
+    Scale: each band is an equi-join on a concatenated band key; the
+    expected bucket size is tiny unless docs truly collide, and a hot
+    bucket (boilerplate text) is exactly the AQE skew-split case.
+    """
+    sig = _dedup_minhash_signatures(spark, sf_dir)
+    bands = []
+    for b in range(N_BANDS):
+        cols = [f"sig_{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.concat_ws("-", F.lit(str(b)), *[F.col(c).cast("string") for c in cols]).alias(
+                    "band_key"
+                ),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    left = banded.alias("a")
+    right = banded.alias("b")
+    return (
+        left.join(right, "band_key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _band_key_sql(b: int) -> str:
+    cols = " , ".join(
+        f"CAST(sig_{b * _ROWS_PER_BAND + r} AS VARCHAR)" for r in range(_ROWS_PER_BAND)
+    )
+    return f"concat_ws('-', '{b}', {cols})"
+
+
+_MINHASH_CAND_SQL = (
+    "WITH "
+    + _SHINGLES_CTE
+    + ", sig AS (SELECT doc_id, "
+    + ", ".join(
+        f"MIN({T.md5_hash32_sql('shingle', s)}) AS sig_{s}" for s in range(N_MINHASH)
+    )
+    + " FROM sh GROUP BY doc_id), banded AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {_band_key_sql(b)} AS band_key FROM sig" for b in range(N_BANDS)
+    )
+    + ") SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM banded a JOIN banded b USING (band_key) "
+    "WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b"
+)
+
+
+# --- n-gram Jaccard similarity join ----------------------------------------
+
+
+def _similarity_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most similar doc pairs by exact 3-shingle Jaccard.
+
+    Candidate pairs come from the shingle inverted index (docs sharing
+    >= 1 shingle) — the join key is the shingle, not the pair, so this
+    is a distributed equi-join + groupBy, never O(n^2). Jaccard =
+    |common| / (|a|+|b|-|common|) is a ratio of exact ints (identical
+    doubles in DuckDB).
+    """
+    docs = tables.load(spark, "documents", sf_dir)
+    sh = _shingle_sets(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b"))
+    return (
+        jac.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"), "rank")
+        .orderBy("rank")
+    )
+
+
+_NGRAM_JACCARD_SQL = (
+    "WITH "
+    + _SHINGLES_CTE
+    + """,
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         common / (sa.n_sh + sb.n_sh - common) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard, rank FROM (
+  SELECT doc_a, doc_b, jaccard,
+         ROW_NUMBER() OVER (ORDER BY jaccard DESC, doc_a, doc_b) AS rank
+  FROM jac
+) WHERE rank <= 20 ORDER BY rank
+"""
+)
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over the distinct-word set: bit b is set iff the
+    sum over words of (+1 if bit b of h(word) else -1) is positive.
+
+    One explode + one groupBy(doc_id) with 32 conditional sums —
+    all codegen'd; near-dup docs differ in a few bits (compare via
+    hamming distance on the signature at query time).
+    """
+    docs = tables.load(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("word")
+    ).distinct()
+    h = T.md5_hash32(F.col("word"), 99)
+    sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(32)
+    ]
+    agg = toks.groupBy("doc_id").agg(*sums)
+    simhash = None
+    for b in range(32):
+        bit = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return agg.select("doc_id", simhash.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+_H_WORD = T.md5_hash32_sql("word", 99)
+_SIMHASH_SQL = (
+    f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+),
+sums AS (
+  SELECT doc_id, """
+    + ", ".join(
+        f"SUM(CASE WHEN ({_H_WORD} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(32)
+    )
+    + " FROM toks GROUP BY doc_id) SELECT doc_id, CAST("
+    + " + ".join(f"(CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    + " AS BIGINT) AS simhash FROM sums ORDER BY doc_id"
+)
+
+
+# --- Vector similarity search ----------------------------------------------
+
+
+def _similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query vector (vec_id < 10).
+
+    The baseline ANN path: broadcast the small query set, one pass
+    over the candidates, per-query top-k heap via row_number window
+    partitioned by query. Exact; O(Q x N) — use the LSH variant when
+    Q is large.
+    """
+    emb = tables.load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        V.cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+_COSINE_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM q, embeddings e WHERE e.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def _similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: random-hyperplane sign buckets prune the
+    candidate set before exact cosine re-ranking.
+
+    Rows-only driver check (the hyperplane formula is Spark-side);
+    recall vs the brute-force baseline is property-tested in
+    tests/test_extensions.py. Scale: candidates shrink ~2^planes-fold;
+    the bucket equi-join replaces the cross join — this is the 100 TB
+    path. Multi-probe (flipping one bit) would raise recall; single
+    probe keeps the demo simple.
+    """
+    emb = tables.load(spark, "embeddings", sf_dir)
+    dim = 64
+    with_bucket = emb.withColumn("bucket", V.lsh_bucket(F.col("embedding"), dim, 4))
+    q = with_bucket.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    cands = with_bucket.join(F.broadcast(q), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        V.cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _similarity_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: top-20 most-similar distinct
+    pairs across the corpus (threshold-free — the synthetic corpus has
+    no true dups, a fixed threshold would return zero evidence).
+
+    Scale: all-pairs here because the corpus fits; at 100 TB the
+    candidate set comes from lsh_bucket equality exactly as in
+    _similarity_lsh_topk.
+    """
+    emb = tables.load(spark, "embeddings", sf_dir)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", V.cosine(F.col("ea"), F.col("eb")).alias("cos")
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col("id_a"), F.col("id_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("id_a", "id_b", "rank")
+        .orderBy("rank")
+    )
+
+
+_EMBEDDING_NEARDUP_SQL = """
+WITH scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, rank FROM (
+  SELECT id_a, id_b, ROW_NUMBER() OVER (ORDER BY cos DESC, id_a, id_b) AS rank
+  FROM scored
+) WHERE rank <= 20 ORDER BY rank
+"""
+
+
+# --- Text analysis ----------------------------------------------------------
+
+_EN_STOPWORDS = ["the", "a", "of", "and", "is"]
+_STOP_PAT = r"\b(" + "|".join(_EN_STOPWORDS) + r")\b"
+_MARKER_CASE_SQL = " ".join(
+    "WHEN "
+    + " AND ".join(
+        f"len(regexp_extract_all(text, '\\b({'|'.join(T.LANG_MARKERS[lang])})\\b')) >= "
+        f"len(regexp_extract_all(text, '\\b({'|'.join(T.LANG_MARKERS[other])})\\b'))"
+        for other in sorted(T.LANG_MARKERS)
+        if other != lang
+    )
+    + f" THEN '{lang}'"
+    for lang in sorted(T.LANG_MARKERS)
+)
+
+
+def _text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text analytics: token counts (whitespace + BPE-ish),
+    quality score, language-ID guess, fingerprint — the standard
+    pretraining-corpus annotation pass, all codegen'd expressions."""
+    docs = tables.load(spark, "documents", sf_dir)
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        T.token_count_ws(text).alias("tokens_ws"),
+        T.token_count_bpe(text).alias("tokens_bpe"),
+        T.quality_score(text, _EN_STOPWORDS).alias("quality"),
+        T.lang_guess(text).alias("lang_guess"),
+        T.fingerprint(text).alias("fp"),
+    ).orderBy("doc_id")
+
+
+_TEXT_ANALYSIS_SQL = f"""
+SELECT doc_id, lang,
+       len({_WORDS_SQL}) AS tokens_ws,
+       len(regexp_extract_all(text, '{T.TOKEN_PATTERN}')) AS tokens_bpe,
+       ROUND(GREATEST(0.0,
+             LEAST(len({_WORDS_SQL}) / 50.0, 1.0) * 0.4
+           + LEAST((len(regexp_extract_all(text, '{_STOP_PAT}'))
+                    / GREATEST(len({_WORDS_SQL}), 1)) * 5, 1.0) * 0.4
+           + (1 - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                  / GREATEST(length(text), 1)) * 0.2), 4) AS quality,
+       CASE {_MARKER_CASE_SQL} ELSE 'de' END AS lang_guess,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+def _text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus roll-up per language: volume, token mass, mean quality —
+    the filter-threshold dashboard for a data pipeline."""
+    docs = tables.load(spark, "documents", sf_dir)
+    text = F.col("text")
+    per_doc = docs.select(
+        "lang",
+        T.token_count_ws(text).alias("tok"),
+        T.quality_score(text, _EN_STOPWORDS).alias("q"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("tok").alias("total_tokens"),
+            F.round(F.avg("q"), 3).alias("avg_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+_TEXT_STATS_SQL = f"""
+SELECT lang, COUNT(*) AS docs,
+       SUM(len({_WORDS_SQL})) AS total_tokens,
+       ROUND(AVG(ROUND(GREATEST(0.0,
+             LEAST(len({_WORDS_SQL}) / 50.0, 1.0) * 0.4
+           + LEAST((len(regexp_extract_all(text, '{_STOP_PAT}'))
+                    / GREATEST(len({_WORDS_SQL}), 1)) * 5, 1.0) * 0.4
+           + (1 - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                  / GREATEST(length(text), 1)) * 0.2), 4)), 3) AS avg_quality
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# --- Multimodal columns -----------------------------------------------------
+
+
+def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media pipeline: attach payloads -> Arrow-batched
+    mapInPandas decode (stubbed codec, real plumbing) -> typed meta +
+    feature vector. Exactly oracle-checked because the fake decode is
+    md5-derived. Sampled to every 5th doc to bound the Python stage.
+    """
+    from .functions import multimodal as M
+
+    docs = tables.load(spark, "documents", sf_dir).filter(F.col("doc_id") % 5 == 0)
+    return (
+        M.decode_media(M.attach_payload(docs))
+        .select("doc_id", "media_type", "width", "height", "n_frames", "feature")
+        .orderBy("doc_id")
+    )
+
+
+def _mm_int(seed: int) -> str:
+    return f"CAST(('0x' || substr(md5(text || ':{seed}'), 1, 8)) AS BIGINT)"
+
+
+_MULTIMODAL_SQL = (
+    "SELECT doc_id, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type, "
+    f"CAST({_mm_int(0)} % 1920 + 1 AS INTEGER) AS width, "
+    f"CAST({_mm_int(1)} % 1080 + 1 AS INTEGER) AS height, "
+    f"CAST({_mm_int(2)} % 240 + 1 AS INTEGER) AS n_frames, "
+    "list_value("
+    + ", ".join(f"{_mm_int(10 + k)} / 4294967296.0" for k in range(8))
+    + ") AS feature FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id"
+)
+
+
+register("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL)
+register("multimodal_decode", _multimodal_decode, _MULTIMODAL_SQL)
+register("dedup_fingerprint", _dedup_fingerprint, _DEDUP_FINGERPRINT_SQL)
+register("dedup_minhash_signatures", _dedup_minhash_signatures, _MINHASH_SIG_SQL)
+register("dedup_minhash_candidates", _dedup_minhash_candidates, _MINHASH_CAND_SQL)
+register("similarity_ngram_jaccard", _similarity_ngram_jaccard, _NGRAM_JACCARD_SQL)
+register("dedup_simhash", _dedup_simhash, _SIMHASH_SQL)
+register("similarity_cosine_topk", _similarity_cosine_topk, _COSINE_TOPK_SQL)
+register("similarity_lsh_topk", _similarity_lsh_topk)  # rows-only: Spark-side planes
+register(
+    "similarity_embedding_neardup", _similarity_embedding_neardup, _EMBEDDING_NEARDUP_SQL
+)
+register("text_analysis", _text_analysis, _TEXT_ANALYSIS_SQL)
+register("text_stats_by_lang", _text_stats_by_lang, _TEXT_STATS_SQL)
