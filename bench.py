@@ -1,0 +1,63 @@
+"""Benchmark harness: times every queries() entry at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly ONE JSON line:
+  {"metric": "total_query_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1, "errors": {...}}
+
+The driver runs this per-round (BENCH_r{N}.json) and compares against
+BASELINE.md. Query failures are recorded in "errors" and excluded from
+"value" rather than crashing the whole run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> int:
+    from netflow_analysis_with_spark_streaming_spark.session import get_spark
+
+    spark = get_spark(app_name="netflow-bench", master=f"local[{CPUS}]")
+    import __spark_entry__ as e
+
+    # Warm the JVM/session so the first measured query doesn't pay init.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name, fn in e.queries().items():
+        t0 = time.time()
+        try:
+            fn(spark, SF_DIR).collect()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # noqa: BLE001 — record, keep benching
+            errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+    spark.stop()
+
+    out = {
+        "metric": "total_query_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -35,19 +35,28 @@ def token_count_bpe(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0))
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (array<string>, overlapping, in order).
+def shingles_from_words(w: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED word array.
 
-    transform(sequence(0, size-n)) is evaluated per-row JVM-side; the
-    caller explodes + distincts when set semantics are needed.
+    Pass a column reference, not words(text) inline: an inline split
+    re-tokenizes the document for every element_at inside the lambda
+    (measured ~4x slowdown on the shingle pipeline).
     """
-    w = words(text)
     idx = F.sequence(F.lit(0), F.size(w) - n)
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)])
     )
     # sequence(0, negative) would count DOWN; guard short docs explicitly.
     return F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>, overlapping, in order).
+
+    Convenience wrapper; hot paths should materialize words(text) into
+    a column first and use shingles_from_words (see docstring there).
+    """
+    return shingles_from_words(words(text), n)
 
 
 def md5_hash32(value: Column, seed: int | Column = 0) -> Column:
@@ -66,6 +75,33 @@ def md5_hash32_sql(value_sql: str, seed: int) -> str:
     return (
         f"CAST(('0x' || substr(md5(CONCAT('{seed}', ':', {value_sql})), 1, 8)) AS BIGINT)"
     )
+
+
+_GOLDEN = 2654435769  # 2^32 / golden ratio
+
+
+def affine_hash32(base: Column, i: int) -> Column:
+    """i-th member of an affine universal-ish family over one 32-bit
+    base hash: (base * (2i+1) + i*GOLDEN) mod 2^32.
+
+    MinHash needs k independent-ish hashes per shingle; deriving them
+    arithmetically from ONE md5 is ~k times cheaper than k md5 calls
+    (measured 9.8s -> ~2s at sf0.1) and still mirrors exactly in SQL.
+    """
+    return (base * (2 * i + 1) + i * _GOLDEN) % F.lit(2**32)
+
+
+def affine_hash32_sql(base_sql: str, i: int) -> str:
+    """DuckDB mirror of affine_hash32."""
+    return f"(({base_sql}) * {2 * i + 1} + {i * _GOLDEN}) % 4294967296"
+
+
+def minhash_sig_aggs(shingle: Column, n: int) -> list[Column]:
+    """The n MinHash signature aggregates over a shingle column:
+    sig_i = MIN(affine_i(md5_hash32(shingle))). Shared by the query
+    corpus and the recall tests so both use identical hashing."""
+    base = md5_hash32(shingle, 0)
+    return [F.min(affine_hash32(base, i)).alias(f"sig_{i}") for i in range(n)]
 
 
 def fingerprint(text: Column) -> Column:

@@ -54,6 +54,60 @@ def hyperplane(j: int, dim: int) -> Column:
     )
 
 
+def neardup_candidates_blockwise(emb, k_per_row: int = 20):
+    """All-pairs cosine with a numpy block kernel: each Arrow batch of
+    rows (the A-block) is multiplied against the broadcast unit-norm
+    B-matrix; only the upper triangle survives and each row keeps its
+    local top-k — the global top-k is a subset, so the tiny candidate
+    set (rows x k) can be re-ranked exactly downstream.
+
+    This is the deliberate numpy escape hatch: 12M pair-dots through
+    JVM higher-order lambdas measured ~40x slower than one BLAS matmul
+    per batch. The B side is collected+broadcast like a broadcast-join
+    build side (51 MB at 200k x 64 floats); beyond that, IVF/LSH
+    bucketing or block-partitioning both sides replaces it — see
+    lsh_bucket.
+
+    Returns DataFrame(id_a, id_b, cos) of candidates.
+    """
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    bc = emb.sparkSession.sparkContext.broadcast((ids, mat))
+
+    def batches(it):
+        import pandas as pd
+
+        b_ids, b_mat = bc.value
+        for pdf in it:
+            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+            sims = a_mat @ b_mat.T
+            # upper triangle only: candidate id_b must exceed id_a
+            mask = b_ids[None, :] <= a_ids[:, None]
+            sims[mask] = -np.inf
+            k = min(k_per_row, sims.shape[1])
+            top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+            out_a, out_b, out_c = [], [], []
+            for i in range(sims.shape[0]):
+                for j in top[i]:
+                    if np.isfinite(sims[i, j]):
+                        out_a.append(a_ids[i])
+                        out_b.append(b_ids[j])
+                        out_c.append(float(sims[i, j]))
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cos": out_c})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        batches, "id_a long, id_b long, cos double"
+    )
+
+
 def lsh_bucket(vec: Column, dim: int, planes: int = 6) -> Column:
     """Sign-pattern bucket id: bit j = (dot(vec, plane_j) >= 0).
 

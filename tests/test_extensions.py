@@ -84,10 +84,7 @@ def test_minhash_catches_planted_neardups(spark):
     sh = docs.select(
         "doc_id", F.explode(T.shingles(F.col("text"), 3)).alias("shingle")
     ).distinct()
-    aggs = [
-        F.min(T.md5_hash32(F.col("shingle"), s)).alias(f"sig_{s}") for s in range(16)
-    ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    sig = sh.groupBy("doc_id").agg(*T.minhash_sig_aggs(F.col("shingle"), 16))
     bands = []
     for b in range(4):
         cols = [F.col(f"sig_{b * 4 + r}").cast("string") for r in range(4)]
