@@ -46,3 +46,4 @@ register("flagship_access_trend", _flagship, _access_trend.ACCESS_TREND_ORACLE)
 from . import queries_relational  # noqa: E402,F401
 from . import queries_parity  # noqa: E402,F401
 from . import queries_extensions  # noqa: E402,F401
+from . import queries_streaming  # noqa: E402,F401

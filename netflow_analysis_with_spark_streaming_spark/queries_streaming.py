@@ -1,0 +1,105 @@
+"""Streaming query corpus: driver-checkable Structured Streaming runs.
+
+The driver's oracle harness is batch-only, so these entries run a REAL
+streaming query (file source -> transform -> memory sink, availableNow
+trigger, blocking) and return the materialized result — streaming
+execution, batch-comparable output. Everything not expressible this
+way (exactly-once replay, watermark eviction, maxFilesPerTrigger
+pacing) is covered in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import tables
+from .queries import register
+from .streaming import jobs, sources
+
+# events.parquet raw schema under nanosAsLong (streaming sources need
+# an explicit schema; ts arrives as INT64 nanoseconds).
+EVENTS_RAW_NANOS = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table replayed as a stream (S2 parquet variant).
+
+    The streaming file source requires a DIRECTORY; the testdata ships
+    one parquet file, so it is exposed through a stable symlink dir
+    under /tmp (read-only testdata cannot be rearranged)."""
+    tables.harden_session(spark)
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.md5(src.encode()).hexdigest()[:12]
+    link_dir = f"/tmp/netflow_stream_src_{tag}"
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    raw = sources.parquet_file_source(spark, link_dir, EVENTS_RAW_NANOS)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 as a real streaming query: tumbling 1-hour windows per
+    event_type over the replayed events stream, complete-mode memory
+    sink. Epoch-aligned windows == date_trunc('hour') in the oracle.
+    """
+    win = jobs.windowed_traffic(
+        _events_stream(spark, sf_dir),
+        window="1 hour",
+        watermark="2 hours",
+    )
+    jobs.run_to_memory(win, "stream_tumbling_window", output_mode="complete")
+    return spark.table("stream_tumbling_window").orderBy("window_start", "event_type")
+
+
+_STREAM_WINDOW_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       ROUND(SUM(value), 2) AS total_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+def _stream_path2_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 as a real streaming query: stream -> nested Schema-C build ->
+    flatten + timestamp conversion -> append-mode memory sink.
+    Same oracle as the batch parity_flatten_nested entry — streaming
+    and batch must agree (the Structured Streaming promise)."""
+    from .operators import flatten as _fl
+
+    ev = _events_stream(spark, sf_dir).filter(F.col("event_id") % 10 == 0)
+    flat = jobs.path2_flatten(_fl.events_as_nested_packets(ev))
+    jobs.run_to_memory(flat, "stream_path2_flatten", output_mode="append")
+    return spark.table("stream_path2_flatten")
+
+
+# Identical semantics to the batch flatten entry -> reuse its oracle.
+from .queries_parity import _PARITY_FLATTEN_SQL  # noqa: E402
+
+register("stream_tumbling_window", _stream_tumbling_window, _STREAM_WINDOW_SQL)
+register("stream_path2_flatten", _stream_path2_flatten, _PARITY_FLATTEN_SQL)

@@ -1,0 +1,95 @@
+"""Streaming jobs: the two reference pipelines + stateful operators.
+
+E1 (Path 1): Kafka/file JSON -> from_json normalize -> table/Kafka
+  sinks (README.md:98-181) — here: any streaming DataFrame of raw
+  JSON `value` strings -> normalize_flows -> sink of choice.
+E2 (Path 2): JSON file dir -> flatten + timestamp convert -> sink
+  (README.md:226-307).
+A2/T5: watermarked tumbling-window aggregation (the pmacct 10 s
+  pre-rollup, now inside the engine with late-data handling).
+T6: dropDuplicatesWithinWatermark for bounded-state streaming dedup.
+
+All jobs take/return DataFrames so tests drive them with availableNow
++ memory sinks (deterministic); production wiring picks trigger and
+sink via run_to_memory / IdempotentParquetSink / kafka options.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.flatten import flatten_packets
+from ..operators.normalize import normalize_flows
+
+
+def path1_normalize(raw: DataFrame) -> DataFrame:
+    """E1 transformation: raw JSON value column -> Schema B flows."""
+    return normalize_flows(raw)
+
+
+def path2_flatten(nested: DataFrame) -> DataFrame:
+    """E2 transformation: Schema C nested packets -> flat + datetime."""
+    return flatten_packets(nested, with_datetime=True)
+
+
+def windowed_traffic(
+    flows: DataFrame,
+    ts_col: str = "ts",
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+    value_col: str = "value",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """A2: tumbling-window per-key traffic rollup with a watermark.
+
+    The watermark (T5 — absent in the reference) bounds state: windows
+    older than max(event time) - watermark are finalized and evicted,
+    which is what makes this runnable forever at 100 TB/day. Output in
+    append mode emits each window exactly once, on close.
+    """
+    return (
+        flows.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(
+            F.round(F.sum(value_col), 2).alias("total_value"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "total_value",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "30 seconds",
+) -> DataFrame:
+    """T6: streaming exact dedup with bounded state — duplicates
+    arriving within the watermark horizon are dropped; state for
+    older keys is evicted (the reference's Mongo insert_one had no
+    dedup at all)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys + [ts_col]
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
+    """Deterministic test/driver execution: availableNow trigger into
+    a memory sink, blocking until the backlog drains. Returns the
+    finished StreamingQuery; results are in spark.table(name)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

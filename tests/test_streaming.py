@@ -1,0 +1,235 @@
+"""Streaming semantics (SURVEY.md §5.2.3): deterministic tests via
+availableNow + memory sinks; exactly-once by batch replay; watermark
+behavior with manufactured event times."""
+
+import json
+import os
+
+import pytest
+import pyspark.sql.functions as F
+
+from conftest import SF_ORACLE
+
+from netflow_analysis_with_spark_streaming_spark.schemas import FLOW_RAW
+from netflow_analysis_with_spark_streaming_spark.streaming import jobs, sinks, sources
+
+
+def _write_json_files(tmp_path, n_files=3, rows_per_file=4):
+    """tshark-style multiline JSON fixtures (one array per file)."""
+    d = tmp_path / "in"
+    d.mkdir()
+    total = 0
+    for f in range(n_files):
+        recs = []
+        for r in range(rows_per_file):
+            recs.append(
+                {
+                    "event_type": "purge",
+                    "ip_src": f"10.0.{f}.{r}",
+                    "ip_dst": "192.168.178.80",
+                    "port_src": 1000 + r,
+                    "port_dst": 443,
+                    "ip_proto": "tcp",
+                    "timestamp_start": f"2019-11-0{f + 1} 06:08:{r:02d}.000000",
+                    "packets": 1,
+                    "bytes": 100 * (r + 1),
+                }
+            )
+            total += 1
+        (d / f"part-{f}.json").write_text(json.dumps(recs))
+    return str(d), total
+
+
+def test_file_source_normalize_end_to_end(spark, tmp_path):
+    """S2 + P2: JSON file stream -> normalize -> memory sink."""
+    path, total = _write_json_files(tmp_path)
+    raw = sources.json_file_source(spark, path, FLOW_RAW, max_files_per_trigger=1)
+    assert raw.isStreaming
+    flows = jobs.path1_normalize(
+        raw.select(F.to_json(F.struct(*raw.columns)).alias("value"))
+    )
+    jobs.run_to_memory(flows, "t_norm")
+    out = spark.table("t_norm").collect()
+    assert len(out) == total
+    assert all(r["protocol"] == "tcp" for r in out)
+    assert all(r["ip_dst"] == "192.168.178.80" for r in out)
+
+
+def test_max_files_per_trigger_paces_batches(spark, tmp_path):
+    """T8: 3 files at maxFilesPerTrigger=1 must drain in 3 batches."""
+    path, _ = _write_json_files(tmp_path, n_files=3)
+    raw = sources.json_file_source(spark, path, FLOW_RAW, max_files_per_trigger=1)
+    seen = []
+
+    q = (
+        raw.writeStream.foreachBatch(lambda df, bid: seen.append((bid, df.count())))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen) == 3, seen
+    assert all(cnt == 4 for _, cnt in seen)
+
+
+def test_idempotent_sink_exactly_once(spark, tmp_path):
+    """T7: replaying a committed batch id must be a no-op; committed
+    rows never duplicate (the reference's insert_one had no such
+    guarantee)."""
+    sink = sinks.IdempotentParquetSink(str(tmp_path / "table"))
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    sink(df, 0)
+    sink(df, 0)  # replay after simulated failure
+    sink(df, 1)
+    out = sink.read(spark)
+    assert out.count() == 20  # 2 committed batches, not 3 writes
+    assert sink.committed_ids() == {0, 1}
+
+
+def test_idempotent_sink_excludes_uncommitted(spark, tmp_path):
+    """A crash between data write and commit marker must leave the
+    partial batch invisible to readers."""
+    root = tmp_path / "table"
+    sink = sinks.IdempotentParquetSink(str(root))
+    df = spark.range(5).selectExpr("id", "id AS v")
+    sink(df, 0)
+    # simulate: batch 1 data written, crash before commit marker
+    df.write.mode("overwrite").parquet(str(root / "data" / "batch_id=1"))
+    assert sink.read(spark).count() == 5
+    # recovery replays batch 1 -> now visible exactly once
+    sink(df, 1)
+    assert sink.read(spark).count() == 10
+
+
+def test_streaming_batch_agreement(spark):
+    """The windowed streaming agg must equal the same agg run in batch
+    (Structured Streaming's core contract)."""
+    from netflow_analysis_with_spark_streaming_spark import tables
+    from netflow_analysis_with_spark_streaming_spark.queries_streaming import (
+        _stream_tumbling_window,
+    )
+
+    stream_rows = {
+        (r["window_start"], r["event_type"]): (r["total_value"], r["n_events"])
+        for r in _stream_tumbling_window(spark, SF_ORACLE).collect()
+    }
+    ev = tables.load(spark, "events", SF_ORACLE)
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.round(F.sum("value"), 2).alias("tv"), F.count("*").alias("n"))
+        .collect()
+    )
+    batch_rows = {
+        (r["win"]["start"], r["event_type"]): (r["tv"], r["n"]) for r in batch
+    }
+    assert stream_rows == batch_rows
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """T5: an event older than watermark behind the max seen event
+    time must not re-open its (already emitted) window in append mode.
+    Two micro-batches: batch 2 carries the late row."""
+    d = tmp_path / "wm"
+    d.mkdir()
+    # batch 1: events at 10:00 and 10:05 -> max event time 10:05
+    (d / "f1.json").write_text(
+        json.dumps(
+            [
+                {"ts": "2024-01-01 10:00:00", "k": "a", "v": 1.0},
+                {"ts": "2024-01-01 10:05:00", "k": "a", "v": 2.0},
+            ]
+        )
+    )
+    schema = "ts string, k string, v double"
+    raw = sources.json_file_source(
+        spark, str(d), spark.createDataFrame([], schema).schema, max_files_per_trigger=1
+    )
+    typed = raw.withColumn("ts", F.to_timestamp("ts"))
+    win = jobs.windowed_traffic(
+        typed, ts_col="ts", window="1 minute", watermark="1 minute",
+        value_col="v", key_col="k",
+    )
+    ckpt = str(tmp_path / "wm_ckpt")
+    emitted: list = []
+
+    def _run():
+        # foreachBatch sink: supports checkpoint RECOVERY (memory sink
+        # does not), so the second run continues the first's watermark.
+        q = (
+            win.writeStream.foreachBatch(
+                lambda df, bid: emitted.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _run()
+    # watermark advanced to 10:04 -> the 10:00 window is closed+emitted
+    assert any(r["window_start"].minute == 0 for r in emitted), emitted
+
+    # batch 2: a LATE event for the closed 10:00 window + a fresh one
+    (d / "f2.json").write_text(
+        json.dumps(
+            [
+                {"ts": "2024-01-01 10:00:30", "k": "a", "v": 100.0},  # late, dropped
+                {"ts": "2024-01-01 10:10:00", "k": "a", "v": 3.0},
+            ]
+        )
+    )
+    emitted.clear()
+    _run()
+    # the late row must NOT produce a second emission of the 10:00 window
+    re_emitted = [
+        r
+        for r in emitted
+        if r["window_start"].minute == 0 and r["window_start"].hour == 10
+    ]
+    assert re_emitted == [], emitted
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    """T6: duplicate (key, ts) rows inside the watermark horizon are
+    dropped; state stays bounded by the watermark."""
+    d = tmp_path / "dd"
+    d.mkdir()
+    recs = [
+        {"ts": "2024-01-01 10:00:00", "k": "a"},
+        {"ts": "2024-01-01 10:00:00", "k": "a"},  # exact dup
+        {"ts": "2024-01-01 10:00:01", "k": "a"},
+        {"ts": "2024-01-01 10:00:00", "k": "b"},
+    ]
+    (d / "f1.json").write_text(json.dumps(recs))
+    raw = sources.json_file_source(
+        spark, str(d), spark.createDataFrame([], "ts string, k string").schema
+    )
+    typed = raw.withColumn("ts", F.to_timestamp("ts"))
+    deduped = jobs.dedup_within_watermark(typed, keys=["k"], watermark="10 minutes")
+    jobs.run_to_memory(deduped, "t_dd")
+    assert spark.table("t_dd").count() == 3
+
+
+def test_kafka_option_builders():
+    """S1/S6/K2 config surface (no broker in this environment — the
+    option contract is what's testable)."""
+    opts = sources.kafka_source_options(
+        "broker:9092", "netflow", max_offsets_per_trigger=10000
+    )
+    assert opts["subscribe"] == "netflow"
+    assert opts["startingOffsets"] == "latest"
+    assert opts["maxOffsetsPerTrigger"] == "10000"
+    sk = sinks.kafka_sink_options("broker:9092", "realTimeChart")
+    assert sk == {"kafka.bootstrap.servers": "broker:9092", "topic": "realTimeChart"}
+
+
+def test_to_kafka_records_shape(spark):
+    """K2 record shaping: value is the JSON of all columns, no driver
+    collect anywhere in the plan."""
+    df = spark.createDataFrame([(1, "x")], ["id", "name"])
+    out = sinks.to_kafka_records(df, key_col="id")
+    assert out.columns == ["key", "value"]
+    row = out.collect()[0]
+    assert row["key"] == "1"
+    assert json.loads(row["value"]) == {"id": 1, "name": "x"}
