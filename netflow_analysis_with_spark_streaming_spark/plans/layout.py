@@ -1,0 +1,82 @@
+"""Managed-table layout: day partitioning + join bucketing.
+
+The reference stores flows in MongoDB and range-filters on a string
+timestamp (accessTrend.ts:13-16) — at 100 TB that is a full scan. The
+engine's managed layout makes the two dominant access patterns cheap:
+
+- PARTITIONED BY day: the flagship's ts-range predicate becomes
+  partition pruning — Spark lists only the matching day directories,
+  so a 10-day query over 3 years of data touches ~1% of files before
+  a single row is read.
+- CLUSTERED BY (bucketing) on the join key: two tables bucketed the
+  same way join with ZERO shuffle (SortMergeJoin reads co-located
+  buckets) — the fix for the lineitem⋈orders class of fact-fact
+  joins that otherwise shuffles both sides every query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_day_partitioned(
+    df: DataFrame, path: str, ts_col: str = "ts", mode: str = "overwrite"
+) -> None:
+    """Write parquet partitioned by the UTC day of ``ts_col``.
+
+    The day column is derived, not stored twice: readers get it back
+    as a partition column and filters on it prune directories.
+    """
+    (
+        df.withColumn("day", F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+        .write.mode(mode)
+        .partitionBy("day")
+        .parquet(path)
+    )
+
+
+def read_day_range(
+    spark: SparkSession, path: str, day_from: str, day_to: str
+) -> DataFrame:
+    """Read a day-partitioned table with partition-pruning filters.
+
+    The string day comparison is safe (ISO dates sort lexicographically
+    — the one place the reference's string trick is actually the right
+    tool, because partition values are strings).
+    """
+    df = spark.read.parquet(path)
+    return df.filter((F.col("day") >= day_from) & (F.col("day") <= day_to))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Save as a bucketed managed table (requires a warehouse/catalog;
+    bucketing is a table property, so this is saveAsTable not parquet).
+
+    Both sides of a recurring fact-fact join bucketed on the key with
+    the same bucket count join shuffle-free."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def pruned_partitions(df: DataFrame) -> int | None:
+    """Number of partition dirs the plan will actually read, if the
+    scan exposes it (used by tests to assert pruning happened)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"partition filters: \[([^\]]*)\]", plan, re.IGNORECASE)
+    if m is None:
+        return None
+    return len([p for p in m.group(1).split(",") if p.strip()])

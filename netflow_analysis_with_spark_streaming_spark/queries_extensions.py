@@ -551,8 +551,32 @@ _MULTIMODAL_SQL = (
 )
 
 
+def _udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas_udf extension tier exercised end-to-end: Arrow-batched
+    text normalization over documents (SURVEY.md §2.8). Built-in
+    equivalents exist (and are what the parity ops use); this entry
+    proves the extension surface itself is wired and correct."""
+    from .functions import udfs as U
+
+    docs = tables.load(spark, "documents", sf_dir).filter(F.col("doc_id") % 5 == 0)
+    return docs.select(
+        "doc_id",
+        F.substring(U.normalize_text_pudf(F.col("text")), 1, 40).alias("norm_prefix"),
+        F.length(U.normalize_text_pudf(F.col("text"))).alias("norm_len"),
+    ).orderBy("doc_id")
+
+
+_UDF_SURFACE_SQL = """
+SELECT doc_id,
+       substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 40) AS norm_prefix,
+       length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS norm_len
+FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id
+"""
+
+
 register("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL)
 register("multimodal_decode", _multimodal_decode, _MULTIMODAL_SQL)
+register("udf_surface", _udf_surface, _UDF_SURFACE_SQL)
 register("dedup_fingerprint", _dedup_fingerprint, _DEDUP_FINGERPRINT_SQL)
 register("dedup_minhash_signatures", _dedup_minhash_signatures, _MINHASH_SIG_SQL)
 register("dedup_minhash_candidates", _dedup_minhash_candidates, _MINHASH_CAND_SQL)
