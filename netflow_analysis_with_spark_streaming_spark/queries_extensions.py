@@ -291,6 +291,56 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", simhash.cast("long").alias("simhash")).orderBy("doc_id")
 
 
+def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: byte-band join + hamming filter.
+
+    The 32-bit signature splits into 4 byte bands; docs sharing any
+    band byte become candidates (a <=8-bit-distant pair shares a byte
+    unless its differing bits spread across every band), then exact
+    hamming = bit_count(xor) <= 8 filters. Same never-all-pairs shape
+    as MinHash banding, on a 100x smaller key.
+    """
+    sig = _dedup_simhash(spark, sf_dir)
+    bands = None
+    for b in range(4):
+        part = sig.select(
+            "doc_id",
+            "simhash",
+            F.concat_ws(
+                ":", F.lit(str(b)), (F.shiftright("simhash", 8 * b).bitwiseAND(255)).cast("string")
+            ).alias("band"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, "band")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.expr("a.simhash ^ b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 1)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_SIMHASH_PAIRS_SQL = """
+WITH sig AS ({SIG}),
+banded AS (
+  SELECT doc_id, simhash, CONCAT(CAST(b AS VARCHAR), ':', CAST((simhash >> (8*b)) & 255 AS VARCHAR)) AS band
+  FROM sig, unnest([0,1,2,3]) t(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM banded a JOIN banded b USING (band)
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 1
+ORDER BY doc_a, doc_b
+"""
+
+
 _H_WORD = T.md5_hash32_sql("word", 99)
 _SIMHASH_SQL = (
     f"""
@@ -582,6 +632,11 @@ register("dedup_minhash_signatures", _dedup_minhash_signatures, _MINHASH_SIG_SQL
 register("dedup_minhash_candidates", _dedup_minhash_candidates, _MINHASH_CAND_SQL)
 register("similarity_ngram_jaccard", _similarity_ngram_jaccard, _NGRAM_JACCARD_SQL)
 register("dedup_simhash", _dedup_simhash, _SIMHASH_SQL)
+register(
+    "dedup_simhash_pairs",
+    _dedup_simhash_pairs,
+    _SIMHASH_PAIRS_SQL.replace("{SIG}", _SIMHASH_SQL),
+)
 register("similarity_cosine_topk", _similarity_cosine_topk, _COSINE_TOPK_SQL)
 register("similarity_lsh_topk", _similarity_lsh_topk)  # rows-only: Spark-side planes
 register(

@@ -98,8 +98,81 @@ def _stream_path2_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("stream_path2_flatten")
 
 
+def _stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (SURVEY §2.7 streaming joins): the events
+    stream enriched against the static customer dimension — the
+    engine-native replacement for the reference's hard-coded HOST
+    constant. The static side re-snapshots per micro-batch and
+    broadcasts; no stream state is kept (unlike stream-stream joins).
+
+    user_id maps onto c_custkey via modulo (the testdata keys don't
+    share a domain; the mapping is deterministic and oracle-mirrored).
+    """
+    ev = _events_stream(spark, sf_dir).withColumn(
+        "custkey", F.col("user_id") % 1500 + 1
+    )
+    cust = tables.load(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    enriched = ev.join(F.broadcast(cust), "custkey")
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.count("*").alias("n_events"),
+    )
+    jobs.run_to_memory(agg, "stream_static_enrich", output_mode="complete")
+    return spark.table("stream_static_enrich").orderBy("c_mktsegment", "event_type")
+
+
+_STREAM_STATIC_SQL = """
+SELECT c_mktsegment, event_type,
+       ROUND(SUM(value), 2) AS total_value,
+       COUNT(*) AS n_events
+FROM events
+JOIN customer ON c_custkey = user_id % 1500 + 1
+GROUP BY 1, 2
+ORDER BY c_mktsegment, event_type
+"""
+
+
 # Identical semantics to the batch flatten entry -> reuse its oracle.
 from .queries_parity import _PARITY_FLATTEN_SQL  # noqa: E402
 
+def _stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) driven as a
+    real streaming query: per-user cumulative totals. The final
+    emission per key must equal the batch aggregate — that equality IS
+    the oracle (update-mode state convergence)."""
+    from .streaming import stateful
+
+    totals = stateful.running_totals(_events_stream(spark, sf_dir))
+    rows: dict[int, tuple[int, float]] = {}
+
+    def capture(df: DataFrame, _bid: int) -> None:
+        for r in df.collect():
+            rows[r["user_id"]] = (r["n_events"], r["total_value"])
+
+    q = (
+        totals.writeStream.foreachBatch(capture)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = [
+        (uid, n, round(total, 2)) for uid, (n, total) in sorted(rows.items())
+    ]
+    return spark.createDataFrame(
+        out, "user_id long, n_events long, total_value double"
+    )
+
+
+_STREAM_RUNNING_SQL = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 register("stream_tumbling_window", _stream_tumbling_window, _STREAM_WINDOW_SQL)
 register("stream_path2_flatten", _stream_path2_flatten, _PARITY_FLATTEN_SQL)
+register("stream_static_enrich", _stream_static_enrich, _STREAM_STATIC_SQL)
+register("stream_running_totals", _stream_running_totals, _STREAM_RUNNING_SQL)

@@ -1,0 +1,121 @@
+"""Custom stateful operators (applyInPandasWithState) + trigger/output
+mode coverage (T2-T4)."""
+
+import json
+
+import pyspark.sql.functions as F
+
+from netflow_analysis_with_spark_streaming_spark.streaming import jobs, sources, stateful
+
+
+def _two_batch_source(spark, tmp_path, rows_a, rows_b):
+    d = tmp_path / "src"
+    d.mkdir()
+    (d / "f1.json").write_text(json.dumps(rows_a))
+    (d / "f2.json").write_text(json.dumps(rows_b))
+    schema = spark.createDataFrame([], "ts string, user_id long, value double").schema
+    raw = sources.json_file_source(spark, str(d), schema, max_files_per_trigger=1)
+    return raw.withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_running_totals_accumulates_across_batches(spark, tmp_path):
+    """State must carry across micro-batches: the second batch's
+    emission reflects batch-1 + batch-2 totals."""
+    stream = _two_batch_source(
+        spark,
+        tmp_path,
+        [
+            {"ts": "2024-01-01 10:00:00", "user_id": 1, "value": 1.0},
+            {"ts": "2024-01-01 10:00:01", "user_id": 1, "value": 2.0},
+            {"ts": "2024-01-01 10:00:02", "user_id": 2, "value": 5.0},
+        ],
+        [
+            {"ts": "2024-01-01 10:00:03", "user_id": 1, "value": 3.0},
+        ],
+    )
+    totals = stateful.running_totals(stream)
+    emissions = []
+    q = (
+        totals.writeStream.foreachBatch(
+            lambda df, bid: emissions.append((bid, {r["user_id"]: (r["n_events"], r["total_value"]) for r in df.collect()}))
+        )
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(emissions) == 2
+    final = {}
+    for _, batch in emissions:
+        final.update(batch)
+    assert final[1] == (3, 6.0)
+    assert final[2] == (1, 5.0)
+
+
+def test_sessionize_gap_closes_sessions(spark, tmp_path):
+    """A gap larger than the session gap inside one key's stream must
+    close the first session and emit it (event-time semantics)."""
+    stream = _two_batch_source(
+        spark,
+        tmp_path,
+        [
+            {"ts": "2024-01-01 10:00:00", "user_id": 1, "value": 1.0},
+            {"ts": "2024-01-01 10:00:10", "user_id": 1, "value": 1.0},
+            # 10-minute gap -> closes session 1 (2 events)
+            {"ts": "2024-01-01 10:10:30", "user_id": 1, "value": 1.0},
+        ],
+        [
+            {"ts": "2024-01-01 10:10:40", "user_id": 1, "value": 1.0},
+            {"ts": "2024-01-01 10:30:00", "user_id": 9, "value": 1.0},
+        ],
+    )
+    sessions = stateful.sessionize(
+        stream.withWatermark("ts", "1 second"), gap_seconds=60
+    )
+    got = []
+    q = (
+        sessions.writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    closed = [(r["user_id"], r["n_events"]) for r in got]
+    # session 1 of user 1 (2 events) closed by the in-batch gap
+    assert (1, 2) in closed, closed
+    # the user-9 event at 10:30 advances the watermark past user 1's
+    # open-session timeout (last event 10:10:40 + 60s) -> emitted too
+    assert (1, 2) in closed and any(u == 1 and n == 2 for u, n in closed), closed
+
+
+def test_processing_time_trigger_and_update_mode(spark, tmp_path):
+    """T2/T4: a processingTime-triggered query in update mode drains a
+    static backlog and stops cleanly (the production trigger shape)."""
+    import time
+
+    stream = _two_batch_source(
+        spark,
+        tmp_path,
+        [{"ts": "2024-01-01 10:00:00", "user_id": 1, "value": 1.0}],
+        [{"ts": "2024-01-01 10:00:05", "user_id": 1, "value": 2.0}],
+    )
+    agg = stream.groupBy("user_id").agg(F.sum("value").alias("total"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_proc_trigger")
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            rows = {r["user_id"]: r["total"] for r in spark.table("t_proc_trigger").collect()}
+            if rows.get(1) == 3.0:
+                break
+            time.sleep(0.5)
+        assert rows.get(1) == 3.0, rows
+    finally:
+        q.stop()
