@@ -535,6 +535,110 @@ ORDER BY type_tag, k_bucket
 """
 
 
+# --- SQL API surface -------------------------------------------------------
+
+
+def _sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() surface end-to-end (TPC-H Q3 shape): the engine
+    registers its catalog as views and runs the textual query through
+    the same Catalyst pipeline as the DataFrame API — one parser in
+    front, identical plans behind.
+    """
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-03-01'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+        """
+    )
+
+
+_SQL_SHIPPING_PRIORITY_SQL = """
+SELECT o_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-03-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def _agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: event_type values become columns (per user-decile row).
+
+    The value list is pinned explicitly — at scale an unpinned pivot
+    runs an extra distinct-collect job over 100 TB to discover it.
+    """
+    events = tables.load(spark, "events", sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.withColumn("user_bucket", (F.col("user_id") % 10).cast("long"))
+        .groupBy("user_bucket")
+        .pivot("event_type", types)
+        .agg(F.round(F.sum("value"), 2))
+        .orderBy("user_bucket")
+    )
+
+
+_AGG_PIVOT_SQL = """
+SELECT user_id % 10 AS user_bucket,
+       ROUND(SUM(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+       ROUND(SUM(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+       ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+       ROUND(SUM(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+       ROUND(SUM(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+FROM events
+GROUP BY 1 ORDER BY user_bucket
+"""
+
+
+def _agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`, verified bit-equal). At 100 TB use
+    approx_percentile (t-digest sketch, mergeable, one pass) — exact
+    percentile sorts every group in memory.
+    """
+    lineitem = tables.load(spark, "lineitem", sf_dir)
+    p = lambda q, name: F.round(  # noqa: E731
+        F.expr(f"percentile(l_extendedprice, {q})"), 4
+    ).alias(name)
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(p(0.25, "p25"), p(0.5, "p50"), p(0.75, "p75"), p(0.99, "p99"))
+        .orderBy("l_returnflag")
+    )
+
+
+_AGG_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+register("sql_shipping_priority", _sql_shipping_priority, _SQL_SHIPPING_PRIORITY_SQL)
+register("agg_pivot", _agg_pivot, _AGG_PIVOT_SQL)
+register("agg_percentiles", _agg_percentiles, _AGG_PERCENTILES_SQL)
 register("join_broadcast_enrich", _join_broadcast_enrich, _JOIN_BROADCAST_ENRICH_SQL)
 register("join_shuffle_large", _join_shuffle_large, _JOIN_SHUFFLE_LARGE_SQL)
 register("join_semi", _join_semi, _JOIN_SEMI_SQL)
