@@ -108,6 +108,58 @@ def neardup_candidates_blockwise(emb, k_per_row: int = 20):
     )
 
 
+def ivf_index(emb, n_centroids: int = 16):
+    """IVF (inverted-file) index: assign every vector to its nearest
+    centroid; search probes only the closest centroid lists.
+
+    Centroids here are the first n vectors by vec_id — a deterministic
+    stand-in for a k-means pass (which would just be iterated
+    assign+mean over the same kernels; determinism matters more than
+    centroid quality for reproducible tests). Assignment is the same
+    numpy block kernel as the near-dup path: one matmul per Arrow
+    batch against the broadcast centroid matrix.
+
+    Returns (assigned DataFrame(vec_id, embedding, cluster),
+    centroids ndarray, ids ndarray).
+    """
+    import numpy as np
+    from pyspark.sql import functions as F  # noqa: F401
+
+    cent_rows = sorted(
+        emb.filter(emb.vec_id < n_centroids).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cent = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    bc = emb.sparkSession.sparkContext.broadcast(cent)
+
+    def assign(it):
+        import pandas as pd
+
+        c = bc.value
+        for pdf in it:
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            pdf = pdf.copy()
+            pdf["cluster"] = np.argmax(m @ c.T, axis=1).astype("int32")
+            yield pdf
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id long, embedding array<float>, cluster int"
+    )
+    return assigned, cent
+
+
+def ivf_probe_clusters(query_vecs, cent, n_probe: int = 4):
+    """For each query vector (numpy rows), the n_probe nearest
+    centroid ids — the cluster lists to scan."""
+    import numpy as np
+
+    q = query_vecs / np.linalg.norm(query_vecs, axis=1, keepdims=True)
+    sims = q @ cent.T
+    return np.argsort(-sims, axis=1)[:, :n_probe]
+
+
 def lsh_bucket(vec: Column, dim: int, planes: int = 6) -> Column:
     """Sign-pattern bucket id: bit j = (dot(vec, plane_j) >= 0).
 

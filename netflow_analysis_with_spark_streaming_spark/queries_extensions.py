@@ -446,6 +446,53 @@ def _similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: queries probe the 4 nearest of 16 centroid
+    lists, exact cosine re-rank inside the probed lists only.
+
+    Scale: the probe is a semi-join on cluster id — each query scans
+    ~(n_probe/n_centroids) of the corpus instead of all of it, and
+    cluster lists distribute across executors. Rows-only driver check;
+    recall vs brute force is property-tested (IVF recall > LSH recall
+    at equal prune ratios is the expected shape).
+    """
+    import numpy as np
+
+    emb = tables.load(spark, "embeddings", sf_dir)
+    assigned, cent = V.ivf_index(emb, n_centroids=16)
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    probes = V.ivf_probe_clusters(q_mat, cent, n_probe=4)
+    probe_pairs = [
+        (int(r["vec_id"]), int(c)) for r, row in zip(q_rows, probes) for c in row
+    ]
+    probe_df = spark.createDataFrame(probe_pairs, "query_id long, cluster int")
+    q_df = spark.createDataFrame(
+        [(int(r["vec_id"]), list(map(float, r["embedding"]))) for r in q_rows],
+        "query_id long, q_emb array<float>",
+    )
+    cands = (
+        assigned.join(F.broadcast(probe_df), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q_df), "query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        V.cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
 def _similarity_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: top-20 most-similar distinct
     pairs across the corpus (threshold-free — the synthetic corpus has
@@ -639,6 +686,7 @@ register(
 )
 register("similarity_cosine_topk", _similarity_cosine_topk, _COSINE_TOPK_SQL)
 register("similarity_lsh_topk", _similarity_lsh_topk)  # rows-only: Spark-side planes
+register("similarity_ivf_topk", _similarity_ivf_topk)  # rows-only: numpy centroids
 register(
     "similarity_embedding_neardup", _similarity_embedding_neardup, _EMBEDDING_NEARDUP_SQL
 )

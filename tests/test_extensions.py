@@ -154,6 +154,28 @@ def test_lsh_recall_vs_bruteforce(spark):
     assert all(r["rank"] <= 5 for r in lsh)
 
 
+def test_ivf_recall_beats_lsh(spark):
+    """IVF probing 4/16 lists must recover most of the true top-5 and
+    (expected shape) at least match single-probe LSH recall."""
+    mod = _entry()
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in mod.queries()["similarity_cosine_topk"](spark, SF_ORACLE).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in mod.queries()["similarity_ivf_topk"](spark, SF_ORACLE).collect()
+    }
+    lsh = {
+        (r["query_id"], r["neighbor_id"])
+        for r in mod.queries()["similarity_lsh_topk"](spark, SF_ORACLE).collect()
+    }
+    ivf_recall = len(truth & ivf) / len(truth)
+    lsh_recall = len(truth & lsh) / len(truth)
+    assert ivf_recall >= 0.5, (ivf_recall, lsh_recall)
+    assert ivf_recall >= lsh_recall - 0.1, (ivf_recall, lsh_recall)
+
+
 def test_multimodal_real_decode_gated(spark):
     """The non-fake codec path must fail loudly, not silently fake."""
     from netflow_analysis_with_spark_streaming_spark.functions import multimodal as M

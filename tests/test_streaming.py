@@ -211,6 +211,45 @@ def test_dedup_within_watermark(spark, tmp_path):
     assert spark.table("t_dd").count() == 3
 
 
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream equi-join with watermarks + time-range condition
+    (SURVEY §2.7 streaming joins): click events joined to purchase
+    events of the same user within 10 minutes after the click."""
+    d1, d2 = tmp_path / "clicks", tmp_path / "buys"
+    d1.mkdir(), d2.mkdir()
+    (d1 / "f.json").write_text(
+        json.dumps(
+            [
+                {"cts": "2024-01-01 10:00:00", "user_id": 1},
+                {"cts": "2024-01-01 10:00:00", "user_id": 2},
+            ]
+        )
+    )
+    (d2 / "f.json").write_text(
+        json.dumps(
+            [
+                {"bts": "2024-01-01 10:05:00", "user_id": 1},   # within 10 min
+                {"bts": "2024-01-01 11:00:00", "user_id": 2},   # too late
+            ]
+        )
+    )
+    clicks = sources.json_file_source(
+        spark, str(d1), spark.createDataFrame([], "cts string, user_id long").schema
+    ).withColumn("cts", F.to_timestamp("cts")).withWatermark("cts", "1 minute")
+    buys = sources.json_file_source(
+        spark, str(d2), spark.createDataFrame([], "bts string, user_id long").schema
+    ).withColumn("bts", F.to_timestamp("bts")).withWatermark("bts", "1 minute")
+    joined = clicks.join(
+        buys,
+        (clicks.user_id == buys.user_id)
+        & (buys.bts >= clicks.cts)
+        & (buys.bts <= clicks.cts + F.expr("INTERVAL 10 MINUTES")),
+    ).select(clicks.user_id, "cts", "bts")
+    jobs.run_to_memory(joined, "t_ssj")
+    rows = spark.table("t_ssj").collect()
+    assert [r["user_id"] for r in rows] == [1], rows
+
+
 def test_kafka_option_builders():
     """S1/S6/K2 config surface (no broker in this environment — the
     option contract is what's testable)."""
