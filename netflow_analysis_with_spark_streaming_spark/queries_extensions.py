@@ -690,5 +690,75 @@ register("similarity_ivf_topk", _similarity_ivf_topk)  # rows-only: numpy centro
 register(
     "similarity_embedding_neardup", _similarity_embedding_neardup, _EMBEDDING_NEARDUP_SQL
 )
+def _text_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas (grouped-map) surface: per-language z-score of the
+    quality signal. Each language group arrives as one pandas frame —
+    the natural shape for per-group model-ish transforms (normalize,
+    fit, score) that SQL aggregation can't express row-wise in one
+    pass. Oracle: window-function equivalent in DuckDB.
+
+    Scale: groups shuffle by key; a group must fit one executor's
+    memory — keys here are languages (bounded); for unbounded keys
+    pre-bucket or use window functions instead.
+    """
+    docs = tables.load(spark, "documents", sf_dir)
+    per_doc = docs.select(
+        "doc_id", "lang", T.token_count_ws(F.col("text")).alias("tok")
+    )
+
+    def zscore(pdf):
+        mu = pdf["tok"].mean()
+        sd = pdf["tok"].std(ddof=1)
+        out = pdf[["doc_id", "lang"]].copy()
+        out["tok_z"] = ((pdf["tok"] - mu) / sd).round(4)
+        return out
+
+    return per_doc.groupBy("lang").applyInPandas(
+        zscore, "doc_id long, lang string, tok_z double"
+    ).orderBy("doc_id")
+
+
+_TEXT_ZSCORE_SQL = f"""
+SELECT doc_id, lang,
+       ROUND((tok - AVG(tok) OVER (PARTITION BY lang))
+             / STDDEV_SAMP(tok) OVER (PARTITION BY lang), 4) AS tok_z
+FROM (SELECT doc_id, lang, len({_WORDS_SQL}) AS tok FROM documents)
+ORDER BY doc_id
+"""
+
+
+def _profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass (the pipeline-health query every ingest
+    runs): per-column null counts + distinct counts + numeric range
+    over events, in ONE scan (conditional aggregation, no per-column
+    jobs)."""
+    ev = tables.load(spark, "events", sf_dir)
+    return ev.select(
+        F.count("*").alias("rows"),
+        F.sum(F.col("user_id").isNull().cast("long")).alias("null_user_id"),
+        F.sum(F.col("event_type").isNull().cast("long")).alias("null_event_type"),
+        F.sum(F.col("props").isNull().cast("long")).alias("null_props"),
+        F.count_distinct("user_id").alias("distinct_users"),
+        F.count_distinct("event_type").alias("distinct_types"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+_PROFILE_SQL = """
+SELECT COUNT(*) AS rows,
+       SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
+       SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_event_type,
+       SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+       COUNT(DISTINCT user_id) AS distinct_users,
+       COUNT(DISTINCT event_type) AS distinct_types,
+       ROUND(MIN(value), 4) AS min_value,
+       ROUND(MAX(value), 4) AS max_value
+FROM events
+"""
+
+
+register("text_zscore_by_lang", _text_zscore_by_lang, _TEXT_ZSCORE_SQL)
+register("profile_columns", _profile_columns, _PROFILE_SQL)
 register("text_analysis", _text_analysis, _TEXT_ANALYSIS_SQL)
 register("text_stats_by_lang", _text_stats_by_lang, _TEXT_STATS_SQL)
