@@ -38,6 +38,24 @@ EVENTS_RAW_NANOS = StructType(
 )
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _bounded_state_partitions(spark: SparkSession, n: int = 16):
+    """Pin shuffle partitions for a streaming run: the state store
+    creates one state file per shuffle partition per batch, so a
+    vanilla 200-partition session pays 200 file round-trips for a
+    16-key aggregation. Restored afterwards — the caller's session is
+    theirs."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table replayed as a stream (S2 parquet variant).
 
@@ -69,7 +87,8 @@ def _stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         window="1 hour",
         watermark="2 hours",
     )
-    jobs.run_to_memory(win, "stream_tumbling_window", output_mode="complete")
+    with _bounded_state_partitions(spark):
+        jobs.run_to_memory(win, "stream_tumbling_window", output_mode="complete")
     return spark.table("stream_tumbling_window").orderBy("window_start", "event_type")
 
 
@@ -119,7 +138,8 @@ def _stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
         F.count("*").alias("n_events"),
     )
-    jobs.run_to_memory(agg, "stream_static_enrich", output_mode="complete")
+    with _bounded_state_partitions(spark):
+        jobs.run_to_memory(agg, "stream_static_enrich", output_mode="complete")
     return spark.table("stream_static_enrich").orderBy("c_mktsegment", "event_type")
 
 
@@ -151,13 +171,14 @@ def _stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in df.collect():
             rows[r["user_id"]] = (r["n_events"], r["total_value"])
 
-    q = (
-        totals.writeStream.foreachBatch(capture)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _bounded_state_partitions(spark):
+        q = (
+            totals.writeStream.foreachBatch(capture)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = [
         (uid, n, round(total, 2)) for uid, (n, total) in sorted(rows.items())
     ]

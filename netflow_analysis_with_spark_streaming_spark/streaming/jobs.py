@@ -80,6 +80,33 @@ def dedup_within_watermark(
     )
 
 
+def dual_sink(flows: DataFrame, cold_sink, hot_writer, checkpoint: str):
+    """E1's fan-out: ONE stream feeding the cold store and the hot
+    path from the same micro-batch (reference wires two separate
+    foreachRDD consumers, README.md:153,176 — double the Kafka reads;
+    here a single foreachBatch persists the batch once and serves both
+    sinks, and the batch is cached so neither sink recomputes it).
+
+    cold_sink: callable(df, batch_id) — e.g. IdempotentParquetSink.
+    hot_writer: callable(df) — e.g. kafka/memory write of the batch.
+    """
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            cold_sink(batch_df, batch_id)
+            hot_writer(batch_df)
+        finally:
+            batch_df.unpersist()
+
+    return (
+        flows.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Deterministic test/driver execution: availableNow trigger into
     a memory sink, blocking until the backlog drains. Returns the

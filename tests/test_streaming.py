@@ -211,6 +211,25 @@ def test_dedup_within_watermark(spark, tmp_path):
     assert spark.table("t_dd").count() == 3
 
 
+def test_dual_sink_feeds_hot_and_cold(spark, tmp_path):
+    """E1 fan-out: one stream, one read, both sinks see every batch
+    exactly once (the reference consumed the topic twice)."""
+    path, total = _write_json_files(tmp_path, n_files=2)
+    raw = sources.json_file_source(spark, path, FLOW_RAW, max_files_per_trigger=1)
+    flows = jobs.path1_normalize(
+        raw.select(F.to_json(F.struct(*raw.columns)).alias("value"))
+    )
+    cold = sinks.IdempotentParquetSink(str(tmp_path / "cold"))
+    hot_batches = []
+    q = jobs.dual_sink(
+        flows, cold, lambda df: hot_batches.append(df.count()), str(tmp_path / "ck")
+    )
+    q.awaitTermination()
+    assert cold.read(spark).count() == total
+    assert sum(hot_batches) == total
+    assert len(hot_batches) == 2  # maxFilesPerTrigger paced both sinks
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     """Stream-stream equi-join with watermarks + time-range condition
     (SURVEY §2.7 streaming joins): click events joined to purchase
