@@ -615,12 +615,19 @@ def _agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile sorts every group in memory.
     """
     lineitem = tables.load(spark, "lineitem", sf_dir)
-    p = lambda q, name: F.round(  # noqa: E731
-        F.expr(f"percentile(l_extendedprice, {q})"), 4
-    ).alias(name)
+    # one percentile(col, array(...)) call = ONE sort per group; four
+    # scalar percentile aggs would sort the group four times.
+    ps = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))")
     return (
         lineitem.groupBy("l_returnflag")
-        .agg(p(0.25, "p25"), p(0.5, "p50"), p(0.75, "p75"), p(0.99, "p99"))
+        .agg(ps.alias("_ps"))
+        .select(
+            "l_returnflag",
+            *[
+                F.round(F.element_at("_ps", i + 1), 4).alias(name)
+                for i, name in enumerate(["p25", "p50", "p75", "p99"])
+            ],
+        )
         .orderBy("l_returnflag")
     )
 
