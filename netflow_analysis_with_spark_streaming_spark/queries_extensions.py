@@ -772,6 +772,35 @@ FROM events
 """
 
 
+def _scalar_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order scalar surface (size, contains, slice, join,
+    distinct+sort, posexplode-equivalent counting) over the tokenized
+    documents — narrow per-row expressions, no shuffle until the final
+    order."""
+    docs = tables.load(spark, "documents", sf_dir).filter(F.col("doc_id") % 7 == 0)
+    w = T.words(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.array_contains(w, "table").cast("boolean").alias("has_table"),
+        F.array_join(F.slice(w, 1, 3), "_").alias("first3"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.element_at(F.array_sort(F.array_distinct(w)), 1).alias("first_sorted"),
+    ).orderBy("doc_id")
+
+
+_SCALAR_ARRAY_SQL = f"""
+SELECT doc_id,
+       len({_WORDS_SQL}) AS n_words,
+       list_contains({_WORDS_SQL}, 'table') AS has_table,
+       array_to_string(({_WORDS_SQL})[1:3], '_') AS first3,
+       len(list_distinct({_WORDS_SQL})) AS n_distinct,
+       list_sort(list_distinct({_WORDS_SQL}))[1] AS first_sorted
+FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id
+"""
+
+
+register("scalar_array_functions", _scalar_array_functions, _SCALAR_ARRAY_SQL)
 register("text_zscore_by_lang", _text_zscore_by_lang, _TEXT_ZSCORE_SQL)
 register("profile_columns", _profile_columns, _PROFILE_SQL)
 register("text_analysis", _text_analysis, _TEXT_ANALYSIS_SQL)
