@@ -68,6 +68,35 @@ class IdempotentParquetSink:
         paths = [os.path.join(self._data, f"batch_id={i}") for i in sorted(ids)]
         return spark.read.parquet(*paths)
 
+    def compact(self, spark, target_partitions: int = 8) -> None:
+        """Merge committed per-batch dirs into one compacted batch.
+
+        A dir-per-micro-batch layout accumulates small files (10 s
+        triggers = 8640 dirs/day — the classic streaming small-file
+        problem). Compaction rewrites all committed rows as a single
+        coalesced batch dir and re-points the commit log atomically-
+        enough for a single-writer sink: the compacted dir is written
+        and committed BEFORE old markers are removed, so a crash
+        mid-compaction leaves duplicates visible to `read` (detectable
+        by the marker overlap) rather than data loss, and a re-run
+        completes the swap.
+        """
+        ids = self.committed_ids()
+        if len(ids) <= 1:
+            return
+        compact_id = max(ids) + 1
+        out = os.path.join(self._data, f"batch_id={compact_id}")
+        self.read(spark).coalesce(target_partitions).write.mode("overwrite").parquet(out)
+        with open(os.path.join(self._commits, str(compact_id)), "w", encoding="utf-8"):
+            pass
+        for i in ids:
+            os.remove(os.path.join(self._commits, str(i)))
+        # old data dirs are dead (no marker); prune opportunistically
+        import shutil
+
+        for i in ids:
+            shutil.rmtree(os.path.join(self._data, f"batch_id={i}"), ignore_errors=True)
+
 
 def kafka_sink_options(brokers: str, topic: str) -> dict[str, str]:
     """K2 replacement options for `writeStream.format('kafka')` — the

@@ -101,6 +101,45 @@ def test_idempotent_sink_excludes_uncommitted(spark, tmp_path):
     assert sink.read(spark).count() == 10
 
 
+def test_sink_compaction_preserves_rows(spark, tmp_path):
+    """Compaction merges N batch dirs into one, preserving every row
+    exactly once and leaving the sink append-able afterwards."""
+    sink = sinks.IdempotentParquetSink(str(tmp_path / "t"))
+    for bid in range(4):
+        sink(spark.range(bid * 10, bid * 10 + 10).selectExpr("id", "id*2 AS v"), bid)
+    before = sorted(r["id"] for r in sink.read(spark).collect())
+    sink.compact(spark, target_partitions=2)
+    after = sorted(r["id"] for r in sink.read(spark).collect())
+    assert before == after == list(range(40))
+    assert len(sink.committed_ids()) == 1
+    # still append-able: next batch id continues past the compacted one
+    nxt = max(sink.committed_ids()) + 1
+    sink(spark.range(100, 105).selectExpr("id", "id*2 AS v"), nxt)
+    assert sink.read(spark).count() == 45
+
+
+def test_continuous_trigger_starts(spark, tmp_path):
+    """T3: the continuous-processing trigger accepts a map-only plan
+    (rate source -> projection -> console). Smoke: starts, runs,
+    stops — latency guarantees need a real cluster to observe."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", 10).load()
+    proj = rate.selectExpr("value", "value * 2 AS doubled")
+    q = (
+        proj.writeStream.format("console")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(continuous="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        time.sleep(2)
+        assert q.isActive
+        assert q.exception() is None
+    finally:
+        q.stop()
+
+
 def test_streaming_batch_agreement(spark):
     """The windowed streaming agg must equal the same agg run in batch
     (Structured Streaming's core contract)."""
