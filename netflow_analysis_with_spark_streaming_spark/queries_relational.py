@@ -643,6 +643,54 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def _agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping-set combos in
+    one pass (rollup's lattice sibling — SURVEY §2.7 grouping sets)."""
+    lineitem = tables.load(spark, "lineitem", sf_dir)
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_AGG_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt, ROUND(SUM(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate set: stddev/variance (sample), correlation
+    and covariance between price and discount per return flag."""
+    lineitem = tables.load(spark, "lineitem", sf_dir)
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_sd"),
+            F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+            F.round(F.covar_samp("l_extendedprice", "l_discount"), 2).alias("price_disc_cov"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_AGG_STATS_SQL = """
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_extendedprice), 2) AS price_sd,
+       ROUND(VAR_SAMP(l_discount), 6) AS disc_var,
+       ROUND(CORR(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+       ROUND(COVAR_SAMP(l_extendedprice, l_discount), 2) AS price_disc_cov
+FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+register("agg_cube", _agg_cube, _AGG_CUBE_SQL)
+register("agg_stats", _agg_stats, _AGG_STATS_SQL)
 register("sql_shipping_priority", _sql_shipping_priority, _SQL_SHIPPING_PRIORITY_SQL)
 register("agg_pivot", _agg_pivot, _AGG_PIVOT_SQL)
 register("agg_percentiles", _agg_percentiles, _AGG_PERCENTILES_SQL)
