@@ -689,6 +689,92 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def _agg_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via the built-in session_window: events
+    within a 1-hour gap merge into one session per user (the batch
+    twin of streaming/stateful.sessionize). Oracle: the classic
+    gaps-and-islands window-function formulation — verified row-exact.
+
+    Scale: session_window is a stateful agg over a single shuffle on
+    the key; islands-via-lag needs the same shuffle plus two window
+    passes — the built-in is one pass and streaming-capable.
+    """
+    events = tables.load(spark, "events", sf_dir).filter(F.col("user_id") < 20)
+    return (
+        events.groupBy("user_id", F.session_window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_AGG_SESSION_SQL = """
+WITH t AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 1 HOUR
+                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE user_id < 20
+),
+g AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM t
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 1 HOUR AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM g GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+def _set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set ops (intersectAll/exceptAll keep
+    multiplicities — the DISTINCT variants are registered separately):
+    order-priority custkey multisets."""
+    orders = tables.load(spark, "orders", sf_dir)
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    both = urgent.intersectAll(high).groupBy("custkey").agg(
+        F.count("*").alias("n")
+    )
+    only_urgent = urgent.exceptAll(high).groupBy("custkey").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        both.withColumn("op", F.lit("intersect_all"))
+        .unionByName(only_urgent.withColumn("op", F.lit("except_all")))
+        .orderBy("op", "custkey")
+    )
+
+
+_SET_OPS_BAG_SQL = """
+WITH urgent AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+high AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+ia AS (SELECT custkey FROM urgent INTERSECT ALL SELECT custkey FROM high),
+ea AS (SELECT custkey FROM urgent EXCEPT ALL SELECT custkey FROM high)
+SELECT custkey, COUNT(*) AS n, 'intersect_all' AS op FROM ia GROUP BY custkey
+UNION ALL
+SELECT custkey, COUNT(*) AS n, 'except_all' AS op FROM ea GROUP BY custkey
+ORDER BY op, custkey
+"""
+
+
+register("agg_session_windows", _agg_session_windows, _AGG_SESSION_SQL)
+register("set_ops_bag", _set_ops_bag, _SET_OPS_BAG_SQL)
 register("agg_cube", _agg_cube, _AGG_CUBE_SQL)
 register("agg_stats", _agg_stats, _AGG_STATS_SQL)
 register("sql_shipping_priority", _sql_shipping_priority, _SQL_SHIPPING_PRIORITY_SQL)
