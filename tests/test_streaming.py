@@ -101,6 +101,31 @@ def test_idempotent_sink_excludes_uncommitted(spark, tmp_path):
     assert sink.read(spark).count() == 10
 
 
+def test_progress_monitoring(spark, tmp_path):
+    """Observability: after a windowed-agg run the progress summary
+    reports rows, batch duration and stateful-operator state size."""
+    from netflow_analysis_with_spark_streaming_spark.streaming import monitor
+
+    path, total = _write_json_files(tmp_path, n_files=2)
+    raw = sources.json_file_source(spark, path, FLOW_RAW, max_files_per_trigger=None)
+    typed = raw.withColumn("ts", F.to_timestamp("timestamp_start"))
+    win = jobs.windowed_traffic(
+        typed, ts_col="ts", window="10 seconds", watermark="1 minute",
+        value_col="bytes", key_col="ip_dst",
+    )
+    q = (
+        win.writeStream.format("memory").queryName("t_mon").outputMode("complete")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    s = monitor.progress_summary(q)
+    assert s is not None
+    assert s["num_input_rows"] >= 0
+    assert s["batch_duration_ms"] > 0
+    assert s["state_rows"] > 0  # windowed agg keeps window state
+    assert monitor.total_input_rows(q) == total
+
+
 def test_sink_compaction_preserves_rows(spark, tmp_path):
     """Compaction merges N batch dirs into one, preserving every row
     exactly once and leaving the sink append-able afterwards."""
