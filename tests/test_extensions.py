@@ -176,6 +176,53 @@ def test_ivf_recall_beats_lsh(spark):
     assert ivf_recall >= lsh_recall - 0.1, (ivf_recall, lsh_recall)
 
 
+@pytest.mark.parametrize("driver_threshold", [1_000_000, 0])
+def test_connected_components_clusters(spark, driver_threshold):
+    """Both execution paths (driver union-find / distributed min-label
+    loop) must produce identical canonical clusters, including a chain
+    (worst case for propagation) and a singleton-free triangle."""
+    from netflow_analysis_with_spark_streaming_spark.operators import components as C
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain -> all label 1
+         (10, 11), (11, 12), (10, 12),  # triangle -> all label 10
+         (20, 21)],                     # pair
+        ["doc_a", "doc_b"],
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in C.connected_components(
+            edges, driver_threshold=driver_threshold
+        ).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_keep_canonical(spark):
+    from netflow_analysis_with_spark_streaming_spark.operators import components as C
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 7]], ["doc_id"])
+    comp = spark.createDataFrame([(1, 1), (2, 1), (3, 1)], ["node", "component"])
+    kept = sorted(r["doc_id"] for r in C.dedup_keep_canonical(docs, comp).collect())
+    assert kept == [1, 7]  # cluster collapsed to canonical 1; 7 untouched
+
+
+def test_quantized_search_recall(spark):
+    """int8 quantization must preserve most of the true top-5 (64-dim
+    random vectors: absmax-int8 keeps cosine order nearly intact)."""
+    mod = _entry()
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in mod.queries()["similarity_cosine_topk"](spark, SF_ORACLE).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in mod.queries()["similarity_quantized_topk"](spark, SF_ORACLE).collect()
+    }
+    recall = len(truth & quant) / len(truth)
+    assert recall >= 0.8, recall
+
+
 def test_multimodal_real_decode_gated(spark):
     """The non-fake codec path must fail loudly, not silently fake."""
     from netflow_analysis_with_spark_streaming_spark.functions import multimodal as M
