@@ -875,4 +875,32 @@ register("scalar_array_functions", _scalar_array_functions, _SCALAR_ARRAY_SQL)
 register("text_zscore_by_lang", _text_zscore_by_lang, _TEXT_ZSCORE_SQL)
 register("profile_columns", _profile_columns, _PROFILE_SQL)
 register("text_analysis", _text_analysis, _TEXT_ANALYSIS_SQL)
+def _text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance between consecutive docs' prefixes —
+    the exact-similarity scalar complementing the probabilistic
+    detectors (Spark and DuckDB implement the same definition).
+    Prefix-bounded (80 chars) because edit distance is O(len^2) per
+    pair — at scale it's a RERANKER for candidate pairs, never a
+    corpus-wide scan."""
+    docs = tables.load(spark, "documents", sf_dir).select(
+        "doc_id", F.substring("text", 1, 80).alias("p")
+    )
+    nxt = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("p").alias("p_next")
+    )
+    return (
+        docs.join(nxt, "doc_id")
+        .select("doc_id", F.levenshtein("p", "p_next").alias("edit_dist"))
+        .orderBy("doc_id")
+    )
+
+
+_TEXT_EDIT_SQL = """
+SELECT a.doc_id, levenshtein(substring(a.text, 1, 80), substring(b.text, 1, 80)) AS edit_dist
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+ORDER BY a.doc_id
+"""
+
+
+register("text_edit_distance", _text_edit_distance, _TEXT_EDIT_SQL)
 register("text_stats_by_lang", _text_stats_by_lang, _TEXT_STATS_SQL)

@@ -193,6 +193,51 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def _stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 as a driver-checked entry: stream events through the
+    checkpointed idempotent parquet sink, then REPLAY batch 0 by hand
+    (simulating a post-failure retry) and read the table back. The
+    oracle is the plain batch projection — any duplicate from the
+    replay, or any dropped row, breaks the match."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .streaming import sinks
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = tempfile.gettempdir() + f"/netflow_e1x_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    sink = sinks.IdempotentParquetSink(root)
+    ev = _events_stream(spark, sf_dir).filter(F.col("event_id") % 10 == 0).select(
+        "event_id", "user_id", "value"
+    )
+    q = (
+        ev.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    # replay: run batch 0's payload through the sink again
+    replay_df = (
+        tables.load(spark, "events", sf_dir)
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id", "user_id", "value")
+    )
+    sink(replay_df, 0)
+    return sink.read(spark).select(
+        "event_id", "user_id", F.round("value", 2).alias("value")
+    ).orderBy("event_id")
+
+
+_STREAM_E1X_SQL = """
+SELECT event_id, user_id, ROUND(value, 2) AS value
+FROM events WHERE event_id % 10 = 0 ORDER BY event_id
+"""
+
+
+register("stream_exactly_once_sink", _stream_exactly_once_sink, _STREAM_E1X_SQL)
 register("stream_tumbling_window", _stream_tumbling_window, _STREAM_WINDOW_SQL)
 register("stream_path2_flatten", _stream_path2_flatten, _PARITY_FLATTEN_SQL)
 register("stream_static_enrich", _stream_static_enrich, _STREAM_STATIC_SQL)
