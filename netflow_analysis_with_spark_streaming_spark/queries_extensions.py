@@ -902,5 +902,59 @@ ORDER BY a.doc_id
 """
 
 
+_RH_P = 2147483647  # 2^31 - 1
+_RH_B = 131
+
+
+def _text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints, ORDER-SENSITIVE (unlike the
+    set-based MinHash/SimHash family):
+
+    - poly_hash: Rabin-Karp left fold over the word-hash sequence,
+      acc = (acc*B + h) mod P — word reordering changes it;
+    - winnow_min: min over the 3-gram shingle hashes (the winnowing
+      selection step — robust to local edits, cheap to band on).
+
+    Both are single-pass array folds inside codegen; exactly mirrored
+    in DuckDB via list_reduce/list_transform.
+    """
+    docs = tables.load(spark, "documents", sf_dir)
+    h = lambda c: T.md5_hash32(c, 7) % _RH_P  # noqa: E731
+    pre = docs.select("doc_id", T.words(F.col("text")).alias("w"))
+    sh = T.shingles_from_words(F.col("w"), 3)
+    winnow = F.array_min(F.transform(sh, lambda s: h(s)))
+    return pre.select(
+        "doc_id",
+        F.aggregate(
+            F.transform(F.col("w"), lambda x: h(x)),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * _RH_B + x) % _RH_P,
+        ).alias("poly_hash"),
+        winnow.alias("winnow_min"),
+    ).orderBy("doc_id")
+
+
+_H7 = T.md5_hash32_sql("x", 7)
+_H7_SH = T.md5_hash32_sql("s", 7)
+_ROLLING_SQL = f"""
+WITH pre AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list(concat_ws(' ', w[i], w[i+1], w[i+2]) ORDER BY i) AS grams
+  FROM pre, unnest(range(1, len(w) - 1)) t(i)
+  GROUP BY doc_id
+)
+SELECT pre.doc_id,
+       list_reduce(
+         [CAST(0 AS BIGINT)] || list_transform(pre.w, x -> {_H7} % {_RH_P}),
+         (acc, x) -> (acc * {_RH_B} + x) % {_RH_P}
+       ) AS poly_hash,
+       list_min(list_transform(sh.grams, s -> {_H7_SH} % {_RH_P})) AS winnow_min
+FROM pre JOIN sh USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+register("text_rolling_fingerprint", _text_rolling_fingerprint, _ROLLING_SQL)
 register("text_edit_distance", _text_edit_distance, _TEXT_EDIT_SQL)
 register("text_stats_by_lang", _text_stats_by_lang, _TEXT_STATS_SQL)
