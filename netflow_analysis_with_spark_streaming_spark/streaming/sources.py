@@ -83,8 +83,24 @@ def kafka_source_options(
 
 
 def kafka_reader(spark: SparkSession, brokers: str, topic: str, **kw) -> DataFrame:
-    """Configured (unstarted) Kafka streaming read."""
+    """Configured (unstarted) Kafka streaming read.
+
+    Requires the spark-sql-kafka connector on the classpath (it is NOT
+    bundled with pyspark); without it the load fails at plan time —
+    re-raised here with the fix spelled out instead of Spark's generic
+    'failed to find data source'.
+    """
     reader = spark.readStream.format("kafka")
     for k, v in kafka_source_options(brokers, topic, **kw).items():
         reader = reader.option(k, v)
-    return reader.load()
+    try:
+        return reader.load()
+    except Exception as ex:  # AnalysisException: data source not found
+        if "Failed to find data source: kafka" in str(ex):
+            raise RuntimeError(
+                "the Kafka connector is not on the classpath; launch with "
+                "spark.jars.packages="
+                "org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> "
+                "(no broker/connector exists in this test environment)"
+            ) from ex
+        raise

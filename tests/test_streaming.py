@@ -346,6 +346,15 @@ def test_kafka_option_builders():
     assert sk == {"kafka.bootstrap.servers": "broker:9092", "topic": "realTimeChart"}
 
 
+def test_kafka_reader_actionable_error(spark):
+    """Without the connector jar, kafka_reader must fail with the fix
+    in the message, not Spark's generic data-source error."""
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="spark.jars.packages"):
+        sources.kafka_reader(spark, "broker:9092", "netflow")
+
+
 def test_to_kafka_records_shape(spark):
     """K2 record shaping: value is the JSON of all columns, no driver
     collect anywhere in the plan."""
