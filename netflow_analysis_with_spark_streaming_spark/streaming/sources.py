@@ -59,6 +59,34 @@ def parquet_file_source(
     return reader.parquet(path)
 
 
+def csv_file_source(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """CSV variant of S2 — pmacct and tshark both optionally emit CSV;
+    same explicit-schema contract as the JSON source."""
+    reader = spark.readStream.schema(schema).option("header", header)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.csv(path)
+
+
+def binary_file_source(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Batch ingestion of opaque media files as binary rows
+    (path, modificationTime, length, content) — the on-ramp that feeds
+    functions/multimodal.decode_media. Streaming equivalent: the same
+    directory monitored with a file-listing source and mapInPandas
+    decode in foreachBatch.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def kafka_source_options(
     brokers: str,
     topic: str,

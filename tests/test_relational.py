@@ -88,6 +88,19 @@ def test_pricing_summary_partial_agg(spark):
     assert "LessThanOrEqual(l_shipdate" in plan, plan
 
 
+def test_similarity_joins_never_cartesian(spark):
+    """The never-all-pairs discipline, pinned: candidate generation
+    plans must contain no CartesianProduct; the one intentional cross
+    join (tiny query set) must be the broadcast nested-loop variant."""
+    mod = _entry()
+    for name in ["similarity_ngram_jaccard", "dedup_minhash_candidates"]:
+        plan = _plan(mod.queries()[name](spark, SF_ORACLE))
+        assert "CartesianProduct" not in plan, (name, plan)
+    topk_plan = _plan(mod.queries()["similarity_cosine_topk"](spark, SF_ORACLE))
+    assert "CartesianProduct" not in topk_plan, topk_plan
+    assert "BroadcastNestedLoopJoin" in topk_plan, topk_plan
+
+
 def test_approx_distinct_within_rsd(spark):
     """HLL estimate must land within ~3x the configured 2% rsd of the
     exact count (loose bound, deterministic sketch)."""

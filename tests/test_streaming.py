@@ -346,6 +346,44 @@ def test_kafka_option_builders():
     assert sk == {"kafka.bootstrap.servers": "broker:9092", "topic": "realTimeChart"}
 
 
+def test_csv_file_source(spark, tmp_path):
+    """S2 CSV variant: streamed CSV rows arrive typed per the schema."""
+    d = tmp_path / "csv"
+    d.mkdir()
+    (d / "f1.csv").write_text("ip_src,bytes\n10.0.0.1,100\n10.0.0.2,250\n")
+    schema = spark.createDataFrame([], "ip_src string, bytes long").schema
+    raw = sources.csv_file_source(spark, str(d), schema, header=True)
+    assert raw.isStreaming
+    jobs.run_to_memory(raw, "t_csv")
+    rows = {r["ip_src"]: r["bytes"] for r in spark.table("t_csv").collect()}
+    assert rows == {"10.0.0.1": 100, "10.0.0.2": 250}
+
+
+def test_binary_file_source_to_multimodal(spark, tmp_path):
+    """Media files on disk -> binaryFile rows -> decode_media: the full
+    multimodal ingestion path with real file bytes."""
+    from netflow_analysis_with_spark_streaming_spark.functions import multimodal as M
+    import pyspark.sql.functions as SF
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG fake-bytes-a")
+    (d / "b.png").write_bytes(b"\x89PNG fake-bytes-b")
+    (d / "skip.txt").write_text("not media")
+    files = sources.binary_file_source(spark, str(d), glob="*.png")
+    media = files.select(
+        SF.monotonically_increasing_id().alias("doc_id"),
+        SF.lit("image/png").alias("media_type"),
+        SF.col("content").alias("payload"),
+    )
+    out = M.decode_media(media).collect()
+    assert len(out) == 2
+    assert all(len(r["feature"]) == M.FEATURE_DIM for r in out)
+    # determinism: same payload bytes -> same features on re-read
+    out2 = M.decode_media(media).collect()
+    assert {tuple(r["feature"]) for r in out} == {tuple(r["feature"]) for r in out2}
+
+
 def test_kafka_reader_actionable_error(spark):
     """Without the connector jar, kafka_reader must fail with the fix
     in the message, not Spark's generic data-source error."""
