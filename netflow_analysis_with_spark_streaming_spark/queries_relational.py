@@ -773,6 +773,124 @@ ORDER BY op, custkey
 """
 
 
+def _sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join (customer⋈orders⋈lineitem⋈supplier
+    ⋈nation⋈region) with the local-supplier condition
+    (c_nationkey = s_nationkey) — the join-reordering stress test;
+    Catalyst + AQE pick build sides and order, dims broadcast.
+    """
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+        """
+    )
+
+
+_SQL_Q5_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def _window_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-window functions in one pass: ntile,
+    percent_rank, cume_dist, first/last value over a fully-ordered
+    frame (unique orderkey tie-break keeps every engine deterministic).
+    """
+    orders = tables.load(spark, "orders", sf_dir).filter(
+        F.col("o_orderkey") % 50 == 0
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first_value(F.col("o_orderkey")).over(w_full).alias("top_key"),
+        F.last_value(F.col("o_orderkey")).over(w_full).alias("bottom_key"),
+    ).orderBy("o_orderpriority", "o_orderkey")
+
+
+_WINDOW_SUITE_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       FIRST_VALUE(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS top_key,
+       LAST_VALUE(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bottom_key
+FROM orders
+WHERE o_orderkey % 50 = 0
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY o_orderpriority, o_orderkey
+"""
+
+
+def _scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar set: a missing JSON key produces NULL, then
+    coalesce/nullif/greatest flow through aggregation with the
+    null-skipping semantics both engines share."""
+    events = tables.load(spark, "events", sf_dir)
+    missing = F.get_json_object("props", "$.absent_key").cast("long")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select(
+            "event_type",
+            F.coalesce(missing, k, F.lit(-1)).alias("k_or_default"),
+            F.nullif(k % 10, F.lit(0)).alias("k_mod_nullified"),
+            F.greatest(k, F.lit(50)).alias("k_floor50"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("k_mod_nullified").alias("nonzero_mod_cnt"),  # nulls skipped
+            F.round(F.avg("k_or_default"), 2).alias("avg_k"),
+            F.min("k_floor50").alias("min_floor"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SCALAR_NULL_SQL = """
+SELECT event_type,
+       COUNT(NULLIF(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10, 0)) AS nonzero_mod_cnt,
+       ROUND(AVG(COALESCE(CAST(json_extract_string(props, '$.absent_key') AS BIGINT),
+                          CAST(json_extract_string(props, '$.k') AS BIGINT), -1)), 2) AS avg_k,
+       MIN(GREATEST(CAST(json_extract_string(props, '$.k') AS BIGINT), 50)) AS min_floor
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+register("sql_local_supplier_volume", _sql_local_supplier_volume, _SQL_Q5_SQL)
+register("window_analytics_suite", _window_analytics_suite, _WINDOW_SUITE_SQL)
+register("scalar_null_handling", _scalar_null_handling, _SCALAR_NULL_SQL)
 register("agg_session_windows", _agg_session_windows, _AGG_SESSION_SQL)
 register("set_ops_bag", _set_ops_bag, _SET_OPS_BAG_SQL)
 register("agg_cube", _agg_cube, _AGG_CUBE_SQL)
