@@ -254,6 +254,23 @@ ORDER BY event_type
 """
 
 
+def _parity_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 record shaping proven lossless: normalized flows -> Kafka
+    (key, value-JSON) records -> parsed back to Schema B. The sink
+    payload the distributed producer emits must reconstruct the exact
+    rows (the reference's driver-collect producer had no such check).
+    """
+    from .schemas import FLOW_NORMALIZED
+    from .streaming.sinks import to_kafka_records
+
+    flows = _parity_normalize_json(spark, sf_dir)
+    records = to_kafka_records(flows, key_col="ip_src")
+    return records.select(
+        F.from_json(F.col("value"), FLOW_NORMALIZED).alias("r")
+    ).select("r.*")
+
+
+register("parity_kafka_roundtrip", _parity_kafka_roundtrip, _PARITY_NORMALIZE_SQL)
 register("parity_normalize_json", _parity_normalize_json, _PARITY_NORMALIZE_SQL)
 register("parity_flatten_nested", _parity_flatten_nested, _PARITY_FLATTEN_SQL)
 register("parity_timestamp_convert", _parity_timestamp_convert, _PARITY_TS_CONVERT_SQL)

@@ -888,6 +888,68 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def _sql_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer,
+    top 20 — join + filter + group + deterministic top-k."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS lost_revenue,
+               COUNT(*) AS returned_items
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name
+        ORDER BY lost_revenue DESC, c_custkey
+        LIMIT 20
+        """
+    )
+
+
+_SQL_Q10_SQL = """
+SELECT c_custkey, c_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS lost_revenue,
+       COUNT(*) AS returned_items
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def _agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint dimension summaries in one
+    pass — rollup/cube's general form), via the SQL surface."""
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderpriority,
+               COUNT(*) AS cnt,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority))
+        ORDER BY c_mktsegment, o_orderpriority
+        """
+    )
+
+
+_AGG_GROUPING_SETS_SQL = """
+SELECT c_mktsegment, o_orderpriority,
+       COUNT(*) AS cnt,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority))
+ORDER BY c_mktsegment, o_orderpriority
+"""
+
+
+register("sql_returned_items", _sql_returned_items, _SQL_Q10_SQL)
+register("agg_grouping_sets", _agg_grouping_sets, _AGG_GROUPING_SETS_SQL)
 register("sql_local_supplier_volume", _sql_local_supplier_volume, _SQL_Q5_SQL)
 register("window_analytics_suite", _window_analytics_suite, _WINDOW_SUITE_SQL)
 register("scalar_null_handling", _scalar_null_handling, _SCALAR_NULL_SQL)
