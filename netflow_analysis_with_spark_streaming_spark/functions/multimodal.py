@@ -79,6 +79,48 @@ def _fake_decode(payload: bytes, i: int) -> int:
     return int(h[:8], 16)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_hash", StringType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, step: int = 50, fake: bool = True) -> DataFrame:
+    """Frame sampling for video payloads: one OUTPUT row per sampled
+    frame (the 1-to-N mapInPandas shape — batches out can exceed
+    batches in, unlike the row-aligned decode). Frame count and frame
+    hashes derive from the payload deterministically in the fake path;
+    a real codec plugs in exactly here.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real frame extraction requires a video codec (ffmpeg); "
+            "not available in this environment — use fake=True"
+        )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = _fake_decode(payload, 2) % 240 + 1
+                for i in range(0, n_frames, step):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.md5(payload + f":frame:{i}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_hash": hashes}
+            )
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
 def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
     """Decode payloads to metadata + a FEATURE_DIM-float feature vector.
 

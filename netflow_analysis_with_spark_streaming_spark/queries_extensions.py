@@ -685,8 +685,35 @@ FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id
 """
 
 
+def _multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: every 50th frame of each (fake-decoded)
+    payload — the 1-to-N Arrow batch shape where output rows exceed
+    input rows. Exactly oracle-checked (frame count and hashes are
+    md5-derived from the payload)."""
+    from .functions import multimodal as M
+
+    docs = tables.load(spark, "documents", sf_dir).filter(F.col("doc_id") % 25 == 0)
+    return (
+        M.sample_frames(M.attach_payload(docs), step=50)
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+_FRAME_SAMPLE_SQL = f"""
+WITH m AS (
+  SELECT doc_id, text, {_mm_int(2)} % 240 + 1 AS n_frames
+  FROM documents WHERE doc_id % 25 = 0
+)
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       md5(text || ':frame:' || CAST(i AS VARCHAR)) AS frame_hash
+FROM m, unnest(range(0, n_frames, 50)) t(i)
+ORDER BY doc_id, frame_idx
+"""
+
+
 register("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL)
 register("multimodal_decode", _multimodal_decode, _MULTIMODAL_SQL)
+register("multimodal_frame_sample", _multimodal_frame_sample, _FRAME_SAMPLE_SQL)
 register("udf_surface", _udf_surface, _UDF_SURFACE_SQL)
 register("dedup_fingerprint", _dedup_fingerprint, _DEDUP_FINGERPRINT_SQL)
 register("dedup_minhash_signatures", _dedup_minhash_signatures, _MINHASH_SIG_SQL)
