@@ -237,6 +237,59 @@ FROM events WHERE event_id % 10 = 0 ORDER BY event_id
 """
 
 
+def _stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 sessionization driven as a real streaming query: gap-based
+    sessions (applyInPandasWithState, event-time timeouts) for a small
+    key range. Rows-only: sessions still open at end-of-stream are
+    unflushed by design (their timeout exceeds the final watermark), so
+    the batch session_window oracle wouldn't match; the batch/streaming
+    session agreement for CLOSED sessions is asserted in pytest.
+    """
+    from .streaming import stateful
+
+    ev = _events_stream(spark, sf_dir).filter(F.col("user_id") < 20)
+    sessions = stateful.sessionize(
+        ev.withWatermark("ts", "1 second"), gap_seconds=3600
+    )
+    rows: list = []
+    with _bounded_state_partitions(spark):
+        q = (
+            sessions.writeStream.foreachBatch(
+                lambda df, bid: rows.extend(df.collect())
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = sorted((r["user_id"], r["session_start"], r["session_end"], r["n_events"]) for r in rows)
+    return spark.createDataFrame(
+        out, "user_id long, session_start timestamp, session_end timestamp, n_events long"
+    )
+
+
+def _stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 bounded-state streaming dedup: dropDuplicatesWithinWatermark
+    over (user_id, ts). The events table has no true duplicates, so the
+    surviving count equals the input count — the semantics (duplicate
+    drop + state eviction) are exercised with planted duplicates in
+    tests/test_streaming.py. Rows-only."""
+    from .streaming import jobs as _jobs
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "ts", "event_type")
+    deduped = _jobs.dedup_within_watermark(ev, keys=["user_id"], watermark="10 minutes")
+    with _bounded_state_partitions(spark):
+        _jobs.run_to_memory(deduped, "stream_dedup_watermark", output_mode="append")
+    return (
+        spark.table("stream_dedup_watermark")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+register("stream_sessionize", _stream_sessionize)  # rows-only: open sessions unflushed
+register("stream_dedup_watermark", _stream_dedup_watermark)  # rows-only
 register("stream_exactly_once_sink", _stream_exactly_once_sink, _STREAM_E1X_SQL)
 register("stream_tumbling_window", _stream_tumbling_window, _STREAM_WINDOW_SQL)
 register("stream_path2_flatten", _stream_path2_flatten, _PARITY_FLATTEN_SQL)

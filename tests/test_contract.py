@@ -30,6 +30,8 @@ def test_registry_shape():
         "similarity_ivf_topk",
         "similarity_quantized_topk",
         "dedup_components",
+        "stream_sessionize",
+        "stream_dedup_watermark",
     }, rows_only
 
 

@@ -90,6 +90,35 @@ def test_sessionize_gap_closes_sessions(spark, tmp_path):
     assert (1, 2) in closed and any(u == 1 and n == 2 for u, n in closed), closed
 
 
+def test_stream_sessions_agree_with_batch(spark):
+    """Every CLOSED streaming session must appear in the batch
+    session_window result with identical boundaries and counts (open
+    sessions at end-of-stream are the only permitted difference)."""
+    import importlib, sys
+    from conftest import SF_ORACLE
+    from netflow_analysis_with_spark_streaming_spark import tables
+
+    mod = sys.modules.get("__spark_entry__") or importlib.import_module("__spark_entry__")
+    # end conventions differ by design: stateful.sessionize reports the
+    # LAST EVENT time, session_window reports last event + gap — so the
+    # agreement key is (user, start, count).
+    streamed = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in mod.queries()["stream_sessionize"](spark, SF_ORACLE).collect()
+    }
+    ev = tables.load(spark, "events", SF_ORACLE).filter(F.col("user_id") < 20)
+    batch = {
+        (r["user_id"], r["s"], r["n"])
+        for r in ev.groupBy("user_id", F.session_window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("user_id", F.col("w.start").alias("s"), "n")
+        .collect()
+    }
+    assert streamed <= batch, streamed - batch
+    # nearly all sessions close; only the per-user tails stay open
+    assert len(streamed) >= len(batch) - 25, (len(streamed), len(batch))
+
+
 def test_processing_time_trigger_and_update_mode(spark, tmp_path):
     """T2/T4: a processingTime-triggered query in update mode drains a
     static backlog and stops cleanly (the production trigger shape)."""
