@@ -635,13 +635,33 @@ def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas decode (stubbed codec, real plumbing) -> typed meta +
     feature vector. Exactly oracle-checked because the fake decode is
     md5-derived. Sampled to every 5th doc to bound the Python stage.
+
+    The feature vector is emitted as `feature_fp`, a comma-joined
+    string of the underlying md5-derived 32-bit ints (feature[k] =
+    int/2^32 is exact in a double, so round(x*2^32) recovers the int
+    losslessly) — array columns break the driver's canonicalizer and
+    float formatting differs across engines; integer strings do not.
     """
     from .functions import multimodal as M
 
     docs = tables.load(spark, "documents", sf_dir).filter(F.col("doc_id") % 5 == 0)
+    feature_fp = F.concat_ws(
+        ",",
+        F.transform(
+            F.col("feature"),
+            lambda x: F.round(x * F.lit(4294967296.0)).cast("long").cast("string"),
+        ),
+    )
     return (
         M.decode_media(M.attach_payload(docs))
-        .select("doc_id", "media_type", "width", "height", "n_frames", "feature")
+        .select(
+            "doc_id",
+            "media_type",
+            "width",
+            "height",
+            "n_frames",
+            feature_fp.alias("feature_fp"),
+        )
         .orderBy("doc_id")
     )
 
@@ -656,9 +676,9 @@ _MULTIMODAL_SQL = (
     f"CAST({_mm_int(0)} % 1920 + 1 AS INTEGER) AS width, "
     f"CAST({_mm_int(1)} % 1080 + 1 AS INTEGER) AS height, "
     f"CAST({_mm_int(2)} % 240 + 1 AS INTEGER) AS n_frames, "
-    "list_value("
-    + ", ".join(f"{_mm_int(10 + k)} / 4294967296.0" for k in range(8))
-    + ") AS feature FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id"
+    "concat_ws(','"
+    + "".join(f", CAST({_mm_int(10 + k)} AS VARCHAR)" for k in range(8))
+    + ") AS feature_fp FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id"
 )
 
 
