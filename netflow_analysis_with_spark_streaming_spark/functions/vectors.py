@@ -54,6 +54,59 @@ def hyperplane(j: int, dim: int) -> Column:
     )
 
 
+def neardup_candidates(
+    emb,
+    k_per_row: int = 20,
+    dim: int = 64,
+    broadcast_row_limit: int = 200_000,
+):
+    """Scale-gated near-dup candidate generation.
+
+    Small corpus (fits a broadcast-join-sized build side, ~51 MB at
+    200k x 64 floats): the exact numpy blockwise kernel. Larger: the
+    LSH-bucketed equi-join below — candidates come from a distributed
+    self-join on bucket id and NOTHING is ever collected to the
+    driver. The gate is one count() (cheap parquet metadata scan next
+    to the work it guards) so callers can't accidentally drive the
+    driver-collect kernel into a 100 TB corpus.
+    """
+    if emb.count() <= broadcast_row_limit:
+        return neardup_candidates_blockwise(emb, k_per_row=k_per_row)
+    return neardup_candidates_bucketed(emb, k_per_row=k_per_row, dim=dim)
+
+
+def neardup_candidates_bucketed(emb, k_per_row: int = 20, dim: int = 64, planes: int = 4):
+    """LSH-bucketed near-dup candidates — the 100 TB path: bucket each
+    vector by hyperplane sign pattern, self-join on the bucket key
+    (shuffled equi-join, AQE skew-splittable), exact cosine inside the
+    bucket, per-row top-k via a window PARTITIONED by id_a (never a
+    global unpartitioned sort). Single-probe: cross-bucket near-dups
+    are missed with probability shrinking in similarity — the standard
+    LSH recall trade documented in lsh_bucket."""
+    from pyspark.sql import Window
+
+    with_bucket = emb.select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding"), dim, planes).alias("bucket")
+    )
+    a = with_bucket.alias("a")
+    b = with_bucket.alias("b")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k_per_row)
+        .drop("_rn")
+    )
+
+
 def neardup_candidates_blockwise(emb, k_per_row: int = 20):
     """All-pairs cosine with a numpy block kernel: each Arrow batch of
     rows (the A-block) is multiplied against the broadcast unit-norm
@@ -108,44 +161,72 @@ def neardup_candidates_blockwise(emb, k_per_row: int = 20):
     )
 
 
-def ivf_index(emb, n_centroids: int = 16):
-    """IVF (inverted-file) index: assign every vector to its nearest
-    centroid; search probes only the closest centroid lists.
+def ivf_index(emb, n_centroids: int = 16, lloyd_iters: int = 3):
+    """IVF (inverted-file) index trained with spherical k-means:
+    deterministic seeded init (first n vectors by vec_id), then
+    ``lloyd_iters`` assign+mean rounds; search probes only the closest
+    centroid lists.
 
-    Centroids here are the first n vectors by vec_id — a deterministic
-    stand-in for a k-means pass (which would just be iterated
-    assign+mean over the same kernels; determinism matters more than
-    centroid quality for reproducible tests). Assignment is the same
-    numpy block kernel as the near-dup path: one matmul per Arrow
-    batch against the broadcast centroid matrix.
+    Each Lloyd round is fully distributed: assignment is the numpy
+    block kernel (one matmul per Arrow batch against the broadcast
+    centroid matrix), the new means come from a posexplode +
+    groupBy(cluster, pos) average — one shuffle of n_centroids x dim
+    partial rows; only the (16 x 64) centroid matrix itself ever
+    reaches the driver. Means are rounded to 1e-6 before re-normalizing
+    so run-order float noise in the distributed average can't flip an
+    assignment between runs (determinism the recall tests rely on).
 
     Returns (assigned DataFrame(vec_id, embedding, cluster),
-    centroids ndarray, ids ndarray).
+    centroids ndarray).
     """
     import numpy as np
-    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql import functions as F
 
+    sc = emb.sparkSession.sparkContext
     cent_rows = sorted(
         emb.filter(emb.vec_id < n_centroids).select("vec_id", "embedding").collect(),
         key=lambda r: r["vec_id"],
     )
     cent = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
     cent /= np.linalg.norm(cent, axis=1, keepdims=True)
-    bc = emb.sparkSession.sparkContext.broadcast(cent)
 
-    def assign(it):
-        import pandas as pd
+    def make_assign(bc):
+        def assign(it):
+            c = bc.value
+            for pdf in it:
+                m = np.array(list(pdf["embedding"]), dtype=np.float64)
+                m /= np.linalg.norm(m, axis=1, keepdims=True)
+                pdf = pdf.copy()
+                pdf["cluster"] = np.argmax(m @ c.T, axis=1).astype("int32")
+                yield pdf
 
-        c = bc.value
-        for pdf in it:
-            m = np.array(list(pdf["embedding"]), dtype=np.float64)
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
-            pdf = pdf.copy()
-            pdf["cluster"] = np.argmax(m @ c.T, axis=1).astype("int32")
-            yield pdf
+        return assign
 
-    assigned = emb.select("vec_id", "embedding").mapInPandas(
-        assign, "vec_id long, embedding array<float>, cluster int"
+    base = emb.select("vec_id", "embedding")
+    for _ in range(lloyd_iters):
+        bc = sc.broadcast(cent)
+        assigned = base.mapInPandas(
+            make_assign(bc), "vec_id long, embedding array<float>, cluster int"
+        )
+        mean_rows = (
+            assigned.select(
+                "cluster", F.posexplode(F.col("embedding")).alias("pos", "val")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new_cent = cent.copy()  # empty clusters keep their old centroid
+        for r in mean_rows:
+            new_cent[r["cluster"], r["pos"]] = r["m"]
+        new_cent = np.round(new_cent, 6)
+        norms = np.linalg.norm(new_cent, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cent = new_cent / norms
+
+    bc = sc.broadcast(cent)
+    assigned = base.mapInPandas(
+        make_assign(bc), "vec_id long, embedding array<float>, cluster int"
     )
     return assigned, cent
 

@@ -3,11 +3,12 @@ assignment step (near-dup pairs -> clusters -> keep one doc per
 cluster) that follows MinHash/SimHash candidate generation in an
 LLM-data dedup pipeline.
 
-Algorithm: iterative min-label propagation — each node's label becomes
-the min of its own and its neighbors' labels until fixpoint. Pure
-DataFrame joins/aggregations, so it distributes; convergence takes
-O(cluster diameter) rounds (near-dup clusters are shallow — usually
-2-4 rounds).
+Algorithm: iterative min-label propagation with pointer doubling —
+each round a node adopts the min of (its label, its neighbors'
+labels, the label of its label). The doubling step collapses chains
+exponentially, so convergence takes O(log diameter) rounds (near-dup
+clusters are shallow — usually 2-3 rounds); non-convergence raises
+instead of returning silently-wrong labels.
 
 Scale: each round is one shuffle on the node id. Label state is
 cached per round and the loop exits on a zero `changed` count, which
@@ -70,27 +71,53 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .cache()
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.v == labels.node)
             .groupBy("u")
             .agg(F.min("label").alias("nmin"))
         )
+        stepped = labels.join(
+            neighbor_min, labels.node == neighbor_min.u, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
+            F.col("label").alias("_old"),
+        )
+        # pointer doubling: also adopt the label OF my label (labels
+        # are always node ids, so the lookup self-joins the label
+        # frame). Chains now collapse in O(log diameter) rounds, so
+        # max_iter=15 covers diameters up to ~2^15 — the silent-
+        # non-convergence window the plain O(diameter) loop had.
+        lbl_of_lbl = stepped.select(
+            F.col("node").alias("label"), F.col("label").alias("_ll")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            stepped.join(lbl_of_lbl, "label", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-                F.col("label").alias("_old"),
+                F.least(F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))).alias(
+                    "label"
+                ),
+                "_old",
             )
-        ).cache()
+            .cache()
+        )
         changed = new_labels.filter(F.col("label") != F.col("_old")).count()
         labels.unpersist()
         labels = new_labels.select("node", "label").cache()
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} doubled "
+            "rounds — cluster diameter exceeds 2^15; raise max_iter"
+        )
     labels.count()  # materialize the final cache before dropping edges
     sym.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))

@@ -41,6 +41,9 @@ def replicate_right(df: DataFrame, n: int) -> DataFrame:
     )
 
 
+_SALT_SAFE_HOW = {"inner", "left", "left_outer", "left_semi", "leftsemi"}
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -50,7 +53,18 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join on ``on`` with n-way salting; result == plain join
     (verified by test_salted_join_equivalence), minus the single-hot-
-    partition bottleneck."""
+    partition bottleneck.
+
+    Only inner/left/left_semi are accepted: the right side is
+    replicated n-fold, so right/full-outer variants would emit each
+    UNMATCHED right row n times — a silent correctness break, hence a
+    hard error here. For outer-right skew, salt the other side or use
+    AQE's runtime skew split."""
+    if how not in _SALT_SAFE_HOW:
+        raise ValueError(
+            f"salted_join supports {sorted(_SALT_SAFE_HOW)}; got {how!r} — "
+            "right-side replication would duplicate unmatched right rows"
+        )
     l_salted = salt_left(left, n, spread_cols=None)
     r_rep = replicate_right(right, n)
     out = l_salted.join(r_rep, on + [SALT_COL], how)

@@ -4,6 +4,20 @@ matching DuckDB oracle SQL (SURVEY.md §5.2.1).
 Registration pattern: each operator module contributes queries via
 ``register``. Column names are aliased identically on both sides —
 the driver's compare sorts columns by name before hashing.
+
+Two tiers:
+
+- **driver tier** (``QUERIES``/``ORACLES``): what ``__spark_entry__``
+  exposes. The external harness checks only the FIRST 50 registered
+  entries, so this tier is capped at 50 and ordered explicitly by
+  ``_DRIVER_ORDER`` — streaming and text entries (previously pushed
+  past the window by registration order) come right after the
+  flagship. Near-duplicate operator variants are folded into tagged
+  "suite" entries so every distinct semantic keeps a CORRECTNESS row.
+- **extra tier** (``EXTRA_QUERIES``/``EXTRA_ORACLES``): the folded
+  variants, still fully oracle-differential-tested in pytest
+  (tests/* parametrize over ``all_queries``) — nothing lost, just
+  not double-counted against the driver window.
 """
 
 from __future__ import annotations
@@ -17,14 +31,28 @@ from .operators import access_trend as _access_trend
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+DRIVER_WINDOW = 50  # the harness checks only the first 50 entries
+
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+EXTRA_QUERIES: dict[str, QueryFn] = {}
+EXTRA_ORACLES: dict[str, str] = {}
 
 
-def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
-    QUERIES[name] = fn
+def register(
+    name: str, fn: QueryFn, oracle: str | None = None, driver: bool = True
+) -> None:
+    (QUERIES if driver else EXTRA_QUERIES)[name] = fn
     if oracle is not None:
-        ORACLES[name] = oracle
+        (ORACLES if driver else EXTRA_ORACLES)[name] = oracle
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {**QUERIES, **EXTRA_QUERIES}
+
+
+def all_oracles() -> dict[str, str]:
+    return {**ORACLES, **EXTRA_ORACLES}
 
 
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,3 +75,85 @@ from . import queries_relational  # noqa: E402,F401
 from . import queries_parity  # noqa: E402,F401
 from . import queries_extensions  # noqa: E402,F401
 from . import queries_streaming  # noqa: E402,F401
+
+# The driver-visible order. Every name must exist; every registered
+# driver entry must appear — asserted below and in tests/test_contract.
+_DRIVER_ORDER = [
+    "flagship_access_trend",
+    # streaming layer first (the engine's raison d'être — previously
+    # registered past the harness window and invisible to it)
+    "stream_tumbling_window",
+    "stream_path2_flatten",
+    "stream_static_enrich",
+    "stream_running_totals",
+    "stream_update_mode",
+    "stream_stream_join",
+    "stream_exactly_once_sink",
+    "stream_sessionize",
+    "stream_dedup_watermark",
+    # text / profiling suite
+    "text_analysis",
+    "text_zscore_by_lang",
+    "text_rolling_fingerprint",
+    "text_edit_distance",
+    "profile_columns",
+    "scalar_array_functions",
+    # dedup + similarity pipeline
+    "dedup_fingerprint",
+    "dedup_minhash_candidates",
+    "dedup_simhash_pairs",
+    "dedup_components",
+    "similarity_ngram_jaccard",
+    "similarity_cosine_topk",
+    "similarity_ann_topk",
+    "similarity_quantized_topk",
+    "similarity_embedding_neardup",
+    # multimodal + UDF surface
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "udf_surface",
+    # reference parity
+    "parity_kafka_roundtrip",
+    "parity_flatten_nested",
+    "parity_timestamp_convert",
+    "parity_two_col_routing",
+    "parity_live_path",
+    "parity_cidr_filter",
+    # relational completeness
+    "sql_returned_items",
+    "sql_local_supplier_volume",
+    "sql_shipping_priority",
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "agg_multidim",
+    "agg_stats_suite",
+    "agg_pivot",
+    "agg_session_windows",
+    "join_dim_star",
+    "join_shuffle_large",
+    "join_semi_anti",
+    "window_topk_per_group",
+    "window_analytics_suite",
+    "set_ops_suite",
+    "scalar_functions",
+]
+
+
+def _apply_driver_order() -> None:
+    missing = [n for n in _DRIVER_ORDER if n not in QUERIES]
+    unlisted = [n for n in QUERIES if n not in _DRIVER_ORDER]
+    if missing or unlisted:
+        raise RuntimeError(
+            f"driver order out of sync: missing={missing} unlisted={unlisted}"
+        )
+    if len(_DRIVER_ORDER) > DRIVER_WINDOW:
+        raise RuntimeError(
+            f"{len(_DRIVER_ORDER)} driver entries exceed the "
+            f"{DRIVER_WINDOW}-entry harness window"
+        )
+    ordered = {n: QUERIES[n] for n in _DRIVER_ORDER}
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
+_apply_driver_order()

@@ -225,10 +225,14 @@ def _similarity_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # Global top-20 via orderBy().limit() — plans as a distributed
+    # TakeOrderedAndProject (per-partition 20-row heaps merged on one
+    # reducer), NOT a row_number() over an unpartitioned window, which
+    # would funnel the full candidate set through a single task.
+    top = jac.orderBy(F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b")).limit(20)
     w = Window.orderBy(F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b"))
     return (
-        jac.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w))  # 20 rows: trivial
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"), "rank")
         .orderBy("rank")
     )
@@ -520,11 +524,13 @@ def _similarity_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     IVF/LSH buckets instead.
     """
     emb = tables.load(spark, "embeddings", sf_dir)
-    cand = V.neardup_candidates_blockwise(emb, k_per_row=20)
+    cand = V.neardup_candidates(emb, k_per_row=20)
+    # distributed TakeOrderedAndProject, rank derived post-limit (20
+    # rows) — never an unpartitioned window over the candidate set
+    top = cand.orderBy(F.col("cos").desc(), F.col("id_a"), F.col("id_b")).limit(20)
     w = Window.orderBy(F.col("cos").desc(), F.col("id_a"), F.col("id_b"))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w))
         .select("id_a", "id_b", "rank")
         .orderBy("rank")
     )
@@ -731,26 +737,49 @@ ORDER BY doc_id, frame_idx
 """
 
 
-register("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL)
+def _similarity_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both ANN index families (random-hyperplane LSH buckets; IVF
+    centroid lists with n_probe=4) in one tagged entry — the two
+    100 TB-scale candidate-pruning shapes side by side. Rows-only
+    driver check (bucketing is Spark/numpy-side); recall vs the
+    brute-force baseline is property-tested per family."""
+    lsh = _similarity_lsh_topk(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank"
+    )
+    ivf = _similarity_ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank"
+    )
+    return lsh.unionByName(ivf).orderBy("method", "query_id", "rank")
+
+
+# Driver tier (order set in queries.py). dedup_fingerprint covers
+# dedup_exact's grouping semantics with the fixed-width-key shape;
+# minhash candidates / simhash pairs hash-cover their signature stages
+# (band keys and hamming distances are functions of the signatures);
+# the folded constituents keep pytest oracle coverage as extras.
 register("multimodal_decode", _multimodal_decode, _MULTIMODAL_SQL)
 register("multimodal_frame_sample", _multimodal_frame_sample, _FRAME_SAMPLE_SQL)
 register("udf_surface", _udf_surface, _UDF_SURFACE_SQL)
 register("dedup_fingerprint", _dedup_fingerprint, _DEDUP_FINGERPRINT_SQL)
-register("dedup_minhash_signatures", _dedup_minhash_signatures, _MINHASH_SIG_SQL)
 register("dedup_minhash_candidates", _dedup_minhash_candidates, _MINHASH_CAND_SQL)
 register("similarity_ngram_jaccard", _similarity_ngram_jaccard, _NGRAM_JACCARD_SQL)
-register("dedup_simhash", _dedup_simhash, _SIMHASH_SQL)
 register(
     "dedup_simhash_pairs",
     _dedup_simhash_pairs,
     _SIMHASH_PAIRS_SQL.replace("{SIG}", _SIMHASH_SQL),
 )
 register("similarity_cosine_topk", _similarity_cosine_topk, _COSINE_TOPK_SQL)
-register("similarity_lsh_topk", _similarity_lsh_topk)  # rows-only: Spark-side planes
-register("similarity_ivf_topk", _similarity_ivf_topk)  # rows-only: numpy centroids
+register("similarity_ann_topk", _similarity_ann_topk)  # rows-only: Spark-side index
 register(
     "similarity_embedding_neardup", _similarity_embedding_neardup, _EMBEDDING_NEARDUP_SQL
 )
+
+# Extra tier: folded variants, pytest-differential coverage unchanged.
+register("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL, driver=False)
+register("dedup_minhash_signatures", _dedup_minhash_signatures, _MINHASH_SIG_SQL, driver=False)
+register("dedup_simhash", _dedup_simhash, _SIMHASH_SQL, driver=False)
+register("similarity_lsh_topk", _similarity_lsh_topk, driver=False)  # rows-only
+register("similarity_ivf_topk", _similarity_ivf_topk, driver=False)  # rows-only
 def _text_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas (grouped-map) surface: per-language z-score of the
     quality signal. Each language group arrives as one pandas frame —
@@ -768,10 +797,18 @@ def _text_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def zscore(pdf):
+        import pandas as pd
+
         mu = pdf["tok"].mean()
         sd = pdf["tok"].std(ddof=1)
         out = pdf[["doc_id", "lang"]].copy()
-        out["tok_z"] = ((pdf["tok"] - mu) / sd).round(4)
+        # degenerate groups (single doc -> sd NaN; zero variance ->
+        # sd 0) must yield NULL like the oracle's STDDEV_SAMP, not
+        # NaN/inf from the division
+        if pd.isna(sd) or sd == 0:
+            out["tok_z"] = None
+        else:
+            out["tok_z"] = ((pdf["tok"] - mu) / sd).round(4)
         return out
 
     return per_doc.groupBy("lang").applyInPandas(
@@ -997,11 +1034,13 @@ SELECT pre.doc_id,
          (acc, x) -> (acc * {_RH_B} + x) % {_RH_P}
        ) AS poly_hash,
        list_min(list_transform(sh.grams, s -> {_H7_SH} % {_RH_P})) AS winnow_min
-FROM pre JOIN sh USING (doc_id)
+FROM pre LEFT JOIN sh USING (doc_id)
 ORDER BY doc_id
 """
 
 
 register("text_rolling_fingerprint", _text_rolling_fingerprint, _ROLLING_SQL)
 register("text_edit_distance", _text_edit_distance, _TEXT_EDIT_SQL)
-register("text_stats_by_lang", _text_stats_by_lang, _TEXT_STATS_SQL)
+# text_stats_by_lang aggregates the hash-checked per-doc text_analysis
+# columns — folded to the extra tier for the driver window.
+register("text_stats_by_lang", _text_stats_by_lang, _TEXT_STATS_SQL, driver=False)

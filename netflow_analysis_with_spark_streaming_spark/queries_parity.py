@@ -270,11 +270,16 @@ def _parity_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("r.*")
 
 
+# Driver tier. parity_kafka_roundtrip normalizes THEN round-trips
+# through the Kafka record shape, so its hash-exact pass covers
+# parity_normalize_json's semantics; parity_metric_switch is the
+# driver-checked flagship on an alternate column — both folded to the
+# extra tier to fit the harness' 50-entry window.
 register("parity_kafka_roundtrip", _parity_kafka_roundtrip, _PARITY_NORMALIZE_SQL)
-register("parity_normalize_json", _parity_normalize_json, _PARITY_NORMALIZE_SQL)
 register("parity_flatten_nested", _parity_flatten_nested, _PARITY_FLATTEN_SQL)
 register("parity_timestamp_convert", _parity_timestamp_convert, _PARITY_TS_CONVERT_SQL)
 register("parity_two_col_routing", _parity_two_col_routing, _PARITY_TWO_COL_SQL)
 register("parity_live_path", _parity_live_path, _PARITY_LIVE_PATH_SQL)
-register("parity_metric_switch", _parity_metric_switch, _PARITY_METRIC_SWITCH_SQL)
 register("parity_cidr_filter", _parity_cidr_filter, _PARITY_CIDR_SQL)
+register("parity_normalize_json", _parity_normalize_json, _PARITY_NORMALIZE_SQL, driver=False)
+register("parity_metric_switch", _parity_metric_switch, _PARITY_METRIC_SWITCH_SQL, driver=False)

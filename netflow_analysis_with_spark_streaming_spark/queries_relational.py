@@ -255,6 +255,22 @@ def _agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count_distinct(F.col("user_id")).alias("distinct_users"),
             F.count("*").alias("event_cnt"),
+            F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+        )
+        # HLL sketches differ across engines, so the estimate itself
+        # can't hash-match — but its INVARIANT can: the oracle asserts
+        # `approx_ok = true`, turning the rows-only approx entry into a
+        # hash-exact check (|approx - exact| / exact <= 10%, generous
+        # vs rsd=0.02).
+        .select(
+            "event_type",
+            "distinct_users",
+            "event_cnt",
+            (
+                F.abs(F.col("_approx") - F.col("distinct_users"))
+                / F.col("distinct_users")
+                <= 0.1
+            ).alias("approx_ok"),
         )
         .orderBy("event_type")
     )
@@ -263,7 +279,8 @@ def _agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AGG_COUNT_DISTINCT_SQL = """
 SELECT event_type,
        COUNT(DISTINCT user_id) AS distinct_users,
-       COUNT(*) AS event_cnt
+       COUNT(*) AS event_cnt,
+       true AS approx_ok
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -506,12 +523,14 @@ def _scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     no Python boundary crossing.
     """
     events = tables.load(spark, "events", sf_dir)
+    missing = F.get_json_object("props", "$.absent_key").cast("long")
     return (
         events.select(
             F.col("event_type"),
             F.get_json_object("props", "$.k").cast("long").alias("k"),
             F.month("ts").cast("long").alias("month"),
             F.col("value"),
+            missing.alias("absent"),
         )
         .withColumn("k_bucket", (F.col("k") % 10).cast("long"))
         .withColumn("type_tag", F.concat(F.upper(F.substring("event_type", 1, 3)), F.lit("-"), F.col("month").cast("string")))
@@ -519,6 +538,14 @@ def _scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("cnt"),
             F.round(F.sum(F.sqrt(F.abs(F.col("value")))), 2).alias("sqrt_sum"),
+            # NULL-handling surface (absorbed scalar_null_handling):
+            # a missing JSON key flows through coalesce/nullif/greatest
+            # with the null-skipping agg semantics both engines share.
+            F.count(F.nullif(F.col("k") % 10, F.lit(0))).alias("nonzero_mod_cnt"),
+            F.round(F.avg(F.coalesce(F.col("absent"), F.col("k"), F.lit(-1))), 2).alias(
+                "avg_k"
+            ),
+            F.min(F.greatest(F.col("k"), F.lit(50))).alias("min_floor"),
         )
         .orderBy("type_tag", "k_bucket")
     )
@@ -528,7 +555,11 @@ _SCALAR_FUNCTIONS_SQL = """
 SELECT CONCAT(UPPER(SUBSTRING(event_type, 1, 3)), '-', CAST(CAST(MONTH(ts) AS BIGINT) AS VARCHAR)) AS type_tag,
        CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket,
        COUNT(*) AS cnt,
-       ROUND(SUM(SQRT(ABS(value))), 2) AS sqrt_sum
+       ROUND(SUM(SQRT(ABS(value))), 2) AS sqrt_sum,
+       COUNT(NULLIF(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10, 0)) AS nonzero_mod_cnt,
+       ROUND(AVG(COALESCE(CAST(json_extract_string(props, '$.absent_key') AS BIGINT),
+                          CAST(json_extract_string(props, '$.k') AS BIGINT), -1)), 2) AS avg_k,
+       MIN(GREATEST(CAST(json_extract_string(props, '$.k') AS BIGINT), 50)) AS min_floor
 FROM events
 GROUP BY type_tag, k_bucket
 ORDER BY type_tag, k_bucket
@@ -717,6 +748,9 @@ def _agg_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AGG_SESSION_SQL = """
 WITH t AS (
   SELECT user_id, ts, value,
+         -- strict > matches session_window: an event EXACTLY gap
+         -- after the previous one MERGES (touching intervals merge;
+         -- boundary pinned by test_session_window_gap_boundary)
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 1 HOUR
                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_s
@@ -828,6 +862,7 @@ def _window_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
     return orders.select(
         "o_orderkey",
         "o_orderpriority",
@@ -836,6 +871,11 @@ def _window_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.first_value(F.col("o_orderkey")).over(w_full).alias("top_key"),
         F.last_value(F.col("o_orderkey")).over(w_full).alias("bottom_key"),
+        # lag + running total (absorbed window_day_series' surface)
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice", 1).over(w), 2
+        ).alias("price_delta"),
+        F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_sum"),
     ).orderBy("o_orderpriority", "o_orderkey")
 
 
@@ -845,7 +885,9 @@ SELECT o_orderkey, o_orderpriority,
        ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
        ROUND(CUME_DIST() OVER w, 6) AS cume,
        FIRST_VALUE(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS top_key,
-       LAST_VALUE(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bottom_key
+       LAST_VALUE(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bottom_key,
+       ROUND(o_totalprice - LAG(o_totalprice, 1) OVER w, 2) AS price_delta,
+       ROUND(SUM(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum
 FROM orders
 WHERE o_orderkey % 50 = 0
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
@@ -948,31 +990,245 @@ ORDER BY c_mktsegment, o_orderpriority
 """
 
 
+# --- Merged driver suites ---------------------------------------------------
+# The harness checks only the first 50 registered entries; these fold
+# near-duplicate variants into one tagged entry each so every distinct
+# semantic keeps a driver CORRECTNESS row. The constituent entries stay
+# registered as driver=False (pytest oracle coverage unchanged).
+
+
+def _agg_multidim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE + GROUPING SETS in one tagged result (generic
+    (variant, dim1, dim2, cnt, val) shape). Each variant is the
+    unchanged constituent query; the union is driver-window folding,
+    not a semantic change."""
+
+    def shape(df: DataFrame, variant: str, d1: str, d2: str, cnt: str, val: str):
+        return df.select(
+            F.lit(variant).alias("variant"),
+            F.col(d1).cast("string").alias("dim1"),
+            F.col(d2).cast("string").alias("dim2"),
+            F.col(cnt).cast("long").alias("cnt"),
+            F.col(val).cast("double").alias("val"),
+        )
+
+    return (
+        shape(_agg_rollup(spark, sf_dir), "rollup", "r_name", "n_name", "cust_cnt", "acctbal_sum")
+        .unionByName(
+            shape(_agg_cube(spark, sf_dir), "cube", "l_returnflag", "l_linestatus", "cnt", "qty")
+        )
+        .unionByName(
+            shape(
+                _agg_grouping_sets(spark, sf_dir),
+                "gsets",
+                "c_mktsegment",
+                "o_orderpriority",
+                "cnt",
+                "revenue",
+            )
+        )
+        .orderBy("variant", "dim1", "dim2")
+    )
+
+
+_AGG_MULTIDIM_SQL = f"""
+SELECT 'rollup' AS variant, CAST(r_name AS VARCHAR) AS dim1, CAST(n_name AS VARCHAR) AS dim2,
+       CAST(cust_cnt AS BIGINT) AS cnt, CAST(acctbal_sum AS DOUBLE) AS val
+FROM ({_AGG_ROLLUP_SQL})
+UNION ALL
+SELECT 'cube', CAST(l_returnflag AS VARCHAR), CAST(l_linestatus AS VARCHAR),
+       CAST(cnt AS BIGINT), CAST(qty AS DOUBLE)
+FROM ({_AGG_CUBE_SQL})
+UNION ALL
+SELECT 'gsets', CAST(c_mktsegment AS VARCHAR), CAST(o_orderpriority AS VARCHAR),
+       CAST(cnt AS BIGINT), CAST(revenue AS DOUBLE)
+FROM ({_AGG_GROUPING_SETS_SQL})
+ORDER BY variant, dim1, dim2
+"""
+
+
+def _agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates + exact percentiles in ONE groupBy pass
+    (stddev/variance/corr/covar + quantile array) — one shuffle, one
+    partial+final aggregate pair for the whole stat dashboard."""
+    lineitem = tables.load(spark, "lineitem", sf_dir)
+    ps = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_sd"),
+            F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+            F.round(F.covar_samp("l_extendedprice", "l_discount"), 2).alias("price_disc_cov"),
+            ps.alias("_ps"),
+        )
+        .select(
+            "l_returnflag",
+            "price_sd",
+            "disc_var",
+            "price_qty_corr",
+            "price_disc_cov",
+            *[
+                F.round(F.element_at("_ps", i + 1), 4).alias(name)
+                for i, name in enumerate(["p25", "p50", "p75", "p99"])
+            ],
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_AGG_STATS_SUITE_SQL = """
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_extendedprice), 2) AS price_sd,
+       ROUND(VAR_SAMP(l_discount), 6) AS disc_var,
+       ROUND(CORR(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+       ROUND(COVAR_SAMP(l_extendedprice, l_discount), 2) AS price_disc_cov,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def _join_dim_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim-enrich (nation grain) + 4-way star (region grain)
+    as one tagged entry — both variants keep their BroadcastHashJoin
+    plans (asserted in tests), the union is per-variant independent."""
+
+    def shape(df: DataFrame, op: str, grp: str):
+        return df.select(
+            F.lit(op).alias("op"),
+            F.col(grp).alias("grp"),
+            F.col("order_cnt"),
+            F.col("revenue"),
+        )
+
+    return (
+        shape(_join_broadcast_enrich(spark, sf_dir), "nation_enrich", "n_name")
+        .unionByName(shape(_join_star(spark, sf_dir), "region_star", "r_name"))
+        .orderBy("op", "grp")
+    )
+
+
+_JOIN_DIM_STAR_SQL = f"""
+SELECT 'nation_enrich' AS op, n_name AS grp, order_cnt, revenue
+FROM ({_JOIN_BROADCAST_ENRICH_SQL})
+UNION ALL
+SELECT 'region_star', r_name, order_cnt, revenue FROM ({_JOIN_STAR_SQL})
+ORDER BY op, grp
+"""
+
+
+def _join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (finished-order customers per segment) + left-anti
+    (never-urgent customers per nation) as one tagged entry."""
+
+    def shape(df: DataFrame, op: str, grp: str):
+        return df.select(
+            F.lit(op).alias("op"), F.col(grp).alias("grp"), F.col("cust_cnt")
+        )
+
+    return (
+        shape(_join_semi(spark, sf_dir), "semi_finished", "c_mktsegment")
+        .unionByName(shape(_join_anti(spark, sf_dir), "anti_urgent", "n_name"))
+        .orderBy("op", "grp")
+    )
+
+
+_JOIN_SEMI_ANTI_SQL = f"""
+SELECT 'semi_finished' AS op, c_mktsegment AS grp, cust_cnt FROM ({_JOIN_SEMI_SQL})
+UNION ALL
+SELECT 'anti_urgent', n_name, cust_cnt FROM ({_JOIN_ANTI_SQL})
+ORDER BY op, grp
+"""
+
+
+def _set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All set-operation semantics in one tagged entry: DISTINCT
+    intersect/except/union plus bag-semantics intersectAll/exceptAll
+    (with multiplicities). Schema (op, custkey, n, segment); n is NULL
+    for distinct ops, segment non-NULL only for the union variant."""
+    null_n = F.lit(None).cast("long")
+    null_seg = F.lit(None).cast("string")
+
+    def dshape(df: DataFrame, op: str):
+        return df.select(
+            F.lit(op).alias("op"),
+            F.col("custkey"),
+            null_n.alias("n"),
+            null_seg.alias("segment"),
+        )
+
+    bag = _set_ops_bag(spark, sf_dir).select(
+        F.concat(F.lit("bag_"), F.col("op")).alias("op"),
+        F.col("custkey"),
+        F.col("n"),
+        null_seg.alias("segment"),
+    )
+    union_d = _set_union(spark, sf_dir).select(
+        F.lit("union").alias("op"),
+        F.col("custkey"),
+        null_n.alias("n"),
+        F.col("segment"),
+    )
+    return (
+        dshape(_set_intersect(spark, sf_dir), "intersect")
+        .unionByName(dshape(_set_except(spark, sf_dir), "except"))
+        .unionByName(union_d)
+        .unionByName(bag)
+        .orderBy("op", "custkey")
+    )
+
+
+_SET_OPS_SUITE_SQL = f"""
+SELECT 'intersect' AS op, custkey, CAST(NULL AS BIGINT) AS n, CAST(NULL AS VARCHAR) AS segment
+FROM ({_SET_INTERSECT_SQL})
+UNION ALL
+SELECT 'except', custkey, NULL, NULL FROM ({_SET_EXCEPT_SQL})
+UNION ALL
+SELECT 'union', custkey, NULL, segment FROM ({_SET_UNION_SQL})
+UNION ALL
+SELECT 'bag_' || op, custkey, n, NULL FROM ({_SET_OPS_BAG_SQL})
+ORDER BY op, custkey
+"""
+
+
+# Driver tier (inside the 50-entry harness window; order set in queries.py)
 register("sql_returned_items", _sql_returned_items, _SQL_Q10_SQL)
-register("agg_grouping_sets", _agg_grouping_sets, _AGG_GROUPING_SETS_SQL)
 register("sql_local_supplier_volume", _sql_local_supplier_volume, _SQL_Q5_SQL)
-register("window_analytics_suite", _window_analytics_suite, _WINDOW_SUITE_SQL)
-register("scalar_null_handling", _scalar_null_handling, _SCALAR_NULL_SQL)
-register("agg_session_windows", _agg_session_windows, _AGG_SESSION_SQL)
-register("set_ops_bag", _set_ops_bag, _SET_OPS_BAG_SQL)
-register("agg_cube", _agg_cube, _AGG_CUBE_SQL)
-register("agg_stats", _agg_stats, _AGG_STATS_SQL)
 register("sql_shipping_priority", _sql_shipping_priority, _SQL_SHIPPING_PRIORITY_SQL)
-register("agg_pivot", _agg_pivot, _AGG_PIVOT_SQL)
-register("agg_percentiles", _agg_percentiles, _AGG_PERCENTILES_SQL)
-register("join_broadcast_enrich", _join_broadcast_enrich, _JOIN_BROADCAST_ENRICH_SQL)
-register("join_shuffle_large", _join_shuffle_large, _JOIN_SHUFFLE_LARGE_SQL)
-register("join_semi", _join_semi, _JOIN_SEMI_SQL)
-register("join_anti", _join_anti, _JOIN_ANTI_SQL)
-register("join_star", _join_star, _JOIN_STAR_SQL)
 register("agg_pricing_summary", _agg_pricing_summary, _AGG_PRICING_SUMMARY_SQL)
 register("agg_count_distinct", _agg_count_distinct, _AGG_COUNT_DISTINCT_SQL)
-register("agg_approx_distinct", _agg_approx_distinct)  # rows-only: HLL estimate
-register("agg_rollup", _agg_rollup, _AGG_ROLLUP_SQL)
+register("agg_multidim", _agg_multidim, _AGG_MULTIDIM_SQL)
+register("agg_stats_suite", _agg_stats_suite, _AGG_STATS_SUITE_SQL)
+register("agg_pivot", _agg_pivot, _AGG_PIVOT_SQL)
+register("agg_session_windows", _agg_session_windows, _AGG_SESSION_SQL)
+register("join_dim_star", _join_dim_star, _JOIN_DIM_STAR_SQL)
+register("join_shuffle_large", _join_shuffle_large, _JOIN_SHUFFLE_LARGE_SQL)
+register("join_semi_anti", _join_semi_anti, _JOIN_SEMI_ANTI_SQL)
 register("window_topk_per_group", _window_topk_per_group, _WINDOW_TOPK_SQL)
-register("window_day_series", _window_day_series, _WINDOW_DAY_SERIES_SQL)
-register("topk_heavy_hitters", _topk_heavy_hitters, _TOPK_HEAVY_HITTERS_SQL)
-register("set_intersect", _set_intersect, _SET_INTERSECT_SQL)
-register("set_except", _set_except, _SET_EXCEPT_SQL)
-register("set_union", _set_union, _SET_UNION_SQL)
+register("window_analytics_suite", _window_analytics_suite, _WINDOW_SUITE_SQL)
+register("set_ops_suite", _set_ops_suite, _SET_OPS_SUITE_SQL)
 register("scalar_functions", _scalar_functions, _SCALAR_FUNCTIONS_SQL)
+
+# Extra tier: folded constituents + scale variants (pytest-differential
+# coverage via queries.all_queries; out of the driver window).
+register("join_broadcast_enrich", _join_broadcast_enrich, _JOIN_BROADCAST_ENRICH_SQL, driver=False)
+register("join_semi", _join_semi, _JOIN_SEMI_SQL, driver=False)
+register("join_anti", _join_anti, _JOIN_ANTI_SQL, driver=False)
+register("join_star", _join_star, _JOIN_STAR_SQL, driver=False)
+register("agg_rollup", _agg_rollup, _AGG_ROLLUP_SQL, driver=False)
+register("agg_cube", _agg_cube, _AGG_CUBE_SQL, driver=False)
+register("agg_grouping_sets", _agg_grouping_sets, _AGG_GROUPING_SETS_SQL, driver=False)
+register("agg_stats", _agg_stats, _AGG_STATS_SQL, driver=False)
+register("agg_percentiles", _agg_percentiles, _AGG_PERCENTILES_SQL, driver=False)
+register("agg_approx_distinct", _agg_approx_distinct, driver=False)  # rows-only: HLL
+register("window_day_series", _window_day_series, _WINDOW_DAY_SERIES_SQL, driver=False)
+register("topk_heavy_hitters", _topk_heavy_hitters, _TOPK_HEAVY_HITTERS_SQL, driver=False)
+register("set_intersect", _set_intersect, _SET_INTERSECT_SQL, driver=False)
+register("set_except", _set_except, _SET_EXCEPT_SQL, driver=False)
+register("set_union", _set_union, _SET_UNION_SQL, driver=False)
+register("set_ops_bag", _set_ops_bag, _SET_OPS_BAG_SQL, driver=False)
+register("scalar_null_handling", _scalar_null_handling, _SCALAR_NULL_SQL, driver=False)

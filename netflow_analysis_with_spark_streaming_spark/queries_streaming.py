@@ -18,6 +18,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from . import tables
@@ -157,6 +158,52 @@ ORDER BY c_mktsegment, event_type
 # Identical semantics to the batch flatten entry -> reuse its oracle.
 from .queries_parity import _PARITY_FLATTEN_SQL  # noqa: E402
 
+def _fold_update_mode(
+    spark: SparkSession, stream: DataFrame, name: str, key_cols: list[str]
+) -> DataFrame:
+    """Run an update-mode streaming query and fold its emissions to the
+    final state per key — entirely in Spark.
+
+    Every micro-batch's emitted rows land in the idempotent parquet
+    sink tagged with the batch id (a distributed write — the previous
+    version collect()ed each batch to the driver, the reference's K2
+    bug in miniature); the last emission per key is then selected with
+    a window over the landed table. Nothing row-shaped ever touches
+    the driver, so key cardinality is unbounded.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from .streaming import sinks
+
+    tag = hashlib.md5(name.encode()).hexdigest()[:10]
+    root = tempfile.gettempdir() + f"/netflow_upd_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    sink = sinks.IdempotentParquetSink(root)
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        sink(batch_df.withColumn("_emit_batch", F.lit(batch_id)), batch_id)
+
+    q = (
+        stream.writeStream.foreachBatch(land)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", root + "/ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    emitted = sink.read(spark)
+    w = Window.partitionBy(*key_cols).orderBy(F.col("_emit_batch").desc())
+    return (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_emit_batch")
+    )
+
+
 def _stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState) driven as a
     real streaming query: per-user cumulative totals. The final
@@ -165,26 +212,13 @@ def _stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming import stateful
 
     totals = stateful.running_totals(_events_stream(spark, sf_dir))
-    rows: dict[int, tuple[int, float]] = {}
-
-    def capture(df: DataFrame, _bid: int) -> None:
-        for r in df.collect():
-            rows[r["user_id"]] = (r["n_events"], r["total_value"])
-
     with _bounded_state_partitions(spark):
-        q = (
-            totals.writeStream.foreachBatch(capture)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
+        last = _fold_update_mode(
+            spark, totals, f"running_totals:{sf_dir}", ["user_id"]
         )
-        q.awaitTermination()
-    out = [
-        (uid, n, round(total, 2)) for uid, (n, total) in sorted(rows.items())
-    ]
-    return spark.createDataFrame(
-        out, "user_id long, n_events long, total_value double"
-    )
+    return last.select(
+        "user_id", "n_events", F.round("total_value", 2).alias("total_value")
+    ).orderBy("user_id")
 
 
 _STREAM_RUNNING_SQL = """
@@ -288,6 +322,125 @@ def _stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 update-mode end-to-end with a REAL multi-batch run: the
+    events table is split into two time-interleaved parquet files and
+    replayed with maxFilesPerTrigger=1, so windows touched by both
+    halves are emitted twice and the update-mode contract (re-emit
+    changed keys, final emission == full aggregate) is genuinely
+    exercised — then folded to final state per key in Spark and
+    checked against the batch oracle.
+
+    No watermark on purpose: the halves interleave in event time, so
+    an eviction watermark would (correctly) drop half the updates and
+    the convergence oracle would not hold; watermarked update-mode
+    eviction is pytest territory (tests/test_streaming.py).
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    tables.harden_session(spark)
+    tag = hashlib.md5(f"upd_src:{sf_dir}".encode()).hexdigest()[:10]
+    src_dir = tempfile.gettempdir() + f"/netflow_upd_src_{tag}"
+    if not os.path.exists(os.path.join(src_dir, "_DONE")):
+        ev = tables.load(spark, "events", sf_dir).select(
+            "event_id", "ts", "event_type", "value"
+        )
+        for parity in (0, 1):
+            (
+                ev.filter(F.col("event_id") % 2 == parity)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src_dir)
+            )
+        with open(os.path.join(src_dir, "_DONE"), "w", encoding="utf-8"):
+            pass
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    raw = sources.parquet_file_source(spark, src_dir, schema, max_files_per_trigger=1)
+    win = raw.groupBy(
+        F.window("ts", "1 day").alias("w"), F.col("event_type")
+    ).agg(
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.count("*").alias("n_events"),
+    ).select(
+        F.col("w.start").alias("window_start"), "event_type", "total_value", "n_events"
+    )
+    with _bounded_state_partitions(spark):
+        last = _fold_update_mode(
+            spark, win, f"update_mode:{sf_dir}", ["window_start", "event_type"]
+        )
+    return last.orderBy("window_start", "event_type")
+
+
+_STREAM_UPDATE_SQL = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       ROUND(SUM(value), 2) AS total_value,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def _stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join as a driver entry (previously
+    pytest-only): click events joined to purchase events of the same
+    user within 1 day after the click, both sides real file streams
+    with watermarks. Inner join in append mode — with availableNow
+    both sides arrive before the final watermark, so the emitted set
+    equals the batch join (the oracle).
+
+    Scale: state is bounded by the watermark + interval bound (each
+    side holds ~1 day of rows per key); the join itself shuffles both
+    streams on user_id — the standard stream-stream equi-join shape.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 100))
+        .select(
+            "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+        )
+        .withWatermark("cts", "2 days")
+    )
+    buys = (
+        _events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 100))
+        .select("user_id", F.col("ts").alias("bts"), F.col("event_id").alias("buy_id"))
+        .withWatermark("bts", "2 days")
+    )
+    joined = clicks.join(
+        buys,
+        (clicks.user_id == buys.user_id)
+        & (buys.bts >= clicks.cts)
+        & (buys.bts <= clicks.cts + F.expr("INTERVAL 1 DAY")),
+    ).select(clicks.user_id, "click_id", "buy_id")
+    with _bounded_state_partitions(spark):
+        jobs.run_to_memory(joined, "stream_stream_join", output_mode="append")
+    return spark.table("stream_stream_join").orderBy("user_id", "click_id", "buy_id")
+
+
+_STREAM_SSJOIN_SQL = """
+SELECT a.user_id, a.event_id AS click_id, b.event_id AS buy_id
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts
+ AND b.ts <= a.ts + INTERVAL 1 DAY
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+  AND a.user_id < 100 AND b.user_id < 100
+ORDER BY a.user_id, click_id, buy_id
+"""
+
+
 register("stream_sessionize", _stream_sessionize)  # rows-only: open sessions unflushed
 register("stream_dedup_watermark", _stream_dedup_watermark)  # rows-only
 register("stream_exactly_once_sink", _stream_exactly_once_sink, _STREAM_E1X_SQL)
@@ -295,3 +448,5 @@ register("stream_tumbling_window", _stream_tumbling_window, _STREAM_WINDOW_SQL)
 register("stream_path2_flatten", _stream_path2_flatten, _PARITY_FLATTEN_SQL)
 register("stream_static_enrich", _stream_static_enrich, _STREAM_STATIC_SQL)
 register("stream_running_totals", _stream_running_totals, _STREAM_RUNNING_SQL)
+register("stream_update_mode", _stream_update_mode, _STREAM_UPDATE_SQL)
+register("stream_stream_join", _stream_stream_join, _STREAM_SSJOIN_SQL)

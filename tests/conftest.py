@@ -15,6 +15,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from netflow_analysis_with_spark_streaming_spark.session import get_spark
 from netflow_analysis_with_spark_streaming_spark.schemas import TESTDATA_TABLES
+from netflow_analysis_with_spark_streaming_spark import queries as engine_queries
+
+
+class CORPUS:
+    """Full two-tier corpus (driver window + folded extras) — what the
+    pytest differential iterates. The driver-facing surface stays
+    ``__spark_entry__`` (checked separately in test_contract)."""
+
+    @staticmethod
+    def queries():
+        return engine_queries.all_queries()
+
+    @staticmethod
+    def oracle_sql():
+        return engine_queries.all_oracles()
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"

@@ -6,41 +6,16 @@ plant near-duplicates in-memory and assert the detectors actually
 catch them (recall evidence the 0-dup corpus can't give).
 """
 
-import importlib
-import sys
-
 import pytest
 import pyspark.sql.functions as F
 
-from conftest import SF_ORACLE, assert_matches_oracle
+from conftest import CORPUS, SF_ORACLE
 
 
 def _entry():
-    if "__spark_entry__" in sys.modules:
-        return sys.modules["__spark_entry__"]
-    return importlib.import_module("__spark_entry__")
-
-
-ORACLE_CHECKED = [
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_minhash_signatures",
-    "dedup_minhash_candidates",
-    "similarity_ngram_jaccard",
-    "dedup_simhash",
-    "similarity_cosine_topk",
-    "similarity_embedding_neardup",
-    "text_analysis",
-    "text_stats_by_lang",
-    "multimodal_decode",
-]
-
-
-@pytest.mark.parametrize("name", ORACLE_CHECKED)
-def test_oracle_differential(spark, duck, name):
-    mod = _entry()
-    df = mod.queries()[name](spark, SF_ORACLE)
-    assert_matches_oracle(df, duck, mod.oracle_sql()[name])
+    # full corpus (driver + extra tiers); differential coverage for
+    # every entry lives in test_oracle_corpus.py
+    return CORPUS
 
 
 def test_dedup_idempotence(spark):

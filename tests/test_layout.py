@@ -128,6 +128,42 @@ def test_row_udf_matches_builtin(spark):
     assert bad == 0
 
 
+def test_global_topk_plans_as_take_ordered(spark):
+    """Global top-20s must plan as TakeOrderedAndProject (distributed
+    per-partition heaps), never a row_number over an unpartitioned
+    window — the single-task sort that dies at 100x scale."""
+    from conftest import CORPUS
+
+    for name in ["similarity_ngram_jaccard", "similarity_embedding_neardup"]:
+        df = CORPUS.queries()[name](spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+
+
+def test_neardup_bucketed_path_recall(spark):
+    """The >broadcast-limit route (LSH-bucketed self-join) must (a)
+    plan with no driver collect — it's pure DataFrame ops — and (b)
+    recover a meaningful share of the exact blockwise top pairs."""
+    from netflow_analysis_with_spark_streaming_spark.functions import vectors as V
+
+    emb = tables.load(spark, "embeddings", SF_ORACLE)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in V.neardup_candidates_blockwise(emb, k_per_row=5)
+        .orderBy(F.col("cos").desc())
+        .limit(50)
+        .collect()
+    }
+    # force the at-scale route by shrinking the broadcast gate to zero
+    bucketed = V.neardup_candidates(emb, k_per_row=5, broadcast_row_limit=0)
+    got = {(r["id_a"], r["id_b"]) for r in bucketed.collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.2, recall
+    # and the bucketed plan is a shuffled equi-join, not a cartesian
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_flagship_shuffle_budget(spark):
     """The flagship moves KBs through exactly one aggregate exchange
     (plus the final tiny sort) — pin that so a regression is loud."""

@@ -1,35 +1,12 @@
 """Parity corpus (P1-P12): oracle differentials + capability checks."""
 
-import importlib
-import sys
-
-import pytest
-
-from conftest import SF_ORACLE, assert_matches_oracle
+from conftest import CORPUS, SF_ORACLE
 
 
 def _entry():
-    if "__spark_entry__" in sys.modules:
-        return sys.modules["__spark_entry__"]
-    return importlib.import_module("__spark_entry__")
-
-
-PARITY = [
-    "parity_normalize_json",
-    "parity_flatten_nested",
-    "parity_timestamp_convert",
-    "parity_two_col_routing",
-    "parity_live_path",
-    "parity_metric_switch",
-    "parity_cidr_filter",
-]
-
-
-@pytest.mark.parametrize("name", PARITY)
-def test_oracle_differential(spark, duck, name):
-    mod = _entry()
-    df = mod.queries()[name](spark, SF_ORACLE)
-    assert_matches_oracle(df, duck, mod.oracle_sql()[name])
+    # full corpus (driver + extra tiers); differential coverage for
+    # every entry lives in test_oracle_corpus.py
+    return CORPUS
 
 
 def test_normalize_schema_is_schema_b(spark):

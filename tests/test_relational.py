@@ -5,44 +5,15 @@ broadcast-able join must actually broadcast, filters must reach the
 parquet scan, top-k must not materialize a global sort.
 """
 
-import importlib
-import sys
+import pyspark.sql.functions as F
 
-import pytest
-
-from conftest import SF_ORACLE, assert_matches_oracle
+from conftest import CORPUS, SF_ORACLE
 
 
 def _entry():
-    if "__spark_entry__" in sys.modules:
-        return sys.modules["__spark_entry__"]
-    return importlib.import_module("__spark_entry__")
-
-
-ORACLE_CHECKED = [
-    "join_broadcast_enrich",
-    "join_shuffle_large",
-    "join_semi",
-    "join_anti",
-    "join_star",
-    "agg_pricing_summary",
-    "agg_count_distinct",
-    "agg_rollup",
-    "window_topk_per_group",
-    "window_day_series",
-    "topk_heavy_hitters",
-    "set_intersect",
-    "set_except",
-    "set_union",
-    "scalar_functions",
-]
-
-
-@pytest.mark.parametrize("name", ORACLE_CHECKED)
-def test_oracle_differential(spark, duck, name):
-    mod = _entry()
-    df = mod.queries()[name](spark, SF_ORACLE)
-    assert_matches_oracle(df, duck, mod.oracle_sql()[name])
+    # full corpus (driver + extra tiers); differential coverage for
+    # every entry lives in test_oracle_corpus.py
+    return CORPUS
 
 
 def _plan(df) -> str:
@@ -117,3 +88,45 @@ def test_approx_distinct_within_rsd(spark):
     for k in exact:
         rel_err = abs(approx[k] - exact[k]) / max(exact[k], 1)
         assert rel_err < 0.06, (k, approx[k], exact[k])
+
+
+def test_session_window_gap_boundary(spark):
+    """Boundary semantics pinned empirically: an event EXACTLY gap
+    seconds after the previous one MERGES into the session (touching
+    intervals merge), so the islands-style oracle's strict `>` on the
+    gap is the correct mirror; one second past the gap splits."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(hours=1)),  # == gap: merges (touching)
+        (1, base + dt.timedelta(hours=2, seconds=1)),  # > gap: splits
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("w.start")
+        .collect()
+    )
+    assert [r["n"] for r in out] == [2, 1], out
+
+
+def test_zscore_degenerate_group_is_null(spark, tmp_path):
+    """Single-doc and zero-variance language groups must produce NULL
+    tok_z (like STDDEV_SAMP), never NaN/inf — driven through the
+    REGISTERED entry against a planted documents table."""
+    docs = spark.createDataFrame(
+        [
+            (1, "solo", "only one doc in this lang"),
+            (2, "flat", "same same"),
+            (3, "flat", "word word"),  # equal token counts -> sd == 0
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    sf_dir = str(tmp_path / "sf_planted")
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    res = _entry().queries()["text_zscore_by_lang"](spark, sf_dir).collect()
+    assert len(res) == 3
+    assert all(r["tok_z"] is None for r in res), res

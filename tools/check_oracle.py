@@ -57,9 +57,14 @@ def main() -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-    oracles = e.oracle_sql()
+    if os.environ.get("CHECK_ALL_TIERS"):
+        from netflow_analysis_with_spark_streaming_spark import queries as Q
+
+        queries, oracles = Q.all_queries(), Q.all_oracles()
+    else:
+        queries, oracles = e.queries(), e.oracle_sql()
     failed = []
-    for name, fn in e.queries().items():
+    for name, fn in queries.items():
         if patterns and not any(p in name for p in patterns):
             continue
         t0 = time.time()
