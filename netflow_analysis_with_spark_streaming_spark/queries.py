@@ -122,7 +122,7 @@ _DRIVER_ORDER = [
     # relational completeness
     "sql_returned_items",
     "sql_local_supplier_volume",
-    "sql_shipping_priority",
+    "join_asof",
     "agg_pricing_summary",
     "agg_count_distinct",
     "agg_multidim",

@@ -1195,10 +1195,81 @@ ORDER BY op, custkey
 """
 
 
+def _join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase enriched with the
+    user's most recent click AT OR BEFORE the purchase — the
+    time-series state-lookup the reference's flow pipeline implies
+    (latest routing/host snapshot per flow) that plain equi-joins
+    can't express.
+
+    Clicks are pre-deduped to unique (user_id, ts) with max event_id
+    winning so the tie-break is deterministic in BOTH engines (DuckDB
+    ASOF leaves equal-ts ties unspecified). Oracle: native ASOF LEFT
+    JOIN. gap_us is exact integer microsecond math on both sides.
+    """
+    from .operators import asof
+
+    events = tables.load(spark, "events", sf_dir).filter(F.col("user_id") < 300)
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("buy_id"), "ts"
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select(
+            "user_id",
+            F.col("ts").alias("cts"),
+            "click_id",
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    joined = asof.asof_join(
+        buys,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="cts",
+        right_cols=["click_id", "click_ts"],
+        right_id="click_id",
+    )
+    return joined.select(
+        "buy_id",
+        "user_id",
+        "click_id",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    ).orderBy("buy_id")
+
+
+_JOIN_ASOF_SQL = """
+WITH b AS (
+  SELECT user_id, event_id AS buy_id, ts
+  FROM events WHERE event_type = 'purchase' AND user_id < 300
+),
+c AS (
+  SELECT user_id, ts AS cts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' AND user_id < 300
+  GROUP BY 1, 2
+)
+SELECT buy_id, b.user_id, click_id,
+       epoch_us(b.ts) - epoch_us(cts) AS gap_us
+FROM b ASOF LEFT JOIN c ON b.user_id = c.user_id AND b.ts >= c.cts
+ORDER BY buy_id
+"""
+
+
 # Driver tier (inside the 50-entry harness window; order set in queries.py)
 register("sql_returned_items", _sql_returned_items, _SQL_Q10_SQL)
 register("sql_local_supplier_volume", _sql_local_supplier_volume, _SQL_Q5_SQL)
-register("sql_shipping_priority", _sql_shipping_priority, _SQL_SHIPPING_PRIORITY_SQL)
+register("join_asof", _join_asof, _JOIN_ASOF_SQL)
+# three TPC-H SQL-surface entries were redundant in the window; Q3
+# folds to the extra tier (Q10 covers join+topk, Q5 covers reordering)
+register(
+    "sql_shipping_priority",
+    _sql_shipping_priority,
+    _SQL_SHIPPING_PRIORITY_SQL,
+    driver=False,
+)
 register("agg_pricing_summary", _agg_pricing_summary, _AGG_PRICING_SUMMARY_SQL)
 register("agg_count_distinct", _agg_count_distinct, _AGG_COUNT_DISTINCT_SQL)
 register("agg_multidim", _agg_multidim, _AGG_MULTIDIM_SQL)

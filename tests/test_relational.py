@@ -130,3 +130,34 @@ def test_zscore_degenerate_group_is_null(spark, tmp_path):
     res = _entry().queries()["text_zscore_by_lang"](spark, sf_dir).collect()
     assert len(res) == 3
     assert all(r["tok_z"] is None for r in res), res
+
+
+def test_asof_join_semantics(spark):
+    """Planted rows pin the as-of contract: inclusive at equal ts,
+    NULL when nothing precedes, equal-ts right ties -> max right_id."""
+    import datetime as dt
+
+    from netflow_analysis_with_spark_streaming_spark.operators import asof
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m, 0)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(0), "b0"), (1, t(5), "b5"), (2, t(3), "b3")],
+        "user_id long, ts timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t(5), 100),  # equal ts -> matches b5 (inclusive)
+            (1, t(2), 50),
+            (2, t(3), 70),
+            (2, t(3), 71),  # same key+ts: max right_id wins
+        ],
+        "user_id long, cts timestamp, rid long",
+    )
+    out = {
+        r["name"]: r["rid"]
+        for r in asof.asof_join(
+            left, right, on=["user_id"], left_ts="ts", right_ts="cts",
+            right_cols=["rid"], right_id="rid",
+        ).collect()
+    }
+    assert out == {"b0": None, "b5": 100, "b3": 71}, out
