@@ -774,7 +774,43 @@ register(
     "similarity_embedding_neardup", _similarity_embedding_neardup, _EMBEDDING_NEARDUP_SQL
 )
 
+_SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.1}
+
+
+def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling (functions/sampling):
+    per-language keep-fractions decided by a stable md5 hash of doc_id
+    — retry/partitioning-invariant (unlike sampleBy's per-task RNG)
+    and therefore exactly oracle-checkable."""
+    from .functions import sampling as S
+
+    docs = tables.load(spark, "documents", sf_dir)
+    return (
+        S.sample_by(docs, "lang", "doc_id", _SAMPLE_FRACTIONS, seed=11, default=0.05)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _sample_stratified_sql() -> str:
+    from .functions import sampling as S
+
+    case = (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{k}' THEN {v}" for k, v in sorted(_SAMPLE_FRACTIONS.items())
+        )
+        + " ELSE 0.05 END"
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {S.bucket_sql('doc_id', 11)} < CAST(FLOOR(({case}) * 1000000) AS BIGINT)
+ORDER BY doc_id
+"""
+
+
 # Extra tier: folded variants, pytest-differential coverage unchanged.
+register("sample_stratified", _sample_stratified, _sample_stratified_sql(), driver=False)
 register("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL, driver=False)
 register("dedup_minhash_signatures", _dedup_minhash_signatures, _MINHASH_SIG_SQL, driver=False)
 register("dedup_simhash", _dedup_simhash, _SIMHASH_SQL, driver=False)

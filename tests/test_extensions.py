@@ -220,3 +220,29 @@ def test_multimodal_batch_shape(spark):
     assert len(rows) == 50
     assert all(len(r["feature"]) == M.FEATURE_DIM for r in rows)
     assert all(1 <= r["width"] <= 1920 for r in rows)
+
+
+def test_deterministic_sampling_properties(spark):
+    """Hash sampling: fraction lands near target, the decision is
+    partitioning-invariant, and train/holdout is a disjoint cover."""
+    from netflow_analysis_with_spark_streaming_spark import tables
+    from netflow_analysis_with_spark_streaming_spark.functions import sampling as S
+
+    docs = tables.load(spark, "documents", SF_ORACLE)
+    n = docs.count()
+    kept = S.sample_fraction(docs, "doc_id", 0.3, seed=7)
+    k = kept.count()
+    assert abs(k / n - 0.3) < 0.08, (k, n)
+    # partitioning-invariant: same ids after an arbitrary repartition
+    ids_a = {r["doc_id"] for r in kept.collect()}
+    ids_b = {
+        r["doc_id"]
+        for r in S.sample_fraction(docs.repartition(13), "doc_id", 0.3, seed=7).collect()
+    }
+    assert ids_a == ids_b
+    # split: disjoint and complete
+    train, hold = S.split_train_holdout(docs, "doc_id", 0.1, seed=3)
+    t = {r["doc_id"] for r in train.select("doc_id").collect()}
+    h = {r["doc_id"] for r in hold.select("doc_id").collect()}
+    assert not (t & h) and len(t | h) == n
+    assert 0 < len(h) < n
