@@ -441,6 +441,46 @@ ORDER BY a.user_id, click_id, buy_id
 """
 
 
+def _storage_versioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned table format end-to-end (storage/versioned.py):
+    snapshot write -> copy-on-write keyed upsert -> read-back. The
+    oracle is the equivalent CASE projection — any lost row, stale
+    value or duplicate from the merge breaks the hash match."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .storage.versioned import VersionedTable
+
+    tag = hashlib.md5(f"vt:{sf_dir}".encode()).hexdigest()[:10]
+    root = tempfile.gettempdir() + f"/netflow_vt_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    t = VersionedTable(root)
+    ev = (
+        tables.load(spark, "events", sf_dir)
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id", "user_id", "value")
+    )
+    t.overwrite(ev)
+    updates = ev.filter(F.col("user_id") < 50).withColumn(
+        "value", F.col("value") * 2
+    )
+    t.upsert(spark, updates, keys=["event_id"])
+    return (
+        t.read(spark)
+        .select("event_id", "user_id", F.round("value", 2).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+_STORAGE_VT_SQL = """
+SELECT event_id, user_id,
+       ROUND(CASE WHEN user_id < 50 THEN value * 2 ELSE value END, 2) AS value
+FROM events WHERE event_id % 10 = 0 ORDER BY event_id
+"""
+
+
+register("storage_versioned_upsert", _storage_versioned_upsert, _STORAGE_VT_SQL, driver=False)
 register("stream_sessionize", _stream_sessionize)  # rows-only: open sessions unflushed
 register("stream_dedup_watermark", _stream_dedup_watermark)  # rows-only
 register("stream_exactly_once_sink", _stream_exactly_once_sink, _STREAM_E1X_SQL)

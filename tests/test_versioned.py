@@ -1,0 +1,116 @@
+"""Versioned table format: snapshot isolation, time travel,
+copy-on-write upsert, idempotent streaming commits, compaction and
+vacuum — the Delta-style semantics the reference's Mongo store lacked
+(per-record upserts, no history, no replay safety)."""
+
+import json
+
+import pyspark.sql.functions as F
+
+from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+    VersionedTable,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    v0 = t.append(_df(spark, [(1, "a"), (2, "b")]))
+    v1 = t.append(_df(spark, [(3, "c")]))
+    assert (v0, v1) == (0, 1)
+    assert t.read(spark).count() == 3
+    assert t.read(spark, version=0).count() == 2  # time travel
+    assert [h["action"] for h in t.history()] == ["append", "append"]
+
+
+def test_overwrite_keeps_old_versions_readable(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.overwrite(_df(spark, [(9, "z")]))
+    assert [r["k"] for r in t.read(spark).collect()] == [9]
+    assert [r["k"] for r in t.read(spark, version=0).collect()] == [1]
+
+
+def test_upsert_merges_by_key(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.upsert(spark, _df(spark, [(2, "B!"), (4, "d")]), keys=["k"])
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "B!", 3: "c", 4: "d"}
+
+
+def test_batch_replay_is_noop(spark, tmp_path):
+    """The exactly-once construction: a replayed batch id commits
+    nothing — version count and rows unchanged."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.upsert(spark, _df(spark, [(1, "a")]), keys=["k"], batch_id=0)
+    v = t.upsert(spark, _df(spark, [(1, "DUP")]), keys=["k"], batch_id=0)  # replay
+    assert v == 0
+    assert {r["v"] for r in t.read(spark).collect()} == {"a"}
+    t.append(_df(spark, [(2, "b")]), batch_id=1)
+    t.append(_df(spark, [(2, "b")]), batch_id=1)  # replayed append
+    assert t.read(spark).count() == 2
+
+
+def test_compact_and_vacuum(spark, tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    for i in range(4):
+        t.append(_df(spark, [(i, str(i))]))
+    before = t.read(spark).count()
+    t.compact(spark, target_partitions=1)
+    assert t.read(spark).count() == before
+    assert t.history()[-1]["action"] == "compact"
+    removed = t.vacuum(keep_last=1)
+    assert removed >= 1
+    assert t.read(spark).count() == before  # current snapshot intact
+    assert len(t.versions()) == 1
+
+
+def test_streaming_upsert_sink_exactly_once(spark, tmp_path):
+    """An update-mode streaming aggregate lands in the table through
+    the idempotent sink; final table state equals the batch aggregate,
+    and replaying a batch by hand changes nothing."""
+    import json as _json
+
+    from netflow_analysis_with_spark_streaming_spark.streaming import sources
+
+    d = tmp_path / "src"
+    d.mkdir()
+    (d / "f1.json").write_text(
+        _json.dumps([{"k": 1, "x": 2.0}, {"k": 2, "x": 3.0}])
+    )
+    (d / "f2.json").write_text(
+        _json.dumps([{"k": 1, "x": 5.0}])
+    )
+    raw = sources.json_file_source(
+        spark,
+        str(d),
+        spark.createDataFrame([], "k long, x double").schema,
+        max_files_per_trigger=1,
+    )
+    agg = raw.groupBy("k").agg(F.sum("x").alias("total"))
+    t = VersionedTable(str(tmp_path / "table"))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.foreachBatch(t.streaming_upsert_sink(["k"]))
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got = {r["k"]: r["total"] for r in t.read(spark).collect()}
+    assert got == {1: 7.0, 2: 3.0}, got
+    # hand-replay batch 0 with stale data: must be a no-op
+    n_versions = len(t.versions())
+    t.upsert(spark, spark.createDataFrame([(1, 99.0)], "k long, total double"),
+             keys=["k"], batch_id=0)
+    assert len(t.versions()) == n_versions
+    assert {r["total"] for r in t.read(spark).collect()} == {7.0, 3.0}
