@@ -774,6 +774,83 @@ register(
     "similarity_embedding_neardup", _similarity_embedding_neardup, _EMBEDDING_NEARDUP_SQL
 )
 
+# --- PII redaction + corpus n-gram stats (training-pipeline passes) ---------
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_IP_RE = "\\d+\\.\\d+\\.\\d+\\.\\d+"
+
+
+def _text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (the pre-training redaction pass): emails and IPs are
+    replaced with typed placeholders and counted. The corpus ships no
+    PII, so a deterministic contact line synthesized from doc_id is
+    appended first — redaction then has real work whose result is
+    hash-compared via md5 of the scrubbed text (md5 is bit-identical
+    in DuckDB). All codegen'd regexp expressions, no Python."""
+    docs = tables.load(spark, "documents", sf_dir).filter(F.col("doc_id") % 4 == 0)
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(dirty, _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(dirty, F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(dirty, F.lit(_IP_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+_TEXT_REDACT_SQL = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS d
+  FROM documents WHERE doc_id % 4 = 0
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(d, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(d, '{_IP_RE}')) AS BIGINT) AS n_ips,
+       md5(regexp_replace(regexp_replace(d, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_IP_RE}', '<IP>', 'g')) AS redacted_md5
+FROM dirty ORDER BY doc_id
+"""
+
+
+def _text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus 3-gram document frequency, top 30 — the vocabulary /
+    boilerplate dashboard over the shingle inverted index (same index
+    the dedup family builds; one extra groupBy on the shingle)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    return (
+        _shingle_sets(docs)
+        .groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("shingle"))
+        .limit(30)
+    )
+
+
+_TEXT_NGRAM_FREQ_SQL = (
+    "WITH "
+    + _SHINGLES_CTE
+    + """
+SELECT shingle, COUNT(*) AS df FROM sh
+GROUP BY shingle ORDER BY df DESC, shingle LIMIT 30
+"""
+)
+
+
 _SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.1}
 
 
@@ -810,6 +887,8 @@ ORDER BY doc_id
 
 
 # Extra tier: folded variants, pytest-differential coverage unchanged.
+register("text_redact_pii", _text_redact_pii, _TEXT_REDACT_SQL, driver=False)
+register("text_ngram_freq", _text_ngram_freq, _TEXT_NGRAM_FREQ_SQL, driver=False)
 register("sample_stratified", _sample_stratified, _sample_stratified_sql(), driver=False)
 register("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL, driver=False)
 register("dedup_minhash_signatures", _dedup_minhash_signatures, _MINHASH_SIG_SQL, driver=False)

@@ -1284,8 +1284,46 @@ register("window_analytics_suite", _window_analytics_suite, _WINDOW_SUITE_SQL)
 register("set_ops_suite", _set_ops_suite, _SET_OPS_SUITE_SQL)
 register("scalar_functions", _scalar_functions, _SCALAR_FUNCTIONS_SQL)
 
+def _join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless range join via operators/range_join.interval_join:
+    3-day campaign windows (anchored on every 7th calendar day) joined
+    to the events that fall inside them — bucket-explode equi-join +
+    refine, never a cartesian. Oracle: the plain inequality join."""
+    from .operators.range_join import interval_join
+
+    events = tables.load(spark, "events", sf_dir)
+    intervals = (
+        events.select(F.date_trunc("day", F.col("ts")).alias("w_start"))
+        .filter(F.dayofmonth("w_start") % 7 == 0)
+        .distinct()
+        .select("w_start", (F.col("w_start") + F.expr("INTERVAL 3 DAYS")).alias("w_end"))
+    )
+    joined = interval_join(events, intervals, "ts", "w_start", "w_end")
+    return (
+        joined.groupBy("w_start", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
+_JOIN_INTERVAL_SQL = """
+WITH iv AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 3 DAY AS w_end
+  FROM events WHERE day(date_trunc('day', ts)) % 7 = 0
+)
+SELECT w_start, event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events e JOIN iv ON e.ts >= iv.w_start AND e.ts < iv.w_end
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 # Extra tier: folded constituents + scale variants (pytest-differential
 # coverage via queries.all_queries; out of the driver window).
+register("join_interval", _join_interval, _JOIN_INTERVAL_SQL, driver=False)
 register("join_broadcast_enrich", _join_broadcast_enrich, _JOIN_BROADCAST_ENRICH_SQL, driver=False)
 register("join_semi", _join_semi, _JOIN_SEMI_SQL, driver=False)
 register("join_anti", _join_anti, _JOIN_ANTI_SQL, driver=False)

@@ -161,3 +161,32 @@ def test_asof_join_semantics(spark):
         ).collect()
     }
     assert out == {"b0": None, "b5": 100, "b3": 71}, out
+
+
+def test_interval_join_boundaries_and_plan(spark):
+    """Half-open [start, end): start row joins, end row doesn't; an
+    interval spanning several buckets matches each point once; and the
+    plan is an equi-join on the bucket, never cartesian/BNLJ."""
+    import datetime as dt
+
+    from netflow_analysis_with_spark_streaming_spark.operators.range_join import (
+        interval_join,
+    )
+
+    d = lambda day, h=0: dt.datetime(2024, 1, day, h, 0, 0)  # noqa: E731
+    points = spark.createDataFrame(
+        [(1, d(1)), (2, d(2, 12)), (3, d(4)), (4, d(3, 23))],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(d(1), d(4)), (d(2), d(3))],  # 3-day and 1-day windows
+        "w_start timestamp, w_end timestamp",
+    )
+    out = interval_join(points, intervals, "ts", "w_start", "w_end")
+    got = sorted((r["pid"], r["w_start"].day) for r in out.collect())
+    # pid1: start-inclusive in w1 only; pid2: inside both; pid3: end-
+    # exclusive everywhere; pid4: last hour of w1 only
+    assert got == [(1, 1), (2, 1), (2, 2), (4, 1)], got
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
