@@ -45,3 +45,42 @@ def parse_timestamp_udf(s: str):
 def first_word(text: Column) -> Column:
     """Built-in equivalent used to cross-check UDF output in tests."""
     return F.split(F.trim(text), r"\s+").getItem(0)
+
+
+@F.pandas_udf("double")
+def weighted_mean_udaf(value: pd.Series, weight: pd.Series) -> float:
+    """Grouped-aggregate pandas_udf — the UDAF tier (SURVEY §2.8):
+    a whole group's columns arrive as Series, one scalar returns.
+    Weighted mean is the demonstrator (token-weighted quality);
+    equivalent built-in: sum(v*w)/sum(w). Use for aggregations numpy
+    can vectorize but SQL can't express (model scores, quantile
+    sketches with custom invariants, ...).
+
+    Scale: partial aggregation does NOT apply — the whole group's
+    rows ship to one worker (unlike built-in aggs' map-side combine).
+    Bound group cardinality or prefer built-ins in 100 TB paths."""
+    total_w = float(weight.sum())
+    if total_w == 0:
+        return None
+    return float((value * weight).sum() / total_w)
+
+
+def make_explode_words_udtf():
+    """Python UDTF (Spark 4) — the table-function tier of §2.8: one
+    input row -> N output rows with schema, usable from SQL via
+    LATERAL after spark.udtf.register. Word+position explode is the
+    demonstrator; equivalent built-in: posexplode(split(...)).
+
+    Wrapped in a factory because @udtf classes register per-session;
+    callers do: spark.udtf.register('explode_words', make_...())."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, idx: int")
+    class ExplodeWords:
+        def eval(self, text: str):  # noqa: ANN001
+            if text is None:
+                return
+            for i, w in enumerate(text.split()):
+                yield w, i
+
+    return ExplodeWords

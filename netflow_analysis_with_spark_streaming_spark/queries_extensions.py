@@ -886,7 +886,67 @@ ORDER BY doc_id
 """
 
 
+def _udaf_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDAF tier end-to-end: token-weighted mean quality per language
+    via a grouped-aggregate pandas_udf. Oracle: SUM(tok*q)/SUM(tok)."""
+    from .functions import udfs as U
+
+    docs = tables.load(spark, "documents", sf_dir)
+    text = F.col("text")
+    per_doc = docs.select(
+        "lang",
+        T.token_count_ws(text).cast("double").alias("tok"),
+        T.quality_score(text, _EN_STOPWORDS).alias("q"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(F.round(U.weighted_mean_udaf("q", "tok"), 4).alias("wq"))
+        .orderBy("lang")
+    )
+
+
+_UDAF_SQL = f"""
+SELECT lang,
+       ROUND(SUM(ROUND(GREATEST(0.0,
+             LEAST(len({_WORDS_SQL}) / 50.0, 1.0) * 0.4
+           + LEAST((len(regexp_extract_all(text, '{_STOP_PAT}'))
+                    / GREATEST(len({_WORDS_SQL}), 1)) * 5, 1.0) * 0.4
+           + (1 - length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+                  / GREATEST(length(text), 1)) * 0.2), 4) * len({_WORDS_SQL}))
+       / SUM(len({_WORDS_SQL})), 4) AS wq
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def _udtf_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF tier end-to-end (Spark 4 Python table function): word +
+    position rows from sampled docs via LATERAL. Oracle: unnest with
+    a range ordinal."""
+    from .functions import udfs as U
+
+    spark.udtf.register("explode_words", U.make_explode_words_udtf())
+    tables.register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT doc_id, word, idx
+        FROM documents, LATERAL explode_words(text)
+        WHERE doc_id % 50 = 0
+        ORDER BY doc_id, idx
+        """
+    )
+
+
+_UDTF_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 50 = 0)
+SELECT doc_id, w[i] AS word, CAST(i - 1 AS INTEGER) AS idx
+FROM toks, unnest(range(1, len(w) + 1)) t(i)
+ORDER BY doc_id, idx
+"""
+
+
 # Extra tier: folded variants, pytest-differential coverage unchanged.
+register("udaf_weighted_quality", _udaf_weighted_quality, _UDAF_SQL, driver=False)
+register("udtf_explode_words", _udtf_explode_words, _UDTF_SQL, driver=False)
 register("text_redact_pii", _text_redact_pii, _TEXT_REDACT_SQL, driver=False)
 register("text_ngram_freq", _text_ngram_freq, _TEXT_NGRAM_FREQ_SQL, driver=False)
 register("sample_stratified", _sample_stratified, _sample_stratified_sql(), driver=False)

@@ -281,5 +281,41 @@ register("parity_timestamp_convert", _parity_timestamp_convert, _PARITY_TS_CONVE
 register("parity_two_col_routing", _parity_two_col_routing, _PARITY_TWO_COL_SQL)
 register("parity_live_path", _parity_live_path, _PARITY_LIVE_PATH_SQL)
 register("parity_cidr_filter", _parity_cidr_filter, _PARITY_CIDR_SQL)
+def _parity_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input discipline (the ingest reality the reference's
+    json.loads lambda would CRASH on): every 7th record is truncated
+    mid-JSON; from_json in PERMISSIVE mode yields NULL for those rows,
+    which are counted per type — corrupt data is quarantined, never
+    dropped silently and never fatal."""
+    ev = _sampled_events(spark, sf_dir)
+    value = F.to_json(F.struct("event_id", "user_id", "value"))
+    corrupted = F.when(
+        F.col("event_id") % 7 == 0, F.substring(value, 1, 10)
+    ).otherwise(value)
+    parsed = F.from_json(
+        corrupted, "event_id bigint, user_id bigint, value double"
+    )
+    return (
+        ev.select("event_type", parsed.alias("p"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.col("p.event_id")).alias("n_good"),
+            F.sum(F.col("p.event_id").isNull().cast("long")).alias("n_bad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_PARITY_CORRUPT_SQL = """
+SELECT event_type,
+       SUM(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END) AS n_good,
+       SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS n_bad
+FROM events
+WHERE event_id % 10 = 0
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 register("parity_normalize_json", _parity_normalize_json, _PARITY_NORMALIZE_SQL, driver=False)
 register("parity_metric_switch", _parity_metric_switch, _PARITY_METRIC_SWITCH_SQL, driver=False)
+register("parity_corrupt_records", _parity_corrupt_records, _PARITY_CORRUPT_SQL, driver=False)
