@@ -120,3 +120,89 @@ def test_latest_first_file_source(spark, tmp_path):
     )
     q.awaitTermination()
     assert batches[0] == ["new"], batches
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 20)), min_size=1, max_size=12
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 20)), min_size=0, max_size=12
+    ),
+)
+def test_asof_join_equals_naive(spark, lefts, rights):
+    """asof_join == the per-row naive 'latest right at-or-before'
+    reference implementation, for arbitrary key/ts layouts (equal
+    timestamps, duplicate right rows, empty right side)."""
+    import datetime as dt
+
+    from netflow_analysis_with_spark_streaming_spark.operators import asof
+
+    base = dt.datetime(2024, 1, 1)
+    ts = lambda m: base + dt.timedelta(minutes=m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(k, ts(m), i) for i, (k, m) in enumerate(lefts)],
+        "k long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, ts(m), 1000 + i) for i, (k, m) in enumerate(rights)],
+        "k long, cts timestamp, rid long",
+    )
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof.asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="cts",
+            right_cols=["rid"], right_id="rid",
+        ).collect()
+    }
+    for i, (k, m) in enumerate(lefts):
+        cands = [
+            (rm, 1000 + j)
+            for j, (rk, rm) in enumerate(rights)
+            if rk == k and rm <= m
+        ]
+        expect = max(cands)[1] if cands else None
+        assert got[i] == expect, (i, k, m, got[i], expect)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    points=st.lists(st.integers(0, 30), min_size=1, max_size=10),
+    ivs=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 10)), min_size=1, max_size=6
+    ),
+)
+def test_interval_join_equals_naive(spark, points, ivs):
+    """Bucketized interval_join == brute-force range filter for
+    arbitrary point/interval layouts (multi-bucket spans, zero-match
+    points, overlapping intervals), at a bucket much smaller than the
+    intervals."""
+    import datetime as dt
+
+    from netflow_analysis_with_spark_streaming_spark.operators.range_join import (
+        interval_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    ts = lambda h: base + dt.timedelta(hours=h)  # noqa: E731
+    pdf = spark.createDataFrame(
+        [(i, ts(h)) for i, h in enumerate(points)], "pid long, ts timestamp"
+    )
+    idf = spark.createDataFrame(
+        [(j, ts(s), ts(s + w)) for j, (s, w) in enumerate(ivs)],
+        "iid long, w_start timestamp, w_end timestamp",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            pdf, idf, "ts", "w_start", "w_end", bucket_seconds=3 * 3600
+        ).collect()
+    )
+    expect = sorted(
+        (i, j)
+        for i, h in enumerate(points)
+        for j, (s, w) in enumerate(ivs)
+        if s <= h < s + w
+    )
+    assert got == expect, (got, expect)
