@@ -49,6 +49,7 @@ class VersionedTable:
         self.root = root
         self._log = os.path.join(root, "_log")
         self._data = os.path.join(root, "data")
+        self._pending_stats: dict = {}
         os.makedirs(self._log, exist_ok=True)
         os.makedirs(self._data, exist_ok=True)
 
@@ -86,6 +87,7 @@ class VersionedTable:
         action: str,
         schema_json: str,
         batch_id: int | None = None,
+        stats: dict | None = None,
     ) -> int:
         version = (self.latest_version() + 1) if self.versions() else 0
         manifest = {
@@ -95,50 +97,175 @@ class VersionedTable:
             "n_files": len(files),
             "schema": schema_json,
             "batch_id": batch_id,
+            # data-skipping index: {file: {col: [min, max]}} — what
+            # Delta/Iceberg keep per data file; lets read() prune file
+            # groups without opening them
+            "stats": {f: s for f, s in (stats or {}).items() if f in set(files)},
         }
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(manifest, f)
+            json.dump(manifest, f, default=str)
         # rename = the atomic commit point; a crash before it leaves
         # only unreferenced data files (garbage, never torn reads)
         os.rename(tmp, os.path.join(self._log, f"{version:08d}.json"))
         return version
 
-    def _write_files(self, df: DataFrame) -> list[str]:
+    def _write_files(
+        self, df: DataFrame, stats_cols: list[str] | None = None
+    ) -> list[str]:
         """Write df as a new immutable file group; return its paths
-        relative to the table root."""
+        relative to the table root. ``stats_cols`` additionally records
+        group-level min/max in ``self._pending_stats`` for the commit
+        (one tiny agg job — the data-skipping index)."""
         group = uuid.uuid4().hex
         out = os.path.join(self._data, group)
         df.write.mode("overwrite").parquet(out)
+        self._pending_stats = {}
+        if stats_cols:
+            from pyspark.sql import functions as F
+
+            row = df.agg(
+                *[F.min(c).alias(f"min_{c}") for c in stats_cols],
+                *[F.max(c).alias(f"max_{c}") for c in stats_cols],
+            ).collect()[0]
+            self._pending_stats = {
+                f"data/{group}": {
+                    c: [row[f"min_{c}"], row[f"max_{c}"]] for c in stats_cols
+                }
+            }
         return [f"data/{group}"]
 
     # --- table operations --------------------------------------------------
 
-    def append(self, df: DataFrame, batch_id: int | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        batch_id: int | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> int:
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return self.latest_version()  # replay: no-op before any write
-        new = self._write_files(df)
-        prev = self._manifest(self.latest_version())["files"] if self.versions() else []
-        return self._commit(prev + new, "append", df.schema.json(), batch_id)
+        new = self._write_files(df, stats_cols)
+        prev_files: list[str] = []
+        prev_stats: dict = {}
+        if self.versions():
+            m = self._manifest(self.latest_version())
+            prev_files, prev_stats = m["files"], m.get("stats", {})
+        return self._commit(
+            prev_files + new,
+            "append",
+            df.schema.json(),
+            batch_id,
+            stats={**prev_stats, **self._pending_stats},
+        )
 
-    def overwrite(self, df: DataFrame, batch_id: int | None = None) -> int:
+    def append_clustered(
+        self, df: DataFrame, col: str, n_groups: int = 8
+    ) -> int:
+        """Range-clustered append: rows are range-partitioned on
+        ``col`` and each range lands as its OWN file group with tight
+        min/max stats — the 1-D z-order that makes stats pruning
+        selective (a random layout gives every group the full value
+        range, so nothing ever prunes)."""
+        from pyspark.sql import functions as F
+
+        ranged = df.repartitionByRange(n_groups, col).cache()
+        try:
+            ranged.count()  # pin the sampled range boundaries
+            group = uuid.uuid4().hex
+            out = os.path.join(self._data, group)
+            with_bucket = ranged.withColumn("_rb", F.spark_partition_id())
+            with_bucket.write.mode("overwrite").partitionBy("_rb").parquet(out)
+            stat_rows = (
+                with_bucket.groupBy("_rb")
+                .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+                .collect()
+            )
+        finally:
+            ranged.unpersist()
+        files = [f"data/{group}/_rb={r['_rb']}" for r in stat_rows]
+        stats = {
+            f"data/{group}/_rb={r['_rb']}": {col: [r["lo"], r["hi"]]}
+            for r in stat_rows
+        }
+        prev_files: list[str] = []
+        prev_stats: dict = {}
+        if self.versions():
+            m = self._manifest(self.latest_version())
+            prev_files, prev_stats = m["files"], m.get("stats", {})
+        return self._commit(
+            prev_files + files,
+            "append",
+            df.schema.json(),
+            stats={**prev_stats, **stats},
+        )
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        batch_id: int | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> int:
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return self.latest_version()
-        new = self._write_files(df)
-        return self._commit(new, "overwrite", df.schema.json(), batch_id)
+        new = self._write_files(df, stats_cols)
+        return self._commit(
+            new, "overwrite", df.schema.json(), batch_id, stats=self._pending_stats
+        )
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """The snapshot at ``version`` (default: latest). Old versions
-        stay readable until vacuum() — that IS time travel."""
+    def snapshot_files(
+        self,
+        version: int | None = None,
+        prune: tuple[str, object, object] | None = None,
+    ) -> list[str]:
+        """The file groups a read must open — after stats pruning.
+        ``prune=(col, lo, hi)`` drops every group whose recorded
+        [min, max] for col cannot overlap [lo, hi]; groups without
+        stats for col are conservatively kept."""
         if version is None:
             version = self.latest_version()
         if version is None:
             raise ValueError(f"table {self.root} has no committed version")
         m = self._manifest(version)
-        if not m["files"]:
+        files = m["files"]
+        if prune:
+            col, lo, hi = prune
+            stats = m.get("stats", {})
+
+            def overlaps(f: str) -> bool:
+                s = stats.get(f, {}).get(col)
+                if not s or s[0] is None or s[1] is None:
+                    return True  # no stats -> can't prune safely
+                flo, fhi = s
+                # temporal stats were JSON-stringified; normalize the
+                # probe bounds the same way for a consistent ordering
+                qlo, qhi = (str(lo), str(hi)) if isinstance(flo, str) else (lo, hi)
+                return not (fhi < qlo or flo > qhi)
+
+            files = [f for f in files if overlaps(f)]
+        return files
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        prune: tuple[str, object, object] | None = None,
+    ) -> DataFrame:
+        """The snapshot at ``version`` (default: latest). Old versions
+        stay readable until vacuum() — that IS time travel.
+
+        ``prune`` applies manifest-stats file skipping BEFORE the scan
+        (the caller still applies the exact row filter — pruning is a
+        superset guarantee, same contract as parquet row-group stats
+        one level up)."""
+        if version is None:
+            version = self.latest_version()
+        files = self.snapshot_files(version, prune)
+        if not files:
+            m = self._manifest(version if version is not None else self.latest_version())
             schema = StructType.fromJson(json.loads(m["schema"]))
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(*[os.path.join(self.root, f) for f in m["files"]])
+        return spark.read.parquet(*[os.path.join(self.root, f) for f in files])
 
     def upsert(
         self,

@@ -402,3 +402,59 @@ def test_to_kafka_records_shape(spark):
     row = out.collect()[0]
     assert row["key"] == "1"
     assert json.loads(row["value"]) == {"id": 1, "name": "x"}
+
+
+def test_stateful_agg_on_rocksdb_state_store(spark, tmp_path):
+    """The at-scale state backend: the same windowed aggregation runs
+    on RocksDBStateStoreProvider (spillable, not bounded by executor
+    heap like the default HDFS-backed in-memory map) and produces
+    identical results — the config is the only change, which is the
+    claim that matters for 100 TB state."""
+    import json as _json
+
+    d = tmp_path / "src"
+    d.mkdir()
+    (d / "f.json").write_text(
+        _json.dumps(
+            [
+                {"ts": "2024-01-01 10:00:00", "k": "a", "v": 1.0},
+                {"ts": "2024-01-01 10:30:00", "k": "a", "v": 2.0},
+                {"ts": "2024-01-01 11:10:00", "k": "b", "v": 5.0},
+            ]
+        )
+    )
+    raw = sources.json_file_source(
+        spark,
+        str(d),
+        spark.createDataFrame([], "ts string, k string, v double").schema,
+    )
+    typed = raw.withColumn("ts", F.to_timestamp("ts")).withWatermark("ts", "2 hours")
+    win = typed.groupBy(F.window("ts", "1 hour"), "k").agg(F.sum("v").alias("s"))
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            win.writeStream.format("memory")
+            .queryName("t_rocksdb")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = q.recentProgress
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    got = {
+        (r["k"], r["window"].start.hour): r["s"]
+        for r in spark.table("t_rocksdb").collect()
+    }
+    assert got == {("a", 10): 3.0, ("b", 11): 5.0}, got
+    # and the run really used RocksDB (its custom metrics show up)
+    assert any("rocksdb" in str(p).lower() for p in progress), progress

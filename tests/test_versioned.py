@@ -114,3 +114,56 @@ def test_streaming_upsert_sink_exactly_once(spark, tmp_path):
              keys=["k"], batch_id=0)
     assert len(t.versions()) == n_versions
     assert {r["total"] for r in t.read(spark).collect()} == {7.0, 3.0}
+
+
+def test_stats_pruning_skips_file_groups(spark, tmp_path):
+    """Manifest min/max stats must prune non-overlapping file groups
+    from the read set (and never drop a matching row — superset
+    contract); a range-clustered append yields tight per-group
+    ranges that actually prune."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(i, "lo") for i in range(0, 100)], "k long, v string"),
+        stats_cols=["k"],
+    )
+    t.append(
+        spark.createDataFrame([(i, "hi") for i in range(1000, 1100)], "k long, v string"),
+        stats_cols=["k"],
+    )
+    all_files = t.snapshot_files()
+    pruned = t.snapshot_files(prune=("k", 1050, 1060))
+    assert len(all_files) == 2 and len(pruned) == 1, (all_files, pruned)
+    rows = t.read(spark, prune=("k", 1050, 1060)).filter("k between 1050 and 1060")
+    assert rows.count() == 11
+    # clustered append: one logical append, n tight groups
+    t2 = VersionedTable(str(tmp_path / "t2"))
+    t2.append_clustered(
+        spark.range(0, 1000).selectExpr("id as k", "cast(id as string) as v"),
+        "k",
+        n_groups=4,
+    )
+    files = t2.snapshot_files()
+    narrow = t2.snapshot_files(prune=("k", 10, 20))
+    assert len(files) == 4 and len(narrow) == 1, (files, narrow)
+    assert t2.read(spark, prune=("k", 10, 20)).filter("k between 10 and 20").count() == 11
+    # temporal stats round-trip through JSON stringification
+    import datetime as dt
+
+    t3 = VersionedTable(str(tmp_path / "t3"))
+    base = dt.datetime(2024, 1, 1)
+    t3.append(
+        spark.createDataFrame(
+            [(base + dt.timedelta(days=i),) for i in range(3)], "ts timestamp"
+        ),
+        stats_cols=["ts"],
+    )
+    t3.append(
+        spark.createDataFrame(
+            [(base + dt.timedelta(days=30 + i),) for i in range(3)], "ts timestamp"
+        ),
+        stats_cols=["ts"],
+    )
+    sel = t3.snapshot_files(
+        prune=("ts", base + dt.timedelta(days=29), base + dt.timedelta(days=40))
+    )
+    assert len(sel) == 1, sel
