@@ -851,6 +851,55 @@ GROUP BY shingle ORDER BY df DESC, shingle LIMIT 30
 )
 
 
+def _text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document salient terms: top-3 words by tf/df (term frequency
+    over corpus document frequency — the log-free tf-idf variant whose
+    score is an exact ratio of integers, so BOTH engines produce
+    bit-identical doubles and the ranking is hash-exact, unlike
+    ln()-based idf which differs in the last ulp across libm
+    implementations).
+
+    Shape: one explode -> two groupBys (term-in-doc counts; corpus df)
+    -> broadcast df join -> per-doc top-k window. The df side is
+    vocabulary-sized — broadcastable at any corpus scale."""
+    docs = tables.load(spark, "documents", sf_dir).filter(F.col("doc_id") % 10 == 0)
+    toks = docs.select("doc_id", F.explode(T.words(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # corpus df over the SAME sampled corpus (self-contained oracle)
+    df_ = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id", "term", (F.col("tf") / F.col("df")).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", F.round("score", 6).alias("score"), "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+_TEXT_SALIENT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORDS_SQL}) AS term
+  FROM documents WHERE doc_id % 10 = 0
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (
+  SELECT term, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1
+)
+SELECT doc_id, term, ROUND(tf / df, 6) AS score, rank FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf / df.df DESC, tf.term) AS rank
+  FROM tf JOIN df USING (term)
+) WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 _SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.1}
 
 
@@ -945,6 +994,7 @@ ORDER BY doc_id, idx
 
 
 # Extra tier: folded variants, pytest-differential coverage unchanged.
+register("text_salient_terms", _text_salient_terms, _TEXT_SALIENT_SQL, driver=False)
 register("udaf_weighted_quality", _udaf_weighted_quality, _UDAF_SQL, driver=False)
 register("udtf_explode_words", _udtf_explode_words, _UDTF_SQL, driver=False)
 register("text_redact_pii", _text_redact_pii, _TEXT_REDACT_SQL, driver=False)

@@ -29,18 +29,24 @@ def json_file_source(
     max_files_per_trigger: int | None = 1,
     multi_line: bool = True,
     latest_first: bool = False,
+    file_name_only: bool = False,
 ) -> DataFrame:
     """S2: monitor a directory of JSON files as a stream.
 
     Streaming file sources require an explicit schema (no inference) —
     same constraint the reference documents. maxFilesPerTrigger is the
-    file-source backpressure knob (T8).
+    file-source backpressure knob (T8); latestFirst/fileNameOnly are
+    the remaining documented S2 options (README.md:238-241) —
+    fileNameOnly makes dedup of already-seen files ignore the
+    directory component (re-delivered files under new paths skip).
     """
     reader = spark.readStream.schema(schema).option("multiLine", multi_line)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if latest_first:
         reader = reader.option("latestFirst", "true")
+    if file_name_only:
+        reader = reader.option("fileNameOnly", "true")
     return reader.json(path)
 
 

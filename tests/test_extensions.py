@@ -246,3 +246,55 @@ def test_deterministic_sampling_properties(spark):
     h = {r["doc_id"] for r in hold.select("doc_id").collect()}
     assert not (t & h) and len(t | h) == n
     assert 0 < len(h) < n
+
+
+def test_minhash_agrees_with_sparkml_lsh(spark):
+    """Cross-validate the engine's md5-MinHash banding against
+    spark.ml's MinHashLSH (SURVEY §2.9 names it as the stock
+    primitive): on planted near-dups, every pair spark.ml finds at
+    Jaccard distance <= 0.2 must also be an engine band candidate —
+    independent implementations, same recall target."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH, Tokenizer
+
+    from netflow_analysis_with_spark_streaming_spark.functions import text as T
+
+    docs = _planted_docs(spark)
+    toks = Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    cv = CountVectorizer(inputCol="words", outputCol="features", binary=True).fit(toks)
+    feats = cv.transform(toks)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=7).fit(
+        feats
+    )
+    ml_pairs = {
+        (min(r["a"], r["b"]), max(r["a"], r["b"]))
+        for r in lsh.approxSimilarityJoin(feats, feats, 0.2, distCol="d")
+        .selectExpr("datasetA.doc_id AS a", "datasetB.doc_id AS b")
+        .filter("a < b")
+        .collect()
+    }
+    # engine band candidates over the same docs
+    sh = docs.select(
+        "doc_id", F.explode(T.shingles(F.col("text"), 1)).alias("shingle")
+    ).distinct()
+    sig = sh.groupBy("doc_id").agg(*T.minhash_sig_aggs(F.col("shingle"), 16))
+    bands = []
+    for b in range(4):
+        cols = [F.col(f"sig_{b * 4 + r}").cast("string") for r in range(4)]
+        bands.append(
+            sig.select("doc_id", F.concat_ws("-", F.lit(str(b)), *cols).alias("bk"))
+        )
+    banded = bands[0]
+    for x in bands[1:]:
+        banded = banded.unionByName(x)
+    engine_pairs = {
+        (r["a"], r["b"])
+        for r in banded.alias("x")
+        .join(banded.alias("y"), "bk")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert ml_pairs, "spark.ml found no near-dups — planted data broken"
+    missed = ml_pairs - engine_pairs
+    assert not missed, (missed, engine_pairs)

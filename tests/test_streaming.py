@@ -458,3 +458,22 @@ def test_stateful_agg_on_rocksdb_state_store(spark, tmp_path):
     assert got == {("a", 10): 3.0, ("b", 11): 5.0}, got
     # and the run really used RocksDB (its custom metrics show up)
     assert any("rocksdb" in str(p).lower() for p in progress), progress
+
+
+def test_file_name_only_option_accepted(spark, tmp_path):
+    """S2 fileNameOnly: the option wires through and the stream still
+    delivers (dedup-by-name semantics themselves are Spark's)."""
+    import json as _json
+
+    d = tmp_path / "fno"
+    d.mkdir()
+    (d / "a.json").write_text(_json.dumps([{"k": 1}]))
+    raw = sources.json_file_source(
+        spark,
+        str(d),
+        spark.createDataFrame([], "k long").schema,
+        file_name_only=True,
+    )
+    assert raw.isStreaming
+    jobs.run_to_memory(raw, "t_fno")
+    assert spark.table("t_fno").count() == 1
