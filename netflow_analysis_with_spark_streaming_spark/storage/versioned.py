@@ -265,7 +265,47 @@ class VersionedTable:
             m = self._manifest(version if version is not None else self.latest_version())
             schema = StructType.fromJson(json.loads(m["schema"]))
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(*[os.path.join(self.root, f) for f in files])
+        # mergeSchema: file groups may carry evolved (wider) schemas —
+        # readers see the union, old rows get NULLs for new columns
+        # (additive schema evolution, the Delta default)
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.root, f) for f in files]
+        )
+
+    def read_changes(
+        self, spark: SparkSession, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change feed: rows ADDED by commits in (since_version,
+        to_version] — the incremental-consumption API (Delta CDF's
+        append slice). Well-defined for append/append_clustered
+        commits, whose file groups are disjoint additions; an
+        overwrite/upsert/compact inside the range raises (those
+        rewrite the file set, so 'added rows' is not derivable from
+        manifests alone — a full CDF would log per-row change types).
+        """
+        if to_version is None:
+            to_version = self.latest_version()
+        if to_version is None or since_version > to_version:
+            raise ValueError("empty or invalid version range")
+        base = set(self._manifest(since_version)["files"]) if since_version >= 0 else set()
+        new_files: list[str] = []
+        for v in self.versions():
+            if since_version < v <= to_version:
+                m = self._manifest(v)
+                if m["action"] not in ("append",):
+                    raise ValueError(
+                        f"version {v} is {m['action']!r}: change feed is only "
+                        "derivable across pure appends"
+                    )
+                new_files.extend(f for f in m["files"] if f not in base)
+                base.update(m["files"])
+        if not new_files:
+            m = self._manifest(to_version)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            return spark.createDataFrame([], schema)
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.root, f) for f in sorted(set(new_files))]
+        )
 
     def upsert(
         self,

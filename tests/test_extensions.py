@@ -298,3 +298,44 @@ def test_minhash_agrees_with_sparkml_lsh(spark):
     assert ml_pairs, "spark.ml found no near-dups — planted data broken"
     missed = ml_pairs - engine_pairs
     assert not missed, (missed, engine_pairs)
+
+
+def test_engine_lsh_agrees_with_sparkml_brp(spark):
+    """Cross-validate the engine's hyperplane LSH buckets against
+    spark.ml's BucketedRandomProjectionLSH on the embeddings table:
+    both ANN routes must recover a comparable share of brute-force
+    top-5 (independent hash families, same recall target)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.linalg import Vectors, VectorUDT
+
+    from netflow_analysis_with_spark_streaming_spark import tables
+
+    emb = tables.load(spark, "embeddings", SF_ORACLE)
+    to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
+    feats = emb.select("vec_id", to_vec("embedding").alias("features"))
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0,
+        numHashTables=3, seed=11,
+    ).fit(feats)
+    q = feats.filter("vec_id < 10")
+    ml_pairs = {
+        (r["q"], r["n"])
+        for r in brp.approxSimilarityJoin(q, feats, 6.0, distCol="d")
+        .selectExpr("datasetA.vec_id AS q", "datasetB.vec_id AS n")
+        .filter("q <> n")
+        .collect()
+    }
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _entry().queries()["similarity_cosine_topk"](spark, SF_ORACLE).collect()
+    }
+    ml_recall = len(truth & ml_pairs) / len(truth)
+    engine = {
+        (r["query_id"], r["neighbor_id"])
+        for r in _entry().queries()["similarity_lsh_topk"](spark, SF_ORACLE).collect()
+    }
+    engine_recall = len(truth & engine) / len(truth)
+    # both probabilistic; assert each is non-trivial rather than
+    # ordering them (different metrics: euclidean buckets vs cosine)
+    assert ml_recall >= 0.2, (ml_recall, engine_recall)
+    assert engine_recall >= 0.2, (ml_recall, engine_recall)

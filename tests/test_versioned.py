@@ -167,3 +167,32 @@ def test_stats_pruning_skips_file_groups(spark, tmp_path):
         prune=("ts", base + dt.timedelta(days=29), base + dt.timedelta(days=40))
     )
     assert len(sel) == 1, sel
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """An append with a new column widens the table; old rows read
+    back with NULL for it (additive evolution, Delta default)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.append(
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double")
+    )
+    out = {r["k"]: (r["v"], r["score"]) for r in t.read(spark).collect()}
+    assert out == {1: ("a", None), 2: ("b", 9.5)}, out
+
+
+def test_change_feed_returns_appended_slices(spark, tmp_path):
+    """read_changes yields exactly the rows added in the version
+    range; rewriting actions inside the range raise."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "k long, v string"))   # v0
+    t.append(spark.createDataFrame([(2, "b")], "k long, v string"))   # v1
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))   # v2
+    got = sorted(r["k"] for r in t.read_changes(spark, since_version=0).collect())
+    assert got == [2, 3]
+    assert [r["k"] for r in t.read_changes(spark, 1, 2).collect()] == [3]
+    t.upsert(spark, spark.createDataFrame([(1, "A")], "k long, v string"), keys=["k"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="change feed"):
+        t.read_changes(spark, since_version=2)
