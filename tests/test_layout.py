@@ -174,3 +174,53 @@ def test_flagship_shuffle_budget(spark):
     assert inspect.has_partial_final_agg(df)
     assert inspect.shuffle_count(df) <= 2, inspect.executed_plan(df)
     assert inspect.uses_whole_stage_codegen(df)
+
+
+@pytest.mark.parametrize(
+    "name,max_shuffles",
+    [
+        # suites run several constituents, each with its own agg
+        # exchange; the budget pins "no accidental extra shuffle"
+        ("flagship_access_trend", 2),
+        ("join_shuffle_large", 4),
+        ("agg_pricing_summary", 2),
+        ("window_topk_per_group", 2),
+        ("topk_heavy_hitters", 2),
+        ("agg_count_distinct", 3),
+        ("join_asof", 3),
+        ("scalar_functions", 2),
+    ],
+)
+def test_plan_shuffle_budget(spark, name, max_shuffles):
+    """Exchange-count budgets for headline queries: a regression that
+    introduces an extra shuffle (lost broadcast, lost partial agg,
+    accidental repartition) fails loudly here instead of 10x-ing at
+    scale."""
+    from conftest import CORPUS
+
+    df = CORPUS.queries()[name](spark, SF_ORACLE)
+    n = inspect.shuffle_count(df)
+    assert n <= max_shuffles, (name, n, inspect.executed_plan(df))
+
+
+def test_dynamic_partition_pruning_on_day_layout(spark, tmp_path):
+    """DPP: joining the day-partitioned fact with a FILTERED small dim
+    on the partition column must prune fact partitions at runtime
+    (dynamicpruning expression in the scan) — the mechanism that makes
+    dim-driven scans cheap at 100 TB without literal date predicates."""
+    ev = tables.load(spark, "events", SF_ORACLE)
+    path = str(tmp_path / "events_by_day")
+    layout.write_day_partitioned(ev, path)
+    fact = spark.read.parquet(path)
+    days = (
+        fact.select("day").distinct().limit(3).withColumn("tag", F.lit("campaign"))
+    )
+    days.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    dim = spark.read.parquet(str(tmp_path / "dim"))
+    joined = fact.join(dim.filter(F.col("tag") == "campaign"), "day").groupBy(
+        "day"
+    ).count()
+    optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+    physical = inspect.executed_plan(joined)
+    assert "dynamicpruning" in (optimized + physical).lower(), physical
+    assert joined.count() == 3
