@@ -41,9 +41,14 @@ def connected_components(
     scheduler overhead otherwise — measured 17s for 25 edges); larger
     inputs run the distributed min-label loop below.
     """
+    # the edge set is usually the output of a full candidate-generation
+    # pipeline (MinHash banding) — cache it so count() + collect() (or
+    # the iterative rounds) don't re-execute that pipeline
+    edges = edges.persist()
     n_edges = edges.count()
     if n_edges <= driver_threshold:
         rows = edges.select(src, dst).collect()
+        edges.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -114,12 +119,14 @@ def connected_components(
             break
     if not converged:
         sym.unpersist()
+        edges.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} doubled "
             "rounds — cluster diameter exceeds 2^15; raise max_iter"
         )
     labels.count()  # materialize the final cache before dropping edges
     sym.unpersist()
+    edges.unpersist()
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
