@@ -1321,9 +1321,41 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch — the one-pass
+    mergeable 100 TB path exact percentile can't offer) checked via an
+    oracle-able INVARIANT: with accuracy 10000 on ~15k-row groups the
+    estimate must land within 1% of the exact interpolated percentile,
+    so the oracle asserts `ok = true` per group/quantile."""
+    lineitem = tables.load(spark, "lineitem", sf_dir)
+    approx = F.expr(
+        "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)"
+    )
+    exact = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+    wide = lineitem.groupBy("l_returnflag").agg(
+        approx.alias("_a"), exact.alias("_e")
+    )
+    checks = [
+        (
+            F.abs(F.element_at("_a", i + 1) - F.element_at("_e", i + 1))
+            / F.element_at("_e", i + 1)
+            <= 0.01
+        ).alias(f"ok_p{p}")
+        for i, p in enumerate([25, 50, 75])
+    ]
+    return wide.select("l_returnflag", *checks).orderBy("l_returnflag")
+
+
+_AGG_APPROX_PCT_SQL = """
+SELECT l_returnflag, true AS ok_p25, true AS ok_p50, true AS ok_p75
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # Extra tier: folded constituents + scale variants (pytest-differential
 # coverage via queries.all_queries; out of the driver window).
 register("join_interval", _join_interval, _JOIN_INTERVAL_SQL, driver=False)
+register("agg_approx_percentile", _agg_approx_percentile, _AGG_APPROX_PCT_SQL, driver=False)
 register("join_broadcast_enrich", _join_broadcast_enrich, _JOIN_BROADCAST_ENRICH_SQL, driver=False)
 register("join_semi", _join_semi, _JOIN_SEMI_SQL, driver=False)
 register("join_anti", _join_anti, _JOIN_ANTI_SQL, driver=False)
