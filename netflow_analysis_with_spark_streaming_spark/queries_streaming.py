@@ -343,7 +343,14 @@ def _stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     tables.harden_session(spark)
-    tag = hashlib.md5(f"upd_src:{sf_dir}".encode()).hexdigest()[:10]
+    # key the cached split copy by the SOURCE file's identity, not just
+    # its path — regenerated testdata must invalidate the copy or a
+    # stale split would silently diverge from the oracle
+    src_file = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src_file)
+    tag = hashlib.md5(
+        f"upd_src:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
     src_dir = tempfile.gettempdir() + f"/netflow_upd_src_{tag}"
     if not os.path.exists(os.path.join(src_dir, "_DONE")):
         ev = tables.load(spark, "events", sf_dir).select(
