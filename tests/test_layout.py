@@ -224,3 +224,48 @@ def test_dynamic_partition_pruning_on_day_layout(spark, tmp_path):
     physical = inspect.executed_plan(joined)
     assert "dynamicpruning" in (optimized + physical).lower(), physical
     assert joined.count() == 3
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime row-level filtering: a selective filter on one join
+    side must inject a bloom filter (might_contain) into the other
+    side's scan when broadcast is off — the mechanism that prunes the
+    100 TB probe side before the shuffle."""
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_cr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+    )
+    prev_ap = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # sf0.01 sizes are far below the production thresholds; lower them
+    # to make the optimization fire at test scale
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    try:
+        li = tables.load(spark, "lineitem", SF_ORACLE)
+        orders = tables.load(spark, "orders", SF_ORACLE).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        j.collect()
+        plan = inspect.executed_plan(j)
+        assert "might_contain" in plan.lower(), plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", prev_cr
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_ap,
+        )
