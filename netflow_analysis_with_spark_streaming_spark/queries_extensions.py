@@ -137,20 +137,25 @@ def _dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket (boilerplate text) is exactly the AQE skew-split case.
     """
     sig = _dedup_minhash_signatures(spark, sf_dir)
-    bands = []
-    for b in range(N_BANDS):
-        cols = [f"sig_{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.concat_ws("-", F.lit(str(b)), *[F.col(c).cast("string") for c in cols]).alias(
-                    "band_key"
-                ),
+    # one explode over an array of band keys instead of a 4-way union
+    # of selects: the union fanned the whole signature pipeline out
+    # once per branch in the physical plan (no cross-branch CSE);
+    # explode keeps a single signature subtree, and the self-join's
+    # identical shuffle children collapse via ReusedExchange.
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                F.lit(str(b)),
+                *[
+                    F.col(f"sig_{b * _ROWS_PER_BAND + r}").cast("string")
+                    for r in range(_ROWS_PER_BAND)
+                ],
             )
-        )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_keys).alias("band_key"))
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -202,7 +207,11 @@ def _similarity_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles in DuckDB).
     """
     docs = tables.load(spark, "documents", sf_dir)
-    sh = _shingle_sets(docs)
+    # persist the shingle inverted index: it feeds the size aggregate
+    # AND both self-join sides — unpersisted, the tokenize+explode+
+    # distinct subtree executed 3x (12 document scans in the physical
+    # plan). Shingle rows are ~50/doc — MBs, not a memory concern.
+    sh = _shingle_sets(docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -230,7 +239,12 @@ def _similarity_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reducer), NOT a row_number() over an unpartitioned window, which
     # would funnel the full candidate set through a single task.
     top = jac.orderBy(F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b")).limit(20)
-    w = Window.orderBy(F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b"))
+    # constant partition key: the window only ranks the 20 surviving
+    # rows — partitionBy(lit) documents that and silences WindowExec's
+    # single-partition warning
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b")
+    )
     return (
         top.withColumn("rank", F.row_number().over(w))  # 20 rows: trivial
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"), "rank")
@@ -308,7 +322,9 @@ def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     C(32,<=r) probes and banding wins again; both are equi-joins —
     the shape that distributes and lets AQE split skew.
     """
-    sig = _dedup_simhash(spark, sf_dir)
+    # persist: the signature aggregate feeds both the probe expansion
+    # and the match side of the join — 2x the 32-sum groupBy otherwise
+    sig = _dedup_simhash(spark, sf_dir).persist()
     flips = F.array(*([F.lit(-1)] + [F.lit(b) for b in range(32)]))
     probes = (
         sig.select(
@@ -528,7 +544,9 @@ def _similarity_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     # distributed TakeOrderedAndProject, rank derived post-limit (20
     # rows) — never an unpartitioned window over the candidate set
     top = cand.orderBy(F.col("cos").desc(), F.col("id_a"), F.col("id_b")).limit(20)
-    w = Window.orderBy(F.col("cos").desc(), F.col("id_a"), F.col("id_b"))
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("cos").desc(), F.col("id_a"), F.col("id_b")
+    )
     return (
         top.withColumn("rank", F.row_number().over(w))
         .select("id_a", "id_b", "rank")
