@@ -442,25 +442,45 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
-def _similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _similarity_lsh_topk(
+    spark: SparkSession, sf_dir: str, multi_probe: bool = True
+) -> DataFrame:
     """LSH-bucketed ANN: random-hyperplane sign buckets prune the
     candidate set before exact cosine re-ranking.
 
+    Multi-probe: each query also probes the `planes` buckets at
+    hamming distance 1 from its own (the classic multi-probe LSH
+    trade — recall rises steeply because near-misses usually flip
+    exactly one marginal hyperplane, while the candidate set grows
+    only (planes+1)/2^planes of the corpus). Probe expansion is an
+    explode on the tiny broadcast query side; the big side is
+    untouched.
+
     Rows-only driver check (the hyperplane formula is Spark-side);
     recall vs the brute-force baseline is property-tested in
-    tests/test_extensions.py. Scale: candidates shrink ~2^planes-fold;
-    the bucket equi-join replaces the cross join — this is the 100 TB
-    path. Multi-probe (flipping one bit) would raise recall; single
-    probe keeps the demo simple.
+    tests/test_extensions.py. Scale: the bucket equi-join replaces the
+    cross join — this is the 100 TB path.
     """
     emb = tables.load(spark, "embeddings", sf_dir)
     dim = 64
-    with_bucket = emb.withColumn("bucket", V.lsh_bucket(F.col("embedding"), dim, 4))
+    planes = 4
+    with_bucket = emb.withColumn("bucket", V.lsh_bucket(F.col("embedding"), dim, planes))
     q = with_bucket.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         "bucket",
     )
+    if multi_probe:
+        probe_buckets = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << b)).cast("int")
+                for b in range(planes)
+            ],
+        )
+        q = q.select(
+            "query_id", "q_emb", F.explode(probe_buckets).alias("bucket")
+        )
     cands = with_bucket.join(F.broadcast(q), "bucket").filter(
         F.col("vec_id") != F.col("query_id")
     )

@@ -115,16 +115,16 @@ def test_simhash_neardup_small_hamming(spark):
 
 
 def test_lsh_recall_vs_bruteforce(spark):
-    """LSH-bucketed ANN must recover a meaningful share of the true
-    top-5 (single-probe, 4 planes -> recall is probabilistic; bound it
-    loosely but non-trivially)."""
+    """Multi-probe LSH (own bucket + 4 hamming-1 probes) must recover
+    at least half the true top-5 — measured 0.6 on this corpus; the
+    single-probe variant sat at 0.2."""
     mod = _entry()
     brute = mod.queries()["similarity_cosine_topk"](spark, SF_ORACLE).collect()
     lsh = mod.queries()["similarity_lsh_topk"](spark, SF_ORACLE).collect()
     truth = {(r["query_id"], r["neighbor_id"]) for r in brute}
     got = {(r["query_id"], r["neighbor_id"]) for r in lsh}
     recall = len(truth & got) / len(truth)
-    assert recall >= 0.2, recall
+    assert recall >= 0.5, recall
     # and LSH never invents a neighbor that brute force would rank
     assert all(r["rank"] <= 5 for r in lsh)
 
