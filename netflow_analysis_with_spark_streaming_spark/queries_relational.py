@@ -1352,10 +1352,125 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def _join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): rows whose
+    join key is NULL on BOTH sides match each other — the semantics a
+    plain equi-join silently drops. Keys here: a JSON field that is
+    absent for some rows (NULL after extraction) on both sides."""
+    ev = tables.load(spark, "events", sf_dir).filter(F.col("event_id") % 20 == 0)
+    k = F.nullif(F.get_json_object("props", "$.k").cast("long") % 5, F.lit(3))
+    a = ev.select(F.col("event_id").alias("id_a"), k.alias("k"))
+    b = ev.select(F.col("event_id").alias("id_b"), k.alias("k"))
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .groupBy(a["k"].alias("k"))
+        .agg(F.count("*").alias("pair_cnt"))
+        .orderBy(F.col("k").asc_nulls_first())
+    )
+
+
+_JOIN_NULL_SAFE_SQL = """
+WITH t AS (
+  SELECT event_id, NULLIF(CAST(json_extract_string(props, '$.k') AS BIGINT) % 5, 3) AS k
+  FROM events WHERE event_id % 20 = 0
+)
+SELECT a.k, COUNT(*) AS pair_cnt
+FROM t a JOIN t b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY a.k ORDER BY a.k NULLS FIRST
+"""
+
+
+def _agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (the inverse of agg_pivot): the wide per-bucket
+    pivot result back to long (bucket, event_type, value) form —
+    df.unpivot on the Spark side, UNION-of-projections oracle."""
+    wide = _agg_pivot(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        wide.unpivot("user_bucket", types, "event_type", "total_value")
+        .filter(F.col("total_value").isNotNull())
+        .orderBy("user_bucket", "event_type")
+    )
+
+
+_AGG_UNPIVOT_SQL = f"""
+WITH wide AS ({_AGG_PIVOT_SQL.replace("ORDER BY user_bucket", "")})
+SELECT user_bucket, event_type, total_value FROM (
+  {" UNION ALL ".join(
+      f"SELECT user_bucket, '{t}' AS event_type, {t} AS total_value FROM wide"
+      for t in ["click", "error", "purchase", "signup", "view"]
+  )}
+) WHERE total_value IS NOT NULL
+ORDER BY user_bucket, event_type
+"""
+
+
+def _window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) window frame — peers by VALUE distance, not
+    row position: each order's count and rounded sum of orders within
+    +/-500 of its own totalprice in the same priority. Completes the
+    frame surface (ROWS frames live in window_analytics_suite)."""
+    orders = tables.load(spark, "orders", sf_dir).filter(
+        F.col("o_orderkey") % 100 == 0
+    )
+    price = F.round("o_totalprice", 2)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-500, 500)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        price.alias("totalprice"),
+        F.count("*").over(w).alias("peers_in_band"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("band_sum"),
+    ).orderBy("o_orderkey")
+
+
+_WINDOW_RANGE_SQL = """
+SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2) AS totalprice,
+       COUNT(*) OVER w AS peers_in_band,
+       ROUND(SUM(o_totalprice) OVER w, 2) AS band_sum
+FROM orders
+WHERE o_orderkey % 100 = 0
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+             RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)
+ORDER BY o_orderkey
+"""
+
+
+def _scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: props JSON parsed to map<string,string>,
+    then map_keys / element_at / size — the collection-type tier the
+    struct flatten entries don't cover."""
+    ev = tables.load(spark, "events", sf_dir).filter(F.col("event_id") % 25 == 0)
+    m = F.from_json("props", "map<string,string>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
+        F.size(m).cast("long").alias("n_keys"),
+        F.element_at(m, "k").cast("long").alias("k_val"),
+    ).orderBy("event_id")
+
+
+_SCALAR_MAP_SQL = """
+SELECT event_id,
+       array_to_string(list_sort(json_keys(props)), ',') AS keys,
+       CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events WHERE event_id % 25 = 0 ORDER BY event_id
+"""
+
+
 # Extra tier: folded constituents + scale variants (pytest-differential
 # coverage via queries.all_queries; out of the driver window).
 register("join_interval", _join_interval, _JOIN_INTERVAL_SQL, driver=False)
 register("agg_approx_percentile", _agg_approx_percentile, _AGG_APPROX_PCT_SQL, driver=False)
+register("join_null_safe", _join_null_safe, _JOIN_NULL_SAFE_SQL, driver=False)
+register("agg_unpivot", _agg_unpivot, _AGG_UNPIVOT_SQL, driver=False)
+register("window_range_frame", _window_range_frame, _WINDOW_RANGE_SQL, driver=False)
+register("scalar_map_functions", _scalar_map_functions, _SCALAR_MAP_SQL, driver=False)
 register("join_broadcast_enrich", _join_broadcast_enrich, _JOIN_BROADCAST_ENRICH_SQL, driver=False)
 register("join_semi", _join_semi, _JOIN_SEMI_SQL, driver=False)
 register("join_anti", _join_anti, _JOIN_ANTI_SQL, driver=False)
