@@ -245,6 +245,86 @@ class VersionedTable:
             files = [f for f in files if overlaps(f)]
         return files
 
+    def append_zordered(
+        self,
+        df: DataFrame,
+        cols: tuple[str, str],
+        n_groups: int = 16,
+        bits: int = 8,
+    ) -> int:
+        """Two-column Z-order clustered append: rows are sorted along
+        the Morton curve of (cols[0], cols[1]) — each value linearly
+        bucketized to ``bits`` bits off its min/max, bits interleaved
+        — then range-partitioned on the z-value so every file group is
+        a locality square in BOTH dimensions. Manifest stats are
+        recorded for both columns, so prune() on EITHER dimension
+        skips groups (the property 1-D clustering lacks: its
+        non-cluster column spans the full range in every file).
+
+        All expression-level (shift/and/add inside codegen); the only
+        driver data is the 2-value min/max row. Numeric columns only —
+        temporal callers pass unix micros."""
+        from pyspark.sql import functions as F
+
+        c1, c2 = cols
+        row = df.agg(
+            F.min(c1).alias("lo1"), F.max(c1).alias("hi1"),
+            F.min(c2).alias("lo2"), F.max(c2).alias("hi2"),
+        ).collect()[0]
+        span1 = max(float(row["hi1"]) - float(row["lo1"]), 1e-12)
+        span2 = max(float(row["hi2"]) - float(row["lo2"]), 1e-12)
+        top = (1 << bits) - 1
+
+        def bucket(col: str, lo: float, span: float):
+            return F.floor(
+                (F.col(col).cast("double") - F.lit(lo)) / F.lit(span) * top
+            ).cast("long")
+
+        b1, b2 = bucket(c1, float(row["lo1"]), span1), bucket(c2, float(row["lo2"]), span2)
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            z = (
+                z
+                + F.shiftleft(F.shiftright(b1, i).bitwiseAND(1), 2 * i)
+                + F.shiftleft(F.shiftright(b2, i).bitwiseAND(1), 2 * i + 1)
+            )
+        ranged = df.withColumn("_z", z).repartitionByRange(n_groups, "_z").cache()
+        try:
+            ranged.count()
+            group = uuid.uuid4().hex
+            out = os.path.join(self._data, group)
+            with_bucket = ranged.withColumn("_rb", F.spark_partition_id())
+            with_bucket.drop("_z").write.mode("overwrite").partitionBy("_rb").parquet(out)
+            stat_rows = (
+                with_bucket.groupBy("_rb")
+                .agg(
+                    F.min(c1).alias("lo1"), F.max(c1).alias("hi1"),
+                    F.min(c2).alias("lo2"), F.max(c2).alias("hi2"),
+                )
+                .collect()
+            )
+        finally:
+            ranged.unpersist()
+        files = [f"data/{group}/_rb={r['_rb']}" for r in stat_rows]
+        stats = {
+            f"data/{group}/_rb={r['_rb']}": {
+                c1: [r["lo1"], r["hi1"]],
+                c2: [r["lo2"], r["hi2"]],
+            }
+            for r in stat_rows
+        }
+        prev_files: list[str] = []
+        prev_stats: dict = {}
+        if self.versions():
+            m = self._manifest(self.latest_version())
+            prev_files, prev_stats = m["files"], m.get("stats", {})
+        return self._commit(
+            prev_files + files,
+            "append",
+            df.schema.json(),
+            stats={**prev_stats, **stats},
+        )
+
     def read(
         self,
         spark: SparkSession,

@@ -269,3 +269,37 @@ def test_runtime_bloom_filter_join_pruning(spark):
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             prev_ap,
         )
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's runtime skew handling: a join where one key holds ~90% of
+    the left side must get its hot partition split (skew=true on the
+    join node) once thresholds are scaled to test data — the runtime
+    complement to the static salted_join helper."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 200_000).selectExpr(
+            "CASE WHEN id % 10 = 0 THEN CAST(id % 7 AS LONG) ELSE 99 END AS k",
+            "id AS payload",
+        )
+        right = spark.range(0, 100).selectExpr("id AS k", "id * 2 AS attr")
+        # global agg, not groupBy(k): a downstream requirement on k's
+        # partitioning would veto the skew split (AQE won't break a
+        # required distribution unless forceOptimizeSkewedJoin)
+        j = left.join(right, "k").agg(F.sum("payload").alias("s"))
+        j.collect()
+        plan = inspect.executed_plan(j)
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

@@ -196,3 +196,31 @@ def test_change_feed_returns_appended_slices(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="change feed"):
         t.read_changes(spark, since_version=2)
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering must make narrow predicates on EITHER
+    column skip most file groups; a 1-D clustered layout on x prunes
+    only x. Uniform 2-D grid so the comparison is fair."""
+    df = (
+        spark.range(0, 4096)
+        .selectExpr("id % 64 AS x", "CAST(id / 64 AS LONG) AS y")
+    )
+    tz = VersionedTable(str(tmp_path / "z"))
+    tz.append_zordered(df, ("x", "y"), n_groups=16, bits=6)
+    n_all = len(tz.snapshot_files())
+    n_x = len(tz.snapshot_files(prune=("x", 0, 7)))
+    n_y = len(tz.snapshot_files(prune=("y", 0, 7)))
+    assert n_all == 16
+    assert n_x <= n_all // 2 and n_y <= n_all // 2, (n_all, n_x, n_y)
+    # correctness: pruned read still yields every matching row
+    got = (
+        tz.read(spark, prune=("x", 0, 7)).filter("x between 0 and 7").count()
+    )
+    assert got == 8 * 64
+    # contrast: 1-D clustering on x cannot prune y
+    t1 = VersionedTable(str(tmp_path / "c"))
+    t1.append_clustered(df, "x", n_groups=16)
+    assert len(t1.snapshot_files(prune=("x", 0, 7))) <= 4
+    # y stats span the full range in (nearly) every x-clustered group
+    assert len(t1.snapshot_files(prune=("y", 0, 7))) >= 12
