@@ -1467,6 +1467,44 @@ FROM events WHERE event_id % 25 = 0 ORDER BY event_id
 # coverage via queries.all_queries; out of the driver window).
 register("join_interval", _join_interval, _JOIN_INTERVAL_SQL, driver=False)
 register("agg_approx_percentile", _agg_approx_percentile, _AGG_APPROX_PCT_SQL, driver=False)
+def _agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-building aggregates: per-segment sorted list of the top
+    order keys and the distinct-priority set — collect_list/collect_set
+    canonicalized with array_sort (collection aggs are unordered in
+    both engines; sorting makes them hash-exact) and emitted as joined
+    strings so the harness canonicalizer never sees an array."""
+    orders = tables.load(spark, "orders", sf_dir).filter(
+        F.col("o_orderkey") % 200 == 0
+    )
+    customer = tables.load(spark, "customer", sf_dir)
+    j = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("o_orderkey")), ","
+            ).alias("orderkeys"),
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_AGG_COLLECT_SQL = """
+SELECT c_mktsegment,
+       array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
+       array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+       COUNT(*) AS n
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey % 200 = 0
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+register("agg_collect_list", _agg_collect_list, _AGG_COLLECT_SQL, driver=False)
 register("join_null_safe", _join_null_safe, _JOIN_NULL_SAFE_SQL, driver=False)
 register("agg_unpivot", _agg_unpivot, _AGG_UNPIVOT_SQL, driver=False)
 register("window_range_frame", _window_range_frame, _WINDOW_RANGE_SQL, driver=False)
