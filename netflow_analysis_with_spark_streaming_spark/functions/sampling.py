@@ -30,13 +30,17 @@ _BUCKETS = 1_000_000  # ppm resolution for fractions
 def hash_bucket(key: Column, seed: int = 0) -> Column:
     """Stable bucket in [0, 1e6) from the row key — md5-derived, so
     bit-identical in any engine with md5 (DuckDB mirror in
-    bucket_sql)."""
-    return T.md5_hash32(key.cast("string"), seed) % _BUCKETS
+    bucket_sql). NULL keys coalesce to '' (bucketed like the empty
+    string, deterministically) — a NULL hash would make every sampling
+    predicate NULL and silently drop the row from BOTH sides of a
+    split."""
+    return T.md5_hash32(F.coalesce(key.cast("string"), F.lit("")), seed) % _BUCKETS
 
 
 def bucket_sql(key_sql: str, seed: int = 0) -> str:
     """DuckDB mirror of hash_bucket for oracle SQL."""
-    return f"({T.md5_hash32_sql(f'CAST({key_sql} AS VARCHAR)', seed)} % {_BUCKETS})"
+    coalesced = f"COALESCE(CAST({key_sql} AS VARCHAR), '')"
+    return f"({T.md5_hash32_sql(coalesced, seed)} % {_BUCKETS})"
 
 
 def sample_fraction(

@@ -11,8 +11,10 @@ composition instead:
 1. tag and union both sides (right rows tag 0, left rows tag 1),
 2. ONE shuffle: window partitioned by key, ordered by
    (ts, tag, right-unique-id), frame = unbounded preceding .. current,
-3. last_value(..., ignorenulls=True) carries each right column forward
-   onto every later left row,
+3. last_value(struct(right_cols), ignorenulls=True) carries the whole
+   right ROW forward onto every later left row (one struct, so a NULL
+   inside the nearest right row is preserved, never patched from an
+   older row),
 4. keep the left rows.
 
 Cost: one shuffle of left+right on the key — the same price as a plain
@@ -62,12 +64,20 @@ def asof_join(
     if overlap:
         raise ValueError(f"right_cols collide with left columns: {sorted(overlap)}")
 
+    # All right columns travel as ONE struct so the carry-forward is
+    # row-atomic: a right row with NULL in some column must still win as
+    # the nearest match and contribute that NULL — carrying columns
+    # independently would stitch the NULL slot from an older right row.
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("_asof_ts"),
         F.lit(1).alias("_asof_tag"),
         F.lit(None).cast("long").alias("_asof_rid"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_cols],
+        F.lit(None)
+        .cast(
+            right.select(F.struct(*right_cols).alias("s")).schema["s"].dataType
+        )
+        .alias("_asof_rvals"),
         F.struct(*left.columns).alias("_asof_left"),
     )
     r_tagged = right.select(
@@ -75,7 +85,7 @@ def asof_join(
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_asof_tag"),
         (F.col(right_id).cast("long") if right_id else F.lit(0)).alias("_asof_rid"),
-        *right_cols,
+        F.struct(*right_cols).alias("_asof_rvals"),
         F.lit(None).cast(l_tagged.schema["_asof_left"].dataType).alias("_asof_left"),
     )
     w = (
@@ -86,11 +96,9 @@ def asof_join(
     carried = l_tagged.unionByName(r_tagged).select(
         "_asof_tag",
         "_asof_left",
-        *[
-            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
-            for c in right_cols
-        ],
+        F.last(F.col("_asof_rvals"), ignorenulls=True).over(w).alias("_asof_rvals"),
     )
     return carried.filter(F.col("_asof_tag") == 1).select(
-        F.col("_asof_left.*"), *right_cols
+        F.col("_asof_left.*"),
+        *[F.col(f"_asof_rvals.{c}").alias(c) for c in right_cols],
     )

@@ -89,7 +89,7 @@ _DRIVER_ORDER = [
     "stream_update_mode",
     "stream_stream_join",
     "stream_exactly_once_sink",
-    "stream_sessionize",
+    "stream_sessionize_closed",
     "stream_dedup_watermark",
     # text / profiling suite
     "text_analysis",

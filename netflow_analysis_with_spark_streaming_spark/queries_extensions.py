@@ -176,9 +176,10 @@ def _band_key_sql(b: int) -> str:
     return f"concat_ws('-', '{b}', {cols})"
 
 
-_MINHASH_CAND_SQL = (
-    "WITH "
-    + _SHINGLES_CTE
+# CTE chain + final select split out so the connected-components oracle
+# can embed the same candidate pairs inside a WITH RECURSIVE
+_MINHASH_CAND_CTES = (
+    _SHINGLES_CTE
     + ", sig AS (SELECT doc_id, "
     + ", ".join(
         f"MIN({T.affine_hash32_sql(_BASE_H_SQL, s)}) AS sig_{s}"
@@ -188,9 +189,19 @@ _MINHASH_CAND_SQL = (
     + " UNION ALL ".join(
         f"SELECT doc_id, {_band_key_sql(b)} AS band_key FROM sig" for b in range(N_BANDS)
     )
-    + ") SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    + ")"
+)
+_MINHASH_CAND_SELECT = (
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
     "FROM banded a JOIN banded b USING (band_key) "
-    "WHERE a.doc_id < b.doc_id ORDER BY doc_a, doc_b"
+    "WHERE a.doc_id < b.doc_id"
+)
+_MINHASH_CAND_SQL = (
+    "WITH "
+    + _MINHASH_CAND_CTES
+    + " "
+    + _MINHASH_CAND_SELECT
+    + " ORDER BY doc_a, doc_b"
 )
 
 
@@ -1101,8 +1112,11 @@ def _profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("props").isNull().cast("long")).alias("null_props"),
         F.count_distinct("user_id").alias("distinct_users"),
         F.count_distinct("event_type").alias("distinct_types"),
-        F.round(F.min("value"), 4).alias("min_value"),
-        F.round(F.max("value"), 4).alias("max_value"),
+        # integer 1e-4 units, not ROUND(...,4) doubles: Spark and DuckDB
+        # can disagree in the last ulp of a rounded double, but
+        # FLOOR(x*10000) is the same IEEE multiply + exact floor in both
+        F.floor(F.min("value") * 10000).alias("min_value_e4"),
+        F.floor(F.max("value") * 10000).alias("max_value_e4"),
     )
 
 
@@ -1113,8 +1127,8 @@ SELECT COUNT(*) AS rows,
        SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
        COUNT(DISTINCT user_id) AS distinct_users,
        COUNT(DISTINCT event_type) AS distinct_types,
-       ROUND(MIN(value), 4) AS min_value,
-       ROUND(MAX(value), 4) AS max_value
+       CAST(FLOOR(MIN(value) * 10000) AS BIGINT) AS min_value_e4,
+       CAST(FLOOR(MAX(value) * 10000) AS BIGINT) AS max_value_e4
 FROM events
 """
 
@@ -1216,8 +1230,73 @@ def _similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register("dedup_components", _dedup_components)  # rows-only: iterative fixpoint
-register("similarity_quantized_topk", _similarity_quantized_topk)  # rows-only
+# Exact oracle for the iterative fixpoint: component labels are a pure
+# function of the (already hash-exact) candidate pairs, so DuckDB
+# min-label reachability via WITH RECURSIVE reproduces them exactly —
+# walk(node, label) enumerates every label reachable from node along
+# symmetric edges; MIN over it is the canonical component id. The
+# sentinel row mirrors dedup_keep_canonical's surviving-doc count:
+# docs - clustered nodes + one canonical per cluster.
+_COMPONENTS_SQL = (
+    "WITH RECURSIVE "
+    + _MINHASH_CAND_CTES
+    + ", pairs AS ("
+    + _MINHASH_CAND_SELECT
+    + "), edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+    "  UNION SELECT doc_b, doc_a FROM pairs), "
+    "walk(node, label) AS ("
+    "  SELECT u, u FROM edges"
+    "  UNION"
+    "  SELECT e.u, w.label FROM walk w JOIN edges e ON e.v = w.node), "
+    "comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node) "
+    "SELECT node, component FROM comp "
+    "UNION ALL "
+    "SELECT CAST(-1 AS BIGINT) AS node, "
+    "       (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM comp)"
+    "       + (SELECT COUNT(DISTINCT component) FROM comp) AS component "
+    "ORDER BY node"
+)
+
+
+# Mirrors the Spark typing exactly: Spark's `/` promotes float operands
+# to double while DuckDB's stays float, so every division/multiply is
+# explicitly CAST to DOUBLE; ROUND is half-away-from-zero on doubles in
+# both engines; rank-only output dodges float compares except at ties,
+# where both engines rank the same IEEE doubles.
+_QUANT_TOPK_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, y -> abs(y))) AS scale
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) / CAST(scale AS DOUBLE) * 127) AS TINYINT)) AS q8
+  FROM s
+),
+deq AS (
+  SELECT vec_id,
+         list_transform(q8,
+           c -> CAST(c AS DOUBLE) * CAST(scale AS DOUBLE) / 127) AS deq
+  FROM quant
+),
+q AS (SELECT vec_id AS query_id, deq AS q_emb FROM deq WHERE vec_id < 10),
+scored AS (
+  SELECT query_id, d.vec_id AS neighbor_id,
+         list_cosine_similarity(q_emb, d.deq) AS cos
+  FROM q, deq d WHERE d.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+register("dedup_components", _dedup_components, _COMPONENTS_SQL)
+register("similarity_quantized_topk", _similarity_quantized_topk, _QUANT_TOPK_SQL)
 register("scalar_array_functions", _scalar_array_functions, _SCALAR_ARRAY_SQL)
 register("text_zscore_by_lang", _text_zscore_by_lang, _TEXT_ZSCORE_SQL)
 register("profile_columns", _profile_columns, _PROFILE_SQL)

@@ -173,18 +173,17 @@ def _fold_update_mode(
     a window over the landed table. Nothing row-shaped ever touches
     the driver, so key cardinality is unbounded.
     """
-    import hashlib
-    import shutil
     import tempfile
 
     from pyspark.sql import Window
 
     from .streaming import sinks
 
-    tag = hashlib.md5(name.encode()).hexdigest()[:10]
-    root = tempfile.gettempdir() + f"/netflow_upd_{tag}"
-    shutil.rmtree(root, ignore_errors=True)
-    sink = sinks.IdempotentParquetSink(root)
+    # mkdtemp, not a name-derived fixed path: two concurrent runs of the
+    # same entry (CI shards, two sessions on one host) must not rmtree
+    # each other's sink/checkpoint mid-query
+    root = tempfile.mkdtemp(prefix=f"netflow_upd_{name.replace('/', '_')[:40]}_")
+    sink = sinks.IdempotentParquetSink(root + "/landed")
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
         sink(batch_df.withColumn("_emit_batch", F.lit(batch_id)), batch_id)
@@ -273,13 +272,37 @@ FROM events WHERE event_id % 10 = 0 ORDER BY event_id
 """
 
 
+def _run_sessions_to_sink(
+    spark: SparkSession, sessions: DataFrame
+) -> DataFrame:
+    """Drive an append-mode session stream to completion, landing every
+    emission through the idempotent parquet sink (distributed write —
+    no foreachBatch collect()), and return the landed rows."""
+    import tempfile
+
+    from .streaming import sinks
+
+    root = tempfile.mkdtemp(prefix="netflow_sess_")
+    sink = sinks.IdempotentParquetSink(root + "/landed")
+    with _bounded_state_partitions(spark):
+        q = (
+            sessions.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return sink.read(spark)
+
+
 def _stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 sessionization driven as a real streaming query: gap-based
     sessions (applyInPandasWithState, event-time timeouts) for a small
     key range. Rows-only: sessions still open at end-of-stream are
     unflushed by design (their timeout exceeds the final watermark), so
-    the batch session_window oracle wouldn't match; the batch/streaming
-    session agreement for CLOSED sessions is asserted in pytest.
+    the batch session_window oracle wouldn't match; see
+    stream_sessionize_closed for the hash-checked variant.
     """
     from .streaming import stateful
 
@@ -287,21 +310,96 @@ def _stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = stateful.sessionize(
         ev.withWatermark("ts", "1 second"), gap_seconds=3600
     )
-    rows: list = []
-    with _bounded_state_partitions(spark):
-        q = (
-            sessions.writeStream.foreachBatch(
-                lambda df, bid: rows.extend(df.collect())
-            )
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    out = sorted((r["user_id"], r["session_start"], r["session_end"], r["n_events"]) for r in rows)
-    return spark.createDataFrame(
-        out, "user_id long, session_start timestamp, session_end timestamp, n_events long"
+    return _run_sessions_to_sink(spark, sessions).orderBy(
+        "user_id", "session_start"
     )
+
+
+def _stream_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 sessionization, exactly oracle-checkable: the filtered events
+    are replayed WITH one sentinel event per user planted 2 gaps after
+    the global max timestamp, so every REAL session is closed by the
+    in-batch gap rule deterministically (no reliance on timeout
+    scheduling); the sentinel sessions themselves never close (nothing
+    follows them) and are excluded by timestamp. The emitted set then
+    equals the complete batch gaps-and-islands sessionization — an
+    exact hash oracle for the custom stateful operator
+    (applyInPandasWithState), something the rows-only variant above
+    can't give because per-user tail sessions stay open."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .streaming import stateful
+
+    tables.harden_session(spark)
+    gap = 3600
+    ev = (
+        tables.load(spark, "events", sf_dir)
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "ts")
+    )
+    # one scalar to the driver (max ts) — needed to PLANT the sentinel
+    import datetime as _dt
+
+    flush_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"] + _dt.timedelta(
+        seconds=2 * gap
+    )
+    src_file = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src_file)
+    tag = hashlib.md5(
+        f"sess_closed:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    src_dir = tempfile.gettempdir() + f"/netflow_sess_src_{tag}"
+    if not os.path.exists(os.path.join(src_dir, "_DONE")):
+        ev.coalesce(1).write.mode("append").parquet(src_dir)
+        (
+            ev.select("user_id")
+            .distinct()
+            .withColumn("ts", F.lit(flush_ts))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_dir)
+        )
+        with open(os.path.join(src_dir, "_DONE"), "w", encoding="utf-8"):
+            pass
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts", TimestampType())]
+    )
+    # no maxFilesPerTrigger: one batch, so the per-key event list is
+    # complete and in-batch gap closure sees the sentinel last
+    raw = sources.parquet_file_source(spark, src_dir, schema)
+    sessions = stateful.sessionize(
+        raw.withWatermark("ts", "1 second"), gap_seconds=gap
+    )
+    landed = _run_sessions_to_sink(spark, sessions)
+    return landed.filter(F.col("session_start") < F.lit(flush_ts)).orderBy(
+        "user_id", "session_start"
+    )
+
+
+_STREAM_SESS_CLOSED_SQL = """
+WITH t AS (
+  SELECT user_id, ts,
+         -- strict > mirrors streaming/stateful.sessionize: an event
+         -- EXACTLY gap after the previous one stays in-session
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 1 HOUR
+                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE user_id < 20
+),
+g AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM t
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
 
 
 def _stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,7 +588,10 @@ FROM events WHERE event_id % 10 = 0 ORDER BY event_id
 
 
 register("storage_versioned_upsert", _storage_versioned_upsert, _STORAGE_VT_SQL, driver=False)
-register("stream_sessionize", _stream_sessionize)  # rows-only: open sessions unflushed
+# driver tier: the sentinel-closed variant (exact islands oracle);
+# the open-session rows-only variant stays pytest-differential-tested
+register("stream_sessionize_closed", _stream_sessionize_closed, _STREAM_SESS_CLOSED_SQL)
+register("stream_sessionize", _stream_sessionize, driver=False)  # rows-only: open sessions unflushed
 register("stream_dedup_watermark", _stream_dedup_watermark)  # rows-only
 register("stream_exactly_once_sink", _stream_exactly_once_sink, _STREAM_E1X_SQL)
 register("stream_tumbling_window", _stream_tumbling_window, _STREAM_WINDOW_SQL)

@@ -424,9 +424,14 @@ class VersionedTable:
         last ``keep_last`` — bounds storage, forfeits time travel
         beyond the horizon. Returns number of file groups removed."""
         vs = self.versions()
+        # Manifests record either a bare group ("data/{group}") or, for
+        # clustered/z-ordered appends, subpaths ("data/{group}/_rb=N") —
+        # normalize every kept path to its first two components so a group
+        # survives if ANY kept manifest references anything under it.
         keep = set()
         for v in vs[-keep_last:]:
-            keep.update(self._manifest(v)["files"])
+            for f in self._manifest(v)["files"]:
+                keep.add("/".join(f.split("/")[:2]))
         removed = 0
         for group in os.listdir(self._data):
             rel = f"data/{group}"

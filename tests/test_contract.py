@@ -31,9 +31,6 @@ def test_registry_shape():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "similarity_ann_topk",
-        "similarity_quantized_topk",
-        "dedup_components",
-        "stream_sessionize",
         "stream_dedup_watermark",
     }, rows_only
     # extras keep their oracles for the pytest differential

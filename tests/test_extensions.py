@@ -246,6 +246,19 @@ def test_deterministic_sampling_properties(spark):
     h = {r["doc_id"] for r in hold.select("doc_id").collect()}
     assert not (t & h) and len(t | h) == n
     assert 0 < len(h) < n
+    # NULL keys must not vanish: they hash like '' and land on exactly
+    # one deterministic side of the split (previously the NULL predicate
+    # dropped them from BOTH sides)
+    withnull = docs.select("doc_id").unionByName(
+        spark.createDataFrame([(None,), (None,)], "doc_id long")
+    )
+    tr2, ho2 = S.split_train_holdout(withnull, "doc_id", 0.1, seed=3)
+    assert tr2.count() + ho2.count() == n + 2
+    null_side_counts = (
+        tr2.filter("doc_id is null").count(),
+        ho2.filter("doc_id is null").count(),
+    )
+    assert sorted(null_side_counts) == [0, 2], null_side_counts
 
 
 def test_minhash_agrees_with_sparkml_lsh(spark):

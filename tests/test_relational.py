@@ -163,6 +163,32 @@ def test_asof_join_semantics(spark):
     assert out == {"b0": None, "b5": 100, "b3": 71}, out
 
 
+def test_asof_join_null_right_column_is_row_atomic(spark):
+    """When the nearest right row holds NULL in one column, the output
+    must carry THAT row's NULL — not stitch the column from an older
+    right row (per-column carry-forward would)."""
+    import datetime as dt
+
+    from netflow_analysis_with_spark_streaming_spark.operators import asof
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m, 0)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(9), "probe")], "user_id long, ts timestamp, name string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, t(1), 10, "old-city", 1),
+            (1, t(8), 20, None, 2),  # nearest: city is genuinely NULL
+        ],
+        "user_id long, cts timestamp, score long, city string, rid long",
+    )
+    row = asof.asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="cts",
+        right_cols=["score", "city"], right_id="rid",
+    ).collect()[0]
+    assert row["score"] == 20 and row["city"] is None, row
+
+
 def test_interval_join_boundaries_and_plan(spark):
     """Half-open [start, end): start row joins, end row doesn't; an
     interval spanning several buckets matches each point once; and the

@@ -98,13 +98,15 @@ def test_stream_sessions_agree_with_batch(spark):
     from conftest import SF_ORACLE
     from netflow_analysis_with_spark_streaming_spark import tables
 
-    mod = sys.modules.get("__spark_entry__") or importlib.import_module("__spark_entry__")
+    from netflow_analysis_with_spark_streaming_spark import queries as Q
+
+    sys.modules.get("__spark_entry__") or importlib.import_module("__spark_entry__")
     # end conventions differ by design: stateful.sessionize reports the
     # LAST EVENT time, session_window reports last event + gap — so the
     # agreement key is (user, start, count).
     streamed = {
         (r["user_id"], r["session_start"], r["n_events"])
-        for r in mod.queries()["stream_sessionize"](spark, SF_ORACLE).collect()
+        for r in Q.all_queries()["stream_sessionize"](spark, SF_ORACLE).collect()
     }
     ev = tables.load(spark, "events", SF_ORACLE).filter(F.col("user_id") < 20)
     batch = {

@@ -69,6 +69,33 @@ def test_compact_and_vacuum(spark, tmp_path):
     assert len(t.versions()) == 1
 
 
+def test_vacuum_keeps_clustered_append_groups(spark, tmp_path):
+    """Regression: clustered/z-ordered manifests record subpaths
+    ('data/{group}/_rb=N'); vacuum must keep the whole group when any
+    kept manifest references anything under it — previously it rmtree'd
+    live data and the next read() failed."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(0, "old")]))  # group orphaned by the upsert below
+    t.upsert(spark, _df(spark, [(0, "new")]), keys=["k"])
+    t.append_clustered(
+        spark.range(1, 201).selectExpr("id as k", "cast(id as string) as v"),
+        "k",
+        n_groups=4,
+    )
+    removed = t.vacuum(keep_last=1)
+    assert removed == 1  # only the pre-upsert group
+    assert t.read(spark).count() == 201  # live clustered data intact
+    tz = VersionedTable(str(tmp_path / "tz"))
+    tz.append_zordered(
+        spark.range(0, 256).selectExpr("id % 16 as x", "id div 16 as y"),
+        ("x", "y"),
+        n_groups=8,
+        bits=4,
+    )
+    assert tz.vacuum(keep_last=1) == 0
+    assert tz.read(spark).count() == 256
+
+
 def test_streaming_upsert_sink_exactly_once(spark, tmp_path):
     """An update-mode streaming aggregate lands in the table through
     the idempotent sink; final table state equals the batch aggregate,
