@@ -21,6 +21,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# min-of-N: same-code runs on a shared sandbox jittered single timings
+# by up to 2.4x (text_zscore_by_lang 0.63 vs 1.54 s) — the min of two
+# passes in a FIXED order is stable within ~20% run-to-run, which a
+# 2x regression gate needs.
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
 
 def main() -> int:
@@ -37,13 +42,18 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, fn in e.queries().items():
-        t0 = time.time()
-        try:
-            fn(spark, SF_DIR).collect()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as ex:  # noqa: BLE001 — record, keep benching
-            errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+    for _rep in range(REPS):
+        for name, fn in e.queries().items():
+            if name in errors:
+                continue
+            t0 = time.time()
+            try:
+                fn(spark, SF_DIR).collect()
+                dt = round(time.time() - t0, 3)
+                timings[name] = min(timings.get(name, dt), dt)
+            except Exception as ex:  # noqa: BLE001 — record, keep benching
+                errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+                timings.pop(name, None)
     spark.stop()
 
     out = {
