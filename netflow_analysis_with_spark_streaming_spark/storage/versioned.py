@@ -216,23 +216,25 @@ class VersionedTable:
     def snapshot_files(
         self,
         version: int | None = None,
-        prune: tuple[str, object, object] | None = None,
+        prune: tuple[str, object, object] | list[tuple[str, object, object]] | None = None,
     ) -> list[str]:
         """The file groups a read must open — after stats pruning.
         ``prune=(col, lo, hi)`` drops every group whose recorded
         [min, max] for col cannot overlap [lo, hi]; groups without
-        stats for col are conservatively kept."""
+        stats for col are conservatively kept. A LIST of such tuples
+        prunes conjunctively (every predicate must overlap) — the
+        multi-dimension case z-ordered layouts exist for."""
         if version is None:
             version = self.latest_version()
         if version is None:
             raise ValueError(f"table {self.root} has no committed version")
         m = self._manifest(version)
         files = m["files"]
-        if prune:
-            col, lo, hi = prune
-            stats = m.get("stats", {})
+        preds = [prune] if isinstance(prune, tuple) else (prune or [])
+        stats = m.get("stats", {})
+        for col, lo, hi in preds:
 
-            def overlaps(f: str) -> bool:
+            def overlaps(f: str, col=col, lo=lo, hi=hi) -> bool:
                 s = stats.get(f, {}).get(col)
                 if not s or s[0] is None or s[1] is None:
                     return True  # no stats -> can't prune safely
@@ -329,7 +331,7 @@ class VersionedTable:
         self,
         spark: SparkSession,
         version: int | None = None,
-        prune: tuple[str, object, object] | None = None,
+        prune: tuple[str, object, object] | list[tuple[str, object, object]] | None = None,
     ) -> DataFrame:
         """The snapshot at ``version`` (default: latest). Old versions
         stay readable until vacuum() — that IS time travel.

@@ -107,10 +107,23 @@ def dual_sink(flows: DataFrame, cold_sink, hot_writer, checkpoint: str):
     )
 
 
+COMPLETE_MODE_ROW_BOUND = 100_000
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     """Deterministic test/driver execution: availableNow trigger into
     a memory sink, blocking until the backlog drains. Returns the
-    finished StreamingQuery; results are in spark.table(name)."""
+    finished StreamingQuery; results are in spark.table(name).
+
+    Complete mode re-emits the ENTIRE result every trigger and the
+    memory sink holds it on the driver — correct only while key
+    cardinality stays bounded (fine for the demo corpus's 25-3.4k
+    keys; unbounded keys at production scale belong in append/update
+    mode landed through a foreachBatch sink, see
+    queries_streaming._fold_update_mode). Enforced: a complete-mode
+    result larger than COMPLETE_MODE_ROW_BOUND raises instead of
+    silently growing driver state.
+    """
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -119,4 +132,12 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
         .start()
     )
     q.awaitTermination()
+    if output_mode == "complete":
+        n = df.sparkSession.table(name).count()
+        if n > COMPLETE_MODE_ROW_BOUND:
+            raise RuntimeError(
+                f"complete-mode memory sink '{name}' materialized {n} rows "
+                f"(> {COMPLETE_MODE_ROW_BOUND}): key cardinality is not "
+                "bounded — use append/update mode with a foreachBatch sink"
+            )
     return q

@@ -584,3 +584,68 @@ def test_socket_live_path(spark):
     finally:
         stop.set()
         srv.close()
+
+
+def test_socket_paced_delivery_multi_batch(spark):
+    """T8 pacing on the LIVE path: rows arrive over the socket in
+    bursts while a short processing-time trigger drains them — the
+    stream must deliver across >1 non-empty micro-batch with every
+    batch bounded below the full payload (the sandbox-legal analog of
+    Kafka maxOffsetsPerTrigger backpressure: bounded increments, not
+    one catch-all batch)."""
+    import socket
+    import threading
+    import time
+
+    n_rows = 30
+    burst = 10
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            for i in range(n_rows):
+                conn.sendall((json.dumps({"i": i}) + "\n").encode())
+                if i % burst == burst - 1:
+                    time.sleep(1.5)  # burst gap >> trigger interval
+            while not stop.is_set():
+                time.sleep(0.1)
+
+    threading.Thread(target=serve, daemon=True).start()
+    batches: list = []  # (batch_id, n_rows) per non-empty batch
+    try:
+        raw = (
+            spark.readStream.format("socket")
+            .option("host", "127.0.0.1")
+            .option("port", port)
+            .load()
+        )
+        parsed = raw.select(F.from_json("value", "i long").alias("r")).select("r.*")
+        q = (
+            parsed.writeStream.foreachBatch(
+                lambda df, bid: batches.append((bid, df.count()))
+            )
+            .outputMode("append")
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if sum(n for _, n in batches) >= n_rows:
+                break
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination()
+    finally:
+        stop.set()
+        srv.close()
+    sizes = [n for _, n in batches if n > 0]
+    assert sum(sizes) == n_rows, batches
+    assert len(sizes) >= 2, f"expected paced multi-batch delivery, got {batches}"
+    assert max(sizes) < n_rows, f"one catch-all batch defeats pacing: {batches}"

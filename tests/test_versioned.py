@@ -251,3 +251,60 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     assert len(t1.snapshot_files(prune=("x", 0, 7))) <= 4
     # y stats span the full range in (nearly) every x-clustered group
     assert len(t1.snapshot_files(prune=("y", 0, 7))) >= 12
+
+
+def test_zorder_day_user_composition_flagship_filter(spark):
+    """The flagship access pattern (ts-day range + entity range) on a
+    day+user z-ordered versioned table, at sf0.1: ONE read must
+    (a) skip file groups via manifest stats on the day dimension,
+    (b) skip file groups via manifest stats on the user dimension,
+    (c) prune strictly harder with BOTH predicates than with either
+    alone, and (d) still push the residual row filters into the
+    parquet scan of the surviving groups — the two pruning layers
+    composing in a single plan."""
+    import tempfile
+
+    from netflow_analysis_with_spark_streaming_spark import tables
+
+    ev = tables.load(spark, "events", "/root/testdata/sf0.1").select(
+        "user_id",
+        "value",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("day_num"),
+    )
+    lo_d, hi_d, lo_u, hi_u = ev.agg(
+        F.min("day_num"), F.max("day_num"), F.min("user_id"), F.max("user_id")
+    ).collect()[0]
+    # middle ~20% of the day range, bottom ~12% of the user range
+    d_from = lo_d + (hi_d - lo_d) * 2 // 5
+    d_to = lo_d + (hi_d - lo_d) * 3 // 5
+    u_to = lo_u + (hi_u - lo_u) // 8
+    with tempfile.TemporaryDirectory() as root:
+        tz = VersionedTable(root + "/z")
+        tz.append_zordered(ev, ("day_num", "user_id"), n_groups=32, bits=6)
+        day_pred = ("day_num", d_from, d_to)
+        user_pred = ("user_id", lo_u, u_to)
+        n_all = len(tz.snapshot_files())
+        n_day = len(tz.snapshot_files(prune=[day_pred]))
+        n_user = len(tz.snapshot_files(prune=[user_pred]))
+        n_both = len(tz.snapshot_files(prune=[day_pred, user_pred]))
+        assert n_all == 32
+        # day interleaves at even bit positions: a 20% day slice keeps
+        # ~2 of 4 top-bit combos -> prunes coarsely but measurably
+        assert n_day < n_all * 3 // 4, (n_all, n_day)
+        assert n_user <= n_all // 4, (n_all, n_user)
+        # the composition is the point: both predicates together cut
+        # far below either alone (measured 3/32 vs 19 and 7)
+        assert n_both <= min(n_day, n_user) // 2 + 1, (n_day, n_user, n_both)
+        cond = (
+            (F.col("day_num") >= d_from)
+            & (F.col("day_num") <= d_to)
+            & (F.col("user_id") <= u_to)
+        )
+        pruned = tz.read(spark, prune=[day_pred, user_pred]).filter(cond)
+        # (d) residual filters reach the parquet scan of survivors
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "GreaterThanOrEqual(day_num" in plan, plan[:2000]
+        # superset contract: pruned+filtered == unpruned+filtered
+        assert pruned.count() == tz.read(spark).filter(cond).count()
