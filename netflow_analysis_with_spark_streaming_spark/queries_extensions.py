@@ -787,18 +787,64 @@ ORDER BY doc_id, frame_idx
 
 
 def _similarity_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both ANN index families (random-hyperplane LSH buckets; IVF
-    centroid lists with n_probe=4) in one tagged entry — the two
-    100 TB-scale candidate-pruning shapes side by side. Rows-only
-    driver check (bucketing is Spark/numpy-side); recall vs the
-    brute-force baseline is property-tested per family."""
-    lsh = _similarity_lsh_topk(spark, sf_dir).select(
-        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "rank"
+    """Multi-probe LSH ANN, exactly oracle-checked: the deterministic
+    Knuth-multiplicative hyperplanes make the whole index — sign
+    buckets, hamming-1 probe expansion, candidate equi-join, cosine
+    re-rank — a pure function of the embeddings, so DuckDB rebuilds it
+    bit-identically from the same integer formula (the same move that
+    made MinHash banding oracle-able). The OTHER index family (IVF,
+    k-means-trained) stays a rows-only extra (`similarity_ivf_topk`):
+    its Lloyd iterations sum floats in engine-dependent order, so its
+    evidence is the recall property test, not a hash."""
+    return _similarity_lsh_topk(spark, sf_dir)
+
+
+def _lsh_plane_sql(j: int, dim: int = 64) -> str:
+    """DuckDB mirror of vectors.hyperplane — same integer formula, so
+    both engines derive bit-identical plane vectors."""
+    return (
+        f"list_transform(range(0,{dim}), k -> "
+        f"((({j}*{dim}+k) * 2654435761) % 4294967296) / 2147483648.0 - 1)"
     )
-    ivf = _similarity_ivf_topk(spark, sf_dir).select(
-        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "rank"
+
+
+def _lsh_topk_sql(planes: int = 4, dim: int = 64, multi_probe: bool = True) -> str:
+    plane_defs = ", ".join(f"{_lsh_plane_sql(j, dim)} AS pl{j}" for j in range(planes))
+    bucket_expr = " + ".join(
+        f"CASE WHEN list_dot_product(emb, pl{j}) >= 0 THEN {1 << j} ELSE 0 END"
+        for j in range(planes)
     )
-    return lsh.unionByName(ivf).orderBy("method", "query_id", "rank")
+    probes = (
+        "[bucket, " + ", ".join(f"xor(bucket, {1 << b})" for b in range(planes)) + "]"
+        if multi_probe
+        else "[bucket]"
+    )
+    return f"""
+WITH planes AS (SELECT {plane_defs}),
+b AS (
+  SELECT vec_id, emb, ({bucket_expr}) AS bucket
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings), planes
+),
+q AS (
+  SELECT vec_id AS query_id, emb AS q_emb, u.probe AS bucket
+  FROM b, UNNEST({probes}) AS u(probe)
+  WHERE vec_id < 10
+),
+cand AS (
+  SELECT query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(q_emb, b.emb) AS cos
+  FROM q JOIN b USING (bucket) WHERE b.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand)
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+_LSH_TOPK_SQL = _lsh_topk_sql(multi_probe=True)
+_LSH_SINGLE_PROBE_SQL = _lsh_topk_sql(multi_probe=False)
 
 
 # Driver tier (order set in queries.py). dedup_fingerprint covers
@@ -818,7 +864,7 @@ register(
     _SIMHASH_PAIRS_SQL.replace("{SIG}", _SIMHASH_SQL),
 )
 register("similarity_cosine_topk", _similarity_cosine_topk, _COSINE_TOPK_SQL)
-register("similarity_ann_topk", _similarity_ann_topk)  # rows-only: Spark-side index
+register("similarity_ann_topk", _similarity_ann_topk, _LSH_TOPK_SQL)
 register(
     "similarity_embedding_neardup", _similarity_embedding_neardup, _EMBEDDING_NEARDUP_SQL
 )
@@ -1052,7 +1098,12 @@ register("sample_stratified", _sample_stratified, _sample_stratified_sql(), driv
 register("dedup_exact", _dedup_exact, _DEDUP_EXACT_SQL, driver=False)
 register("dedup_minhash_signatures", _dedup_minhash_signatures, _MINHASH_SIG_SQL, driver=False)
 register("dedup_simhash", _dedup_simhash, _SIMHASH_SQL, driver=False)
-register("similarity_lsh_topk", _similarity_lsh_topk, driver=False)  # rows-only
+register(
+    "similarity_lsh_topk",
+    lambda spark, sf_dir: _similarity_lsh_topk(spark, sf_dir, multi_probe=False),
+    _LSH_SINGLE_PROBE_SQL,
+    driver=False,
+)  # single-probe contrast to the driver entry
 register("similarity_ivf_topk", _similarity_ivf_topk, driver=False)  # rows-only
 def _text_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas (grouped-map) surface: per-language z-score of the

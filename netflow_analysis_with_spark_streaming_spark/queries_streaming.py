@@ -403,15 +403,56 @@ ORDER BY user_id, session_start
 
 
 def _stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T6 bounded-state streaming dedup: dropDuplicatesWithinWatermark
-    over (user_id, ts). The events table has no true duplicates, so the
-    surviving count equals the input count — the semantics (duplicate
-    drop + state eviction) are exercised with planted duplicates in
-    tests/test_streaming.py. Rows-only."""
+    """T6 bounded-state streaming dedup with an EXACT oracle: the
+    events stream is replayed with a planted duplicate copy of every
+    5th row (same event_id — a replayed-delivery simulation), deduped
+    on event_id within the watermark, and folded to per-type counts.
+    Originals never collide on event_id, so exactly the planted copies
+    drop and the surviving counts equal the batch per-type counts —
+    dedup doing real, deterministic work. Watermark-horizon EVICTION
+    (late duplicates surviving) stays pytest territory
+    (tests/test_streaming.py), since eviction timing is not
+    batch-reproducible."""
+    import hashlib
+    import os
+    import tempfile
+
     from .streaming import jobs as _jobs
 
-    ev = _events_stream(spark, sf_dir).select("user_id", "ts", "event_type")
-    deduped = _jobs.dedup_within_watermark(ev, keys=["user_id"], watermark="10 minutes")
+    tables.harden_session(spark)
+    base = tables.load(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src_file = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src_file)
+    tag = hashlib.md5(
+        f"dedup_src:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    src_dir = tempfile.gettempdir() + f"/netflow_dedup_src_{tag}"
+    if not os.path.exists(os.path.join(src_dir, "_DONE")):
+        base.coalesce(1).write.mode("append").parquet(src_dir)
+        (  # the planted duplicates: byte-identical rows, same event_id
+            base.filter(F.col("event_id") % 5 == 0)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src_dir)
+        )
+        with open(os.path.join(src_dir, "_DONE"), "w", encoding="utf-8"):
+            pass
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+        ]
+    )
+    # single batch (no maxFilesPerTrigger): every duplicate arrives
+    # inside the watermark horizon, so dedup state is live for all
+    raw = sources.parquet_file_source(spark, src_dir, schema)
+    deduped = _jobs.dedup_within_watermark(
+        raw, keys=["event_id"], watermark="10 minutes"
+    )
     with _bounded_state_partitions(spark):
         _jobs.run_to_memory(deduped, "stream_dedup_watermark", output_mode="append")
     return (
@@ -420,6 +461,12 @@ def _stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("event_type")
     )
+
+
+_STREAM_DEDUP_SQL = """
+SELECT event_type, COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
 
 
 def _stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -592,7 +639,7 @@ register("storage_versioned_upsert", _storage_versioned_upsert, _STORAGE_VT_SQL,
 # the open-session rows-only variant stays pytest-differential-tested
 register("stream_sessionize_closed", _stream_sessionize_closed, _STREAM_SESS_CLOSED_SQL)
 register("stream_sessionize", _stream_sessionize, driver=False)  # rows-only: open sessions unflushed
-register("stream_dedup_watermark", _stream_dedup_watermark)  # rows-only
+register("stream_dedup_watermark", _stream_dedup_watermark, _STREAM_DEDUP_SQL)
 register("stream_exactly_once_sink", _stream_exactly_once_sink, _STREAM_E1X_SQL)
 register("stream_tumbling_window", _stream_tumbling_window, _STREAM_WINDOW_SQL)
 register("stream_path2_flatten", _stream_path2_flatten, _PARITY_FLATTEN_SQL)

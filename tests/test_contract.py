@@ -28,11 +28,11 @@ def test_registry_shape():
     assert set(oracles) <= set(qs), "oracle without a query"
     assert all(callable(f) for f in qs.values())
     # rows-only entries are the documented sketch/iterative set
+    # every driver entry now carries a DuckDB oracle — the remaining
+    # rows-only checks (IVF, open-session sessionize) live in the
+    # extra tier with property-test evidence instead
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "similarity_ann_topk",
-        "stream_dedup_watermark",
-    }, rows_only
+    assert rows_only == set(), rows_only
     # extras keep their oracles for the pytest differential
     assert set(Q.EXTRA_ORACLES) <= set(Q.EXTRA_QUERIES)
     assert not set(Q.EXTRA_QUERIES) & set(qs), "entry in both tiers"
