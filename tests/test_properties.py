@@ -168,6 +168,61 @@ def test_asof_join_equals_naive(spark, lefts, rights):
 
 @settings(max_examples=15, deadline=None)
 @given(
+    lefts=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 20)), min_size=1, max_size=10
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 20), st.booleans()),
+        min_size=0,
+        max_size=10,
+    ),
+)
+def test_asof_join_row_atomic_under_nulls(spark, lefts, rights):
+    """With a nullable right payload, the payload must always come from
+    the SAME right row as the id — including when it is NULL (the
+    per-column carry-forward bug stitched it from an older row)."""
+    import datetime as dt
+
+    from netflow_analysis_with_spark_streaming_spark.operators import asof
+
+    base = dt.datetime(2024, 1, 1)
+    ts = lambda m: base + dt.timedelta(minutes=m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(k, ts(m), i) for i, (k, m) in enumerate(lefts)],
+        "k long, ts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [
+            (k, ts(m), 1000 + i, None if nul else f"p{i}")
+            for i, (k, m, nul) in enumerate(rights)
+        ],
+        "k long, cts timestamp, rid long, payload string",
+    )
+    got = {
+        r["lid"]: (r["rid"], r["payload"])
+        for r in asof.asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="cts",
+            right_cols=["rid", "payload"], right_id="rid",
+        ).collect()
+    }
+    payload_of = {
+        1000 + i: (None if nul else f"p{i}") for i, (_, _, nul) in enumerate(rights)
+    }
+    for i, (k, m) in enumerate(lefts):
+        cands = [
+            (rm, 1000 + j)
+            for j, (rk, rm, _) in enumerate(rights)
+            if rk == k and rm <= m
+        ]
+        if cands:
+            rid = max(cands)[1]
+            assert got[i] == (rid, payload_of[rid]), (i, got[i], rid)
+        else:
+            assert got[i] == (None, None), (i, got[i])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
     points=st.lists(st.integers(0, 30), min_size=1, max_size=10),
     ivs=st.lists(
         st.tuples(st.integers(0, 30), st.integers(1, 10)), min_size=1, max_size=6
