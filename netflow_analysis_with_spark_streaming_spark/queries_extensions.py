@@ -1437,3 +1437,170 @@ register("text_edit_distance", _text_edit_distance, _TEXT_EDIT_SQL)
 # text_stats_by_lang aggregates the hash-checked per-doc text_analysis
 # columns — folded to the extra tier for the driver window.
 register("text_stats_by_lang", _text_stats_by_lang, _TEXT_STATS_SQL, driver=False)
+
+
+# --- Training-pipeline operators round 4: decontamination, global ----------
+# --- shuffle sharding, intra-doc repetition --------------------------------
+
+
+def _text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (the pre-training hygiene pass): flag
+    every corpus document sharing a 5-word shingle with any eval item.
+    The eval set is contaminated BY CONSTRUCTION — each item is the
+    first 12 words of every 83rd document — so the detector must find
+    at least those source docs (asserted in tests) and any true
+    near-dups.
+
+    Scale shape: shingle inverted-index equi-join (never doc x eval
+    cross product); the eval side is tiny and broadcasts. 5-gram
+    shingles (not 3) keep join fan-out down — real decontamination
+    uses 8-13-grams for the same reason.
+    """
+    docs = tables.load(spark, "documents", sf_dir)
+    w = docs.select("doc_id", T.words(F.col("text")).alias("w"))
+    corpus_sh = w.select(
+        "doc_id", F.explode(T.shingles_from_words(F.col("w"), 5)).alias("shingle")
+    ).distinct()
+    eval_sh = (
+        w.filter(F.col("doc_id") % 83 == 0)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.explode(
+                T.shingles_from_words(F.slice(F.col("w"), 1, 12), 5)
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    hits = corpus_sh.join(F.broadcast(eval_sh), "shingle")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count_distinct("shingle").alias("n_shared_shingles"),
+            F.count_distinct("eval_id").alias("n_eval_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DECONTAMINATE_SQL = f"""
+WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+corpus_sh AS (
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS shingle
+  FROM toks, unnest(range(1, len(w) - 3)) t(i)
+),
+eval_sh AS (
+  SELECT DISTINCT doc_id AS eval_id,
+         concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS shingle
+  FROM (SELECT doc_id, w[1:12] AS w FROM toks WHERE doc_id % 83 = 0),
+       unnest(range(1, len(w) - 3)) t(i)
+)
+SELECT doc_id,
+       COUNT(DISTINCT shingle) AS n_shared_shingles,
+       COUNT(DISTINCT eval_id) AS n_eval_docs
+FROM corpus_sh JOIN eval_sh USING (shingle)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+_N_SHARDS = 16
+
+
+def _corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: every doc
+    gets an md5 sort key (pure function of doc_id + seed — the
+    reshuffle-between-epochs primitive that survives retries and
+    cluster resizes, unlike orderBy(rand())); shard = key % 16. The
+    checkable surface is per-shard counts, key ranges AND an
+    order-sensitive md5 fingerprint of the doc sequence — proving the
+    exact within-shard order, not just membership.
+
+    Scale: one hash-partitioned shuffle on the shard id; the order
+    fingerprint is a sorted collect_list per shard, bounded by shard
+    size (at 100 TB, shards are written with sortWithinPartitions and
+    the fingerprint becomes a streaming fold — the demo-scale
+    collect_list keeps it oracle-exact)."""
+    docs = tables.load(spark, "documents", sf_dir)
+    keyed = docs.select(
+        "doc_id",
+        T.md5_hash32(F.col("doc_id").cast("string"), seed=42).alias("key"),
+    ).withColumn("shard", F.col("key") % _N_SHARDS)
+    return (
+        keyed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("key").alias("first_key"),
+            F.max("key").alias("last_key"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("key", "doc_id"))),
+                        lambda x: x["doc_id"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("order_md5"),
+        )
+        .orderBy("shard")
+    )
+
+
+_SHARD_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {T.md5_hash32_sql("CAST(doc_id AS VARCHAR)", 42)} AS key
+  FROM documents
+)
+SELECT key % {_N_SHARDS} AS shard,
+       COUNT(*) AS n_docs,
+       MIN(key) AS first_key,
+       MAX(key) AS last_key,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY key, doc_id)) AS order_md5
+FROM keyed
+GROUP BY 1 ORDER BY shard
+"""
+
+
+def _text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (the Gopher-style rep filter): the
+    fraction of repeated 3-word shingles inside each doc. Pure narrow
+    codegen expressions — no shuffle until the final order."""
+    docs = tables.load(spark, "documents", sf_dir)
+    w = T.words(F.col("text"))
+    sh = T.shingles_from_words(w, 3)
+    n_total = F.size(sh)
+    n_distinct = F.size(F.array_distinct(sh))
+    return (
+        docs.select(
+            "doc_id",
+            n_total.cast("long").alias("n_shingles"),
+            n_distinct.cast("long").alias("n_distinct"),
+            F.when(n_total > 0, F.round(1.0 - n_distinct / n_total, 6))
+            .otherwise(F.lit(None).cast("double"))
+            .alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_REPETITION_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, list(concat_ws(' ', w[i], w[i+1], w[i+2]) ORDER BY i) AS grams
+  FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+       unnest(range(1, len(w) - 1)) t(i)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(len(sh.grams), 0) AS n_shingles,
+       COALESCE(len(list_distinct(sh.grams)), 0) AS n_distinct,
+       CASE WHEN COALESCE(len(sh.grams), 0) > 0
+            THEN ROUND(1.0 - len(list_distinct(sh.grams)) / len(sh.grams), 6)
+            ELSE NULL END AS rep_ratio
+FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+ORDER BY d.doc_id
+"""
+
+
+register("text_decontaminate", _text_decontaminate, _DECONTAMINATE_SQL, driver=False)
+register("corpus_shard_shuffle", _corpus_shard_shuffle, _SHARD_SHUFFLE_SQL, driver=False)
+register("text_repetition_score", _text_repetition_score, _REPETITION_SQL, driver=False)

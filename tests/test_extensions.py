@@ -362,3 +362,24 @@ def test_engine_lsh_agrees_with_sparkml_brp(spark):
     # ordering them (different metrics: euclidean buckets vs cosine)
     assert ml_recall >= 0.2, (ml_recall, engine_recall)
     assert engine_recall >= 0.2, (ml_recall, engine_recall)
+
+
+def test_decontaminate_finds_planted_sources(spark):
+    """Every eval item is carved from a source doc, so the detector
+    must flag at least all source docs (their own shingles overlap),
+    with the eval-doc count >= 1 for each; and the shard shuffle must
+    cover every doc exactly once across its 16 shards."""
+    from conftest import SF_ORACLE
+    from netflow_analysis_with_spark_streaming_spark import queries as Q
+
+    flagged = {
+        r["doc_id"]: r["n_eval_docs"]
+        for r in Q.all_queries()["text_decontaminate"](spark, SF_ORACLE).collect()
+    }
+    n_docs = 500
+    sources = set(range(0, n_docs, 83))
+    assert sources <= set(flagged), sources - set(flagged)
+    assert all(flagged[s] >= 1 for s in sources)
+    shards = Q.all_queries()["corpus_shard_shuffle"](spark, SF_ORACLE).collect()
+    assert sum(r["n_docs"] for r in shards) == n_docs
+    assert len(shards) == 16 and len({r["order_md5"] for r in shards}) == 16
