@@ -1604,3 +1604,144 @@ ORDER BY d.doc_id
 register("text_decontaminate", _text_decontaminate, _DECONTAMINATE_SQL, driver=False)
 register("corpus_shard_shuffle", _corpus_shard_shuffle, _SHARD_SHUFFLE_SQL, driver=False)
 register("text_repetition_score", _text_repetition_score, _REPETITION_SQL, driver=False)
+
+
+# --- The end-to-end corpus curation pipeline -------------------------------
+
+_CURATE_MIN_TOKENS = 30
+_CURATE_MAX_REP = 0.012
+
+
+def _corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE training-corpus pipeline, composed end-to-end in one plan:
+
+      quality filter (token count + repetition ratio)
+        -> exact dedup (md5 fingerprint, keep min doc_id)
+        -> near-dup removal (MinHash banding -> connected components
+           -> keep canonical)
+        -> eval-set decontamination (5-gram overlap drop)
+
+    Every stage is individually hash-exact against DuckDB, so the
+    COMPOSITION is too — the full pipeline a user would actually run,
+    verified end to end, not just its pieces. Scale: each stage is a
+    narrow filter, a fingerprint groupBy, a band equi-join or a
+    broadcast anti-join — the same shapes as the standalone entries.
+    """
+    from .operators import components as C
+
+    docs = tables.load(spark, "documents", sf_dir)
+    w = docs.select("doc_id", "lang", "text", T.words(F.col("text")).alias("w"))
+    sh3 = T.shingles_from_words(F.col("w"), 3)
+    quality = w.select(
+        "doc_id",
+        "lang",
+        "text",
+        "w",
+        F.size("w").cast("long").alias("n_tokens"),
+        (1.0 - F.size(F.array_distinct(sh3)) / F.size(sh3)).alias("rep"),
+    ).filter(
+        (F.col("n_tokens") >= _CURATE_MIN_TOKENS) & (F.col("rep") <= _CURATE_MAX_REP)
+    )
+    # exact dedup: min doc_id survives per normalized-text fingerprint
+    fp = quality.withColumn("fp", T.fingerprint(F.col("text")))
+    keep_ids = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    exact = fp.join(keep_ids, ["fp", "doc_id"], "left_semi").persist()
+    # near-dup removal over the survivors: banding -> components
+    sh = exact.select(
+        "doc_id", F.explode(T.shingles_from_words(F.col("w"), 3)).alias("shingle")
+    ).distinct()
+    sig = sh.groupBy("doc_id").agg(*T.minhash_sig_aggs(F.col("shingle"), N_MINHASH))
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                F.lit(str(b)),
+                *[
+                    F.col(f"sig_{b * _ROWS_PER_BAND + r}").cast("string")
+                    for r in range(_ROWS_PER_BAND)
+                ],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_keys).alias("band_key"))
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), "band_key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    comp = C.connected_components(pairs)
+    canon = C.dedup_keep_canonical(exact, comp)
+    # decontamination: eval items carved from the ORIGINAL corpus
+    eval_sh = (
+        w.filter(F.col("doc_id") % 83 == 0)
+        .select(
+            F.explode(T.shingles_from_words(F.slice(F.col("w"), 1, 12), 5)).alias(
+                "shingle"
+            )
+        )
+        .distinct()
+    )
+    cand5 = canon.select(
+        "doc_id", F.explode(T.shingles_from_words(F.col("w"), 5)).alias("shingle")
+    ).distinct()
+    contaminated = cand5.join(F.broadcast(eval_sh), "shingle").select("doc_id").distinct()
+    out = (
+        canon.join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)  # pin before unpersisting the stage cache
+    exact.unpersist()
+    return out
+
+
+_CURATE_SQL = (
+    "WITH RECURSIVE "
+    f"toks AS (SELECT doc_id, lang, text, {_WORDS_SQL} AS w FROM documents), "
+    "g AS (SELECT doc_id, list(concat_ws(' ', w[i], w[i+1], w[i+2])) AS grams "
+    "      FROM toks, unnest(range(1, len(w) - 1)) t(i) GROUP BY doc_id), "
+    "q AS (SELECT t.doc_id, t.lang, t.text, t.w, len(t.w) AS n_tokens "
+    "      FROM toks t JOIN g USING (doc_id) "
+    f"     WHERE len(t.w) >= {_CURATE_MIN_TOKENS} "
+    f"       AND 1.0 - len(list_distinct(g.grams)) / len(g.grams) <= {_CURATE_MAX_REP}), "
+    "f AS (SELECT q.*, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp FROM q), "
+    "keep AS (SELECT doc_id, lang, n_tokens, w FROM f "
+    "         QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)), "
+    "sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle "
+    "       FROM keep, unnest(range(1, len(w) - 1)) t(i)), "
+    "sig AS (SELECT doc_id, "
+    + ", ".join(
+        f"MIN({T.affine_hash32_sql(_BASE_H_SQL, s)}) AS sig_{s}"
+        for s in range(N_MINHASH)
+    )
+    + " FROM sh GROUP BY doc_id), "
+    "banded AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {_band_key_sql(b)} AS band_key FROM sig" for b in range(N_BANDS)
+    )
+    + "), "
+    "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "          FROM banded a JOIN banded b USING (band_key) WHERE a.doc_id < b.doc_id), "
+    "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+    "          UNION SELECT doc_b, doc_a FROM pairs), "
+    "walk(node, label) AS (SELECT u, u FROM edges UNION "
+    "                      SELECT e.u, wk.label FROM walk wk JOIN edges e ON e.v = wk.node), "
+    "comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node), "
+    "canon AS (SELECT k.* FROM keep k LEFT JOIN comp ON k.doc_id = comp.node "
+    "          WHERE comp.node IS NULL OR comp.component = k.doc_id), "
+    "eval_sh AS (SELECT DISTINCT concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS shingle "
+    "            FROM (SELECT w[1:12] AS w FROM toks WHERE doc_id % 83 = 0), "
+    "                 unnest(range(1, len(w) - 3)) t(i)), "
+    "cand5 AS (SELECT DISTINCT c.doc_id, "
+    "                 concat_ws(' ', c.w[i], c.w[i+1], c.w[i+2], c.w[i+3], c.w[i+4]) AS shingle "
+    "          FROM canon c, unnest(range(1, len(c.w) - 3)) t(i)), "
+    "contaminated AS (SELECT DISTINCT doc_id FROM cand5 JOIN eval_sh USING (shingle)) "
+    "SELECT c.doc_id, c.lang, c.n_tokens FROM canon c "
+    "ANTI JOIN contaminated ct USING (doc_id) ORDER BY doc_id"
+)
+
+
+register("corpus_curate", _corpus_curate, _CURATE_SQL, driver=False)

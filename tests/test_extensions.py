@@ -383,3 +383,28 @@ def test_decontaminate_finds_planted_sources(spark):
     shards = Q.all_queries()["corpus_shard_shuffle"](spark, SF_ORACLE).collect()
     assert sum(r["n_docs"] for r in shards) == n_docs
     assert len(shards) == 16 and len({r["order_md5"] for r in shards}) == 16
+
+
+def test_corpus_curate_stage_invariants(spark):
+    """The composed pipeline must actually exercise every stage:
+    quality-reject short/repetitive docs, drop near-dup non-canonicals,
+    and remove every contaminated doc the standalone detector flags."""
+    from conftest import SF_ORACLE
+    from netflow_analysis_with_spark_streaming_spark import queries as Q, tables
+
+    out = Q.all_queries()["corpus_curate"](spark, SF_ORACLE).collect()
+    n_in = tables.load(spark, "documents", SF_ORACLE).count()
+    kept = {r["doc_id"] for r in out}
+    assert 0 < len(kept) < n_in
+    assert all(r["n_tokens"] >= 30 for r in out)
+    flagged = {
+        r["doc_id"]
+        for r in Q.all_queries()["text_decontaminate"](spark, SF_ORACLE).collect()
+    }
+    assert not (kept & flagged), kept & flagged
+    # near-dup canonicals: no kept doc is a non-canonical member of a
+    # minhash cluster over the full corpus whose canonical also survived
+    pairs = Q.all_queries()["dedup_minhash_candidates"](spark, SF_ORACLE).collect()
+    for p in pairs:
+        if p["doc_a"] in kept and p["doc_b"] in kept:
+            raise AssertionError(f"near-dup pair both kept: {p}")
