@@ -1745,3 +1745,60 @@ _CURATE_SQL = (
 
 
 register("corpus_curate", _corpus_curate, _CURATE_SQL, driver=False)
+
+
+def _sample_join_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes hash sampling worth it on a star schema:
+    sampling orders AND lineitem independently on the SAME key at the
+    same fraction/seed yields a consistent sub-database — zero orphan
+    lineitems (item sampled, order not) and zero missing lineitems
+    (order sampled, item not). df.sample() cannot do this: its per-task
+    RNG decides each table independently. One summary row; the zeros
+    ARE the driver-checkable proof."""
+    from .functions import sampling as S
+
+    orders = tables.load(spark, "orders", sf_dir).select("o_orderkey")
+    li = tables.load(spark, "lineitem", sf_dir).select("l_orderkey", "l_linenumber")
+    so = S.sample_fraction(orders, "o_orderkey", 0.1, seed=5)
+    sl = S.sample_fraction(li, "l_orderkey", 0.1, seed=5)
+    orphans = sl.join(
+        so, sl.l_orderkey == so.o_orderkey, "left_anti"
+    )
+    missing = (
+        li.join(so, li.l_orderkey == so.o_orderkey, "left_semi")
+        .join(sl, ["l_orderkey", "l_linenumber"], "left_anti")
+    )
+    counts = [
+        so.agg(F.count("*").alias("n_orders")),
+        sl.agg(F.count("*").alias("n_items")),
+        orphans.agg(F.count("*").alias("orphan_items")),
+        missing.agg(F.count("*").alias("missing_items")),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out
+
+
+def _sample_join_consistent_sql() -> str:
+    from .functions import sampling as S
+
+    keep_o = f"{S.bucket_sql('o_orderkey', 5)} < 100000"
+    keep_l = f"{S.bucket_sql('l_orderkey', 5)} < 100000"
+    return f"""
+SELECT
+  (SELECT COUNT(*) FROM orders WHERE {keep_o}) AS n_orders,
+  (SELECT COUNT(*) FROM lineitem WHERE {keep_l}) AS n_items,
+  (SELECT COUNT(*) FROM lineitem WHERE {keep_l}
+     AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE {keep_o})) AS orphan_items,
+  (SELECT COUNT(*) FROM lineitem WHERE NOT ({keep_l})
+     AND l_orderkey IN (SELECT o_orderkey FROM orders WHERE {keep_o})) AS missing_items
+"""
+
+
+register(
+    "sample_join_consistent",
+    _sample_join_consistent,
+    _sample_join_consistent_sql(),
+    driver=False,
+)

@@ -408,3 +408,14 @@ def test_corpus_curate_stage_invariants(spark):
     for p in pairs:
         if p["doc_a"] in kept and p["doc_b"] in kept:
             raise AssertionError(f"near-dup pair both kept: {p}")
+
+
+def test_sample_join_consistency_zeros(spark):
+    """The summary row's zeros are the property: no orphan lineitems,
+    no missing lineitems, and a non-trivial sample on both tables."""
+    from conftest import SF_ORACLE
+    from netflow_analysis_with_spark_streaming_spark import queries as Q
+
+    r = Q.all_queries()["sample_join_consistent"](spark, SF_ORACLE).collect()[0]
+    assert r["orphan_items"] == 0 and r["missing_items"] == 0, r
+    assert r["n_orders"] > 0 and r["n_items"] > 0, r
