@@ -59,6 +59,30 @@ def _bounded_state_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _prepare_cached_dir(final_dir: str, build) -> str:
+    """Concurrency-safe build-once cache dir: ``build(tmp_dir)`` writes
+    into a unique temp dir which is atomically renamed into place; a
+    concurrent builder losing the race discards its copy. The naive
+    check-then-append-then-mark pattern let two processes interleave
+    appends into one dir and then mark it _DONE — a silently corrupt
+    (duplicated) cache."""
+    import os
+    import shutil
+    import uuid
+
+    if os.path.exists(os.path.join(final_dir, "_DONE")):
+        return final_dir
+    tmp = f"{final_dir}.tmp-{uuid.uuid4().hex}"
+    build(tmp)
+    with open(os.path.join(tmp, "_DONE"), "w", encoding="utf-8"):
+        pass
+    try:
+        os.rename(tmp, final_dir)  # atomic publish; fails if winner exists
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return final_dir
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table replayed as a stream (S2 parquet variant).
 
@@ -74,8 +98,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link_dir = f"/tmp/netflow_stream_src_{tag}"
     os.makedirs(link_dir, exist_ok=True)
     link = os.path.join(link_dir, "events.parquet")
-    if not os.path.exists(link):
+    try:
         os.symlink(src, link)
+    except FileExistsError:
+        pass  # concurrent creator won the race — same target either way
     raw = sources.parquet_file_source(spark, link_dir, EVENTS_RAW_NANOS)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
@@ -234,16 +260,14 @@ def _stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     (simulating a post-failure retry) and read the table back. The
     oracle is the plain batch projection — any duplicate from the
     replay, or any dropped row, breaks the match."""
-    import hashlib
-    import shutil
     import tempfile
 
     from .streaming import sinks
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    root = tempfile.gettempdir() + f"/netflow_e1x_{tag}"
-    shutil.rmtree(root, ignore_errors=True)
-    sink = sinks.IdempotentParquetSink(root)
+    # per-run unique root: a fixed name-derived path let concurrent
+    # runs rmtree each other's sink/checkpoint mid-query
+    root = tempfile.mkdtemp(prefix="netflow_e1x_")
+    sink = sinks.IdempotentParquetSink(root + "/landed")
     ev = _events_stream(spark, sf_dir).filter(F.col("event_id") % 10 == 0).select(
         "event_id", "user_id", "value"
     )
@@ -351,18 +375,19 @@ def _stream_sessionize_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"sess_closed:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:10]
     src_dir = tempfile.gettempdir() + f"/netflow_sess_src_{tag}"
-    if not os.path.exists(os.path.join(src_dir, "_DONE")):
-        ev.coalesce(1).write.mode("append").parquet(src_dir)
+
+    def _build(tmp: str) -> None:
+        ev.coalesce(1).write.mode("append").parquet(tmp)
         (
             ev.select("user_id")
             .distinct()
             .withColumn("ts", F.lit(flush_ts))
             .coalesce(1)
             .write.mode("append")
-            .parquet(src_dir)
+            .parquet(tmp)
         )
-        with open(os.path.join(src_dir, "_DONE"), "w", encoding="utf-8"):
-            pass
+
+    _prepare_cached_dir(src_dir, _build)
     schema = StructType(
         [StructField("user_id", LongType()), StructField("ts", TimestampType())]
     )
@@ -429,16 +454,17 @@ def _stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"dedup_src:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:10]
     src_dir = tempfile.gettempdir() + f"/netflow_dedup_src_{tag}"
-    if not os.path.exists(os.path.join(src_dir, "_DONE")):
-        base.coalesce(1).write.mode("append").parquet(src_dir)
+
+    def _build(tmp: str) -> None:
+        base.coalesce(1).write.mode("append").parquet(tmp)
         (  # the planted duplicates: byte-identical rows, same event_id
             base.filter(F.col("event_id") % 5 == 0)
             .coalesce(1)
             .write.mode("append")
-            .parquet(src_dir)
+            .parquet(tmp)
         )
-        with open(os.path.join(src_dir, "_DONE"), "w", encoding="utf-8"):
-            pass
+
+    _prepare_cached_dir(src_dir, _build)
     schema = StructType(
         [
             StructField("event_id", LongType()),
@@ -497,7 +523,8 @@ def _stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"upd_src:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:10]
     src_dir = tempfile.gettempdir() + f"/netflow_upd_src_{tag}"
-    if not os.path.exists(os.path.join(src_dir, "_DONE")):
+
+    def _build(tmp: str) -> None:
         ev = tables.load(spark, "events", sf_dir).select(
             "event_id", "ts", "event_type", "value"
         )
@@ -506,10 +533,10 @@ def _stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ev.filter(F.col("event_id") % 2 == parity)
                 .coalesce(1)
                 .write.mode("append")
-                .parquet(src_dir)
+                .parquet(tmp)
             )
-        with open(os.path.join(src_dir, "_DONE"), "w", encoding="utf-8"):
-            pass
+
+    _prepare_cached_dir(src_dir, _build)
     schema = StructType(
         [
             StructField("event_id", LongType()),
@@ -600,15 +627,13 @@ def _storage_versioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot write -> copy-on-write keyed upsert -> read-back. The
     oracle is the equivalent CASE projection — any lost row, stale
     value or duplicate from the merge breaks the hash match."""
-    import hashlib
-    import shutil
     import tempfile
 
     from .storage.versioned import VersionedTable
 
-    tag = hashlib.md5(f"vt:{sf_dir}".encode()).hexdigest()[:10]
-    root = tempfile.gettempdir() + f"/netflow_vt_{tag}"
-    shutil.rmtree(root, ignore_errors=True)
+    # per-run unique root (not a name-derived fixed path): concurrent
+    # runs of this entry must not rmtree each other's table mid-query
+    root = tempfile.mkdtemp(prefix="netflow_vt_") + "/t"
     t = VersionedTable(root)
     ev = (
         tables.load(spark, "events", sf_dir)
