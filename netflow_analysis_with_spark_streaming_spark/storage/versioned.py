@@ -159,14 +159,12 @@ class VersionedTable:
             stats={**prev_stats, **self._pending_stats},
         )
 
-    def append_clustered(
-        self, df: DataFrame, col: str, n_groups: int = 8
-    ) -> int:
-        """Range-clustered append: rows are range-partitioned on
-        ``col`` and each range lands as its OWN file group with tight
-        min/max stats — the 1-D z-order that makes stats pruning
-        selective (a random layout gives every group the full value
-        range, so nothing ever prunes)."""
+    def _write_clustered_group(
+        self, df: DataFrame, col: str, n_groups: int
+    ) -> tuple[list[str], dict]:
+        """Range-partition ``df`` on ``col`` and land each range as its
+        own file group with tight min/max stats; returns (files, stats)
+        for the caller's commit."""
         from pyspark.sql import functions as F
 
         ranged = df.repartitionByRange(n_groups, col).cache()
@@ -188,6 +186,17 @@ class VersionedTable:
             f"data/{group}/_rb={r['_rb']}": {col: [r["lo"], r["hi"]]}
             for r in stat_rows
         }
+        return files, stats
+
+    def append_clustered(
+        self, df: DataFrame, col: str, n_groups: int = 8
+    ) -> int:
+        """Range-clustered append: rows are range-partitioned on
+        ``col`` and each range lands as its OWN file group with tight
+        min/max stats — the 1-D z-order that makes stats pruning
+        selective (a random layout gives every group the full value
+        range, so nothing ever prunes)."""
+        files, stats = self._write_clustered_group(df, col, n_groups)
         prev_files: list[str] = []
         prev_stats: dict = {}
         if self.versions():
@@ -420,6 +429,22 @@ class VersionedTable:
         df = self.read(spark).coalesce(target_partitions)
         new = self._write_files(df)
         return self._commit(new, "compact", df.schema.json())
+
+    def rewrite_clustered(
+        self, spark: SparkSession, col: str, n_groups: int = 8
+    ) -> int:
+        """OPTIMIZE: rewrite the CURRENT snapshot range-clustered on
+        ``col`` — compaction and clustering in one commit (the Delta
+        ``OPTIMIZE ... ZORDER BY`` analog for the 1-D case). Streaming
+        ingest lands batches in arrival order, so its file groups all
+        span the full key range and stats pruning is useless; a
+        periodic recluster restores it. Old versions stay readable
+        (time travel) until vacuum()."""
+        df = self.read(spark)
+        files, stats = self._write_clustered_group(df, col, n_groups)
+        return self._commit(
+            files, "rewrite_clustered", df.schema.json(), stats=stats
+        )
 
     def vacuum(self, keep_last: int = 1) -> int:
         """Drop data files referenced ONLY by versions older than the

@@ -649,3 +649,50 @@ def test_socket_paced_delivery_multi_batch(spark):
     assert sum(sizes) == n_rows, batches
     assert len(sizes) >= 2, f"expected paced multi-batch delivery, got {batches}"
     assert max(sizes) < n_rows, f"one catch-all batch defeats pacing: {batches}"
+
+
+def test_prepare_cached_dir_race_single_publish(tmp_path):
+    """Two concurrent builders must yield exactly ONE published cache
+    with one builder's complete output — never interleaved appends
+    (the corruption the old check-then-append-then-mark pattern had)."""
+    import threading
+
+    from netflow_analysis_with_spark_streaming_spark.queries_streaming import (
+        _prepare_cached_dir,
+    )
+
+    final = str(tmp_path / "cache")
+    barrier = threading.Barrier(2)
+
+    def build_tag(tag):
+        def build(tmp):
+            import os
+            import time
+
+            os.makedirs(tmp)
+            barrier.wait()  # both builders past the _DONE check
+            for i in range(3):
+                with open(os.path.join(tmp, f"part-{i}"), "w") as f:
+                    f.write(tag)
+                time.sleep(0.01)
+
+        return build
+
+    threads = [
+        threading.Thread(target=_prepare_cached_dir, args=(final, build_tag(t)))
+        for t in ("A", "B")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    import os
+
+    assert os.path.exists(os.path.join(final, "_DONE"))
+    parts = sorted(p for p in os.listdir(final) if p.startswith("part-"))
+    assert parts == ["part-0", "part-1", "part-2"]
+    contents = {open(os.path.join(final, p)).read() for p in parts}
+    assert len(contents) == 1, f"interleaved builders: {contents}"
+    # no leaked loser temp dirs
+    leftovers = [d for d in os.listdir(tmp_path) if d.startswith("cache.tmp-")]
+    assert leftovers == [], leftovers

@@ -308,3 +308,51 @@ def test_zorder_day_user_composition_flagship_filter(spark):
         assert "PushedFilters: [" in plan and "GreaterThanOrEqual(day_num" in plan, plan[:2000]
         # superset contract: pruned+filtered == unpruned+filtered
         assert pruned.count() == tz.read(spark).filter(cond).count()
+
+
+def test_streaming_land_then_recluster_restores_pruning(spark, tmp_path):
+    """The maintenance loop a streamed table needs at scale: batches
+    land in ARRIVAL order, so every file group spans the full key range
+    and stats pruning is useless; rewrite_clustered (OPTIMIZE) rewrites
+    the snapshot range-clustered and pruning becomes selective again —
+    with identical data, and prior versions still time-travel-readable."""
+    import json as _json
+
+    from netflow_analysis_with_spark_streaming_spark.streaming import sources
+
+    d = tmp_path / "src"
+    d.mkdir()
+    # each arrival-order batch carries keys from the WHOLE range
+    for b in range(3):
+        (d / f"f{b}.json").write_text(
+            _json.dumps([{"k": i, "b": b} for i in range(b, 300, 3)])
+        )
+    raw = sources.json_file_source(
+        spark,
+        str(d),
+        spark.createDataFrame([], "k long, b long").schema,
+        max_files_per_trigger=1,
+    )
+    t = VersionedTable(str(tmp_path / "t"))
+    q = (
+        raw.writeStream.foreachBatch(lambda df, bid: t.append(df, bid, stats_cols=["k"]))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert t.read(spark).count() == 300
+    # arrival-order groups: stats overlap everywhere, nothing prunes
+    assert len(t.snapshot_files()) == 3
+    assert len(t.snapshot_files(prune=("k", 10, 20))) == 3
+    v_before = t.latest_version()
+    t.rewrite_clustered(spark, "k", n_groups=6)
+    assert t.history()[-1]["action"] == "rewrite_clustered"
+    # same data, now prunable
+    assert t.read(spark).count() == 300
+    assert len(t.snapshot_files()) == 6
+    assert len(t.snapshot_files(prune=("k", 10, 20))) <= 2
+    got = t.read(spark, prune=("k", 10, 20)).filter("k between 10 and 20")
+    assert got.count() == 11
+    # time travel across the rewrite still works
+    assert t.read(spark, version=v_before).count() == 300
