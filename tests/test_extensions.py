@@ -419,3 +419,33 @@ def test_sample_join_consistency_zeros(spark):
     r = Q.all_queries()["sample_join_consistent"](spark, SF_ORACLE).collect()[0]
     assert r["orphan_items"] == 0 and r["missing_items"] == 0, r
     assert r["n_orders"] > 0 and r["n_items"] > 0, r
+
+
+def test_corpus_curate_planted_semantics(spark, tmp_path):
+    """Planted corpus pins every stage's semantics end-to-end:
+    short doc -> quality-reject; all-same-word doc -> repetition-reject;
+    exact copy -> fingerprint-dedup to min id; one-word edit -> near-dup
+    component, canonical survives; doc 0 (eval source) -> decontaminated.
+    """
+    from netflow_analysis_with_spark_streaming_spark import queries as Q
+
+    def doc(i, words):
+        return (i, "en", " ".join(words))
+
+    # fully disjoint per-doc vocab: no accidental cross-doc shingles,
+    # so the ONLY near-dup cluster is the planted one
+    base = lambda i: [f"w{i}_{j}" for j in range(60)]  # noqa: E731
+    rows = [doc(0, [f"unique{j}" for j in range(60)])]  # eval source (0 % 83 == 0)
+    rows += [doc(i, base(i)) for i in range(1, 9)]       # clean survivors
+    rows.append(doc(9, base(9)[:10]))                    # too short
+    rows.append(doc(10, ["rep"] * 60))                   # all-repetition
+    rows.append(doc(11, base(1)))                        # exact dup of 1
+    w12 = base(2)
+    w12[3] = "CHANGED"
+    rows.append(doc(12, w12))                            # near-dup of 2
+    sf_dir = str(tmp_path / "sf_planted")
+    spark.createDataFrame(rows, ["doc_id", "lang", "text"]).write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    kept = {r["doc_id"] for r in Q.all_queries()["corpus_curate"](spark, sf_dir).collect()}
+    assert kept == {1, 2, 3, 4, 5, 6, 7, 8}, kept
