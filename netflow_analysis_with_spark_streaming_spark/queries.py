@@ -14,6 +14,10 @@ Two tiers:
   past the window by registration order) come right after the
   flagship. Near-duplicate operator variants are folded into tagged
   "suite" entries so every distinct semantic keeps a CORRECTNESS row.
+  As of round 4 every driver entry carries an exact oracle (zero
+  rows-only); the genuinely non-mirrorable ops (IVF k-means,
+  open-session sessionize) live in the extra tier with property-test
+  evidence.
 - **extra tier** (``EXTRA_QUERIES``/``EXTRA_ORACLES``): the folded
   variants, still fully oracle-differential-tested in pytest
   (tests/* parametrize over ``all_queries``) — nothing lost, just

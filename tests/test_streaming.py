@@ -696,3 +696,31 @@ def test_prepare_cached_dir_race_single_publish(tmp_path):
     # no leaked loser temp dirs
     leftovers = [d for d in os.listdir(tmp_path) if d.startswith("cache.tmp-")]
     assert leftovers == [], leftovers
+
+
+def test_complete_mode_row_bound_enforced(spark, tmp_path, monkeypatch):
+    """The complete-mode memory-sink guard must raise when the
+    materialized result exceeds the bound (unbounded-key protection),
+    and stay silent under it."""
+    import json as _json
+
+    import pytest
+
+    from netflow_analysis_with_spark_streaming_spark.streaming import (
+        jobs,
+        sources,
+    )
+
+    d = tmp_path / "src"
+    d.mkdir()
+    (d / "f.json").write_text(_json.dumps([{"k": i} for i in range(50)]))
+    raw = sources.json_file_source(
+        spark, str(d), spark.createDataFrame([], "k long").schema
+    )
+    agg = raw.groupBy("k").count()
+    monkeypatch.setattr(jobs, "COMPLETE_MODE_ROW_BOUND", 10)
+    with pytest.raises(RuntimeError, match="key cardinality"):
+        jobs.run_to_memory(agg, "t_bound_trip", output_mode="complete")
+    monkeypatch.setattr(jobs, "COMPLETE_MODE_ROW_BOUND", 1000)
+    jobs.run_to_memory(agg, "t_bound_ok", output_mode="complete")
+    assert spark.table("t_bound_ok").count() == 50
