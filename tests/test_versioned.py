@@ -356,3 +356,45 @@ def test_streaming_land_then_recluster_restores_pruning(spark, tmp_path):
     assert got.count() == 11
     # time travel across the rewrite still works
     assert t.read(spark, version=v_before).count() == 300
+
+
+def test_incremental_dedup_ingest(spark, tmp_path):
+    """The 100 TB ingest pattern: a fingerprint INDEX table absorbs
+    each arriving batch after an anti-join against what's already
+    registered — new docs only, no full-corpus rescan, replay-safe via
+    batch ids. Cross-batch duplicates are rejected, within-batch
+    duplicates collapse, and the index stays unique on fingerprint."""
+    from pyspark.sql import functions as F
+
+    from netflow_analysis_with_spark_streaming_spark.functions import text as T
+
+    idx = VersionedTable(str(tmp_path / "fp_index"))
+
+    def ingest(batch_df, batch_id):
+        fps = (
+            batch_df.select(
+                T.fingerprint(F.col("text")).alias("fp"), "doc_id"
+            )
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        if idx.versions():
+            fps = fps.join(idx.read(batch_df.sparkSession).select("fp"), "fp", "left_anti")
+        idx.append(fps, batch_id=batch_id)
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    b2 = spark.createDataFrame(
+        [(10, "ALPHA   beta gamma"),  # normalized dup of doc 1
+         (11, "eta theta iota")],     # genuinely new
+        ["doc_id", "text"],
+    )
+    ingest(b1, 0)
+    ingest(b2, 1)
+    ingest(b2, 1)  # replayed batch: no-op
+    rows = idx.read(spark).collect()
+    by_fp = {r["fp"]: r["doc_id"] for r in rows}
+    assert len(rows) == len(by_fp) == 3  # unique fps: 2 from b1 + 1 new
+    assert set(by_fp.values()) == {1, 2, 11}  # min doc_id kept; 3,10 rejected
