@@ -414,8 +414,13 @@ class VersionedTable:
             return self.latest_version()
         if self.versions():
             current = self.read(spark)
+            # allowMissingColumns: additive schema evolution on MERGE —
+            # an update carrying a new column widens the table (old
+            # rows get NULLs), and an update missing an existing column
+            # leaves NULLs for its new rows, same contract as append's
+            # mergeSchema read path
             merged = current.join(updates.select(*keys), keys, "left_anti").unionByName(
-                updates
+                updates, allowMissingColumns=True
             )
         else:
             merged = updates

@@ -398,3 +398,19 @@ def test_incremental_dedup_ingest(spark, tmp_path):
     by_fp = {r["fp"]: r["doc_id"] for r in rows}
     assert len(rows) == len(by_fp) == 3  # unique fps: 2 from b1 + 1 new
     assert set(by_fp.values()) == {1, 2, 11}  # min doc_id kept; 3,10 rejected
+
+
+def test_upsert_additive_schema_evolution(spark, tmp_path):
+    """An upsert carrying a NEW column widens the table: matched keys
+    are replaced with the new shape, unmatched old rows read back with
+    NULL in the new column (additive evolution on merge, mirroring the
+    append path's mergeSchema contract)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.upsert(
+        spark,
+        spark.createDataFrame([(2, "B!", "extra")], "k long, v string, note string"),
+        keys=["k"],
+    )
+    got = {r["k"]: (r["v"], r["note"]) for r in t.read(spark).collect()}
+    assert got == {1: ("a", None), 2: ("B!", "extra")}, got
