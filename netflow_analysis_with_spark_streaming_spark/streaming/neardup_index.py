@@ -1,0 +1,104 @@
+"""Streaming near-duplicate detection against a persistent index.
+
+The batch dedup family (queries_extensions) answers "which docs in
+THIS corpus are near-dups of each other". Ingest pipelines need the
+streaming question: "is this arriving document a near-dup of anything
+seen BEFORE?" — without rescanning the corpus per batch. The classic
+construction is a persistent LSH band-key index:
+
+- each arriving batch computes MinHash signatures and band keys
+  (identical hashing to the batch family — functions/text.py);
+- candidate pairs = equi-join of the batch's band keys against the
+  INDEX (everything previously registered), never against raw text;
+- the batch's band keys are then appended to the index, idempotently
+  (VersionedTable batch ids), so a replayed micro-batch neither
+  re-registers nor dupes.
+
+Scale: the index holds (doc_id, band_key) — a few rows per document,
+joined on band_key; a hot key (boilerplate) is the standard AQE
+skew-split case. The index table compacts like any VersionedTable.
+Within-batch duplicates are the batch family's job; this operator's
+contract is strictly cross-batch (docs vs the past), which keeps the
+join one-sided and the index append-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..storage.versioned import VersionedTable
+
+
+def band_keys(
+    docs: DataFrame,
+    n_minhash: int = 16,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, band_key) rows for each document — the same md5-derived
+    MinHash banding the batch dedup family uses, so index hits agree
+    with the batch detector exactly."""
+    rows_per_band = n_minhash // n_bands
+    sh = (
+        docs.select(id_col, T.words(F.col(text_col)).alias("w"))
+        .select(id_col, F.explode(T.shingles_from_words(F.col("w"), 3)).alias("shingle"))
+        .distinct()
+    )
+    sig = sh.groupBy(id_col).agg(*T.minhash_sig_aggs(F.col("shingle"), n_minhash))
+    keys = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                F.lit(str(b)),
+                *[
+                    F.col(f"sig_{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(id_col, F.explode(keys).alias("band_key"))
+
+
+class NearDupIndex:
+    """Persistent streaming near-dup index (use from foreachBatch)."""
+
+    def __init__(self, root: str, n_minhash: int = 16, n_bands: int = 4) -> None:
+        self.table = VersionedTable(root)
+        self.n_minhash = n_minhash
+        self.n_bands = n_bands
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        """Detect-then-register: returns (new_doc_id, prior_doc_id)
+        candidate pairs of this batch against every document registered
+        by an EARLIER batch, then appends this batch's band keys
+        idempotently. Index rows carry their registering batch id and
+        the detection join filters to ``_src_batch < batch_id``, so a
+        replayed batch id reproduces exactly its original pairs (the
+        pre-batch index state) and registers nothing twice."""
+        bands = band_keys(batch_df, self.n_minhash, self.n_bands)
+        spark = batch_df.sparkSession
+        if self.table.versions():
+            prior = (
+                self.table.read(spark)
+                .filter(F.col("_src_batch") < batch_id)
+                .select(F.col("doc_id").alias("prior_doc_id"), "band_key")
+            )
+            pairs = (
+                bands.join(prior, "band_key")
+                .select(F.col("doc_id").alias("new_doc_id"), "prior_doc_id")
+                .distinct()
+            )
+        else:
+            pairs = spark.createDataFrame([], "new_doc_id long, prior_doc_id long")
+        # materialize the detection BEFORE registering: the join must
+        # see pre-batch index state even under lazy evaluation
+        pairs = pairs.localCheckpoint(eager=True)
+        self.table.append(
+            bands.withColumn("_src_batch", F.lit(batch_id)), batch_id=batch_id
+        )
+        return pairs

@@ -724,3 +724,61 @@ def test_complete_mode_row_bound_enforced(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(jobs, "COMPLETE_MODE_ROW_BOUND", 1000)
     jobs.run_to_memory(agg, "t_bound_ok", output_mode="complete")
     assert spark.table("t_bound_ok").count() == 50
+
+
+def test_streaming_neardup_index_cross_batch(spark, tmp_path):
+    """A real streamed ingest: batch 2 carries a near-dup (one-word
+    edit) of a batch-1 doc — the index must flag exactly that
+    cross-batch pair; unrelated docs stay silent; a replayed batch
+    re-reports without double-registering."""
+    from netflow_analysis_with_spark_streaming_spark.streaming.neardup_index import (
+        NearDupIndex,
+    )
+
+    words = lambda i: [f"w{i}_{j}" for j in range(60)]  # noqa: E731
+    b1 = spark.createDataFrame(
+        [(1, " ".join(words(1))), (2, " ".join(words(2)))], ["doc_id", "text"]
+    )
+    edited = words(1)
+    edited[5] = "CHANGED"
+    b2 = spark.createDataFrame(
+        [(10, " ".join(edited)), (11, " ".join(words(7)))], ["doc_id", "text"]
+    )
+    idx = NearDupIndex(str(tmp_path / "idx"))
+
+    src = tmp_path / "src"
+    src.mkdir()
+    import json as _json
+
+    (src / "b1.json").write_text(_json.dumps([r.asDict() for r in b1.collect()]))
+    (src / "b2.json").write_text(_json.dumps([r.asDict() for r in b2.collect()]))
+    from netflow_analysis_with_spark_streaming_spark.streaming import sources
+
+    raw = sources.json_file_source(
+        spark,
+        str(src),
+        spark.createDataFrame([], "doc_id long, text string").schema,
+        max_files_per_trigger=1,
+    )
+    hits: list = []
+    q = (
+        raw.writeStream.foreachBatch(
+            lambda df, bid: hits.extend(
+                (r["new_doc_id"], r["prior_doc_id"])
+                for r in idx.process_batch(df, bid).collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert (10, 1) in hits, hits
+    assert all(new == 10 and prior == 1 for new, prior in hits), hits
+    # replay batch 2 by hand: same detection, no re-registration
+    n_versions = len(idx.table.versions())
+    replay = idx.process_batch(b2, batch_id=1)
+    assert {(r["new_doc_id"], r["prior_doc_id"]) for r in replay.collect()} == {(10, 1)}
+    assert len(idx.table.versions()) == n_versions
+    # index rows: 4 band keys per doc, 4 docs, registered exactly once
+    assert idx.table.read(spark).count() == 16
