@@ -1802,3 +1802,59 @@ register(
     _sample_join_consistent_sql(),
     driver=False,
 )
+
+
+def _neardup_index_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming near-dup index (streaming/neardup_index) driven
+    over a deterministic two-batch backfill: even doc_ids register
+    first, odd doc_ids probe second — the emitted (new, prior) pairs
+    must equal the batch formulation's cross-half band join, which is
+    the oracle. Proves the persistent-index detection agrees with the
+    batch dedup family exactly (same md5 banding, same hits)."""
+    import tempfile
+
+    from .streaming.neardup_index import NearDupIndex
+
+    docs = tables.load(spark, "documents", sf_dir)
+    idx = NearDupIndex(tempfile.mkdtemp(prefix="netflow_ndidx_") + "/t")
+    idx.process_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    pairs = idx.process_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    return pairs.orderBy("new_doc_id", "prior_doc_id")
+
+
+def _half_banded_ctes(prefix: str, where: str) -> str:
+    sigs = ", ".join(
+        f"MIN({T.affine_hash32_sql(_BASE_H_SQL, s)}) AS sig_{s}"
+        for s in range(N_MINHASH)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT doc_id, {_band_key_sql(b)} AS band_key FROM {prefix}_sig"
+        for b in range(N_BANDS)
+    )
+    return (
+        f"{prefix}_toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents WHERE {where}), "
+        f"{prefix}_sh AS (SELECT DISTINCT doc_id, "
+        f"  concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle "
+        f"  FROM {prefix}_toks, unnest(range(1, len(w) - 1)) t(i)), "
+        f"{prefix}_sig AS (SELECT doc_id, {sigs} FROM {prefix}_sh GROUP BY doc_id), "
+        f"{prefix}_banded AS ({unions})"
+    )
+
+
+_NEARDUP_BACKFILL_SQL = (
+    "WITH "
+    + _half_banded_ctes("h1", "doc_id % 2 = 0")
+    + ", "
+    + _half_banded_ctes("h2", "doc_id % 2 = 1")
+    + " SELECT DISTINCT b.doc_id AS new_doc_id, a.doc_id AS prior_doc_id "
+    "FROM h2_banded b JOIN h1_banded a USING (band_key) "
+    "ORDER BY new_doc_id, prior_doc_id"
+)
+
+
+register(
+    "neardup_index_backfill",
+    _neardup_index_backfill,
+    _NEARDUP_BACKFILL_SQL,
+    driver=False,
+)
