@@ -613,7 +613,7 @@ def test_socket_paced_delivery_multi_batch(spark):
             for i in range(n_rows):
                 conn.sendall((json.dumps({"i": i}) + "\n").encode())
                 if i % burst == burst - 1:
-                    time.sleep(1.5)  # burst gap >> trigger interval
+                    time.sleep(2.5)  # burst gap >> trigger interval + load jitter
             while not stop.is_set():
                 time.sleep(0.1)
 
