@@ -1688,14 +1688,15 @@ def _corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(T.shingles_from_words(F.col("w"), 5)).alias("shingle")
     ).distinct()
     contaminated = cand5.join(F.broadcast(eval_sh), "shingle").select("doc_id").distinct()
-    out = (
+    # `exact` stays cached (3 downstream consumers: shingles, canon,
+    # final join — uncached it re-executes the quality+dedup subtree
+    # 3x). A few MB at demo scale; LRU-evicted like any cache. Not
+    # checkpointed: the caller sees the REAL composed plan.
+    return (
         canon.join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "lang", "n_tokens")
         .orderBy("doc_id")
     )
-    out = out.localCheckpoint(eager=True)  # pin before unpersisting the stage cache
-    exact.unpersist()
-    return out
 
 
 _CURATE_SQL = (
