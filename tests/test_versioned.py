@@ -414,3 +414,23 @@ def test_upsert_additive_schema_evolution(spark, tmp_path):
     )
     got = {r["k"]: (r["v"], r["note"]) for r in t.read(spark).collect()}
     assert got == {1: ("a", None), 2: ("B!", "extra")}, got
+
+
+def test_error_paths_and_vacuum_after_rewrite(spark, tmp_path):
+    """Contract edges: reads of nothing/missing versions raise;
+    vacuum after a clustered rewrite drops exactly the superseded
+    arrival-order groups and the rewritten table reads intact."""
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="no committed version"):
+        t.snapshot_files()
+    for i in range(3):
+        t.append(_df(spark, [(i, str(i))]))
+    with pytest.raises(FileNotFoundError):
+        t._manifest(99)
+    t.rewrite_clustered(spark, "k", n_groups=2)
+    removed = t.vacuum(keep_last=1)
+    assert removed == 3  # the three pre-rewrite groups
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [0, 1, 2]
+    assert len(t.snapshot_files()) == 2  # clustered groups survive
