@@ -1859,3 +1859,82 @@ register(
     _NEARDUP_BACKFILL_SQL,
     driver=False,
 )
+
+
+_PACK_CAP = 2048
+_PACK_PARTS = 8
+
+
+def _corpus_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget bin packing (sequence packing for training
+    efficiency): documents are laid out in a deterministic md5 order
+    and assigned to fixed-capacity bins by their cumulative-token START
+    offset — the batch-shardable approximation of greedy packing
+    (a bin may overflow by its last doc's tail; none underflows except
+    the final one).
+
+    Scale pattern: a GLOBAL cumulative sum without the unpartitioned-
+    window single-task trap — the classic two-phase prefix sum. Local
+    cumsums per hash partition, then a P-row offset table (the only
+    unpartitioned window, over exactly _PACK_PARTS rows regardless of
+    data size) broadcast back. Exactly oracle-able: integer sums and
+    an md5 order reproduced in DuckDB."""
+    docs = tables.load(spark, "documents", sf_dir)
+    t = docs.select(
+        "doc_id",
+        F.size(T.words(F.col("text"))).cast("long").alias("tok"),
+        T.md5_hash32(F.col("doc_id").cast("string"), seed=7).alias("ord"),
+    ).withColumn("p", F.col("ord") % _PACK_PARTS)
+    w_local = (
+        Window.partitionBy("p")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = t.withColumn("cum", F.sum("tok").over(w_local))
+    totals = t.groupBy("p").agg(F.sum("tok").alias("ptotal"))
+    w_off = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "off", F.coalesce(F.sum("ptotal").over(w_off), F.lit(0))
+    ).select("p", "off")
+    packed = local.join(F.broadcast(offsets), "p").withColumn(
+        "bin_id",
+        F.floor((F.col("off") + F.col("cum") - F.col("tok")) / F.lit(float(_PACK_CAP))),
+    )
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").alias("bin_tokens"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, len({_WORDS_SQL}) AS tok,
+         {T.md5_hash32_sql("CAST(doc_id AS VARCHAR)", 7)} AS ord
+  FROM documents
+),
+tp AS (SELECT *, ord % {_PACK_PARTS} AS p FROM t),
+l AS (
+  SELECT *, SUM(tok) OVER (PARTITION BY p ORDER BY ord, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tp
+),
+o AS (
+  SELECT p, COALESCE(SUM(ptotal) OVER (ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM (SELECT p, SUM(tok) AS ptotal FROM tp GROUP BY p)
+)
+SELECT CAST(FLOOR((o.off + l.cum - l.tok) / {_PACK_CAP}.0) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs,
+       SUM(tok) AS bin_tokens,
+       MIN(doc_id) AS min_doc
+FROM l JOIN o USING (p)
+GROUP BY 1 ORDER BY bin_id
+"""
+
+
+register("corpus_pack_bins", _corpus_pack_bins, _PACK_SQL, driver=False)

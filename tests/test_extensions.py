@@ -449,3 +449,22 @@ def test_corpus_curate_planted_semantics(spark, tmp_path):
     )
     kept = {r["doc_id"] for r in Q.all_queries()["corpus_curate"](spark, sf_dir).collect()}
     assert kept == {1, 2, 3, 4, 5, 6, 7, 8}, kept
+
+
+def test_pack_bins_invariants(spark):
+    """Bin ids are contiguous, token totals are conserved, and every
+    non-final bin's fill is within one max-document of the 2048-token
+    capacity (start-offset packing semantics)."""
+    from conftest import SF_ORACLE
+    from netflow_analysis_with_spark_streaming_spark import queries as Q, tables
+    from netflow_analysis_with_spark_streaming_spark.functions import text as T
+    import pyspark.sql.functions as F
+
+    rows = Q.all_queries()["corpus_pack_bins"](spark, SF_ORACLE).collect()
+    docs = tables.load(spark, "documents", SF_ORACLE)
+    toks = docs.select(F.size(T.words(F.col("text"))).alias("t"))
+    total, max_doc = toks.agg(F.sum("t"), F.max("t")).collect()[0]
+    assert [r["bin_id"] for r in rows] == list(range(len(rows)))
+    assert sum(r["bin_tokens"] for r in rows) == total
+    for r in rows[:-1]:
+        assert 2048 - max_doc <= r["bin_tokens"] <= 2048 + max_doc, r
