@@ -672,3 +672,50 @@ register("stream_static_enrich", _stream_static_enrich, _STREAM_STATIC_SQL)
 register("stream_running_totals", _stream_running_totals, _STREAM_RUNNING_SQL)
 register("stream_update_mode", _stream_update_mode, _STREAM_UPDATE_SQL)
 register("stream_stream_join", _stream_stream_join, _STREAM_SSJOIN_SQL)
+
+
+def _flagship_managed_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship access-trend query served from the engine's OWN
+    managed layout (plans/layout.py): events rewritten day-partitioned
+    once (cached, atomic publish), then read through the day-range
+    partition filter — the ts-range predicate becomes directory
+    pruning BEFORE any file is opened, which is the 100 TB difference
+    vs the reference's Mongo string-range scan. Same oracle as the
+    raw-parquet flagship: the layout must change the PLAN, never the
+    answer. Partition pruning itself is plan-asserted in
+    tests/test_layout.py."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .operators import access_trend as _at
+    from .plans import layout
+
+    tables.harden_session(spark)
+    src_file = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src_file)
+    tag = hashlib.md5(
+        f"daylayout:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    path = tempfile.gettempdir() + f"/netflow_daylayout_{tag}"
+
+    def _build(tmp: str) -> None:
+        layout.write_day_partitioned(tables.load(spark, "events", sf_dir), tmp)
+
+    _prepare_cached_dir(path, _build)
+    # day-range partition filter covers the ts range; access_trend
+    # re-applies the exact ts bounds on the surviving partitions
+    df = layout.read_day_range(
+        spark, path, _at.DEFAULT_TS_FROM, _at.DEFAULT_TS_TO
+    )
+    return _at.access_trend(df)
+
+
+from .operators.access_trend import ACCESS_TREND_ORACLE as _AT_ORACLE  # noqa: E402
+
+register(
+    "flagship_managed_layout",
+    _flagship_managed_layout,
+    _AT_ORACLE,
+    driver=False,
+)
