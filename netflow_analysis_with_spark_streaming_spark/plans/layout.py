@@ -70,13 +70,19 @@ def write_bucketed(
     )
 
 
-def pruned_partitions(df: DataFrame) -> int | None:
-    """Number of partition dirs the plan will actually read, if the
-    scan exposes it (used by tests to assert pruning happened)."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
+def partition_filter_count(df: DataFrame) -> int | None:
+    """Number of partition-filter EXPRESSIONS the scan carries (None =
+    no partitioned scan in the plan; 0 = partitioned scan but
+    unpruned full read). Expression presence is the plan-level
+    evidence; the actually-read day count is asserted from
+    input_file_name() in tests, since inputFiles() lists the
+    pre-pruning index and the plan string prints no partition count.
+    (Replaces pruned_partitions, whose regex never matched Spark's
+    ``PartitionFilters:`` output and always returned None.)"""
     import re
 
-    m = re.search(r"partition filters: \[([^\]]*)\]", plan, re.IGNORECASE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     if m is None:
         return None
     return len([p for p in m.group(1).split(",") if p.strip()])

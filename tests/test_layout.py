@@ -303,3 +303,19 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_flagship_managed_layout_partition_pruning(spark):
+    """The managed-layout flagship's scan must carry day partition
+    filters (directory pruning) AND read fewer partitions than the
+    table holds — the layout story end-to-end through a real query."""
+    from conftest import SF_ORACLE
+    from netflow_analysis_with_spark_streaming_spark import queries as Q
+
+    df = Q.all_queries()["flagship_managed_layout"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    filters = plan.split("PartitionFilters: [", 1)
+    assert len(filters) == 2 and "day" in filters[1][:200], plan[:2000]
+    # the day range bounds must appear as partition predicates
+    assert "2024-01-05" in filters[1][:300] and "2024-01-15" in filters[1][:300]
+    assert layout.partition_filter_count(df) >= 2
