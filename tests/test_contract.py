@@ -50,3 +50,20 @@ def test_all_oracles_parse_in_duckdb(duck):
             duck.execute("EXPLAIN " + sql)
         except Exception as ex:  # noqa: BLE001
             raise AssertionError(f"oracle for {name} invalid: {ex}") from ex
+
+
+def test_driver_schemas_stable_across_sf(spark):
+    """The harness smoke-checks entry()/queries() for a STABLE schema;
+    a type or column that varies with the data (inference drift, empty-
+    input fallbacks) breaks the contract even when each run 'works'.
+    Every driver entry must produce the identical schema at sf0.001
+    and sf0.01."""
+    from netflow_analysis_with_spark_streaming_spark import queries as Q
+
+    drift = {}
+    for name, fn in Q.QUERIES.items():
+        s_small = fn(spark, "/root/testdata/sf0.001").schema
+        s_mid = fn(spark, "/root/testdata/sf0.01").schema
+        if s_small != s_mid:
+            drift[name] = (s_small.simpleString(), s_mid.simpleString())
+    assert not drift, drift
