@@ -216,3 +216,33 @@ def test_interval_join_boundaries_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_interval_join_degenerate_intervals_match_nothing(spark):
+    """Empty (end == start) and inverted (end < start) intervals must
+    match no points — the bucket explode could walk a DESCENDING
+    sequence for inverted input, but the exact refine predicate keeps
+    the result correct; pinned here so that stays true."""
+    import datetime as dt
+
+    from netflow_analysis_with_spark_streaming_spark.operators.range_join import (
+        interval_join,
+    )
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+    pts = spark.createDataFrame(
+        [(t(x), x) for x in (0, 50, 100)], "ts timestamp, pid long"
+    )
+    ivs = spark.createDataFrame(
+        [
+            (t(50), t(50), 0),   # empty
+            (t(100), t(0), 1),   # inverted
+            (t(40), t(60), 2),   # sane control
+        ],
+        "s timestamp, e timestamp, vid long",
+    )
+    got = {
+        (r["pid"], r["vid"])
+        for r in interval_join(pts, ivs, "ts", "s", "e", bucket_seconds=7).collect()
+    }
+    assert got == {(50, 2)}, got
