@@ -1938,3 +1938,68 @@ GROUP BY 1 ORDER BY bin_id
 
 
 register("corpus_pack_bins", _corpus_pack_bins, _PACK_SQL, driver=False)
+
+
+_CHUNK_TOKENS = 64
+_CHUNK_OVERLAP = 16  # stride 48
+
+
+def _text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with overlap (the universal
+    RAG / training-sequence chunker): 64-token windows, 16-token
+    overlap, last window ragged. Pure higher-order functions — the
+    chunk list materializes per row inside codegen, one narrow pass,
+    explode only at the end. Chunk COUNT math is integer on both
+    engines, so the mirror is exact."""
+    docs = tables.load(spark, "documents", sf_dir).filter(F.col("doc_id") % 3 == 0)
+    stride = _CHUNK_TOKENS - _CHUNK_OVERLAP
+    w = docs.select("doc_id", T.words(F.col("text")).alias("w"))
+    n = F.size("w")
+    n_chunks = F.when(n <= _CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.floor((n - _CHUNK_TOKENS + stride - 1) / stride) + 1
+    )
+    chunked = w.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("w"), (i * stride + 1).cast("int"), _CHUNK_TOKENS), " "
+            ),
+        ).alias("chunks"),
+    )
+    out = chunked.select(
+        "doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk_text")
+    )
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5("chunk_text").alias("chunk_md5"),
+        F.size(F.split("chunk_text", " ")).cast("long").alias("chunk_tokens"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+_CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS_SQL} AS w FROM documents WHERE doc_id % 3 = 0
+),
+c AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, CASE WHEN len(w) <= {_CHUNK_TOKENS} THEN 1
+                         ELSE (len(w) - {_CHUNK_TOKENS} + {_CHUNK_TOKENS - _CHUNK_OVERLAP} - 1)
+                              // {_CHUNK_TOKENS - _CHUNK_OVERLAP} + 1 END),
+           i -> array_to_string(w[i * {_CHUNK_TOKENS - _CHUNK_OVERLAP} + 1 :
+                                  i * {_CHUNK_TOKENS - _CHUNK_OVERLAP} + {_CHUNK_TOKENS}], ' ')
+         ) AS chunks
+  FROM t
+)
+SELECT doc_id,
+       i - 1 AS chunk_idx,
+       md5(chunks[i]) AS chunk_md5,
+       len(string_split(chunks[i], ' ')) AS chunk_tokens
+FROM c, unnest(range(1, len(chunks) + 1)) u(i)
+ORDER BY doc_id, chunk_idx
+"""
+
+
+register("text_chunk_documents", _text_chunk_documents, _CHUNK_SQL, driver=False)

@@ -468,3 +468,36 @@ def test_pack_bins_invariants(spark):
     assert sum(r["bin_tokens"] for r in rows) == total
     for r in rows[:-1]:
         assert 2048 - max_doc <= r["bin_tokens"] <= 2048 + max_doc, r
+
+
+def test_chunking_covers_documents_exactly(spark):
+    """Chunk geometry: every non-final chunk is exactly 64 tokens, the
+    final chunk is ragged, and stride arithmetic reconstructs each
+    document's full token count (64-token windows, 48-token stride:
+    n_tokens == 48*(k-1) + last_chunk_tokens)."""
+    from collections import defaultdict
+
+    from conftest import SF_ORACLE
+    from netflow_analysis_with_spark_streaming_spark import queries as Q, tables
+    from netflow_analysis_with_spark_streaming_spark.functions import text as T
+    import pyspark.sql.functions as F
+
+    rows = Q.all_queries()["text_chunk_documents"](spark, SF_ORACLE).collect()
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r["doc_id"]].append((r["chunk_idx"], r["chunk_tokens"]))
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in tables.load(spark, "documents", SF_ORACLE)
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id", F.size(T.words(F.col("text"))).alias("n"))
+        .collect()
+    }
+    assert set(per_doc) == set(toks)
+    for doc, chunks in per_doc.items():
+        chunks.sort()
+        assert [c[0] for c in chunks] == list(range(len(chunks)))
+        *body, last = [c[1] for c in chunks]
+        assert all(c == 64 for c in body), (doc, chunks)
+        assert 1 <= last <= 64
+        assert 48 * (len(chunks) - 1) + last == toks[doc], (doc, chunks, toks[doc])
