@@ -73,9 +73,13 @@ def _prepare_cached_dir(final_dir: str, build) -> str:
     if os.path.exists(os.path.join(final_dir, "_DONE")):
         return final_dir
     tmp = f"{final_dir}.tmp-{uuid.uuid4().hex}"
-    build(tmp)
-    with open(os.path.join(tmp, "_DONE"), "w", encoding="utf-8"):
-        pass
+    try:
+        build(tmp)
+        with open(os.path.join(tmp, "_DONE"), "w", encoding="utf-8"):
+            pass
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)  # no half-built litter
+        raise
     try:
         os.rename(tmp, final_dir)  # atomic publish; fails if winner exists
     except OSError:

@@ -96,7 +96,12 @@ class NearDupIndex:
         else:
             pairs = spark.createDataFrame([], "new_doc_id long, prior_doc_id long")
         # materialize the detection BEFORE registering: the join must
-        # see pre-batch index state even under lazy evaluation
+        # see pre-batch index state even under lazy evaluation.
+        # localCheckpoint is executor-local (lost on executor death) —
+        # acceptable because foreachBatch retries re-run the whole
+        # batch and detection is a pure function of pre-batch state;
+        # a cluster deployment wanting durability would checkpoint()
+        # to the reliable store instead.
         pairs = pairs.localCheckpoint(eager=True)
         self.table.append(
             bands.withColumn("_src_batch", F.lit(batch_id)), batch_id=batch_id
