@@ -21,8 +21,11 @@ TOKEN_PATTERN = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
 
 
 def words(text: Column) -> Column:
-    """Whitespace tokenization (array<string>)."""
-    return F.split(F.trim(text), r"\s+")
+    """Whitespace tokenization (array<string>). Empty/whitespace-only
+    text yields an EMPTY array — split alone returns [''] (one phantom
+    token) in both Spark and DuckDB, so the filter exists on both
+    sides of every oracle."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
 
 
 def token_count_ws(text: Column) -> Column:

@@ -28,7 +28,12 @@ _ROWS_PER_BAND = N_MINHASH // N_BANDS
 
 # DuckDB-side mirrors of the Spark tokenization (single normalization
 # for both engines: trim, collapse whitespace, split on single space).
-_WORDS_SQL = "string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
+# list_filter: empty/whitespace-only text must tokenize to [] not ['']
+# — mirrors functions/text.words exactly
+_WORDS_SQL = (
+    "list_filter(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '),"
+    " w -> w <> '')"
+)
 _SHINGLES_CTE = f"""
 toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
 sh AS (

@@ -501,3 +501,29 @@ def test_chunking_covers_documents_exactly(spark):
         assert all(c == 64 for c in body), (doc, chunks)
         assert 1 <= last <= 64
         assert 48 * (len(chunks) - 1) + last == toks[doc], (doc, chunks, toks[doc])
+
+
+def test_words_empty_text_yields_empty_array(spark):
+    """Empty / whitespace-only text must tokenize to [] (count 0), not
+    [''] (phantom count 1) — split alone produces the phantom in both
+    Spark and DuckDB, so both sides of the oracles carry the filter."""
+    import duckdb
+
+    from netflow_analysis_with_spark_streaming_spark.functions import text as T
+    from netflow_analysis_with_spark_streaming_spark.queries_extensions import (
+        _WORDS_SQL,
+    )
+
+    df = spark.createDataFrame([("",), ("   ",), ("a  b",)], ["text"])
+    got = [
+        (r["w"], r["n"])
+        for r in df.select(
+            T.words(F.col("text")).alias("w"), T.token_count_ws(F.col("text")).alias("n")
+        ).collect()
+    ]
+    assert got == [([], 0), ([], 0), (["a", "b"], 2)], got
+    con = duckdb.connect()
+    duck = con.sql(
+        f"SELECT {_WORDS_SQL} AS w FROM (VALUES (''), ('   '), ('a  b')) t(text)"
+    ).fetchall()
+    assert [list(r[0]) for r in duck] == [[], [], ["a", "b"]], duck
