@@ -3,7 +3,9 @@
 ``entry(spark)`` runs the flagship query at sf0.001 (smoke);
 ``queries()`` maps operator names to (spark, sf_dir) -> DataFrame;
 ``oracle_sql()`` maps the same names to DuckDB-runnable ANSI SQL.
-Names without an oracle entry get a rows-only check (non-SQL ops).
+Every driver entry carries an oracle (round 4) — the genuinely
+non-mirrorable operators (IVF k-means, open-session sessionize) live
+in the extra tier (queries.EXTRA_QUERIES) with property-test evidence.
 """
 
 from __future__ import annotations
