@@ -1178,9 +1178,9 @@ def _profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PROFILE_SQL = """
 SELECT COUNT(*) AS rows,
-       SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
-       SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_event_type,
-       SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
        COUNT(DISTINCT user_id) AS distinct_users,
        COUNT(DISTINCT event_type) AS distinct_types,
        CAST(FLOOR(MIN(value) * 10000) AS BIGINT) AS min_value_e4,
