@@ -25,8 +25,10 @@ from . import tables
 from .queries import register
 from .streaming import jobs, sources
 
-# events.parquet raw schema under nanosAsLong (streaming sources need
-# an explicit schema; ts arrives as INT64 nanoseconds).
+# events.parquet raw schemas (streaming sources need an explicit
+# schema). The driver testdata has shipped two layouts for ts —
+# TIMESTAMP(NANOS) (INT64 ns under nanosAsLong) and plain
+# timestamp[us] — so the source picks per-file via the parquet footer.
 EVENTS_RAW_NANOS = StructType(
     [
         StructField("event_id", LongType()),
@@ -37,6 +39,26 @@ EVENTS_RAW_NANOS = StructType(
         StructField("props", StringType()),
     ]
 )
+
+EVENTS_RAW_TS = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def _events_ts_is_nanos(src_file: str) -> bool:
+    """True when the parquet footer types ts as timestamp[ns] (the
+    TIMESTAMP(NANOS) generation that must be read as long ns)."""
+    import pyarrow.parquet as pq
+
+    ts_type = pq.read_schema(src_file).field("ts").type
+    return getattr(ts_type, "unit", None) == "ns"
 
 
 from contextlib import contextmanager
@@ -83,7 +105,21 @@ def _prepare_cached_dir(final_dir: str, build) -> str:
     try:
         os.rename(tmp, final_dir)  # atomic publish; fails if winner exists
     except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if os.path.exists(os.path.join(final_dir, "_DONE")):
+            # concurrent builder won the race — same content either way
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            # final_dir exists but is NOT complete: stale debris from a
+            # crashed in-place build. Returning it would stream partial
+            # source data and silently produce wrong results — evict it
+            # and publish the fresh build instead.
+            shutil.rmtree(final_dir, ignore_errors=True)
+            try:
+                os.rename(tmp, final_dir)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
+                if not os.path.exists(os.path.join(final_dir, "_DONE")):
+                    raise
     return final_dir
 
 
@@ -106,8 +142,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(src, link)
     except FileExistsError:
         pass  # concurrent creator won the race — same target either way
-    raw = sources.parquet_file_source(spark, link_dir, EVENTS_RAW_NANOS)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if _events_ts_is_nanos(src):
+        raw = sources.parquet_file_source(spark, link_dir, EVENTS_RAW_NANOS)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = sources.parquet_file_source(spark, link_dir, EVENTS_RAW_TS)
+    return raw
 
 
 def _stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:

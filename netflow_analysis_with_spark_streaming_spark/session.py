@@ -52,6 +52,9 @@ def get_spark(
         # Parquet TIMESTAMP(NANOS) (events.ts) is unsupported natively;
         # read as long ns and convert in tables.load (exact integer math).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp[us] isAdjustedToUTC=false generations must read as
+        # UTC-instant TIMESTAMP, not TIMESTAMP_NTZ (see harden_session).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
     # NOTE: spark.driver.memory must be set BEFORE the JVM starts

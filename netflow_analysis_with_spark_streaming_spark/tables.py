@@ -26,22 +26,34 @@ def harden_session(spark: SparkSession) -> None:
     ``session.get_spark``. Two confs are correctness-critical and both
     are runtime-settable:
 
-    - ``nanosAsLong``: events.parquet stores TIMESTAMP(NANOS), which a
-      vanilla session refuses to read (PARQUET_TYPE_ILLEGAL).
+    - ``nanosAsLong``: events.parquet has shipped as TIMESTAMP(NANOS)
+      in some driver generations, which a vanilla session refuses to
+      read (PARQUET_TYPE_ILLEGAL); under this conf it arrives as long
+      ns and ``load`` converts it.
+    - ``inferTimestampNTZ=false``: other generations ship plain
+      timestamp[us] with isAdjustedToUTC=false, which Spark 4 would
+      otherwise surface as TIMESTAMP_NTZ — breaking ``unix_micros``
+      and every LTZ-typed comparison downstream. Disabling the
+      inference reads the stored micros as UTC instants, which under
+      the UTC session zone is value-identical to DuckDB's naive read.
     - UTC session timezone: ``date_format``/timestamp-literal compares
       silently shift by the ambient zone otherwise, diverging from the
       UTC-naive DuckDB oracle.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def load(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one testdata table as a DataFrame.
 
-    events.ts is parquet TIMESTAMP(NANOS), which Spark reads as long ns
-    under ``nanosAsLong``; convert to TimestampType with integer `div`
-    (truncation toward zero — identical to DuckDB's ns->us read).
+    events.ts layout varies by driver generation: TIMESTAMP(NANOS)
+    reads as long ns under ``nanosAsLong`` and is converted here with
+    integer `div` (truncation toward zero — identical to DuckDB's
+    ns->us read); timestamp[us] reads directly as TimestampType
+    (``inferTimestampNTZ`` disabled in harden_session) and needs no
+    conversion.
     """
     harden_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir or DEFAULT_SF_DIR, f"{name}.parquet"))
@@ -67,12 +79,14 @@ def load_events_range(
 ) -> DataFrame:
     """events with the time-range predicate applied on the RAW column.
 
-    Because events.ts arrives as long nanoseconds, a filter written
+    When events.ts arrives as long nanoseconds, a filter written
     against the converted TimestampType column cannot reach the parquet
     scan. Applying the equivalent long-ns bounds BEFORE conversion makes
     the range a PushedFilter — row-group stats prune whole chunks, which
     is the difference between scanning 100 TB and scanning the 10-day
-    slice at cluster scale.
+    slice at cluster scale. When ts arrives as timestamp[us] the native
+    timestamp predicate is itself pushable, so the literal is bound
+    directly.
     """
     harden_session(spark)
     df = spark.read.parquet(os.path.join(sf_dir or DEFAULT_SF_DIR, "events.parquet"))
@@ -84,9 +98,9 @@ def load_events_range(
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         if ts_from is not None:
-            df = df.filter(F.col("ts") >= F.lit(ts_from))
+            df = df.filter(F.col("ts") >= F.lit(ts_from).cast("timestamp"))
         if ts_to is not None:
-            df = df.filter(F.col("ts") <= F.lit(ts_to))
+            df = df.filter(F.col("ts") <= F.lit(ts_to).cast("timestamp"))
     return df
 
 

@@ -698,6 +698,34 @@ def test_prepare_cached_dir_race_single_publish(tmp_path):
     assert leftovers == [], leftovers
 
 
+def test_prepare_cached_dir_evicts_stale_incomplete_dir(tmp_path):
+    """A final_dir left WITHOUT _DONE (crashed in-place build) must be
+    evicted and replaced by the fresh build — the old behavior returned
+    the incomplete dir, silently streaming partial source data."""
+    import os
+
+    from netflow_analysis_with_spark_streaming_spark.queries_streaming import (
+        _prepare_cached_dir,
+    )
+
+    final = str(tmp_path / "cache")
+    os.makedirs(final)
+    with open(os.path.join(final, "part-stale"), "w") as f:
+        f.write("partial")
+    # no _DONE marker: the dir is debris, not a published cache
+
+    def build(tmp):
+        os.makedirs(tmp)
+        with open(os.path.join(tmp, "part-fresh"), "w") as f:
+            f.write("complete")
+
+    out = _prepare_cached_dir(final, build)
+    assert out == final
+    assert os.path.exists(os.path.join(final, "_DONE"))
+    assert os.path.exists(os.path.join(final, "part-fresh"))
+    assert not os.path.exists(os.path.join(final, "part-stale"))
+
+
 def test_complete_mode_row_bound_enforced(spark, tmp_path, monkeypatch):
     """The complete-mode memory-sink guard must raise when the
     materialized result exceeds the bound (unbounded-key protection),
