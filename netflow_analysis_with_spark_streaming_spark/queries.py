@@ -112,6 +112,10 @@ _DRIVER_ORDER = [
     "similarity_ann_topk",
     "similarity_quantized_topk",
     "similarity_embedding_neardup",
+    # LLM-corpus flagships (promoted round 5; they subsume the retired
+    # parity singletons' coverage many times over)
+    "corpus_curate",
+    "corpus_pack_bins",
     # multimodal + UDF surface
     "multimodal_decode",
     "multimodal_frame_sample",
@@ -119,8 +123,6 @@ _DRIVER_ORDER = [
     # reference parity
     "parity_kafka_roundtrip",
     "parity_flatten_nested",
-    "parity_timestamp_convert",
-    "parity_two_col_routing",
     "parity_live_path",
     "parity_cidr_filter",
     # relational completeness

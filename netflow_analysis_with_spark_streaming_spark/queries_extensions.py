@@ -676,7 +676,7 @@ def _text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TEXT_STATS_SQL = f"""
 SELECT lang, COUNT(*) AS docs,
-       SUM(len({_WORDS_SQL})) AS total_tokens,
+       CAST(SUM(len({_WORDS_SQL})) AS BIGINT) AS total_tokens,
        ROUND(AVG(ROUND(GREATEST(0.0,
              LEAST(len({_WORDS_SQL}) / 50.0, 1.0) * 0.4
            + LEAST((len(regexp_extract_all(text, '{_STOP_PAT}'))
@@ -1251,9 +1251,17 @@ def _similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = tables.load(spark, "embeddings", sf_dir)
     e = F.col("embedding")
-    # two-step select: the scale column must exist before q8 reads it
+    # two-step select: the scale column must exist before q8 reads it.
+    # GREATEST floor on the divisor: an all-zero embedding gives
+    # scale=0, where Spark's TINYINT cast of inf/nan yields NULL but
+    # DuckDB's raises — the guard (mirrored in the oracle) keeps both
+    # engines on the same, defined path (q8 = all zeros).
     scaled = emb.select(
-        "vec_id", "embedding", F.array_max(F.transform(e, F.abs)).alias("scale")
+        "vec_id",
+        "embedding",
+        F.greatest(
+            F.array_max(F.transform(e, F.abs)), F.lit(1e-30)
+        ).alias("scale"),
     )
     quant = scaled.select(
         "vec_id",
@@ -1322,7 +1330,7 @@ _COMPONENTS_SQL = (
 _QUANT_TOPK_SQL = """
 WITH s AS (
   SELECT vec_id, embedding,
-         list_max(list_transform(embedding, y -> abs(y))) AS scale
+         GREATEST(list_max(list_transform(embedding, y -> abs(y))), 1e-30) AS scale
   FROM embeddings
 ),
 quant AS (
@@ -1750,7 +1758,10 @@ _CURATE_SQL = (
 )
 
 
-register("corpus_curate", _corpus_curate, _CURATE_SQL, driver=False)
+# Promoted to the driver tier in round 5: the composed curation pipeline
+# is the LLM-pipeline flagship and deserves a CORRECTNESS row more than
+# the near-duplicate parity singletons it displaced.
+register("corpus_curate", _corpus_curate, _CURATE_SQL)
 
 
 def _sample_join_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1935,14 +1946,14 @@ o AS (
 )
 SELECT CAST(FLOOR((o.off + l.cum - l.tok) / {_PACK_CAP}.0) AS BIGINT) AS bin_id,
        COUNT(*) AS n_docs,
-       SUM(tok) AS bin_tokens,
+       CAST(SUM(tok) AS BIGINT) AS bin_tokens,
        MIN(doc_id) AS min_doc
 FROM l JOIN o USING (p)
 GROUP BY 1 ORDER BY bin_id
 """
 
 
-register("corpus_pack_bins", _corpus_pack_bins, _PACK_SQL, driver=False)
+register("corpus_pack_bins", _corpus_pack_bins, _PACK_SQL)  # promoted round 5
 
 
 _CHUNK_TOKENS = 64

@@ -277,8 +277,12 @@ def _parity_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extra tier to fit the harness' 50-entry window.
 register("parity_kafka_roundtrip", _parity_kafka_roundtrip, _PARITY_NORMALIZE_SQL)
 register("parity_flatten_nested", _parity_flatten_nested, _PARITY_FLATTEN_SQL)
-register("parity_timestamp_convert", _parity_timestamp_convert, _PARITY_TS_CONVERT_SQL)
-register("parity_two_col_routing", _parity_two_col_routing, _PARITY_TWO_COL_SQL)
+# Rotated to the extra tier in round 5 (driver window is capped at 50):
+# the timestamp-convert and two-col-routing semantics are near-duplicates
+# of parity_flatten_nested / the flagship family; the pytest oracle
+# differential still hash-checks both every run.
+register("parity_timestamp_convert", _parity_timestamp_convert, _PARITY_TS_CONVERT_SQL, driver=False)
+register("parity_two_col_routing", _parity_two_col_routing, _PARITY_TWO_COL_SQL, driver=False)
 register("parity_live_path", _parity_live_path, _PARITY_LIVE_PATH_SQL)
 register("parity_cidr_filter", _parity_cidr_filter, _PARITY_CIDR_SQL)
 def _parity_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,8 +312,8 @@ def _parity_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PARITY_CORRUPT_SQL = """
 SELECT event_type,
-       SUM(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END) AS n_good,
-       SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS n_bad
+       CAST(SUM(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+       CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
 FROM events
 WHERE event_id % 10 = 0
 GROUP BY event_type ORDER BY event_type

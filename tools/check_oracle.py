@@ -5,6 +5,14 @@ non-UTC timezone preset, no engine confs) and diffs against the DuckDB
 ``oracle_sql()`` at sf0.01 with the driver's compare semantics:
 row count + sorted column names + order-insensitive value multiset.
 
+The DuckDB side is fetched via ``.fetch_arrow_table()``, NOT
+``fetchall()``: the driver canonicalizes through Arrow/pandas, where a
+DuckDB HUGEINT (the default type of ``SUM`` over integers) surfaces as
+decimal128(38,0) / float64 instead of a plain int — ``fetchall()``
+hides that and made this gate pass code the driver rejected
+(profile_columns, rounds 2-4).  Any decimal column in an oracle result
+is therefore a hard FAIL here: cast it to BIGINT/DOUBLE in the SQL.
+
 Usage: python tools/check_oracle.py [name_substring ...]
 """
 
@@ -16,6 +24,7 @@ import sys
 import time
 
 import duckdb
+import pyarrow as pa
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -81,14 +90,25 @@ def main() -> int:
             print(f"rows  {name}: {len(srows)} rows ({dt:.1f}s, rows-only)")
             continue
         try:
-            rel = con.sql(oracles[name])
-            drows = rel.fetchall()
-            dcols = [d[0] for d in rel.description]
+            tbl = con.sql(oracles[name]).fetch_arrow_table()
+            dcols = tbl.column_names
+            dcolumns = [c.to_pylist() for c in tbl.columns]
+            drows = list(zip(*dcolumns)) if dcols else []
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {ex}")
             failed.append(name)
             continue
         problems = []
+        bad_types = [
+            f"{f.name}:{f.type}"
+            for f in tbl.schema
+            if pa.types.is_decimal(f.type)
+        ]
+        if bad_types:
+            problems.append(
+                f"oracle emits decimal/HUGEINT under Arrow ({bad_types}); "
+                "CAST to BIGINT/DOUBLE in the SQL"
+            )
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
         if len(srows) != len(drows):
