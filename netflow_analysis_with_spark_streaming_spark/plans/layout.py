@@ -79,10 +79,27 @@ def partition_filter_count(df: DataFrame) -> int | None:
     pre-pruning index and the plan string prints no partition count.
     (Replaces pruned_partitions, whose regex never matched Spark's
     ``PartitionFilters:`` output and always returned None.)"""
-    import re
-
     plan = df._jdf.queryExecution().executedPlan().toString()
-    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    if m is None:
+    marker = "PartitionFilters: ["
+    start = plan.find(marker)
+    if start < 0:
         return None
-    return len([p for p in m.group(1).split(",") if p.strip()])
+    # Depth-aware scan to the MATCHING close bracket, counting only
+    # TOP-LEVEL commas: expressions like `day#12 IN (a,b)`, function
+    # calls, or a `]` inside a nested bracket must not split/truncate
+    # (a flat split-on-',' overcounted those).
+    depth, parts, cur = 1, [], []
+    for ch in plan[start + len(marker):]:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+            if depth == 0:
+                break
+        if ch == "," and depth == 1:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return len([p for p in parts if p.strip()])

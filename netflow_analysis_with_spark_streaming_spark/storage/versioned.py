@@ -414,11 +414,21 @@ class VersionedTable:
             return self.latest_version()
         if self.versions():
             current = self.read(spark)
-            # allowMissingColumns: additive schema evolution on MERGE —
-            # an update carrying a new column widens the table (old
-            # rows get NULLs), and an update missing an existing column
-            # leaves NULLs for its new rows, same contract as append's
-            # mergeSchema read path
+            # Schema evolution on MERGE is ADDITIVE ONLY: an update
+            # carrying a new column widens the table (old rows get
+            # NULLs). An update MISSING an existing column is rejected
+            # — under Delta MERGE semantics unmentioned columns of
+            # matched rows are preserved, but this copy-on-write
+            # replaces whole rows, so the missing column would become
+            # NULL for every matched key: silent data loss.
+            dropped = sorted(set(current.columns) - set(updates.columns))
+            if dropped:
+                raise ValueError(
+                    f"upsert batch is missing existing columns {dropped}; "
+                    "updates must carry the full row (matched rows are "
+                    "replaced whole — a missing column would be nulled). "
+                    "Only additive schema evolution is supported."
+                )
             merged = current.join(updates.select(*keys), keys, "left_anti").unionByName(
                 updates, allowMissingColumns=True
             )

@@ -416,6 +416,25 @@ def test_upsert_additive_schema_evolution(spark, tmp_path):
     assert got == {1: ("a", None), 2: ("B!", "extra")}, got
 
 
+def test_upsert_rejects_dropped_columns(spark, tmp_path):
+    """An upsert batch MISSING an existing column is rejected: this
+    copy-on-write replaces matched rows whole, so the missing column
+    would silently null out — unlike Delta MERGE, which preserves
+    unmentioned columns. Only additive evolution is allowed."""
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    with pytest.raises(ValueError, match="missing existing columns.*'v'"):
+        t.upsert(
+            spark,
+            spark.createDataFrame([(2,)], "k long"),
+            keys=["k"],
+        )
+    # table unchanged after the rejected merge
+    assert {r["k"]: r["v"] for r in t.read(spark).collect()} == {1: "a", 2: "b"}
+
+
 def test_error_paths_and_vacuum_after_rewrite(spark, tmp_path):
     """Contract edges: reads of nothing/missing versions raise;
     vacuum after a clustered rewrite drops exactly the superseded
