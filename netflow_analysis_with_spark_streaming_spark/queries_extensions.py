@@ -1833,7 +1833,9 @@ def _neardup_index_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.neardup_index import NearDupIndex
 
     docs = tables.load(spark, "documents", sf_dir)
-    idx = NearDupIndex(tempfile.mkdtemp(prefix="netflow_ndidx_") + "/t")
+    from .queries_streaming import _run_tmp_root
+
+    idx = NearDupIndex(_run_tmp_root("netflow_ndidx_") + "/t")
     idx.process_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
     pairs = idx.process_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
     return pairs.orderBy("new_doc_id", "prior_doc_id")

@@ -81,6 +81,29 @@ def _bounded_state_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+_RUN_TMP_ROOTS: list = []
+
+
+def _run_tmp_root(prefix: str) -> str:
+    """Per-run unique sink/checkpoint root, removed at interpreter
+    exit. mkdtemp (not a name-derived fixed path) keeps concurrent
+    runs from rmtree-ing each other's sink mid-query; the atexit hook
+    keeps repeated bench/driver passes from accumulating dirs in /tmp
+    (the returned DataFrames read the dirs LAZILY, so an inline
+    try/finally would delete data before the caller collects)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    if not _RUN_TMP_ROOTS:
+        atexit.register(
+            lambda: [shutil.rmtree(r, ignore_errors=True) for r in _RUN_TMP_ROOTS]
+        )
+    _RUN_TMP_ROOTS.append(root)
+    return root
+
+
 def _prepare_cached_dir(final_dir: str, build) -> str:
     """Concurrency-safe build-once cache dir: ``build(tmp_dir)`` writes
     into a unique temp dir which is atomically renamed into place; a
@@ -248,10 +271,7 @@ def _fold_update_mode(
 
     from .streaming import sinks
 
-    # mkdtemp, not a name-derived fixed path: two concurrent runs of the
-    # same entry (CI shards, two sessions on one host) must not rmtree
-    # each other's sink/checkpoint mid-query
-    root = tempfile.mkdtemp(prefix=f"netflow_upd_{name.replace('/', '_')[:40]}_")
+    root = _run_tmp_root(f"netflow_upd_{name.replace('/', '_')[:40]}_")
     sink = sinks.IdempotentParquetSink(root + "/landed")
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
@@ -307,9 +327,7 @@ def _stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming import sinks
 
-    # per-run unique root: a fixed name-derived path let concurrent
-    # runs rmtree each other's sink/checkpoint mid-query
-    root = tempfile.mkdtemp(prefix="netflow_e1x_")
+    root = _run_tmp_root("netflow_e1x_")
     sink = sinks.IdempotentParquetSink(root + "/landed")
     ev = _events_stream(spark, sf_dir).filter(F.col("event_id") % 10 == 0).select(
         "event_id", "user_id", "value"
@@ -349,7 +367,7 @@ def _run_sessions_to_sink(
 
     from .streaming import sinks
 
-    root = tempfile.mkdtemp(prefix="netflow_sess_")
+    root = _run_tmp_root("netflow_sess_")
     sink = sinks.IdempotentParquetSink(root + "/landed")
     with _bounded_state_partitions(spark):
         q = (
@@ -676,7 +694,7 @@ def _storage_versioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # per-run unique root (not a name-derived fixed path): concurrent
     # runs of this entry must not rmtree each other's table mid-query
-    root = tempfile.mkdtemp(prefix="netflow_vt_") + "/t"
+    root = _run_tmp_root("netflow_vt_") + "/t"
     t = VersionedTable(root)
     ev = (
         tables.load(spark, "events", sf_dir)

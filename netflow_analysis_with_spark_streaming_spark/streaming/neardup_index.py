@@ -67,10 +67,22 @@ def band_keys(
 class NearDupIndex:
     """Persistent streaming near-dup index (use from foreachBatch)."""
 
-    def __init__(self, root: str, n_minhash: int = 16, n_bands: int = 4) -> None:
+    def __init__(
+        self,
+        root: str,
+        n_minhash: int = 16,
+        n_bands: int = 4,
+        durable: bool = False,
+    ) -> None:
+        """``durable=True`` materializes each batch's detection via a
+        reliable ``checkpoint()`` under ``root`` instead of the default
+        executor-local ``localCheckpoint()`` — survives executor death
+        mid-batch at the cost of one write to the index's store."""
+        self.root = root
         self.table = VersionedTable(root)
         self.n_minhash = n_minhash
         self.n_bands = n_bands
+        self.durable = durable
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
         """Detect-then-register: returns (new_doc_id, prior_doc_id)
@@ -97,12 +109,17 @@ class NearDupIndex:
             pairs = spark.createDataFrame([], "new_doc_id long, prior_doc_id long")
         # materialize the detection BEFORE registering: the join must
         # see pre-batch index state even under lazy evaluation.
-        # localCheckpoint is executor-local (lost on executor death) —
-        # acceptable because foreachBatch retries re-run the whole
-        # batch and detection is a pure function of pre-batch state;
-        # a cluster deployment wanting durability would checkpoint()
-        # to the reliable store instead.
-        pairs = pairs.localCheckpoint(eager=True)
+        if self.durable:
+            # reliable checkpoint next to the index table: survives
+            # executor death mid-batch (cluster deployments point root
+            # at the reliable store, so this lands there too)
+            spark.sparkContext.setCheckpointDir(self.root + "/_ckpt")
+            pairs = pairs.checkpoint(eager=True)
+        else:
+            # executor-local: lost on executor death — acceptable
+            # because foreachBatch retries re-run the whole batch and
+            # detection is a pure function of pre-batch state
+            pairs = pairs.localCheckpoint(eager=True)
         self.table.append(
             bands.withColumn("_src_batch", F.lit(batch_id)), batch_id=batch_id
         )

@@ -810,3 +810,67 @@ def test_streaming_neardup_index_cross_batch(spark, tmp_path):
     assert len(idx.table.versions()) == n_versions
     # index rows: 4 band keys per doc, 4 docs, registered exactly once
     assert idx.table.read(spark).count() == 16
+
+
+def test_neardup_index_durable_survives_session_restart(tmp_path):
+    """durable=True: the session is KILLED after batches 0+1 and a
+    fresh process replays batch 1 — the durable index must reproduce
+    exactly the original cross-batch pairs without re-registering.
+    Runs in two subprocesses because a real restart requires tearing
+    down the JVM, which a shared session fixture cannot survive."""
+    import json
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import json, sys
+        phase, root, out = sys.argv[1], sys.argv[2], sys.argv[3]
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[2]")
+                 .appName(f"ndidx-restart-{phase}")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .getOrCreate())
+        sys.path.insert(0, ".")
+        from netflow_analysis_with_spark_streaming_spark.streaming.neardup_index import NearDupIndex
+        idx = NearDupIndex(root + "/idx", durable=True)
+        words = lambda i: [f"w{i}_{j}" for j in range(60)]
+        b0 = spark.createDataFrame(
+            [(1, " ".join(words(1))), (2, " ".join(words(2)))], ["doc_id", "text"])
+        edited = words(1); edited[5] = "CHANGED"
+        b1 = spark.createDataFrame(
+            [(10, " ".join(edited)), (11, " ".join(words(7)))], ["doc_id", "text"])
+        if phase == "run":
+            idx.process_batch(b0, batch_id=0)
+            pairs = idx.process_batch(b1, batch_id=1)
+        else:  # replay batch 1 in the fresh process
+            pairs = idx.process_batch(b1, batch_id=1)
+        result = {
+            "pairs": sorted([r["new_doc_id"], r["prior_doc_id"]] for r in pairs.collect()),
+            "versions": len(idx.table.versions()),
+            "index_rows": idx.table.read(spark).count(),
+        }
+        open(out, "w").write(json.dumps(result))
+        spark.stop()
+        """
+    )
+    results = {}
+    for phase in ("run", "replay"):
+        out = tmp_path / f"{phase}.json"
+        proc = subprocess.run(
+            [sys.executable, "-c", script, phase, str(tmp_path), str(out)],
+            cwd="/root/repo",
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        results[phase] = json.loads(out.read_text())
+    assert results["run"]["pairs"] == [[10, 1]], results["run"]
+    # the fresh process, from the durable index alone, reproduces the
+    # original detection and registers nothing twice
+    assert results["replay"]["pairs"] == [[10, 1]], results["replay"]
+    assert results["replay"]["versions"] == results["run"]["versions"]
+    assert results["replay"]["index_rows"] == results["run"]["index_rows"] == 16
