@@ -2021,3 +2021,192 @@ ORDER BY doc_id, chunk_idx
 
 
 register("text_chunk_documents", _text_chunk_documents, _CHUNK_SQL, driver=False)
+
+
+# --- C4-style line-level global dedup (round 5) -----------------------------
+
+_LINE_WORDS = 10  # the "line" unit: fixed non-overlapping 10-word segments
+_LINE_MAX_OCCUR = 3  # C4 drops any line occurring >= 3 times corpus-wide
+
+
+def _corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level global deduplication (Raffel et al. 2020
+    drop any three-or-more-times-repeated line corpus-wide; the
+    synthetic corpus is single-line, so the line unit is fixed
+    non-overlapping 10-word segments — the pipeline shape is the real
+    one): explode every doc into positioned segments, count each
+    segment's occurrences across the WHOLE corpus, drop segments at
+    the threshold, and reassemble each doc's survivors in original
+    order. Returned per doc: surviving/dropped counts and the md5 of
+    the reassembled text (compact driver-checkable proof of the exact
+    reassembly, not just membership).
+
+    Scale: ONE global hash aggregation on a fixed-width md5 segment
+    fingerprint (never the raw segment text — same group-key discipline
+    as exact dedup) + a fingerprint equi-join back, both AQE-skew
+    splittable; reassembly is a per-doc hash aggregation. No window
+    over more than one doc, no driver materialization."""
+    docs = tables.load(spark, "documents", sf_dir)
+    w = T.words(F.col("text"))
+    nseg = F.ceil(F.size(w) / _LINE_WORDS).cast("int")
+    segs = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), nseg - 1),
+                    lambda i: F.array_join(
+                        F.slice(w, i * _LINE_WORDS + 1, _LINE_WORDS), " "
+                    ),
+                )
+            ).alias("pos", "seg"),
+        )
+        # fixed-width group key: 100 TB of distinct segments hash-agg
+        # over 32 hex chars, not arbitrary-length text
+        .withColumn("fp", F.md5("seg"))
+    )
+    counts = segs.groupBy("fp").agg(F.count("*").alias("n_occur"))
+    kept = (
+        segs.join(counts, "fp")
+        .filter(F.col("n_occur") < _LINE_MAX_OCCUR)
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("kept_segments"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                        lambda x: x["seg"],
+                    ),
+                    " ",
+                )
+            ).alias("cleaned_md5"),
+        )
+        .join(
+            segs.groupBy("doc_id").agg(F.count("*").alias("total_segments")),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "total_segments",
+            "kept_segments",
+            (F.col("total_segments") - F.col("kept_segments")).alias(
+                "dropped_segments"
+            ),
+            "cleaned_md5",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LINE_DEDUP_SQL = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents WHERE len({_WORDS_SQL}) > 0),
+seg AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(w[i * {_LINE_WORDS} + 1 : i * {_LINE_WORDS} + {_LINE_WORDS}], ' ') AS seg
+  FROM w, unnest(range(0, CAST(ceil(len(w) / {_LINE_WORDS}.0) AS BIGINT))) u(i)
+),
+cnt AS (SELECT md5(seg) AS fp, COUNT(*) AS n_occur FROM seg GROUP BY 1),
+kept AS (
+  SELECT doc_id, pos, seg FROM seg JOIN cnt ON md5(seg) = cnt.fp
+  WHERE n_occur < {_LINE_MAX_OCCUR}
+)
+SELECT seg_totals.doc_id,
+       CAST(seg_totals.total_segments AS BIGINT) AS total_segments,
+       CAST(k.kept_segments AS BIGINT) AS kept_segments,
+       CAST(seg_totals.total_segments - k.kept_segments AS BIGINT) AS dropped_segments,
+       k.cleaned_md5
+FROM (SELECT doc_id, COUNT(*) AS total_segments FROM seg GROUP BY doc_id) seg_totals
+JOIN (SELECT doc_id, COUNT(*) AS kept_segments,
+             md5(string_agg(seg, ' ' ORDER BY pos)) AS cleaned_md5
+      FROM kept GROUP BY doc_id) k USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+register("corpus_line_dedup", _corpus_line_dedup, _LINE_DEDUP_SQL, driver=False)
+
+
+# --- Domain-mix rebalancing sampler (round 5) -------------------------------
+
+_MIX_SEED = 77
+
+
+def _corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture rebalancing (the DoReMi/The-Pile
+    knob: re-weight sources toward a target mixture before training):
+    every language is downsampled toward the smallest language's count via
+    a pure-integer hash threshold — keep doc iff
+    ``md5_hash32(doc_id) * n_lang < min_count * 2^32`` — so the
+    expected kept count per language is min_count, the decision is a
+    pure function of (doc_id, corpus counts), and a retry, resize, or
+    re-run keeps EXACTLY the same documents (orderBy(rand()) cannot).
+    Integer comparison only: no float rate exists to diverge between
+    engines. Returns per-source totals, kept counts, and an
+    order-sensitive md5 of the kept doc_ids.
+
+    Scale: per-source counts are a tiny-key hash agg (#sources rows);
+    the min is a window over those #sources rows (never the fact
+    table); the threshold join broadcasts that dim back; one final
+    per-source agg. The fact table is scanned once and never
+    re-shuffled except by the final tiny-key agg."""
+    from pyspark.sql import Window
+
+    docs = tables.load(spark, "documents", sf_dir).select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_source"))
+    # min over the ~#sources-row dim — the only unpartitioned window,
+    # bounded by source cardinality regardless of corpus size
+    counts = counts.withColumn(
+        "min_count", F.min("n_source").over(Window.orderBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+    )
+    keyed = docs.join(F.broadcast(counts), "lang").withColumn(
+        "key", T.md5_hash32(F.col("doc_id").cast("string"), seed=_MIX_SEED)
+    )
+    kept = keyed.filter(
+        F.col("key") * F.col("n_source") < F.col("min_count") * F.lit(2**32)
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.col("doc_id"))),
+                        lambda d: d.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("kept_md5"),
+        )
+        .join(F.broadcast(counts.select("lang", "n_source")), "lang")
+        .select("lang", "n_source", "n_kept", "kept_md5")
+        .orderBy("lang")
+    )
+
+
+_DOMAIN_MIX_SQL = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_source FROM documents GROUP BY lang
+),
+m AS (SELECT lang, n_source, (SELECT MIN(n_source) FROM counts) AS min_count FROM counts),
+keyed AS (
+  SELECT d.doc_id, d.lang, m.n_source, m.min_count,
+         {T.md5_hash32_sql("CAST(doc_id AS VARCHAR)", _MIX_SEED)} AS key
+  FROM documents d JOIN m USING (lang)
+),
+kept AS (
+  SELECT * FROM keyed WHERE key * n_source < min_count * 4294967296
+)
+SELECT lang,
+       CAST(MIN(n_source) AS BIGINT) AS n_source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS kept_md5
+FROM kept GROUP BY lang ORDER BY lang
+"""
+
+
+register("corpus_domain_mix", _corpus_domain_mix, _DOMAIN_MIX_SQL, driver=False)
