@@ -111,7 +111,7 @@ def _dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     The k hashes derive from ONE md5 via an affine family (k md5 calls
     measured ~5x slower); md5 base makes it exactly oracle-checked.
     """
-    docs = tables.load(spark, "documents", sf_dir)
+    docs = tables.load_parallel(spark, "documents", sf_dir)
     sh = _shingle_sets(docs)
     return (
         sh.groupBy("doc_id")
@@ -222,7 +222,7 @@ def _similarity_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |common| / (|a|+|b|-|common|) is a ratio of exact ints (identical
     doubles in DuckDB).
     """
-    docs = tables.load(spark, "documents", sf_dir)
+    docs = tables.load_parallel(spark, "documents", sf_dir)
     # persist the shingle inverted index: it feeds the size aggregate
     # AND both self-join sides — unpersisted, the tokenize+explode+
     # distinct subtree executed 3x (12 document scans in the physical
@@ -306,7 +306,7 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     all codegen'd; near-dup docs differ in a few bits (compare via
     hamming distance on the signature at query time).
     """
-    docs = tables.load(spark, "documents", sf_dir)
+    docs = tables.load_parallel(spark, "documents", sf_dir)
     toks = docs.select(
         "doc_id", F.explode(T.words(F.col("text"))).alias("word")
     ).distinct()
@@ -624,7 +624,7 @@ def _text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text analytics: token counts (whitespace + BPE-ish),
     quality score, language-ID guess, fingerprint — the standard
     pretraining-corpus annotation pass, all codegen'd expressions."""
-    docs = tables.load(spark, "documents", sf_dir)
+    docs = tables.load_parallel(spark, "documents", sf_dir)
     text = F.col("text")
     return docs.select(
         "doc_id",
@@ -1408,7 +1408,7 @@ def _text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both are single-pass array folds inside codegen; exactly mirrored
     in DuckDB via list_reduce/list_transform.
     """
-    docs = tables.load(spark, "documents", sf_dir)
+    docs = tables.load_parallel(spark, "documents", sf_dir)
     h = lambda c: T.md5_hash32(c, 7) % _RH_P  # noqa: E731
     pre = docs.select("doc_id", T.words(F.col("text")).alias("w"))
     sh = T.shingles_from_words(F.col("w"), 3)
@@ -1469,7 +1469,7 @@ def _text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles (not 3) keep join fan-out down — real decontamination
     uses 8-13-grams for the same reason.
     """
-    docs = tables.load(spark, "documents", sf_dir)
+    docs = tables.load_parallel(spark, "documents", sf_dir)
     w = docs.select("doc_id", T.words(F.col("text")).alias("w"))
     corpus_sh = w.select(
         "doc_id", F.explode(T.shingles_from_words(F.col("w"), 5)).alias("shingle")
@@ -1642,7 +1642,7 @@ def _corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .operators import components as C
 
-    docs = tables.load(spark, "documents", sf_dir)
+    docs = tables.load_parallel(spark, "documents", sf_dir)
     w = docs.select("doc_id", "lang", "text", T.words(F.col("text")).alias("w"))
     sh3 = T.shingles_from_words(F.col("w"), 3)
     quality = w.select(
@@ -2046,7 +2046,7 @@ def _corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     as exact dedup) + a fingerprint equi-join back, both AQE-skew
     splittable; reassembly is a per-doc hash aggregation. No window
     over more than one doc, no driver materialization."""
-    docs = tables.load(spark, "documents", sf_dir)
+    docs = tables.load_parallel(spark, "documents", sf_dir)
     w = T.words(F.col("text"))
     nseg = F.ceil(F.size(w) / _LINE_WORDS).cast("int")
     segs = (

@@ -71,6 +71,36 @@ def _utc_ns(ts: str) -> int:
     return int(dt.timestamp()) * 1_000_000_000
 
 
+def load_parallel(
+    spark: SparkSession, name: str, sf_dir: str | None = None
+) -> DataFrame:
+    """``load`` + guarantee at least ``defaultParallelism`` partitions
+    before CPU-heavy per-row expressions (tokenize/shingle/MinHash).
+
+    The driver testdata ships each table as ONE parquet file with ONE
+    row group, so the scan is a single task no matter how small
+    maxPartitionBytes is — and every expensive projection chained on
+    it runs single-threaded. Worse, a repartition alone does NOT fix
+    the filter case: PushDownPredicates happily pushes a filter
+    through a round-robin exchange onto the scan, inlining the alias
+    substitutions (the curation pipeline's quality predicate evaluated
+    `words()` ~6x per row in the ONE scan task — 16 of its 35 cold
+    seconds). The persist() plants an InMemoryRelation the predicate
+    cannot be pushed beneath, so heavy filters evaluate across the
+    repartitioned cached partitions instead. The cache is shared by
+    plan equality across every query loading the same table, and holds
+    only tables small enough to arrive as a single file — at cluster
+    scale the scan already has >= cores input splits, the gate fails,
+    and this is a plain load (never a 100 TB persist). The condition,
+    not the repartition, is the contract.
+    """
+    df = load(spark, name, sf_dir)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target).persist()
+    return df
+
+
 def load_events_range(
     spark: SparkSession,
     sf_dir: str | None = None,
