@@ -81,3 +81,24 @@ def events_as_nested_packets(events: DataFrame) -> DataFrame:
     )
     layers = F.struct(frame.alias("frame"), ip.alias("ip"), tcp.alias("tcp"))
     return events.select(F.struct(layers.alias("layers")).alias("_source"))
+
+
+# DuckDB oracle for flatten_packets(with_datetime=True) over the
+# sampled events stream (shared by the batch parity entry and the
+# streaming path-2 entry, which have identical semantics).
+FLATTEN_ORACLE_SQL = """
+SELECT CONCAT('192.168.', CAST(event_id % 256 AS VARCHAR), '.',
+              CAST((event_id >> 8) % 256 AS VARCHAR)) AS ip_dst,
+       CONCAT('172.16.', CAST(user_id % 256 AS VARCHAR), '.',
+              CAST((user_id >> 8) % 256 AS VARCHAR)) AS ip_src,
+       '4' AS ip_ver,
+       CONCAT(CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) AS VARCHAR), '.',
+              lpad(CAST(event_id % 1000000 AS VARCHAR), 6, '0')) AS timestamp,
+       CAST(event_id % 1024 AS VARCHAR) AS tcp_dstport,
+       CAST(event_id % 32 AS VARCHAR) AS tcp_flags,
+       CAST(user_id % 64512 + 1024 AS VARCHAR) AS tcp_srcport,
+       make_timestamp(CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000
+                      + event_id % 1000000) AS datetime
+FROM events
+WHERE event_id % 10 = 0
+"""

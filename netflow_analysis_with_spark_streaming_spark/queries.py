@@ -145,13 +145,23 @@ _DRIVER_ORDER = [
 ]
 
 
-def _apply_driver_order() -> None:
-    missing = [n for n in _DRIVER_ORDER if n not in QUERIES]
+def _apply_driver_order(*, deferred: bool = False) -> None:
+    """Reorder QUERIES to _DRIVER_ORDER once every registrar module has
+    finished. ``deferred=True`` tolerates missing names: when a USER
+    imports a registrar submodule (e.g. queries_extensions) directly,
+    Python enters this module mid-way through that submodule's body —
+    its remaining registers haven't run yet, so this call no-ops and
+    the submodule's tail re-invokes strictly. Unlisted names are
+    always an error: they mean a register() call forgot the
+    _DRIVER_ORDER update, not an import cycle."""
     unlisted = [n for n in QUERIES if n not in _DRIVER_ORDER]
-    if missing or unlisted:
-        raise RuntimeError(
-            f"driver order out of sync: missing={missing} unlisted={unlisted}"
-        )
+    if unlisted:
+        raise RuntimeError(f"driver order out of sync: unlisted={unlisted}")
+    missing = [n for n in _DRIVER_ORDER if n not in QUERIES]
+    if missing:
+        if deferred:
+            return
+        raise RuntimeError(f"driver order out of sync: missing={missing}")
     if len(_DRIVER_ORDER) > DRIVER_WINDOW:
         raise RuntimeError(
             f"{len(_DRIVER_ORDER)} driver entries exceed the "
@@ -162,4 +172,4 @@ def _apply_driver_order() -> None:
     QUERIES.update(ordered)
 
 
-_apply_driver_order()
+_apply_driver_order(deferred=True)

@@ -2210,3 +2210,15 @@ FROM kept GROUP BY lang ORDER BY lang
 
 
 register("corpus_domain_mix", _corpus_domain_mix, _DOMAIN_MIX_SQL, driver=False)
+
+
+# Re-apply the driver-tier ordering once THIS module's registers are
+# complete — covers users importing a registrar submodule directly,
+# where queries.py's own import-time call runs before this module's
+# body has finished registering. hasattr-guarded: during queries.py's
+# own first import this tail runs before _apply_driver_order is
+# defined, and queries.py's bottom call handles that path instead.
+from . import queries as _queries_registry  # noqa: E402
+
+if hasattr(_queries_registry, "_apply_driver_order"):
+    _queries_registry._apply_driver_order(deferred=True)

@@ -82,22 +82,10 @@ def _parity_flatten_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fl.flatten_packets(nested, with_datetime=True)
 
 
-_PARITY_FLATTEN_SQL = """
-SELECT CONCAT('192.168.', CAST(event_id % 256 AS VARCHAR), '.',
-              CAST((event_id >> 8) % 256 AS VARCHAR)) AS ip_dst,
-       CONCAT('172.16.', CAST(user_id % 256 AS VARCHAR), '.',
-              CAST((user_id >> 8) % 256 AS VARCHAR)) AS ip_src,
-       '4' AS ip_ver,
-       CONCAT(CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) AS VARCHAR), '.',
-              lpad(CAST(event_id % 1000000 AS VARCHAR), 6, '0')) AS timestamp,
-       CAST(event_id % 1024 AS VARCHAR) AS tcp_dstport,
-       CAST(event_id % 32 AS VARCHAR) AS tcp_flags,
-       CAST(user_id % 64512 + 1024 AS VARCHAR) AS tcp_srcport,
-       make_timestamp(CAST(FLOOR(epoch(ts)) AS BIGINT) * 1000000
-                      + event_id % 1000000) AS datetime
-FROM events
-WHERE event_id % 10 = 0
-"""
+# Oracle lives next to the operator (operators/flatten.py) so both
+# this module and queries_streaming can reuse it without a
+# registrar-to-registrar import (breaks under direct submodule import).
+_PARITY_FLATTEN_SQL = _fl.FLATTEN_ORACLE_SQL
 
 
 # --- P4 standalone: formatted string -> timestamp --------------------------
@@ -323,3 +311,15 @@ GROUP BY event_type ORDER BY event_type
 register("parity_normalize_json", _parity_normalize_json, _PARITY_NORMALIZE_SQL, driver=False)
 register("parity_metric_switch", _parity_metric_switch, _PARITY_METRIC_SWITCH_SQL, driver=False)
 register("parity_corrupt_records", _parity_corrupt_records, _PARITY_CORRUPT_SQL, driver=False)
+
+
+# Re-apply the driver-tier ordering once THIS module's registers are
+# complete — covers users importing a registrar submodule directly,
+# where queries.py's own import-time call runs before this module's
+# body has finished registering. hasattr-guarded: during queries.py's
+# own first import this tail runs before _apply_driver_order is
+# defined, and queries.py's bottom call handles that path instead.
+from . import queries as _queries_registry  # noqa: E402
+
+if hasattr(_queries_registry, "_apply_driver_order"):
+    _queries_registry._apply_driver_order(deferred=True)

@@ -1526,3 +1526,15 @@ register("set_except", _set_except, _SET_EXCEPT_SQL, driver=False)
 register("set_union", _set_union, _SET_UNION_SQL, driver=False)
 register("set_ops_bag", _set_ops_bag, _SET_OPS_BAG_SQL, driver=False)
 register("scalar_null_handling", _scalar_null_handling, _SCALAR_NULL_SQL, driver=False)
+
+
+# Re-apply the driver-tier ordering once THIS module's registers are
+# complete — covers users importing a registrar submodule directly,
+# where queries.py's own import-time call runs before this module's
+# body has finished registering. hasattr-guarded: during queries.py's
+# own first import this tail runs before _apply_driver_order is
+# defined, and queries.py's bottom call handles that path instead.
+from . import queries as _queries_registry  # noqa: E402
+
+if hasattr(_queries_registry, "_apply_driver_order"):
+    _queries_registry._apply_driver_order(deferred=True)

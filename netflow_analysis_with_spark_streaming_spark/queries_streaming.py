@@ -22,6 +22,7 @@ from pyspark.sql.types import (
 )
 
 from . import tables
+from .operators import flatten as _fl
 from .queries import register
 from .streaming import jobs, sources
 
@@ -249,8 +250,7 @@ ORDER BY c_mktsegment, event_type
 """
 
 
-# Identical semantics to the batch flatten entry -> reuse its oracle.
-from .queries_parity import _PARITY_FLATTEN_SQL  # noqa: E402
+
 
 def _fold_update_mode(
     spark: SparkSession, stream: DataFrame, name: str, key_cols: list[str]
@@ -728,7 +728,10 @@ register("stream_sessionize", _stream_sessionize, driver=False)  # rows-only: op
 register("stream_dedup_watermark", _stream_dedup_watermark, _STREAM_DEDUP_SQL)
 register("stream_exactly_once_sink", _stream_exactly_once_sink, _STREAM_E1X_SQL)
 register("stream_tumbling_window", _stream_tumbling_window, _STREAM_WINDOW_SQL)
-register("stream_path2_flatten", _stream_path2_flatten, _PARITY_FLATTEN_SQL)
+# identical semantics to the batch flatten entry -> same oracle, taken
+# from the leaf operator module (registrar-to-registrar imports break
+# under direct submodule import)
+register("stream_path2_flatten", _stream_path2_flatten, _fl.FLATTEN_ORACLE_SQL)
 register("stream_static_enrich", _stream_static_enrich, _STREAM_STATIC_SQL)
 register("stream_running_totals", _stream_running_totals, _STREAM_RUNNING_SQL)
 register("stream_update_mode", _stream_update_mode, _STREAM_UPDATE_SQL)
@@ -780,3 +783,15 @@ register(
     _AT_ORACLE,
     driver=False,
 )
+
+
+# Re-apply the driver-tier ordering once THIS module's registers are
+# complete — covers users importing a registrar submodule directly,
+# where queries.py's own import-time call runs before this module's
+# body has finished registering. hasattr-guarded: during queries.py's
+# own first import this tail runs before _apply_driver_order is
+# defined, and queries.py's bottom call handles that path instead.
+from . import queries as _queries_registry  # noqa: E402
+
+if hasattr(_queries_registry, "_apply_driver_order"):
+    _queries_registry._apply_driver_order(deferred=True)

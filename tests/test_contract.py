@@ -67,3 +67,38 @@ def test_driver_schemas_stable_across_sf(spark):
         if s_small != s_mid:
             drift[name] = (s_small.simpleString(), s_mid.simpleString())
     assert not drift, drift
+
+
+def test_registry_survives_any_registrar_import_order():
+    """Importing any registrar submodule FIRST (a user reaching for
+    one operator family directly) must still produce the full, ordered
+    50-entry driver tier — the import cycle through queries.py used to
+    raise 'driver order out of sync' for every order but the canonical
+    one. Subprocesses because module import order can't be replayed
+    in-process."""
+    import subprocess
+    import sys
+
+    mods = [
+        "queries",
+        "queries_relational",
+        "queries_parity",
+        "queries_extensions",
+        "queries_streaming",
+    ]
+    for m in mods:
+        code = (
+            f"from netflow_analysis_with_spark_streaming_spark import {m}\n"
+            "from netflow_analysis_with_spark_streaming_spark import queries as Q\n"
+            "assert len(Q.QUERIES) == 50, len(Q.QUERIES)\n"
+            "assert list(Q.QUERIES)[0] == 'flagship_access_trend'\n"
+            "assert len(Q.ORACLES) == 50\n"
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            cwd="/root/repo",
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        assert proc.returncode == 0, f"{m}-first: {proc.stderr[-1500:]}"
