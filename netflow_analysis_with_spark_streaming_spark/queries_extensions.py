@@ -1645,14 +1645,22 @@ def _corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load_parallel(spark, "documents", sf_dir)
     w = docs.select("doc_id", "lang", "text", T.words(F.col("text")).alias("w"))
     sh3 = T.shingles_from_words(F.col("w"), 3)
-    quality = w.select(
+    # persist the METRICS projection, filter above the cache: with the
+    # filter directly on the projection, predicate pushdown substitutes
+    # the n_tokens/rep aliases into the condition and re-evaluates the
+    # words()/shingles HOF chain ~6x per row; against the cached
+    # columns the filter is two cheap comparisons (measured ~2s off
+    # every invocation at sf0.1). Tiny: metrics + tokens for one small
+    # table's rows.
+    metrics = w.select(
         "doc_id",
         "lang",
         "text",
         "w",
         F.size("w").cast("long").alias("n_tokens"),
         (1.0 - F.size(F.array_distinct(sh3)) / F.size(sh3)).alias("rep"),
-    ).filter(
+    ).persist()
+    quality = metrics.filter(
         (F.col("n_tokens") >= _CURATE_MIN_TOKENS) & (F.col("rep") <= _CURATE_MAX_REP)
     )
     # exact dedup: min doc_id survives per normalized-text fingerprint
