@@ -559,3 +559,23 @@ def test_line_dedup_segment_conservation(spark):
     assert all(r["kept_segments"] + r["dropped_segments"] == r["total_segments"] for r in rows)
     assert sum(r["dropped_segments"] for r in rows) > 0
     assert sum(r["kept_segments"] for r in rows) > 0
+
+
+def test_ivf_training_is_run_deterministic(spark):
+    """The rows-only IVF entry's evidence rests on determinism: seeded
+    init + 1e-6-rounded means must make two independent trainings
+    produce IDENTICAL assignments and centroids (run-order float noise
+    in the distributed average absorbed by the rounding), so the
+    driver's rows-only check sees a stable result set."""
+    import numpy as np
+
+    from netflow_analysis_with_spark_streaming_spark import tables
+    from netflow_analysis_with_spark_streaming_spark.functions import vectors as V
+
+    emb = tables.load(spark, "embeddings", SF_ORACLE)
+    a1, c1 = V.ivf_index(emb, n_centroids=16)
+    a2, c2 = V.ivf_index(emb, n_centroids=16)
+    assert np.array_equal(c1, c2)
+    m1 = {r["vec_id"]: r["cluster"] for r in a1.collect()}
+    m2 = {r["vec_id"]: r["cluster"] for r in a2.collect()}
+    assert m1 == m2
