@@ -1,0 +1,135 @@
+"""Streaming corpus curation: the batch curation pipeline as a
+continuously-ingesting job.
+
+``queries_extensions._corpus_curate`` answers "curate THIS corpus";
+an LLM-data ingest needs the streaming question: documents arrive in
+micro-batches and each batch must be quality-filtered, deduplicated
+against everything already ACCEPTED (exact and near-dup), optionally
+decontaminated, and landed exactly-once — without rescanning the
+accepted corpus per batch. Composition of the engine's own parts:
+
+- quality gate: the same token-count + repetition-ratio predicate as
+  the batch pipeline (narrow, codegen);
+- exact dedup: within-batch keep-min-doc_id per md5 fingerprint, then
+  a one-sided anti-join of the batch's fingerprints against the
+  ACCEPTED table's fingerprint column (equi-join vs the past — never
+  a corpus rescan);
+- near-dup: ``NearDupIndex.process_batch`` (persistent LSH band-key
+  index, detect-then-register, replay-safe) — any batch doc banding
+  with a previously accepted doc is dropped;
+- decontamination: optional broadcast anti-join against an eval-set
+  shingle list;
+- landing: ``VersionedTable.append(batch_id=...)`` — idempotent under
+  foreachBatch replays, so the curated table is exactly-once.
+
+Scale: every cross-corpus operation is an equi-join on a fixed-width
+key (md5 fingerprint / band key) against an indexed table that grows
+with ACCEPTED documents only; the arriving batch is the small side.
+A replayed batch re-runs detection against pre-batch state (the index
+filters ``_src_batch < batch_id``) and re-lands nothing.
+
+Reference basis: the reference's pipeline is stateless per-record
+(README.md:115-127); cross-batch state lives in Mongo. This is the
+Spark-first equivalent with the state in versioned parquet tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..storage.versioned import VersionedTable
+from .neardup_index import NearDupIndex
+
+
+class StreamingCurator:
+    """foreachBatch target: curate arriving documents against all
+    previously accepted ones and land survivors exactly-once.
+
+    ``eval_shingles``: optional list of decontamination shingles (the
+    eval set is tiny by construction — it is broadcast, never joined
+    shuffle-side).
+    """
+
+    def __init__(
+        self,
+        root: str,
+        min_tokens: int = 5,
+        max_repetition: float = 0.5,
+        eval_shingles: list[str] | None = None,
+        durable_index: bool = False,
+    ) -> None:
+        self.curated = VersionedTable(root + "/curated")
+        self.index = NearDupIndex(root + "/ndidx", durable=durable_index)
+        self.min_tokens = min_tokens
+        self.max_repetition = max_repetition
+        self.eval_shingles = eval_shingles or []
+
+    def _quality(self, batch: DataFrame) -> DataFrame:
+        w = T.words(F.col("text"))
+        sh3 = T.shingles_from_words(w, 3)
+        rep = F.when(
+            F.size(sh3) > 0,
+            1.0 - F.size(F.array_distinct(sh3)) / F.size(sh3),
+        ).otherwise(F.lit(0.0))
+        return (
+            batch.withColumn("n_tokens", F.size(w).cast("long"))
+            .withColumn("rep", rep)
+            .filter(
+                (F.col("n_tokens") >= self.min_tokens)
+                & (F.col("rep") <= self.max_repetition)
+            )
+            .drop("rep")
+        )
+
+    def _decontaminate(self, batch: DataFrame) -> DataFrame:
+        if not self.eval_shingles:
+            return batch
+        spark = batch.sparkSession
+        ev = spark.createDataFrame(
+            [(s,) for s in self.eval_shingles], "shingle string"
+        )
+        hit = (
+            batch.select(
+                "doc_id",
+                F.explode(T.shingles_from_words(T.words(F.col("text")), 5)).alias(
+                    "shingle"
+                ),
+            )
+            .join(F.broadcast(ev), "shingle")
+            .select("doc_id")
+            .distinct()
+        )
+        return batch.join(hit, "doc_id", "left_anti")
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Quality -> exact dedup (in-batch + vs accepted) -> near-dup
+        vs index -> decontaminate -> idempotent landing."""
+        if batch_id in self.curated.committed_batch_ids():
+            # replayed batch: the index's detect path is replay-safe on
+            # its own; the landing would be a no-op too — skip the work
+            return
+        q = self._quality(batch_df)
+        fp = q.withColumn("fp", T.fingerprint(F.col("text")))
+        # in-batch exact dedup: keep min doc_id per fingerprint
+        keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        batch_unique = fp.join(keep, ["fp", "doc_id"], "left_semi")
+        # cross-batch exact dedup: one-sided anti-join vs accepted fps
+        if self.curated.versions():
+            prior_fp = self.curated.read(batch_df.sparkSession).select("fp")
+            batch_unique = batch_unique.join(prior_fp, "fp", "left_anti")
+        # stabilize before the index mutates: detection must see the
+        # pre-registration state and the landing must agree with what
+        # was registered
+        batch_unique = batch_unique.localCheckpoint(eager=True)
+        # near-dup vs previously ACCEPTED docs (the index mirrors the
+        # curated corpus: detect over the batch, register survivors
+        # only — a doc dropped here never shadows future arrivals)
+        pairs = self.index.detect(batch_unique, batch_id)
+        neardup_ids = pairs.select(F.col("new_doc_id").alias("doc_id")).distinct()
+        accepted = batch_unique.join(neardup_ids, "doc_id", "left_anti")
+        accepted = self._decontaminate(accepted)
+        accepted = accepted.localCheckpoint(eager=True)
+        self.index.register(accepted, batch_id=batch_id)
+        self.curated.append(accepted, batch_id=batch_id)

@@ -84,14 +84,15 @@ class NearDupIndex:
         self.n_bands = n_bands
         self.durable = durable
 
-    def process_batch(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
-        """Detect-then-register: returns (new_doc_id, prior_doc_id)
-        candidate pairs of this batch against every document registered
-        by an EARLIER batch, then appends this batch's band keys
-        idempotently. Index rows carry their registering batch id and
-        the detection join filters to ``_src_batch < batch_id``, so a
-        replayed batch id reproduces exactly its original pairs (the
-        pre-batch index state) and registers nothing twice."""
+    def detect(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        """(new_doc_id, prior_doc_id) candidate pairs of this batch
+        against every document registered by an EARLIER batch. Index
+        rows carry their registering batch id and the join filters to
+        ``_src_batch < batch_id``, so a replayed batch id reproduces
+        exactly its original pairs (the pre-batch index state). The
+        result is eagerly materialized (reliable ``checkpoint()`` when
+        ``durable``, else ``localCheckpoint``) so a later ``register``
+        cannot change what this detection saw."""
         bands = band_keys(batch_df, self.n_minhash, self.n_bands)
         spark = batch_df.sparkSession
         if self.table.versions():
@@ -107,20 +108,32 @@ class NearDupIndex:
             )
         else:
             pairs = spark.createDataFrame([], "new_doc_id long, prior_doc_id long")
-        # materialize the detection BEFORE registering: the join must
-        # see pre-batch index state even under lazy evaluation.
         if self.durable:
             # reliable checkpoint next to the index table: survives
             # executor death mid-batch (cluster deployments point root
             # at the reliable store, so this lands there too)
             spark.sparkContext.setCheckpointDir(self.root + "/_ckpt")
-            pairs = pairs.checkpoint(eager=True)
-        else:
-            # executor-local: lost on executor death — acceptable
-            # because foreachBatch retries re-run the whole batch and
-            # detection is a pure function of pre-batch state
-            pairs = pairs.localCheckpoint(eager=True)
+            return pairs.checkpoint(eager=True)
+        # executor-local: lost on executor death — acceptable because
+        # foreachBatch retries re-run the whole batch and detection is
+        # a pure function of pre-batch state
+        return pairs.localCheckpoint(eager=True)
+
+    def register(self, docs_df: DataFrame, batch_id: int) -> None:
+        """Append ``docs_df``'s band keys under ``batch_id``,
+        idempotently (a replayed batch id registers nothing twice).
+        Callers choose WHAT the index mirrors: ``process_batch``
+        registers everything it detected over; a curation job
+        registers only the docs it ACCEPTED."""
+        bands = band_keys(docs_df, self.n_minhash, self.n_bands)
         self.table.append(
             bands.withColumn("_src_batch", F.lit(batch_id)), batch_id=batch_id
         )
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> DataFrame:
+        """Detect-then-register over the same document set (the plain
+        index contract: every seen unique doc becomes part of the
+        past)."""
+        pairs = self.detect(batch_df, batch_id)
+        self.register(batch_df, batch_id)
         return pairs

@@ -874,3 +874,68 @@ def test_neardup_index_durable_survives_session_restart(tmp_path):
     assert results["replay"]["pairs"] == [[10, 1]], results["replay"]
     assert results["replay"]["versions"] == results["run"]["versions"]
     assert results["replay"]["index_rows"] == results["run"]["index_rows"] == 16
+
+
+def test_streaming_curator_end_to_end(spark, tmp_path):
+    """The streaming curation job, driven as a real stream: batch 2
+    carries a near-dup of an accepted doc, an exact dup of an accepted
+    doc, and a contaminated doc — only the clean unique survives.
+    Quality rejects run in batch 1; in-batch exact dups keep the min
+    doc_id; a replayed batch changes nothing; and the near-dup index
+    mirrors ACCEPTED docs only."""
+    import json as _json
+
+    from netflow_analysis_with_spark_streaming_spark.streaming import sources
+    from netflow_analysis_with_spark_streaming_spark.streaming.curate_job import (
+        StreamingCurator,
+    )
+
+    words = lambda i: [f"w{i}_{j}" for j in range(60)]  # noqa: E731
+    text = lambda i: " ".join(words(i))  # noqa: E731
+    edited = words(1)
+    edited[5] = "CHANGED"
+    eval_words = [f"e{j}" for j in range(60)]
+    b1 = [
+        {"doc_id": 1, "text": text(1)},
+        {"doc_id": 2, "text": text(2)},
+        {"doc_id": 3, "text": "too short"},  # quality reject
+        {"doc_id": 4, "text": text(1)},  # in-batch exact dup of 1
+    ]
+    b2 = [
+        {"doc_id": 10, "text": " ".join(edited)},  # near-dup of accepted 1
+        {"doc_id": 11, "text": text(7)},  # clean unique
+        {"doc_id": 12, "text": text(2)},  # cross-batch exact dup of 2
+        {"doc_id": 13, "text": " ".join(eval_words)},  # contaminated
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text(_json.dumps(b1))
+    (src / "b2.json").write_text(_json.dumps(b2))
+
+    cur = StreamingCurator(
+        str(tmp_path / "cur"),
+        eval_shingles=[" ".join(eval_words[:5])],
+    )
+    raw = sources.json_file_source(
+        spark,
+        str(src),
+        spark.createDataFrame([], "doc_id long, text string").schema,
+        max_files_per_trigger=1,
+    )
+    q = (
+        raw.writeStream.foreachBatch(cur.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(r["doc_id"] for r in cur.curated.read(spark).collect())
+    assert got == [1, 2, 11], got
+    # index mirrors accepted docs only: 4 band keys x 3 docs
+    assert cur.index.table.read(spark).count() == 12
+    # replay batch 1 by hand: nothing lands twice, nothing re-registers
+    n_versions = len(cur.curated.versions())
+    cur.process_batch(spark.createDataFrame(b2, "doc_id long, text string"), 1)
+    assert len(cur.curated.versions()) == n_versions
+    assert sorted(r["doc_id"] for r in cur.curated.read(spark).collect()) == [1, 2, 11]
