@@ -83,3 +83,41 @@ def test_streaming_schema_pick_matches_footer(tmp_path):
         p = str(tmp_path / f"{layout}.parquet")
         _write_events(p, _LAYOUTS[layout])
         assert _events_ts_is_nanos(p) is expect_nanos, layout
+
+
+def test_load_parallel_gate(spark, tmp_path):
+    """load_parallel's 100 TB contract: a single-file scan gets
+    repartitioned to >= defaultParallelism partitions; a source that
+    already has >= cores input splits loads PLAIN — no exchange, no
+    persist (the gate, not the repartition, is the contract)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "one"
+    d.mkdir()
+    _write_events(str(d / "events.parquet"), _LAYOUTS["us_ntz"])
+    df_small = tables.load_parallel(spark, "events", str(d))
+    target = spark.sparkContext.defaultParallelism
+    assert df_small.rdd.getNumPartitions() >= target
+    assert "InMemoryRelation" in df_small._jdf.queryExecution().optimizedPlan().toString()
+
+    # many-files source: same table split into `target` single-row files
+    m = tmp_path / "many"
+    (m / "events.parquet").mkdir(parents=True)
+    cols = list(zip(*_ROWS))
+    for i in range(target):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([cols[0][i % 3] + i * 100], pa.int64()),
+                "ts": pa.array([cols[1][i % 3]], _LAYOUTS["us_ntz"]),
+                "user_id": pa.array([cols[2][i % 3]], pa.int64()),
+                "event_type": pa.array([cols[3][i % 3]], pa.string()),
+                "value": pa.array([cols[4][i % 3]], pa.float64()),
+                "props": pa.array([cols[5][i % 3]], pa.string()),
+            }
+        )
+        pq.write_table(tbl, str(m / "events.parquet" / f"part-{i:03d}.parquet"))
+    df_many = tables.load_parallel(spark, "events", str(m))
+    plan = df_many._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" not in plan, plan[:1500]
+    assert "Repartition" not in plan, plan[:1500]
