@@ -74,14 +74,10 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("flagship_access_trend", _flagship, _access_trend.ACCESS_TREND_ORACLE)
 
-# Widen the corpus: each import registers its module's queries.
-from . import queries_relational  # noqa: E402,F401
-from . import queries_parity  # noqa: E402,F401
-from . import queries_extensions  # noqa: E402,F401
-from . import queries_streaming  # noqa: E402,F401
-
 # The driver-visible order. Every name must exist; every registered
-# driver entry must appear — asserted below and in tests/test_contract.
+# driver entry must appear — enforced by the strict validation that
+# runs once every registrar module reports completion (below), and
+# re-asserted in tests/test_contract.
 _DRIVER_ORDER = [
     "flagship_access_trend",
     # streaming layer first (the engine's raison d'être — previously
@@ -112,19 +108,21 @@ _DRIVER_ORDER = [
     "similarity_ann_topk",
     "similarity_quantized_topk",
     "similarity_embedding_neardup",
-    # LLM-corpus flagships (promoted round 5; they subsume the retired
-    # parity singletons' coverage many times over)
+    # LLM-corpus flagships (promoted rounds 5-6; they subsume the
+    # retired parity singletons' coverage many times over)
     "corpus_curate",
     "corpus_pack_bins",
+    "corpus_line_dedup",
+    "corpus_domain_mix",
     # multimodal + UDF surface
     "multimodal_decode",
     "multimodal_frame_sample",
     "udf_surface",
-    # reference parity
+    # reference parity (parity_live_path / parity_cidr_filter retired
+    # to the pytest tier in round 6 — their P8-P12 semantics are
+    # one-liner selects, displaced by the round-5 corpus flagships)
     "parity_kafka_roundtrip",
     "parity_flatten_nested",
-    "parity_live_path",
-    "parity_cidr_filter",
     # relational completeness
     "sql_returned_items",
     "sql_local_supplier_volume",
@@ -146,12 +144,12 @@ _DRIVER_ORDER = [
 
 
 def _apply_driver_order(*, deferred: bool = False) -> None:
-    """Reorder QUERIES to _DRIVER_ORDER once every registrar module has
-    finished. ``deferred=True`` tolerates missing names: when a USER
-    imports a registrar submodule (e.g. queries_extensions) directly,
-    Python enters this module mid-way through that submodule's body —
-    its remaining registers haven't run yet, so this call no-ops and
-    the submodule's tail re-invokes strictly. Unlisted names are
+    """Reorder QUERIES to _DRIVER_ORDER. ``deferred=True`` tolerates
+    missing names (registrar modules still mid-import); ``False`` is
+    the strict validation that ``registrar_done`` runs exactly once,
+    as soon as the last registrar module reports completion — a driver
+    register() removed or demoted without a matching _DRIVER_ORDER
+    update raises on import, in every import order. Unlisted names are
     always an error: they mean a register() call forgot the
     _DRIVER_ORDER update, not an import cycle."""
     unlisted = [n for n in QUERIES if n not in _DRIVER_ORDER]
@@ -172,4 +170,26 @@ def _apply_driver_order(*, deferred: bool = False) -> None:
     QUERIES.update(ordered)
 
 
-_apply_driver_order(deferred=True)
+_EXPECTED_REGISTRARS = frozenset(
+    {"queries_relational", "queries_parity", "queries_extensions", "queries_streaming"}
+)
+_DONE_REGISTRARS: set[str] = set()
+
+
+def registrar_done(name: str) -> None:
+    """Called by each registrar module's tail once its registers have
+    all run. The LAST registrar to finish (whichever that is under the
+    caller's import order — importing a submodule directly re-enters
+    this module mid-body) triggers the one STRICT driver-order
+    validation; earlier calls only reorder what exists so far."""
+    _DONE_REGISTRARS.add(name)
+    _apply_driver_order(deferred=_DONE_REGISTRARS < _EXPECTED_REGISTRARS)
+
+
+# Widen the corpus: each import registers its module's queries and
+# reports completion via registrar_done (defined above so the tails
+# can always see it).
+from . import queries_relational  # noqa: E402,F401
+from . import queries_parity  # noqa: E402,F401
+from . import queries_extensions  # noqa: E402,F401
+from . import queries_streaming  # noqa: E402,F401

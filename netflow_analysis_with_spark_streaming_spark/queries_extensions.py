@@ -227,7 +227,7 @@ def _similarity_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND both self-join sides — unpersisted, the tokenize+explode+
     # distinct subtree executed 3x (12 document scans in the physical
     # plan). Shingle rows are ~50/doc — MBs, not a memory concern.
-    sh = _shingle_sets(docs).persist()
+    sh = tables.track_persist(_shingle_sets(docs))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -340,7 +340,7 @@ def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     # persist: the signature aggregate feeds both the probe expansion
     # and the match side of the join — 2x the 32-sum groupBy otherwise
-    sig = _dedup_simhash(spark, sf_dir).persist()
+    sig = tables.track_persist(_dedup_simhash(spark, sf_dir))
     flips = F.array(*([F.lit(-1)] + [F.lit(b) for b in range(32)]))
     probes = (
         sig.select(
@@ -1651,22 +1651,25 @@ def _corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # words()/shingles HOF chain ~6x per row; against the cached
     # columns the filter is two cheap comparisons (measured ~2s off
     # every invocation at sf0.1). Tiny: metrics + tokens for one small
-    # table's rows.
-    metrics = w.select(
-        "doc_id",
-        "lang",
-        "text",
-        "w",
-        F.size("w").cast("long").alias("n_tokens"),
-        (1.0 - F.size(F.array_distinct(sh3)) / F.size(sh3)).alias("rep"),
-    ).persist()
+    # table's rows. track_persist registers the handle so a bench/
+    # driver loop reclaims it via tables.clear_caches between passes.
+    metrics = tables.track_persist(
+        w.select(
+            "doc_id",
+            "lang",
+            "text",
+            "w",
+            F.size("w").cast("long").alias("n_tokens"),
+            (1.0 - F.size(F.array_distinct(sh3)) / F.size(sh3)).alias("rep"),
+        )
+    )
     quality = metrics.filter(
         (F.col("n_tokens") >= _CURATE_MIN_TOKENS) & (F.col("rep") <= _CURATE_MAX_REP)
     )
     # exact dedup: min doc_id survives per normalized-text fingerprint
     fp = quality.withColumn("fp", T.fingerprint(F.col("text")))
     keep_ids = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    exact = fp.join(keep_ids, ["fp", "doc_id"], "left_semi").persist()
+    exact = tables.track_persist(fp.join(keep_ids, ["fp", "doc_id"], "left_semi"))
     # near-dup removal over the survivors: banding -> components
     sh = exact.select(
         "doc_id", F.explode(T.shingles_from_words(F.col("w"), 3)).alias("shingle")
@@ -2055,16 +2058,24 @@ def _corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     splittable; reassembly is a per-doc hash aggregation. No window
     over more than one doc, no driver materialization."""
     docs = tables.load_parallel(spark, "documents", sf_dir)
-    w = T.words(F.col("text"))
-    nseg = F.ceil(F.size(w) / _LINE_WORDS).cast("int")
+    # Zero-word guard, mirroring the oracle's WHERE len(w) > 0: for an
+    # empty/whitespace-only doc nseg=0 and sequence(0, -1) takes
+    # Spark's descending default step — [0, -1], i.e. TWO phantom
+    # empty segments the oracle never sees (which could also flip
+    # other docs' segments past the drop threshold via md5('')
+    # occurrence counts).
+    wd = docs.select("doc_id", T.words(F.col("text")).alias("w")).filter(
+        F.size("w") > 0
+    )
+    nseg = F.ceil(F.size("w") / _LINE_WORDS).cast("int")
     segs = (
-        docs.select(
+        wd.select(
             "doc_id",
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), nseg - 1),
                     lambda i: F.array_join(
-                        F.slice(w, i * _LINE_WORDS + 1, _LINE_WORDS), " "
+                        F.slice(F.col("w"), i * _LINE_WORDS + 1, _LINE_WORDS), " "
                     ),
                 )
             ).alias("pos", "seg"),
@@ -2134,7 +2145,10 @@ ORDER BY doc_id
 """
 
 
-register("corpus_line_dedup", _corpus_line_dedup, _LINE_DEDUP_SQL, driver=False)
+# Promoted to the driver tier in round 6 (displacing the parity
+# one-liner selects): line-level global dedup is a core C4-pipeline
+# stage and deserves a CORRECTNESS row.
+register("corpus_line_dedup", _corpus_line_dedup, _LINE_DEDUP_SQL)
 
 
 # --- Domain-mix rebalancing sampler (round 5) -------------------------------
@@ -2217,16 +2231,16 @@ FROM kept GROUP BY lang ORDER BY lang
 """
 
 
-register("corpus_domain_mix", _corpus_domain_mix, _DOMAIN_MIX_SQL, driver=False)
+# Promoted to the driver tier in round 6, same rationale.
+register("corpus_domain_mix", _corpus_domain_mix, _DOMAIN_MIX_SQL)
 
 
-# Re-apply the driver-tier ordering once THIS module's registers are
-# complete — covers users importing a registrar submodule directly,
-# where queries.py's own import-time call runs before this module's
-# body has finished registering. hasattr-guarded: during queries.py's
-# own first import this tail runs before _apply_driver_order is
-# defined, and queries.py's bottom call handles that path instead.
+# Report this registrar's completion — covers users importing a
+# registrar submodule directly, where queries.py's own registrar
+# imports re-enter this module mid-body. registrar_done is defined
+# ABOVE queries.py's registrar imports, so it exists whenever this
+# tail executes; the LAST registrar to finish (in any import order)
+# triggers the one STRICT driver-order validation in queries.py.
 from . import queries as _queries_registry  # noqa: E402
 
-if hasattr(_queries_registry, "_apply_driver_order"):
-    _queries_registry._apply_driver_order(deferred=True)
+_queries_registry.registrar_done("queries_extensions")

@@ -271,8 +271,11 @@ register("parity_flatten_nested", _parity_flatten_nested, _PARITY_FLATTEN_SQL)
 # differential still hash-checks both every run.
 register("parity_timestamp_convert", _parity_timestamp_convert, _PARITY_TS_CONVERT_SQL, driver=False)
 register("parity_two_col_routing", _parity_two_col_routing, _PARITY_TWO_COL_SQL, driver=False)
-register("parity_live_path", _parity_live_path, _PARITY_LIVE_PATH_SQL)
-register("parity_cidr_filter", _parity_cidr_filter, _PARITY_CIDR_SQL)
+# Retired to the pytest tier in round 6 (driver window promotion of
+# the round-5 corpus flagships): P8-P12 / P12 semantics are one-liner
+# selects, still fully oracle-differential-tested in pytest.
+register("parity_live_path", _parity_live_path, _PARITY_LIVE_PATH_SQL, driver=False)
+register("parity_cidr_filter", _parity_cidr_filter, _PARITY_CIDR_SQL, driver=False)
 def _parity_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-input discipline (the ingest reality the reference's
     json.loads lambda would CRASH on): every 7th record is truncated
@@ -313,13 +316,12 @@ register("parity_metric_switch", _parity_metric_switch, _PARITY_METRIC_SWITCH_SQ
 register("parity_corrupt_records", _parity_corrupt_records, _PARITY_CORRUPT_SQL, driver=False)
 
 
-# Re-apply the driver-tier ordering once THIS module's registers are
-# complete — covers users importing a registrar submodule directly,
-# where queries.py's own import-time call runs before this module's
-# body has finished registering. hasattr-guarded: during queries.py's
-# own first import this tail runs before _apply_driver_order is
-# defined, and queries.py's bottom call handles that path instead.
+# Report this registrar's completion — covers users importing a
+# registrar submodule directly, where queries.py's own registrar
+# imports re-enter this module mid-body. registrar_done is defined
+# ABOVE queries.py's registrar imports, so it exists whenever this
+# tail executes; the LAST registrar to finish (in any import order)
+# triggers the one STRICT driver-order validation in queries.py.
 from . import queries as _queries_registry  # noqa: E402
 
-if hasattr(_queries_registry, "_apply_driver_order"):
-    _queries_registry._apply_driver_order(deferred=True)
+_queries_registry.registrar_done("queries_parity")

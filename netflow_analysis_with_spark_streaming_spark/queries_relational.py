@@ -1528,13 +1528,12 @@ register("set_ops_bag", _set_ops_bag, _SET_OPS_BAG_SQL, driver=False)
 register("scalar_null_handling", _scalar_null_handling, _SCALAR_NULL_SQL, driver=False)
 
 
-# Re-apply the driver-tier ordering once THIS module's registers are
-# complete — covers users importing a registrar submodule directly,
-# where queries.py's own import-time call runs before this module's
-# body has finished registering. hasattr-guarded: during queries.py's
-# own first import this tail runs before _apply_driver_order is
-# defined, and queries.py's bottom call handles that path instead.
+# Report this registrar's completion — covers users importing a
+# registrar submodule directly, where queries.py's own registrar
+# imports re-enter this module mid-body. registrar_done is defined
+# ABOVE queries.py's registrar imports, so it exists whenever this
+# tail executes; the LAST registrar to finish (in any import order)
+# triggers the one STRICT driver-order validation in queries.py.
 from . import queries as _queries_registry  # noqa: E402
 
-if hasattr(_queries_registry, "_apply_driver_order"):
-    _queries_registry._apply_driver_order(deferred=True)
+_queries_registry.registrar_done("queries_relational")

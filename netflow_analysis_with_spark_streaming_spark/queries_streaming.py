@@ -136,8 +136,22 @@ def _prepare_cached_dir(final_dir: str, build) -> str:
             # final_dir exists but is NOT complete: stale debris from a
             # crashed in-place build. Returning it would stream partial
             # source data and silently produce wrong results — evict it
-            # and publish the fresh build instead.
-            shutil.rmtree(final_dir, ignore_errors=True)
+            # and publish the fresh build instead. Eviction is an
+            # ATOMIC rename to a unique trash name, not rmtree-in-place:
+            # if a concurrent winner published a complete dir between
+            # the _DONE check above and this point, rmtree would delete
+            # files non-atomically under a reader already streaming
+            # from final_dir (partial listings mid-delete); the rename
+            # swaps the whole dir out in one step and the content-equal
+            # fresh build lands right after, so no partially-deleted
+            # dir is ever visible at final_dir.
+            trash = f"{final_dir}.trash-{uuid.uuid4().hex}"
+            try:
+                os.rename(final_dir, trash)
+            except OSError:
+                pass  # another evictor already swapped it out
+            else:
+                shutil.rmtree(trash, ignore_errors=True)
             try:
                 os.rename(tmp, final_dir)
             except OSError:
@@ -785,13 +799,12 @@ register(
 )
 
 
-# Re-apply the driver-tier ordering once THIS module's registers are
-# complete — covers users importing a registrar submodule directly,
-# where queries.py's own import-time call runs before this module's
-# body has finished registering. hasattr-guarded: during queries.py's
-# own first import this tail runs before _apply_driver_order is
-# defined, and queries.py's bottom call handles that path instead.
+# Report this registrar's completion — covers users importing a
+# registrar submodule directly, where queries.py's own registrar
+# imports re-enter this module mid-body. registrar_done is defined
+# ABOVE queries.py's registrar imports, so it exists whenever this
+# tail executes; the LAST registrar to finish (in any import order)
+# triggers the one STRICT driver-order validation in queries.py.
 from . import queries as _queries_registry  # noqa: E402
 
-if hasattr(_queries_registry, "_apply_driver_order"):
-    _queries_registry._apply_driver_order(deferred=True)
+_queries_registry.registrar_done("queries_streaming")

@@ -111,8 +111,17 @@ class NearDupIndex:
         if self.durable:
             # reliable checkpoint next to the index table: survives
             # executor death mid-batch (cluster deployments point root
-            # at the reliable store, so this lands there too)
-            spark.sparkContext.setCheckpointDir(self.root + "/_ckpt")
+            # at the reliable store, so this lands there too). The
+            # checkpoint dir is a CONTEXT-LEVEL setting: set it only
+            # when unset, so a dir configured by another component (or
+            # a second durable index sharing this context) is never
+            # clobbered — durable indexes in one SparkContext share
+            # whichever checkpoint location was established first,
+            # which is safe because checkpoint files are opaque
+            # per-RDD subdirectories keyed by RDD id.
+            sc = spark.sparkContext
+            if sc.getCheckpointDir() is None:
+                sc.setCheckpointDir(self.root + "/_ckpt")
             return pairs.checkpoint(eager=True)
         # executor-local: lost on executor death — acceptable because
         # foreachBatch retries re-run the whole batch and detection is

@@ -71,6 +71,30 @@ def _utc_ns(ts: str) -> int:
     return int(dt.timestamp()) * 1_000_000_000
 
 
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """``persist()`` + registration in a module-level list so a
+    long-lived process (bench runner, driver loop) can reclaim every
+    cached relation between passes via ``clear_caches`` instead of
+    letting them accumulate for the whole session. Spark's
+    CacheManager dedups by analyzed-plan equality, so re-persisting an
+    identical plan reuses the existing InMemoryRelation — the list may
+    hold plan-equal handles; unpersisting each is idempotent."""
+    _TRACKED_CACHES.append(df.persist())
+    return df
+
+
+def clear_caches() -> None:
+    """Unpersist every relation cached via ``track_persist`` (the
+    load_parallel table caches and query-level metric caches). Call
+    between bench passes / sf_dir switches; the next query rebuilds
+    its cache lazily."""
+    while _TRACKED_CACHES:
+        _TRACKED_CACHES.pop().unpersist()
+
+
 def load_parallel(
     spark: SparkSession, name: str, sf_dir: str | None = None
 ) -> DataFrame:
@@ -97,7 +121,7 @@ def load_parallel(
     df = load(spark, name, sf_dir)
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target).persist()
+        df = track_persist(df.repartition(target))
     return df
 
 

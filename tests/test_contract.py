@@ -39,6 +39,25 @@ def test_registry_shape():
     assert len(Q.all_queries()) >= 70
 
 
+def test_strict_driver_order_validation_ran():
+    """The registrar-completion protocol must have ended in ONE strict
+    validation (every registrar reported done), and strict mode must
+    actually raise on a desync — a driver register() removed without a
+    _DRIVER_ORDER update can't slip through silently."""
+    import pytest
+
+    from netflow_analysis_with_spark_streaming_spark import queries as Q
+
+    assert Q._DONE_REGISTRARS == set(Q._EXPECTED_REGISTRARS)
+    saved = Q.QUERIES.pop("corpus_domain_mix")
+    try:
+        with pytest.raises(RuntimeError, match="missing"):
+            Q._apply_driver_order(deferred=False)
+    finally:
+        Q.QUERIES["corpus_domain_mix"] = saved
+        Q._apply_driver_order(deferred=False)  # restore canonical order
+
+
 def test_all_oracles_parse_in_duckdb(duck):
     """EXPLAIN every oracle (both tiers) against the registered views —
     parse + bind errors surface here in milliseconds, not in the

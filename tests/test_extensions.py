@@ -561,6 +561,52 @@ def test_line_dedup_segment_conservation(spark):
     assert sum(r["kept_segments"] for r in rows) > 0
 
 
+def test_line_dedup_empty_doc_matches_oracle(spark, tmp_path):
+    """Zero-word docs must not diverge engine vs oracle: without the
+    size(w) > 0 guard, nseg=0 made sequence(0, -1) emit Spark's
+    descending [0, -1] — two phantom empty segments per empty doc that
+    the oracle's WHERE len(w) > 0 never sees (and whose md5('')
+    occurrence counts could flip other docs past the drop threshold).
+    Planted corpus: empty + whitespace-only docs alongside real ones,
+    full differential against the registered oracle SQL."""
+    import duckdb
+
+    from conftest import assert_matches_oracle
+    from netflow_analysis_with_spark_streaming_spark import queries as Q
+
+    rows = [
+        (0, "en", ""),                                        # empty
+        (1, "en", "   \t  "),                                 # whitespace-only
+        (2, "en", " ".join(f"a{j}" for j in range(25))),      # unique, 3 segs
+        (3, "en", " ".join(["dup"] * 10 + [f"b{j}" for j in range(10)])),
+        (4, "en", " ".join(["dup"] * 10 + [f"c{j}" for j in range(10)])),
+        (5, "en", " ".join(["dup"] * 10 + [f"d{j}" for j in range(10)])),
+    ]
+    sf_dir = str(tmp_path / "sf_empty")
+    spark.createDataFrame(rows, ["doc_id", "lang", "text"]).write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+        )
+        from netflow_analysis_with_spark_streaming_spark.queries_extensions import (
+            _LINE_DEDUP_SQL,
+        )
+
+        df = Q.all_queries()["corpus_line_dedup"](spark, sf_dir)
+        assert_matches_oracle(df, con, _LINE_DEDUP_SQL)
+        # the shared 'dup' segment occurs 3x -> dropped everywhere;
+        # empty docs contribute no rows at all
+        by_id = {r["doc_id"]: r for r in df.collect()}
+        assert set(by_id) == {2, 3, 4, 5}
+        assert by_id[2]["dropped_segments"] == 0
+        assert all(by_id[i]["dropped_segments"] == 1 for i in (3, 4, 5))
+    finally:
+        con.close()
+
+
 def test_ivf_training_is_run_deterministic(spark):
     """The rows-only IVF entry's evidence rests on determinism: seeded
     init + 1e-6-rounded means must make two independent trainings
