@@ -106,7 +106,6 @@ _DRIVER_ORDER = [
     "similarity_ngram_jaccard",
     "similarity_cosine_topk",
     "similarity_ann_topk",
-    "similarity_quantized_topk",
     "similarity_embedding_neardup",
     # LLM-corpus flagships (promoted rounds 5-6; they subsume the
     # retired parity singletons' coverage many times over)
@@ -114,6 +113,7 @@ _DRIVER_ORDER = [
     "corpus_pack_bins",
     "corpus_line_dedup",
     "corpus_domain_mix",
+    "corpus_curate_stream_backfill",
     # multimodal + UDF surface
     "multimodal_decode",
     "multimodal_frame_sample",

@@ -1360,7 +1360,13 @@ SELECT query_id, neighbor_id, rank FROM (
 
 
 register("dedup_components", _dedup_components, _COMPONENTS_SQL)
-register("similarity_quantized_topk", _similarity_quantized_topk, _QUANT_TOPK_SQL)
+# Retired to the pytest tier in round 6 to make driver-window room for
+# the streaming-curator backfill entry: quantized top-k is a variant of
+# the cosine/ANN rows that keep driver coverage; its oracle still runs
+# in the pytest differential and the recall property test.
+register(
+    "similarity_quantized_topk", _similarity_quantized_topk, _QUANT_TOPK_SQL, driver=False
+)
 register("scalar_array_functions", _scalar_array_functions, _SCALAR_ARRAY_SQL)
 register("text_zscore_by_lang", _text_zscore_by_lang, _TEXT_ZSCORE_SQL)
 register("profile_columns", _profile_columns, _PROFILE_SQL)
@@ -1887,6 +1893,83 @@ register(
     _neardup_index_backfill,
     _NEARDUP_BACKFILL_SQL,
     driver=False,
+)
+
+
+def _corpus_curate_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming curation job (streaming/curate_job.StreamingCurator
+    — the engine's flagship composition) driven over a deterministic
+    two-batch backfill: even doc_ids arrive as batch 0, odd as batch 1,
+    with the batch pipeline's quality thresholds. Batch 1 is then
+    quality-filtered, exact-deduped in-batch AND against batch 0's
+    accepted fingerprints, and near-dup-checked against the persistent
+    band-key index of batch 0's accepted docs. The landed VersionedTable
+    is the result — hashed end-to-end against a batch-SQL oracle that
+    replays both micro-batches, so the cross-batch state machinery
+    (accepted-fp anti-join, LSH index detect/register split, idempotent
+    landing) has driver-tier hash evidence, not just pytest invariants.
+    Decontamination is exercised by ``corpus_curate``; here the eval
+    list is empty so the oracle stays two-batch-shaped."""
+    from .queries_streaming import _run_tmp_root
+    from .streaming.curate_job import StreamingCurator
+
+    # load_parallel: the single-file scan otherwise feeds every
+    # CPU-heavy batch stage (tokenize/shingle/MinHash x2 batches) as
+    # ONE task; the repartitioned cache makes both batches distributed
+    docs = tables.load_parallel(spark, "documents", sf_dir)
+    cur = StreamingCurator(
+        _run_tmp_root("netflow_curator_") + "/t",
+        min_tokens=_CURATE_MIN_TOKENS,
+        max_repetition=_CURATE_MAX_REP,
+    )
+    cur.process_batch(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    cur.process_batch(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    return (
+        cur.curated.read(spark)
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+_CURATE_STREAM_SQL = (
+    "WITH "
+    f"toks AS (SELECT doc_id, lang, text, {_WORDS_SQL} AS w FROM documents), "
+    "g AS (SELECT doc_id, list(concat_ws(' ', w[i], w[i+1], w[i+2])) AS grams "
+    "      FROM toks, unnest(range(1, len(w) - 1)) t(i) GROUP BY doc_id), "
+    "q AS (SELECT t.doc_id, t.lang, len(t.w) AS n_tokens, "
+    "             md5(regexp_replace(lower(trim(t.text)), '\\s+', ' ', 'g')) AS fp "
+    "      FROM toks t JOIN g USING (doc_id) "
+    f"     WHERE len(t.w) >= {_CURATE_MIN_TOKENS} "
+    f"       AND 1.0 - len(list_distinct(g.grams)) / len(g.grams) <= {_CURATE_MAX_REP}), "
+    # batch 0: in-batch exact dedup only (index and accepted set empty)
+    "acc0 AS (SELECT * FROM q WHERE doc_id % 2 = 0 "
+    "         QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)), "
+    # batch 1: in-batch exact dedup, then anti-join vs accepted fps
+    "b1 AS (SELECT * FROM q WHERE doc_id % 2 = 1 "
+    "       QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)), "
+    "b1x AS (SELECT * FROM b1 WHERE fp NOT IN (SELECT fp FROM acc0)), "
+    # near-dup: batch 1 survivors' band keys vs batch 0 accepted's
+    + _half_banded_ctes("a0", "doc_id IN (SELECT doc_id FROM acc0)")
+    + ", "
+    + _half_banded_ctes("n1", "doc_id IN (SELECT doc_id FROM b1x)")
+    + ", "
+    "nd AS (SELECT DISTINCT n.doc_id FROM n1_banded n "
+    "       JOIN a0_banded a USING (band_key)), "
+    "acc1 AS (SELECT * FROM b1x WHERE doc_id NOT IN (SELECT doc_id FROM nd)) "
+    "SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens "
+    "FROM (SELECT doc_id, lang, n_tokens FROM acc0 "
+    "      UNION ALL SELECT doc_id, lang, n_tokens FROM acc1) "
+    "ORDER BY doc_id"
+)
+
+
+# Driver tier (round 6): the streaming curation stack previously had
+# only pytest evidence; this backfill formulation gives the composed
+# cross-batch machinery a CORRECTNESS hash row.
+register(
+    "corpus_curate_stream_backfill",
+    _corpus_curate_stream_backfill,
+    _CURATE_STREAM_SQL,
 )
 
 

@@ -123,13 +123,28 @@ class StreamingCurator:
         # pre-registration state and the landing must agree with what
         # was registered
         batch_unique = batch_unique.localCheckpoint(eager=True)
+        # MinHash the batch ONCE: detection consumes these band keys
+        # and registration re-uses them (accepted docs are a doc_id
+        # subset, so their band rows are a semi-join of the same
+        # table) — without the shared handle every micro-batch paid
+        # the tokenize+shingle+16-way-MinHash pipeline twice.
+        from .neardup_index import band_keys
+
+        bands = band_keys(
+            batch_unique, self.index.n_minhash, self.index.n_bands
+        ).localCheckpoint(eager=True)
         # near-dup vs previously ACCEPTED docs (the index mirrors the
         # curated corpus: detect over the batch, register survivors
         # only — a doc dropped here never shadows future arrivals)
-        pairs = self.index.detect(batch_unique, batch_id)
+        pairs = self.index.detect_bands(
+            bands, batch_df.sparkSession, batch_id
+        )
         neardup_ids = pairs.select(F.col("new_doc_id").alias("doc_id")).distinct()
         accepted = batch_unique.join(neardup_ids, "doc_id", "left_anti")
         accepted = self._decontaminate(accepted)
         accepted = accepted.localCheckpoint(eager=True)
-        self.index.register(accepted, batch_id=batch_id)
+        self.index.register_bands(
+            bands.join(accepted.select("doc_id"), "doc_id", "left_semi"),
+            batch_id=batch_id,
+        )
         self.curated.append(accepted, batch_id=batch_id)

@@ -94,7 +94,16 @@ class NearDupIndex:
         ``durable``, else ``localCheckpoint``) so a later ``register``
         cannot change what this detection saw."""
         bands = band_keys(batch_df, self.n_minhash, self.n_bands)
-        spark = batch_df.sparkSession
+        return self.detect_bands(bands, batch_df.sparkSession, batch_id)
+
+    def detect_bands(
+        self, bands: DataFrame, spark, batch_id: int
+    ) -> DataFrame:
+        """``detect`` over PRECOMPUTED (doc_id, band_key) rows — the
+        shared-signature path: a caller that also registers a subset of
+        the same batch (e.g. the streaming curator registering only
+        ACCEPTED docs) computes MinHash once and feeds both sides,
+        instead of hashing every document twice per micro-batch."""
         if self.table.versions():
             prior = (
                 self.table.read(spark)
@@ -134,7 +143,13 @@ class NearDupIndex:
         Callers choose WHAT the index mirrors: ``process_batch``
         registers everything it detected over; a curation job
         registers only the docs it ACCEPTED."""
-        bands = band_keys(docs_df, self.n_minhash, self.n_bands)
+        self.register_bands(
+            band_keys(docs_df, self.n_minhash, self.n_bands), batch_id
+        )
+
+    def register_bands(self, bands: DataFrame, batch_id: int) -> None:
+        """``register`` over precomputed (doc_id, band_key) rows (see
+        ``detect_bands``)."""
         self.table.append(
             bands.withColumn("_src_batch", F.lit(batch_id)), batch_id=batch_id
         )
