@@ -11,9 +11,15 @@ plain parquet + JSON, because the container ships no lakehouse jars:
 - ``_log/{version:08d}.json`` manifests are immutable and list the
   COMPLETE data-file set visible at that version (copy-forward), so a
   reader of version N never sees a torn write: data files are written
-  BEFORE the manifest, and the manifest appears atomically via
-  os.rename. Single-writer by assumption (documented, like early
-  Delta on non-S3 stores).
+  BEFORE the manifest, and the manifest appears atomically via a
+  create-if-absent hard link. That link IS the multi-writer fence
+  (Delta's "mutual exclusion on log record creation"): two committers
+  racing for the same version number produce exactly one winner; the
+  loser's stale-snapshot commit raises ``CommitConflictError`` instead
+  of silently clobbering the winner's manifest, and the caller
+  re-reads and retries (appends are order-independent, so a refreshed
+  retry is always safe; replayed streaming batch ids resolve to
+  no-ops on retry).
 - time travel = read any old manifest; history() lists the log.
 - ``upsert`` is copy-on-write MERGE: current snapshot anti-joined on
   the key, unioned with the updates, written as a new snapshot — all
@@ -40,6 +46,13 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+
+
+class CommitConflictError(RuntimeError):
+    """A concurrent writer published this version first: the failed
+    writer's snapshot (the file list it copied forward) is stale.
+    Re-read the table state and retry the operation; nothing was
+    committed and no data files are referenced by any manifest."""
 
 
 class VersionedTable:
@@ -81,6 +94,20 @@ class VersionedTable:
             if m.get("batch_id") is not None
         }
 
+    def _snapshot_state(self) -> tuple[int, list, dict]:
+        """(next_version, files, stats) of the current snapshot. The
+        returned next_version PINS the commit slot: passing it to
+        ``_commit`` makes any commit that landed after this read a
+        fence violation (link EEXIST -> CommitConflictError), instead
+        of silently publishing a manifest built on the stale view —
+        optimistic concurrency control, the version number doubling as
+        the read-set validation."""
+        vs = self.versions()
+        if not vs:
+            return 0, [], {}
+        m = self._manifest(vs[-1])
+        return vs[-1] + 1, m["files"], m.get("stats", {})
+
     def _commit(
         self,
         files: list[str],
@@ -88,8 +115,10 @@ class VersionedTable:
         schema_json: str,
         batch_id: int | None = None,
         stats: dict | None = None,
+        version: int | None = None,
     ) -> int:
-        version = (self.latest_version() + 1) if self.versions() else 0
+        if version is None:
+            version = (self.latest_version() + 1) if self.versions() else 0
         manifest = {
             "version": version,
             "action": action,
@@ -105,9 +134,22 @@ class VersionedTable:
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(manifest, f, default=str)
-        # rename = the atomic commit point; a crash before it leaves
-        # only unreferenced data files (garbage, never torn reads)
-        os.rename(tmp, os.path.join(self._log, f"{version:08d}.json"))
+        target = os.path.join(self._log, f"{version:08d}.json")
+        try:
+            # hard link = atomic CREATE-IF-ABSENT publish (rename would
+            # silently overwrite a concurrent winner's manifest). A
+            # crash before it leaves only unreferenced data files
+            # (garbage, never torn reads); a concurrent writer that
+            # claimed this version first makes the link raise EEXIST —
+            # the commit fence.
+            os.link(tmp, target)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"version {version} of {self.root} was committed by a "
+                "concurrent writer; re-read table state and retry"
+            ) from None
+        finally:
+            os.unlink(tmp)
         return version
 
     def _write_files(
@@ -137,27 +179,44 @@ class VersionedTable:
 
     # --- table operations --------------------------------------------------
 
+    def _resolve_conflict(
+        self, batch_id: int | None, err: "CommitConflictError"
+    ) -> int:
+        """Called when a commit lost the version race. If the SAME
+        streaming batch was meanwhile committed by the concurrent
+        writer (duplicate foreachBatch replay racing itself), the
+        operation's intent is already durable — resolve to a no-op.
+        Any other conflict propagates: the caller's snapshot is stale
+        and only the caller knows how to rebuild its commit."""
+        if batch_id is not None and batch_id in self.committed_batch_ids():
+            return self.latest_version()
+        raise err
+
     def append(
         self,
         df: DataFrame,
         batch_id: int | None = None,
         stats_cols: list[str] | None = None,
     ) -> int:
+        # pin FIRST, replay-check second: any same-batch commit landing
+        # before the pin is visible to the check (no-op); any landing
+        # after it hits the version fence (resolved below). No window
+        # admits a double commit.
+        version, prev_files, prev_stats = self._snapshot_state()
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return self.latest_version()  # replay: no-op before any write
         new = self._write_files(df, stats_cols)
-        prev_files: list[str] = []
-        prev_stats: dict = {}
-        if self.versions():
-            m = self._manifest(self.latest_version())
-            prev_files, prev_stats = m["files"], m.get("stats", {})
-        return self._commit(
-            prev_files + new,
-            "append",
-            df.schema.json(),
-            batch_id,
-            stats={**prev_stats, **self._pending_stats},
-        )
+        try:
+            return self._commit(
+                prev_files + new,
+                "append",
+                df.schema.json(),
+                batch_id,
+                stats={**prev_stats, **self._pending_stats},
+                version=version,
+            )
+        except CommitConflictError as e:
+            return self._resolve_conflict(batch_id, e)
 
     def _write_clustered_group(
         self, df: DataFrame, col: str, n_groups: int
@@ -196,17 +255,14 @@ class VersionedTable:
         min/max stats — the 1-D z-order that makes stats pruning
         selective (a random layout gives every group the full value
         range, so nothing ever prunes)."""
+        version, prev_files, prev_stats = self._snapshot_state()
         files, stats = self._write_clustered_group(df, col, n_groups)
-        prev_files: list[str] = []
-        prev_stats: dict = {}
-        if self.versions():
-            m = self._manifest(self.latest_version())
-            prev_files, prev_stats = m["files"], m.get("stats", {})
         return self._commit(
             prev_files + files,
             "append",
             df.schema.json(),
             stats={**prev_stats, **stats},
+            version=version,
         )
 
     def overwrite(
@@ -215,12 +271,21 @@ class VersionedTable:
         batch_id: int | None = None,
         stats_cols: list[str] | None = None,
     ) -> int:
+        version, _, _ = self._snapshot_state()
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return self.latest_version()
         new = self._write_files(df, stats_cols)
-        return self._commit(
-            new, "overwrite", df.schema.json(), batch_id, stats=self._pending_stats
-        )
+        try:
+            return self._commit(
+                new,
+                "overwrite",
+                df.schema.json(),
+                batch_id,
+                stats=self._pending_stats,
+                version=version,
+            )
+        except CommitConflictError as e:
+            return self._resolve_conflict(batch_id, e)
 
     def snapshot_files(
         self,
@@ -324,16 +389,13 @@ class VersionedTable:
             }
             for r in stat_rows
         }
-        prev_files: list[str] = []
-        prev_stats: dict = {}
-        if self.versions():
-            m = self._manifest(self.latest_version())
-            prev_files, prev_stats = m["files"], m.get("stats", {})
+        version, prev_files, prev_stats = self._snapshot_state()
         return self._commit(
             prev_files + files,
             "append",
             df.schema.json(),
             stats={**prev_stats, **stats},
+            version=version,
         )
 
     def read(
@@ -410,10 +472,14 @@ class VersionedTable:
         arbitrary-but-deterministic row (max over remaining columns is
         NOT imposed — callers dedupe; streaming update-mode emissions
         are already one row per key per batch)."""
+        version, _, _ = self._snapshot_state()
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return self.latest_version()
-        if self.versions():
-            current = self.read(spark)
+        if version > 0:
+            # read the PINNED snapshot, not latest-at-read-time: the
+            # merge must be built on exactly the state the fence
+            # validates, or a racing commit could be silently dropped
+            current = self.read(spark, version=version - 1)
             # Schema evolution on MERGE is ADDITIVE ONLY: an update
             # carrying a new column widens the table (old rows get
             # NULLs). An update MISSING an existing column is rejected
@@ -435,15 +501,23 @@ class VersionedTable:
         else:
             merged = updates
         new = self._write_files(merged)
-        return self._commit(new, "upsert", merged.schema.json(), batch_id)
+        try:
+            return self._commit(
+                new, "upsert", merged.schema.json(), batch_id, version=version
+            )
+        except CommitConflictError as e:
+            return self._resolve_conflict(batch_id, e)
 
     def compact(self, spark: SparkSession, target_partitions: int = 8) -> int:
         """Fold the current snapshot's file groups into one coalesced
         group (the streaming small-file fix); history before the
         compaction stays readable."""
-        df = self.read(spark).coalesce(target_partitions)
+        version, _, _ = self._snapshot_state()
+        df = self.read(spark, version=version - 1 if version else None).coalesce(
+            target_partitions
+        )
         new = self._write_files(df)
-        return self._commit(new, "compact", df.schema.json())
+        return self._commit(new, "compact", df.schema.json(), version=version)
 
     def rewrite_clustered(
         self, spark: SparkSession, col: str, n_groups: int = 8
@@ -455,10 +529,11 @@ class VersionedTable:
         span the full key range and stats pruning is useless; a
         periodic recluster restores it. Old versions stay readable
         (time travel) until vacuum()."""
-        df = self.read(spark)
+        version, _, _ = self._snapshot_state()
+        df = self.read(spark, version=version - 1 if version else None)
         files, stats = self._write_clustered_group(df, col, n_groups)
         return self._commit(
-            files, "rewrite_clustered", df.schema.json(), stats=stats
+            files, "rewrite_clustered", df.schema.json(), stats=stats, version=version
         )
 
     def vacuum(self, keep_last: int = 1) -> int:
