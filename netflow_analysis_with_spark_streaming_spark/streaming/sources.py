@@ -116,6 +116,36 @@ def kafka_source_options(
     return opts
 
 
+def kafka_connector_available(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka connector is on the session's JVM
+    classpath. pyspark does not bundle it, and this sandbox ships no
+    jar or broker — but a cluster deployment launched with
+    spark.jars.packages gets the live S1/S6/K2 path; callers (and the
+    opportunistic integration test) use this probe to pick the real
+    Kafka roundtrip vs the socket stand-in instead of failing at plan
+    time."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def kafka_broker_reachable(brokers: str, timeout_s: float = 1.0) -> bool:
+    """TCP-probe the first bootstrap broker (jar without broker still
+    can't run a roundtrip)."""
+    import socket
+
+    host, _, port = brokers.split(",")[0].partition(":")
+    try:
+        socket.create_connection((host, int(port or 9092)), timeout_s).close()
+        return True
+    except OSError:
+        return False
+
+
 def kafka_reader(spark: SparkSession, brokers: str, topic: str, **kw) -> DataFrame:
     """Configured (unstarted) Kafka streaming read.
 

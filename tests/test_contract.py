@@ -58,6 +58,51 @@ def test_strict_driver_order_validation_ran():
         Q._apply_driver_order(deferred=False)  # restore canonical order
 
 
+def test_unpartitioned_windows_are_allowlisted():
+    """A Window.orderBy without partitionBy moves EVERY row to one
+    task — the classic 100 TB cliff. The engine's three uses are all
+    bounded-cardinality by construction; this meta-test turns that
+    manual audit into a regression gate: any NEW unpartitioned window
+    in pkg/ fails here until it is allowlisted with its cardinality
+    bound."""
+    import pathlib
+
+    pkg = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "netflow_analysis_with_spark_streaming_spark"
+    )
+    # (file name, line snippet) -> documented row-count bound
+    allowed = {
+        ("queries_extensions.py", 'Window.orderBy("p")'):
+            "per-partition offsets table: exactly _PACK_PARTS (8) rows",
+        ("queries_extensions.py", "Window.orderBy().rowsBetween"):
+            "corpus_domain_mix min: one row per language (#sources)",
+        ("queries_relational.py", 'Window.orderBy("day")'):
+            "day-series analytics: one row per day in the fixture range",
+    }
+    violations = []
+    matched = set()
+    for py in sorted(pkg.rglob("*.py")):
+        for lineno, line in enumerate(py.read_text().splitlines(), 1):
+            if "Window.orderBy" not in line or "partitionBy" in line:
+                continue
+            hit = [
+                key
+                for key in allowed
+                if key[0] == py.name and key[1] in line
+            ]
+            if hit:
+                matched.update(hit)
+            else:
+                violations.append(f"{py.name}:{lineno}: {line.strip()}")
+    assert not violations, (
+        "unpartitioned Window not in the bounded-cardinality allowlist "
+        f"(add it WITH its bound, or partition it): {violations}"
+    )
+    stale = set(allowed) - matched
+    assert not stale, f"allowlist entries no longer present in source: {stale}"
+
+
 def test_all_oracles_parse_in_duckdb(duck):
     """EXPLAIN every oracle (both tiers) against the registered views —
     parse + bind errors surface here in milliseconds, not in the

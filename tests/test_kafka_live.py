@@ -1,0 +1,55 @@
+"""Opportunistic LIVE Kafka integration (S1/S6/K2's real path).
+
+This sandbox ships neither the spark-sql-kafka connector jar nor a
+broker, so the suite normally records an explicit skip (visible in
+pytest output — no silent gap). On a deployment where the session was
+launched with spark.jars.packages=...spark-sql-kafka... and a broker
+answers on localhost:9092 (or $KAFKA_BOOTSTRAP), the same test runs a
+full produce->consume roundtrip through the engine's option builders,
+upgrading S1/S6 coverage from "partial, env-blocked" to executed.
+"""
+
+import os
+import uuid
+
+import pytest
+
+from netflow_analysis_with_spark_streaming_spark.streaming.sources import (
+    kafka_broker_reachable,
+    kafka_connector_available,
+    kafka_source_options,
+)
+
+BROKERS = os.environ.get("KAFKA_BOOTSTRAP", "localhost:9092")
+
+
+def test_kafka_roundtrip_when_environment_allows(spark):
+    if not kafka_connector_available(spark):
+        pytest.skip(
+            "spark-sql-kafka connector not on the classpath (no jar ships "
+            "in this sandbox); live S1/S6/K2 path exercised only where the "
+            "session is launched with spark.jars.packages"
+        )
+    if not kafka_broker_reachable(BROKERS):
+        pytest.skip(f"no Kafka broker reachable at {BROKERS}")
+
+    topic = f"netflow-test-{uuid.uuid4().hex[:8]}"
+    # produce: K2's batch write path (value column contract)
+    src = spark.createDataFrame(
+        [(str(i), f'{{"n": {i}}}') for i in range(50)], "key string, value string"
+    )
+    (
+        src.write.format("kafka")
+        .option("kafka.bootstrap.servers", BROKERS)
+        .option("topic", topic)
+        .save()
+    )
+    # consume: S1/S6 option set, batch read from the beginning
+    opts = kafka_source_options(BROKERS, topic, starting_offsets="earliest")
+    reader = spark.read.format("kafka")
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    got = reader.load().selectExpr("CAST(value AS STRING) AS value").collect()
+    assert sorted(r["value"] for r in got) == sorted(
+        f'{{"n": {i}}}' for i in range(50)
+    )
