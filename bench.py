@@ -28,6 +28,38 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 
 
+# Plan-invariant ambient probes (BASELINE.md re-record policy): trivial
+# single-stage scans with no engine code in the plan — their timings
+# can only move with the sandbox/IO environment, never with a query
+# plan change, so a shift here separates ambient drift from real
+# regressions. min-of-N over PROBE_REPS passes.
+PROBE_REPS = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "6"))
+
+
+def _ambient_probes(spark, sf_dir: str) -> dict[str, float]:
+    probes = {
+        "probe_scan_events_count": lambda: spark.read.parquet(
+            f"{sf_dir}/events.parquet"
+        ).count(),
+        "probe_scan_lineitem_sum": lambda: spark.read.parquet(
+            f"{sf_dir}/lineitem.parquet"
+        ).selectExpr("sum(l_quantity)").collect(),
+        "probe_scan_documents_len": lambda: spark.read.parquet(
+            f"{sf_dir}/documents.parquet"
+        ).selectExpr("sum(length(text))").collect(),
+    }
+    out = {}
+    for name, fn in probes.items():
+        best = None
+        for _ in range(PROBE_REPS):
+            t0 = time.time()
+            fn()
+            dt = round(time.time() - t0, 3)
+            best = dt if best is None else min(best, dt)
+        out[name] = best
+    return out
+
+
 def main() -> int:
     from netflow_analysis_with_spark_streaming_spark.session import get_spark
 
@@ -54,6 +86,7 @@ def main() -> int:
             except Exception as ex:  # noqa: BLE001 — record, keep benching
                 errors[name] = f"{type(ex).__name__}: {ex}"[:300]
                 timings.pop(name, None)
+    probes = _ambient_probes(spark, SF_DIR)
     spark.stop()
 
     out = {
@@ -62,6 +95,9 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # ambient probes ride along so every BENCH_r{N}.json carries
+        # its own environment fingerprint next to the query timings
+        "probes": probes,
     }
     if errors:
         out["errors"] = errors

@@ -59,51 +59,105 @@ def neardup_candidates(
     k_per_row: int = 20,
     dim: int = 64,
     broadcast_row_limit: int = 200_000,
+    pair_budget: int = 100_000_000,
 ):
     """Scale-gated near-dup candidate generation.
 
-    Small corpus (fits a broadcast-join-sized build side, ~51 MB at
-    200k x 64 floats): the exact numpy blockwise kernel. Larger: the
+    Small corpus: the exact numpy blockwise kernel. Larger: the
     LSH-bucketed equi-join below — candidates come from a distributed
     self-join on bucket id and NOTHING is ever collected to the
     driver. The gate is one count() (cheap parquet metadata scan next
     to the work it guards) so callers can't accidentally drive the
     driver-collect kernel into a 100 TB corpus.
-    """
-    if emb.count() <= broadcast_row_limit:
+
+    TWO gate conditions, because feasibility and cost diverge: the row
+    limit bounds the broadcast B side (~51 MB at 200k x 64 floats),
+    but blockwise WORK is n^2 dots — the 10x scaling probe measured
+    0.7s at 2k vectors vs 20s at 20k (quadratic, exactly as the
+    arithmetic says) while the bucketed path stays near-linear. The
+    pair budget (default 1e8 ~ 10k rows self-paired, a few seconds of
+    BLAS on one box) flips to the approximate bucketed path while the
+    exact kernel is still comfortably feasible — exact below it,
+    ANN-with-documented-recall above, the standard trade."""
+    n = emb.count()
+    if n <= broadcast_row_limit and n * n <= pair_budget:
         return neardup_candidates_blockwise(emb, k_per_row=k_per_row)
-    return neardup_candidates_bucketed(emb, k_per_row=k_per_row, dim=dim)
+    return neardup_candidates_bucketed(emb, k_per_row=k_per_row, dim=dim, n_rows=n)
 
 
-def neardup_candidates_bucketed(emb, k_per_row: int = 20, dim: int = 64, planes: int = 4):
+def neardup_candidates_bucketed(
+    emb,
+    k_per_row: int = 20,
+    dim: int = 64,
+    planes: int | None = None,
+    n_rows: int | None = None,
+):
     """LSH-bucketed near-dup candidates — the 100 TB path: bucket each
-    vector by hyperplane sign pattern, self-join on the bucket key
-    (shuffled equi-join, AQE skew-splittable), exact cosine inside the
-    bucket, per-row top-k via a window PARTITIONED by id_a (never a
-    global unpartitioned sort). Single-probe: cross-bucket near-dups
+    vector by hyperplane sign pattern (shuffled groupBy, AQE
+    skew-splittable), then score each bucket with ONE BLAS matmul in
+    an applyInPandas kernel — exact cosine within the bucket, top-k
+    per row emitted directly. Single-probe: cross-bucket near-dups
     are missed with probability shrinking in similarity — the standard
-    LSH recall trade documented in lsh_bucket."""
-    from pyspark.sql import Window
+    LSH recall trade documented in lsh_bucket.
+
+    Two scaling lessons from the 10x probe are baked in:
+    - ``planes`` defaults ADAPTIVELY to ~256-row buckets: with a fixed
+      plane count the per-bucket population grows linearly with the
+      corpus and in-bucket pair work is quadratic again (16 buckets at
+      20k vectors = 1e7+ pair-cosines). log2(n/256) planes keeps it
+      ~linear; each extra plane splits a true near-dup pair (angle
+      theta ~ 0) with probability only theta/pi, so recall decays
+      gently while cost halves.
+    - the in-bucket scorer is a numpy kernel, NOT a self-join with a
+      per-pair HOF dot: interpreted array lambdas cost ~5us/pair
+      (measured — 4M pairs took 20s across 32 cores) while the same
+      arithmetic is one m x m BLAS matmul per bucket. Same escape
+      hatch as the blockwise kernel, applied per group; the shuffle
+      moves only n rows, never pairs."""
+    import math
+
+    if planes is None:
+        n = n_rows if n_rows is not None else emb.count()
+        planes = max(4, min(12, math.ceil(math.log2(max(n, 1) / 256 + 1))))
 
     with_bucket = emb.select(
-        "vec_id", "embedding", lsh_bucket(F.col("embedding"), dim, planes).alias("bucket")
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding"), dim, planes).alias("bucket"),
     )
-    a = with_bucket.alias("a")
-    b = with_bucket.alias("b")
-    pairs = (
-        a.join(b, "bucket")
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+
+    def score_bucket(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        ids = pdf["vec_id"].to_numpy()[order]
+        m = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        sims = m @ m.T
+        np.fill_diagonal(sims, -np.inf)
+        sims[np.tril_indices_from(sims)] = -np.inf  # keep id_a < id_b
+        k = min(k_per_row, sims.shape[1])
+        ia, ib, cs = [], [], []
+        # per-row top-k over the surviving upper triangle; stable
+        # ordering (cos desc, id_b asc) matches the join+window form
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        for i in range(sims.shape[0]):
+            cols = top[i][np.isfinite(sims[i, top[i]])]
+            cols = cols[np.lexsort((ids[cols], -sims[i, cols]))]
+            ia.extend([ids[i]] * len(cols))
+            ib.extend(ids[cols].tolist())
+            cs.extend(sims[i, cols].tolist())
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cos": cs}).astype(
+            {"id_a": "int64", "id_b": "int64", "cos": "float64"}
         )
-    )
-    w = Window.partitionBy("id_a").orderBy(F.col("cos").desc(), F.col("id_b"))
-    return (
-        pairs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k_per_row)
-        .drop("_rn")
+
+    return with_bucket.groupBy("bucket").applyInPandas(
+        score_bucket, schema="id_a long, id_b long, cos double"
     )
 
 

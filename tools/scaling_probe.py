@@ -1,0 +1,228 @@
+"""Scaling-curve probe: measure the expensive corpus/dedup/similarity/
+streaming entries at sf0.1 AND at a synthetic 10x replica ("sf1"), and
+report sec ratios. A hidden O(n^2) (all-pairs join, unpartitioned
+window over fact rows, state blowup) shows up at 10x where sf0.1
+cannot; sub-quadratic ratios are the measured evidence behind the
+repo's 100 TB design claims.
+
+The 10x dir is DERIVED from the driver's sf0.1 testdata (never
+hand-synthesized distributions): each replica k shifts ids by
+k*10_000_000 and
+- documents: suffixes every token with "_k", so replicas share NO
+  shingles/fingerprints with each other or the original — per-replica
+  candidate structure is exactly the original's, and the honest
+  scaling target is linear work (10x rows -> ~10x output);
+- embeddings: component-rotates each vector by k (np.roll) — norms
+  and within-replica pairwise structure are preserved exactly while
+  cross-replica cosines decorrelate (a +epsilon perturbation instead
+  makes every vector 10 near-identical copies: ALL vectors land in
+  one LSH bucket and the probe measures a degenerate all-same corpus,
+  not scaling);
+- events: shifts ts by k*(span + 1h) with user_id unchanged — the
+  "longer retention" axis: same per-window density, 10x windows, so
+  time-range joins and sessionization scale linearly, not
+  quadratically.
+Other tables are symlinked unchanged. Build is cached keyed on source
+mtime/size.
+
+Usage: python tools/scaling_probe.py [--reps 2] [--out FILE]
+Prints one JSON object {entry: {"sf0.1": s, "sf1": s, "ratio": r,
+"rows_sf0.1": n, "rows_sf1": n}}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/netflow_scale_10x")
+REPLICAS = 10
+ID_SHIFT = 10_000_000
+
+PROBE_ENTRIES = [
+    "text_analysis",
+    "dedup_minhash_candidates",
+    "dedup_simhash_pairs",
+    "dedup_components",
+    "similarity_ngram_jaccard",
+    "similarity_cosine_topk",
+    "similarity_ann_topk",
+    "similarity_embedding_neardup",
+    "corpus_curate",
+    "corpus_line_dedup",
+    "corpus_domain_mix",
+    "corpus_pack_bins",
+    "corpus_curate_stream_backfill",
+    "stream_stream_join",
+    "stream_sessionize_closed",
+]
+
+
+def _build_scale_dir() -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src_docs = os.path.join(SRC_DIR, "documents.parquet")
+    st = os.stat(src_docs)
+    marker = os.path.join(SCALE_DIR, "_BUILT")
+    key = f"v2:{SRC_DIR}:{st.st_mtime_ns}:{st.st_size}:{REPLICAS}"
+    if os.path.exists(marker) and open(marker).read() == key:
+        return SCALE_DIR
+    os.makedirs(SCALE_DIR, exist_ok=True)
+
+    # documents: id shift + per-replica token suffix (disjoint vocab)
+    t = pq.read_table(src_docs)
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    langs, sources = t["lang"].to_pylist(), t["source"].to_pylist()
+    out = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
+    for k in range(REPLICAS):
+        for i, txt in enumerate(texts):
+            nt = txt if k == 0 else " ".join(
+                f"{w}_{k}" for w in txt.split()
+            )
+            out["doc_id"].append(ids[i] + k * ID_SHIFT)
+            out["text"].append(nt)
+            out["lang"].append(langs[i])
+            out["source"].append(sources[i])
+            out["n_chars"].append(len(nt))
+    pq.write_table(
+        pa.table(out, schema=pa.schema(
+            [("doc_id", pa.int64()), ("text", pa.string()),
+             ("lang", pa.string()), ("source", pa.string()),
+             ("n_chars", pa.int64())])),
+        os.path.join(SCALE_DIR, "documents.parquet"),
+    )
+
+    # embeddings: id shift + per-replica component rotation
+    import numpy as np
+
+    te = pq.read_table(os.path.join(SRC_DIR, "embeddings.parquet"))
+    vec_ids = np.asarray(te["vec_id"].to_pylist())
+    labels = te["label"].to_pylist()
+    embs = np.asarray(te["embedding"].to_pylist(), dtype=np.float32)
+    n, dim = embs.shape
+    all_ids, all_vecs, all_labels = [], [], []
+    for k in range(REPLICAS):
+        all_ids.extend((vec_ids + k * ID_SHIFT).tolist())
+        all_vecs.append(np.roll(embs, k, axis=1))
+        all_labels.extend(labels)
+    flat = np.concatenate(all_vecs).reshape(-1)
+    arr = pa.ListArray.from_arrays(
+        pa.array(range(0, (REPLICAS * n + 1) * dim, dim), type=pa.int32()),
+        pa.array(flat, type=pa.float32()),
+    )
+    pq.write_table(
+        pa.table(
+            {"vec_id": pa.array(all_ids, pa.int64()),
+             "embedding": arr,
+             "label": pa.array(all_labels, pa.int32())}),
+        os.path.join(SCALE_DIR, "embeddings.parquet"),
+    )
+
+    # events: time-extended replicas (same users, 10x the time span)
+    tv = pq.read_table(os.path.join(SRC_DIR, "events.parquet"))
+    ts = tv["ts"].to_pandas()
+    span_us = int((ts.max() - ts.min()).total_seconds() * 1e6) + 3_600_000_000
+    import pandas as pd
+
+    frames = []
+    base = tv.to_pandas()
+    for k in range(REPLICAS):
+        f = base.copy()
+        f["event_id"] = f["event_id"] + k * 10_000_000_000  # keeps %2/%5/%10
+        f["ts"] = f["ts"] + pd.to_timedelta(k * span_us, unit="us")
+        frames.append(f)
+    allev = pd.concat(frames, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(allev, schema=tv.schema, preserve_index=False),
+        os.path.join(SCALE_DIR, "events.parquet"),
+    )
+
+    # everything else: unchanged symlinks
+    for f in os.listdir(SRC_DIR):
+        dst = os.path.join(SCALE_DIR, f)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC_DIR, f), dst)
+    with open(marker, "w") as fh:
+        fh.write(key)
+    return SCALE_DIR
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--entries", nargs="*", default=None)
+    args = ap.parse_args()
+
+    scale_dir = _build_scale_dir()
+
+    from netflow_analysis_with_spark_streaming_spark import tables
+    from netflow_analysis_with_spark_streaming_spark.session import get_spark
+
+    # local-mode driver == the one executor JVM: the default ~1g heap
+    # OOMs on the 10x pass regardless of plan shape (32 threads x
+    # 128m partitions alone exceed it). Sized per this container; a
+    # cluster run sizes executors instead. Applied at JVM launch —
+    # this script always starts a fresh JVM.
+    spark = get_spark(
+        app_name="netflow-scaling-probe",
+        master="local[32]",
+        extra_conf={"spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_PROBE_DRIVER_MEM", "24g"
+        )},
+    )
+    spark.range(1000).selectExpr("sum(id)").collect()
+    import __spark_entry__ as e
+
+    entries = args.entries or PROBE_ENTRIES
+    qs = e.queries()
+    results: dict[str, dict] = {}
+    for label, sf_dir in (("sf0.1", SRC_DIR), ("sf1", scale_dir)):
+        for name in entries:
+            best, rows = None, None
+            try:
+                for _ in range(args.reps):
+                    t0 = time.time()
+                    rows = len(qs[name](spark, sf_dir).collect())
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+            except Exception as ex:  # noqa: BLE001 — record, keep probing
+                results.setdefault(name, {})[f"err_{label}"] = str(ex)[:200]
+                print(f"# {label} {name}: FAILED {ex}", file=sys.stderr, flush=True)
+                continue
+            results.setdefault(name, {})[label] = round(best, 2)
+            results[name][f"rows_{label}"] = rows
+            print(
+                f"# {label} {name}: {best:.2f}s rows={rows}",
+                file=sys.stderr,
+                flush=True,
+            )
+            if args.out:  # partial results survive a crash
+                with open(args.out, "w") as fh:
+                    json.dump(results, fh, indent=1)
+        tables.clear_caches()  # don't carry sf0.1 caches into the 10x pass
+    for name, r in results.items():
+        r["ratio"] = (
+            round(r["sf1"] / r["sf0.1"], 2)
+            if r.get("sf0.1") and r.get("sf1")
+            else None
+        )
+    spark.stop()
+    blob = json.dumps(results, indent=1)
+    print(blob)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(blob + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
