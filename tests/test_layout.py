@@ -164,7 +164,34 @@ def test_neardup_bucketed_path_recall(spark):
     assert "CartesianProduct" not in plan, plan
 
 
-def test_flagship_shuffle_budget(spark):
+def test_neardup_bucketed_adaptive_planes_recall(spark):
+    """The round-6 scaling fix (adaptive plane count + per-bucket BLAS
+    kernel) must keep recall at a corpus size where the plane count
+    actually grows: 4096 vectors -> 5 planes / 32 buckets. 60 planted
+    near-dup pairs (v, v + small noise; cosine ~ 0.999) must be
+    recovered well above the theta/pi splitting loss (5 planes at
+    theta ~ 0.03 rad -> ~95% expected joint retention)."""
+    import numpy as np
+
+    from netflow_analysis_with_spark_streaming_spark.functions import vectors as V
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((4096, 64)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    planted = []
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    for j in range(60):  # near-dup partner of vector j, appended at the end
+        nid = 4096 + j
+        noisy = base[j] + rng.standard_normal(64).astype(np.float32) * 0.01
+        rows.append((nid, [float(x) for x in noisy]))
+        planted.append((j, nid))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cand = V.neardup_candidates(emb, k_per_row=5, broadcast_row_limit=0)
+    got = {(r["id_a"], r["id_b"]) for r in cand.collect()}
+    recall = sum(1 for p in planted if p in got) / len(planted)
+    assert recall >= 0.8, recall
     """The flagship moves KBs through exactly one aggregate exchange
     (plus the final tiny sort) — pin that so a regression is loud."""
     import importlib, sys
