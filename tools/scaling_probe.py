@@ -21,8 +21,12 @@ k*10_000_000 and
 - events: shifts ts by k*(span + 1h) with user_id unchanged — the
   "longer retention" axis: same per-window density, 10x windows, so
   time-range joins and sessionization scale linearly, not
-  quadratically.
-Other tables are symlinked unchanged. Build is cached keyed on source
+  quadratically;
+- orders + lineitem: o_orderkey/l_orderkey shifted by k*1e9 in
+  lockstep (join semantics preserved; customer keys unchanged, so
+  each customer simply has 10x the orders — fact growth against
+  fixed dims, the realistic axis).
+Dim tables are symlinked unchanged. Build is cached keyed on source
 mtime/size.
 
 Usage: python tools/scaling_probe.py [--reps 2] [--out FILE]
@@ -61,6 +65,17 @@ PROBE_ENTRIES = [
     "corpus_curate_stream_backfill",
     "stream_stream_join",
     "stream_sessionize_closed",
+    # relational family over the replicated fact tables
+    "sql_returned_items",
+    "join_asof",
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "agg_multidim",
+    "agg_stats_suite",
+    "join_dim_star",
+    "join_shuffle_large",
+    "window_analytics_suite",
+    "set_ops_suite",
 ]
 
 
@@ -71,9 +86,13 @@ def _build_scale_dir() -> str:
     src_docs = os.path.join(SRC_DIR, "documents.parquet")
     st = os.stat(src_docs)
     marker = os.path.join(SCALE_DIR, "_BUILT")
-    key = f"v2:{SRC_DIR}:{st.st_mtime_ns}:{st.st_size}:{REPLICAS}"
+    key = f"v3:{SRC_DIR}:{st.st_mtime_ns}:{st.st_size}:{REPLICAS}"
     if os.path.exists(marker) and open(marker).read() == key:
         return SCALE_DIR
+    # stale generation: wipe, or writes would go through old symlinks
+    import shutil
+
+    shutil.rmtree(SCALE_DIR, ignore_errors=True)
     os.makedirs(SCALE_DIR, exist_ok=True)
 
     # documents: id shift + per-replica token suffix (disjoint vocab)
@@ -144,6 +163,25 @@ def _build_scale_dir() -> str:
         pa.Table.from_pandas(allev, schema=tv.schema, preserve_index=False),
         os.path.join(SCALE_DIR, "events.parquet"),
     )
+
+    # orders + lineitem: lockstep orderkey shift, everything else as-is
+    for tname, keycols in (("orders", ["o_orderkey"]), ("lineitem", ["l_orderkey"])):
+        tt = pq.read_table(os.path.join(SRC_DIR, f"{tname}.parquet"))
+        fbase = tt.to_pandas()
+        fr = []
+        for k in range(REPLICAS):
+            f = fbase.copy()
+            for c in keycols:
+                f[c] = f[c] + k * 1_000_000_000
+            fr.append(f)
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.concat(fr, ignore_index=True),
+                schema=tt.schema,
+                preserve_index=False,
+            ),
+            os.path.join(SCALE_DIR, f"{tname}.parquet"),
+        )
 
     # everything else: unchanged symlinks
     for f in os.listdir(SRC_DIR):
