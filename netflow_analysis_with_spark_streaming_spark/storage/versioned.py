@@ -69,8 +69,15 @@ class VersionedTable:
     # --- log plumbing ------------------------------------------------------
 
     def versions(self) -> list[int]:
+        # strict NNNNNNNN.json match: a concurrent writer's staged
+        # ".tmp-<uuid>.json" is momentarily visible in _log between its
+        # write and unlink, and int("") on its empty first dot-segment
+        # crashed any concurrent listing (latent until multi-writer
+        # fencing made concurrent listings normal)
         return sorted(
-            int(f.split(".")[0]) for f in os.listdir(self._log) if f.endswith(".json")
+            int(f[:-5])
+            for f in os.listdir(self._log)
+            if f.endswith(".json") and f[:-5].isdigit()
         )
 
     def latest_version(self) -> int | None:

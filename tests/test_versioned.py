@@ -518,6 +518,23 @@ def test_concurrent_same_batch_replay_resolves_noop(spark, tmp_path):
     assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 2]
 
 
+def test_versions_ignores_staged_tmp_manifests(spark, tmp_path):
+    """A concurrent writer's staged .tmp-*.json is briefly visible in
+    _log; version listing must skip it (int('') crashed here before)
+    and also any other non-manifest debris."""
+    import os
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    for debris in (".tmp-deadbeef.json", "notes.json", ".DS_Store"):
+        with open(os.path.join(str(tmp_path / "t"), "_log", debris), "w") as f:
+            f.write("{}")
+    assert t.versions() == [0]
+    assert t.latest_version() == 0
+    t.append(_df(spark, [(2, "b")]))  # still commits the right slot
+    assert t.versions() == [0, 1]
+
+
 def test_concurrent_appenders_with_retry_all_land(spark, tmp_path):
     """Many writers + caller-side retry-on-conflict: every append lands
     exactly once, history is a contiguous serializable chain, and the
