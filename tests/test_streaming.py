@@ -939,3 +939,35 @@ def test_streaming_curator_end_to_end(spark, tmp_path):
     cur.process_batch(spark.createDataFrame(b2, "doc_id long, text string"), 1)
     assert len(cur.curated.versions()) == n_versions
     assert sorted(r["doc_id"] for r in cur.curated.read(spark).collect()) == [1, 2, 11]
+
+
+def test_two_durable_indexes_share_checkpoint_dir_without_clobber(spark, tmp_path):
+    """The context-level checkpoint dir is set ONCE (first durable
+    component wins); a second durable index must neither clobber it
+    nor lose its own checkpoints — both detections stay correct with
+    the shared location (checkpoint files are opaque per-RDD subdirs)."""
+    from netflow_analysis_with_spark_streaming_spark.streaming.neardup_index import (
+        NearDupIndex,
+    )
+
+    sc = spark.sparkContext
+    words = lambda i: " ".join(f"w{i}_{j}" for j in range(60))  # noqa: E731
+    docs = spark.createDataFrame(
+        [(1, words(1)), (2, words(2))], ["doc_id", "text"]
+    )
+    probe = spark.createDataFrame([(10, words(1))], ["doc_id", "text"])
+
+    a = NearDupIndex(str(tmp_path / "a"), durable=True)
+    b = NearDupIndex(str(tmp_path / "b"), durable=True)
+    pre = sc.getCheckpointDir()
+    a.process_batch(docs, 0)
+    dir_after_a = sc.getCheckpointDir()
+    b.process_batch(docs, 0)
+    assert sc.getCheckpointDir() == dir_after_a  # b did not clobber a's dir
+    if pre is None:
+        # spark normalizes to a URI and appends a per-context uuid
+        assert f"{tmp_path}/a/_ckpt" in dir_after_a
+    pa_ = a.process_batch(probe, 1)
+    pb_ = b.process_batch(probe, 1)
+    assert {(r["new_doc_id"], r["prior_doc_id"]) for r in pa_.collect()} == {(10, 1)}
+    assert {(r["new_doc_id"], r["prior_doc_id"]) for r in pb_.collect()} == {(10, 1)}
