@@ -67,21 +67,33 @@ class StreamingCurator:
         self.eval_shingles = eval_shingles or []
 
     def _quality(self, batch: DataFrame) -> DataFrame:
+        """Returns (filtered_df, metrics_handle). The metrics
+        projection is persist()ed and the filter applied ABOVE the
+        cache — the same trick as the batch pipeline's round-5 fix:
+        with the filter directly on the projection, PushDownPredicates
+        substitutes the n_tokens/rep aliases into the predicate and
+        re-evaluates the tokenize/shingle HOF chain several times per
+        row (measured ~16s of a 17s batch at the 10x scale probe);
+        against the cached columns it is two comparisons. The caller
+        unpersists the handle once the batch pipeline has materialized
+        (process_batch does, right after the stabilization
+        checkpoint)."""
         w = T.words(F.col("text"))
         sh3 = T.shingles_from_words(w, 3)
         rep = F.when(
             F.size(sh3) > 0,
             1.0 - F.size(F.array_distinct(sh3)) / F.size(sh3),
         ).otherwise(F.lit(0.0))
-        return (
+        metrics = (
             batch.withColumn("n_tokens", F.size(w).cast("long"))
             .withColumn("rep", rep)
-            .filter(
-                (F.col("n_tokens") >= self.min_tokens)
-                & (F.col("rep") <= self.max_repetition)
-            )
-            .drop("rep")
+            .persist()
         )
+        filtered = metrics.filter(
+            (F.col("n_tokens") >= self.min_tokens)
+            & (F.col("rep") <= self.max_repetition)
+        ).drop("rep")
+        return filtered, metrics
 
     def _decontaminate(self, batch: DataFrame) -> DataFrame:
         if not self.eval_shingles:
@@ -110,7 +122,7 @@ class StreamingCurator:
             # replayed batch: the index's detect path is replay-safe on
             # its own; the landing would be a no-op too — skip the work
             return
-        q = self._quality(batch_df)
+        q, metrics = self._quality(batch_df)
         fp = q.withColumn("fp", T.fingerprint(F.col("text")))
         # in-batch exact dedup: keep min doc_id per fingerprint
         keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
@@ -123,6 +135,10 @@ class StreamingCurator:
         # pre-registration state and the landing must agree with what
         # was registered
         batch_unique = batch_unique.localCheckpoint(eager=True)
+        # checkpoint materialized -> the metrics cache has served its
+        # one consumer; release it so per-batch caches never accumulate
+        # over a long-running stream
+        metrics.unpersist()
         # MinHash the batch ONCE: detection consumes these band keys
         # and registration re-uses them (accepted docs are a doc_id
         # subset, so their band rows are a semi-join of the same
