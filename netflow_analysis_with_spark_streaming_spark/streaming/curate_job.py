@@ -78,14 +78,18 @@ class StreamingCurator:
         unpersists the handle once the batch pipeline has materialized
         (process_batch does, right after the stabilization
         checkpoint)."""
-        w = T.words(F.col("text"))
-        sh3 = T.shingles_from_words(w, 3)
+        sh3 = T.shingles_from_words(F.col("_w"), 3)
         rep = F.when(
             F.size(sh3) > 0,
             1.0 - F.size(F.array_distinct(sh3)) / F.size(sh3),
         ).otherwise(F.lit(0.0))
+        # the word ARRAY rides in the cache too: banding re-shingles
+        # from it downstream, so each document is regex-tokenized once
+        # per batch total (the batch pipeline's `w`-column trick);
+        # process_batch drops _w before anything lands
         metrics = (
-            batch.withColumn("n_tokens", F.size(w).cast("long"))
+            batch.withColumn("_w", T.words(F.col("text")))
+            .withColumn("n_tokens", F.size("_w").cast("long"))
             .withColumn("rep", rep)
             .persist()
         )
@@ -143,12 +147,18 @@ class StreamingCurator:
         # and registration re-uses them (accepted docs are a doc_id
         # subset, so their band rows are a semi-join of the same
         # table) — without the shared handle every micro-batch paid
-        # the tokenize+shingle+16-way-MinHash pipeline twice.
-        from .neardup_index import band_keys
+        # the tokenize+shingle+16-way-MinHash pipeline twice. Banding
+        # shingles from the checkpointed _w array (tokenized once, in
+        # the quality projection) rather than re-splitting text.
+        from .neardup_index import band_keys_from_words
 
-        bands = band_keys(
-            batch_unique, self.index.n_minhash, self.index.n_bands
+        bands = band_keys_from_words(
+            batch_unique.select("doc_id", "_w"),
+            self.index.n_minhash,
+            self.index.n_bands,
+            words_col="_w",
         ).localCheckpoint(eager=True)
+        batch_unique = batch_unique.drop("_w")
         # near-dup vs previously ACCEPTED docs (the index mirrors the
         # curated corpus: detect over the batch, register survivors
         # only — a doc dropped here never shadows future arrivals)

@@ -41,12 +41,31 @@ def band_keys(
     """(id, band_key) rows for each document — the same md5-derived
     MinHash banding the batch dedup family uses, so index hits agree
     with the batch detector exactly."""
-    rows_per_band = n_minhash // n_bands
-    sh = (
-        docs.select(id_col, T.words(F.col(text_col)).alias("w"))
-        .select(id_col, F.explode(T.shingles_from_words(F.col("w"), 3)).alias("shingle"))
-        .distinct()
+    return band_keys_from_words(
+        docs.select(id_col, T.words(F.col(text_col)).alias("w")),
+        n_minhash,
+        n_bands,
+        id_col,
+        "w",
     )
+
+
+def band_keys_from_words(
+    docs: DataFrame,
+    n_minhash: int = 16,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    words_col: str = "w",
+) -> DataFrame:
+    """``band_keys`` over an ALREADY-TOKENIZED word-array column — the
+    shared-tokenization path: a caller that has materialized
+    ``words(text)`` anyway (e.g. the streaming curator's quality
+    metrics cache) feeds the array straight in, so each document is
+    regex-tokenized once per batch instead of once per consumer."""
+    rows_per_band = n_minhash // n_bands
+    sh = docs.select(
+        id_col, F.explode(T.shingles_from_words(F.col(words_col), 3)).alias("shingle")
+    ).distinct()
     sig = sh.groupBy(id_col).agg(*T.minhash_sig_aggs(F.col("shingle"), n_minhash))
     keys = F.array(
         *[
