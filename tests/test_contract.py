@@ -116,6 +116,47 @@ def test_all_oracles_parse_in_duckdb(duck):
             raise AssertionError(f"oracle for {name} invalid: {ex}") from ex
 
 
+def test_no_driver_entry_plans_all_pairs(spark):
+    """The never-O(n^2) discipline, swept over EVERY batch driver
+    entry: no physical plan may contain a CartesianProduct, and a
+    BroadcastNestedLoopJoin is allowed only where it is the DESIGNED
+    shape (a constant-size side broadcast against the fact side, never
+    fact x fact). A future entry that sneaks in an accidental cross
+    join fails here at sf0.001 instead of melting a cluster at scale.
+
+    Streaming entries are excluded: their returned DataFrame is a
+    memory-sink read, not the executed streaming plan (their shapes
+    are pinned by the streaming tests' state/watermark assertions).
+    """
+    from netflow_analysis_with_spark_streaming_spark import queries as Q
+    from netflow_analysis_with_spark_streaming_spark.plans.inspect import (
+        executed_plan,
+    )
+
+    # entry -> why its BNLJ is the intended plan
+    bnlj_allowed = {
+        "similarity_cosine_topk": (
+            "tiny fixed query set broadcast against all embeddings; "
+            "pair count = n_queries * n, linear in the corpus"
+        ),
+    }
+    bad = {}
+    seen_bnlj = set()
+    for name, fn in Q.QUERIES.items():
+        if name.startswith("stream_") or name == "corpus_curate_stream_backfill":
+            continue
+        plan = executed_plan(fn(spark, "/root/testdata/sf0.001"))
+        if "CartesianProduct" in plan:
+            bad[name] = "CartesianProduct"
+        if "BroadcastNestedLoopJoin" in plan:
+            seen_bnlj.add(name)
+            if name not in bnlj_allowed:
+                bad[name] = "BroadcastNestedLoopJoin not allowlisted"
+    assert not bad, bad
+    stale = set(bnlj_allowed) - seen_bnlj
+    assert not stale, f"BNLJ allowlist entries no longer plan a BNLJ: {stale}"
+
+
 def test_driver_schemas_stable_across_sf(spark):
     """The harness smoke-checks entry()/queries() for a STABLE schema;
     a type or column that varies with the data (inference drift, empty-
