@@ -30,8 +30,13 @@ Dim tables are symlinked unchanged. Build is cached keyed on source
 mtime/size.
 
 Usage: python tools/scaling_probe.py [--reps 2] [--out FILE]
-Prints one JSON object {entry: {"sf0.1": s, "sf1": s, "ratio": r,
-"rows_sf0.1": n, "rows_sf1": n}}.
+                                     [--replicas K]
+Prints one JSON object {entry: {"sf0.1": s, "<K>x": s, "ratio": r,
+"rows_sf0.1": n, "rows_<K>x": n}}. ``--replicas`` (default 10, env
+SPARK_GRAFT_SCALE_REPLICAS) sets the scale factor: probing the same
+entries at BOTH 10x and 30x turns the single ratio into a measured
+curve — linear work shows t(30x)/t(10x) ~ 3, and a super-linear term
+too small to see at 10x separates from fixed overheads at 30x.
 """
 
 from __future__ import annotations
@@ -45,8 +50,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SCALE_DIR = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/netflow_scale_10x")
-REPLICAS = 10
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+SCALE_DIR = os.environ.get(
+    "SPARK_GRAFT_SCALE_DIR", f"/tmp/netflow_scale_{REPLICAS}x"
+)
 ID_SHIFT = 10_000_000
 
 PROBE_ENTRIES = [
@@ -194,11 +201,17 @@ def _build_scale_dir() -> str:
 
 
 def main() -> int:
+    global REPLICAS, SCALE_DIR
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--out", default=None)
     ap.add_argument("--entries", nargs="*", default=None)
+    ap.add_argument("--replicas", type=int, default=None)
     args = ap.parse_args()
+    if args.replicas:
+        REPLICAS = args.replicas
+        if "SPARK_GRAFT_SCALE_DIR" not in os.environ:
+            SCALE_DIR = f"/tmp/netflow_scale_{REPLICAS}x"
 
     scale_dir = _build_scale_dir()
 
@@ -222,8 +235,9 @@ def main() -> int:
 
     entries = args.entries or PROBE_ENTRIES
     qs = e.queries()
+    scale_label = f"{REPLICAS}x"
     results: dict[str, dict] = {}
-    for label, sf_dir in (("sf0.1", SRC_DIR), ("sf1", scale_dir)):
+    for label, sf_dir in (("sf0.1", SRC_DIR), (scale_label, scale_dir)):
         for name in entries:
             best, rows = None, None
             try:
@@ -249,8 +263,8 @@ def main() -> int:
         tables.clear_caches()  # don't carry sf0.1 caches into the 10x pass
     for name, r in results.items():
         r["ratio"] = (
-            round(r["sf1"] / r["sf0.1"], 2)
-            if r.get("sf0.1") and r.get("sf1")
+            round(r[scale_label] / r["sf0.1"], 2)
+            if r.get("sf0.1") and r.get(scale_label)
             else None
         )
     spark.stop()
