@@ -285,6 +285,91 @@ def ivf_index(emb, n_centroids: int = 16, lloyd_iters: int = 3):
     return assigned, cent
 
 
+def semantic_dedup(
+    emb,
+    n_centroids: int | None = None,
+    threshold: float = 0.95,
+    lloyd_iters: int = 3,
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then
+    within each cluster drop all but one member of every group of
+    semantically near-identical vectors (cosine >= threshold).
+
+    Semantics, pinned deterministically:
+    - duplicate groups are CONNECTED COMPONENTS of the within-cluster
+      threshold graph (chains collapse to one survivor, matching the
+      MinHash family's component semantics);
+    - each group keeps the member LEAST similar to its cluster
+      centroid (the paper's diversity-keeping rule: the most typical
+      members are the most redundant), ties broken by min vec_id.
+
+    Scale: clustering is the distributed IVF trainer (one broadcast
+    matmul per Arrow batch per Lloyd round); pruning is ONE BLAS
+    m x m matmul per cluster inside applyInPandas — the shuffle moves
+    n rows partitioned by cluster, never pairs. ``n_centroids``
+    defaults adaptively to ~256-row clusters (same lesson as the LSH
+    bucketed path: a FIXED cluster count makes in-cluster pair work
+    quadratic in corpus size). A skewed cluster is the residual risk
+    at extreme scale — production would recluster oversized lists
+    hierarchically; cluster sizes here are bounded by the adaptive k.
+
+    Returns DataFrame(vec_id long, cluster int, keep boolean).
+    """
+    import numpy as np
+
+    if n_centroids is None:
+        n = emb.count()
+        n_centroids = int(max(16, min(64, n // 256)))
+    assigned, cent = ivf_index(emb, n_centroids=n_centroids, lloyd_iters=lloyd_iters)
+    bc = emb.sparkSession.sparkContext.broadcast(cent)
+
+    def prune(pdf):
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        cluster = int(pdf["cluster"].iloc[0])
+        m = np.stack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        n_rows = len(ids)
+        if n_rows == 1:
+            return pd.DataFrame(
+                {"vec_id": ids, "cluster": cluster, "keep": [True]}
+            )
+        sims = m @ m.T
+        # union-find over the threshold graph (strictly above-diagonal
+        # edges; cluster populations are ~256 by construction, so the
+        # quadratic edge scan is bounded per task)
+        parent = np.arange(n_rows)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        ai, bi = np.where(np.triu(sims >= threshold, k=1))
+        for a, b in zip(ai.tolist(), bi.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(n_rows)])
+        cos_to_cent = m @ bc.value[cluster]
+        keep = np.zeros(n_rows, dtype=bool)
+        for root in np.unique(roots):
+            members = np.flatnonzero(roots == root)
+            # least-typical member survives; ties -> min vec_id
+            # (ids are sorted ascending, argmin takes the first)
+            keep[members[np.argmin(np.round(cos_to_cent[members], 9))]] = True
+        return pd.DataFrame({"vec_id": ids, "cluster": cluster, "keep": keep})
+
+    return assigned.groupBy("cluster").applyInPandas(
+        prune, schema="vec_id long, cluster int, keep boolean"
+    )
+
+
 def ivf_probe_clusters(query_vecs, cent, n_probe: int = 4):
     """For each query vector (numpy rows), the n_probe nearest
     centroid ids — the cluster lists to scan."""

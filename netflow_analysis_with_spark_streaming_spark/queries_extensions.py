@@ -1110,6 +1110,26 @@ register(
     driver=False,
 )  # single-probe contrast to the driver entry
 register("similarity_ivf_topk", _similarity_ivf_topk, driver=False)  # rows-only
+
+
+def _similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication over the embeddings table
+    (vectors.semantic_dedup): k-means clusters, then within-cluster
+    connected components of the cosine>=threshold graph keep only
+    their least-centroid-typical member. Threshold 0.4 because the
+    synthetic corpus has no true semantic dups (max pairwise cosine
+    ~0.6) — at 0.4 a stable fraction of vectors prunes, so the entry
+    exercises the real group-collapse path at every sf.
+
+    Rows-only extra (k-means is the same non-mirrorable trainer as
+    similarity_ivf_topk); the exact semantics are pinned by the
+    planted-group property tests in tests/test_extensions.py.
+    """
+    emb = tables.load(spark, "embeddings", sf_dir)
+    return V.semantic_dedup(emb, threshold=0.4).orderBy("vec_id")
+
+
+register("similarity_semantic_dedup", _similarity_semantic_dedup, driver=False)
 def _text_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas (grouped-map) surface: per-language z-score of the
     quality signal. Each language group arrives as one pandas frame —

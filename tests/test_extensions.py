@@ -625,3 +625,57 @@ def test_ivf_training_is_run_deterministic(spark):
     m1 = {r["vec_id"]: r["cluster"] for r in a1.collect()}
     m2 = {r["vec_id"]: r["cluster"] for r in a2.collect()}
     assert m1 == m2
+
+
+def test_semantic_dedup_collapses_planted_groups(spark):
+    """SemDeDup semantics pinned on PLANTED near-dup groups: base
+    vectors from the real corpus plus epsilon-perturbed copies (cosine
+    ~0.9999 to their base). Each planted group must lose all but one
+    member; unperturbed vectors all survive; and no two kept vectors in one
+    cluster remain above the threshold (components are maximal, so
+    cross-component pairs are below it by construction)."""
+    import numpy as np
+
+    from netflow_analysis_with_spark_streaming_spark import tables
+    from netflow_analysis_with_spark_streaming_spark.functions import vectors as V
+
+    base = tables.load(spark, "embeddings", SF_ORACLE).select("vec_id", "embedding")
+    rows = sorted(base.collect(), key=lambda r: r["vec_id"])[:40]
+    planted = []
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        planted.append((int(r["vec_id"]), [float(x) for x in v]))
+        if r["vec_id"] % 4 == 0:  # every 4th vector gets 2 near-copies
+            for j in (1, 2):
+                p = v.copy()
+                p[0] += 1e-3 * j
+                planted.append(
+                    (int(r["vec_id"]) + 100_000 * j, [float(x) for x in p])
+                )
+    emb = spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    out = V.semantic_dedup(emb, n_centroids=8, threshold=0.99)
+    res = {r["vec_id"]: r for r in out.collect()}
+    assert set(res) == {vid for vid, _ in planted}
+    for vid, _ in planted:
+        if vid >= 100_000:  # a planted copy and its base co-group
+            grp = [vid % 100_000, vid % 100_000 + 100_000, vid % 100_000 + 200_000]
+            kept = [g for g in grp if res[g]["keep"]]
+            assert len(kept) == 1, (vid, kept)
+        elif vid % 4 != 0:  # unperturbed singles always survive
+            assert res[vid]["keep"], vid
+    # no kept pair within a cluster is still above the threshold
+    by_cluster: dict[int, list[int]] = {}
+    vecs = {vid: np.asarray(v) for vid, v in planted}
+    for vid, r in res.items():
+        if r["keep"]:
+            by_cluster.setdefault(r["cluster"], []).append(vid)
+    for members in by_cluster.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                va, vb = vecs[a], vecs[b]
+                cos = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+                assert cos < 0.99, (a, b, cos)
+    # determinism: a second run reproduces the identical keep set
+    out2 = V.semantic_dedup(emb, n_centroids=8, threshold=0.99)
+    res2 = {r["vec_id"]: (r["cluster"], r["keep"]) for r in out2.collect()}
+    assert res2 == {vid: (r["cluster"], r["keep"]) for vid, r in res.items()}
