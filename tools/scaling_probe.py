@@ -65,6 +65,7 @@ PROBE_ENTRIES = [
     "similarity_cosine_topk",
     "similarity_ann_topk",
     "similarity_embedding_neardup",
+    "similarity_semantic_dedup",
     "corpus_curate",
     "corpus_line_dedup",
     "corpus_domain_mix",
@@ -234,7 +235,11 @@ def main() -> int:
     import __spark_entry__ as e
 
     entries = args.entries or PROBE_ENTRIES
-    qs = e.queries()
+    # both tiers: extra-tier entries (e.g. similarity_semantic_dedup)
+    # carry the same 100 TB claims as driver ones
+    from netflow_analysis_with_spark_streaming_spark import queries as Q
+
+    qs = Q.all_queries()
     scale_label = f"{REPLICAS}x"
     results: dict[str, dict] = {}
     for label, sf_dir in (("sf0.1", SRC_DIR), (scale_label, scale_dir)):
