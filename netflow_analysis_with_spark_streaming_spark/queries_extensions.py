@@ -2254,6 +2254,137 @@ ORDER BY doc_id
 register("corpus_line_dedup", _corpus_line_dedup, _LINE_DEDUP_SQL)
 
 
+# --- ExactSubstr-style duplicated-span removal (round 6) --------------------
+
+_SUBSTR_L = 15  # the minimum duplicated span, in tokens (Lee et al. use 50 BPE)
+
+
+def _corpus_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style substring deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): any
+    token span of >= _SUBSTR_L tokens that occurs more than once
+    corpus-wide keeps its FIRST occurrence (min doc_id, then min
+    position) and is cut out of every later one; each doc's surviving
+    tokens are reassembled in order. Line dedup drops fixed segments
+    at a count threshold; this removes arbitrary-alignment spans, the
+    gap the suffix-array method closes in the paper.
+
+    Suffix-array-free construction: every length-L sliding window is
+    fingerprinted (md5, fixed width); a window-fingerprint shuffle
+    ranks occurrences (first stays); each later occurrence marks its L
+    token positions; uncovered tokens reassemble per doc. Overlapping
+    duplicated windows union into maximal removed spans via the
+    DISTINCT coverage set, so a duplicated run of length M >= L is
+    removed in full, not window-by-window.
+
+    Scale: per-doc work is one explode into n fixed-width fingerprints
+    (the raw window text never leaves the projection); the global
+    structure is ONE shuffle keyed on fingerprint (each partition = a
+    handful of occurrences, AQE-skew splittable) plus equi-joins on
+    (doc_id, pos); reassembly is a per-doc hash agg. No window spans
+    more than one fingerprint group, nothing collects to the driver.
+    Returned per doc: token totals, removed count, and the md5 of the
+    reassembled text (exact proof of the reassembly)."""
+    docs = tables.load_parallel(spark, "documents", sf_dir)
+    wd = docs.select("doc_id", T.words(F.col("text")).alias("w")).filter(
+        F.size("w") > 0
+    )
+    win = wd.filter(F.size("w") >= _SUBSTR_L).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - _SUBSTR_L),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("w"), i + 1, _SUBSTR_L), " ")
+                ),
+            )
+        ).alias("pos", "fp"),
+    )
+    occ_rank = Window.partitionBy("fp").orderBy("doc_id", "pos")
+    removers = (
+        win.withColumn("rn", F.row_number().over(occ_rank))
+        .filter(F.col("rn") > 1)  # every non-first occurrence of a dup window
+    )
+    covered = removers.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + _SUBSTR_L - 1)
+        ).alias("pos"),
+    ).distinct()
+    toks = wd.select("doc_id", F.posexplode("w").alias("pos", "tok"))
+    rebuilt = (
+        toks.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("kept_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda x: x["tok"],
+                    ),
+                    " ",
+                )
+            ).alias("cleaned_md5"),
+        )
+    )
+    return (
+        wd.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias(
+                "kept_tokens"
+            ),
+            (
+                F.col("n_tokens") - F.coalesce(F.col("kept_tokens"), F.lit(0))
+            ).cast("long").alias("removed_tokens"),
+            # a fully-removed doc reassembles to the empty string
+            F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SUBSTR_DEDUP_SQL = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents WHERE len({_WORDS_SQL}) > 0),
+win AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(w[i + 1 : i + {_SUBSTR_L}], ' ')) AS fp
+  FROM w, unnest(range(0, len(w) - {_SUBSTR_L} + 1)) u(i)
+  WHERE len(w) >= {_SUBSTR_L}
+),
+occ AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+  FROM win
+),
+cov AS (
+  SELECT DISTINCT doc_id, pos + j AS pos
+  FROM (SELECT doc_id, pos FROM occ WHERE rn > 1), unnest(range(0, {_SUBSTR_L})) t(j)
+),
+tok AS (SELECT doc_id, i AS pos, w[i + 1] AS tok
+        FROM w, unnest(range(0, len(w))) u(i)),
+kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t ANTI JOIN cov USING (doc_id, pos)),
+reb AS (SELECT doc_id, COUNT(*) AS kept_tokens,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_md5
+        FROM kept GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(len(w.w) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(reb.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(len(w.w) - COALESCE(reb.kept_tokens, 0) AS BIGINT) AS removed_tokens,
+       COALESCE(reb.cleaned_md5, md5('')) AS cleaned_md5
+FROM w LEFT JOIN reb USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+register(
+    "corpus_substring_dedup", _corpus_substring_dedup, _SUBSTR_DEDUP_SQL, driver=False
+)
+
+
 # --- Domain-mix rebalancing sampler (round 5) -------------------------------
 
 _MIX_SEED = 77

@@ -607,6 +607,57 @@ def test_line_dedup_empty_doc_matches_oracle(spark, tmp_path):
         con.close()
 
 
+def test_substring_dedup_planted_spans(spark, tmp_path):
+    """corpus_substring_dedup semantics on planted spans (L=15):
+    a 20-token span shared by two docs is cut ONLY from the later doc,
+    in full (overlapping dup windows union into the maximal span); a
+    shared 10-token run (< L) is never touched; an internal repetition
+    keeps its first copy; empty docs vanish. Full differential against
+    the registered oracle SQL on the same planted corpus."""
+    import duckdb
+
+    from conftest import assert_matches_oracle
+    from netflow_analysis_with_spark_streaming_spark import queries as Q
+    from netflow_analysis_with_spark_streaming_spark.queries_extensions import (
+        _SUBSTR_DEDUP_SQL,
+    )
+
+    S = [f"s{j}" for j in range(20)]      # the 20-token duplicated span
+    P = [f"p{j}" for j in range(15)]      # doc 5's internally-repeated phrase
+    rows = [
+        (0, "en", ""),                                              # empty
+        (1, "en", " ".join(f"a{j}" for j in range(30))),            # unique
+        (2, "en", " ".join(S + [f"u2_{j}" for j in range(20)])),    # 1st S
+        (3, "en", " ".join(S + [f"u3_{j}" for j in range(20)])),    # 2nd S
+        (4, "en", " ".join(S[:10] + [f"u4_{j}" for j in range(20)])),  # <L share
+        (5, "en", " ".join(P + P)),                                 # internal dup
+    ]
+    sf_dir = str(tmp_path / "sf_substr")
+    spark.createDataFrame(rows, ["doc_id", "lang", "text"]).write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+        )
+        df = Q.all_queries()["corpus_substring_dedup"](spark, sf_dir)
+        assert_matches_oracle(df, con, _SUBSTR_DEDUP_SQL)
+        by_id = {r["doc_id"]: r for r in df.collect()}
+        assert set(by_id) == {1, 2, 3, 4, 5}
+        assert by_id[1]["removed_tokens"] == 0
+        assert by_id[2]["removed_tokens"] == 0        # first occurrence kept
+        assert by_id[3]["removed_tokens"] == 20       # the FULL span, merged
+        assert by_id[4]["removed_tokens"] == 0        # sub-threshold share
+        assert by_id[5]["removed_tokens"] == 15       # second internal copy
+        assert all(
+            r["kept_tokens"] + r["removed_tokens"] == r["n_tokens"]
+            for r in by_id.values()
+        )
+    finally:
+        con.close()
+
+
 def test_ivf_training_is_run_deterministic(spark):
     """The rows-only IVF entry's evidence rests on determinism: seeded
     init + 1e-6-rounded means must make two independent trainings

@@ -68,6 +68,7 @@ PROBE_ENTRIES = [
     "similarity_semantic_dedup",
     "corpus_curate",
     "corpus_line_dedup",
+    "corpus_substring_dedup",
     "corpus_domain_mix",
     "corpus_pack_bins",
     "corpus_curate_stream_backfill",
