@@ -2385,6 +2385,108 @@ register(
 )
 
 
+# --- Gopher-rules composite quality filter (round 6) ------------------------
+
+_GOPHER_MIN_WORDS = 30  # Rae et al. use 50; the synthetic docs are shorter
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_STOPWORDS = ["table", "query", "the", "scan", "row", "join", "filter", "hash"]
+
+
+def _text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite document-quality rules (Rae et al. 2021,
+    Appendix A1.1), per doc: word count in range, mean word length in
+    [3, 10], symbol-word ratio <= 0.1, >= 80% of words contain an
+    alphabetic character, and >= 2 distinct stopwords present
+    (vocabulary-adapted markers — the corpus is synthetic). Returns
+    each rule flag plus the conjunction, so downstream filters can
+    report WHY a doc failed, the shape real curation dashboards need.
+
+    Scale: one narrow per-row projection over the word array — every
+    rule is a higher-order-function fold inside whole-stage codegen,
+    no shuffle except the final presentation orderBy. Ratios are
+    int/int divisions (bit-identical across engines), rounded to 4dp
+    on both sides by corpus convention."""
+    docs = tables.load(spark, "documents", sf_dir)
+    w = docs.select("doc_id", T.words(F.col("text")).alias("w"))
+    n = F.size("w")
+    safe_n = F.greatest(n, F.lit(1))
+    mean_len = (
+        F.aggregate(
+            F.transform(F.col("w"), lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        / safe_n
+    )
+    sym_ratio = F.size(F.filter(F.col("w"), lambda x: x.rlike("[^a-zA-Z0-9]"))) / safe_n
+    alpha_ratio = F.size(F.filter(F.col("w"), lambda x: x.rlike("[a-zA-Z]"))) / safe_n
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.col("w")),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+        )
+    )
+    m = w.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        (n >= _GOPHER_MIN_WORDS) & (n <= _GOPHER_MAX_WORDS),
+        (mean_len >= 3.0) & (mean_len <= 10.0),
+        sym_ratio <= 0.1,
+        alpha_ratio >= 0.8,
+        n_stop >= 2,
+    ).toDF(
+        "doc_id", "n_words", "mean_word_len",
+        "pass_word_count", "pass_mean_len", "pass_symbol_ratio",
+        "pass_alpha_ratio", "pass_stopwords",
+    )
+    return m.select(
+        "*",
+        (
+            F.col("pass_word_count")
+            & F.col("pass_mean_len")
+            & F.col("pass_symbol_ratio")
+            & F.col("pass_alpha_ratio")
+            & F.col("pass_stopwords")
+        ).alias("pass_all"),
+    ).orderBy("doc_id")
+
+
+_GOPHER_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS) + "]"
+
+_GOPHER_SQL = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+m AS (
+  SELECT doc_id, len(w) AS n,
+         COALESCE(list_aggregate(list_transform(w, x -> CAST(len(x) AS BIGINT)), 'sum'), 0)
+           * 1.0 / greatest(len(w), 1) AS mean_len,
+         len(list_filter(w, x -> regexp_matches(x, '[^a-zA-Z0-9]')))
+           * 1.0 / greatest(len(w), 1) AS sym_ratio,
+         len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+           * 1.0 / greatest(len(w), 1) AS alpha_ratio,
+         len(list_intersect(list_distinct(w), {_GOPHER_STOP_SQL})) AS n_stop
+  FROM w
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       ROUND(mean_len, 4) AS mean_word_len,
+       n >= {_GOPHER_MIN_WORDS} AND n <= {_GOPHER_MAX_WORDS} AS pass_word_count,
+       mean_len >= 3.0 AND mean_len <= 10.0 AS pass_mean_len,
+       sym_ratio <= 0.1 AS pass_symbol_ratio,
+       alpha_ratio >= 0.8 AS pass_alpha_ratio,
+       n_stop >= 2 AS pass_stopwords,
+       (n >= {_GOPHER_MIN_WORDS} AND n <= {_GOPHER_MAX_WORDS})
+         AND (mean_len >= 3.0 AND mean_len <= 10.0)
+         AND sym_ratio <= 0.1 AND alpha_ratio >= 0.8
+         AND n_stop >= 2 AS pass_all
+FROM m
+ORDER BY doc_id
+"""
+
+
+register("text_gopher_rules", _text_gopher_rules, _GOPHER_SQL, driver=False)
+
+
 # --- Domain-mix rebalancing sampler (round 5) -------------------------------
 
 _MIX_SEED = 77
