@@ -941,6 +941,34 @@ def test_streaming_curator_end_to_end(spark, tmp_path):
     assert sorted(r["doc_id"] for r in cur.curated.read(spark).collect()) == [1, 2, 11]
 
 
+def test_band_keys_from_words_matches_text_path(spark):
+    """The shared-tokenization banding path (band_keys_from_words, fed
+    by the curator's cached word arrays) must emit EXACTLY the rows of
+    the from-text path — index hits and batch detectors stay in
+    agreement no matter which side tokenized."""
+    from netflow_analysis_with_spark_streaming_spark.functions import text as T
+    from netflow_analysis_with_spark_streaming_spark.streaming.neardup_index import (
+        band_keys,
+        band_keys_from_words,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(20)]
+        + [(100, "short doc"), (101, "   ")],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import functions as F
+
+    via_text = {(r["doc_id"], r["band_key"]) for r in band_keys(docs).collect()}
+    pre = docs.select("doc_id", T.words(F.col("text")).alias("w"))
+    via_words = {
+        (r["doc_id"], r["band_key"])
+        for r in band_keys_from_words(pre, words_col="w").collect()
+    }
+    assert via_text == via_words
+    assert via_text  # non-degenerate
+
+
 def test_two_durable_indexes_share_checkpoint_dir_without_clobber(spark, tmp_path):
     """The context-level checkpoint dir is set ONCE (first durable
     component wins); a second durable index must neither clobber it
