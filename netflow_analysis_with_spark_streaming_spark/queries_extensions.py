@@ -2305,43 +2305,40 @@ def _corpus_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         win.withColumn("rn", F.row_number().over(occ_rank))
         .filter(F.col("rn") > 1)  # every non-first occurrence of a dup window
     )
-    covered = removers.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("pos"), F.col("pos") + _SUBSTR_L - 1)
-        ).alias("pos"),
-    ).distinct()
-    toks = wd.select("doc_id", F.posexplode("w").alias("pos", "tok"))
-    rebuilt = (
-        toks.join(covered, ["doc_id", "pos"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("kept_tokens"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                        lambda x: x["tok"],
-                    ),
-                    " ",
-                )
-            ).alias("cleaned_md5"),
+    # per-doc covered-position ARRAY (collect_set dedups overlapping
+    # windows), joined back once — reassembly is then a narrow
+    # array_except projection per doc, with NO token-level explode,
+    # anti-join, or regroup: the only row-multiplying stage in the
+    # whole plan is the window fingerprint explode that the method
+    # fundamentally needs. Positions per doc are bounded by doc
+    # length, so the arrays are row-local and small.
+    covered = (
+        removers.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + _SUBSTR_L - 1)
+            ).alias("cpos"),
         )
+        .groupBy("doc_id")
+        .agg(F.collect_set("cpos").alias("cov"))
     )
+    n = F.size("w")
+    # array_except preserves the (ascending) order of the sequence, so
+    # surviving tokens reassemble in original document order
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), n - 1),
+        F.coalesce(F.col("cov"), F.array().cast("array<int>")),
+    )
+    kept = F.transform(kept_pos, lambda i: F.element_at(F.col("w"), i + 1))
     return (
-        wd.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
-        .join(rebuilt, "doc_id", "left")
+        wd.join(covered, "doc_id", "left")
         .select(
             "doc_id",
-            "n_tokens",
-            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias(
-                "kept_tokens"
-            ),
-            (
-                F.col("n_tokens") - F.coalesce(F.col("kept_tokens"), F.lit(0))
-            ).cast("long").alias("removed_tokens"),
+            n.cast("long").alias("n_tokens"),
+            F.size(kept).cast("long").alias("kept_tokens"),
+            (n - F.size(kept)).cast("long").alias("removed_tokens"),
             # a fully-removed doc reassembles to the empty string
-            F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+            F.md5(F.array_join(kept, " ")).alias("cleaned_md5"),
         )
         .orderBy("doc_id")
     )
