@@ -48,6 +48,75 @@ def test_text_function_invariants(spark, texts):
         assert r["fp"] == r["fp_noisy"], r
 
 
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=40).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_substring_dedup_equals_naive(spark, docs):
+    """corpus_substring_dedup against an INDEPENDENT naive Python
+    reference (the DuckDB oracle shares the sliding-window
+    construction, so a spec-level bug could pass both; this reference
+    is written straight from the spec: every repeated >=L-token window
+    keeps its (min doc_id, min pos) occurrence, later occurrences mark
+    their positions, uncovered tokens reassemble in order). A 3-word
+    vocabulary forces dense window collisions the real corpus never
+    produces."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from netflow_analysis_with_spark_streaming_spark import queries as Q
+    from netflow_analysis_with_spark_streaming_spark.queries_extensions import (
+        _SUBSTR_L as L,
+    )
+
+    toks = {i: [w for w in t.split() if w] for i, t in enumerate(docs)}
+    occs: dict[str, list[tuple[int, int]]] = {}
+    for i in sorted(toks):
+        w = toks[i]
+        for p in range(0, len(w) - L + 1):
+            occs.setdefault(" ".join(w[p : p + L]), []).append((i, p))
+    covered: dict[int, set] = {i: set() for i in toks}
+    for key in occs:
+        for d, p in sorted(occs[key])[1:]:
+            covered[d].update(range(p, p + L))
+    expect = {}
+    for i, w in toks.items():
+        if not w:
+            continue  # zero-word docs contribute no row
+        kept = [t for j, t in enumerate(w) if j not in covered[i]]
+        expect[i] = (
+            len(w),
+            len(kept),
+            len(w) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    tmp = tempfile.mkdtemp(prefix="netflow_substr_prop_")
+    try:
+        spark.createDataFrame(
+            [(i, "en", t) for i, t in enumerate(docs)], ["doc_id", "lang", "text"]
+        ).write.parquet(f"{tmp}/documents.parquet")
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["kept_tokens"],
+                r["removed_tokens"],
+                r["cleaned_md5"],
+            )
+            for r in Q.all_queries()["corpus_substring_dedup"](spark, tmp).collect()
+        }
+        assert got == expect
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_flagship_in_out_partition_invariant(spark):
     """in_events + out_events == total filtered rows; in_value +
     out_value == total value (the flagship's routing is exhaustive
