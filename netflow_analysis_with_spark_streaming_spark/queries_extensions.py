@@ -852,6 +852,125 @@ _LSH_TOPK_SQL = _lsh_topk_sql(multi_probe=True)
 _LSH_SINGLE_PROBE_SQL = _lsh_topk_sql(multi_probe=False)
 
 
+_COLLATE_BATCH = 8
+_COLLATE_PARTS = 8  # salt partitions per bucket for the prefix sum
+
+
+def _multimodal_batch_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing + fixed-size batch collation — the step a
+    100 TB image-training pipeline runs between decode and the data
+    loader (DALI/webdataset-style): group samples whose decoded
+    geometry collates to the same resize target, then pack each bucket
+    into deterministic fixed-size batches.
+
+    Bucketing is INTEGER-EXACT (cross-multiplied width/height
+    comparisons, no float log of the aspect ratio), so both engines
+    agree bit-for-bit. Batch numbering reuses corpus_pack_bins'
+    two-phase prefix sum, per bucket: salt each bucket into
+    _COLLATE_PARTS sub-partitions, local row_number, then a
+    (#buckets x #parts)-row offset table — the only windows are the
+    per-(bucket,salt) local ranks and a per-bucket window over exactly
+    _COLLATE_PARTS rows, so no bucket ever becomes one giant task.
+    Batch order within a bucket is (salt, doc_id) — any deterministic
+    order collates; this one needs no global sort."""
+    from .functions import multimodal as M
+
+    docs = tables.load(spark, "documents", sf_dir).filter(F.col("doc_id") % 5 == 0)
+    dec = M.decode_media(M.attach_payload(docs)).select("doc_id", "width", "height")
+    w, h = F.col("width"), F.col("height")
+    bucket = (
+        F.when(2 * w >= 3 * h, F.lit(4))      # ar >= 1.5   -> wide
+        .when(5 * w >= 6 * h, F.lit(3))       # ar >= 1.2   -> landscape
+        .when(6 * w >= 5 * h, F.lit(2))       # ar >= 0.833 -> square-ish
+        .when(3 * w >= 2 * h, F.lit(1))       # ar >= 0.667 -> portrait
+        .otherwise(F.lit(0))                  # tall
+    )
+    t = dec.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        (T.md5_hash32(F.col("doc_id").cast("string"), seed=11) % _COLLATE_PARTS).alias(
+            "p"
+        ),
+    )
+    w_local = Window.partitionBy("bucket", "p").orderBy("doc_id")
+    local = t.withColumn("rn", F.row_number().over(w_local))
+    w_off = (
+        Window.partitionBy("bucket").orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        t.groupBy("bucket", "p")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)))
+        .select("bucket", "p", "off")
+    )
+    idx = F.col("off") + F.col("rn") - 1
+    packed = local.join(F.broadcast(offsets), ["bucket", "p"]).select(
+        "doc_id",
+        "bucket",
+        idx.alias("idx"),
+        F.floor(idx / _COLLATE_BATCH).cast("long").alias("batch_idx"),
+    )
+    return (
+        packed.groupBy("bucket", "batch_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.min("doc_id").alias("min_doc"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("idx", "doc_id"))),
+                        lambda x: x["doc_id"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("ids_md5"),
+        )
+        .orderBy("bucket", "batch_idx")
+    )
+
+
+_COLLATE_SQL = f"""
+WITH dec AS (
+  SELECT doc_id,
+         {_mm_int(0)} % 1920 + 1 AS width,
+         {_mm_int(1)} % 1080 + 1 AS height
+  FROM documents WHERE doc_id % 5 = 0
+),
+t AS (
+  SELECT doc_id,
+         CASE WHEN 2*width >= 3*height THEN 4
+              WHEN 5*width >= 6*height THEN 3
+              WHEN 6*width >= 5*height THEN 2
+              WHEN 3*width >= 2*height THEN 1
+              ELSE 0 END AS bucket,
+         {T.md5_hash32_sql("CAST(doc_id AS VARCHAR)", 11)} % {_COLLATE_PARTS} AS p
+  FROM dec
+),
+l AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY bucket, p ORDER BY doc_id) AS rn
+  FROM t
+),
+o AS (
+  SELECT bucket, p,
+         COALESCE(SUM(cnt) OVER (PARTITION BY bucket ORDER BY p
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM (SELECT bucket, p, COUNT(*) AS cnt FROM t GROUP BY bucket, p)
+),
+packed AS (
+  SELECT l.doc_id, l.bucket, o.off + l.rn - 1 AS idx,
+         (o.off + l.rn - 1) // {_COLLATE_BATCH} AS batch_idx
+  FROM l JOIN o USING (bucket, p)
+)
+SELECT bucket, CAST(batch_idx AS BIGINT) AS batch_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       MIN(doc_id) AS min_doc,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY idx)) AS ids_md5
+FROM packed
+GROUP BY bucket, batch_idx
+ORDER BY bucket, batch_idx
+"""
+
+
 # Driver tier (order set in queries.py). dedup_fingerprint covers
 # dedup_exact's grouping semantics with the fixed-width-key shape;
 # minhash candidates / simhash pairs hash-cover their signature stages
@@ -859,6 +978,7 @@ _LSH_SINGLE_PROBE_SQL = _lsh_topk_sql(multi_probe=False)
 # the folded constituents keep pytest oracle coverage as extras.
 register("multimodal_decode", _multimodal_decode, _MULTIMODAL_SQL)
 register("multimodal_frame_sample", _multimodal_frame_sample, _FRAME_SAMPLE_SQL)
+register("multimodal_batch_collate", _multimodal_batch_collate, _COLLATE_SQL, driver=False)
 register("udf_surface", _udf_surface, _UDF_SURFACE_SQL)
 register("dedup_fingerprint", _dedup_fingerprint, _DEDUP_FINGERPRINT_SQL)
 register("dedup_minhash_candidates", _dedup_minhash_candidates, _MINHASH_CAND_SQL)

@@ -607,6 +607,27 @@ def test_line_dedup_empty_doc_matches_oracle(spark, tmp_path):
         con.close()
 
 
+def test_batch_collate_geometry(spark):
+    """multimodal_batch_collate invariants: within each aspect bucket,
+    batch indices run contiguously from 0, every batch except the last
+    holds exactly the batch size, and no batch exceeds it."""
+    from netflow_analysis_with_spark_streaming_spark import queries as Q
+    from netflow_analysis_with_spark_streaming_spark.queries_extensions import (
+        _COLLATE_BATCH,
+    )
+
+    rows = Q.all_queries()["multimodal_batch_collate"](spark, SF_ORACLE).collect()
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert len(by_bucket) >= 2  # the corpus spans several aspect buckets
+    for bucket, batches in by_bucket.items():
+        batches.sort(key=lambda r: r["batch_idx"])
+        assert [r["batch_idx"] for r in batches] == list(range(len(batches)))
+        assert all(r["n_items"] == _COLLATE_BATCH for r in batches[:-1]), bucket
+        assert 1 <= batches[-1]["n_items"] <= _COLLATE_BATCH
+
+
 def test_substring_dedup_planted_spans(spark, tmp_path):
     """corpus_substring_dedup semantics on planted spans (L=15):
     a 20-token span shared by two docs is cut ONLY from the later doc,
