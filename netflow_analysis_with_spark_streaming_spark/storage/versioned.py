@@ -88,16 +88,26 @@ class VersionedTable:
         with open(os.path.join(self._log, f"{version:08d}.json"), encoding="utf-8") as f:
             return json.load(f)
 
+    def _manifests(self):
+        """All manifests, tolerant of a concurrent vacuum unlinking an
+        old version between the listing and the open (the reader keeps
+        the surviving history — exactly what vacuum's forfeit means)."""
+        for v in self.versions():
+            try:
+                yield self._manifest(v)
+            except FileNotFoundError:
+                continue
+
     def history(self) -> list[dict]:
         return [
             {k: m.get(k) for k in ("version", "action", "batch_id", "n_files")}
-            for m in (self._manifest(v) for v in self.versions())
+            for m in self._manifests()
         ]
 
     def committed_batch_ids(self) -> set[int]:
         return {
             m["batch_id"]
-            for m in (self._manifest(v) for v in self.versions())
+            for m in self._manifests()
             if m.get("batch_id") is not None
         }
 
@@ -543,10 +553,21 @@ class VersionedTable:
             files, "rewrite_clustered", df.schema.json(), stats=stats, version=version
         )
 
-    def vacuum(self, keep_last: int = 1) -> int:
+    def vacuum(self, keep_last: int = 1, min_age_s: float = 3600.0) -> int:
         """Drop data files referenced ONLY by versions older than the
         last ``keep_last`` — bounds storage, forfeits time travel
-        beyond the horizon. Returns number of file groups removed."""
+        beyond the horizon. Returns number of file groups removed.
+
+        ``min_age_s`` is the retention window that makes vacuum safe
+        next to CONCURRENT writers: a commit stages its data group
+        BEFORE its manifest becomes visible, so an unreferenced group
+        younger than the window may belong to a commit about to land —
+        deleting it would publish a manifest whose files are gone (the
+        exact race Delta's retention-duration check exists for). Pass
+        0 only when no other writer can be active (tests, offline
+        maintenance)."""
+        import time
+
         vs = self.versions()
         # Manifests record either a bare group ("data/{group}") or, for
         # clustered/z-ordered appends, subpaths ("data/{group}/_rb=N") —
@@ -556,12 +577,20 @@ class VersionedTable:
         for v in vs[-keep_last:]:
             for f in self._manifest(v)["files"]:
                 keep.add("/".join(f.split("/")[:2]))
+        now = time.time()
         removed = 0
         for group in os.listdir(self._data):
             rel = f"data/{group}"
-            if rel not in keep:
-                shutil.rmtree(os.path.join(self._data, group), ignore_errors=True)
-                removed += 1
+            if rel in keep:
+                continue
+            path = os.path.join(self._data, group)
+            try:
+                if now - os.path.getmtime(path) < min_age_s:
+                    continue  # possibly an in-flight writer's staged group
+            except OSError:
+                continue  # vanished under us: someone else removed it
+            shutil.rmtree(path, ignore_errors=True)
+            removed += 1
         for v in vs[:-keep_last]:
             os.remove(os.path.join(self._log, f"{v:08d}.json"))
         return removed

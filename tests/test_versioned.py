@@ -63,7 +63,7 @@ def test_compact_and_vacuum(spark, tmp_path):
     t.compact(spark, target_partitions=1)
     assert t.read(spark).count() == before
     assert t.history()[-1]["action"] == "compact"
-    removed = t.vacuum(keep_last=1)
+    removed = t.vacuum(keep_last=1, min_age_s=0)
     assert removed >= 1
     assert t.read(spark).count() == before  # current snapshot intact
     assert len(t.versions()) == 1
@@ -82,7 +82,7 @@ def test_vacuum_keeps_clustered_append_groups(spark, tmp_path):
         "k",
         n_groups=4,
     )
-    removed = t.vacuum(keep_last=1)
+    removed = t.vacuum(keep_last=1, min_age_s=0)
     assert removed == 1  # only the pre-upsert group
     assert t.read(spark).count() == 201  # live clustered data intact
     tz = VersionedTable(str(tmp_path / "tz"))
@@ -92,8 +92,40 @@ def test_vacuum_keeps_clustered_append_groups(spark, tmp_path):
         n_groups=8,
         bits=4,
     )
-    assert tz.vacuum(keep_last=1) == 0
+    assert tz.vacuum(keep_last=1, min_age_s=0) == 0
     assert tz.read(spark).count() == 256
+
+
+def test_vacuum_retention_protects_inflight_writer(spark, tmp_path):
+    """vacuum's retention window: a data group staged by a concurrent
+    writer (written BEFORE its manifest becomes visible) is
+    unreferenced at vacuum time, but deleting it would corrupt the
+    commit about to land. Default-window vacuum must skip the young
+    group; the staged commit then completes and reads cleanly;
+    min_age_s=0 (single-writer maintenance) still collects true
+    garbage."""
+    import os
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(0, "a")]))
+    t.append(_df(spark, [(1, "b")]))
+    t.compact(spark, target_partitions=1)  # the append groups become collectible
+    # simulate an in-flight writer: stage a data group with no manifest
+    staged = t._write_files(_df(spark, [(2, "c")]))
+    removed = t.vacuum(keep_last=1)  # default retention window
+    assert removed == 0  # everything is younger than the window
+    # the in-flight commit lands against the post-vacuum state and reads
+    version, prev_files, prev_stats = t._snapshot_state()
+    t._commit(prev_files + staged, "append", t.read(spark).schema.json(), version=version)
+    assert t.read(spark).count() == 3
+    # offline maintenance (min_age_s=0) collects the superseded groups
+    removed = t.vacuum(keep_last=1, min_age_s=0)
+    assert removed >= 1
+    assert t.read(spark).count() == 3
+    # and the vacuumed-history iterators stay usable
+    assert t.history()[-1]["action"] == "append"
+    assert isinstance(t.committed_batch_ids(), set)
+    assert os.path.isdir(t._data)
 
 
 def test_streaming_upsert_sink_exactly_once(spark, tmp_path):
@@ -449,7 +481,7 @@ def test_error_paths_and_vacuum_after_rewrite(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         t._manifest(99)
     t.rewrite_clustered(spark, "k", n_groups=2)
-    removed = t.vacuum(keep_last=1)
+    removed = t.vacuum(keep_last=1, min_age_s=0)
     assert removed == 3  # the three pre-rewrite groups
     assert sorted(r["k"] for r in t.read(spark).collect()) == [0, 1, 2]
     assert len(t.snapshot_files()) == 2  # clustered groups survive
