@@ -97,7 +97,6 @@ _DRIVER_ORDER = [
     "text_rolling_fingerprint",
     "text_edit_distance",
     "profile_columns",
-    "scalar_array_functions",
     # dedup + similarity pipeline
     "dedup_fingerprint",
     "dedup_minhash_candidates",
@@ -113,6 +112,7 @@ _DRIVER_ORDER = [
     "corpus_pack_bins",
     "corpus_line_dedup",
     "corpus_domain_mix",
+    "corpus_substring_dedup",
     "corpus_curate_stream_backfill",
     # multimodal + UDF surface
     "multimodal_decode",

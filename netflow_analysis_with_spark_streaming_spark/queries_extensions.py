@@ -1507,7 +1507,11 @@ register("dedup_components", _dedup_components, _COMPONENTS_SQL)
 register(
     "similarity_quantized_topk", _similarity_quantized_topk, _QUANT_TOPK_SQL, driver=False
 )
-register("scalar_array_functions", _scalar_array_functions, _SCALAR_ARRAY_SQL)
+# Retired to the pytest tier in round 6 (displaced by
+# corpus_substring_dedup): its array-function semantics overlap
+# scalar_functions and the suite entries; the oracle stays green in
+# tests/test_oracle_corpus.py.
+register("scalar_array_functions", _scalar_array_functions, _SCALAR_ARRAY_SQL, driver=False)
 register("text_zscore_by_lang", _text_zscore_by_lang, _TEXT_ZSCORE_SQL)
 register("profile_columns", _profile_columns, _PROFILE_SQL)
 register("text_analysis", _text_analysis, _TEXT_ANALYSIS_SQL)
@@ -2497,9 +2501,10 @@ ORDER BY doc_id
 """
 
 
-register(
-    "corpus_substring_dedup", _corpus_substring_dedup, _SUBSTR_DEDUP_SQL, driver=False
-)
+# Driver tier (round 6, displacing scalar_array_functions): ExactSubstr
+# span removal is the round's marquee dedup addition and carries an
+# exact oracle — it earns the CORRECTNESS row.
+register("corpus_substring_dedup", _corpus_substring_dedup, _SUBSTR_DEDUP_SQL)
 
 
 # --- Gopher-rules composite quality filter (round 6) ------------------------
