@@ -106,12 +106,13 @@ class StreamingCurator:
         ev = spark.createDataFrame(
             [(s,) for s in self.eval_shingles], "shingle string"
         )
+        # reuse the checkpointed word array when the quality stage's _w
+        # column is still in flight (tokenize-once discipline)
+        w = F.col("_w") if "_w" in batch.columns else T.words(F.col("text"))
         hit = (
             batch.select(
                 "doc_id",
-                F.explode(T.shingles_from_words(T.words(F.col("text")), 5)).alias(
-                    "shingle"
-                ),
+                F.explode(T.shingles_from_words(w, 5)).alias("shingle"),
             )
             .join(F.broadcast(ev), "shingle")
             .select("doc_id")
@@ -158,7 +159,6 @@ class StreamingCurator:
             self.index.n_bands,
             words_col="_w",
         ).localCheckpoint(eager=True)
-        batch_unique = batch_unique.drop("_w")
         # near-dup vs previously ACCEPTED docs (the index mirrors the
         # curated corpus: detect over the batch, register survivors
         # only — a doc dropped here never shadows future arrivals)
@@ -167,7 +167,9 @@ class StreamingCurator:
         )
         neardup_ids = pairs.select(F.col("new_doc_id").alias("doc_id")).distinct()
         accepted = batch_unique.join(neardup_ids, "doc_id", "left_anti")
-        accepted = self._decontaminate(accepted)
+        # decontaminate BEFORE dropping _w so its 5-gram shingles come
+        # from the checkpointed array, not a re-tokenize of text
+        accepted = self._decontaminate(accepted).drop("_w")
         accepted = accepted.localCheckpoint(eager=True)
         self.index.register_bands(
             bands.join(accepted.select("doc_id"), "doc_id", "left_semi"),
