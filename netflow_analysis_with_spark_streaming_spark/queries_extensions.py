@@ -2693,6 +2693,301 @@ FROM kept GROUP BY lang ORDER BY lang
 register("corpus_domain_mix", _corpus_domain_mix, _DOMAIN_MIX_SQL)
 
 
+# --- Training-data pipeline: leakage-safe splits, tokenizer prep, ---------
+# --- LM scoring ------------------------------------------------------------
+
+
+_SPLIT_SEED = 13
+_SPLIT_BUCKETS = 10  # 8 train / 1 val / 1 test
+
+
+def _corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the assignment unit is the
+    near-dup CLUSTER, not the document, so near-duplicates can never
+    straddle train and test (the classic eval-contamination bug that
+    per-doc hashing splits cannot prevent). Composes the MinHash
+    candidate pipeline + connected components, then hashes the
+    cluster id into 10 deterministic buckets (8/1/1).
+
+    Scale: component labels are tiny next to the corpus (clusters
+    only); the label join is a broadcast-or-shuffle equi-join on
+    doc_id and the split decision is a per-row hash — no window, no
+    driver materialization beyond the components gate already audited
+    in dedup_components."""
+    from .operators import components as C
+    from .queries_streaming import _bounded_state_partitions
+
+    pairs = _dedup_minhash_candidates(spark, sf_dir)
+    with _bounded_state_partitions(spark, 8):
+        comp = C.connected_components(pairs)
+        docs = tables.load(spark, "documents", sf_dir).select("doc_id")
+        labeled = docs.join(
+            comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+        ).withColumn(
+            "group_id", F.coalesce(F.col("component"), F.col("doc_id")).cast("long")
+        )
+        bucket = (
+            T.md5_hash32(F.col("group_id").cast("string"), seed=_SPLIT_SEED)
+            % _SPLIT_BUCKETS
+        )
+        split = (
+            F.when(bucket < 8, F.lit("train"))
+            .when(bucket == 8, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+        return (
+            labeled.select("doc_id", "group_id", split.alias("split"))
+            .orderBy("doc_id")
+        )
+
+
+_SPLIT_SQL = (
+    "WITH RECURSIVE "
+    + _MINHASH_CAND_CTES
+    + ", pairs AS ("
+    + _MINHASH_CAND_SELECT
+    + "), edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+    "  UNION SELECT doc_b, doc_a FROM pairs), "
+    "walk(node, label) AS ("
+    "  SELECT u, u FROM edges"
+    "  UNION"
+    "  SELECT e.u, w.label FROM walk w JOIN edges e ON e.v = w.node), "
+    "comp AS (SELECT node, MIN(label) AS component FROM walk GROUP BY node), "
+    "g AS (SELECT d.doc_id,"
+    "             CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS group_id"
+    "      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id), "
+    "b AS (SELECT doc_id, group_id, "
+    + T.md5_hash32_sql("CAST(group_id AS VARCHAR)", _SPLIT_SEED)
+    + f" % {_SPLIT_BUCKETS} AS bucket FROM g) "
+    "SELECT doc_id, group_id, "
+    "       CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val'"
+    "            ELSE 'test' END AS split "
+    "FROM b ORDER BY doc_id"
+)
+
+
+register("corpus_split_leakage_safe", _corpus_split_leakage_safe, _SPLIT_SQL, driver=False)
+
+
+_BPE_TOPK = 20
+
+
+def _corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE iteration over the corpus: the top-20 adjacent
+    character pairs by weighted frequency — the merge candidates a
+    tokenizer trainer would fuse next. Uses BPE's classic optimization
+    of counting over the distinct-WORD frequency table (vocab-sized,
+    shrinks the explode by the corpus' word-repetition factor) rather
+    than re-scanning every token occurrence.
+
+    Scale: explode(words) -> hash-agg to the word-frequency table ->
+    per-word adjacent-pair explode (bounded by word length) -> one
+    global hash-agg on the pair key -> TakeOrderedAndProject for the
+    top-k (never a global sort of all pairs). Integer-exact mirror."""
+    docs = tables.load_parallel(spark, "documents", sf_dir)
+    wf = (
+        docs.select(F.explode(T.words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_word"))
+    )
+    # length guard mirrors the oracle's empty range(1, len) for 1-char
+    # words — without it sequence(1, 0) is Spark's descending [1, 0]
+    pairs = wf.filter(F.length("word") >= 2).select(
+        "n_word",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n_word").alias("merge_count"))
+        .orderBy(F.col("merge_count").desc(), "pair")
+        .limit(_BPE_TOPK)
+    )
+
+
+_BPE_SQL = f"""
+WITH wf AS (
+  SELECT w AS word, COUNT(*) AS n_word
+  FROM (SELECT unnest({_WORDS_SQL}) AS w FROM documents)
+  GROUP BY w
+),
+p AS (
+  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, n_word
+  FROM wf, unnest(range(1, length(word))) t(i)
+  WHERE length(word) >= 2
+)
+SELECT pair, CAST(SUM(n_word) AS BIGINT) AS merge_count
+FROM p GROUP BY pair
+ORDER BY merge_count DESC, pair LIMIT {_BPE_TOPK}
+"""
+
+
+register("corpus_bpe_merges", _corpus_bpe_merges, _BPE_SQL, driver=False)
+
+
+_NB_TEST_MOD = 5  # doc_id % 5 == 0 is the held-out fold
+
+
+def _text_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained and scored
+    entirely as declarative aggregation — the fasttext-style quality /
+    language filter of LLM-corpus pipelines, with no ML library and no
+    Python in the hot path. Train fold: doc_id % 5 != 0; held-out
+    fold: doc_id % 5 == 0. Add-one smoothing.
+
+    Scale: "training" is one groupBy (lang, word) count — the model IS
+    a DataFrame, vocab x classes rows, broadcastable when it fits and
+    a plain shuffle equi-join when it doesn't (AQE decides). Scoring
+    joins held-out doc words to the model on (class, word) and sums —
+    no per-row Python, no window wider than one doc. Scores are
+    rounded to 6 dp on BOTH engines before the argmax so a last-ulp
+    double-summation difference cannot flip the predicted class."""
+    docs = tables.load_parallel(spark, "documents", sf_dir)
+    is_test = (F.col("doc_id") % _NB_TEST_MOD) == 0
+    train = docs.filter(~is_test)
+    tw = train.select("lang", F.explode(T.words(F.col("text"))).alias("word"))
+    cls_word = tw.groupBy("lang", "word").agg(F.count("*").alias("c"))
+    cls_tot = cls_word.groupBy("lang").agg(F.sum("c").alias("class_tokens"))
+    vocab = tw.select("word").distinct().agg(F.count("*").alias("v_n"))
+    priors = train.groupBy("lang").agg(F.count("*").alias("n_docs_cls"))
+    ntr = train.agg(F.count("*").alias("n_train"))
+    # per-class constants: one row per language, broadcast everywhere
+    classes = (
+        cls_tot.join(priors, "lang")
+        .crossJoin(vocab)
+        .crossJoin(ntr)
+        .withColumnRenamed("lang", "cls")
+    )
+    dw = (
+        docs.filter(is_test)
+        .select(
+            "doc_id",
+            F.col("lang").alias("true_lang"),
+            F.explode(T.words(F.col("text"))).alias("word"),
+        )
+        .groupBy("doc_id", "true_lang", "word")
+        .agg(F.count("*").alias("n_w"))
+    )
+    cand = dw.crossJoin(F.broadcast(classes))
+    terms = cand.join(
+        cls_word.withColumnRenamed("lang", "cls"), ["cls", "word"], "left"
+    ).withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    ll = F.sum(
+        F.col("n_w")
+        * F.log((F.col("c") + F.lit(1.0)) / (F.col("class_tokens") + F.col("v_n")))
+    )
+    doc_cls = (
+        terms.groupBy(
+            "doc_id", "true_lang", "cls", "n_docs_cls", "n_train"
+        )
+        .agg(ll.alias("ll"))
+        .withColumn(
+            "score",
+            F.round(
+                F.log(F.col("n_docs_cls") / F.col("n_train")) + F.col("ll"), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cls")
+    return (
+        doc_cls.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "true_lang", F.col("cls").alias("pred_lang"), "score")
+        .orderBy("doc_id")
+    )
+
+
+_NB_SQL = f"""
+WITH tok AS (SELECT doc_id, lang, unnest({_WORDS_SQL}) AS word FROM documents),
+train_tok AS (SELECT * FROM tok WHERE doc_id % {_NB_TEST_MOD} <> 0),
+cls_word AS (SELECT lang, word, COUNT(*) AS c FROM train_tok GROUP BY lang, word),
+cls_tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS class_tokens FROM cls_word GROUP BY lang),
+vocab AS (SELECT COUNT(DISTINCT word) AS v_n FROM train_tok),
+priors AS (SELECT lang, COUNT(*) AS n_docs_cls FROM documents
+           WHERE doc_id % {_NB_TEST_MOD} <> 0 GROUP BY lang),
+ntr AS (SELECT COUNT(*) AS n_train FROM documents WHERE doc_id % {_NB_TEST_MOD} <> 0),
+dw AS (SELECT doc_id, lang AS true_lang, word, COUNT(*) AS n_w
+       FROM tok WHERE doc_id % {_NB_TEST_MOD} = 0 GROUP BY doc_id, lang, word),
+cand AS (SELECT dw.doc_id, dw.true_lang, dw.word, dw.n_w,
+                ct.lang AS cls, ct.class_tokens, p.n_docs_cls, v.v_n, n.n_train
+         FROM dw, cls_tot ct JOIN priors p ON p.lang = ct.lang, vocab v, ntr n),
+terms AS (SELECT cand.*, COALESCE(cw.c, 0) AS c
+          FROM cand LEFT JOIN cls_word cw
+          ON cw.lang = cand.cls AND cw.word = cand.word),
+doc_cls AS (
+  SELECT doc_id, true_lang, cls,
+         ROUND(ln(CAST(n_docs_cls AS DOUBLE) / CAST(n_train AS DOUBLE))
+               + SUM(n_w * ln((CAST(c AS DOUBLE) + 1.0)
+                              / (CAST(class_tokens AS DOUBLE) + CAST(v_n AS DOUBLE)))),
+               6) AS score
+  FROM terms GROUP BY doc_id, true_lang, cls, n_docs_cls, n_train
+)
+SELECT doc_id, true_lang, cls AS pred_lang, score FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, cls) AS rn
+  FROM doc_cls)
+WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+register("text_classifier_nb", _text_classifier_nb, _NB_SQL, driver=False)
+
+
+def _text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal per document (bits/token) — the KenLM-
+    style perplexity quality signal of CCNet-descended pipelines,
+    reduced to its declarative core: the LM is the corpus' own
+    unigram distribution, the score is cross-entropy against it.
+    High bits/token = unusual vocabulary = candidate for down-weight.
+
+    Scale: the LM "training" is one global word hash-agg; scoring is
+    an equi-join of per-doc word counts to the unigram table (model
+    broadcast when it fits, shuffle join when not) and one per-doc
+    aggregation. The total-token scalar stays a 1-row frame
+    (crossJoin-broadcast), never a driver scalar."""
+    docs = tables.load_parallel(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(T.words(F.col("text"))).alias("word"))
+    uni = tok.groupBy("word").agg(F.count("*").alias("cw"))
+    tot = uni.agg(F.sum("cw").alias("n_total"))
+    dw = tok.groupBy("doc_id", "word").agg(F.count("*").alias("n_w"))
+    j = dw.join(uni, "word").crossJoin(F.broadcast(tot))
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.sum("n_w").alias("n_tokens"),
+            F.sum(
+                F.col("n_w") * F.log2(F.col("cw") / F.col("n_total"))
+            ).alias("_nll"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(-F.col("_nll") / F.col("n_tokens"), 6).alias("bits_per_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PPL_SQL = f"""
+WITH tok AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+uni AS (SELECT word, COUNT(*) AS cw FROM tok GROUP BY word),
+tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_total FROM uni),
+dw AS (SELECT doc_id, word, COUNT(*) AS n_w FROM tok GROUP BY doc_id, word)
+SELECT doc_id, CAST(SUM(n_w) AS BIGINT) AS n_tokens,
+       ROUND(-SUM(n_w * log2(CAST(cw AS DOUBLE) / CAST(n_total AS DOUBLE)))
+             / SUM(n_w), 6) AS bits_per_token
+FROM dw JOIN uni USING (word), tot
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+register("text_perplexity_proxy", _text_perplexity_proxy, _PPL_SQL, driver=False)
+
+
 # Report this registrar's completion — covers users importing a
 # registrar submodule directly, where queries.py's own registrar
 # imports re-enter this module mid-body. registrar_done is defined
