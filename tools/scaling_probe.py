@@ -72,6 +72,10 @@ PROBE_ENTRIES = [
     "corpus_domain_mix",
     "corpus_pack_bins",
     "corpus_curate_stream_backfill",
+    "corpus_split_leakage_safe",
+    "corpus_bpe_merges",
+    "text_classifier_nb",
+    "text_perplexity_proxy",
     "stream_stream_join",
     "stream_sessionize_closed",
     # relational family over the replicated fact tables
