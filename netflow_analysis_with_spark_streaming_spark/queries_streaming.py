@@ -735,6 +735,51 @@ FROM events WHERE event_id % 10 = 0 ORDER BY event_id
 
 
 register("storage_versioned_upsert", _storage_versioned_upsert, _STORAGE_VT_SQL, driver=False)
+
+
+def _storage_versioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE on the versioned format: range-clustered
+    write -> stats-pruned copy-on-write delete (only the overlapping
+    file groups rewrite; the rest carry by reference) -> read-back.
+    The oracle is the surviving-rows select — a row deleted too many
+    or too few breaks the hash. Group-carry-over itself is
+    plan-asserted in tests/test_versioned.py."""
+    import tempfile  # noqa: F401 — parity with the upsert entry's env
+
+    from .storage.versioned import VersionedTable
+
+    root = _run_tmp_root("netflow_vtd_") + "/t"
+    t = VersionedTable(root)
+    ev = (
+        tables.load(spark, "events", sf_dir)
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id", "user_id", "value")
+    )
+    t.append_clustered(ev, "user_id", n_groups=8)
+    t.delete_where(
+        spark, "user_id % 7 = 0 AND user_id < 40", prune=("user_id", 0, 39)
+    )
+    return (
+        t.read(spark)
+        .select("event_id", "user_id", F.round("value", 2).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+_STORAGE_VT_DELETE_SQL = """
+SELECT event_id, user_id, ROUND(value, 2) AS value
+FROM events
+WHERE event_id % 10 = 0 AND NOT (user_id % 7 = 0 AND user_id < 40)
+ORDER BY event_id
+"""
+
+
+register(
+    "storage_versioned_delete",
+    _storage_versioned_delete,
+    _STORAGE_VT_DELETE_SQL,
+    driver=False,
+)
 # driver tier: the sentinel-closed variant (exact islands oracle);
 # the open-session rows-only variant stays pytest-differential-tested
 register("stream_sessionize_closed", _stream_sessionize_closed, _STREAM_SESS_CLOSED_SQL)

@@ -525,6 +525,68 @@ class VersionedTable:
         except CommitConflictError as e:
             return self._resolve_conflict(batch_id, e)
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        prune: tuple[str, object, object] | list[tuple[str, object, object]] | None = None,
+        batch_id: int | None = None,
+    ) -> int:
+        """Copy-on-write DELETE (the GDPR-erasure / takedown path):
+        rows where ``predicate`` evaluates TRUE are removed; NULL
+        keeps the row (SQL DELETE semantics). Only file groups whose
+        manifest stats can OVERLAP ``prune`` are rewritten — every
+        other group carries into the new version by reference, so a
+        targeted delete on a clustered table rewrites a few groups,
+        not 100 TB. ``prune`` is the caller's conservative bound on
+        the predicate (same tuples as ``read``); omitted = all groups
+        rewritten (still correct, never required).
+
+        History note: the pre-delete snapshot stays readable (time
+        travel) until ``vacuum()`` — a real erasure obligation is only
+        discharged once vacuum has dropped the old groups."""
+        from pyspark.sql import functions as F
+
+        version, prev_files, prev_stats = self._snapshot_state()
+        if batch_id is not None and batch_id in self.committed_batch_ids():
+            return self.latest_version()
+        if version == 0:
+            raise ValueError(f"table {self.root} has no committed version")
+        affected = set(self.snapshot_files(version - 1, prune))
+        untouched = [f for f in prev_files if f not in affected]
+        new: list[str] = []
+        new_stats: dict = {}
+        if affected:
+            df = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.root, f) for f in sorted(affected)]
+            )
+            survivors = df.filter(
+                ~F.coalesce(F.expr(predicate), F.lit(False))
+            )
+            # keep the data-skipping index live for whichever columns
+            # the affected groups had stats on
+            stat_cols = sorted(
+                {c for f in affected for c in prev_stats.get(f, {})}
+            )
+            # an all-rows-deleted rewrite would land a file-less group
+            # dir (empty-partition tasks write nothing) that a later
+            # multi-path read trips over — commit no group instead
+            if not survivors.isEmpty():
+                new = self._write_files(survivors, stats_cols=stat_cols or None)
+                new_stats = self._pending_stats
+        kept_stats = {f: s for f, s in prev_stats.items() if f not in affected}
+        try:
+            return self._commit(
+                untouched + new,
+                "delete",
+                self._manifest(version - 1)["schema"],
+                batch_id,
+                stats={**kept_stats, **new_stats},
+                version=version,
+            )
+        except CommitConflictError as e:
+            return self._resolve_conflict(batch_id, e)
+
     def compact(self, spark: SparkSession, target_partitions: int = 8) -> int:
         """Fold the current snapshot's file groups into one coalesced
         group (the streaming small-file fix); history before the

@@ -604,3 +604,58 @@ def test_concurrent_appenders_with_retry_all_land(spark, tmp_path):
     assert sorted(r["k"] for r in t.read(spark).collect()) == [0] + [
         100 + i for i in range(6)
     ]
+
+
+def test_delete_where_semantics_and_time_travel(spark, tmp_path):
+    """SQL DELETE semantics: predicate-TRUE rows go, predicate-NULL
+    rows stay; the pre-delete snapshot remains readable (time
+    travel); change feed across the delete refuses to answer."""
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "t"))
+    rows = [(i, "x" if i % 3 else None) for i in range(30)]
+    t.append(spark.createDataFrame(rows, "k long, v string"))
+    t.delete_where(spark, "v IS NOT NULL AND k < 10")
+    kept = sorted(r["k"] for r in t.read(spark).collect())
+    # k in 0..9 with v non-null (k%3!=0) deleted; NULL-v rows kept
+    assert kept == [0, 3, 6, 9] + list(range(10, 30))
+    assert t.read(spark, version=0).count() == 30  # time travel intact
+    assert t.history()[-1]["action"] == "delete"
+    with pytest.raises(ValueError, match="change feed"):
+        t.read_changes(spark, since_version=-1)
+
+
+def test_delete_where_prunes_untouched_groups(spark, tmp_path):
+    """The 100 TB property: groups whose stats cannot overlap the
+    prune bound carry into the new version BY REFERENCE (identical
+    path strings), only overlapping groups rewrite."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append_clustered(
+        spark.range(0, 1000).selectExpr("id as k", "cast(id as string) as v"),
+        "k",
+        n_groups=4,
+    )
+    before = set(t.snapshot_files())
+    affected = set(t.snapshot_files(prune=("k", 0, 99)))
+    assert 0 < len(affected) < len(before)
+    t.delete_where(spark, "k < 50", prune=("k", 0, 99))
+    after = set(t.snapshot_files())
+    assert (before - affected) <= after, "untouched groups must carry over"
+    assert not (affected & after), "affected groups must be replaced"
+    assert sorted(r["k"] for r in t.read(spark).collect()) == list(range(50, 1000))
+    # the rewritten group regains k stats, so pruning still works
+    assert len(t.snapshot_files(prune=("k", 0, 49))) < len(after)
+
+
+def test_delete_where_replay_and_delete_all(spark, tmp_path):
+    """A replayed batch id is a no-op; deleting every row commits a
+    version whose read is empty but schema-stable."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    v1 = t.delete_where(spark, "k = 1", batch_id=7)
+    v2 = t.delete_where(spark, "k = 2", batch_id=7)  # replay: no-op
+    assert v1 == v2 == t.latest_version()
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [2]
+    t.delete_where(spark, "true")
+    out = t.read(spark)
+    assert out.count() == 0 and set(out.columns) == {"k", "v"}
