@@ -62,6 +62,7 @@ class VersionedTable:
         self.root = root
         self._log = os.path.join(root, "_log")
         self._data = os.path.join(root, "data")
+        self._changes_dir = os.path.join(root, "changes")
         self._pending_stats: dict = {}
         os.makedirs(self._log, exist_ok=True)
         os.makedirs(self._data, exist_ok=True)
@@ -133,6 +134,7 @@ class VersionedTable:
         batch_id: int | None = None,
         stats: dict | None = None,
         version: int | None = None,
+        changes: str | None = None,
     ) -> int:
         if version is None:
             version = (self.latest_version() + 1) if self.versions() else 0
@@ -147,6 +149,9 @@ class VersionedTable:
             # Delta/Iceberg keep per data file; lets read() prune file
             # groups without opening them
             "stats": {f: s for f, s in (stats or {}).items() if f in set(files)},
+            # optional change-capture group ("changes/<uuid>"): the
+            # rows this commit REMOVED, for CDF consumers
+            "changes": changes,
         }
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w", encoding="utf-8") as f:
@@ -477,6 +482,75 @@ class VersionedTable:
             *[os.path.join(self.root, f) for f in sorted(set(new_files))]
         )
 
+    def read_change_feed(
+        self, spark: SparkSession, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Typed change feed (the Delta CDF analog): every row added
+        or removed by commits in (since_version, to_version], tagged
+        ``_change_type`` ('insert' | 'delete') and
+        ``_commit_version``. Appends contribute inserts from their
+        new file groups; deletes contribute their captured change
+        group (``delete_where(..., emit_changes=True)``) — a delete
+        committed WITHOUT capture raises, because its removed rows
+        are not derivable from manifests alone. Other rewrite actions
+        (overwrite/upsert/compact) raise as in ``read_changes``."""
+        from pyspark.sql import functions as F
+
+        if to_version is None:
+            to_version = self.latest_version()
+        if to_version is None or since_version > to_version:
+            raise ValueError("empty or invalid version range")
+        base = (
+            set(self._manifest(since_version)["files"]) if since_version >= 0 else set()
+        )
+        slices: list[DataFrame] = []
+
+        def _tagged(paths: list[str], change: str, v: int) -> DataFrame:
+            df = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.root, p) for p in sorted(set(paths))]
+            )
+            return df.withColumn("_change_type", F.lit(change)).withColumn(
+                "_commit_version", F.lit(v)
+            )
+
+        for v in self.versions():
+            if not (since_version < v <= to_version):
+                continue
+            m = self._manifest(v)
+            if m["action"] == "append":
+                added = [f for f in m["files"] if f not in base]
+                if added:
+                    slices.append(_tagged(added, "insert", v))
+            elif m["action"] == "delete":
+                # None = capture was off; "" = capture on, zero rows
+                if m.get("changes") is None:
+                    raise ValueError(
+                        f"version {v} is a delete committed without change "
+                        "capture (emit_changes=False): its removed rows are "
+                        "not derivable — change feed unavailable across it"
+                    )
+                if m["changes"]:
+                    slices.append(_tagged([m["changes"]], "delete", v))
+                # a delete also lands the affected groups' SURVIVORS as
+                # a new file group — those rows did not change, so the
+                # new group is NOT an insert slice
+            else:
+                raise ValueError(
+                    f"version {v} is {m['action']!r}: change feed is only "
+                    "derivable across appends and captured deletes"
+                )
+            base = set(m["files"])
+        if not slices:
+            m = self._manifest(to_version)
+            schema = StructType.fromJson(json.loads(m["schema"]))
+            return spark.createDataFrame([], schema).withColumn(
+                "_change_type", F.lit("insert")
+            ).withColumn("_commit_version", F.lit(0)).limit(0)
+        out = slices[0]
+        for s in slices[1:]:
+            out = out.unionByName(s, allowMissingColumns=True)
+        return out
+
     def upsert(
         self,
         spark: SparkSession,
@@ -531,6 +605,7 @@ class VersionedTable:
         predicate: str,
         prune: tuple[str, object, object] | list[tuple[str, object, object]] | None = None,
         batch_id: int | None = None,
+        emit_changes: bool = False,
     ) -> int:
         """Copy-on-write DELETE (the GDPR-erasure / takedown path):
         rows where ``predicate`` evaluates TRUE are removed; NULL
@@ -544,7 +619,15 @@ class VersionedTable:
 
         History note: the pre-delete snapshot stays readable (time
         travel) until ``vacuum()`` — a real erasure obligation is only
-        discharged once vacuum has dropped the old groups."""
+        discharged once vacuum has dropped the old groups.
+
+        ``emit_changes=True`` additionally captures the REMOVED rows
+        as a change group referenced from the manifest, which is what
+        lets ``read_change_feed`` serve this commit incrementally
+        (without it, a delete is a wall for CDF consumers). Note the
+        captured rows keep the erased data alive until vacuum drops
+        the change group — an erasure workflow should either skip
+        capture or vacuum past it before declaring the data gone."""
         from pyspark.sql import functions as F
 
         version, prev_files, prev_stats = self._snapshot_state()
@@ -556,6 +639,9 @@ class VersionedTable:
         untouched = [f for f in prev_files if f not in affected]
         new: list[str] = []
         new_stats: dict = {}
+        # "" = capture enabled, zero rows removed (a feed no-op slice);
+        # None = capture disabled (a feed wall if rows DID change)
+        changes_rel: str | None = "" if emit_changes else None
         if affected:
             df = spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.root, f) for f in sorted(affected)]
@@ -574,6 +660,14 @@ class VersionedTable:
             if not survivors.isEmpty():
                 new = self._write_files(survivors, stats_cols=stat_cols or None)
                 new_stats = self._pending_stats
+            if emit_changes:
+                removed = df.filter(F.coalesce(F.expr(predicate), F.lit(False)))
+                if not removed.isEmpty():
+                    group = uuid.uuid4().hex
+                    removed.write.mode("overwrite").parquet(
+                        os.path.join(self._changes_dir, group)
+                    )
+                    changes_rel = f"changes/{group}"
         kept_stats = {f: s for f, s in prev_stats.items() if f not in affected}
         try:
             return self._commit(
@@ -583,6 +677,7 @@ class VersionedTable:
                 batch_id,
                 stats={**kept_stats, **new_stats},
                 version=version,
+                changes=changes_rel,
             )
         except CommitConflictError as e:
             return self._resolve_conflict(batch_id, e)
@@ -637,22 +732,32 @@ class VersionedTable:
         # survives if ANY kept manifest references anything under it.
         keep = set()
         for v in vs[-keep_last:]:
-            for f in self._manifest(v)["files"]:
+            m = self._manifest(v)
+            for f in m["files"]:
                 keep.add("/".join(f.split("/")[:2]))
+            if m.get("changes"):
+                keep.add(m["changes"])
         now = time.time()
         removed = 0
-        for group in os.listdir(self._data):
-            rel = f"data/{group}"
-            if rel in keep:
-                continue
-            path = os.path.join(self._data, group)
-            try:
-                if now - os.path.getmtime(path) < min_age_s:
-                    continue  # possibly an in-flight writer's staged group
-            except OSError:
-                continue  # vanished under us: someone else removed it
-            shutil.rmtree(path, ignore_errors=True)
-            removed += 1
+        scan_dirs = [("data", self._data)]
+        if os.path.isdir(self._changes_dir):
+            # captured-delete groups age out with their manifests —
+            # this is also where an erasure obligation on CAPTURED
+            # deleted rows is finally discharged
+            scan_dirs.append(("changes", self._changes_dir))
+        for prefix, base_dir in scan_dirs:
+            for group in os.listdir(base_dir):
+                rel = f"{prefix}/{group}"
+                if rel in keep:
+                    continue
+                path = os.path.join(base_dir, group)
+                try:
+                    if now - os.path.getmtime(path) < min_age_s:
+                        continue  # possibly an in-flight writer's staged group
+                except OSError:
+                    continue  # vanished under us: someone else removed it
+                shutil.rmtree(path, ignore_errors=True)
+                removed += 1
         for v in vs[:-keep_last]:
             os.remove(os.path.join(self._log, f"{v:08d}.json"))
         return removed

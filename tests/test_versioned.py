@@ -659,3 +659,52 @@ def test_delete_where_replay_and_delete_all(spark, tmp_path):
     t.delete_where(spark, "true")
     out = t.read(spark)
     assert out.count() == 0 and set(out.columns) == {"k", "v"}
+
+
+def test_change_feed_typed_insert_delete(spark, tmp_path):
+    """read_change_feed tags appended rows 'insert' and captured
+    deleted rows 'delete' with their commit versions; a zero-row
+    captured delete is a feed no-op; an uncaptured delete is a wall."""
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))                 # v0
+    t.append(_df(spark, [(3, "c")]))                           # v1
+    t.delete_where(spark, "k = 2", emit_changes=True)          # v2
+    t.delete_where(spark, "k = 99", emit_changes=True)         # v3: no match
+    feed = t.read_change_feed(spark, since_version=-1).collect()
+    by_type = {}
+    for r in feed:
+        by_type.setdefault(r["_change_type"], []).append((r["k"], r["_commit_version"]))
+    assert sorted(by_type["insert"]) == [(1, 0), (2, 0), (3, 1)]
+    assert by_type["delete"] == [(2, 2)]
+    # incremental window: only the delete commit
+    tail = t.read_change_feed(spark, since_version=1).collect()
+    assert [(r["k"], r["_change_type"]) for r in tail] == [(2, "delete")]
+    # replaying the feed reproduces the snapshot
+    inserted = {k for k, _ in by_type["insert"]}
+    deleted = {k for k, _ in by_type["delete"]}
+    assert inserted - deleted == {r["k"] for r in t.read(spark).collect()}
+    # an uncaptured delete blocks the feed across it
+    t.delete_where(spark, "k = 1")                             # v4, no capture
+    with pytest.raises(ValueError, match="without change capture"):
+        t.read_change_feed(spark, since_version=-1)
+    # but windows that stop before it still work
+    assert t.read_change_feed(spark, since_version=-1, to_version=3).count() == 4
+
+
+def test_vacuum_reclaims_change_groups(spark, tmp_path):
+    """Change-capture groups age out with their manifests: after
+    vacuum passes the delete's version, the captured rows are gone
+    from disk (the point where a captured erasure is discharged)."""
+    import os
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.delete_where(spark, "k = 1", emit_changes=True)
+    changes_root = str(tmp_path / "t" / "changes")
+    assert len(os.listdir(changes_root)) == 1
+    t.append(_df(spark, [(9, "z")]))  # advance history past the delete
+    t.vacuum(keep_last=1, min_age_s=0)
+    assert os.listdir(changes_root) == []
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [2, 9]
