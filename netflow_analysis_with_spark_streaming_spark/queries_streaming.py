@@ -780,6 +780,60 @@ register(
     _STORAGE_VT_DELETE_SQL,
     driver=False,
 )
+
+
+def _storage_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance end-to-end
+    (storage/incremental.py): a fact table lands two appends and a
+    captured delete; a per-event-type aggregate is advanced from the
+    typed change feed ONLY — the fact table is never rescanned after
+    its first window. The oracle recomputes the same aggregate from
+    scratch; any drift between incremental and full recompute breaks
+    the hash."""
+    from .storage import incremental as IVM
+    from .storage.versioned import VersionedTable
+
+    root = _run_tmp_root("netflow_ivm_")
+    fact = VersionedTable(root + "/fact")
+    agg = VersionedTable(root + "/agg")
+    ev = (
+        tables.load(spark, "events", sf_dir)
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id", "event_type", "value")
+    )
+    fact.append(ev.filter(F.col("event_id") % 20 == 0))  # v0
+    IVM.maintain_from_feed(
+        spark, fact, agg, ["event_type"], ["value"], since_version=-1
+    )
+    fact.append(ev.filter(F.col("event_id") % 20 != 0))  # v1
+    fact.delete_where(spark, "event_id % 50 = 0", emit_changes=True)  # v2
+    IVM.maintain_from_feed(
+        spark, fact, agg, ["event_type"], ["value"], since_version=0
+    )
+    return (
+        agg.read(spark)
+        .select(
+            "event_type", "n_rows", F.round("sum_value", 2).alias("sum_value")
+        )
+        .orderBy("event_type")
+    )
+
+
+_STORAGE_IVM_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+WHERE event_id % 10 = 0 AND NOT (event_id % 50 = 0)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+register(
+    "storage_incremental_agg",
+    _storage_incremental_agg,
+    _STORAGE_IVM_SQL,
+    driver=False,
+)
 # driver tier: the sentinel-closed variant (exact islands oracle);
 # the open-session rows-only variant stays pytest-differential-tested
 register("stream_sessionize_closed", _stream_sessionize_closed, _STREAM_SESS_CLOSED_SQL)

@@ -1,0 +1,130 @@
+"""Incremental materialized-view maintenance over the typed change
+feed (storage/versioned.py read_change_feed) — the CDC-consumption
+pattern the feed exists for: a downstream aggregate is advanced by the
+rows that CHANGED, never by re-scanning the fact table.
+
+Scale rationale: at 100 TB the fact table is unrecomputable on every
+refresh; a feed window is proportional to the delta. ``feed_delta``
+is one hash-agg over the window (keys-cardinality output) and
+``apply_delta`` touches only the keys present in the window —
+a copy-on-write upsert of the aggregate rows that moved, which is the
+same bounded-work contract as Delta/Materialize-style IVM for
+sum/count aggregates (min/max are NOT maintainable from deltas alone
+and are deliberately not offered here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .versioned import VersionedTable
+
+
+def feed_delta(feed: DataFrame, keys: list[str], measures: list[str]) -> DataFrame:
+    """Collapse a typed change-feed window into per-key SIGNED deltas:
+    an inserted row contributes +1 row / +measure, a deleted row -1 /
+    -measure. One hash-agg on the grouping keys; output cardinality is
+    the touched-key count, not the window row count."""
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    aggs = [F.sum(sign).cast("long").alias("d_rows")] + [
+        F.sum(sign * F.col(m)).alias(f"d_{m}") for m in measures
+    ]
+    return feed.groupBy(*keys).agg(*aggs)
+
+
+def apply_delta(
+    spark: SparkSession,
+    agg_table: VersionedTable,
+    delta: DataFrame,
+    keys: list[str],
+    measures: list[str],
+    batch_id: int | None = None,
+) -> int:
+    """Advance the materialized aggregate by ``delta`` (from
+    ``feed_delta``): existing keys are adjusted, new keys appear,
+    keys whose row count reaches zero are removed. A replayed
+    ``batch_id`` is a no-op (exactly-once maintenance on top of an
+    at-least-once feed consumer).
+
+    Work bound: the merge only COMPUTES rows for touched keys; the
+    aggregate table's copy-on-write upsert then rewrites that
+    keys-cardinality table — small by construction. The scale win is
+    that the FACT table is never rescanned: refresh cost follows the
+    feed window, not table size.
+
+    The aggregate schema is keys + n_rows + sum_<measure> per measure.
+    """
+    have_versions = agg_table.versions()
+    if have_versions:
+        current = agg_table.read(spark)
+        touched = current.join(F.broadcast(delta.select(*keys)), keys, "semi")
+        merged = (
+            touched.join(delta, keys, "full_outer")
+            .select(
+                *keys,
+                (
+                    F.coalesce(F.col("n_rows"), F.lit(0))
+                    + F.coalesce(F.col("d_rows"), F.lit(0))
+                ).alias("n_rows"),
+                *[
+                    (
+                        F.coalesce(F.col(f"sum_{m}"), F.lit(0.0))
+                        + F.coalesce(F.col(f"d_{m}"), F.lit(0.0))
+                    ).alias(f"sum_{m}")
+                    for m in measures
+                ],
+            )
+        )
+    else:
+        merged = delta.select(
+            *keys,
+            F.col("d_rows").alias("n_rows"),
+            *[F.col(f"d_{m}").alias(f"sum_{m}") for m in measures],
+        )
+    # zero-count keys vanish from the view (their sums are exactly the
+    # inserted-then-deleted rows' sums, i.e. 0 up to float association)
+    merged = merged.filter(F.col("n_rows") > 0)
+    if not have_versions:
+        return agg_table.append(merged, batch_id=batch_id)
+    version = agg_table.upsert(spark, merged, keys, batch_id=batch_id)
+    # keys that fell to zero were filtered OUT of the upsert batch, so
+    # they still hold stale rows — remove them in the same maintenance
+    # pass (only their file groups rewrite)
+    gone = delta.join(merged.select(*keys), keys, "left_anti").select(*keys)
+    gone_rows = gone.collect()  # touched-key cardinality, never fact rows
+    if gone_rows:
+
+        def _lit(v):
+            if isinstance(v, str):
+                escaped = v.replace("'", "''")
+                return f"'{escaped}'"
+            return str(v)
+
+        pred = " OR ".join(
+            "(" + " AND ".join(f"{k} = {_lit(r[k])}" for k in keys) + ")"
+            for r in gone_rows
+        )
+        version = agg_table.delete_where(spark, pred)
+    return version
+
+
+def maintain_from_feed(
+    spark: SparkSession,
+    fact: VersionedTable,
+    agg_table: VersionedTable,
+    keys: list[str],
+    measures: list[str],
+    since_version: int,
+    to_version: int | None = None,
+) -> int:
+    """One maintenance step: read the fact table's typed change feed
+    over (since_version, to_version], collapse it to deltas, apply.
+    Returns the aggregate table's new version. Caller tracks the
+    consumed watermark (to_version) for the next step."""
+    feed = fact.read_change_feed(spark, since_version, to_version)
+    delta = feed_delta(feed, keys, measures)
+    return apply_delta(
+        spark, agg_table, delta, keys, measures,
+        batch_id=to_version if to_version is not None else fact.latest_version(),
+    )

@@ -708,3 +708,45 @@ def test_vacuum_reclaims_change_groups(spark, tmp_path):
     t.vacuum(keep_last=1, min_age_s=0)
     assert os.listdir(changes_root) == []
     assert sorted(r["k"] for r in t.read(spark).collect()) == [2, 9]
+
+
+def test_incremental_view_matches_full_recompute(spark, tmp_path):
+    """IVM invariants the oracle entry can't isolate: a key whose rows
+    are all deleted vanishes from the view (via the maintenance
+    delete), and a replayed maintenance step is a no-op."""
+    from netflow_analysis_with_spark_streaming_spark.storage import (
+        incremental as IVM,
+    )
+
+    fact = VersionedTable(str(tmp_path / "fact"))
+    agg = VersionedTable(str(tmp_path / "agg"))
+    rows = [(i, "solo" if i < 3 else ("a" if i % 2 else "b"), float(i)) for i in range(20)]
+    fact.append(
+        spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    )
+    IVM.maintain_from_feed(
+        spark, fact, agg, ["event_type"], ["value"], since_version=-1
+    )
+    # delete EVERY 'solo' row: the key must drop out of the view
+    fact.delete_where(spark, "event_type = 'solo'", emit_changes=True)
+    v = IVM.maintain_from_feed(
+        spark, fact, agg, ["event_type"], ["value"], since_version=0
+    )
+    view = {r["event_type"]: (r["n_rows"], r["sum_value"]) for r in agg.read(spark).collect()}
+    full = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in fact.read(spark)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(view) == set(full) == {"a", "b"}
+    for k in full:
+        assert view[k][0] == full[k][0]
+        assert abs(view[k][1] - full[k][1]) < 1e-9
+    # replayed step (same feed window -> same batch_id): view unchanged
+    v2 = IVM.maintain_from_feed(
+        spark, fact, agg, ["event_type"], ["value"], since_version=0
+    )
+    view2 = {r["event_type"]: (r["n_rows"], r["sum_value"]) for r in agg.read(spark).collect()}
+    assert view2 == view, (v, v2)
