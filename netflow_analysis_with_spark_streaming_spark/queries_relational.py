@@ -1528,6 +1528,233 @@ register("set_ops_bag", _set_ops_bag, _SET_OPS_BAG_SQL, driver=False)
 register("scalar_null_handling", _scalar_null_handling, _SCALAR_NULL_SQL, driver=False)
 
 
+# --- Event-analytics suite: gap-fill, funnel, cohorts ----------------------
+# The operators an access-trend dashboard grows into once it has more
+# than one chart (SURVEY.md §2.7 adjacency): sparse series need
+# gap-filling, product questions need funnels and cohort retention.
+
+
+def _timeseries_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series per user with last-observation-carried-
+    forward: purchase revenue is sparse (most user-days empty), the
+    dashboard wants a dense grid with gaps filled by the last seen
+    value (LOCF — the standard time-series imputation).
+
+    Scale: the observed agg collapses to user x active-day rows; the
+    dense grid is users x #days (dimension-sized, the day spine is a
+    broadcast 1-row-derived frame, never a fact-table window); LOCF is
+    a per-user ordered window — partitioned, bounded by #days rows per
+    partition."""
+    events = tables.load(spark, "events", sf_dir).filter(
+        (F.col("user_id") < 10) & (F.col("event_type") == "purchase")
+    )
+    daily = events.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("observed"))
+    bounds = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.to_date("d0"), F.to_date("d1"))
+        ).alias("date")
+    ).select(F.date_format("date", "yyyy-MM-dd").alias("day"))
+    grid = daily.select("user_id").distinct().crossJoin(F.broadcast(spine))
+    filled = grid.join(daily, ["user_id", "day"], "left")
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return filled.select(
+        "user_id",
+        "day",
+        "observed",
+        F.coalesce(
+            F.last("observed", ignorenulls=True).over(w), F.lit(0.0)
+        ).alias("carried"),
+    ).orderBy("user_id", "day")
+
+
+_GAP_FILL_SQL = """
+WITH daily AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         ROUND(SUM(value), 2) AS observed
+  FROM events WHERE user_id < 10 AND event_type = 'purchase'
+  GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+spine AS (
+  SELECT strftime(d, '%Y-%m-%d') AS day
+  FROM bounds, unnest(generate_series(CAST(d0 AS DATE), CAST(d1 AS DATE),
+                                      INTERVAL 1 DAY)) t(d)
+),
+grid AS (SELECT DISTINCT user_id FROM daily),
+filled AS (
+  SELECT g.user_id, s.day, d.observed
+  FROM grid g CROSS JOIN spine s
+  LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = s.day
+)
+SELECT user_id, day, observed,
+       COALESCE(last_value(observed IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING
+       ), 0.0) AS carried
+FROM filled ORDER BY user_id, day
+"""
+
+
+register(
+    "timeseries_gap_fill_locf", _timeseries_gap_fill_locf, _GAP_FILL_SQL, driver=False
+)
+
+
+def _funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: a user advances a
+    stage only with an event STRICTLY AFTER the previous stage's
+    first-reach time (the standard product funnel, not independent
+    event counts). Output: per-user furthest stage.
+
+    Scale: three per-user min aggregations + two broadcast-sized
+    equi-joins on user_id — no window over events, no self-join at
+    event grain."""
+    events = tables.load(spark, "events", sf_dir).select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    users = events.select("user_id").distinct()
+    return (
+        users.join(v, "user_id", "left")
+        .join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p.select("user_id", "t_purchase"), "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.when(F.col("t_purchase").isNotNull(), 3)
+                .when(F.col("t_click").isNotNull(), 2)
+                .when(F.col("t_view").isNotNull(), 1)
+                .otherwise(0)
+            ).cast("int").alias("stage"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                 WHEN c.t_click IS NOT NULL THEN 2
+                 WHEN v.t_view IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v ON v.user_id = u.user_id
+LEFT JOIN c ON c.user_id = u.user_id
+LEFT JOIN p ON p.user_id = u.user_id
+ORDER BY u.user_id
+"""
+
+
+register("funnel_conversion", _funnel_conversion, _FUNNEL_SQL, driver=False)
+
+
+def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week;
+    for each cohort x week-offset, the share still active. The anchor
+    date is DERIVED (global min event date), so the query survives
+    testdata regeneration.
+
+    Scale: two user-grain aggregations and an integer-arithmetic
+    equi-join on user_id; cohort cells are #weeks^2 — dimension-sized
+    output from fact-sized input, all hash-aggs."""
+    events = tables.load(spark, "events", sf_dir)
+    anchor = events.agg(F.min(F.to_date("ts")).alias("a"))
+    wk = events.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.floor(F.datediff(F.to_date("ts"), F.col("a")) / 7)
+        .cast("int")
+        .alias("week"),
+    )
+    first = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = wk.distinct()
+    cells = (
+        active.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_k"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            F.col("week_k").cast("int").alias("week_k"),
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_k")
+    )
+
+
+_COHORT_SQL = """
+WITH anchor AS (SELECT MIN(CAST(ts AS DATE)) AS a FROM events),
+wk AS (
+  SELECT user_id,
+         CAST(FLOOR(date_diff('day', a, CAST(ts AS DATE)) / 7.0) AS INTEGER) AS week
+  FROM events, anchor
+),
+first AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id),
+active AS (SELECT DISTINCT user_id, week FROM wk),
+cells AS (
+  SELECT f.cohort_week, a.week - f.cohort_week AS week_k,
+         COUNT(DISTINCT a.user_id) AS n_active
+  FROM active a JOIN first f ON f.user_id = a.user_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size
+          FROM first GROUP BY cohort_week)
+SELECT c.cohort_week, CAST(c.week_k AS INTEGER) AS week_k, c.n_active, s.cohort_size,
+       ROUND(CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 4) AS retention
+FROM cells c JOIN sizes s USING (cohort_week)
+ORDER BY cohort_week, week_k
+"""
+
+
+register("cohort_retention", _cohort_retention, _COHORT_SQL, driver=False)
+
+
 # Report this registrar's completion — covers users importing a
 # registrar submodule directly, where queries.py's own registrar
 # imports re-enter this module mid-body. registrar_done is defined

@@ -246,3 +246,70 @@ def test_interval_join_degenerate_intervals_match_nothing(spark):
         for r in interval_join(pts, ivs, "ts", "s", "e", bucket_seconds=7).collect()
     }
     assert got == {(50, 2)}, got
+
+
+def test_gap_fill_locf_semantics(spark):
+    """The grid must be dense (users x full day span), real gaps must
+    exist (else LOCF is untested), and carried must equal the last
+    non-null observed looking backward (0.0 before first)."""
+    from conftest import SF_ORACLE
+    from netflow_analysis_with_spark_streaming_spark import queries as Q
+
+    rows = Q.all_queries()["timeseries_gap_fill_locf"](spark, SF_ORACLE).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    n_days = {len(v) for v in by_user.values()}
+    assert len(n_days) == 1  # dense: every user has the full spine
+    assert any(r["observed"] is None for r in rows), "no gaps — fixture too dense"
+    for series in by_user.values():
+        series.sort(key=lambda r: r["day"])
+        last = 0.0
+        for r in series:
+            if r["observed"] is not None:
+                last = r["observed"]
+            assert r["carried"] == last, r
+
+
+def test_funnel_stage_monotone(spark):
+    """Funnel stages must be ordered-by-time, not independent counts:
+    every stage-3 user has view < click < purchase events in strict
+    time order, and the stage histogram is non-degenerate."""
+    from conftest import SF_ORACLE
+    from netflow_analysis_with_spark_streaming_spark import queries as Q, tables
+
+    out = Q.all_queries()["funnel_conversion"](spark, SF_ORACLE).collect()
+    stages = [r["stage"] for r in out]
+    assert set(stages) <= {0, 1, 2, 3} and max(stages) == 3
+    ev = tables.load(spark, "events", SF_ORACLE).collect()
+    by_user = {}
+    for e in ev:
+        by_user.setdefault(e["user_id"], []).append(e)
+    import itertools
+
+    checked = 0
+    for r in itertools.islice((r for r in out if r["stage"] == 3), 10):
+        es = sorted(by_user[r["user_id"]], key=lambda e: e["ts"])
+        t_v = min(e["ts"] for e in es if e["event_type"] == "view")
+        t_c = min(e["ts"] for e in es if e["event_type"] == "click" and e["ts"] > t_v)
+        assert any(e["event_type"] == "purchase" and e["ts"] > t_c for e in es)
+        checked += 1
+    assert checked > 0
+
+
+def test_cohort_retention_invariants(spark):
+    """Offset-0 retention is exactly 1 (every user is active in their
+    first week by construction), offsets are non-negative, retention
+    never exceeds 1, and cohort sizes sum to the user count."""
+    from conftest import SF_ORACLE
+    from netflow_analysis_with_spark_streaming_spark import queries as Q, tables
+
+    out = Q.all_queries()["cohort_retention"](spark, SF_ORACLE).collect()
+    assert out
+    for r in out:
+        assert r["week_k"] >= 0 and 0 < r["retention"] <= 1.0, r
+        if r["week_k"] == 0:
+            assert r["n_active"] == r["cohort_size"], r
+    sizes = {r["cohort_week"]: r["cohort_size"] for r in out}
+    n_users = tables.load(spark, "events", SF_ORACLE).select("user_id").distinct().count()
+    assert sum(sizes.values()) == n_users
