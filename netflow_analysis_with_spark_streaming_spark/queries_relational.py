@@ -1755,6 +1755,186 @@ ORDER BY cohort_week, week_k
 register("cohort_retention", _cohort_retention, _COHORT_SQL, driver=False)
 
 
+_PATH_GAP_US = 1800 * 1_000_000  # 30-minute session gap, in microseconds
+_PATH_PREFIX = 5
+_PATH_TOPK = 15
+
+
+def _path_analysis_top_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 session paths: events are sessionized per user (30-min
+    inactivity gap), each session becomes its ordered event-type
+    sequence (first 5 events — the prefix a product team reads), and
+    sequences are counted corpus-wide.
+
+    Scale: sessionization is the standard lag-gap cumulative-sum pair
+    of PER-USER windows (state bounded by a user's events); sequence
+    assembly is one hash-agg per session with an in-agg sort bounded
+    by session length; the final count is a hash-agg on the path
+    string + TakeOrderedAndProject. Gap math is integer microseconds
+    — exact on both engines."""
+    events = tables.load(spark, "events", sf_dir).select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w_user = Window.partitionBy("user_id").orderBy("us", "event_id")
+    new_sess = (
+        (F.col("us") - F.lag("us", 1).over(w_user)) > _PATH_GAP_US
+    ).cast("int")
+    sess = events.withColumn(
+        "sess_id",
+        F.sum(F.coalesce(new_sess, F.lit(1))).over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    paths = (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("us", "event_id", "event_type")
+                            )
+                        ),
+                        lambda s: s["event_type"],
+                    ),
+                    1,
+                    _PATH_PREFIX,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_PATH_TOPK)
+    )
+
+
+_PATH_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+),
+s AS (
+  SELECT *,
+         CASE WHEN us - LAG(us) OVER w > {_PATH_GAP_US} OR
+                   LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM s
+),
+paths AS (
+  SELECT user_id, sess_id,
+         array_to_string(
+           list_slice(list(event_type ORDER BY us, event_id), 1, {_PATH_PREFIX}),
+           '>') AS path
+  FROM sess GROUP BY user_id, sess_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT {_PATH_TOPK}
+"""
+
+
+register(
+    "path_analysis_top_sequences",
+    _path_analysis_top_sequences,
+    _PATH_SQL,
+    driver=False,
+)
+
+
+from .functions.text import md5_hash32_sql as _md5_sql  # noqa: E402
+
+T_MD5_ARM = _md5_sql("CAST(user_id AS VARCHAR)", 21)
+
+
+def _ab_test_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B readout: users split into arms by md5 hash
+    parity (the engine's stable bucketing), outcome = converted (any
+    purchase), and the 2x2 chi-square statistic computed in closed
+    form — chi2 = N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)). The null is
+    true by construction (the split is random w.r.t. behaviour), so
+    the statistic should be small; the TEST of that lives in pytest,
+    the oracle pins the arithmetic.
+
+    Scale: one user-grain aggregation, one 4-value reduce — the
+    entire readout is two hash-aggs regardless of event volume."""
+    from .functions import text as T
+
+    events = tables.load(spark, "events", sf_dir)
+    # outcome with a real base rate: "heavy purchaser" (>= 14 purchase
+    # events — near the per-user mean, so both outcomes occur; a bare
+    # "any purchase" saturates at ~100% and degenerates the table)
+    users = events.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("int")) >= 14
+        ).cast("int").alias("converted")
+    )
+    armed = users.select(
+        (T.md5_hash32(F.col("user_id").cast("string"), seed=21) % 2).alias("arm"),
+        "converted",
+    )
+    cells = armed.groupBy().agg(
+        F.sum(F.when((F.col("arm") == 0) & (F.col("converted") == 1), 1).otherwise(0)).alias("a"),
+        F.sum(F.when((F.col("arm") == 0) & (F.col("converted") == 0), 1).otherwise(0)).alias("b"),
+        F.sum(F.when((F.col("arm") == 1) & (F.col("converted") == 1), 1).otherwise(0)).alias("c"),
+        F.sum(F.when((F.col("arm") == 1) & (F.col("converted") == 0), 1).otherwise(0)).alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    n = a + b + c + d
+    # GREATEST floor: a zero margin makes chi-square undefined; the
+    # numerator is then 0 too, so flooring the denominator yields the
+    # sensible degenerate chi2 = 0 on BOTH engines instead of an ANSI
+    # divide-by-zero here and an engine-dependent inf/NULL in DuckDB
+    chi2 = (n * F.pow(a * d - b * c, 2)) / F.greatest(
+        (a + b) * (c + d) * (a + c) * (b + d), F.lit(1)
+    )
+    return cells.select(
+        a.cast("long").alias("conv_a"),
+        b.cast("long").alias("noconv_a"),
+        c.cast("long").alias("conv_b"),
+        d.cast("long").alias("noconv_b"),
+        F.round(chi2, 6).alias("chi2"),
+    )
+
+
+_AB_CHI_SQL = f"""
+WITH users AS (
+  SELECT user_id,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+armed AS (
+  SELECT {T_MD5_ARM} % 2 AS arm, converted FROM users
+),
+cells AS (
+  SELECT
+    SUM(CASE WHEN arm = 0 AND converted = 1 THEN 1 ELSE 0 END) AS a,
+    SUM(CASE WHEN arm = 0 AND converted = 0 THEN 1 ELSE 0 END) AS b,
+    SUM(CASE WHEN arm = 1 AND converted = 1 THEN 1 ELSE 0 END) AS c,
+    SUM(CASE WHEN arm = 1 AND converted = 0 THEN 1 ELSE 0 END) AS d
+  FROM armed
+)
+SELECT CAST(a AS BIGINT) AS conv_a, CAST(b AS BIGINT) AS noconv_a,
+       CAST(c AS BIGINT) AS conv_b, CAST(d AS BIGINT) AS noconv_b,
+       ROUND(CAST(a + b + c + d AS DOUBLE) * POW(CAST(a*d - b*c AS DOUBLE), 2)
+             / GREATEST(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                        * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE),
+                        1.0), 6) AS chi2
+FROM cells
+"""
+
+
+register("ab_test_chi_square", _ab_test_chi_square, _AB_CHI_SQL, driver=False)
+
+
 # Report this registrar's completion — covers users importing a
 # registrar submodule directly, where queries.py's own registrar
 # imports re-enter this module mid-body. registrar_done is defined

@@ -313,3 +313,57 @@ def test_cohort_retention_invariants(spark):
     sizes = {r["cohort_week"]: r["cohort_size"] for r in out}
     n_users = tables.load(spark, "events", SF_ORACLE).select("user_id").distinct().count()
     assert sum(sizes.values()) == n_users
+
+
+def test_path_analysis_session_semantics(spark):
+    """Paths must respect the 30-minute gap and the 5-event prefix:
+    recount sessions for a few users directly in Python and check the
+    resulting path multiset is consistent with the top-k output."""
+    from collections import Counter
+
+    from conftest import SF_ORACLE
+    from netflow_analysis_with_spark_streaming_spark import queries as Q, tables
+
+    out = Q.all_queries()["path_analysis_top_sequences"](spark, SF_ORACLE).collect()
+    assert len(out) == 15
+    counts = [r["n_sessions"] for r in out]
+    assert counts == sorted(counts, reverse=True)
+    assert all(1 <= len(r["path"].split(">")) <= 5 for r in out)
+    # full Python recount: the top-k must be exactly the k most common
+    ev = tables.load(spark, "events", SF_ORACLE).select(
+        "user_id", "event_id", "event_type", "ts"
+    ).collect()
+    by_user = {}
+    for e in ev:
+        by_user.setdefault(e["user_id"], []).append(e)
+    ref = Counter()
+    for es in by_user.values():
+        es.sort(key=lambda e: (e["ts"], e["event_id"]))
+        sessions, cur, last_us = [], [], None
+        for e in es:
+            us = int(e["ts"].timestamp() * 1_000_000)
+            if last_us is not None and us - last_us > 1800 * 1_000_000:
+                sessions.append(cur)
+                cur = []
+            cur.append(e["event_type"])
+            last_us = us
+        sessions.append(cur)
+        for s in sessions:
+            ref[">".join(s[:5])] += 1
+    expected = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert [(r["path"], r["n_sessions"]) for r in out] == expected
+
+
+def test_ab_chi_square_null_holds(spark):
+    """The arms are a hash split unrelated to behaviour, so the
+    chi-square statistic must be far below the 0.001-level critical
+    value (10.83 at 1 dof) — and the cells must cover every user with
+    both outcomes present."""
+    from conftest import SF_ORACLE
+    from netflow_analysis_with_spark_streaming_spark import queries as Q, tables
+
+    r = Q.all_queries()["ab_test_chi_square"](spark, SF_ORACLE).collect()[0]
+    n_users = tables.load(spark, "events", SF_ORACLE).select("user_id").distinct().count()
+    assert r["conv_a"] + r["noconv_a"] + r["conv_b"] + r["noconv_b"] == n_users
+    assert r["conv_a"] + r["conv_b"] > 0 and r["noconv_a"] + r["noconv_b"] > 0
+    assert 0 <= r["chi2"] < 10.83, r
