@@ -1935,6 +1935,53 @@ FROM cells
 register("ab_test_chi_square", _ab_test_chi_square, _AB_CHI_SQL, driver=False)
 
 
+def _agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (the 100 TB pre-aggregation pattern):
+    per-day HLL sketches of distinct users are built ONCE, then weekly
+    and monthly uniques come from sketch UNIONS — no rescan of the
+    fact data, and the daily sketch table is what a real pipeline
+    would persist. Distinct-count questions over any date range then
+    cost |range| sketch merges instead of a fact-table scan.
+
+    Rows-only tier: DataSketches HLL has no DuckDB twin, so the
+    oracle is the pytest tolerance test (estimates within 2% of exact,
+    merge-of-parts == merge-of-all). Output is deterministic for a
+    fixed input (HLL is deterministic given insertion multiset)."""
+    events = tables.load(spark, "events", sf_dir)
+    daily = events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    weekly = (
+        daily.groupBy(
+            F.date_format(
+                F.date_trunc("week", F.to_date("day")), "yyyy-MM-dd"
+            ).alias("_wk")
+        )
+        .agg(F.hll_union_agg("sk").alias("sk"), F.count("*").alias("n_days"))
+    )
+    monthly = daily.groupBy(F.substring("day", 1, 7).alias("month")).agg(
+        F.hll_union_agg("sk").alias("sk"), F.count("*").alias("n_days")
+    )
+    return (
+        monthly.select(
+            "month",
+            "n_days",
+            F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
+        )
+        .unionByName(
+            weekly.select(
+                F.concat(F.lit("wk:"), F.col("_wk")).alias("month"),
+                "n_days",
+                F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
+            )
+        )
+        .orderBy("month")
+    )
+
+
+register("agg_sketch_rollup", _agg_sketch_rollup, driver=False)  # rows-only: HLL
+
+
 # Report this registrar's completion — covers users importing a
 # registrar submodule directly, where queries.py's own registrar
 # imports re-enter this module mid-body. registrar_done is defined

@@ -367,3 +367,41 @@ def test_ab_chi_square_null_holds(spark):
     assert r["conv_a"] + r["noconv_a"] + r["conv_b"] + r["noconv_b"] == n_users
     assert r["conv_a"] + r["conv_b"] > 0 and r["noconv_a"] + r["noconv_b"] > 0
     assert 0 <= r["chi2"] < 10.83, r
+
+
+def test_sketch_rollup_merge_accuracy(spark):
+    """The mergeable-sketch contract: weekly/monthly estimates from
+    daily-sketch UNIONS must sit within 2% of the exact distinct
+    counts recomputed from raw events, and a degenerate one-day merge
+    must equal that day's own estimate."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_ORACLE
+    from netflow_analysis_with_spark_streaming_spark import queries as Q, tables
+
+    out = Q.all_queries()["agg_sketch_rollup"](spark, SF_ORACLE).collect()
+    assert out
+    events = tables.load(spark, "events", SF_ORACLE)
+    months = {
+        r["m"]: r["n"]
+        for r in events.groupBy(F.date_format("ts", "yyyy-MM").alias("m"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    weeks = {
+        r["w"]: r["n"]
+        for r in events.groupBy(
+            F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("w")
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in out:
+        key = r["month"]
+        exact = weeks[key[3:]] if key.startswith("wk:") else months[key]
+        assert abs(r["approx_users"] - exact) <= max(1, 0.02 * exact), (r, exact)
+    # determinism: second run produces identical estimates
+    out2 = Q.all_queries()["agg_sketch_rollup"](spark, SF_ORACLE).collect()
+    assert {(r["month"], r["approx_users"]) for r in out2} == {
+        (r["month"], r["approx_users"]) for r in out
+    }
