@@ -1982,6 +1982,91 @@ def _agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("agg_sketch_rollup", _agg_sketch_rollup, driver=False)  # rows-only: HLL
 
 
+def _dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit — the expectation report every
+    ingest pipeline runs before promoting a batch (Deequ/expectations
+    style): referential integrity, domain ranges, key uniqueness,
+    null rates, emptiness. One row per check, exact integer counts.
+
+    Scale: each check is a single aggregation (the FK check is one
+    broadcast-or-shuffle anti-join count); checks are independent
+    1-row plans unioned at the end — trivially parallel, nothing
+    row-shaped on the driver."""
+    li = tables.load(spark, "lineitem", sf_dir)
+    orders = tables.load(spark, "orders", sf_dir)
+    customer = tables.load(spark, "customer", sf_dir)
+    events = tables.load(spark, "events", sf_dir)
+    docs = tables.load(spark, "documents", sf_dir)
+
+    def check(name, cells):
+        return cells.select(
+            F.lit(name).alias("check_name"),
+            F.col("v").cast("long").alias("n_violations"),
+            F.col("n").cast("long").alias("n_checked"),
+        )
+
+    fk = (
+        li.join(orders.select("o_orderkey"), li["l_orderkey"] == orders["o_orderkey"], "left_anti")
+        .agg(F.count("*").alias("v"))
+        .crossJoin(li.agg(F.count("*").alias("n")))
+    )
+    price = orders.agg(
+        F.sum((F.col("o_totalprice") < 0).cast("long")).alias("v"),
+        F.count("*").alias("n"),
+    )
+    dup = customer.agg(
+        (F.count("c_custkey") - F.countDistinct("c_custkey")).alias("v"),
+        F.count("*").alias("n"),
+    )
+    nulls = events.agg(
+        F.sum(F.col("value").isNull().cast("long")).alias("v"),
+        F.count("*").alias("n"),
+    )
+    empty = docs.agg(
+        F.sum((F.length(F.trim("text")) == 0).cast("long")).alias("v"),
+        F.count("*").alias("n"),
+    )
+    return (
+        check("fk_lineitem_orders", fk)
+        .unionByName(check("orders_price_nonneg", price))
+        .unionByName(check("customer_key_unique", dup))
+        .unionByName(check("events_value_notnull", nulls))
+        .unionByName(check("documents_nonempty", empty))
+        .orderBy("check_name")
+    )
+
+
+_DQ_AUDIT_SQL = """
+SELECT * FROM (
+  SELECT 'fk_lineitem_orders' AS check_name,
+         CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+           AS n_violations,
+         CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_checked
+  UNION ALL
+  SELECT 'orders_price_nonneg',
+         CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'customer_key_unique',
+         CAST(COUNT(c_custkey) - COUNT(DISTINCT c_custkey) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT) FROM customer
+  UNION ALL
+  SELECT 'events_value_notnull',
+         CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'documents_nonempty',
+         CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT) FROM documents
+) ORDER BY check_name
+"""
+
+
+register("dq_audit", _dq_audit, _DQ_AUDIT_SQL, driver=False)
+
+
 # Report this registrar's completion — covers users importing a
 # registrar submodule directly, where queries.py's own registrar
 # imports re-enter this module mid-body. registrar_done is defined

@@ -30,11 +30,12 @@ plain parquet + JSON, because the container ships no lakehouse jars:
   streaming/sinks.IdempotentParquetSink, lifted to table semantics).
 
 Scale notes: manifests list file paths, so the log grows with commit
-count, not data size; compaction folds small files. At 100 TB you
-would add file-level column stats for data skipping (Delta/Iceberg
-do) — out of scope here, the snapshot/merge/replay semantics are the
-point. Reads go through ``spark.read.parquet(*files)`` so all normal
-pushdown applies within a snapshot.
+count, not data size; compaction folds small files. File-group
+min/max stats ARE kept (the data-skipping index ``read``/``
+snapshot_files`` prune with), range/z-order clustering keeps them
+tight, and CHECK constraints are enforced at commit time. Reads go
+through ``spark.read.parquet(*files)`` so all normal pushdown applies
+within a snapshot.
 """
 
 from __future__ import annotations
@@ -53,6 +54,12 @@ class CommitConflictError(RuntimeError):
     writer's snapshot (the file list it copied forward) is stale.
     Re-read the table state and retry the operation; nothing was
     committed and no data files are referenced by any manifest."""
+
+
+class ConstraintViolationError(ValueError):
+    """A write contained rows violating a CHECK constraint; nothing
+    was committed. SQL CHECK semantics: a row violates only when the
+    predicate evaluates to FALSE — NULL passes."""
 
 
 class VersionedTable:
@@ -199,6 +206,66 @@ class VersionedTable:
             }
         return [f"data/{group}"]
 
+    # --- CHECK constraints -------------------------------------------------
+
+    def _constraints_path(self) -> str:
+        return os.path.join(self._log, "_constraints.json")
+
+    def check_constraints(self) -> dict[str, str]:
+        """{name: predicate_sql} currently enforced on writes."""
+        try:
+            with open(self._constraints_path(), encoding="utf-8") as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def set_check_constraint(self, name: str, predicate_sql: str) -> None:
+        """Add/replace a CHECK constraint (Delta ``ADD CONSTRAINT``
+        analog): every subsequent append/overwrite/upsert validates
+        its incoming rows and raises ``ConstraintViolationError`` if
+        any row evaluates the predicate to FALSE (NULL passes, SQL
+        semantics). Existing data is NOT retro-validated — same as
+        Delta, constraints gate writes, not history. Published via
+        tmp+rename (atomic, last-writer-wins table property)."""
+        cons = self.check_constraints()
+        cons[name] = predicate_sql
+        tmp = os.path.join(self._log, f".tmp-cons-{uuid.uuid4().hex}.json")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(cons, f)
+        os.replace(tmp, self._constraints_path())
+
+    def drop_check_constraint(self, name: str) -> None:
+        cons = self.check_constraints()
+        cons.pop(name, None)
+        tmp = os.path.join(self._log, f".tmp-cons-{uuid.uuid4().hex}.json")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(cons, f)
+        os.replace(tmp, self._constraints_path())
+
+    def _enforce(self, df: DataFrame) -> None:
+        """Validate incoming rows against every CHECK constraint in
+        ONE aggregation pass (all violation counters in a single job
+        — the extra write-path scan real systems fold into their
+        write metrics); raises with per-constraint counts."""
+        cons = self.check_constraints()
+        if not cons:
+            return
+        from pyspark.sql import functions as F
+
+        aggs = [
+            F.sum(
+                (~F.coalesce(F.expr(pred), F.lit(True))).cast("long")
+            ).alias(name)
+            for name, pred in cons.items()
+        ]
+        row = df.agg(*aggs).collect()[0]
+        bad = {name: row[name] for name in cons if row[name]}
+        if bad:
+            raise ConstraintViolationError(
+                f"write to {self.root} violates CHECK constraints "
+                f"(violating-row counts): {bad}"
+            )
+
     # --- table operations --------------------------------------------------
 
     def _resolve_conflict(
@@ -227,6 +294,7 @@ class VersionedTable:
         version, prev_files, prev_stats = self._snapshot_state()
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return self.latest_version()  # replay: no-op before any write
+        self._enforce(df)
         new = self._write_files(df, stats_cols)
         try:
             return self._commit(
@@ -278,6 +346,7 @@ class VersionedTable:
         selective (a random layout gives every group the full value
         range, so nothing ever prunes)."""
         version, prev_files, prev_stats = self._snapshot_state()
+        self._enforce(df)
         files, stats = self._write_clustered_group(df, col, n_groups)
         return self._commit(
             prev_files + files,
@@ -296,6 +365,7 @@ class VersionedTable:
         version, _, _ = self._snapshot_state()
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return self.latest_version()
+        self._enforce(df)
         new = self._write_files(df, stats_cols)
         try:
             return self._commit(
@@ -566,6 +636,7 @@ class VersionedTable:
         version, _, _ = self._snapshot_state()
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return self.latest_version()
+        self._enforce(updates)
         if version > 0:
             # read the PINNED snapshot, not latest-at-read-time: the
             # merge must be built on exactly the state the fence

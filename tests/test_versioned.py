@@ -750,3 +750,35 @@ def test_incremental_view_matches_full_recompute(spark, tmp_path):
     )
     view2 = {r["event_type"]: (r["n_rows"], r["sum_value"]) for r in agg.read(spark).collect()}
     assert view2 == view, (v, v2)
+
+
+def test_check_constraints_gate_writes(spark, tmp_path):
+    """CHECK semantics: FALSE rows block the whole commit (nothing
+    lands), NULL passes, every write path is gated, constraints
+    survive reopening the table, and dropping one re-opens the
+    gate."""
+    import pytest
+
+    from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+        ConstraintViolationError,
+    )
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.set_check_constraint("k_nonneg", "k >= 0")
+    t.set_check_constraint("v_short", "length(v) <= 3")
+    t.append(_df(spark, [(1, "a"), (2, None)]))  # NULL v passes length check
+    with pytest.raises(ConstraintViolationError, match="k_nonneg"):
+        t.append(_df(spark, [(3, "c"), (-1, "d")]))
+    assert t.read(spark).count() == 2  # violating commit landed nothing
+    with pytest.raises(ConstraintViolationError, match="v_short"):
+        t.upsert(spark, _df(spark, [(1, "toolong")]), keys=["k"])
+    with pytest.raises(ConstraintViolationError):
+        t.overwrite(_df(spark, [(-5, "x")]))
+    with pytest.raises(ConstraintViolationError):
+        t.append_clustered(_df(spark, [(-2, "y")]), "k", n_groups=2)
+    # constraints persist across handles
+    t2 = VersionedTable(str(tmp_path / "t"))
+    assert set(t2.check_constraints()) == {"k_nonneg", "v_short"}
+    t2.drop_check_constraint("k_nonneg")
+    t2.append(_df(spark, [(-9, "ok")]))  # gate re-opened
+    assert sorted(r["k"] for r in t2.read(spark).collect()) == [-9, 1, 2]

@@ -78,6 +78,15 @@ PROBE_ENTRIES = [
     "text_perplexity_proxy",
     "stream_stream_join",
     "stream_sessionize_closed",
+    # event-analytics suite (round 6): events replicas extend the time
+    # span at constant per-window density, so these must scale with
+    # output dimension (days/weeks/paths), not superlinearly with facts
+    "timeseries_gap_fill_locf",
+    "funnel_conversion",
+    "cohort_retention",
+    "path_analysis_top_sequences",
+    "agg_sketch_rollup",
+    "storage_incremental_agg",
     # relational family over the replicated fact tables
     "sql_returned_items",
     "join_asof",
