@@ -2067,6 +2067,51 @@ SELECT * FROM (
 register("dq_audit", _dq_audit, _DQ_AUDIT_SQL, driver=False)
 
 
+def _dim_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 maintenance (operators/scd2.py): the customer
+    dimension versioned on nation membership. Initial load is current
+    as of 2024-01-01; an update batch moves EVEN keys to the next
+    nation (odd keys arrive unchanged — the no-op path the change
+    detector must drop). Result: odd keys keep one current row; even
+    keys get a closed row plus a new current one."""
+    from .operators.scd2 import scd2_apply
+
+    cust = tables.load(spark, "customer", sf_dir).filter(F.col("c_custkey") <= 200)
+    dim = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nation"),
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.col("c_nationkey") + 1
+        ).otherwise(F.col("c_nationkey")).alias("nation"),
+    )
+    out = scd2_apply(dim, updates, "k", ["nation"], F.lit("2024-06-01"))
+    return out.orderBy("k", "valid_from")
+
+
+_SCD2_SQL = """
+WITH dim AS (
+  SELECT c_custkey AS k, c_nationkey AS nation FROM customer
+  WHERE c_custkey <= 200
+)
+SELECT k, nation, '2024-01-01' AS valid_from,
+       CASE WHEN k % 2 = 0 THEN '2024-06-01' END AS valid_to,
+       k % 2 <> 0 AS is_current
+FROM dim
+UNION ALL
+SELECT k, nation + 1, '2024-06-01', NULL, TRUE FROM dim WHERE k % 2 = 0
+ORDER BY k, valid_from
+"""
+
+
+register("dim_scd2_apply", _dim_scd2_apply, _SCD2_SQL, driver=False)
+
+
 # Report this registrar's completion — covers users importing a
 # registrar submodule directly, where queries.py's own registrar
 # imports re-enter this module mid-body. registrar_done is defined

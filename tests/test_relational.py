@@ -405,3 +405,38 @@ def test_sketch_rollup_merge_accuracy(spark):
     assert {(r["month"], r["approx_users"]) for r in out2} == {
         (r["month"], r["approx_users"]) for r in out
     }
+
+
+def test_scd2_multi_generation_history(spark):
+    """Two update batches build a 3-generation history: each change
+    closes exactly the prior current row, no-op updates version
+    nothing, NULL->value counts as a change (null-safe compare), and
+    exactly one current row exists per live key."""
+    import pyspark.sql.functions as F
+
+    from netflow_analysis_with_spark_streaming_spark.operators.scd2 import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, None, "2024-01-01", None, True), (2, "x", "2024-01-01", None, True)],
+        "k long, attr string, valid_from string, valid_to string, is_current boolean",
+    )
+    # batch 1: key 1 NULL->'a' (change), key 2 'x' (no-op), key 3 new
+    up1 = spark.createDataFrame([(1, "a"), (2, "x"), (3, "n")], "k long, attr string")
+    d1 = scd2_apply(dim, up1, "k", ["attr"], F.lit("2024-02-01"))
+    # batch 2: key 1 'a'->'b' (second generation)
+    up2 = spark.createDataFrame([(1, "b")], "k long, attr string")
+    d2 = scd2_apply(d1, up2, "k", ["attr"], F.lit("2024-03-01"))
+    rows = sorted(
+        ((r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+         for r in d2.collect()),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert rows == [
+        (1, None, "2024-01-01", "2024-02-01", False),
+        (1, "a", "2024-02-01", "2024-03-01", False),
+        (1, "b", "2024-03-01", None, True),
+        (2, "x", "2024-01-01", None, True),   # no-op never versioned
+        (3, "n", "2024-02-01", None, True),
+    ], rows
+    cur = [r for r in rows if r[4]]
+    assert len(cur) == 3 and len({r[0] for r in cur}) == 3
