@@ -2112,6 +2112,71 @@ ORDER BY k, valid_from
 register("dim_scd2_apply", _dim_scd2_apply, _SCD2_SQL, driver=False)
 
 
+def _join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join — the reason SCD2 history exists: each order
+    is joined to the dimension row that was CURRENT at order date.
+    The dimension is built with scd2_apply (even-key customers change
+    nation effective 1998-01-01, mid-span of the order dates), then
+    orders match on key plus validity range.
+
+    Scale: an equi-join on the customer key with the validity range
+    as a residual filter — per key there are only a few versions, so
+    this is a plain distributed hash join (broadcast here), NOT a
+    range join; ISO date strings compare lexicographically, exact on
+    both engines."""
+    from .operators.scd2 import scd2_apply
+
+    cust = tables.load(spark, "customer", sf_dir).filter(F.col("c_custkey") <= 200)
+    dim0 = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nation"),
+        F.lit("1995-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.col("c_nationkey") + 1
+        ).otherwise(F.col("c_nationkey")).alias("nation"),
+    )
+    dim = scd2_apply(dim0, updates, "k", ["nation"], F.lit("1998-01-01"))
+    orders = (
+        tables.load(spark, "orders", sf_dir)
+        .filter(F.col("o_custkey") <= 200)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+        )
+    )
+    joined = orders.join(
+        F.broadcast(dim),
+        (F.col("o_custkey") == F.col("k"))
+        & (F.col("valid_from") <= F.col("od"))
+        & (F.col("valid_to").isNull() | (F.col("od") < F.col("valid_to"))),
+    )
+    return joined.select("o_orderkey", "o_custkey", "od", "nation").orderBy(
+        "o_orderkey"
+    )
+
+
+_PIT_JOIN_SQL = """
+SELECT o.o_orderkey, o.o_custkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS od,
+       c.c_nationkey
+         + CASE WHEN c.c_custkey % 2 = 0
+                 AND strftime(o.o_orderdate, '%Y-%m-%d') >= '1998-01-01'
+                THEN 1 ELSE 0 END AS nation
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE o.o_custkey <= 200
+ORDER BY o.o_orderkey
+"""
+
+
+register("join_point_in_time", _join_point_in_time, _PIT_JOIN_SQL, driver=False)
+
+
 # Report this registrar's completion — covers users importing a
 # registrar submodule directly, where queries.py's own registrar
 # imports re-enter this module mid-body. registrar_done is defined
