@@ -753,6 +753,67 @@ class VersionedTable:
         except CommitConflictError as e:
             return self._resolve_conflict(batch_id, e)
 
+    def replace_where(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        predicate: str,
+        prune: tuple[str, object, object] | list[tuple[str, object, object]] | None = None,
+        batch_id: int | None = None,
+    ) -> int:
+        """Delta ``replaceWhere``: atomically replace exactly the rows
+        matching ``predicate`` with ``df`` — the idempotent backfill
+        primitive (rewrite one day/region/partition without touching
+        the rest, in ONE commit). Every incoming row must itself
+        satisfy ``predicate`` (validated in one agg job; a row outside
+        the scope would silently widen the overwrite — Delta rejects
+        it and so does this). ``prune`` bounds which file groups can
+        hold matching rows, exactly as in ``delete_where``."""
+        from pyspark.sql import functions as F
+
+        version, prev_files, prev_stats = self._snapshot_state()
+        if batch_id is not None and batch_id in self.committed_batch_ids():
+            return self.latest_version()
+        n_outside = df.agg(
+            F.sum(
+                (~F.coalesce(F.expr(predicate), F.lit(False))).cast("long")
+            ).alias("n")
+        ).collect()[0]["n"]
+        if n_outside:
+            raise ValueError(
+                f"replace_where data contains {n_outside} rows NOT matching "
+                f"{predicate!r}; the replacement scope must cover its data"
+            )
+        self._enforce(df)
+        affected = set(self.snapshot_files(version - 1, prune)) if version else set()
+        untouched = [f for f in prev_files if f not in affected]
+        stat_cols = sorted({c for f in affected for c in prev_stats.get(f, {})})
+        if affected:
+            old = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.root, f) for f in sorted(affected)]
+            )
+            survivors = old.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
+            combined = survivors.unionByName(df, allowMissingColumns=True)
+        else:
+            combined = df
+        new: list[str] = []
+        new_stats: dict = {}
+        if not combined.isEmpty():
+            new = self._write_files(combined, stats_cols=stat_cols or None)
+            new_stats = self._pending_stats
+        kept_stats = {f: s for f, s in prev_stats.items() if f not in affected}
+        try:
+            return self._commit(
+                untouched + new,
+                "replace_where",
+                df.schema.json(),
+                batch_id,
+                stats={**kept_stats, **new_stats},
+                version=version,
+            )
+        except CommitConflictError as e:
+            return self._resolve_conflict(batch_id, e)
+
     def compact(self, spark: SparkSession, target_partitions: int = 8) -> int:
         """Fold the current snapshot's file groups into one coalesced
         group (the streaming small-file fix); history before the

@@ -782,3 +782,39 @@ def test_check_constraints_gate_writes(spark, tmp_path):
     t2.drop_check_constraint("k_nonneg")
     t2.append(_df(spark, [(-9, "ok")]))  # gate re-opened
     assert sorted(r["k"] for r in t2.read(spark).collect()) == [-9, 1, 2]
+
+
+def test_replace_where_scoped_backfill(spark, tmp_path):
+    """replaceWhere semantics: exactly the predicate's rows are
+    replaced in one commit, out-of-scope incoming rows are rejected,
+    stats-pruned untouched groups carry by reference, and the
+    pre-backfill snapshot stays readable."""
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append_clustered(
+        spark.range(0, 400).selectExpr("id as k", "'orig' as v"), "k", n_groups=4
+    )
+    before = set(t.snapshot_files())
+    affected = set(t.snapshot_files(prune=("k", 0, 99)))
+    # out-of-scope row -> reject, nothing committed
+    bad = spark.createDataFrame([(50, "new"), (250, "oops")], "k long, v string")
+    with pytest.raises(ValueError, match="NOT matching"):
+        t.replace_where(spark, bad, "k < 100", prune=("k", 0, 99))
+    assert set(t.snapshot_files()) == before
+    # scoped backfill: k<100 replaced by 10 rows
+    repl = spark.createDataFrame([(i, "new") for i in range(10)], "k long, v string")
+    t.replace_where(spark, repl, "k < 100", prune=("k", 0, 99))
+    after = set(t.snapshot_files())
+    assert (before - affected) <= after and not (affected & after)
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert len(rows) == 400 - 100 + 10
+    assert all(v == "new" for k, v in rows.items() if k < 100)
+    assert all(v == "orig" for k, v in rows.items() if k >= 100)
+    assert t.read(spark, version=0).count() == 400  # time travel
+    assert t.history()[-1]["action"] == "replace_where"
+    # replay is a no-op
+    n = len(t.versions())
+    t.replace_where(spark, repl, "k < 100", batch_id=5)
+    t.replace_where(spark, repl, "k < 100", batch_id=5)
+    assert len(t.versions()) == n + 1
