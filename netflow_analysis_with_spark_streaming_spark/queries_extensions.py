@@ -2988,6 +2988,63 @@ GROUP BY doc_id ORDER BY doc_id
 register("text_perplexity_proxy", _text_perplexity_proxy, _PPL_SQL, driver=False)
 
 
+_SEARCH_TERMS = ("spark", "stream")
+
+
+def _text_search_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed conjunctive text search: term->doc posting lists
+    (with term frequencies) are BUILT ONCE into a versioned table
+    range-clustered on the term, then an AND query answers from two
+    stats-PRUNED index reads joined on doc_id — the corpus itself is
+    never rescanned at query time, and the pruning means only the
+    index file groups covering the query terms are opened (the
+    file-level analog of a B-tree descent).
+
+    Scale: the index build is one explode + hash-agg (term, doc)
+    pass; clustering gives each group a tight term range so a 2-term
+    query opens ~2/8 of the index; query cost is posting-list-sized,
+    independent of corpus text volume."""
+    from .queries_streaming import _run_tmp_root
+    from .storage.versioned import VersionedTable
+
+    docs = tables.load_parallel(spark, "documents", sf_dir)
+    postings = (
+        docs.select("doc_id", F.explode(T.words(F.col("text"))).alias("word"))
+        .groupBy("word", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    idx = VersionedTable(_run_tmp_root("netflow_searchidx_") + "/idx")
+    idx.append_clustered(postings, "word", n_groups=8)
+    t1, t2 = _SEARCH_TERMS
+    p1 = idx.read(spark, prune=("word", t1, t1)).filter(F.col("word") == t1)
+    p2 = idx.read(spark, prune=("word", t2, t2)).filter(F.col("word") == t2)
+    return (
+        p1.select("doc_id", F.col("tf").alias("tf1"))
+        .join(p2.select("doc_id", F.col("tf").alias("tf2")), "doc_id")
+        .select(
+            "doc_id", (F.col("tf1") + F.col("tf2")).cast("long").alias("score")
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+_SEARCH_SQL = f"""
+WITH postings AS (
+  SELECT doc_id, w AS word, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS w FROM documents)
+  GROUP BY doc_id, w
+)
+SELECT a.doc_id, CAST(a.tf + b.tf AS BIGINT) AS score
+FROM postings a JOIN postings b USING (doc_id)
+WHERE a.word = '{_SEARCH_TERMS[0]}' AND b.word = '{_SEARCH_TERMS[1]}'
+ORDER BY score DESC, a.doc_id LIMIT 20
+"""
+
+
+register("text_search_inverted", _text_search_inverted, _SEARCH_SQL, driver=False)
+
+
 # Report this registrar's completion — covers users importing a
 # registrar submodule directly, where queries.py's own registrar
 # imports re-enter this module mid-body. registrar_done is defined

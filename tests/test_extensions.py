@@ -853,3 +853,40 @@ def test_perplexity_proxy_bounds(spark):
     total_ceiling = math.log2(sum(r["n_tokens"] for r in out))
     for r in out:
         assert 0 < r["bits_per_token"] <= total_ceiling, r
+
+
+def test_search_index_prunes_file_groups(spark, tmp_path):
+    """The search entry's scale claim: a term query's pruned read
+    opens a strict subset of the index's file groups, and the pruned
+    result equals the unpruned filter (superset contract)."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_ORACLE
+    from netflow_analysis_with_spark_streaming_spark import tables
+    from netflow_analysis_with_spark_streaming_spark.functions import text as T
+    from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+        VersionedTable,
+    )
+
+    docs = tables.load(spark, "documents", SF_ORACLE)
+    postings = (
+        docs.select("doc_id", F.explode(T.words(F.col("text"))).alias("word"))
+        .groupBy("word", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    idx = VersionedTable(str(tmp_path / "idx"))
+    idx.append_clustered(postings, "word", n_groups=8)
+    all_groups = idx.snapshot_files()
+    pruned = idx.snapshot_files(prune=("word", "spark", "spark"))
+    assert 0 < len(pruned) < len(all_groups), (pruned, all_groups)
+    full = {
+        (r["doc_id"], r["tf"])
+        for r in idx.read(spark).filter("word = 'spark'").collect()
+    }
+    via_prune = {
+        (r["doc_id"], r["tf"])
+        for r in idx.read(spark, prune=("word", "spark", "spark"))
+        .filter("word = 'spark'")
+        .collect()
+    }
+    assert full == via_prune and full
