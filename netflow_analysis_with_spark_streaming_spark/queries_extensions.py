@@ -3045,6 +3045,52 @@ ORDER BY score DESC, a.doc_id LIMIT 20
 register("text_search_inverted", _text_search_inverted, _SEARCH_SQL, driver=False)
 
 
+_IMP_SEED = 29
+_IMP_WMAX = 100  # token-count weight cap == the max keep rate denominator
+
+
+def _corpus_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling with per-document weights: each doc is kept
+    with probability weight/100 where weight = min(n_tokens, 100) —
+    longer documents are proportionally likelier to survive (the
+    quality-weighted subsampling step of mixture building). The keep
+    decision is the INTEGER cross-multiplied hash threshold
+    (key * W_MAX < w * 2^32): retry/resize-stable and exactly
+    mirrorable, no float keep-rate to diverge — the same discipline
+    as corpus_domain_mix, generalized from per-group rates to per-ROW
+    weights.
+
+    Scale: one narrow projection + filter, no shuffle at all until
+    the caller aggregates; the sample is reproducible from doc_id
+    alone (resampling after a retry or a repartition cannot change
+    membership)."""
+    docs = tables.load_parallel(spark, "documents", sf_dir)
+    w = F.least(F.size(T.words(F.col("text"))), F.lit(_IMP_WMAX)).cast("long")
+    key = T.md5_hash32(F.col("doc_id").cast("string"), seed=_IMP_SEED)
+    return (
+        docs.select("doc_id", "source", w.alias("weight"), key.alias("key"))
+        .filter(F.col("key") * _IMP_WMAX < F.col("weight") * F.lit(2**32))
+        .select("doc_id", "source", "weight")
+        .orderBy("doc_id")
+    )
+
+
+_IMP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(LEAST(len({_WORDS_SQL}), {_IMP_WMAX}) AS BIGINT) AS weight,
+         {T.md5_hash32_sql("CAST(doc_id AS VARCHAR)", _IMP_SEED)} AS key
+  FROM documents
+)
+SELECT doc_id, source, weight FROM t
+WHERE key * {_IMP_WMAX} < weight * 4294967296
+ORDER BY doc_id
+"""
+
+
+register("corpus_importance_sample", _corpus_importance_sample, _IMP_SQL, driver=False)
+
+
 # Report this registrar's completion — covers users importing a
 # registrar submodule directly, where queries.py's own registrar
 # imports re-enter this module mid-body. registrar_done is defined

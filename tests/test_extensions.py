@@ -890,3 +890,31 @@ def test_search_index_prunes_file_groups(spark, tmp_path):
         .collect()
     }
     assert full == via_prune and full
+
+
+def test_importance_sample_rate_tracks_weights(spark):
+    """The empirical keep rate must track the mean weight/100 (within
+    binomial noise), heavier docs must be kept MORE often than light
+    ones, and membership is deterministic."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_ORACLE
+    from netflow_analysis_with_spark_streaming_spark import queries as Q, tables
+    from netflow_analysis_with_spark_streaming_spark.functions import text as T
+
+    kept = Q.all_queries()["corpus_importance_sample"](spark, SF_ORACLE).collect()
+    docs = tables.load(spark, "documents", SF_ORACLE).select(
+        "doc_id", F.least(F.size(T.words(F.col("text"))), F.lit(100)).alias("w")
+    ).collect()
+    n = len(docs)
+    expected = sum(d["w"] for d in docs) / 100.0
+    assert abs(len(kept) - expected) <= 4 * (expected ** 0.5) + 1, (len(kept), expected)
+    kept_ids = {r["doc_id"] for r in kept}
+    heavy = [d for d in docs if d["w"] >= 80]
+    light = [d for d in docs if d["w"] <= 40]
+    if heavy and light:
+        rate_h = sum(1 for d in heavy if d["doc_id"] in kept_ids) / len(heavy)
+        rate_l = sum(1 for d in light if d["doc_id"] in kept_ids) / len(light)
+        assert rate_h > rate_l, (rate_h, rate_l)
+    kept2 = Q.all_queries()["corpus_importance_sample"](spark, SF_ORACLE).collect()
+    assert {r["doc_id"] for r in kept2} == kept_ids
