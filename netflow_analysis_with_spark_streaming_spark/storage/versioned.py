@@ -842,6 +842,48 @@ class VersionedTable:
             files, "rewrite_clustered", df.schema.json(), stats=stats, version=version
         )
 
+    def maybe_compact(
+        self, spark: SparkSession, max_file_groups: int = 16, target_partitions: int = 8
+    ) -> int | None:
+        """Auto-compaction policy (the Delta autoOptimize analog for
+        streaming ingest): compact only when the snapshot has grown
+        past ``max_file_groups`` file groups — called after every
+        foreachBatch landing, it bounds small-file accumulation at
+        O(max_file_groups) without paying a rewrite per batch.
+        Returns the new version, or None when below threshold."""
+        vs = self.versions()
+        if not vs:
+            return None
+        if len(self._manifest(vs[-1])["files"]) <= max_file_groups:
+            return None
+        return self.compact(spark, target_partitions=target_partitions)
+
+    def fsck(self) -> list[str]:
+        """Table integrity check: verify every file group referenced
+        by any live manifest exists on disk, manifests parse, and the
+        stats index only references manifest files. Returns a list of
+        human-readable issues (empty = healthy). Read-only — the
+        operational preflight before trusting a restored/copied table."""
+        issues: list[str] = []
+        for v in self.versions():
+            try:
+                m = self._manifest(v)
+            except (json.JSONDecodeError, OSError) as e:
+                issues.append(f"manifest {v}: unreadable ({e})")
+                continue
+            if m.get("version") != v:
+                issues.append(f"manifest {v}: records version {m.get('version')}")
+            for f in m["files"]:
+                if not os.path.exists(os.path.join(self.root, f)):
+                    issues.append(f"manifest {v}: missing data group {f}")
+            for f in m.get("stats", {}):
+                if f not in set(m["files"]):
+                    issues.append(f"manifest {v}: stats for unreferenced file {f}")
+            ch = m.get("changes")
+            if ch and not os.path.exists(os.path.join(self.root, ch)):
+                issues.append(f"manifest {v}: missing change group {ch}")
+        return issues
+
     def vacuum(self, keep_last: int = 1, min_age_s: float = 3600.0) -> int:
         """Drop data files referenced ONLY by versions older than the
         last ``keep_last`` — bounds storage, forfeits time travel

@@ -818,3 +818,26 @@ def test_replace_where_scoped_backfill(spark, tmp_path):
     t.replace_where(spark, repl, "k < 100", batch_id=5)
     t.replace_where(spark, repl, "k < 100", batch_id=5)
     assert len(t.versions()) == n + 1
+
+
+def test_maybe_compact_and_fsck(spark, tmp_path):
+    """Auto-compaction fires only past the file-group threshold;
+    fsck is silent on a healthy table, reports a deleted data group,
+    and is read-only (no mutation)."""
+    import os
+    import shutil
+
+    t = VersionedTable(str(tmp_path / "t"))
+    for i in range(5):
+        t.append(_df(spark, [(i, str(i))]))
+        assert t.maybe_compact(spark, max_file_groups=16) is None  # under threshold
+    v = t.maybe_compact(spark, max_file_groups=3)
+    assert v is not None and t.history()[-1]["action"] == "compact"
+    assert t.read(spark).count() == 5
+    assert t.fsck() == []
+    # corrupt: remove a referenced group; fsck flags it, touches nothing
+    live = t.snapshot_files()[0]
+    shutil.rmtree(os.path.join(str(tmp_path / "t"), live))
+    issues = t.fsck()
+    assert any("missing data group" in s for s in issues), issues
+    assert len(t.versions()) >= 1  # read-only: log untouched
