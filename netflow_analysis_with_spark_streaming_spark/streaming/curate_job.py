@@ -59,12 +59,21 @@ class StreamingCurator:
         max_repetition: float = 0.5,
         eval_shingles: list[str] | None = None,
         durable_index: bool = False,
+        audit_rejections: bool = False,
     ) -> None:
         self.curated = VersionedTable(root + "/curated")
         self.index = NearDupIndex(root + "/ndidx", durable=durable_index)
         self.min_tokens = min_tokens
         self.max_repetition = max_repetition
         self.eval_shingles = eval_shingles or []
+        # opt-in provenance: every dropped doc lands in a side table
+        # with its rejection reason — the audit trail takedown reviews
+        # and filter-rate monitoring read. Costs one extra landing per
+        # batch (reason frames are doc_id-sized, not text-sized).
+        self.audit_rejections = audit_rejections
+        self.rejected = (
+            VersionedTable(root + "/rejected") if audit_rejections else None
+        )
 
     def _quality(self, batch: DataFrame) -> DataFrame:
         """Returns (filtered_df, metrics_handle). The metrics
@@ -128,6 +137,16 @@ class StreamingCurator:
             # its own; the landing would be a no-op too — skip the work
             return
         q, metrics = self._quality(batch_df)
+        reasons: list[DataFrame] = []
+        if self.audit_rejections:
+            # materialize now: metrics unpersists below, and this
+            # frame is doc_id-sized
+            reasons.append(
+                metrics.select("doc_id")
+                .join(q.select("doc_id"), "doc_id", "left_anti")
+                .withColumn("reason", F.lit("quality"))
+                .localCheckpoint(eager=True)
+            )
         fp = q.withColumn("fp", T.fingerprint(F.col("text")))
         # in-batch exact dedup: keep min doc_id per fingerprint
         keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
@@ -140,6 +159,13 @@ class StreamingCurator:
         # pre-registration state and the landing must agree with what
         # was registered
         batch_unique = batch_unique.localCheckpoint(eager=True)
+        if self.audit_rejections:
+            reasons.append(
+                q.select("doc_id")
+                .join(batch_unique.select("doc_id"), "doc_id", "left_anti")
+                .withColumn("reason", F.lit("exact_dup"))
+                .localCheckpoint(eager=True)
+            )
         # checkpoint materialized -> the metrics cache has served its
         # one consumer; release it so per-batch caches never accumulate
         # over a long-running stream
@@ -167,6 +193,7 @@ class StreamingCurator:
         )
         neardup_ids = pairs.select(F.col("new_doc_id").alias("doc_id")).distinct()
         accepted = batch_unique.join(neardup_ids, "doc_id", "left_anti")
+        pre_decon = accepted
         # decontaminate BEFORE dropping _w so its 5-gram shingles come
         # from the checkpointed array, not a re-tokenize of text
         accepted = self._decontaminate(accepted).drop("_w")
@@ -176,3 +203,18 @@ class StreamingCurator:
             batch_id=batch_id,
         )
         self.curated.append(accepted, batch_id=batch_id)
+        if self.audit_rejections:
+            reasons.append(
+                neardup_ids.withColumn("reason", F.lit("near_dup"))
+            )
+            reasons.append(
+                pre_decon.select("doc_id")
+                .join(accepted.select("doc_id"), "doc_id", "left_anti")
+                .withColumn("reason", F.lit("contaminated"))
+            )
+            rejected = reasons[0]
+            for r in reasons[1:]:
+                rejected = rejected.unionByName(r)
+            # same idempotent landing as the curated table: a replayed
+            # batch audits nothing twice
+            self.rejected.append(rejected, batch_id=batch_id)

@@ -999,3 +999,70 @@ def test_two_durable_indexes_share_checkpoint_dir_without_clobber(spark, tmp_pat
     pb_ = b.process_batch(probe, 1)
     assert {(r["new_doc_id"], r["prior_doc_id"]) for r in pa_.collect()} == {(10, 1)}
     assert {(r["new_doc_id"], r["prior_doc_id"]) for r in pb_.collect()} == {(10, 1)}
+
+
+def test_streaming_curator_rejection_audit(spark, tmp_path):
+    """With audit_rejections on, every dropped doc lands in the
+    rejected table with the stage that dropped it — the provenance
+    trail — and a replayed batch audits nothing twice."""
+    import json as _json
+
+    from netflow_analysis_with_spark_streaming_spark.streaming import sources
+    from netflow_analysis_with_spark_streaming_spark.streaming.curate_job import (
+        StreamingCurator,
+    )
+
+    words = lambda i: [f"w{i}_{j}" for j in range(60)]  # noqa: E731
+    text = lambda i: " ".join(words(i))  # noqa: E731
+    edited = words(1)
+    edited[5] = "CHANGED"
+    eval_words = [f"e{j}" for j in range(60)]
+    b1 = [
+        {"doc_id": 1, "text": text(1)},
+        {"doc_id": 3, "text": "too short"},
+        {"doc_id": 4, "text": text(1)},
+    ]
+    b2 = [
+        {"doc_id": 10, "text": " ".join(edited)},
+        {"doc_id": 12, "text": text(1)},
+        {"doc_id": 13, "text": " ".join(eval_words)},
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text(_json.dumps(b1))
+    (src / "b2.json").write_text(_json.dumps(b2))
+    cur = StreamingCurator(
+        str(tmp_path / "cur"),
+        eval_shingles=[" ".join(eval_words[:5])],
+        audit_rejections=True,
+    )
+    raw = sources.json_file_source(
+        spark,
+        str(src),
+        spark.createDataFrame([], "doc_id long, text string").schema,
+        max_files_per_trigger=1,
+    )
+    q = (
+        raw.writeStream.foreachBatch(cur.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(r["doc_id"] for r in cur.curated.read(spark).collect()) == [1]
+    audit = {
+        r["doc_id"]: r["reason"] for r in cur.rejected.read(spark).collect()
+    }
+    assert audit == {
+        3: "quality",        # batch 1 short doc
+        4: "exact_dup",      # in-batch dup of 1
+        10: "near_dup",      # bands with accepted 1
+        12: "exact_dup",     # cross-batch dup of 1
+        13: "contaminated",  # eval shingle hit
+    }, audit
+    # accepted + rejected partition the input exactly
+    assert set(audit) | {1} == {1, 3, 4, 10, 12, 13}
+    # replay: the audit table gains nothing
+    n = len(cur.rejected.versions())
+    cur.process_batch(spark.createDataFrame(b2, "doc_id long, text string"), 1)
+    assert len(cur.rejected.versions()) == n
