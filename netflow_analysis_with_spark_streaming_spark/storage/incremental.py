@@ -109,6 +109,48 @@ def apply_delta(
     return version
 
 
+class StreamingViewMaintainer:
+    """foreachBatch target: land each micro-batch into the FACT table
+    and advance the AGGREGATE from the typed change-feed window that
+    landing created — a streaming materialized view, exactly-once on
+    both tables. The consumed-feed watermark is durable: it is
+    recovered from the aggregate table's committed batch ids (each
+    maintenance step commits with batch_id = the fact version it
+    consumed up to), so a crash between the fact landing and the
+    maintenance step replays the maintenance, and a replayed
+    maintenance is a batch-id no-op."""
+
+    def __init__(
+        self,
+        fact: VersionedTable,
+        agg_table: VersionedTable,
+        keys: list[str],
+        measures: list[str],
+    ) -> None:
+        self.fact = fact
+        self.agg = agg_table
+        self.keys = keys
+        self.measures = measures
+        consumed = self.agg.committed_batch_ids()
+        self._watermark = max(consumed) if consumed else -1
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.fact.append(batch_df, batch_id=batch_id)
+        to_v = self.fact.latest_version()
+        if to_v is None or to_v <= self._watermark:
+            return  # replayed batch landed nothing new
+        maintain_from_feed(
+            batch_df.sparkSession,
+            self.fact,
+            self.agg,
+            self.keys,
+            self.measures,
+            since_version=self._watermark,
+            to_version=to_v,
+        )
+        self._watermark = to_v
+
+
 def maintain_from_feed(
     spark: SparkSession,
     fact: VersionedTable,

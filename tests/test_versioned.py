@@ -841,3 +841,50 @@ def test_maybe_compact_and_fsck(spark, tmp_path):
     issues = t.fsck()
     assert any("missing data group" in s for s in issues), issues
     assert len(t.versions()) >= 1  # read-only: log untouched
+
+
+def test_streaming_view_maintainer_exactly_once(spark, tmp_path):
+    """A real stream lands facts and maintains the aggregate per
+    batch; the final view equals a full recompute; a maintainer
+    rebuilt mid-history (crash) resumes from the durable watermark
+    and re-delivered batches never double-count."""
+    import json as _json
+
+    from netflow_analysis_with_spark_streaming_spark.storage.incremental import (
+        StreamingViewMaintainer,
+    )
+    from netflow_analysis_with_spark_streaming_spark.streaming import sources
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        _json.dumps([{"g": "a", "x": 1.0}, {"g": "b", "x": 2.0}])
+    )
+    (src / "b2.json").write_text(
+        _json.dumps([{"g": "a", "x": 3.0}, {"g": "c", "x": 4.0}])
+    )
+    fact = VersionedTable(str(tmp_path / "fact"))
+    agg = VersionedTable(str(tmp_path / "agg"))
+    sink = StreamingViewMaintainer(fact, agg, ["g"], ["x"])
+    raw = sources.json_file_source(
+        spark,
+        str(src),
+        spark.createDataFrame([], "g string, x double").schema,
+        max_files_per_trigger=1,
+    )
+    q = (
+        raw.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    view = {r["g"]: (r["n_rows"], r["sum_x"]) for r in agg.read(spark).collect()}
+    assert view == {"a": (2, 4.0), "b": (1, 2.0), "c": (1, 4.0)}, view
+    # crash recovery: a NEW maintainer recovers the watermark and a
+    # re-delivered batch is a full no-op on both tables
+    sink2 = StreamingViewMaintainer(fact, agg, ["g"], ["x"])
+    nf, na = len(fact.versions()), len(agg.versions())
+    sink2(spark.createDataFrame([("a", 99.0)], "g string, x double"), 1)
+    assert (len(fact.versions()), len(agg.versions())) == (nf, na)
+    assert {r["g"]: (r["n_rows"], r["sum_x"]) for r in agg.read(spark).collect()} == view
