@@ -87,6 +87,8 @@ PROBE_ENTRIES = [
     "path_analysis_top_sequences",
     "agg_sketch_rollup",
     "storage_incremental_agg",
+    "text_search_inverted",
+    "corpus_importance_sample",
     # relational family over the replicated fact tables
     "sql_returned_items",
     "join_asof",
