@@ -28,13 +28,35 @@ def scd2_apply(
     key: str,
     attrs: list[str],
     effective: Column,
+    validate_unique: bool = True,
 ) -> DataFrame:
     """Apply ``updates`` (key + attrs) to an SCD2 ``dim`` (key +
     attrs + valid_from/valid_to/is_current). Returns the new full
     dimension. ``effective`` is the batch's effective date column/
     literal stamped on closed rows' valid_to and opened rows'
     valid_from. Attribute comparison is NULL-SAFE (a NULL->value
-    transition is a change)."""
+    transition is a change).
+
+    ``updates`` must carry ONE row per key — two rows for the same
+    key would both open as current, corrupting every downstream
+    point-in-time join. ``validate_unique`` (default on) enforces
+    this with one count over the update batch (batch-sized, not
+    dimension-sized); callers whose feed guarantees uniqueness can
+    opt out of the job."""
+    if validate_unique:
+        dup = (
+            updates.groupBy(key)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"scd2_apply updates contain duplicate key "
+                f"{dup[0][key]!r}: one row per key required (pre-reduce "
+                "multi-change batches to their final state first)"
+            )
     cur = dim.filter(F.col("is_current"))
     hist = dim.filter(~F.col("is_current"))
     u = updates.alias("u")

@@ -55,14 +55,33 @@ def apply_delta(
 
     The aggregate schema is keys + n_rows + sum_<measure> per measure.
     """
+    # every key join below is NULL-SAFE: NULL is a legal grouping-key
+    # value in the feed (GROUP BY treats it as its own group), and a
+    # plain equality join would orphan a NULL-key aggregate row (its
+    # delta never matches, the row lands in the gone-set every pass)
+    def _nullsafe_cond(left: str, right: str):
+        cond = None
+        for k in keys:
+            c = F.col(f"{left}.{k}").eqNullSafe(F.col(f"{right}.{k}"))
+            cond = c if cond is None else (cond & c)
+        return cond
+
     have_versions = agg_table.versions()
     if have_versions:
-        current = agg_table.read(spark)
-        touched = current.join(F.broadcast(delta.select(*keys)), keys, "semi")
+        current = agg_table.read(spark).alias("cur")
+        d = delta.alias("d")
+        touched = current.join(
+            F.broadcast(d.select(*keys).alias("d")),
+            _nullsafe_cond("cur", "d"),
+            "semi",
+        ).alias("cur")
         merged = (
-            touched.join(delta, keys, "full_outer")
+            touched.join(d, _nullsafe_cond("cur", "d"), "full_outer")
             .select(
-                *keys,
+                *[
+                    F.coalesce(F.col(f"cur.{k}"), F.col(f"d.{k}")).alias(k)
+                    for k in keys
+                ],
                 (
                     F.coalesce(F.col("n_rows"), F.lit(0))
                     + F.coalesce(F.col("d_rows"), F.lit(0))
@@ -91,22 +110,44 @@ def apply_delta(
     # keys that fell to zero were filtered OUT of the upsert batch, so
     # they still hold stale rows — remove them in the same maintenance
     # pass (only their file groups rewrite)
-    gone = delta.join(merged.select(*keys), keys, "left_anti").select(*keys)
+    gone = (
+        delta.alias("d")
+        .join(merged.select(*keys).alias("m"), _nullsafe_cond("d", "m"), "left_anti")
+        .select(*keys)
+    )
     gone_rows = gone.collect()  # touched-key cardinality, never fact rows
     if gone_rows:
-
-        def _lit(v):
-            if isinstance(v, str):
-                escaped = v.replace("'", "''")
-                return f"'{escaped}'"
-            return str(v)
-
         pred = " OR ".join(
-            "(" + " AND ".join(f"{k} = {_lit(r[k])}" for k in keys) + ")"
+            "(" + " AND ".join(f"{k} <=> {_sql_lit(r[k])}" for k in keys) + ")"
             for r in gone_rows
         )
         version = agg_table.delete_where(spark, pred)
     return version
+
+
+def _sql_lit(v) -> str:
+    """Render a grouping-key value as a Spark SQL literal for the
+    null-safe (`<=>`) gone-key delete predicate. Supports the types a
+    grouping key can reasonably be; anything else raises rather than
+    emitting an unquoted token that F.expr would misparse as a column
+    reference."""
+    import datetime as _dt
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, int) or isinstance(v, float):
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    raise TypeError(
+        f"unsupported grouping-key literal type {type(v).__name__}: {v!r}"
+    )
 
 
 class StreamingViewMaintainer:

@@ -70,7 +70,6 @@ class VersionedTable:
         self._log = os.path.join(root, "_log")
         self._data = os.path.join(root, "data")
         self._changes_dir = os.path.join(root, "changes")
-        self._pending_stats: dict = {}
         os.makedirs(self._log, exist_ok=True)
         os.makedirs(self._data, exist_ok=True)
 
@@ -183,15 +182,18 @@ class VersionedTable:
 
     def _write_files(
         self, df: DataFrame, stats_cols: list[str] | None = None
-    ) -> list[str]:
-        """Write df as a new immutable file group; return its paths
-        relative to the table root. ``stats_cols`` additionally records
-        group-level min/max in ``self._pending_stats`` for the commit
-        (one tiny agg job — the data-skipping index)."""
+    ) -> tuple[list[str], dict]:
+        """Write df as a new immutable file group; returns (paths,
+        stats) — paths relative to the table root, stats the group's
+        min/max per ``stats_cols`` (one tiny agg job — the
+        data-skipping index). Returned, never stashed on the instance:
+        two concurrent writers sharing one handle must not race on a
+        mutable field (the commit fence protects the LOG, not local
+        state)."""
         group = uuid.uuid4().hex
         out = os.path.join(self._data, group)
         df.write.mode("overwrite").parquet(out)
-        self._pending_stats = {}
+        stats: dict = {}
         if stats_cols:
             from pyspark.sql import functions as F
 
@@ -199,12 +201,12 @@ class VersionedTable:
                 *[F.min(c).alias(f"min_{c}") for c in stats_cols],
                 *[F.max(c).alias(f"max_{c}") for c in stats_cols],
             ).collect()[0]
-            self._pending_stats = {
+            stats = {
                 f"data/{group}": {
                     c: [row[f"min_{c}"], row[f"max_{c}"]] for c in stats_cols
                 }
             }
-        return [f"data/{group}"]
+        return [f"data/{group}"], stats
 
     # --- CHECK constraints -------------------------------------------------
 
@@ -295,14 +297,14 @@ class VersionedTable:
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return self.latest_version()  # replay: no-op before any write
         self._enforce(df)
-        new = self._write_files(df, stats_cols)
+        new, new_stats = self._write_files(df, stats_cols)
         try:
             return self._commit(
                 prev_files + new,
                 "append",
                 df.schema.json(),
                 batch_id,
-                stats={**prev_stats, **self._pending_stats},
+                stats={**prev_stats, **new_stats},
                 version=version,
             )
         except CommitConflictError as e:
@@ -366,14 +368,14 @@ class VersionedTable:
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return self.latest_version()
         self._enforce(df)
-        new = self._write_files(df, stats_cols)
+        new, new_stats = self._write_files(df, stats_cols)
         try:
             return self._commit(
                 new,
                 "overwrite",
                 df.schema.json(),
                 batch_id,
-                stats=self._pending_stats,
+                stats=new_stats,
                 version=version,
             )
         except CommitConflictError as e:
@@ -434,11 +436,17 @@ class VersionedTable:
         temporal callers pass unix micros."""
         from pyspark.sql import functions as F
 
+        self._enforce(df)  # same write gate as every other ingest path
         c1, c2 = cols
         row = df.agg(
             F.min(c1).alias("lo1"), F.max(c1).alias("hi1"),
             F.min(c2).alias("lo2"), F.max(c2).alias("hi2"),
         ).collect()[0]
+        if row["lo1"] is None or row["lo2"] is None:
+            # empty (or all-NULL-keys) batch: no z-curve to compute —
+            # land it through append's empty-tolerant path instead of
+            # float(None) crashing (normal for filtered micro-batches)
+            return self.append(df)
         span1 = max(float(row["hi1"]) - float(row["lo1"]), 1e-12)
         span2 = max(float(row["hi2"]) - float(row["lo2"]), 1e-12)
         top = (1 << bits) - 1
@@ -537,6 +545,12 @@ class VersionedTable:
         for v in self.versions():
             if since_version < v <= to_version:
                 m = self._manifest(v)
+                if m["action"] in ("compact", "rewrite_clustered"):
+                    # row-preserving rewrites: same rows, new files —
+                    # contribute nothing, just move the file baseline
+                    # (without this, routine compaction walls the feed)
+                    base = set(m["files"])
+                    continue
                 if m["action"] not in ("append",):
                     raise ValueError(
                         f"version {v} is {m['action']!r}: change feed is only "
@@ -587,6 +601,12 @@ class VersionedTable:
             if not (since_version < v <= to_version):
                 continue
             m = self._manifest(v)
+            if m["action"] in ("compact", "rewrite_clustered"):
+                # row-preserving rewrite: no change slice, new baseline
+                # (keeps maybe_compact-after-every-batch compatible
+                # with StreamingViewMaintainer's feed consumption)
+                base = set(m["files"])
+                continue
             if m["action"] == "append":
                 added = [f for f in m["files"] if f not in base]
                 if added:
@@ -627,13 +647,21 @@ class VersionedTable:
         updates: DataFrame,
         keys: list[str],
         batch_id: int | None = None,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Copy-on-write MERGE: rows matching ``keys`` are replaced,
         new keys appended. Updates with duplicate keys keep one
         arbitrary-but-deterministic row (max over remaining columns is
         NOT imposed — callers dedupe; streaming update-mode emissions
-        are already one row per key per batch)."""
-        version, _, _ = self._snapshot_state()
+        are already one row per key per batch).
+
+        ``stats_cols`` re-records the data-skipping index for the
+        rewritten snapshot; when omitted it defaults to the columns
+        the PRIOR snapshot kept stats for, so one routine upsert on a
+        clustered table no longer silently erases pruning (the merged
+        single group keeps coarse whole-table bounds until the next
+        rewrite_clustered tightens them)."""
+        version, _, pinned_stats = self._snapshot_state()
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return self.latest_version()
         self._enforce(updates)
@@ -662,10 +690,22 @@ class VersionedTable:
             )
         else:
             merged = updates
-        new = self._write_files(merged)
+        if stats_cols is None:
+            # the PINNED snapshot's stats columns, not a re-read (a
+            # racing commit between the pin and here must not change
+            # what this commit records)
+            stats_cols = sorted(
+                {c for st in pinned_stats.values() for c in st}
+            ) or None
+        new, new_stats = self._write_files(merged, stats_cols=stats_cols)
         try:
             return self._commit(
-                new, "upsert", merged.schema.json(), batch_id, version=version
+                new,
+                "upsert",
+                merged.schema.json(),
+                batch_id,
+                stats=new_stats,
+                version=version,
             )
         except CommitConflictError as e:
             return self._resolve_conflict(batch_id, e)
@@ -714,31 +754,42 @@ class VersionedTable:
         # None = capture disabled (a feed wall if rows DID change)
         changes_rel: str | None = "" if emit_changes else None
         if affected:
+            # cache ONCE: the affected groups feed up to five jobs
+            # below (emptiness probe, survivor write + stats agg,
+            # capture probe + write) — without this each one re-reads
+            # the parquet, on the path pitched as the 100 TB erasure
+            # primitive
             df = spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.root, f) for f in sorted(affected)]
-            )
-            survivors = df.filter(
-                ~F.coalesce(F.expr(predicate), F.lit(False))
-            )
-            # keep the data-skipping index live for whichever columns
-            # the affected groups had stats on
-            stat_cols = sorted(
-                {c for f in affected for c in prev_stats.get(f, {})}
-            )
-            # an all-rows-deleted rewrite would land a file-less group
-            # dir (empty-partition tasks write nothing) that a later
-            # multi-path read trips over — commit no group instead
-            if not survivors.isEmpty():
-                new = self._write_files(survivors, stats_cols=stat_cols or None)
-                new_stats = self._pending_stats
-            if emit_changes:
-                removed = df.filter(F.coalesce(F.expr(predicate), F.lit(False)))
-                if not removed.isEmpty():
-                    group = uuid.uuid4().hex
-                    removed.write.mode("overwrite").parquet(
-                        os.path.join(self._changes_dir, group)
+            ).persist()
+            try:
+                survivors = df.filter(
+                    ~F.coalesce(F.expr(predicate), F.lit(False))
+                )
+                # keep the data-skipping index live for whichever
+                # columns the affected groups had stats on
+                stat_cols = sorted(
+                    {c for f in affected for c in prev_stats.get(f, {})}
+                )
+                # an all-rows-deleted rewrite would land a file-less
+                # group dir (empty-partition tasks write nothing) that
+                # a later multi-path read trips over — commit no group
+                if not survivors.isEmpty():
+                    new, new_stats = self._write_files(
+                        survivors, stats_cols=stat_cols or None
                     )
-                    changes_rel = f"changes/{group}"
+                if emit_changes:
+                    removed = df.filter(
+                        F.coalesce(F.expr(predicate), F.lit(False))
+                    )
+                    if not removed.isEmpty():
+                        group = uuid.uuid4().hex
+                        removed.write.mode("overwrite").parquet(
+                            os.path.join(self._changes_dir, group)
+                        )
+                        changes_rel = f"changes/{group}"
+            finally:
+                df.unpersist()
         kept_stats = {f: s for f, s in prev_stats.items() if f not in affected}
         try:
             return self._commit(
@@ -788,19 +839,27 @@ class VersionedTable:
         affected = set(self.snapshot_files(version - 1, prune)) if version else set()
         untouched = [f for f in prev_files if f not in affected]
         stat_cols = sorted({c for f in affected for c in prev_stats.get(f, {})})
+        old = None
         if affected:
+            # cached for the same reason as delete_where: the emptiness
+            # probe, the write, and the stats agg all consume it
             old = spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.root, f) for f in sorted(affected)]
-            )
+            ).persist()
             survivors = old.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
             combined = survivors.unionByName(df, allowMissingColumns=True)
         else:
             combined = df
         new: list[str] = []
         new_stats: dict = {}
-        if not combined.isEmpty():
-            new = self._write_files(combined, stats_cols=stat_cols or None)
-            new_stats = self._pending_stats
+        try:
+            if not combined.isEmpty():
+                new, new_stats = self._write_files(
+                    combined, stats_cols=stat_cols or None
+                )
+        finally:
+            if old is not None:
+                old.unpersist()
         kept_stats = {f: s for f, s in prev_stats.items() if f not in affected}
         try:
             return self._commit(
@@ -822,7 +881,7 @@ class VersionedTable:
         df = self.read(spark, version=version - 1 if version else None).coalesce(
             target_partitions
         )
-        new = self._write_files(df)
+        new, _ = self._write_files(df)
         return self._commit(new, "compact", df.schema.json(), version=version)
 
     def rewrite_clustered(

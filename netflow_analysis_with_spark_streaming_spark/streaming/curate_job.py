@@ -132,7 +132,14 @@ class StreamingCurator:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Quality -> exact dedup (in-batch + vs accepted) -> near-dup
         vs index -> decontaminate -> idempotent landing."""
-        if batch_id in self.curated.committed_batch_ids():
+        done = batch_id in self.curated.committed_batch_ids()
+        if done and self.audit_rejections:
+            # a crash BETWEEN the curated landing and the audit landing
+            # leaves the batch half-recorded; only skip when both
+            # tables have it, else re-run (every landing below is
+            # batch-id idempotent, so the re-run double-commits nothing)
+            done = batch_id in self.rejected.committed_batch_ids()
+        if done:
             # replayed batch: the index's detect path is replay-safe on
             # its own; the landing would be a no-op too — skip the work
             return
@@ -152,8 +159,21 @@ class StreamingCurator:
         keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
         batch_unique = fp.join(keep, ["fp", "doc_id"], "left_semi")
         # cross-batch exact dedup: one-sided anti-join vs accepted fps
-        if self.curated.versions():
-            prior_fp = self.curated.read(batch_df.sparkSession).select("fp")
+        # — against the PRE-batch snapshot. On a fresh batch that is
+        # simply the latest version; on a replay (possible when the
+        # curated landing committed but the audit landing did not) the
+        # latest snapshot already CONTAINS this batch's accepted docs,
+        # and diffing against it would misclassify them as exact dups.
+        # Same replay discipline as the index's `_src_batch < batch_id`.
+        prior_version = self.curated.latest_version()
+        for m in self.curated._manifests():
+            if m.get("batch_id") == batch_id:
+                prior_version = m["version"] - 1
+                break
+        if prior_version is not None and prior_version >= 0:
+            prior_fp = self.curated.read(
+                batch_df.sparkSession, version=prior_version
+            ).select("fp")
             batch_unique = batch_unique.join(prior_fp, "fp", "left_anti")
         # stabilize before the index mutates: detection must see the
         # pre-registration state and the landing must agree with what

@@ -440,3 +440,25 @@ def test_scd2_multi_generation_history(spark):
     ], rows
     cur = [r for r in rows if r[4]]
     assert len(cur) == 3 and len({r[0] for r in cur}) == 3
+
+
+def test_scd2_rejects_duplicate_update_keys(spark):
+    """Two update rows for one key would both open as current —
+    scd2_apply must refuse the batch instead (opt-out available)."""
+    import pytest
+
+    import pyspark.sql.functions as F
+
+    from netflow_analysis_with_spark_streaming_spark.operators.scd2 import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "a", "2024-01-01", None, True)],
+        "k long, attr string, valid_from string, valid_to string, is_current boolean",
+    )
+    dups = spark.createDataFrame([(1, "b"), (1, "c")], "k long, attr string")
+    with pytest.raises(ValueError, match="duplicate key"):
+        scd2_apply(dim, dups, "k", ["attr"], F.lit("2024-02-01"))
+    out = scd2_apply(
+        dim, dups, "k", ["attr"], F.lit("2024-02-01"), validate_unique=False
+    )
+    assert out.count() == 3  # documented opt-out keeps old behaviour

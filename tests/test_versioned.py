@@ -111,7 +111,7 @@ def test_vacuum_retention_protects_inflight_writer(spark, tmp_path):
     t.append(_df(spark, [(1, "b")]))
     t.compact(spark, target_partitions=1)  # the append groups become collectible
     # simulate an in-flight writer: stage a data group with no manifest
-    staged = t._write_files(_df(spark, [(2, "c")]))
+    staged, _ = t._write_files(_df(spark, [(2, "c")]))
     removed = t.vacuum(keep_last=1)  # default retention window
     assert removed == 0  # everything is younger than the window
     # the in-flight commit lands against the post-vacuum state and reads
@@ -888,3 +888,113 @@ def test_streaming_view_maintainer_exactly_once(spark, tmp_path):
     sink2(spark.createDataFrame([("a", 99.0)], "g string, x double"), 1)
     assert (len(fact.versions()), len(agg.versions())) == (nf, na)
     assert {r["g"]: (r["n_rows"], r["sum_x"]) for r in agg.read(spark).collect()} == view
+
+
+def test_review_fixes_storage(spark, tmp_path):
+    """Round-6 review regressions: (a) z-ordered appends hit the CHECK
+    gate and tolerate empty batches; (b) upsert keeps the data-skipping
+    stats alive; (c) the change feed treats compact/rewrite_clustered
+    as row-preserving instead of walling."""
+    import pytest
+
+    from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+        ConstraintViolationError,
+    )
+
+    # (a) z-order respects constraints + empty batch
+    tz = VersionedTable(str(tmp_path / "tz"))
+    tz.set_check_constraint("x_nonneg", "x >= 0")
+    with pytest.raises(ConstraintViolationError):
+        tz.append_zordered(
+            spark.createDataFrame([(-1, 2)], "x long, y long"), ("x", "y")
+        )
+    tz.append_zordered(
+        spark.createDataFrame([], "x long, y long"), ("x", "y")
+    )  # empty: no-crash commit
+    tz.append_zordered(
+        spark.createDataFrame([(1, 2), (3, 4)], "x long, y long"), ("x", "y")
+    )
+    assert tz.read(spark).count() == 2
+
+    # (b) upsert preserves stats columns from the prior snapshot
+    tb = VersionedTable(str(tmp_path / "tb"))
+    tb.append_clustered(
+        spark.range(0, 100).selectExpr("id as k", "cast(id as string) as v"),
+        "k",
+        n_groups=4,
+    )
+    tb.upsert(spark, _df(spark, [(5, "X")]), keys=["k"])
+    m = tb._manifest(tb.latest_version())
+    assert m["stats"], "upsert dropped the data-skipping index"
+    assert all("k" in st for st in m["stats"].values())
+
+    # (c) compact inside a feed window is a row-preserving no-op slice
+    tf = VersionedTable(str(tmp_path / "tf"))
+    tf.append(_df(spark, [(1, "a")]))
+    tf.compact(spark, target_partitions=1)
+    tf.append(_df(spark, [(2, "b")]))
+    feed = tf.read_change_feed(spark, since_version=-1).collect()
+    assert sorted((r["k"], r["_change_type"]) for r in feed) == [
+        (1, "insert"),
+        (2, "insert"),
+    ]
+    assert sorted(r["k"] for r in tf.read_changes(spark, -1).collect()) == [1, 2]
+
+
+def test_ivm_null_keys_and_compaction_compose(spark, tmp_path):
+    """NULL grouping keys flow through delta/merge/gone correctly, and
+    maybe_compact after every batch does not wall the streaming view
+    maintainer's feed consumption."""
+    from netflow_analysis_with_spark_streaming_spark.storage.incremental import (
+        StreamingViewMaintainer,
+    )
+
+    fact = VersionedTable(str(tmp_path / "fact"))
+    agg = VersionedTable(str(tmp_path / "agg"))
+    sink = StreamingViewMaintainer(fact, agg, ["g"], ["x"])
+    sink(
+        spark.createDataFrame(
+            [(None, 1.0), ("a", 2.0)], "g string, x double"
+        ),
+        0,
+    )
+    fact.maybe_compact(spark, max_file_groups=0)  # force a compact commit
+    sink(
+        spark.createDataFrame([(None, 3.0)], "g string, x double"), 1
+    )
+    view = {r["g"]: (r["n_rows"], r["sum_x"]) for r in agg.read(spark).collect()}
+    assert view == {None: (2, 4.0), "a": (1, 2.0)}, view
+    # NULL-key removal via captured delete: drop both NULL-key facts
+    fact.delete_where(spark, "g IS NULL", emit_changes=True)
+    sink(
+        spark.createDataFrame([("a", 1.0)], "g string, x double"), 2
+    )
+    view = {r["g"]: (r["n_rows"], r["sum_x"]) for r in agg.read(spark).collect()}
+    assert view == {"a": (2, 3.0)}, view  # NULL-key row fully retired
+
+
+def test_curator_audit_survives_partial_crash(spark, tmp_path):
+    """A crash between the curated landing and the audit landing must
+    not lose the batch's audit rows: the replay re-runs and the
+    rejected table catches up (curated stays single-committed)."""
+    from netflow_analysis_with_spark_streaming_spark.streaming.curate_job import (
+        StreamingCurator,
+    )
+
+    words = lambda i: [f"w{i}_{j}" for j in range(60)]  # noqa: E731
+    b1 = spark.createDataFrame(
+        [(1, " ".join(words(1))), (3, "too short")], "doc_id long, text string"
+    )
+    cur = StreamingCurator(str(tmp_path / "cur"), audit_rejections=True)
+    # simulate the crash: land curated for batch 0 via a plain run,
+    # then surgically roll the REJECTED table back to empty
+    cur.process_batch(b1, 0)
+    import shutil
+
+    shutil.rmtree(cur.rejected.root)
+    cur2 = StreamingCurator(str(tmp_path / "cur"), audit_rejections=True)
+    n_curated = len(cur2.curated.versions())
+    cur2.process_batch(b1, 0)  # replay
+    assert len(cur2.curated.versions()) == n_curated  # no double landing
+    audit = {r["doc_id"]: r["reason"] for r in cur2.rejected.read(spark).collect()}
+    assert audit == {3: "quality"}, audit
