@@ -998,3 +998,67 @@ def test_curator_audit_survives_partial_crash(spark, tmp_path):
     assert len(cur2.curated.versions()) == n_curated  # no double landing
     audit = {r["doc_id"]: r["reason"] for r in cur2.rejected.read(spark).collect()}
     assert audit == {3: "quality"}, audit
+
+
+def test_model_based_op_sequences(spark):
+    """Model-based fuzz of the table format: seeded random sequences
+    of append / upsert / delete_where / replace_where / compact /
+    rewrite_clustered applied both to a VersionedTable and to a plain
+    dict model; after every op the table's read equals the model, and
+    at the end time travel reproduces each recorded checkpoint."""
+    import random
+    import tempfile
+
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        root = tempfile.mkdtemp(prefix="netflow_model_")
+        t = VersionedTable(root + "/t")
+        model: dict[int, str] = {}
+        snapshots: list[tuple[int, dict[int, str]]] = []
+
+        def mkdf(rows):
+            return spark.createDataFrame(
+                [(k, v) for k, v in rows], "k long, v string"
+            )
+
+        def check():
+            got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+            assert got == model, (seed, got, model)
+
+        t.append(mkdf([(i, f"s{seed}_{i}") for i in range(10)]))
+        model.update({i: f"s{seed}_{i}" for i in range(10)})
+        for step in range(12):
+            op = rng.choice(
+                ["append", "upsert", "delete", "replace", "compact", "recluster"]
+            )
+            if op == "append":
+                base = 100 * (step + 1)
+                rows = [(base + j, f"a{step}_{j}") for j in range(rng.randint(1, 4))]
+                t.append(mkdf(rows))
+                model.update(dict(rows))
+            elif op == "upsert":
+                keys = rng.sample(sorted(model) or [0], min(3, max(1, len(model))))
+                rows = [(k, f"u{step}") for k in keys] + [(9000 + step, f"n{step}")]
+                t.upsert(spark, mkdf(rows), keys=["k"])
+                model.update(dict(rows))
+            elif op == "delete":
+                cut = rng.randint(0, 5)
+                t.delete_where(spark, f"k % 7 = {cut}")
+                model = {k: v for k, v in model.items() if k % 7 != cut}
+            elif op == "replace":
+                cut = rng.randint(0, 3)
+                rows = [(cut + 4 * j, f"r{step}_{j}") for j in range(2)]
+                t.replace_where(spark, mkdf(rows), f"k % 4 = {cut}")
+                model = {k: v for k, v in model.items() if k % 4 != cut}
+                model.update(dict(rows))
+            elif op == "compact":
+                t.compact(spark, target_partitions=2)
+            else:
+                if model:
+                    t.rewrite_clustered(spark, "k", n_groups=2)
+            check()
+            if rng.random() < 0.3:
+                snapshots.append((t.latest_version(), dict(model)))
+        for v, snap in snapshots:  # time travel reproduces history
+            got = {r["k"]: r["v"] for r in t.read(spark, version=v).collect()}
+            assert got == snap, (seed, v)
