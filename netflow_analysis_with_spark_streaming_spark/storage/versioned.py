@@ -685,8 +685,21 @@ class VersionedTable:
                     "replaced whole — a missing column would be nulled). "
                     "Only additive schema evolution is supported."
                 )
-            merged = current.join(updates.select(*keys), keys, "left_anti").unionByName(
-                updates, allowMissingColumns=True
+            # NULL-SAFE key match: a NULL key is a legal key value
+            # (grouping feeds produce them); a plain equality anti-join
+            # never matches NULL==NULL, so the stale NULL-key row would
+            # survive NEXT TO its replacement — found by the
+            # model-based IVM fuzz, not by any example-based test
+            from pyspark.sql import functions as F
+
+            cond = None
+            for k in keys:
+                c = F.col(f"cur.{k}").eqNullSafe(F.col(f"upd.{k}"))
+                cond = c if cond is None else (cond & c)
+            merged = (
+                current.alias("cur")
+                .join(updates.select(*keys).alias("upd"), cond, "left_anti")
+                .unionByName(updates, allowMissingColumns=True)
             )
         else:
             merged = updates

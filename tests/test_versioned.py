@@ -1062,3 +1062,61 @@ def test_model_based_op_sequences(spark):
         for v, snap in snapshots:  # time travel reproduces history
             got = {r["k"]: r["v"] for r in t.read(spark, version=v).collect()}
             assert got == snap, (seed, v)
+
+
+def test_ivm_randomized_differential(spark):
+    """Seeded random append/captured-delete histories: after every
+    maintenance step the incrementally-maintained aggregate must equal
+    a from-scratch recompute over the surviving facts — including NULL
+    keys, keys retiring to zero, and multi-version feed windows."""
+    import random
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from netflow_analysis_with_spark_streaming_spark.storage import (
+        incremental as IVM,
+    )
+
+    for seed in (5, 19):
+        rng = random.Random(seed)
+        root = tempfile.mkdtemp(prefix="netflow_ivmfuzz_")
+        fact = VersionedTable(root + "/fact")
+        agg = VersionedTable(root + "/agg")
+        keys = ["g"]
+        watermark = -1
+        next_id = 0
+        for step in range(8):
+            # 1-2 appends per window, then maybe a captured delete
+            for _ in range(rng.randint(1, 2)):
+                rows = []
+                for _ in range(rng.randint(1, 5)):
+                    g = rng.choice(["a", "b", "c", None])
+                    rows.append((next_id, g, float(rng.randint(1, 9))))
+                    next_id += 1
+                fact.append(
+                    spark.createDataFrame(
+                        rows, "id long, g string, x double"
+                    )
+                )
+            if rng.random() < 0.5 and next_id > 0:
+                cut = rng.randint(0, 4)
+                fact.delete_where(spark, f"id % 5 = {cut}", emit_changes=True)
+            to_v = fact.latest_version()
+            IVM.maintain_from_feed(
+                spark, fact, agg, keys, ["x"], since_version=watermark,
+                to_version=to_v,
+            )
+            watermark = to_v
+            view = {
+                r["g"]: (r["n_rows"], round(r["sum_x"], 6))
+                for r in agg.read(spark).collect()
+            }
+            full = {
+                r["g"]: (r["n"], round(r["s"], 6))
+                for r in fact.read(spark)
+                .groupBy("g")
+                .agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+                .collect()
+            }
+            assert view == full, (seed, step, view, full)
