@@ -462,3 +462,61 @@ def test_scd2_rejects_duplicate_update_keys(spark):
         dim, dups, "k", ["attr"], F.lit("2024-02-01"), validate_unique=False
     )
     assert out.count() == 3  # documented opt-out keeps old behaviour
+
+
+def test_scd2_randomized_differential(spark):
+    """Random multi-batch SCD2 histories diffed against a Python model
+    of the semantics: per key, rows form a contiguous validity chain,
+    exactly one current row, closed rows stamped with the batch that
+    superseded them, no-op updates never version."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from netflow_analysis_with_spark_streaming_spark.operators.scd2 import scd2_apply
+
+    for seed in (3, 31):
+        rng = random.Random(seed)
+        dim = spark.createDataFrame(
+            [], "k long, attr string, valid_from string, valid_to string, is_current boolean"
+        )
+        # model[k] = list of [attr, valid_from, valid_to, is_current]
+        model: dict[int, list] = {}
+        for step in range(5):
+            eff = f"2024-0{step + 2}-01"
+            batch, seen = [], set()
+            for _ in range(rng.randint(1, 4)):
+                k = rng.randint(1, 6)
+                if k in seen:
+                    continue
+                seen.add(k)
+                attr = rng.choice(["x", "y", None])
+                batch.append((k, attr))
+            dim = scd2_apply(
+                dim,
+                spark.createDataFrame(batch, "k long, attr string"),
+                "k",
+                ["attr"],
+                F.lit(eff),
+            ).localCheckpoint(eager=True)  # keep the lineage flat
+            for k, attr in batch:
+                hist = model.setdefault(k, [])
+                cur = next((r for r in hist if r[3]), None)
+                if cur is None:
+                    hist.append([attr, eff, None, True])
+                elif cur[0] != attr:
+                    cur[2], cur[3] = eff, False
+                    hist.append([attr, eff, None, True])
+            skey = lambda t: (t[0], t[2], t[1] or "", t[3] or "")  # noqa: E731
+            got = sorted(
+                ((r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+                 for r in dim.collect()),
+                key=skey,
+            )
+            want = sorted(
+                ((k, a, vf, vt, cur)
+                 for k, hist in model.items()
+                 for a, vf, vt, cur in hist),
+                key=skey,
+            )
+            assert got == want, (seed, step, got, want)
