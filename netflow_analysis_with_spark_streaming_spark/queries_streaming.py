@@ -331,6 +331,59 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def _stream_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered funnel as a STATEFUL STREAMING operator
+    (streaming/stateful.funnel_stages): per-user stage progression
+    carried in two longs of keyed state, events sorted by event time
+    inside each batch so intra-batch arrival order never matters. The
+    final emission per user must equal the batch funnel — the same
+    strictly-after chain the relational funnel_conversion entry
+    computes, which is exactly this oracle."""
+    from .streaming import stateful
+
+    stages = stateful.funnel_stages(_events_stream(spark, sf_dir))
+    with _bounded_state_partitions(spark):
+        last = _fold_update_mode(
+            spark, stages, f"funnel_stages:{sf_dir}", ["user_id"]
+        )
+    return last.select(
+        "user_id", F.col("stage").cast("int").alias("stage")
+    ).orderBy("user_id")
+
+
+_STREAM_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                 WHEN c.t_click IS NOT NULL THEN 2
+                 WHEN v.t_view IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN v ON v.user_id = u.user_id
+LEFT JOIN c ON c.user_id = u.user_id
+LEFT JOIN p ON p.user_id = u.user_id
+ORDER BY u.user_id
+"""
+
+
+register("stream_funnel_stages", _stream_funnel_stages, _STREAM_FUNNEL_SQL, driver=False)
+
+
 def _stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 as a driver-checked entry: stream events through the
     checkpointed idempotent parquet sink, then REPLAY batch 0 by hand

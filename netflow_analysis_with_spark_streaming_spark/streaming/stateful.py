@@ -149,3 +149,62 @@ def sessionize(
     return stream.groupBy(key).applyInPandasWithState(
         fn, SESSION_OUT, _SESSION_STATE, "append", GroupStateTimeout.EventTimeTimeout
     )
+
+
+FUNNEL_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage", LongType()),
+    ]
+)
+_FUNNEL_STATE = StructType(
+    [StructField("stage", LongType()), StructField("reached_us", LongType())]
+)
+
+
+def funnel_stages(
+    stream: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-key ordered-funnel progression carried across micro-batches:
+    a key advances from stage i to i+1 on the first ``steps[i]`` event
+    STRICTLY after the time stage i was reached (same strict-ordering
+    semantics as the batch funnel_conversion entry — independent event
+    counts are not a funnel). One emission per key per batch (update
+    mode); state is two longs per key.
+
+    Within a batch events are sorted by event time before the greedy
+    scan, so intra-batch arrival order never matters; across batches
+    the usual streaming assumption applies (batches arrive in event-
+    time order — same contract as sessionize)."""
+
+    def fn(
+        key_tuple: Any, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        stage, reached = state.get if state.exists else (0, -1)
+        rows: list[tuple[int, str]] = []
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col])
+            rows.extend(
+                (int(t.value // 1000), ty)
+                for t, ty in zip(ts, pdf[type_col])
+            )
+        rows.sort(key=lambda r: r[0])
+        n_steps = len(steps)
+        for us, typ in rows:
+            if stage < n_steps and typ == steps[stage] and (
+                stage == 0 or us > reached
+            ):
+                stage += 1
+                reached = us
+        state.update((stage, reached))
+        yield pd.DataFrame({"user_id": [key_tuple[0]], "stage": [stage]})
+
+    return stream.groupBy(key).applyInPandasWithState(
+        fn, FUNNEL_OUT, _FUNNEL_STATE, "update", GroupStateTimeout.NoTimeout
+    )

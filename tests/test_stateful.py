@@ -150,3 +150,64 @@ def test_processing_time_trigger_and_update_mode(spark, tmp_path):
         assert rows.get(1) == 3.0, rows
     finally:
         q.stop()
+
+
+def test_funnel_stages_cross_batch_progression(spark, tmp_path):
+    """State carries the reached-time across batches: a click in batch
+    2 that PRECEDES batch 1's view must not advance the funnel, while
+    one after it must; intra-batch arrival order is irrelevant (events
+    are sorted by event time inside the operator)."""
+    import json as _json
+
+    from netflow_analysis_with_spark_streaming_spark.streaming import (
+        sources,
+        stateful,
+    )
+
+    t = lambda m: f"2024-01-01T10:{m:02d}:00"  # noqa: E731
+    # batch 1: user 1 views at :05 (file carries events SHUFFLED)
+    b1 = [
+        {"user_id": 1, "event_type": "view", "ts": t(5)},
+        {"user_id": 1, "event_type": "click", "ts": t(2)},  # before view
+        {"user_id": 2, "event_type": "view", "ts": t(1)},
+    ]
+    # batch 2: user 1 clicks at :03 (stale, ignored) and :08 (advances),
+    # then purchases at :07 (before click -> ignored) — stays stage 2
+    b2 = [
+        {"user_id": 1, "event_type": "purchase", "ts": t(7)},
+        {"user_id": 1, "event_type": "click", "ts": t(3)},
+        {"user_id": 1, "event_type": "click", "ts": t(8)},
+        {"user_id": 2, "event_type": "click", "ts": t(9)},
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b1.json").write_text(_json.dumps(b1))
+    (src / "b2.json").write_text(_json.dumps(b2))
+    raw = sources.json_file_source(
+        spark,
+        str(src),
+        spark.createDataFrame([], "user_id long, event_type string, ts timestamp").schema,
+        max_files_per_trigger=1,
+    )
+    out = stateful.funnel_stages(raw)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_t")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT user_id, stage FROM funnel_t"
+    ).collect()
+    # stages are monotone non-decreasing, so max == the final state
+    # (memory-sink row order carries no batch identity to fold on)
+    final: dict[int, int] = {}
+    for r in rows:
+        final[r["user_id"]] = max(final.get(r["user_id"], 0), r["stage"])
+    assert final == {1: 2, 2: 2}, (final, rows)
+    # batch 1 alone must NOT have credited the stale click
+    batch1_emissions = [r["stage"] for r in rows if r["user_id"] == 1]
+    assert 1 in batch1_emissions, rows
