@@ -78,6 +78,7 @@ PROBE_ENTRIES = [
     "text_perplexity_proxy",
     "stream_stream_join",
     "stream_sessionize_closed",
+    "stream_funnel_stages",
     # event-analytics suite (round 6): events replicas extend the time
     # span at constant per-window density, so these must scale with
     # output dimension (days/weeks/paths), not superlinearly with facts
