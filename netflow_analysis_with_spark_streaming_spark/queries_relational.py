@@ -2177,6 +2177,181 @@ ORDER BY o.o_orderkey
 register("join_point_in_time", _join_point_in_time, _PIT_JOIN_SQL, driver=False)
 
 
+def _anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-anomaly detection over the event stream's hourly rate —
+    the alerting query a netflow dashboard runs on top of the windowed
+    counts the reference already charts (RealTimeAccess's per-interval
+    totals): per event type, each hour's event count is z-scored
+    against a ROLLING baseline of the preceding 24 hours, and hours
+    whose |z| exceeds 2.5 are flagged. NULL z where the baseline is
+    too thin (< 12 prior hours) or degenerate (zero variance) — a
+    cold-start hour must not alert.
+
+    Scale: the fact table collapses to (hours x types) in one
+    map-side-combined hash agg; the rolling window runs over that
+    dimension-sized series PARTITIONED BY event type — never a window
+    over fact rows. At 100 TB the hourly series is still ~9k rows/yr
+    per type."""
+    events = tables.load(spark, "events", sf_dir)
+    hourly = events.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+    ).agg(F.count("*").alias("cnt"))
+    base = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    scored = hourly.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.count("cnt").over(base).alias("n_hist"),
+        F.avg("cnt").over(base).alias("mu"),
+        F.stddev_samp("cnt").over(base).alias("sd"),
+    )
+    z = F.when(
+        (F.col("n_hist") >= 12) & (F.col("sd") > 0),
+        F.round((F.col("cnt") - F.col("mu")) / F.col("sd"), 4),
+    )
+    return (
+        scored.select(
+            "event_type",
+            "hour",
+            "cnt",
+            z.alias("z"),
+            (z.isNotNull() & (F.abs(z) > 2.5)).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, hour, cnt,
+         COUNT(cnt) OVER w AS n_hist,
+         AVG(cnt) OVER w AS mu,
+         STDDEV_SAMP(cnt) OVER w AS sd
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+),
+z AS (
+  SELECT event_type, hour, cnt,
+         CASE WHEN n_hist >= 12 AND sd > 0
+              THEN ROUND((cnt - mu) / sd, 4) END AS z
+  FROM scored
+)
+SELECT event_type, hour, cnt, z,
+       (z IS NOT NULL AND ABS(z) > 2.5) AS is_anomaly
+FROM z ORDER BY event_type, hour
+"""
+
+
+register(
+    "anomaly_rolling_zscore", _anomaly_rolling_zscore, _ANOMALY_SQL, driver=False
+)
+
+
+def _agg_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketch rollup — the percentile companion to
+    agg_sketch_rollup's HLL: per-day fixed-width histograms of the
+    value column (integer bin width 4, so the reported bin edge is
+    exact integer arithmetic on both engines) are built once; range
+    percentiles (p50/p90/p99 of any day span) then come from SUMMING
+    bin counts — histogram merge is integer addition, so the rollup
+    never rescans fact rows and is associative across any partition of
+    the data (day files, executors, sites). Estimate = lower edge of
+    the first bin whose cumulative count reaches ceil(q*n) — exact-
+    rank selection over the binned distribution, deterministic and
+    integer-only until the final edge multiply.
+
+    Scale: sketch table is (days x types x ~140 bins); the merge is a
+    hash agg over it; the cumulative window is PARTITIONED BY type and
+    bounded by #bins. A 100 TB fact table rolls up through the same
+    KB-sized sketch table."""
+    events = tables.load(spark, "events", sf_dir)
+    sketch = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.floor(F.col("value") / 4.0).cast("long").alias("bin"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    merged = (
+        sketch.filter((F.col("day") >= "2024-01-08") & (F.col("day") <= "2024-01-21"))
+        .groupBy("event_type", "bin")
+        .agg(F.sum("c").alias("c"))
+    )
+    cum = Window.partitionBy("event_type").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("event_type")
+    ranked = merged.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(cum).alias("cum"),
+        F.sum("c").over(tot).alias("n"),
+    )
+    def pick(q: float, name: str) -> DataFrame:
+        return (
+            ranked.filter(F.col("cum") >= F.ceil(F.col("n") * F.lit(q)))
+            .groupBy("event_type")
+            .agg(F.min(F.col("bin")).alias("bin"), F.max("n").alias("n"))
+            .select(
+                "event_type", "n", F.lit(name).alias("q"),
+                (F.col("bin") * 4).cast("long").alias("edge"),
+            )
+        )
+
+    return (
+        pick(0.5, "p50")
+        .unionByName(pick(0.9, "p90"))
+        .unionByName(pick(0.99, "p99"))
+        .orderBy("event_type", "q")
+    )
+
+
+_QSKETCH_SQL = """
+WITH sketch AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(FLOOR(value / 4.0) AS BIGINT) AS bin, COUNT(*) AS c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_type, bin, CAST(SUM(c) AS BIGINT) AS c
+  FROM sketch WHERE day BETWEEN '2024-01-08' AND '2024-01-21'
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, bin,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM merged
+),
+pick AS (
+  SELECT event_type, n, q, MIN(bin) AS bin
+  FROM ranked, (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99)) qs(q, qv)
+  WHERE cum >= CEIL(n * qv)
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, n, q, CAST(bin * 4 AS BIGINT) AS edge
+FROM pick ORDER BY event_type, q
+"""
+
+
+register(
+    "agg_quantile_sketch_rollup",
+    _agg_quantile_sketch_rollup,
+    _QSKETCH_SQL,
+    driver=False,
+)
+
+
 # Report this registrar's completion — covers users importing a
 # registrar submodule directly, where queries.py's own registrar
 # imports re-enter this module mid-body. registrar_done is defined

@@ -520,3 +520,74 @@ def test_scd2_randomized_differential(spark):
                 key=skey,
             )
             assert got == want, (seed, step, got, want)
+
+
+def test_quantile_sketch_merge_invariants(spark):
+    """The histogram-sketch contract behind agg_quantile_sketch_rollup:
+    (a) merging per-day bin counts over a range equals binning the
+    range's raw rows directly (merge == rebuild, the associativity a
+    100 TB rollup relies on); (b) each reported edge is the true exact
+    percentile's bin floor — the estimate never leaves the bin the
+    exact answer lives in."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from conftest import SF_ORACLE
+    from netflow_analysis_with_spark_streaming_spark import queries as Q, tables
+
+    out = Q.all_queries()["agg_quantile_sketch_rollup"](spark, SF_ORACLE).collect()
+    assert out and len(out) == 15  # 5 types x 3 quantiles
+    events = (
+        tables.load(spark, "events", SF_ORACLE)
+        .filter(F.col("value").isNotNull())
+        .filter(
+            F.date_format("ts", "yyyy-MM-dd").between("2024-01-08", "2024-01-21")
+        )
+    )
+    # (a) merge-of-days == direct binning of the range
+    direct = {
+        (r["event_type"], r["bin"]): r["c"]
+        for r in events.groupBy(
+            "event_type", F.floor(F.col("value") / 4.0).cast("long").alias("bin")
+        )
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    vals = {
+        t: sorted(
+            r["value"]
+            for r in events.filter(F.col("event_type") == t)
+            .select("value")
+            .collect()
+        )
+        for t in {r["event_type"] for r in out}
+    }
+    for r in out:
+        q = {"p50": 0.5, "p90": 0.9, "p99": 0.99}[r["q"]]
+        xs = vals[r["event_type"]]
+        assert r["n"] == len(xs) == sum(
+            c for (t, _), c in direct.items() if t == r["event_type"]
+        )
+        # (b) exact rank-ceil(q*n) value falls inside the reported bin
+        exact = xs[math.ceil(q * len(xs)) - 1]
+        assert r["edge"] == 4 * math.floor(exact / 4.0), (r, exact)
+
+
+def test_anomaly_zscore_cold_start_never_alerts(spark):
+    """The first 12 hours of every event type's series must carry NULL
+    z (insufficient baseline) and must not be flagged — an alerting
+    query that fires during warm-up is operationally useless."""
+    from conftest import SF_ORACLE
+    from netflow_analysis_with_spark_streaming_spark import queries as Q
+
+    rows = Q.all_queries()["anomaly_rolling_zscore"](spark, SF_ORACLE).collect()
+    assert rows
+    seen: dict[str, int] = {}
+    for r in rows:  # already ordered by (event_type, hour)
+        i = seen.get(r["event_type"], 0)
+        if i < 12:
+            assert r["z"] is None and not r["is_anomaly"], r
+        seen[r["event_type"]] = i + 1
+    # and the detector must actually have enough warm rows to matter
+    assert any(r["z"] is not None for r in rows)
