@@ -1,0 +1,81 @@
+"""Distributed PageRank in exact integer arithmetic.
+
+The standard iterative rank propagation (Page et al. 1999), with one
+engineering twist that makes it *oracle-checkable to the last digit*:
+ranks are integers in millionths (SCALE = 1e6) and every per-edge
+contribution is an integer floor-division, so each iteration is a sum
+of integers — associative and commutative, hence IDENTICAL regardless
+of partitioning, shuffle order, or engine. Floating-point PageRank
+can never be hash-diffed across engines (per-node sums accumulate in
+different orders); integer PageRank can, which is why this engine's
+iterative-algorithm showcase uses it. The fixed-point values converge
+to the same ordering as float PageRank with ~6 decimal digits of
+resolution.
+
+Per iteration:
+    contrib(edge u->v) = (rank(u) * DAMP_NUM) div (DAMP_DEN * outdeg(u))
+    rank'(v)           = BASE + sum(contribs into v)
+with DAMP = 85/100 and BASE = SCALE * 15 / 100. Nodes with no
+out-edges never arise here (callers pass undirected graphs expanded
+to both directions); for general digraphs add a dangling-mass term.
+
+Scale: each iteration is ONE shuffle — an equi-join of the rank table
+(node-keyed) onto the edge table followed by a hash aggregation on the
+destination. Edges are iteration-invariant and cached once; rank
+lineage is cut with localCheckpoint per round so the plan stays flat
+across iterations (the classic Spark iterative-algorithm discipline —
+without it the DAG doubles every round). At 100 TB the edge table is
+the big side and never moves between iterations beyond the one
+repartition-by-source a real deployment would pre-bucket away.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+DAMP_NUM = 85
+DAMP_DEN = 100
+BASE = SCALE * (DAMP_DEN - DAMP_NUM) // DAMP_DEN  # 150000
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Returns (id, rank) with integer fixed-point ranks after exactly
+    ``iterations`` rounds, rank0 = SCALE for every node. ``edges`` is a
+    DIRECTED edge list; every node must appear as a source at least
+    once (true for undirected graphs listed in both directions)."""
+    edges = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    # out-degree rides alongside the rank so each iteration joins ONE
+    # node-keyed table into the edge list, not two
+    ranks = deg.select("src", F.lit(SCALE).cast("long").alias("r"), "d")
+    ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, "src")
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.expr(f"(r * {DAMP_NUM}L) div ({DAMP_DEN}L * d)")
+                ).alias("inflow")
+            )
+        )
+        ranks = (
+            deg.join(contribs, deg["src"] == contribs["dst"], "left")
+            .select(
+                deg["src"],
+                (F.lit(BASE).cast("long") + F.coalesce("inflow", F.lit(0))).alias("r"),
+                "d",
+            )
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    return ranks.select(F.col("src").alias("id"), F.col("r").alias("rank"))

@@ -2352,6 +2352,72 @@ register(
 )
 
 
+def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer<->supplier trading graph (an edge
+    per distinct customer/supplier pair that shares an order, listed
+    in both directions) — the iterative-graph-algorithm showcase, in
+    EXACT integer fixed-point so a SQL oracle can replay all 10
+    iterations and hash-match to the last digit (operators/pagerank.py
+    explains why float PageRank can never be cross-engine hash-diffed).
+
+    Scale: see operators/pagerank.py — one rank-join + dst hash-agg
+    shuffle per iteration, edge table cached once, rank lineage cut
+    per round."""
+    from .operators.pagerank import pagerank
+
+    orders = tables.load(spark, "orders", sf_dir).filter(F.col("o_custkey") <= 300)
+    li = tables.load(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + 1_000_000).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).unionAll(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+    return pagerank(edges, iterations=10).orderBy("id")
+
+
+def _pagerank_oracle_sql(iterations: int = 10) -> str:
+    base, num, den = 150_000, 85, 100
+    ctes = [
+        """pairs AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey + 1000000 AS supp
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey <= 300
+)""",
+        """edges AS (
+  SELECT cust AS src, supp AS dst FROM pairs
+  UNION ALL
+  SELECT supp AS src, cust AS dst FROM pairs
+)""",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src)",
+        "it0 AS (SELECT src, CAST(1000000 AS BIGINT) AS r, d FROM deg)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""it{i} AS (
+  SELECT deg.src,
+         CAST({base} + COALESCE(SUM((p.r * {num}) // ({den} * p.d)), 0) AS BIGINT) AS r,
+         deg.d
+  FROM deg LEFT JOIN (
+    SELECT e.dst, i.r, i.d FROM edges e JOIN it{i - 1} i ON i.src = e.src
+  ) p ON p.dst = deg.src
+  GROUP BY deg.src, deg.d
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT src AS id, r AS rank FROM it{iterations} ORDER BY id"
+    )
+
+
+register("graph_pagerank", _graph_pagerank, _pagerank_oracle_sql(), driver=False)
+
+
 # Report this registrar's completion — covers users importing a
 # registrar submodule directly, where queries.py's own registrar
 # imports re-enter this module mid-body. registrar_done is defined

@@ -591,3 +591,40 @@ def test_anomaly_zscore_cold_start_never_alerts(spark):
         seen[r["event_type"]] = i + 1
     # and the detector must actually have enough warm rows to matter
     assert any(r["z"] is not None for r in rows)
+
+
+def test_pagerank_randomized_differential(spark):
+    """Integer PageRank must equal a pure-Python reference on random
+    graphs — the engine's shuffles and join order cannot change a
+    single rank unit (the whole point of the fixed-point design)."""
+    import random
+
+    from netflow_analysis_with_spark_streaming_spark.operators.pagerank import (
+        BASE, DAMP_DEN, DAMP_NUM, SCALE, pagerank,
+    )
+
+    for seed in (7, 19):
+        rng = random.Random(seed)
+        nodes = list(range(1, 30))
+        und = {
+            tuple(sorted(rng.sample(nodes, 2))) for _ in range(60)
+        }
+        edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+        touched = sorted({x for e in edges for x in e})
+        df = pagerank(
+            spark.createDataFrame(edges, "src long, dst long"), iterations=6
+        )
+        got = {r["id"]: r["rank"] for r in df.collect()}
+
+        out: dict[int, list[int]] = {}
+        for a, b in edges:
+            out.setdefault(a, []).append(b)
+        rank = {v: SCALE for v in touched}
+        for _ in range(6):
+            nxt = {v: BASE for v in touched}
+            for u, outs in out.items():
+                c = (rank[u] * DAMP_NUM) // (DAMP_DEN * len(outs))
+                for v in outs:
+                    nxt[v] += c
+            rank = nxt
+        assert got == rank, (seed, got, rank)
