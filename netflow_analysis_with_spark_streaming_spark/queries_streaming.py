@@ -384,6 +384,81 @@ ORDER BY u.user_id
 register("stream_funnel_stages", _stream_funnel_stages, _STREAM_FUNNEL_SQL, driver=False)
 
 
+def _stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming traffic-anomaly alerting: the hourly windowed counts
+    come from a REAL streaming query (the same watermarked tumbling
+    aggregation stream_tumbling_window runs), and each completed hour
+    is z-scored against the rolling 24-hour baseline of its event
+    type — the alert feed a netflow dashboard would page on. Same
+    semantics (and oracle) as the batch anomaly_rolling_zscore entry:
+    streaming and batch must agree on every flagged hour.
+
+    Scale: the scoring window runs over the streamed AGGREGATE (hours
+    x types), never over event rows; at cluster scale the same scoring
+    runs inside foreachBatch on the delta of completed windows."""
+    from pyspark.sql import Window
+
+    win = jobs.windowed_traffic(
+        _events_stream(spark, sf_dir), window="1 hour", watermark="2 hours"
+    )
+    with _bounded_state_partitions(spark):
+        jobs.run_to_memory(win, "stream_anomaly_hourly", output_mode="complete")
+    hourly = spark.table("stream_anomaly_hourly").select(
+        "event_type",
+        F.date_format("window_start", "yyyy-MM-dd HH:00").alias("hour"),
+        F.col("n_events").alias("cnt"),
+    )
+    base = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    scored = hourly.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.count("cnt").over(base).alias("n_hist"),
+        F.avg("cnt").over(base).alias("mu"),
+        F.stddev_samp("cnt").over(base).alias("sd"),
+    )
+    z = F.when(
+        (F.col("n_hist") >= 12) & (F.col("sd") > 0),
+        F.round((F.col("cnt") - F.col("mu")) / F.col("sd"), 4),
+    )
+    return scored.select(
+        "event_type",
+        "hour",
+        "cnt",
+        z.alias("z"),
+        (z.isNotNull() & (F.abs(z) > 2.5)).alias("is_anomaly"),
+    ).orderBy("event_type", "hour")
+
+
+_STREAM_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, hour, cnt,
+         COUNT(cnt) OVER w AS n_hist,
+         AVG(cnt) OVER w AS mu,
+         STDDEV_SAMP(cnt) OVER w AS sd
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, cnt,
+       CASE WHEN n_hist >= 12 AND sd > 0
+            THEN ROUND((cnt - mu) / sd, 4) END AS z,
+       (n_hist >= 12 AND sd > 0
+        AND ABS(ROUND((cnt - mu) / sd, 4)) > 2.5) AS is_anomaly
+FROM scored ORDER BY event_type, hour
+"""
+
+
+register(
+    "stream_anomaly_zscore", _stream_anomaly_zscore, _STREAM_ANOMALY_SQL, driver=False
+)
+
+
 def _stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 as a driver-checked entry: stream events through the
     checkpointed idempotent parquet sink, then REPLAY batch 0 by hand
