@@ -101,6 +101,14 @@ PROBE_ENTRIES = [
     "join_shuffle_large",
     "window_analytics_suite",
     "set_ops_suite",
+    # round-6 late additions: the anomaly series grows with hours
+    # (events replicas extend the span), the quantile sketch with
+    # days x bins, pagerank with edges (10x orders against fixed
+    # customers/suppliers -> denser graph, same node count)
+    "anomaly_rolling_zscore",
+    "stream_anomaly_zscore",
+    "agg_quantile_sketch_rollup",
+    "graph_pagerank",
 ]
 
 
