@@ -40,6 +40,8 @@ within a snapshot.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import os
 import shutil
@@ -47,6 +49,50 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+
+# --- bloom point-lookup index -------------------------------------------
+# Per-file-group bloom filters over a column (Delta's bloom filter
+# index analog): the build side hashes every row ENGINE-SIDE with
+# md5() (a built-in, whole-stage codegen, no UDF) and the probe side
+# replays the identical md5 in pure Python — so pruning needs no
+# SparkSession and no cross-engine hash to stay in sync. Stored in the
+# manifest per file group under the reserved stats key "__bloom__"
+# (column names never collide: it is not a legal min/max entry).
+# m=4096 bits / k=3 hashes => ~1% false positives at ~600 distinct
+# keys per group, 512 bytes of manifest per (group, column).
+_BLOOM_M = 4096
+_BLOOM_K = 3
+_BLOOM_KEY = "__bloom__"
+
+
+def _bloom_positions_py(value: object, m: int = _BLOOM_M, k: int = _BLOOM_K) -> list[int]:
+    """Probe-side bit positions. MUST mirror _bloom_position_cols:
+    md5(f"{i}:{value}") first 8 hex digits as an int, mod m. ``value``
+    is rendered with str(), which matches Spark's CAST(col AS STRING)
+    for integer and string columns (the supported key types)."""
+    return [
+        int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:8], 16) % m
+        for i in range(k)
+    ]
+
+
+def _bloom_position_cols(col: str, m: int = _BLOOM_M, k: int = _BLOOM_K):
+    """Build-side bit positions as k JVM column expressions."""
+    from pyspark.sql import functions as F
+
+    return [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col(col).cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m
+        )
+        for i in range(k)
+    ]
 
 
 class CommitConflictError(RuntimeError):
@@ -181,19 +227,25 @@ class VersionedTable:
         return version
 
     def _write_files(
-        self, df: DataFrame, stats_cols: list[str] | None = None
+        self,
+        df: DataFrame,
+        stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> tuple[list[str], dict]:
         """Write df as a new immutable file group; returns (paths,
         stats) — paths relative to the table root, stats the group's
         min/max per ``stats_cols`` (one tiny agg job — the
-        data-skipping index). Returned, never stashed on the instance:
-        two concurrent writers sharing one handle must not race on a
-        mutable field (the commit fence protects the LOG, not local
-        state)."""
+        data-skipping index) plus a bloom filter per ``bloom_cols``
+        (point-lookup skipping where min/max can't help: high-
+        cardinality keys whose per-group ranges all overlap). Returned,
+        never stashed on the instance: two concurrent writers sharing
+        one handle must not race on a mutable field (the commit fence
+        protects the LOG, not local state)."""
         group = uuid.uuid4().hex
         out = os.path.join(self._data, group)
         df.write.mode("overwrite").parquet(out)
         stats: dict = {}
+        path = f"data/{group}"
         if stats_cols:
             from pyspark.sql import functions as F
 
@@ -202,11 +254,39 @@ class VersionedTable:
                 *[F.max(c).alias(f"max_{c}") for c in stats_cols],
             ).collect()[0]
             stats = {
-                f"data/{group}": {
-                    c: [row[f"min_{c}"], row[f"max_{c}"]] for c in stats_cols
-                }
+                path: {c: [row[f"min_{c}"], row[f"max_{c}"]] for c in stats_cols}
             }
-        return [f"data/{group}"], stats
+        if bloom_cols:
+            blooms = {c: self._build_bloom(df, c) for c in bloom_cols}
+            stats.setdefault(path, {})[_BLOOM_KEY] = blooms
+        return [path], stats
+
+    @staticmethod
+    def _build_bloom(df: DataFrame, col: str) -> dict:
+        """Distinct set-bit positions computed engine-side (the scan
+        and hashing stay in whole-stage codegen; only <= m distinct
+        positions reach the driver, bounded regardless of group size),
+        packed into an m-bit bitmap. NULL keys are not indexed — a
+        NULL point lookup is not supported, range stats handle it."""
+        from pyspark.sql import functions as F
+
+        pos = (
+            df.where(F.col(col).isNotNull())
+            .select(
+                F.explode(F.array(*_bloom_position_cols(col))).alias("p")
+            )
+            .distinct()
+            .collect()
+        )
+        bits = bytearray(_BLOOM_M // 8)
+        for r in pos:
+            p = int(r["p"])
+            bits[p // 8] |= 1 << (p % 8)
+        return {
+            "m": _BLOOM_M,
+            "k": _BLOOM_K,
+            "b64": base64.b64encode(bytes(bits)).decode("ascii"),
+        }
 
     # --- CHECK constraints -------------------------------------------------
 
@@ -288,6 +368,7 @@ class VersionedTable:
         df: DataFrame,
         batch_id: int | None = None,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> int:
         # pin FIRST, replay-check second: any same-batch commit landing
         # before the pin is visible to the check (no-op); any landing
@@ -297,7 +378,7 @@ class VersionedTable:
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return self.latest_version()  # replay: no-op before any write
         self._enforce(df)
-        new, new_stats = self._write_files(df, stats_cols)
+        new, new_stats = self._write_files(df, stats_cols, bloom_cols)
         try:
             return self._commit(
                 prev_files + new,
@@ -385,13 +466,21 @@ class VersionedTable:
         self,
         version: int | None = None,
         prune: tuple[str, object, object] | list[tuple[str, object, object]] | None = None,
+        point: tuple[str, object] | list[tuple[str, object]] | None = None,
     ) -> list[str]:
         """The file groups a read must open — after stats pruning.
         ``prune=(col, lo, hi)`` drops every group whose recorded
         [min, max] for col cannot overlap [lo, hi]; groups without
         stats for col are conservatively kept. A LIST of such tuples
         prunes conjunctively (every predicate must overlap) — the
-        multi-dimension case z-ordered layouts exist for."""
+        multi-dimension case z-ordered layouts exist for.
+
+        ``point=(col, value)`` additionally consults the bloom index
+        (groups written with ``bloom_cols``): a group whose bloom
+        provably excludes ``value`` is dropped. Same conservative
+        contract — no bloom for col, or a bloom hit (including false
+        positives), keeps the group; absence of the key is the only
+        thing a bloom can prove."""
         if version is None:
             version = self.latest_version()
         if version is None:
@@ -400,6 +489,20 @@ class VersionedTable:
         files = m["files"]
         preds = [prune] if isinstance(prune, tuple) else (prune or [])
         stats = m.get("stats", {})
+        points = [point] if isinstance(point, tuple) else (point or [])
+        for col, val in points:
+
+            def bloom_may_contain(f: str, col=col, val=val) -> bool:
+                b = stats.get(f, {}).get(_BLOOM_KEY, {}).get(col)
+                if not b:
+                    return True  # unindexed group -> can't prune safely
+                bits = base64.b64decode(b["b64"])
+                return all(
+                    (bits[p // 8] >> (p % 8)) & 1
+                    for p in _bloom_positions_py(val, b["m"], b["k"])
+                )
+
+            files = [f for f in files if bloom_may_contain(f)]
         for col, lo, hi in preds:
 
             def overlaps(f: str, col=col, lo=lo, hi=hi) -> bool:
@@ -503,17 +606,19 @@ class VersionedTable:
         spark: SparkSession,
         version: int | None = None,
         prune: tuple[str, object, object] | list[tuple[str, object, object]] | None = None,
+        point: tuple[str, object] | list[tuple[str, object]] | None = None,
     ) -> DataFrame:
         """The snapshot at ``version`` (default: latest). Old versions
         stay readable until vacuum() — that IS time travel.
 
         ``prune`` applies manifest-stats file skipping BEFORE the scan
-        (the caller still applies the exact row filter — pruning is a
+        and ``point`` bloom-index skipping (see snapshot_files) — the
+        caller still applies the exact row filter; pruning is a
         superset guarantee, same contract as parquet row-group stats
-        one level up)."""
+        one level up."""
         if version is None:
             version = self.latest_version()
-        files = self.snapshot_files(version, prune)
+        files = self.snapshot_files(version, prune, point)
         if not files:
             m = self._manifest(version if version is not None else self.latest_version())
             schema = StructType.fromJson(json.loads(m["schema"]))
@@ -706,9 +811,11 @@ class VersionedTable:
         if stats_cols is None:
             # the PINNED snapshot's stats columns, not a re-read (a
             # racing commit between the pin and here must not change
-            # what this commit records)
+            # what this commit records); the reserved bloom entry is
+            # NOT a min/max column — rewritten groups lose their bloom
+            # (conservatively kept by point pruning) until re-appended
             stats_cols = sorted(
-                {c for st in pinned_stats.values() for c in st}
+                {c for st in pinned_stats.values() for c in st if c != _BLOOM_KEY}
             ) or None
         new, new_stats = self._write_files(merged, stats_cols=stats_cols)
         try:
@@ -780,9 +887,15 @@ class VersionedTable:
                     ~F.coalesce(F.expr(predicate), F.lit(False))
                 )
                 # keep the data-skipping index live for whichever
-                # columns the affected groups had stats on
+                # columns the affected groups had stats on (the
+                # reserved bloom entry is not a min/max column)
                 stat_cols = sorted(
-                    {c for f in affected for c in prev_stats.get(f, {})}
+                    {
+                        c
+                        for f in affected
+                        for c in prev_stats.get(f, {})
+                        if c != _BLOOM_KEY
+                    }
                 )
                 # an all-rows-deleted rewrite would land a file-less
                 # group dir (empty-partition tasks write nothing) that
@@ -851,7 +964,9 @@ class VersionedTable:
         self._enforce(df)
         affected = set(self.snapshot_files(version - 1, prune)) if version else set()
         untouched = [f for f in prev_files if f not in affected]
-        stat_cols = sorted({c for f in affected for c in prev_stats.get(f, {})})
+        stat_cols = sorted(
+            {c for f in affected for c in prev_stats.get(f, {}) if c != _BLOOM_KEY}
+        )
         old = None
         if affected:
             # cached for the same reason as delete_where: the emptiness

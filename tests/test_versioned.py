@@ -1120,3 +1120,78 @@ def test_ivm_randomized_differential(spark):
                 .collect()
             }
             assert view == full, (seed, step, view, full)
+
+
+def test_bloom_index_hash_parity(spark):
+    """The whole bloom design hangs on build/probe hash agreement:
+    the engine-side md5 position expressions and the pure-Python probe
+    must produce identical positions for integer AND string keys."""
+    from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+        _bloom_position_cols,
+        _bloom_positions_py,
+    )
+
+    ints = [0, 1, 7, 12345, 10_000_000_000]
+    strs = ["", "a", "doc-42", "päck"]
+    df = spark.createDataFrame(
+        [(i, s) for i in ints for s in strs], "ik long, sk string"
+    )
+    rows = df.select(
+        "ik", "sk",
+        F.array(*_bloom_position_cols("ik")).alias("pi"),
+        F.array(*_bloom_position_cols("sk")).alias("ps"),
+    ).collect()
+    for r in rows:
+        assert list(r["pi"]) == _bloom_positions_py(r["ik"]), r["ik"]
+        assert list(r["ps"]) == _bloom_positions_py(r["sk"]), r["sk"]
+
+
+def test_bloom_index_point_lookup(spark, tmp_path):
+    """Point lookups on a high-cardinality key where min/max CANNOT
+    prune (every group spans the full key range): blooms must (a)
+    never exclude a present key — the no-false-negative guarantee —
+    and (b) skip most groups for absent keys."""
+    t = VersionedTable(str(tmp_path / "b"))
+    n_groups, per = 8, 500
+    for g in range(n_groups):
+        # keys g, g+8, g+16, ... : every group's [min,max] ~ full range
+        df = spark.range(per).selectExpr(
+            f"id * {n_groups} + {g} AS k", "id AS payload"
+        )
+        t.append(df, stats_cols=["k"], bloom_cols=["k"])
+    assert len(t.snapshot_files()) == n_groups
+    # (a) every probed present key reads back exactly its row, through
+    # bloom pruning, and its true group is among the survivors
+    for k in (0, 7, 1234, 3999):
+        files = t.snapshot_files(point=("k", k))
+        assert 1 <= len(files) <= n_groups
+        got = t.read(spark, point=("k", k)).filter(F.col("k") == k).collect()
+        assert len(got) == 1 and got[0]["payload"] == k // n_groups
+    # min/max stats alone cannot skip anything for these keys
+    assert len(t.snapshot_files(prune=("k", 1234, 1234))) == n_groups
+    # (b) absent keys: expected survivors ~ n_groups * fp_rate << 1;
+    # allow generous slack, but on average nearly everything prunes
+    survivors = [
+        len(t.snapshot_files(point=("k", 4_000_000 + i))) for i in range(50)
+    ]
+    assert sum(survivors) <= 0.15 * 50 * n_groups, sum(survivors)
+    # (c) unindexed groups are conservatively kept
+    t.append(spark.range(1).selectExpr("4100000 AS k", "id AS payload"))
+    assert len(t.snapshot_files(point=("k", 4_000_001))) >= 1
+
+
+def test_bloom_index_survives_upsert_conservatively(spark, tmp_path):
+    """Upsert rewrites the current snapshot without blooms — reads
+    with point pruning must STILL be correct (rewritten groups are
+    kept conservatively), only less selective."""
+    t = VersionedTable(str(tmp_path / "u"))
+    t.append(
+        spark.range(100).selectExpr("id AS k", "id AS v"),
+        stats_cols=["k"],
+        bloom_cols=["k"],
+    )
+    t.upsert(
+        spark, spark.range(5).selectExpr("id AS k", "id + 1000 AS v"), keys=["k"]
+    )
+    got = {r["k"]: r["v"] for r in t.read(spark, point=("k", 3)).filter("k = 3").collect()}
+    assert got == {3: 1003}
