@@ -2352,6 +2352,115 @@ register(
 )
 
 
+def _agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters — the frequency companion to the
+    HLL (distinct) and histogram (quantile) rollups, and the classic
+    netflow "top talkers over any time range" answer at 100 TB: per-day
+    d=3 x w=256 integer counter sketches of per-user event counts are
+    built once; any day range's sketch is the SUM of its days' counters
+    (mergeable, associative), and a user's estimated count is the MIN
+    over the 3 rows at their hashed buckets — an overcount-only bound
+    (est >= exact, never under). Output: top-10 users by estimate over
+    days 8-21, with the exact count alongside to exhibit the bound.
+
+    Hashing is the md5_hash32 family (functions/text.py) so the DuckDB
+    oracle replays the exact same buckets; everything downstream of
+    md5 is integer arithmetic — order-independent, hash-exact.
+
+    Scale: the sketch table is days x 768 rows NO MATTER the fact
+    size; the estimate join is candidates x 3 against a broadcast-
+    sized merged sketch. (At 100 TB the candidate set comes from a
+    per-partition top-k pre-pass; here the range's distinct users are
+    already dimension-sized.)"""
+    from .functions.text import md5_hash32
+
+    D, W = 3, 256
+    ev = (
+        tables.load(spark, "events", sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("user_id"),
+        )
+    )
+
+    def cells(uid_col):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    (md5_hash32(uid_col.cast("string"), seed=i) % W).alias("b"),
+                )
+                for i in range(D)
+            ]
+        )
+
+    sketch = (
+        ev.select("day", F.explode(cells(F.col("user_id"))).alias("c"))
+        .groupBy("day", F.col("c.i").alias("i"), F.col("c.b").alias("b"))
+        .agg(F.count("*").alias("n"))
+    )
+    in_range = (F.col("day") >= "2024-01-08") & (F.col("day") <= "2024-01-21")
+    merged = sketch.filter(in_range).groupBy("i", "b").agg(F.sum("n").alias("n"))
+    exact = (
+        ev.filter(in_range)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact"))
+    )
+    est = (
+        exact.select("user_id", "exact", F.explode(cells(F.col("user_id"))).alias("c"))
+        .join(
+            F.broadcast(merged),
+            (F.col("c.i") == merged["i"]) & (F.col("c.b") == merged["b"]),
+        )
+        .groupBy("user_id", "exact")
+        .agg(F.min("n").alias("est"))
+    )
+    return est.orderBy(F.desc("est"), "user_id").limit(10).select(
+        "user_id", "est", "exact"
+    )
+
+
+def _cms_sql() -> str:
+    from .functions.text import md5_hash32_sql
+
+    cells = " UNION ALL ".join(
+        f"SELECT day, user_id, {i} AS i, "
+        f"{md5_hash32_sql('CAST(user_id AS VARCHAR)', i)} % 256 AS b FROM ev"
+        for i in range(3)
+    )
+    return f"""
+WITH ev AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id
+  FROM events WHERE user_id IS NOT NULL
+),
+cells AS ({cells}),
+sketch AS (
+  SELECT day, i, b, COUNT(*) AS n FROM cells GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT i, b, CAST(SUM(n) AS BIGINT) AS n FROM sketch
+  WHERE day BETWEEN '2024-01-08' AND '2024-01-21' GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, COUNT(*) AS exact FROM ev
+  WHERE day BETWEEN '2024-01-08' AND '2024-01-21' GROUP BY 1
+),
+est AS (
+  SELECT e.user_id, e.exact, MIN(m.n) AS est
+  FROM exact e
+  JOIN cells c ON c.user_id = e.user_id AND c.day BETWEEN '2024-01-08' AND '2024-01-21'
+  JOIN merged m ON m.i = c.i AND m.b = c.b
+  GROUP BY 1, 2
+)
+SELECT user_id, est, exact FROM est
+ORDER BY est DESC, user_id LIMIT 10
+"""
+
+
+register("agg_cms_heavy_hitters", _agg_cms_heavy_hitters, _cms_sql(), driver=False)
+
+
 def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer<->supplier trading graph (an edge
     per distinct customer/supplier pair that shares an order, listed

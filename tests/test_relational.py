@@ -628,3 +628,55 @@ def test_pagerank_randomized_differential(spark):
                     nxt[v] += c
             rank = nxt
         assert got == rank, (seed, got, rank)
+
+
+def test_cms_overcount_bound_and_merge(spark):
+    """Count-min guarantees: estimate >= exact for EVERY user (not
+    just the top-10), and merging per-day sketches equals sketching
+    the whole range at once (the associativity the rollup sells)."""
+    import pyspark.sql.functions as F
+
+    from conftest import CORPUS, SF_ORACLE
+    from netflow_analysis_with_spark_streaming_spark import tables
+    from netflow_analysis_with_spark_streaming_spark.functions.text import md5_hash32
+
+    top = CORPUS.queries()["agg_cms_heavy_hitters"](spark, SF_ORACLE).collect()
+    assert len(top) == 10
+    assert all(r["est"] >= r["exact"] for r in top), top
+
+    D, W = 3, 256
+    ev = (
+        tables.load(spark, "events", SF_ORACLE)
+        .filter(F.col("user_id").isNotNull())
+        .filter(F.date_format("ts", "yyyy-MM-dd").between("2024-01-08", "2024-01-21"))
+        .select("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+    )
+    cells = ev.select(
+        "day",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (md5_hash32(F.col("user_id").cast("string"), seed=i) % W).alias("b"),
+                    )
+                    for i in range(D)
+                ]
+            )
+        ).alias("c"),
+    )
+    per_day_merged = {
+        (r["i"], r["b"]): r["n"]
+        for r in cells.groupBy("day", "c.i", "c.b")
+        .count()
+        .groupBy(F.col("i"), F.col("b"))
+        .agg(F.sum("count").alias("n"))
+        .collect()
+    }
+    whole_range = {
+        (r["i"], r["b"]): r["n"]
+        for r in cells.groupBy(F.col("c.i").alias("i"), F.col("c.b").alias("b"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per_day_merged == whole_range
