@@ -910,6 +910,57 @@ register(
 )
 
 
+def _storage_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-indexed point lookups on the versioned format: events
+    land in 8 bloom-indexed appends whose event_id ranges all overlap
+    (min/max stats can prove nothing), then 20 point reads each open
+    only the bloom-surviving file groups. The oracle selects the same
+    20 ids from the raw table — a false NEGATIVE (bloom wrongly
+    excluding a key's group) would drop a row and break the hash; the
+    pruning-actually-prunes half of the claim is asserted in
+    tests/test_versioned.py."""
+    from .storage.versioned import VersionedTable
+
+    root = _run_tmp_root("netflow_vtp_") + "/t"
+    t = VersionedTable(root)
+    ev = (
+        tables.load(spark, "events", sf_dir)
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id", "user_id", "value")
+    )
+    for g in range(8):  # interleaved ids: every group spans the range
+        t.append(
+            ev.filter((F.col("event_id") / 10) % 8 == g),
+            stats_cols=["event_id"],
+            bloom_cols=["event_id"],
+        )
+    ids = [i * 490 for i in range(20)]  # mix of present and absent keys
+    out = None
+    for i in ids:
+        hit = (
+            t.read(spark, point=("event_id", i))
+            .filter(F.col("event_id") == i)
+            .select("event_id", "user_id", F.round("value", 2).alias("value"))
+        )
+        out = hit if out is None else out.unionAll(hit)
+    return out.orderBy("event_id")
+
+
+def _point_lookup_sql() -> str:
+    ids = ", ".join(str(i * 490) for i in range(20))
+    return f"""
+SELECT event_id, user_id, ROUND(value, 2) AS value
+FROM events
+WHERE event_id % 10 = 0 AND event_id IN ({ids})
+ORDER BY event_id
+"""
+
+
+register(
+    "storage_point_lookup", _storage_point_lookup, _point_lookup_sql(), driver=False
+)
+
+
 def _storage_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance end-to-end
     (storage/incremental.py): a fact table lands two appends and a
