@@ -109,6 +109,8 @@ PROBE_ENTRIES = [
     "stream_anomaly_zscore",
     "agg_quantile_sketch_rollup",
     "graph_pagerank",
+    "agg_cms_heavy_hitters",
+    "storage_point_lookup",
 ]
 
 
