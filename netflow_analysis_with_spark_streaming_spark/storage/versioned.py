@@ -491,6 +491,14 @@ class VersionedTable:
         stats = m.get("stats", {})
         points = [point] if isinstance(point, tuple) else (point or [])
         for col, val in points:
+            if val is None:
+                # the build side never indexes NULL keys, so a NULL
+                # probe would prune groups that DO hold NULL rows —
+                # reject instead of silently returning a wrong subset
+                raise ValueError(
+                    "bloom point lookup of NULL is not supported; "
+                    "use a full read with an IS NULL filter"
+                )
 
             def bloom_may_contain(f: str, col=col, val=val) -> bool:
                 b = stats.get(f, {}).get(_BLOOM_KEY, {}).get(col)

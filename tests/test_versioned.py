@@ -1195,3 +1195,20 @@ def test_bloom_index_survives_upsert_conservatively(spark, tmp_path):
     )
     got = {r["k"]: r["v"] for r in t.read(spark, point=("k", 3)).filter("k = 3").collect()}
     assert got == {3: 1003}
+
+
+def test_bloom_null_probe_rejected(spark, tmp_path):
+    """NULL keys are never indexed (build side filters them), so a
+    NULL point probe must raise rather than silently prune groups
+    that do hold NULL rows."""
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "n"))
+    t.append(
+        spark.range(3).selectExpr("IF(id = 0, NULL, id) AS k"),
+        bloom_cols=["k"],
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        t.snapshot_files(point=("k", None))
+    # the NULL row itself is reachable through a plain read
+    assert t.read(spark).filter("k IS NULL").count() == 1
