@@ -211,3 +211,112 @@ def maintain_from_feed(
         spark, agg_table, delta, keys, measures,
         batch_id=to_version if to_version is not None else fact.latest_version(),
     )
+
+
+# --- distinct-count views (mergeable-sketch state) ----------------------
+#
+# COUNT(DISTINCT x) cannot be maintained from signed deltas (distinct
+# is not invertible), but it IS maintainable from mergeable sketch
+# state: keep one HLL sketch per group in the aggregate table and
+# UNION each feed window's sketch into it — the DataSketches pattern
+# every warehouse uses for incremental uniques. Union is associative
+# and commutative, so maintenance order and batching never change the
+# final estimate. The restriction is fundamental: sketches only absorb
+# INSERTS; a delete in the feed raises and the caller must recompute
+# (same contract as Delta + DataSketches materializations).
+
+
+def feed_delta_sketch(feed: DataFrame, keys: list[str], distinct_col: str) -> DataFrame:
+    """Collapse an insert-only change-feed window into one HLL sketch
+    (plus row count) per key. Raises on delete rows — silently
+    treating them as inserts would overcount forever."""
+    # cheap guard: one aggregate over the window, not a full pass per
+    # change type (the window is delta-sized by construction)
+    if feed.filter(F.col("_change_type") != "insert").limit(1).count() > 0:
+        raise ValueError(
+            "distinct-count views are append-only: the feed window "
+            "contains deletes; recompute the view instead"
+        )
+    return feed.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("d_rows"),
+        F.hll_sketch_agg(distinct_col).alias("d_sketch"),
+    )
+
+
+def apply_delta_sketch(
+    spark: SparkSession,
+    agg_table: VersionedTable,
+    delta: DataFrame,
+    keys: list[str],
+    batch_id: int | None = None,
+) -> int:
+    """Advance the per-key sketch state by ``delta`` (from
+    feed_delta_sketch): existing keys' sketches union the window's,
+    new keys appear. Work bound is touched-key cardinality — the fact
+    table is never rescanned and each group's state is a ~KB sketch
+    regardless of how many rows it has absorbed."""
+
+    def _cond(left: str, right: str):
+        cond = None
+        for k in keys:
+            c = F.col(f"{left}.{k}").eqNullSafe(F.col(f"{right}.{k}"))
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    if not agg_table.versions():
+        return agg_table.append(
+            delta.select(
+                *keys,
+                F.col("d_rows").alias("n_rows"),
+                F.col("d_sketch").alias("sketch"),
+            ),
+            batch_id=batch_id,
+        )
+    current = agg_table.read(spark).alias("cur")
+    d = delta.alias("d")
+    touched = current.join(
+        F.broadcast(d.select(*keys).alias("d")), _cond("cur", "d"), "semi"
+    ).alias("cur")
+    merged = touched.join(d, _cond("cur", "d"), "full_outer").select(
+        *[F.coalesce(F.col(f"cur.{k}"), F.col(f"d.{k}")).alias(k) for k in keys],
+        (
+            F.coalesce(F.col("n_rows"), F.lit(0))
+            + F.coalesce(F.col("d_rows"), F.lit(0))
+        ).alias("n_rows"),
+        F.when(F.col("sketch").isNull(), F.col("d_sketch"))
+        .when(F.col("d_sketch").isNull(), F.col("sketch"))
+        .otherwise(F.hll_union(F.col("sketch"), F.col("d_sketch")))
+        .alias("sketch"),
+    )
+    return agg_table.upsert(spark, merged, keys, batch_id=batch_id)
+
+
+def read_distinct_estimates(
+    spark: SparkSession, agg_table: VersionedTable, keys: list[str]
+) -> DataFrame:
+    """The view's query surface: per-key approximate distinct count
+    from the stored sketch state."""
+    return agg_table.read(spark).select(
+        *keys,
+        "n_rows",
+        F.hll_sketch_estimate("sketch").cast("long").alias("approx_distinct"),
+    )
+
+
+def maintain_distinct_from_feed(
+    spark: SparkSession,
+    fact: VersionedTable,
+    agg_table: VersionedTable,
+    keys: list[str],
+    distinct_col: str,
+    since_version: int,
+    to_version: int | None = None,
+) -> int:
+    """One distinct-count maintenance step over the typed change feed
+    — the sketch-state sibling of maintain_from_feed."""
+    feed = fact.read_change_feed(spark, since_version, to_version)
+    delta = feed_delta_sketch(feed, keys, distinct_col)
+    return apply_delta_sketch(
+        spark, agg_table, delta, keys,
+        batch_id=to_version if to_version is not None else fact.latest_version(),
+    )

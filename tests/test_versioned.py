@@ -1212,3 +1212,68 @@ def test_bloom_null_probe_rejected(spark, tmp_path):
         t.snapshot_files(point=("k", None))
     # the NULL row itself is reachable through a plain read
     assert t.read(spark).filter("k IS NULL").count() == 1
+
+
+def test_distinct_view_sketch_state(spark, tmp_path):
+    """Sketch-state IVM: per-key approximate distinct counts advanced
+    from the change feed only. (a) estimates track exact distincts
+    within HLL tolerance after multiple maintenance steps; (b) two
+    maintenance batchings converge to the same estimates (union
+    associativity); (c) a delete in the feed window raises; (d)
+    replayed maintenance is a batch-id no-op."""
+    import pytest
+
+    from netflow_analysis_with_spark_streaming_spark.storage import (
+        incremental as IVM,
+    )
+
+    def fact_rows(a, b):
+        # users interleaved across groups; duplicates within and
+        # across windows so distinct != count
+        return spark.range(a, b).selectExpr(
+            "id % 3 AS g", "CAST(id % 40 AS LONG) AS u"
+        )
+
+    fact = VersionedTable(str(tmp_path / "fact"))
+    agg = VersionedTable(str(tmp_path / "agg"))
+    fact.append(fact_rows(0, 60))  # v0
+    IVM.maintain_distinct_from_feed(spark, fact, agg, ["g"], "u", since_version=-1)
+    fact.append(fact_rows(60, 150))  # v1
+    IVM.maintain_distinct_from_feed(spark, fact, agg, ["g"], "u", since_version=0)
+    got = {
+        r["g"]: r["approx_distinct"]
+        for r in IVM.read_distinct_estimates(spark, agg, ["g"]).collect()
+    }
+    exact = {
+        r["g"]: r["n"]
+        for r in fact.read(spark)
+        .groupBy("g")
+        .agg(F.countDistinct("u").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for g, n in exact.items():
+        assert abs(got[g] - n) <= max(1, 0.02 * n), (g, got[g], n)
+
+    # (b) one-shot maintenance over the same fact == two-step
+    agg2 = VersionedTable(str(tmp_path / "agg2"))
+    IVM.maintain_distinct_from_feed(spark, fact, agg2, ["g"], "u", since_version=-1)
+    got2 = {
+        r["g"]: r["approx_distinct"]
+        for r in IVM.read_distinct_estimates(spark, agg2, ["g"]).collect()
+    }
+    assert got2 == got
+
+    # (d) replay: same (since, to) window again — batch-id no-op
+    n_versions = len(agg.versions())
+    IVM.maintain_distinct_from_feed(
+        spark, fact, agg, ["g"], "u", since_version=0, to_version=1
+    )
+    assert len(agg.versions()) == n_versions
+
+    # (c) deletes cannot be absorbed
+    fact.delete_where(spark, "u = 0", emit_changes=True)
+    with pytest.raises(ValueError, match="append-only"):
+        IVM.maintain_distinct_from_feed(
+            spark, fact, agg, ["g"], "u", since_version=1
+        )
