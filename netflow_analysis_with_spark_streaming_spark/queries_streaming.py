@@ -961,6 +961,53 @@ register(
 )
 
 
+def _stream_late_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data dead-letter routing (streaming/late_router.py) driven
+    over a deterministic two-batch backfill: even-user events arrive
+    as batch 0 (establishing the watermark = their max ts - 2 days),
+    odd-user events as batch 1 — mostly OLDER than the watermark, so
+    they route to the dead-letter table; only the last two days'
+    worth stay on-time. The oracle replays the same integer-
+    microsecond routing decision; one row misrouted breaks the hash.
+
+    Why it matters: Structured Streaming silently DROPS late rows at
+    stateful operators — this tap is how a production pipeline audits
+    them instead."""
+    from .streaming.late_router import LateDataRouter
+
+    ev = tables.load(spark, "events", sf_dir).select(
+        "event_id", "user_id", "ts"
+    )
+    r = LateDataRouter(
+        _run_tmp_root("netflow_dlq_") + "/t", delay_us=2 * 86_400_000_000
+    )
+    r.process_batch(ev.filter(F.col("user_id") % 2 == 0), 0)
+    r.process_batch(ev.filter(F.col("user_id") % 2 == 1), 1)
+    return (
+        r.ontime.read(spark)
+        .select("event_id", F.lit("ontime").alias("route"))
+        .unionAll(
+            r.late.read(spark).select("event_id", F.lit("late").alias("route"))
+        )
+        .orderBy("event_id")
+    )
+
+
+_STREAM_DLQ_SQL = """
+WITH wm AS (
+  SELECT MAX(epoch_us(ts)) - 2 * 86400000000 AS wm_us
+  FROM events WHERE user_id % 2 = 0
+)
+SELECT event_id,
+       CASE WHEN user_id % 2 = 1 AND epoch_us(ts) < (SELECT wm_us FROM wm)
+            THEN 'late' ELSE 'ontime' END AS route
+FROM events ORDER BY event_id
+"""
+
+
+register("stream_late_dlq", _stream_late_dlq, _STREAM_DLQ_SQL, driver=False)
+
+
 def _storage_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance end-to-end
     (storage/incremental.py): a fact table lands two appends and a

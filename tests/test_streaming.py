@@ -1066,3 +1066,47 @@ def test_streaming_curator_rejection_audit(spark, tmp_path):
     n = len(cur.rejected.versions())
     cur.process_batch(spark.createDataFrame(b2, "doc_id long, text string"), 1)
     assert len(cur.rejected.versions()) == n
+
+
+def test_late_router_crash_replay_and_recovery(spark, tmp_path):
+    """LateDataRouter exactly-once + durability: (a) a replayed batch
+    changes nothing; (b) a crash between the data landing and the
+    bookkeeping append, then a replay, completes the batch without
+    duplicating rows; (c) a RESTARTED router (new instance, same root)
+    recovers the watermark and routes identically."""
+    import pyspark.sql.functions as F
+
+    from netflow_analysis_with_spark_streaming_spark.streaming.late_router import (
+        LateDataRouter,
+    )
+
+    def mk(ids_ts):
+        return spark.createDataFrame(
+            [(i, ts) for i, ts in ids_ts], "event_id long, ts timestamp"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 10)
+    day = dt.timedelta(days=1)
+    r = LateDataRouter(str(tmp_path / "r"), delay_us=2 * 86_400_000_000)
+    r.process_batch(mk([(1, t0), (2, t0 + 5 * day)]), 0)  # wm -> Jan 13
+    # batch 1: one late (Jan 10 < Jan 13), one on-time
+    b1 = mk([(3, t0), (4, t0 + 6 * day)])
+    r.process_batch(b1, 1)
+    assert {x["event_id"] for x in r.late.read(spark).collect()} == {3}
+    assert {x["event_id"] for x in r.ontime.read(spark).collect()} == {1, 2, 4}
+    # (a) full replay: no-op
+    r.process_batch(b1, 1)
+    assert r.ontime.read(spark).count() == 3
+    assert r.late.read(spark).count() == 1
+    # (b) crash mid-batch: land data for batch 2 but "crash" before
+    # bookkeeping, then replay through a fresh router instance
+    b2 = mk([(5, t0 + 7 * day)])
+    r.ontime.append(b2, batch_id=2)  # simulated partial landing
+    r2 = LateDataRouter(str(tmp_path / "r"), delay_us=2 * 86_400_000_000)
+    assert r2.watermark_us(spark) == r.watermark_us(spark)  # (c) durable
+    r2.process_batch(b2, 2)
+    assert r2.ontime.read(spark).filter("event_id = 5").count() == 1
+    assert r2.ontime.read(spark).count() == 4  # no duplicate from the replay
+    assert 2 in r2._wm.committed_batch_ids()
