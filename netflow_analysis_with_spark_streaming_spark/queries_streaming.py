@@ -1008,6 +1008,68 @@ FROM events ORDER BY event_id
 register("stream_late_dlq", _stream_late_dlq, _STREAM_DLQ_SQL, driver=False)
 
 
+def _stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment ON THE STREAM: each event joins the
+    SCD2 dimension row valid AT ITS EVENT TIME — the streaming sibling
+    of join_point_in_time, and the correct way to enrich a stream
+    against a dimension that changes mid-stream (joining the CURRENT
+    dim row backfills history wrongly; the reference's Mongo upserts
+    did exactly that). Dimension: even users upgrade to tier 1
+    effective 2024-01-15, odd users stay tier 0 — built with
+    operators/scd2.scd2_apply, so validity ranges come from the real
+    SCD2 machinery, not hand-written rows.
+
+    Scale: broadcast dim, equi-join on user with the validity range as
+    a residual predicate — per key a handful of versions, a plain
+    broadcast hash join per micro-batch; no stream state."""
+    from .operators.scd2 import scd2_apply
+
+    users = spark.range(0, 200).select(F.col("id").alias("u"))
+    dim0 = users.select(
+        F.col("u").alias("k"),
+        F.lit(0).alias("tier"),
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = users.select(
+        F.col("u").alias("k"),
+        F.when(F.col("u") % 2 == 0, F.lit(1)).otherwise(F.lit(0)).alias("tier"),
+    )
+    dim = scd2_apply(dim0, updates, "k", ["tier"], F.lit("2024-01-15"))
+    ev = _events_stream(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    enriched = ev.join(
+        F.broadcast(dim),
+        (F.col("user_id") == F.col("k"))
+        & (F.col("valid_from") <= F.col("day"))
+        & (F.col("valid_to").isNull() | (F.col("day") < F.col("valid_to"))),
+    )
+    agg = enriched.groupBy("tier", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    with _bounded_state_partitions(spark):
+        jobs.run_to_memory(agg, "stream_scd2_enrich", output_mode="complete")
+    return spark.table("stream_scd2_enrich").orderBy("tier", "event_type")
+
+
+_STREAM_SCD2_SQL = """
+SELECT CASE WHEN user_id % 2 = 0
+             AND strftime(ts, '%Y-%m-%d') >= '2024-01-15'
+            THEN 1 ELSE 0 END AS tier,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events WHERE user_id < 200
+GROUP BY 1, 2 ORDER BY tier, event_type
+"""
+
+
+register("stream_scd2_enrich", _stream_scd2_enrich, _STREAM_SCD2_SQL, driver=False)
+
+
 def _storage_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized-view maintenance end-to-end
     (storage/incremental.py): a fact table lands two appends and a

@@ -111,6 +111,7 @@ PROBE_ENTRIES = [
     "graph_pagerank",
     "agg_cms_heavy_hitters",
     "storage_point_lookup",
+    "stream_late_dlq",
 ]
 
 
