@@ -1012,13 +1012,28 @@ class VersionedTable:
     def compact(self, spark: SparkSession, target_partitions: int = 8) -> int:
         """Fold the current snapshot's file groups into one coalesced
         group (the streaming small-file fix); history before the
-        compaction stays readable."""
-        version, _, _ = self._snapshot_state()
+        compaction stays readable. The data-skipping index survives:
+        min/max stats AND bloom filters are rebuilt for the compacted
+        group over every column any pre-compaction group indexed —
+        without this, the first auto-compaction after a streaming
+        ingest silently killed pruning for the rest of the table's
+        life (reads stayed correct, only conservative)."""
+        version, _, prev_stats = self._snapshot_state()
         df = self.read(spark, version=version - 1 if version else None).coalesce(
             target_partitions
         )
-        new, _ = self._write_files(df)
-        return self._commit(new, "compact", df.schema.json(), version=version)
+        stat_cols = sorted(
+            {c for s in prev_stats.values() for c in s if c != _BLOOM_KEY}
+        )
+        bloom_cols = sorted(
+            {c for s in prev_stats.values() for c in s.get(_BLOOM_KEY, {})}
+        )
+        new, new_stats = self._write_files(
+            df, stats_cols=stat_cols or None, bloom_cols=bloom_cols or None
+        )
+        return self._commit(
+            new, "compact", df.schema.json(), stats=new_stats, version=version
+        )
 
     def rewrite_clustered(
         self, spark: SparkSession, col: str, n_groups: int = 8

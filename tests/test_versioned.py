@@ -1277,3 +1277,25 @@ def test_distinct_view_sketch_state(spark, tmp_path):
         IVM.maintain_distinct_from_feed(
             spark, fact, agg, ["g"], "u", since_version=1
         )
+
+
+def test_compact_preserves_skipping_index(spark, tmp_path):
+    """Compaction must rebuild min/max stats AND blooms for the
+    compacted group (over every column any input group indexed) —
+    otherwise the first auto-compaction kills pruning forever."""
+    t = VersionedTable(str(tmp_path / "t"))
+    for g in range(4):
+        t.append(
+            spark.range(g * 100, g * 100 + 100).selectExpr("id AS k"),
+            stats_cols=["k"],
+            bloom_cols=["k"],
+        )
+    t.compact(spark, target_partitions=2)
+    assert t.history()[-1]["action"] == "compact"
+    assert t.read(spark).count() == 400
+    # min/max stats live: an out-of-range predicate prunes to nothing
+    assert t.snapshot_files(prune=("k", 10_000, 20_000)) == []
+    # bloom lives: an absent key prunes the (single) compacted group
+    assert t.snapshot_files(point=("k", 999_999)) == []
+    # and a present key still reads back through point pruning
+    assert t.read(spark, point=("k", 250)).filter("k = 250").count() == 1
