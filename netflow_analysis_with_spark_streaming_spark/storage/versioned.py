@@ -545,19 +545,63 @@ class VersionedTable:
         All expression-level (shift/and/add inside codegen); the only
         driver data is the 2-value min/max row. Numeric columns only —
         temporal callers pass unix micros."""
+        self._enforce(df)  # same write gate as every other ingest path
+        written = self._write_zordered_group(df, cols, n_groups, bits)
+        if written is None:
+            # empty (or all-NULL-keys) batch: no z-curve to compute —
+            # land it through append's empty-tolerant path instead of
+            # float(None) crashing (normal for filtered micro-batches)
+            return self.append(df)
+        files, stats = written
+        version, prev_files, prev_stats = self._snapshot_state()
+        return self._commit(
+            prev_files + files,
+            "append",
+            df.schema.json(),
+            stats={**prev_stats, **stats},
+            version=version,
+        )
+
+    def rewrite_zordered(
+        self,
+        spark: SparkSession,
+        cols: tuple[str, str],
+        n_groups: int = 16,
+        bits: int = 8,
+    ) -> int:
+        """OPTIMIZE ... ZORDER BY: rewrite the CURRENT snapshot along
+        the Morton curve of two columns in one commit — the 2-D
+        sibling of rewrite_clustered, for tables whose ingest order
+        left every file spanning both key ranges. Old versions stay
+        readable (time travel) until vacuum()."""
+        version, _, _ = self._snapshot_state()
+        df = self.read(spark, version=version - 1 if version else None)
+        written = self._write_zordered_group(df, cols, n_groups, bits)
+        if written is None:
+            raise ValueError(
+                "rewrite_zordered on an empty (or all-NULL-key) snapshot "
+                "has no curve to sort along; compact() instead"
+            )
+        files, stats = written
+        return self._commit(
+            files, "rewrite_zordered", df.schema.json(), stats=stats, version=version
+        )
+
+    def _write_zordered_group(
+        self, df: DataFrame, cols: tuple[str, str], n_groups: int, bits: int
+    ) -> tuple[list[str], dict] | None:
+        """Land ``df`` as one Morton-ordered file group; returns
+        (files, stats) for the caller's commit, or None when the
+        frame has no non-NULL key pair to bucketize."""
         from pyspark.sql import functions as F
 
-        self._enforce(df)  # same write gate as every other ingest path
         c1, c2 = cols
         row = df.agg(
             F.min(c1).alias("lo1"), F.max(c1).alias("hi1"),
             F.min(c2).alias("lo2"), F.max(c2).alias("hi2"),
         ).collect()[0]
         if row["lo1"] is None or row["lo2"] is None:
-            # empty (or all-NULL-keys) batch: no z-curve to compute —
-            # land it through append's empty-tolerant path instead of
-            # float(None) crashing (normal for filtered micro-batches)
-            return self.append(df)
+            return None
         span1 = max(float(row["hi1"]) - float(row["lo1"]), 1e-12)
         span2 = max(float(row["hi2"]) - float(row["lo2"]), 1e-12)
         top = (1 << bits) - 1
@@ -600,14 +644,7 @@ class VersionedTable:
             }
             for r in stat_rows
         }
-        version, prev_files, prev_stats = self._snapshot_state()
-        return self._commit(
-            prev_files + files,
-            "append",
-            df.schema.json(),
-            stats={**prev_stats, **stats},
-            version=version,
-        )
+        return files, stats
 
     def read(
         self,

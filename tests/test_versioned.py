@@ -1299,3 +1299,29 @@ def test_compact_preserves_skipping_index(spark, tmp_path):
     assert t.snapshot_files(point=("k", 999_999)) == []
     # and a present key still reads back through point pruning
     assert t.read(spark, point=("k", 250)).filter("k = 250").count() == 1
+
+
+def test_rewrite_zordered_restores_two_dim_pruning(spark, tmp_path):
+    """OPTIMIZE ZORDER: a table ingested in arrival order (every file
+    spans both key ranges, nothing prunes) is rewritten along the
+    Morton curve in one commit — after which narrow predicates on
+    EITHER dimension skip most groups, rows are intact, and the
+    pre-rewrite version stays readable."""
+    t = VersionedTable(str(tmp_path / "t"))
+    # arrival-order ingest: 4 appends, each covering the full 2-D grid
+    for g in range(4):
+        t.append(
+            spark.range(g, 4096, 4).selectExpr(
+                "id % 64 AS x", "CAST(id / 64 AS LONG) AS y"
+            ),
+            stats_cols=["x", "y"],
+        )
+    assert len(t.snapshot_files(prune=("x", 0, 7))) == 4  # nothing prunes
+    v = t.rewrite_zordered(spark, ("x", "y"), n_groups=16, bits=6)
+    assert t.history()[-1]["action"] == "rewrite_zordered"
+    n_all = len(t.snapshot_files())
+    assert n_all == 16
+    assert len(t.snapshot_files(prune=("x", 0, 7))) <= n_all // 2
+    assert len(t.snapshot_files(prune=("y", 0, 7))) <= n_all // 2
+    assert t.read(spark).count() == 4096
+    assert t.read(spark, version=v - 1).count() == 4096  # time travel
