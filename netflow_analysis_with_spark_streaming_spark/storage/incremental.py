@@ -320,3 +320,43 @@ def maintain_distinct_from_feed(
         spark, agg_table, delta, keys,
         batch_id=to_version if to_version is not None else fact.latest_version(),
     )
+
+
+class StreamingDistinctViewMaintainer:
+    """foreachBatch target: the sketch-state sibling of
+    StreamingViewMaintainer — land each micro-batch into the fact
+    table and advance the per-key HLL distinct-count view from the
+    change-feed window the landing created. Same durability story:
+    the consumed-feed watermark is recovered from the view table's
+    committed batch ids, replayed maintenance is a no-op. Insert-only
+    by the sketch contract (a delete in the feed raises)."""
+
+    def __init__(
+        self,
+        fact: VersionedTable,
+        agg_table: VersionedTable,
+        keys: list[str],
+        distinct_col: str,
+    ) -> None:
+        self.fact = fact
+        self.agg = agg_table
+        self.keys = keys
+        self.distinct_col = distinct_col
+        consumed = self.agg.committed_batch_ids()
+        self._watermark = max(consumed) if consumed else -1
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.fact.append(batch_df, batch_id=batch_id)
+        to_v = self.fact.latest_version()
+        if to_v is None or to_v <= self._watermark:
+            return  # replayed batch landed nothing new
+        maintain_distinct_from_feed(
+            batch_df.sparkSession,
+            self.fact,
+            self.agg,
+            self.keys,
+            self.distinct_col,
+            since_version=self._watermark,
+            to_version=to_v,
+        )
+        self._watermark = to_v

@@ -1325,3 +1325,67 @@ def test_rewrite_zordered_restores_two_dim_pruning(spark, tmp_path):
     assert len(t.snapshot_files(prune=("y", 0, 7))) <= n_all // 2
     assert t.read(spark).count() == 4096
     assert t.read(spark, version=v - 1).count() == 4096  # time travel
+
+
+def test_streaming_distinct_view_maintainer(spark, tmp_path):
+    """End-to-end streaming distinct-count view: micro-batches land in
+    the fact table and the per-key HLL view advances per batch; final
+    estimates match exact distincts within tolerance, and a restarted
+    maintainer (watermark recovered from the view's batch ids) treats
+    a replayed batch as a no-op."""
+    import json as _json
+
+    from netflow_analysis_with_spark_streaming_spark.storage import (
+        incremental as IVM,
+    )
+    from netflow_analysis_with_spark_streaming_spark.streaming import sources
+
+    d = tmp_path / "src"
+    d.mkdir()
+    (d / "f1.json").write_text(
+        _json.dumps([{"g": i % 2, "u": i % 15} for i in range(40)])
+    )
+    (d / "f2.json").write_text(
+        _json.dumps([{"g": i % 2, "u": (i + 5) % 25} for i in range(40)])
+    )
+    raw = sources.json_file_source(
+        spark,
+        str(d),
+        spark.createDataFrame([], "g long, u long").schema,
+        max_files_per_trigger=1,
+    )
+    fact = VersionedTable(str(tmp_path / "fact"))
+    view = VersionedTable(str(tmp_path / "view"))
+    sink = IVM.StreamingDistinctViewMaintainer(fact, view, ["g"], "u")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            raw.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    got = {
+        r["g"]: r["approx_distinct"]
+        for r in IVM.read_distinct_estimates(spark, view, ["g"]).collect()
+    }
+    exact = {
+        r["g"]: r["n"]
+        for r in fact.read(spark)
+        .groupBy("g")
+        .agg(F.countDistinct("u").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for g, n in exact.items():
+        assert abs(got[g] - n) <= max(1, 0.02 * n), (g, got[g], n)
+    # restart: watermark recovered; replaying the last batch is a no-op
+    sink2 = IVM.StreamingDistinctViewMaintainer(fact, view, ["g"], "u")
+    n_versions = len(view.versions())
+    last_batch = fact.read(spark).limit(0)  # replayed empty frame
+    sink2(last_batch, batch_id=max(fact.committed_batch_ids()))
+    assert len(view.versions()) == n_versions
