@@ -112,6 +112,7 @@ PROBE_ENTRIES = [
     "agg_cms_heavy_hitters",
     "storage_point_lookup",
     "stream_late_dlq",
+    "stream_scd2_enrich",
 ]
 
 
