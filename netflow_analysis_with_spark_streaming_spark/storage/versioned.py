@@ -69,7 +69,16 @@ def _bloom_positions_py(value: object, m: int = _BLOOM_M, k: int = _BLOOM_K) -> 
     """Probe-side bit positions. MUST mirror _bloom_position_cols:
     md5(f"{i}:{value}") first 8 hex digits as an int, mod m. ``value``
     is rendered with str(), which matches Spark's CAST(col AS STRING)
-    for integer and string columns (the supported key types)."""
+    for integer and string columns — the ONLY supported key types: a
+    bool ("True" vs Spark's "true"), float ("1.0" vs "1.0"-ish repr
+    drift) or date would hash differently on the two sides and turn
+    the no-false-negative guarantee into silent wrong pruning, so
+    anything else is rejected loudly."""
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        raise TypeError(
+            "bloom index keys must be integer or string columns; got "
+            f"{type(value).__name__!s} probe {value!r}"
+        )
     return [
         int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:8], 16) % m
         for i in range(k)

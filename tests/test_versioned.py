@@ -1389,3 +1389,15 @@ def test_streaming_distinct_view_maintainer(spark, tmp_path):
     last_batch = fact.read(spark).limit(0)  # replayed empty frame
     sink2(last_batch, batch_id=max(fact.committed_batch_ids()))
     assert len(view.versions()) == n_versions
+
+
+def test_bloom_rejects_unmirrorable_probe_types(spark, tmp_path):
+    """Python str() and Spark CAST AS STRING disagree for bools/floats
+    — probing with one must raise, not silently misprune."""
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(spark.range(5).selectExpr("id AS k"), bloom_cols=["k"])
+    for bad in (True, 1.5, object()):
+        with pytest.raises(TypeError, match="integer or string"):
+            t.snapshot_files(point=("k", bad))
