@@ -394,3 +394,67 @@ def lsh_bucket(vec: Column, dim: int, planes: int = 6) -> Column:
     for b in bits[1:]:
         out = out + b
     return out.cast("int")
+
+
+# --- durable IVF index ---------------------------------------------------
+
+
+def save_ivf_index(root: str, assigned, cent) -> None:
+    """Persist a trained IVF index as a REAL on-disk inverted file:
+    assignments land range-CLUSTERED on the cluster id in a versioned
+    table (so each centroid's posting list occupies its own file
+    group with tight manifest stats), centroids land as a tiny
+    sibling table. Training is the expensive part of IVF — persisting
+    lets every later session probe without retraining, and the
+    clustered layout means a probe READS only its clusters' file
+    groups (storage-level list pruning, not just a filter).
+    """
+    from ..storage.versioned import VersionedTable
+
+    spark = assigned.sparkSession
+    a = VersionedTable(root + "/assignments")
+    a.append_clustered(assigned, "cluster", n_groups=int(cent.shape[0]))
+    c = VersionedTable(root + "/centroids")
+    rows = [
+        (int(i), [float(x) for x in cent[i]]) for i in range(cent.shape[0])
+    ]
+    c.overwrite(spark.createDataFrame(rows, "cluster int, centroid array<double>"))
+
+
+def load_ivf_centroids(spark, root: str):
+    """The (n_centroids x dim) matrix back from the centroid table —
+    the only piece a query-router needs in memory."""
+    import numpy as np
+
+    from ..storage.versioned import VersionedTable
+
+    rows = sorted(
+        VersionedTable(root + "/centroids").read(spark).collect(),
+        key=lambda r: r["cluster"],
+    )
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def read_ivf_clusters(spark, root: str, clusters):
+    """The probed posting lists, via manifest-stats file skipping:
+    only file groups whose recorded cluster range overlaps a probed
+    id are opened (the exact filter still applies on top — pruning is
+    the superset contract). This is the IVF promise made physical:
+    probe cost follows the probed lists, not the corpus."""
+    import os
+
+    from ..storage.versioned import VersionedTable
+
+    t = VersionedTable(root + "/assignments")
+    wanted = sorted({int(c) for c in clusters})
+    files: list[str] = []
+    for c in wanted:
+        for f in t.snapshot_files(prune=("cluster", c, c)):
+            if f not in files:
+                files.append(f)
+    from pyspark.sql import functions as F
+
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(t.root, f) for f in files]
+    )
+    return df.filter(F.col("cluster").isin(wanted))

@@ -918,3 +918,49 @@ def test_importance_sample_rate_tracks_weights(spark):
         assert rate_h > rate_l, (rate_h, rate_l)
     kept2 = Q.all_queries()["corpus_importance_sample"](spark, SF_ORACLE).collect()
     assert {r["doc_id"] for r in kept2} == kept_ids
+
+
+def test_ivf_index_persistence_roundtrip(spark, tmp_path):
+    """Durable IVF: persisting a trained index and probing from disk
+    must (a) reproduce the exact centroid matrix and assignments, (b)
+    open ONLY the probed clusters' file groups (the storage-level
+    inverted-file promise), and (c) return the same probed candidate
+    sets a fresh in-memory index would."""
+    import numpy as np
+
+    from netflow_analysis_with_spark_streaming_spark import tables
+    from netflow_analysis_with_spark_streaming_spark.functions import vectors as V
+    from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+        VersionedTable,
+    )
+
+    emb = tables.load(spark, "embeddings", SF_ORACLE)
+    assigned, cent = V.ivf_index(emb, n_centroids=16)
+    root = str(tmp_path / "ivf")
+    V.save_ivf_index(root, assigned, cent)
+
+    # (a) exact roundtrip
+    cent2 = V.load_ivf_centroids(spark, root)
+    assert np.array_equal(cent, cent2)
+    mem = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    disk = {
+        r["vec_id"]: r["cluster"]
+        for r in VersionedTable(root + "/assignments").read(spark).collect()
+    }
+    assert disk == mem
+
+    # (b) probing 2 clusters opens a strict subset of the file groups
+    t = VersionedTable(root + "/assignments")
+    n_all = len(t.snapshot_files())
+    probed_files = {
+        f for c in (0, 5) for f in t.snapshot_files(prune=("cluster", c, c))
+    }
+    assert len(probed_files) < n_all, (len(probed_files), n_all)
+
+    # (c) probed posting lists match the in-memory index's lists
+    got = {
+        (r["vec_id"], r["cluster"])
+        for r in V.read_ivf_clusters(spark, root, [0, 5]).collect()
+    }
+    want = {(v, c) for v, c in mem.items() if c in (0, 5)}
+    assert got == want
