@@ -2177,6 +2177,49 @@ ORDER BY o.o_orderkey
 register("join_point_in_time", _join_point_in_time, _PIT_JOIN_SQL, driver=False)
 
 
+def _join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join as a corpus entry (plans/skew.py): lineitem joins
+    orders on the order key with 4-way salting — each hot key's rows
+    spread across 4 shuffle partitions, the orders side replicated
+    4x. The oracle is the PLAIN join: salting must be invisible in
+    the result (the equivalence the static-skew mitigation sells; a
+    duplicated or dropped row breaks the hash). AQE's runtime skew
+    split handles most real skew — salting is the static fallback for
+    the cases it can't (stream-stream joins, one catastrophic key).
+    """
+    from .plans.skew import salted_join
+
+    li = tables.load(spark, "lineitem", sf_dir).filter(
+        F.col("l_orderkey") <= 2000
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = tables.load(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, ["l_orderkey"], n=4)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_SALTED_JOIN_SQL = """
+SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_orderkey <= 2000
+GROUP BY 1 ORDER BY 1
+"""
+
+
+register("join_salted_skew", _join_salted_skew, _SALTED_JOIN_SQL, driver=False)
+
+
 def _anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Traffic-anomaly detection over the event stream's hourly rate —
     the alerting query a netflow dashboard runs on top of the windowed
