@@ -122,7 +122,10 @@ _DRIVER_ORDER = [
     # to the pytest tier in round 6 — their P8-P12 semantics are
     # one-liner selects, displaced by the round-5 corpus flagships)
     "parity_kafka_roundtrip",
-    "parity_flatten_nested",
+    # parity_flatten_nested retired round 6: its oracle is the same SQL
+    # stream_path2_flatten (driver tier) hashes against; replaced by the
+    # late-data dead-letter router — a capability class the window lacked
+    "stream_late_dlq",
     # relational completeness
     "sql_returned_items",
     "sql_local_supplier_volume",

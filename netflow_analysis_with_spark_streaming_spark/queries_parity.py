@@ -264,7 +264,12 @@ def _parity_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-checked flagship on an alternate column — both folded to the
 # extra tier to fit the harness' 50-entry window.
 register("parity_kafka_roundtrip", _parity_kafka_roundtrip, _PARITY_NORMALIZE_SQL)
-register("parity_flatten_nested", _parity_flatten_nested, _PARITY_FLATTEN_SQL)
+# Retired to the pytest tier in round 6 (its oracle is the SAME SQL the
+# driver-tier stream_path2_flatten entry hashes against, so P3/S4 keep
+# driver evidence); displaced by the late-data DLQ router entry.
+register(
+    "parity_flatten_nested", _parity_flatten_nested, _PARITY_FLATTEN_SQL, driver=False
+)
 # Rotated to the extra tier in round 5 (driver window is capped at 50):
 # the timestamp-convert and two-col-routing semantics are near-duplicates
 # of parity_flatten_nested / the flagship family; the pytest oracle

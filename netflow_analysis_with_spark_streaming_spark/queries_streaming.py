@@ -1005,7 +1005,7 @@ FROM events ORDER BY event_id
 """
 
 
-register("stream_late_dlq", _stream_late_dlq, _STREAM_DLQ_SQL, driver=False)
+register("stream_late_dlq", _stream_late_dlq, _STREAM_DLQ_SQL)  # promoted round 6
 
 
 def _stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
