@@ -1110,3 +1110,58 @@ def test_late_router_crash_replay_and_recovery(spark, tmp_path):
     assert r2.ontime.read(spark).filter("event_id = 5").count() == 1
     assert r2.ontime.read(spark).count() == 4  # no duplicate from the replay
     assert 2 in r2._wm.committed_batch_ids()
+
+
+def test_late_router_via_writestream(spark, tmp_path):
+    """LateDataRouter driven by a REAL writeStream/foreachBatch (not
+    hand-called): two files with pinned mtimes arrive as two
+    micro-batches (maxFilesPerTrigger=1 processes in mtime order);
+    the second file's old rows land in the dead-letter table."""
+    import json as _json
+    import os
+
+    import pyspark.sql.functions as F
+
+    from netflow_analysis_with_spark_streaming_spark.streaming import sources
+    from netflow_analysis_with_spark_streaming_spark.streaming.late_router import (
+        LateDataRouter,
+    )
+
+    d = tmp_path / "src"
+    d.mkdir()
+    f1 = d / "f1.json"
+    f2 = d / "f2.json"
+    f1.write_text(
+        _json.dumps(
+            [
+                {"event_id": 1, "ts": "2024-01-10 00:00:00"},
+                {"event_id": 2, "ts": "2024-01-15 00:00:00"},
+            ]
+        )
+    )
+    f2.write_text(
+        _json.dumps(
+            [
+                {"event_id": 3, "ts": "2024-01-10 00:00:00"},  # < Jan 13 wm
+                {"event_id": 4, "ts": "2024-01-16 00:00:00"},
+            ]
+        )
+    )
+    os.utime(f1, (1_000_000, 1_000_000))
+    os.utime(f2, (2_000_000, 2_000_000))
+    raw = sources.json_file_source(
+        spark,
+        str(d),
+        spark.createDataFrame([], "event_id long, ts timestamp").schema,
+        max_files_per_trigger=1,
+    )
+    r = LateDataRouter(str(tmp_path / "r"), delay_us=2 * 86_400_000_000)
+    q = (
+        raw.writeStream.foreachBatch(r)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert {x["event_id"] for x in r.late.read(spark).collect()} == {3}
+    assert {x["event_id"] for x in r.ontime.read(spark).collect()} == {1, 2, 4}
