@@ -1024,6 +1024,19 @@ def test_model_based_op_sequences(spark):
         def check():
             got = {r["k"]: r["v"] for r in t.read(spark).collect()}
             assert got == model, (seed, got, model)
+            # bloom point reads: every probed present key must survive
+            # pruning (no false negatives, whatever mix of indexed /
+            # rewritten groups the history produced); absent keys must
+            # read empty THROUGH the pruned file set
+            for pk in rng.sample(sorted(model), min(2, len(model))):
+                hit = t.read(spark, point=("k", pk)).filter(F.col("k") == pk)
+                assert hit.count() == 1, (seed, pk)
+            absent = 777_000 + len(model)
+            if absent not in model:
+                miss = t.read(spark, point=("k", absent)).filter(
+                    F.col("k") == absent
+                )
+                assert miss.count() == 0, (seed, absent)
 
         t.append(mkdf([(i, f"s{seed}_{i}") for i in range(10)]))
         model.update({i: f"s{seed}_{i}" for i in range(10)})
@@ -1034,7 +1047,13 @@ def test_model_based_op_sequences(spark):
             if op == "append":
                 base = 100 * (step + 1)
                 rows = [(base + j, f"a{step}_{j}") for j in range(rng.randint(1, 4))]
-                t.append(mkdf(rows))
+                # half the appends carry a bloom index, so point probes
+                # below interleave indexed, unindexed and REWRITTEN
+                # (bloom-dropped) groups — the conservative contract
+                t.append(
+                    mkdf(rows),
+                    bloom_cols=["k"] if rng.random() < 0.5 else None,
+                )
                 model.update(dict(rows))
             elif op == "upsert":
                 keys = rng.sample(sorted(model) or [0], min(3, max(1, len(model))))
