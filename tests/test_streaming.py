@@ -1165,3 +1165,56 @@ def test_late_router_via_writestream(spark, tmp_path):
     q.awaitTermination()
     assert {x["event_id"] for x in r.late.read(spark).collect()} == {3}
     assert {x["event_id"] for x in r.ontime.read(spark).collect()} == {1, 2, 4}
+
+
+def test_late_router_randomized_differential(spark, tmp_path):
+    """Seeded random batch sequences vs a pure-Python watermark model:
+    the router's routing decision for every event must match the
+    model's (watermark = max prior-batch ts - delay), whatever the
+    arrival pattern — including all-late batches, empty batches and
+    watermark-advancing stragglers."""
+    import datetime as dt
+    import random
+
+    from netflow_analysis_with_spark_streaming_spark.streaming.late_router import (
+        LateDataRouter,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    delay_us = 12 * 3600 * 1_000_000  # 12h
+    for seed in (5, 29):
+        rng = random.Random(seed)
+        r = LateDataRouter(str(tmp_path / f"r{seed}"), delay_us=delay_us)
+        model_wm_us = None  # max event us over prior batches - delay
+        model_max_us = None
+        want_late, want_ontime = set(), set()
+        eid = 0
+        for b in range(6):
+            rows = []
+            for _ in range(rng.randint(0, 5)):
+                eid += 1
+                ts = t0 + dt.timedelta(hours=rng.randint(0, 24 * 20))
+                us = int(ts.timestamp() * 1_000_000)
+                rows.append((eid, ts))
+                if model_wm_us is not None and us < model_wm_us:
+                    want_late.add(eid)
+                else:
+                    want_ontime.add(eid)
+            if rows:
+                batch_max = max(
+                    int(ts.timestamp() * 1_000_000) for _, ts in rows
+                )
+                model_max_us = (
+                    batch_max
+                    if model_max_us is None
+                    else max(model_max_us, batch_max)
+                )
+            df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+            r.process_batch(df, b)
+            model_wm_us = (
+                None if model_max_us is None else model_max_us - delay_us
+            )
+        got_late = {x["event_id"] for x in r.late.read(spark).collect()}
+        got_ontime = {x["event_id"] for x in r.ontime.read(spark).collect()}
+        assert got_late == want_late, (seed, got_late, want_late)
+        assert got_ontime == want_ontime, (seed, got_ontime, want_ontime)
