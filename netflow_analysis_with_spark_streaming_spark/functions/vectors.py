@@ -454,6 +454,8 @@ def read_ivf_clusters(spark, root: str, clusters):
                 files.append(f)
     from pyspark.sql import functions as F
 
+    if not files:  # no probes, or every probe pruned to nothing
+        return t.read(spark).limit(0)
     df = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(t.root, f) for f in files]
     )
