@@ -113,6 +113,7 @@ PROBE_ENTRIES = [
     "storage_point_lookup",
     "stream_late_dlq",
     "stream_scd2_enrich",
+    "join_salted_skew",
 ]
 
 
