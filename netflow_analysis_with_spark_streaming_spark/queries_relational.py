@@ -2177,6 +2177,91 @@ ORDER BY o.o_orderkey
 register("join_point_in_time", _join_point_in_time, _PIT_JOIN_SQL, driver=False)
 
 
+def _agg_approx_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing by deterministic sampling — the
+    interactive-dashboard answer at 100 TB: the revenue-per-priority
+    aggregate is computed on a 10% hash sample of lineitem (the
+    functions/sampling.py bucket family, bit-identical in any engine)
+    and scaled by 1/fraction for an unbiased estimate, with the exact
+    answer alongside and the relative error surfaced in 1e-4 units.
+    Deterministic end to end: the sample is a hash predicate, not
+    rand(), so the oracle replays the identical row set.
+
+    Scale: the sampling predicate evaluates inside the scan stage —
+    a 10% sample reads ~10% of row groups' worth of post-filter work
+    and the aggregate shuffles 10% of the partials. Error is
+    ~1/sqrt(sampled rows) per group: fine for dashboards, surfaced
+    honestly here."""
+    from .functions import sampling as S
+
+    li = tables.load(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = tables.load(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    exact = (
+        li.join(orders, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.round(rev, 2).alias("exact_revenue"))
+    )
+    sampled = (
+        S.sample_fraction(li, "l_orderkey", 0.10)
+        .join(orders, "l_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.round(rev * 10, 2).alias("est_revenue"))
+    )
+    return (
+        exact.join(sampled, "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "exact_revenue",
+            "est_revenue",
+            F.floor(
+                F.abs(F.col("est_revenue") - F.col("exact_revenue"))
+                / F.col("exact_revenue")
+                * 10000
+            ).alias("rel_err_e4"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _aqp_sql() -> str:
+    from .functions.sampling import bucket_sql
+
+    pred = f"{bucket_sql('l_orderkey')} < 100000"
+    return f"""
+WITH exact AS (
+  SELECT o.o_orderpriority,
+         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS exact_revenue
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1
+),
+est AS (
+  SELECT o.o_orderpriority,
+         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) * 10, 2) AS est_revenue
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE {pred}
+  GROUP BY 1
+)
+SELECT e.o_orderpriority, e.exact_revenue, s.est_revenue,
+       CAST(FLOOR(ABS(s.est_revenue - e.exact_revenue) / e.exact_revenue * 10000)
+            AS BIGINT) AS rel_err_e4
+FROM exact e LEFT JOIN est s ON s.o_orderpriority = e.o_orderpriority
+ORDER BY e.o_orderpriority
+"""
+
+
+register(
+    "agg_approx_sample_estimate",
+    _agg_approx_sample_estimate,
+    _aqp_sql(),
+    driver=False,
+)
+
+
 def _join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted join as a corpus entry (plans/skew.py): lineitem joins
     orders on the order key with 4-way salting — each hot key's rows

@@ -680,3 +680,17 @@ def test_cms_overcount_bound_and_merge(spark):
         .collect()
     }
     assert per_day_merged == whole_range
+
+
+def test_aqp_estimate_within_sampling_error(spark):
+    """The 10% hash-sample estimator must land within a plausible
+    sampling-error band of the exact answer for every group (~1500
+    sampled lines per priority at sf0.01 -> a few percent), and every
+    group must actually receive sampled rows (no NULL estimates)."""
+    from conftest import CORPUS, SF_ORACLE
+
+    rows = CORPUS.queries()["agg_approx_sample_estimate"](spark, SF_ORACLE).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["est_revenue"] is not None, r
+        assert r["rel_err_e4"] < 2000, r  # within 20%, generous band
