@@ -2177,6 +2177,86 @@ ORDER BY o.o_orderkey
 register("join_point_in_time", _join_point_in_time, _PIT_JOIN_SQL, driver=False)
 
 
+def _timeseries_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to OHLC bars (the resample('6H')
+    .ohlc() every metrics store offers): per event type and 6-hour
+    bucket, the opening value, high, low, and closing value of the
+    metric. Open/close are first/last BY (ts, event_id) — the
+    event_id tie-break makes equal-microsecond rows deterministic on
+    both engines, where a bare min_by would be engine-arbitrary.
+
+    Scale: one window over the (bucket x type)-partitioned series for
+    first/last plus a hash-agg for high/low — the window partitions by
+    BUCKET, so parallelism grows with the series length; no global
+    sort anywhere before the dimension-sized output ordering."""
+    ev = tables.load(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    bucketed = ev.select(
+        "event_type",
+        F.date_format(
+            F.timestamp_seconds(
+                F.floor(F.unix_timestamp("ts") / 21600).cast("long") * 21600
+            ),
+            "yyyy-MM-dd HH:mm",
+        ).alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    w_desc = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = bucketed.select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number().over(w).alias("rn_a"),
+        F.row_number().over(w_desc).alias("rn_d"),
+    )
+    return (
+        ranked.groupBy("event_type", "bucket")
+        .agg(
+            F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 2).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 2).alias("close"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+_OHLC_SQL = """
+WITH bucketed AS (
+  SELECT event_type,
+         strftime(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) * 21600),
+                  '%Y-%m-%d %H:%M') AS bucket,
+         ts, event_id, value
+  FROM events WHERE value IS NOT NULL
+),
+ranked AS (
+  SELECT event_type, bucket, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM bucketed
+)
+SELECT event_type, bucket,
+       ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 2) AS open,
+       ROUND(MAX(value), 2) AS high,
+       ROUND(MIN(value), 2) AS low,
+       ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 2) AS close,
+       COUNT(*) AS n
+FROM ranked GROUP BY 1, 2 ORDER BY event_type, bucket
+"""
+
+
+register(
+    "timeseries_ohlc_resample", _timeseries_ohlc_resample, _OHLC_SQL, driver=False
+)
+
+
 def _agg_approx_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate query processing by deterministic sampling — the
     interactive-dashboard answer at 100 TB: the revenue-per-priority
