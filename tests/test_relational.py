@@ -694,3 +694,20 @@ def test_aqp_estimate_within_sampling_error(spark):
     for r in rows:
         assert r["est_revenue"] is not None, r
         assert r["rel_err_e4"] < 2000, r  # within 20%, generous band
+
+
+def test_new_entry_plan_shapes(spark):
+    """Plan-shape regression guards for the round-6 analytics entries:
+    the salted join must broadcast its replicated side (never
+    sort-merge), the anomaly window must partition by event type (a
+    global window over the hourly series would single-task at scale),
+    and the OHLC window must partition by (type, bucket)."""
+    plan = _plan(_entry().queries()["join_salted_skew"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+    plan = _plan(_entry().queries()["anomaly_rolling_zscore"](spark, SF_ORACLE))
+    assert "windowspecdefinition(event_type" in plan, plan
+
+    plan = _plan(_entry().queries()["timeseries_ohlc_resample"](spark, SF_ORACLE))
+    assert "windowspecdefinition(event_type" in plan and "bucket" in plan, plan

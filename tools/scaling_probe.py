@@ -114,6 +114,8 @@ PROBE_ENTRIES = [
     "stream_late_dlq",
     "stream_scd2_enrich",
     "join_salted_skew",
+    "agg_approx_sample_estimate",
+    "timeseries_ohlc_resample",
 ]
 
 
