@@ -413,7 +413,11 @@ def save_ivf_index(root: str, assigned, cent) -> None:
 
     spark = assigned.sparkSession
     a = VersionedTable(root + "/assignments")
-    a.append_clustered(assigned, "cluster", n_groups=int(cent.shape[0]))
+    # OVERWRITE, not append: re-saving a retrained index must replace
+    # the posting lists — an append would return the union of stale
+    # and fresh assignments (duplicate vec_ids against the new
+    # centroid matrix)
+    a.overwrite_clustered(assigned, "cluster", n_groups=int(cent.shape[0]))
     c = VersionedTable(root + "/centroids")
     rows = [
         (int(i), [float(x) for x in cent[i]]) for i in range(cent.shape[0])
@@ -447,15 +451,19 @@ def read_ivf_clusters(spark, root: str, clusters):
 
     t = VersionedTable(root + "/assignments")
     wanted = sorted({int(c) for c in clusters})
+    # pin ONE snapshot for every probe: resolving latest_version per
+    # cluster would mix two index generations if a re-save lands
+    # mid-loop
+    version = t.latest_version()
     files: list[str] = []
     for c in wanted:
-        for f in t.snapshot_files(prune=("cluster", c, c)):
+        for f in t.snapshot_files(version, prune=("cluster", c, c)):
             if f not in files:
                 files.append(f)
     from pyspark.sql import functions as F
 
     if not files:  # no probes, or every probe pruned to nothing
-        return t.read(spark).limit(0)
+        return t.read(spark, version=version).limit(0)
     df = spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(t.root, f) for f in files]
     )

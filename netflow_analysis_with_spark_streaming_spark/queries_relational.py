@@ -2229,7 +2229,8 @@ def _timeseries_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OHLC_SQL = """
 WITH bucketed AS (
   SELECT event_type,
-         strftime(to_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) * 21600),
+         strftime(make_timestamp(CAST(FLOOR(epoch(ts) / 21600) AS BIGINT)
+                                 * 21600 * 1000000),
                   '%Y-%m-%d %H:%M') AS bucket,
          ts, event_id, value
   FROM events WHERE value IS NOT NULL
@@ -2405,6 +2406,15 @@ def _anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
     ).agg(F.count("*").alias("cnt"))
+    return score_hourly_anomalies(hourly)
+
+
+def score_hourly_anomalies(hourly: DataFrame) -> DataFrame:
+    """The shared scoring stage (threshold/baseline live HERE only):
+    both the batch entry above and the streaming stream_anomaly_zscore
+    entry feed their (event_type, hour, cnt) series through this — a
+    tweak applied to one copy cannot desynchronize entries that are
+    sold as agreeing on every flagged hour."""
     base = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
     scored = hourly.select(
         "event_type",

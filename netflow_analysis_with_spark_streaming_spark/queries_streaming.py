@@ -396,7 +396,7 @@ def _stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the scoring window runs over the streamed AGGREGATE (hours
     x types), never over event rows; at cluster scale the same scoring
     runs inside foreachBatch on the delta of completed windows."""
-    from pyspark.sql import Window
+    from .queries_relational import score_hourly_anomalies
 
     win = jobs.windowed_traffic(
         _events_stream(spark, sf_dir), window="1 hour", watermark="2 hours"
@@ -408,50 +408,13 @@ def _stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("window_start", "yyyy-MM-dd HH:00").alias("hour"),
         F.col("n_events").alias("cnt"),
     )
-    base = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
-    scored = hourly.select(
-        "event_type",
-        "hour",
-        "cnt",
-        F.count("cnt").over(base).alias("n_hist"),
-        F.avg("cnt").over(base).alias("mu"),
-        F.stddev_samp("cnt").over(base).alias("sd"),
-    )
-    z = F.when(
-        (F.col("n_hist") >= 12) & (F.col("sd") > 0),
-        F.round((F.col("cnt") - F.col("mu")) / F.col("sd"), 4),
-    )
-    return scored.select(
-        "event_type",
-        "hour",
-        "cnt",
-        z.alias("z"),
-        (z.isNotNull() & (F.abs(z) > 2.5)).alias("is_anomaly"),
-    ).orderBy("event_type", "hour")
+    return score_hourly_anomalies(hourly)
 
 
-_STREAM_ANOMALY_SQL = """
-WITH hourly AS (
-  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
-         COUNT(*) AS cnt
-  FROM events GROUP BY 1, 2
-),
-scored AS (
-  SELECT event_type, hour, cnt,
-         COUNT(cnt) OVER w AS n_hist,
-         AVG(cnt) OVER w AS mu,
-         STDDEV_SAMP(cnt) OVER w AS sd
-  FROM hourly
-  WINDOW w AS (PARTITION BY event_type ORDER BY hour
-               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
-)
-SELECT event_type, hour, cnt,
-       CASE WHEN n_hist >= 12 AND sd > 0
-            THEN ROUND((cnt - mu) / sd, 4) END AS z,
-       (n_hist >= 12 AND sd > 0
-        AND ABS(ROUND((cnt - mu) / sd, 4)) > 2.5) AS is_anomaly
-FROM scored ORDER BY event_type, hour
-"""
+# streaming and batch anomaly entries share ONE oracle by design —
+# the agreement claim is enforced by construction, not by keeping two
+# SQL strings in sync
+from .queries_relational import _ANOMALY_SQL as _STREAM_ANOMALY_SQL  # noqa: E402
 
 
 register(

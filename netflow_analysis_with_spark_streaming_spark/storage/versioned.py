@@ -276,8 +276,24 @@ class VersionedTable:
         and hashing stay in whole-stage codegen; only <= m distinct
         positions reach the driver, bounded regardless of group size),
         packed into an m-bit bitmap. NULL keys are not indexed — a
-        NULL point lookup is not supported, range stats handle it."""
+        NULL point lookup is not supported, range stats handle it.
+
+        Integer/string columns ONLY, rejected at BUILD time: for a
+        double/timestamp column Spark's CAST AS STRING disagrees with
+        the probe side's str() (e.g. "490.0" vs "490"), which would
+        turn the no-false-negative guarantee into silent wrong
+        pruning — the same contract _bloom_positions_py enforces on
+        the probe side."""
         from pyspark.sql import functions as F
+        from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType, StringType
+
+        dtype = df.schema[col].dataType
+        if not isinstance(dtype, (ByteType, ShortType, IntegerType, LongType, StringType)):
+            raise TypeError(
+                f"bloom index on column {col!r} of type {dtype.simpleString()}: "
+                "only integer and string key columns are supported (other "
+                "types stringify differently on the build and probe sides)"
+            )
 
         pos = (
             df.where(F.col(col).isNotNull())
@@ -535,6 +551,21 @@ class VersionedTable:
             files = [f for f in files if overlaps(f)]
         return files
 
+    def overwrite_clustered(
+        self, df: DataFrame, col: str, n_groups: int = 8
+    ) -> int:
+        """Range-clustered OVERWRITE: the new snapshot is exactly
+        ``df``, landed clustered on ``col`` with tight per-group stats
+        — the refresh path for derived tables (e.g. a re-saved IVF
+        posting list) where append_clustered would stack the new data
+        on top of the stale snapshot."""
+        version, _, _ = self._snapshot_state()
+        self._enforce(df)
+        files, stats = self._write_clustered_group(df, col, n_groups)
+        return self._commit(
+            files, "overwrite", df.schema.json(), stats=stats, version=version
+        )
+
     def append_zordered(
         self,
         df: DataFrame,
@@ -583,6 +614,8 @@ class VersionedTable:
         sibling of rewrite_clustered, for tables whose ingest order
         left every file spanning both key ranges. Old versions stay
         readable (time travel) until vacuum()."""
+        if self.latest_version() is None:
+            raise ValueError(f"table {self.root} has no committed version")
         version, _, _ = self._snapshot_state()
         df = self.read(spark, version=version - 1 if version else None)
         written = self._write_zordered_group(df, cols, n_groups, bits)
@@ -704,7 +737,7 @@ class VersionedTable:
         for v in self.versions():
             if since_version < v <= to_version:
                 m = self._manifest(v)
-                if m["action"] in ("compact", "rewrite_clustered"):
+                if m["action"] in ("compact", "rewrite_clustered", "rewrite_zordered"):
                     # row-preserving rewrites: same rows, new files —
                     # contribute nothing, just move the file baseline
                     # (without this, routine compaction walls the feed)
@@ -760,7 +793,7 @@ class VersionedTable:
             if not (since_version < v <= to_version):
                 continue
             m = self._manifest(v)
-            if m["action"] in ("compact", "rewrite_clustered"):
+            if m["action"] in ("compact", "rewrite_clustered", "rewrite_zordered"):
                 # row-preserving rewrite: no change slice, new baseline
                 # (keeps maybe_compact-after-every-batch compatible
                 # with StreamingViewMaintainer's feed consumption)
@@ -1064,6 +1097,8 @@ class VersionedTable:
         without this, the first auto-compaction after a streaming
         ingest silently killed pruning for the rest of the table's
         life (reads stayed correct, only conservative)."""
+        if self.latest_version() is None:
+            raise ValueError(f"table {self.root} has no committed version")
         version, _, prev_stats = self._snapshot_state()
         df = self.read(spark, version=version - 1 if version else None).coalesce(
             target_partitions
@@ -1074,9 +1109,17 @@ class VersionedTable:
         bloom_cols = sorted(
             {c for s in prev_stats.values() for c in s.get(_BLOOM_KEY, {})}
         )
-        new, new_stats = self._write_files(
-            df, stats_cols=stat_cols or None, bloom_cols=bloom_cols or None
-        )
+        # persist: the write + min/max agg + one bloom job per column
+        # each consume df — without the cache every consumer re-scans
+        # the ENTIRE pre-compaction snapshot (same reasoning as
+        # delete_where/replace_where)
+        df = df.persist()
+        try:
+            new, new_stats = self._write_files(
+                df, stats_cols=stat_cols or None, bloom_cols=bloom_cols or None
+            )
+        finally:
+            df.unpersist()
         return self._commit(
             new, "compact", df.schema.json(), stats=new_stats, version=version
         )
@@ -1091,6 +1134,8 @@ class VersionedTable:
         span the full key range and stats pruning is useless; a
         periodic recluster restores it. Old versions stay readable
         (time travel) until vacuum()."""
+        if self.latest_version() is None:
+            raise ValueError(f"table {self.root} has no committed version")
         version, _, _ = self._snapshot_state()
         df = self.read(spark, version=version - 1 if version else None)
         files, stats = self._write_clustered_group(df, col, n_groups)

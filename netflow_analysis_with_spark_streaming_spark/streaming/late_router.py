@@ -57,11 +57,19 @@ class LateDataRouter:
             return  # fully landed already (bookkeeping commits LAST)
         wm = self.watermark_us(spark)
         ts_us = F.unix_micros(F.col(self.ts_col))
+        # NULL event times cannot be ordered against any watermark —
+        # they route to the dead-letter table unconditionally (both
+        # before and after the first watermark, so the rule is
+        # arrival-independent). Leaving them to the comparison
+        # predicates would satisfy NEITHER filter and silently drop
+        # them — exactly the vanishing this component exists to stop.
+        null_ts = F.col(self.ts_col).isNull()
         if wm is None:
-            ontime, late = batch_df, batch_df.limit(0)
+            ontime = batch_df.filter(~null_ts)
+            late = batch_df.filter(null_ts)
         else:
             ontime = batch_df.filter(ts_us >= F.lit(wm))
-            late = batch_df.filter(ts_us < F.lit(wm))
+            late = batch_df.filter(null_ts | (ts_us < F.lit(wm)))
         # data first, bookkeeping last: a crash in between replays the
         # batch; the data appends are batch-id no-ops the second time
         self.ontime.append(ontime, batch_id=batch_id)

@@ -964,3 +964,27 @@ def test_ivf_index_persistence_roundtrip(spark, tmp_path):
     }
     want = {(v, c) for v, c in mem.items() if c in (0, 5)}
     assert got == want
+
+
+def test_ivf_index_resave_replaces_posting_lists(spark, tmp_path):
+    """Re-saving a retrained index to the same root must REPLACE the
+    posting lists — an append would return stale+fresh unions with
+    duplicate vec_ids against the new centroid matrix."""
+    from netflow_analysis_with_spark_streaming_spark import tables
+    from netflow_analysis_with_spark_streaming_spark.functions import vectors as V
+    from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+        VersionedTable,
+    )
+
+    emb = tables.load(spark, "embeddings", SF_ORACLE)
+    root = str(tmp_path / "ivf")
+    a1, c1 = V.ivf_index(emb.filter("vec_id < 300"), n_centroids=8)
+    V.save_ivf_index(root, a1, c1)
+    a2, c2 = V.ivf_index(emb, n_centroids=16)
+    V.save_ivf_index(root, a2, c2)  # retrain + re-save
+    stored = VersionedTable(root + "/assignments").read(spark)
+    want = {r["vec_id"]: r["cluster"] for r in a2.collect()}
+    got_rows = stored.collect()
+    assert len(got_rows) == len(want)  # no stale duplicates
+    assert {r["vec_id"]: r["cluster"] for r in got_rows} == want
+    assert V.load_ivf_centroids(spark, root).shape == c2.shape

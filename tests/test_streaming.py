@@ -1218,3 +1218,26 @@ def test_late_router_randomized_differential(spark, tmp_path):
         got_ontime = {x["event_id"] for x in r.ontime.read(spark).collect()}
         assert got_late == want_late, (seed, got_late, want_late)
         assert got_ontime == want_ontime, (seed, got_ontime, want_ontime)
+
+
+def test_late_router_null_ts_goes_to_dead_letter(spark, tmp_path):
+    """A NULL event time cannot be ordered against any watermark — it
+    must land in the dead-letter table (never vanish), both before
+    and after the first watermark exists."""
+    import datetime as dt
+
+    from netflow_analysis_with_spark_streaming_spark.streaming.late_router import (
+        LateDataRouter,
+    )
+
+    r = LateDataRouter(str(tmp_path / "r"), delay_us=3_600_000_000)
+    b0 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 10)), (2, None)], "event_id long, ts timestamp"
+    )
+    r.process_batch(b0, 0)  # NULL routed late even pre-watermark
+    b1 = spark.createDataFrame([(3, None)], "event_id long, ts timestamp")
+    r.process_batch(b1, 1)
+    assert {x["event_id"] for x in r.late.read(spark).collect()} == {2, 3}
+    assert {x["event_id"] for x in r.ontime.read(spark).collect()} == {1}
+    # nothing vanished
+    assert r.late.read(spark).count() + r.ontime.read(spark).count() == 3
