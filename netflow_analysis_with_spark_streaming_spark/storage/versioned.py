@@ -551,6 +551,30 @@ class VersionedTable:
             files = [f for f in files if overlaps(f)]
         return files
 
+    def restore(self, version: int) -> int:
+        """Delta RESTORE analog: make snapshot ``version`` current
+        again by committing a NEW version that references the old
+        snapshot's files — the undo button for a bad write. History
+        is preserved (the bad versions stay readable for forensics
+        until vacuum); data files are shared by reference, nothing is
+        rewritten. Fails closed if the target's files were already
+        vacuumed away."""
+        m = self._manifest(version)  # raises FileNotFoundError if gone
+        for f in m["files"]:
+            if not os.path.exists(os.path.join(self.root, f)):
+                raise ValueError(
+                    f"cannot restore version {version}: data group {f} "
+                    "was vacuumed"
+                )
+        next_version, _, _ = self._snapshot_state()
+        return self._commit(
+            m["files"],
+            "restore",
+            m["schema"],
+            stats=m.get("stats", {}),
+            version=next_version,
+        )
+
     def overwrite_clustered(
         self, df: DataFrame, col: str, n_groups: int = 8
     ) -> int:

@@ -1420,3 +1420,36 @@ def test_bloom_rejects_unmirrorable_probe_types(spark, tmp_path):
     for bad in (True, 1.5, object()):
         with pytest.raises(TypeError, match="integer or string"):
             t.snapshot_files(point=("k", bad))
+
+
+def test_restore_old_snapshot(spark, tmp_path):
+    """RESTORE: an old snapshot becomes current via a new commit that
+    shares its files by reference — the undo for a bad write. The bad
+    version stays readable (forensics), a vacuumed target fails
+    closed, and the change feed refuses to bridge a restore (it is
+    NOT row-preserving)."""
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))           # v0
+    t.append(_df(spark, [(2, "b")]))           # v1
+    t.overwrite(_df(spark, [(9, "BAD")]))      # v2: the mistake
+    v3 = t.restore(1)
+    assert v3 == 3
+    assert {r["k"] for r in t.read(spark).collect()} == {1, 2}
+    assert t.history()[-1]["action"] == "restore"
+    # forensics: the bad version is still addressable
+    assert {r["k"] for r in t.read(spark, version=2).collect()} == {9}
+    # stats ride along: the restored manifest carries v1's stats
+    t2 = VersionedTable(str(tmp_path / "s"))
+    t2.append(spark.range(5).selectExpr("id AS k"), stats_cols=["k"])
+    t2.overwrite(spark.range(100, 105).selectExpr("id AS k"), stats_cols=["k"])
+    t2.restore(0)
+    assert t2.snapshot_files(prune=("k", 50, 60)) == []
+    # feed refuses to bridge the restore (rows changed non-additively)
+    with pytest.raises(ValueError):
+        t.read_change_feed(spark, 1)
+    # vacuumed target fails closed
+    t.vacuum(keep_last=1, min_age_s=0)
+    with pytest.raises((ValueError, FileNotFoundError)):
+        t.restore(2)
