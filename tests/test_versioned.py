@@ -1042,7 +1042,8 @@ def test_model_based_op_sequences(spark):
         model.update({i: f"s{seed}_{i}" for i in range(10)})
         for step in range(12):
             op = rng.choice(
-                ["append", "upsert", "delete", "replace", "compact", "recluster"]
+                ["append", "upsert", "delete", "replace", "compact",
+                 "recluster", "restore"]
             )
             if op == "append":
                 base = 100 * (step + 1)
@@ -1072,6 +1073,11 @@ def test_model_based_op_sequences(spark):
                 model.update(dict(rows))
             elif op == "compact":
                 t.compact(spark, target_partitions=2)
+            elif op == "restore":
+                if snapshots:
+                    v, snap = rng.choice(snapshots)
+                    t.restore(v)
+                    model = dict(snap)
             else:
                 if model:
                     t.rewrite_clustered(spark, "k", n_groups=2)
