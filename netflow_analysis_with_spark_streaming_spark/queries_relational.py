@@ -2401,6 +2401,8 @@ def _anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension-sized series PARTITIONED BY event type — never a window
     over fact rows. At 100 TB the hourly series is still ~9k rows/yr
     per type."""
+    from .operators.anomaly import score_hourly_anomalies
+
     events = tables.load(spark, "events", sf_dir)
     hourly = events.groupBy(
         "event_type",
@@ -2409,62 +2411,7 @@ def _anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_hourly_anomalies(hourly)
 
 
-def score_hourly_anomalies(hourly: DataFrame) -> DataFrame:
-    """The shared scoring stage (threshold/baseline live HERE only):
-    both the batch entry above and the streaming stream_anomaly_zscore
-    entry feed their (event_type, hour, cnt) series through this — a
-    tweak applied to one copy cannot desynchronize entries that are
-    sold as agreeing on every flagged hour."""
-    base = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
-    scored = hourly.select(
-        "event_type",
-        "hour",
-        "cnt",
-        F.count("cnt").over(base).alias("n_hist"),
-        F.avg("cnt").over(base).alias("mu"),
-        F.stddev_samp("cnt").over(base).alias("sd"),
-    )
-    z = F.when(
-        (F.col("n_hist") >= 12) & (F.col("sd") > 0),
-        F.round((F.col("cnt") - F.col("mu")) / F.col("sd"), 4),
-    )
-    return (
-        scored.select(
-            "event_type",
-            "hour",
-            "cnt",
-            z.alias("z"),
-            (z.isNotNull() & (F.abs(z) > 2.5)).alias("is_anomaly"),
-        )
-        .orderBy("event_type", "hour")
-    )
-
-
-_ANOMALY_SQL = """
-WITH hourly AS (
-  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
-         COUNT(*) AS cnt
-  FROM events GROUP BY 1, 2
-),
-scored AS (
-  SELECT event_type, hour, cnt,
-         COUNT(cnt) OVER w AS n_hist,
-         AVG(cnt) OVER w AS mu,
-         STDDEV_SAMP(cnt) OVER w AS sd
-  FROM hourly
-  WINDOW w AS (PARTITION BY event_type ORDER BY hour
-               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
-),
-z AS (
-  SELECT event_type, hour, cnt,
-         CASE WHEN n_hist >= 12 AND sd > 0
-              THEN ROUND((cnt - mu) / sd, 4) END AS z
-  FROM scored
-)
-SELECT event_type, hour, cnt, z,
-       (z IS NOT NULL AND ABS(z) > 2.5) AS is_anomaly
-FROM z ORDER BY event_type, hour
-"""
+from .operators.anomaly import ANOMALY_SQL as _ANOMALY_SQL  # shared with the streamed entry
 
 
 register(

@@ -396,7 +396,7 @@ def _stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the scoring window runs over the streamed AGGREGATE (hours
     x types), never over event rows; at cluster scale the same scoring
     runs inside foreachBatch on the delta of completed windows."""
-    from .queries_relational import score_hourly_anomalies
+    from .operators.anomaly import score_hourly_anomalies
 
     win = jobs.windowed_traffic(
         _events_stream(spark, sf_dir), window="1 hour", watermark="2 hours"
@@ -413,8 +413,9 @@ def _stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # streaming and batch anomaly entries share ONE oracle by design —
 # the agreement claim is enforced by construction, not by keeping two
-# SQL strings in sync
-from .queries_relational import _ANOMALY_SQL as _STREAM_ANOMALY_SQL  # noqa: E402
+# SQL strings in sync (operators/anomaly.py is registry-free, so this
+# import is safe in ANY registrar import order)
+from .operators.anomaly import ANOMALY_SQL as _STREAM_ANOMALY_SQL  # noqa: E402
 
 
 register(
