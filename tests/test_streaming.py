@@ -1241,3 +1241,16 @@ def test_late_router_null_ts_goes_to_dead_letter(spark, tmp_path):
     assert {x["event_id"] for x in r.ontime.read(spark).collect()} == {1}
     # nothing vanished
     assert r.late.read(spark).count() + r.ontime.read(spark).count() == 3
+
+
+def test_anomaly_stream_equals_batch(spark):
+    """The claim on the tin, checked directly (not via the shared
+    oracle): the streamed anomaly entry's rows equal the batch
+    entry's rows exactly — same hours, same z, same flags."""
+    from conftest import CORPUS, SF_ORACLE
+
+    batch = CORPUS.queries()["anomaly_rolling_zscore"](spark, SF_ORACLE).collect()
+    stream = CORPUS.queries()["stream_anomaly_zscore"](spark, SF_ORACLE).collect()
+    key = lambda r: (r["event_type"], r["hour"])  # noqa: E731
+    assert sorted(map(tuple, batch), key=str) == sorted(map(tuple, stream), key=str)
+    assert len(batch) == len({key(r) for r in batch})
