@@ -2177,6 +2177,66 @@ ORDER BY o.o_orderkey
 register("join_point_in_time", _join_point_in_time, _PIT_JOIN_SQL, driver=False)
 
 
+def _topk_decayed_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted top talkers — the ranking a live dashboard
+    wants (yesterday's burst should outrank a steady trickle from two
+    weeks ago): each user's daily event count decays by a factor of 2
+    per day of age, so score = SUM(daily_cnt >> age_days). The decay
+    is an INTEGER right-shift — exactly floor(cnt / 2^age) on both
+    engines — so unlike exponential-float decay the oracle is
+    hash-exact, not tolerance-checked. Shift capped at 30: a count
+    older than 30 halvings contributes 0 anyway, and the cap keeps
+    the shift in defined range on any engine.
+
+    Scale: one (user x day) hash-agg over the facts, then a user-level
+    hash-agg over that dimension-sized table; top-10 is
+    TakeOrderedAndProject, never a global sort."""
+    events = tables.load(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    last_day = daily.agg(F.max("day").alias("d1"))
+    # div by 2^age, not shiftright: F.shiftright takes a literal bit
+    # count, and 2^k is exact in a double for k <= 30 so the cast is
+    # lossless — integer semantics identical to the oracle's `//`
+    scored = daily.join(F.broadcast(last_day)).select(
+        "user_id",
+        F.expr(
+            "cnt div CAST(power(2, least(datediff(to_date(d1), to_date(day)), 30))"
+            " AS BIGINT)"
+        ).alias("decayed"),
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(F.sum("decayed").alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), "user_id")
+        .limit(10)
+    )
+
+
+_DECAYED_TOPK_SQL = """
+WITH daily AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+last AS (SELECT MAX(day) AS d1 FROM daily),
+scored AS (
+  SELECT user_id,
+         cnt // (1 << LEAST(datediff('day', CAST(day AS DATE),
+                                     CAST((SELECT d1 FROM last) AS DATE)),
+                            30)) AS decayed
+  FROM daily
+)
+SELECT user_id, CAST(SUM(decayed) AS BIGINT) AS score
+FROM scored GROUP BY user_id HAVING SUM(decayed) > 0
+ORDER BY score DESC, user_id LIMIT 10
+"""
+
+
+register("topk_decayed_talkers", _topk_decayed_talkers, _DECAYED_TOPK_SQL, driver=False)
+
+
 def _timeseries_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series downsampling to OHLC bars (the resample('6H')
     .ohlc() every metrics store offers): per event type and 6-hour
