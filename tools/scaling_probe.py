@@ -116,6 +116,7 @@ PROBE_ENTRIES = [
     "join_salted_skew",
     "agg_approx_sample_estimate",
     "timeseries_ohlc_resample",
+    "topk_decayed_talkers",
 ]
 
 
