@@ -711,3 +711,71 @@ def test_new_entry_plan_shapes(spark):
 
     plan = _plan(_entry().queries()["timeseries_ohlc_resample"](spark, SF_ORACLE))
     assert "windowspecdefinition(event_type" in plan and "bucket" in plan, plan
+
+
+def test_quantile_sketch_random_ranges_vs_python(spark):
+    """Random day ranges through the histogram-sketch machinery vs a
+    pure-Python recompute: for ANY range, the merged bin counts and
+    the rank-selected bin edges must match the model exactly (the
+    entry pins one range; this pins the general mechanism)."""
+    import math
+    import random
+
+    import pyspark.sql.functions as F
+
+    from conftest import SF_ORACLE
+    from netflow_analysis_with_spark_streaming_spark import tables
+
+    ev = (
+        tables.load(spark, "events", SF_ORACLE)
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "value",
+        )
+        .collect()
+    )
+    sketch_df = (
+        tables.load(spark, "events", SF_ORACLE)
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.floor(F.col("value") / 4.0).cast("long").alias("bin"),
+        )
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    rng = random.Random(13)
+    days = sorted({r["day"] for r in ev})
+    for _ in range(4):
+        lo, hi = sorted(rng.sample(range(len(days)), 2))
+        d0, d1 = days[lo], days[hi]
+        # model: per-type sorted values in range
+        vals: dict = {}
+        for r in ev:
+            if d0 <= r["day"] <= d1:
+                vals.setdefault(r["event_type"], []).append(r["value"])
+        # merged sketch from the per-day rows
+        merged: dict = {}
+        for r in sketch_df:
+            if d0 <= r["day"] <= d1:
+                merged[(r["event_type"], r["bin"])] = (
+                    merged.get((r["event_type"], r["bin"]), 0) + r["c"]
+                )
+        for t, xs in vals.items():
+            xs.sort()
+            n = len(xs)
+            assert n == sum(c for (tt, _), c in merged.items() if tt == t)
+            for q in (0.5, 0.9, 0.99):
+                # sketch pick: first bin whose cumsum >= ceil(q*n)
+                target = math.ceil(q * n)
+                cum = 0
+                for b in sorted(b for (tt, b) in merged if tt == t):
+                    cum += merged[(t, b)]
+                    if cum >= target:
+                        pick = b
+                        break
+                exact = xs[target - 1]
+                assert pick == math.floor(exact / 4.0), (t, q, d0, d1)
