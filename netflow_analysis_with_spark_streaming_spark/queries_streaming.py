@@ -963,7 +963,12 @@ WITH wm AS (
   FROM events WHERE user_id % 2 = 0
 )
 SELECT event_id,
-       CASE WHEN user_id % 2 = 1 AND epoch_us(ts) < (SELECT wm_us FROM wm)
+       -- NULL event times mirror the router's unconditional dead-letter
+       -- rule (late_router.py routes NULL ts to the DLQ in every batch);
+       -- without this arm a NULL would fall to ELSE 'ontime' and break
+       -- the hash the first time a fixture grows a NULL timestamp
+       CASE WHEN ts IS NULL THEN 'late'
+            WHEN user_id % 2 = 1 AND epoch_us(ts) < (SELECT wm_us FROM wm)
             THEN 'late' ELSE 'ontime' END AS route
 FROM events ORDER BY event_id
 """
@@ -1004,12 +1009,18 @@ def _stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream(spark, sf_dir).withColumn(
         "day", F.date_format("ts", "yyyy-MM-dd")
     )
+    # LEFT join with a tier-0 default: an event dated before the
+    # dimension's first valid_from must not be DROPPED by enrichment
+    # (the fixture's min ts is exactly the first valid_from, so an
+    # inner join was latently one day away from silently losing rows);
+    # the oracle's CASE likewise assigns tier 0 below the floor.
     enriched = ev.join(
         F.broadcast(dim),
         (F.col("user_id") == F.col("k"))
         & (F.col("valid_from") <= F.col("day"))
         & (F.col("valid_to").isNull() | (F.col("day") < F.col("valid_to"))),
-    )
+        "left",
+    ).withColumn("tier", F.coalesce(F.col("tier"), F.lit(0)))
     agg = enriched.groupBy("tier", "event_type").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),

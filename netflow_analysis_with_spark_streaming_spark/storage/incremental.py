@@ -229,18 +229,28 @@ def maintain_from_feed(
 def feed_delta_sketch(feed: DataFrame, keys: list[str], distinct_col: str) -> DataFrame:
     """Collapse an insert-only change-feed window into one HLL sketch
     (plus row count) per key. Raises on delete rows — silently
-    treating them as inserts would overcount forever."""
-    # cheap guard: one aggregate over the window, not a full pass per
-    # change type (the window is delta-sized by construction)
-    if feed.filter(F.col("_change_type") != "insert").limit(1).count() > 0:
+    treating them as inserts would overcount forever.
+
+    The delete guard rides the SAME aggregate as the sketch (a
+    non-insert counter per group) and the grouped result is
+    localCheckpoint'ed, so the feed window is evaluated exactly once —
+    the earlier limit(1).count() pre-check scanned it a second time."""
+    g = feed.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("d_rows"),
+        F.hll_sketch_agg(distinct_col).alias("d_sketch"),
+        F.sum(
+            F.when(F.col("_change_type") != "insert", F.lit(1)).otherwise(F.lit(0))
+        ).alias("_non_insert"),
+    )
+    # eager: materializes the (touched-key-sized) grouped result now;
+    # the guard below and the caller's apply both read the checkpoint
+    g = g.localCheckpoint(eager=True)
+    if g.filter(F.col("_non_insert") > 0).limit(1).count() > 0:
         raise ValueError(
             "distinct-count views are append-only: the feed window "
             "contains deletes; recompute the view instead"
         )
-    return feed.groupBy(*keys).agg(
-        F.count("*").cast("long").alias("d_rows"),
-        F.hll_sketch_agg(distinct_col).alias("d_sketch"),
-    )
+    return g.drop("_non_insert")
 
 
 def apply_delta_sketch(

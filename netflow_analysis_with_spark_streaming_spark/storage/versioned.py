@@ -63,6 +63,14 @@ from pyspark.sql.types import StructType
 _BLOOM_M = 4096
 _BLOOM_K = 3
 _BLOOM_KEY = "__bloom__"
+# compaction folds EVERY group's keys into one bloom, so the fixed
+# per-group m saturates past ~1.5k distinct keys (~100% false
+# positives while still paying a full-scan build job per column).
+# compact() therefore sizes m from an approx distinct count — up to
+# this ceiling (32 KiB of manifest per column, ~60k keys at <=50%
+# fill); above it the column's bloom is dropped and the compacted
+# group falls back to conservative (never-pruned) point reads.
+_BLOOM_M_MAX = 1 << 18
 
 
 def _bloom_positions_py(value: object, m: int = _BLOOM_M, k: int = _BLOOM_K) -> list[int]:
@@ -240,6 +248,7 @@ class VersionedTable:
         df: DataFrame,
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
+        bloom_m: dict[str, int] | None = None,
     ) -> tuple[list[str], dict]:
         """Write df as a new immutable file group; returns (paths,
         stats) — paths relative to the table root, stats the group's
@@ -266,12 +275,15 @@ class VersionedTable:
                 path: {c: [row[f"min_{c}"], row[f"max_{c}"]] for c in stats_cols}
             }
         if bloom_cols:
-            blooms = {c: self._build_bloom(df, c) for c in bloom_cols}
+            blooms = {
+                c: self._build_bloom(df, c, m=(bloom_m or {}).get(c, _BLOOM_M))
+                for c in bloom_cols
+            }
             stats.setdefault(path, {})[_BLOOM_KEY] = blooms
         return [path], stats
 
     @staticmethod
-    def _build_bloom(df: DataFrame, col: str) -> dict:
+    def _build_bloom(df: DataFrame, col: str, m: int = _BLOOM_M) -> dict:
         """Distinct set-bit positions computed engine-side (the scan
         and hashing stay in whole-stage codegen; only <= m distinct
         positions reach the driver, bounded regardless of group size),
@@ -298,17 +310,17 @@ class VersionedTable:
         pos = (
             df.where(F.col(col).isNotNull())
             .select(
-                F.explode(F.array(*_bloom_position_cols(col))).alias("p")
+                F.explode(F.array(*_bloom_position_cols(col, m=m))).alias("p")
             )
             .distinct()
             .collect()
         )
-        bits = bytearray(_BLOOM_M // 8)
+        bits = bytearray(m // 8)
         for r in pos:
             p = int(r["p"])
             bits[p // 8] |= 1 << (p % 8)
         return {
-            "m": _BLOOM_M,
+            "m": m,
             "k": _BLOOM_K,
             "b64": base64.b64encode(bytes(bits)).decode("ascii"),
         }
@@ -558,7 +570,12 @@ class VersionedTable:
         is preserved (the bad versions stay readable for forensics
         until vacuum); data files are shared by reference, nothing is
         rewritten. Fails closed if the target's files were already
-        vacuumed away."""
+        vacuumed away — including the check-then-commit race with a
+        CONCURRENT vacuum (vacuum's min_age_s grace only protects
+        young staged groups, not the old target groups restore is
+        resurrecting): file existence is re-verified AFTER the commit,
+        and a manifest caught referencing deleted groups is unpublished
+        before raising, so no reader ever resolves to missing files."""
         m = self._manifest(version)  # raises FileNotFoundError if gone
         for f in m["files"]:
             if not os.path.exists(os.path.join(self.root, f)):
@@ -567,13 +584,32 @@ class VersionedTable:
                     "was vacuumed"
                 )
         next_version, _, _ = self._snapshot_state()
-        return self._commit(
+        committed = self._commit(
             m["files"],
             "restore",
             m["schema"],
             stats=m.get("stats", {}),
             version=next_version,
         )
+        # Once the restore manifest is current, these groups are live
+        # again and any LATER vacuum keeps them; only a vacuum that ran
+        # in the window between the pre-check and the link can have
+        # removed them. Re-verify and roll the manifest back if so.
+        gone = [
+            f
+            for f in m["files"]
+            if not os.path.exists(os.path.join(self.root, f))
+        ]
+        if gone:
+            try:
+                os.unlink(os.path.join(self._log, f"{committed:08d}.json"))
+            except FileNotFoundError:
+                pass
+            raise ValueError(
+                f"cannot restore version {version}: data group(s) "
+                f"{gone} were vacuumed concurrently; restore rolled back"
+            )
+        return committed
 
     def overwrite_clustered(
         self, df: DataFrame, col: str, n_groups: int = 8
@@ -1120,7 +1156,18 @@ class VersionedTable:
         group over every column any pre-compaction group indexed —
         without this, the first auto-compaction after a streaming
         ingest silently killed pruning for the rest of the table's
-        life (reads stayed correct, only conservative)."""
+        life (reads stayed correct, only conservative).
+
+        The rebuilt blooms are SIZED from an approx distinct count:
+        the per-batch default m=4096 is tuned for ~600 keys per group,
+        but compaction folds the whole table's keys into one group —
+        at ~1.5k distinct keys a 4096-bit filter saturates (~100%
+        false positives) yet still costs a full-scan build job per
+        column. m grows (next power of two, <=50% fill) up to
+        _BLOOM_M_MAX; a column whose cardinality needs more than that
+        is dropped from the rebuilt index and the compacted group
+        falls back to conservative (never bloom-pruned) point reads —
+        correct, just unpruned, and it skips the pointless build."""
         if self.latest_version() is None:
             raise ValueError(f"table {self.root} has no committed version")
         version, _, prev_stats = self._snapshot_state()
@@ -1133,14 +1180,41 @@ class VersionedTable:
         bloom_cols = sorted(
             {c for s in prev_stats.values() for c in s.get(_BLOOM_KEY, {})}
         )
-        # persist: the write + min/max agg + one bloom job per column
-        # each consume df — without the cache every consumer re-scans
-        # the ENTIRE pre-compaction snapshot (same reasoning as
-        # delete_where/replace_where)
+        # persist: the write + min/max agg + NDV agg + one bloom job
+        # per column each consume df — without the cache every
+        # consumer re-scans the ENTIRE pre-compaction snapshot (same
+        # reasoning as delete_where/replace_where)
         df = df.persist()
         try:
+            bloom_m: dict[str, int] = {}
+            if bloom_cols:
+                from pyspark.sql import functions as F
+
+                ndv_row = df.agg(
+                    *[
+                        F.approx_count_distinct(c).alias(c)
+                        for c in bloom_cols
+                    ]
+                ).collect()[0]
+                kept: list[str] = []
+                for c in bloom_cols:
+                    # m for <=50% fill: n*k/ln2, next power of two;
+                    # 1.2x inflates the HLL estimate (default rsd 5%)
+                    # so an undershoot can't push fill past the target
+                    need = int(int(ndv_row[c]) * 1.2 * _BLOOM_K / 0.6931) + 1
+                    m = _BLOOM_M
+                    while m < need:
+                        m *= 2
+                    if m > _BLOOM_M_MAX:
+                        continue  # saturated at any affordable m: drop
+                    kept.append(c)
+                    bloom_m[c] = m
+                bloom_cols = kept
             new, new_stats = self._write_files(
-                df, stats_cols=stat_cols or None, bloom_cols=bloom_cols or None
+                df,
+                stats_cols=stat_cols or None,
+                bloom_cols=bloom_cols or None,
+                bloom_m=bloom_m or None,
             )
         finally:
             df.unpersist()

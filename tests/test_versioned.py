@@ -1459,3 +1459,105 @@ def test_restore_old_snapshot(spark, tmp_path):
     t.vacuum(keep_last=1, min_age_s=0)
     with pytest.raises((ValueError, FileNotFoundError)):
         t.restore(2)
+
+
+def test_compact_sizes_blooms_from_cardinality(spark, tmp_path):
+    """Compaction folds the whole table's keys into ONE group, so the
+    per-batch default m=4096 saturates past ~1.5k distinct keys —
+    every probe would pay the positions check and prune nothing. The
+    rebuilt bloom must be SIZED from the compacted cardinality: m
+    grows to keep <=50% fill, and absent keys still prune the single
+    compacted group most of the time."""
+    import base64
+
+    t = VersionedTable(str(tmp_path / "big"))
+    n_groups, per = 8, 500  # 4000 distinct keys total
+    for g in range(n_groups):
+        t.append(
+            spark.range(per).selectExpr(f"id * {n_groups} + {g} AS k"),
+            stats_cols=["k"],
+            bloom_cols=["k"],
+        )
+    t.compact(spark, target_partitions=1)
+    m = t._manifest(t.latest_version())
+    (path,) = m["files"]
+    bloom = m["stats"][path]["__bloom__"]["k"]
+    # 4000 keys * 3 hashes / ln2 ~ 17.3k bits -> next pow2 = 32768
+    assert bloom["m"] >= 32768, bloom["m"]
+    bits = base64.b64decode(bloom["b64"])
+    fill = sum(bin(b).count("1") for b in bits) / bloom["m"]
+    assert fill <= 0.5, fill  # not saturated
+    # absent keys prune the compacted group far more often than not
+    pruned = sum(
+        1
+        for i in range(50)
+        if t.snapshot_files(point=("k", 4_000_000 + i)) == []
+    )
+    assert pruned >= 40, pruned
+    # present keys always survive pruning (no false negatives)
+    for k in (0, 7, 1234, 3999):
+        assert t.read(spark, point=("k", k)).filter(F.col("k") == k).count() == 1
+
+
+def test_compact_drops_bloom_beyond_ceiling(spark, tmp_path, monkeypatch):
+    """A compacted cardinality that would need m beyond _BLOOM_M_MAX
+    drops the column from the rebuilt index instead of building a
+    saturated filter: point reads fall back to conservative (the
+    group is always kept) but stay correct."""
+    from netflow_analysis_with_spark_streaming_spark.storage import versioned
+
+    # lower the ceiling so the drop path triggers at test scale
+    monkeypatch.setattr(versioned, "_BLOOM_M_MAX", 8192)
+    t = VersionedTable(str(tmp_path / "huge"))
+    for g in range(4):
+        t.append(
+            spark.range(2000).selectExpr(f"id * 4 + {g} AS k"),
+            bloom_cols=["k"],
+        )
+    t.compact(spark, target_partitions=1)
+    m = t._manifest(t.latest_version())
+    (path,) = m["files"]
+    assert "k" not in m["stats"].get(path, {}).get("__bloom__", {})
+    # conservative fallback: absent key keeps the group, reads correct
+    assert len(t.snapshot_files(point=("k", 999_999))) == 1
+    assert t.read(spark, point=("k", 40)).filter("k = 40").count() == 1
+
+
+def test_restore_rolls_back_on_concurrent_vacuum(spark, tmp_path, monkeypatch):
+    """The check-then-commit race: a vacuum that deletes the restore
+    target's data groups BETWEEN restore's existence pre-check and its
+    manifest publish must not leave a current version referencing
+    missing files — restore re-verifies after the commit, unpublishes
+    the bad manifest and raises."""
+    import os
+
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "r"))
+    t.append(_df(spark, [(1, "a")]))  # v0 - restore target
+    t.overwrite(_df(spark, [(9, "z")]))  # v1 - current
+    target_files = [
+        os.path.join(t.root, f) for f in t._manifest(0)["files"]
+    ]
+    real_commit = t._commit
+
+    def racing_commit(*a, **kw):
+        # the concurrent vacuum wins the race: target groups vanish
+        # after the pre-check passed, before the manifest publishes
+        for path in target_files:
+            if os.path.isdir(path):
+                import shutil
+
+                shutil.rmtree(path)
+            elif os.path.exists(path):
+                os.unlink(path)
+        return real_commit(*a, **kw)
+
+    monkeypatch.setattr(t, "_commit", racing_commit)
+    with pytest.raises(ValueError, match="concurrent"):
+        t.restore(0)
+    monkeypatch.undo()
+    # the bad manifest was unpublished: v1 is still current and readable
+    assert t.latest_version() == 1
+    assert [r["k"] for r in t.read(spark).collect()] == [9]
+    assert [h["action"] for h in t.history()] == ["append", "overwrite"]
