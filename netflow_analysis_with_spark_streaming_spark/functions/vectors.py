@@ -237,9 +237,17 @@ def ivf_index(emb, n_centroids: int = 16, lloyd_iters: int = 3):
     from pyspark.sql import functions as F
 
     sc = emb.sparkSession.sparkContext
-    cent_rows = sorted(
-        emb.filter(emb.vec_id < n_centroids).select("vec_id", "embedding").collect(),
-        key=lambda r: r["vec_id"],
+    # seed from the first n_centroids vectors IN vec_id ORDER — not
+    # `vec_id < n_centroids`, which silently assumed ids are contiguous
+    # from 0 and returned a degenerate (short or empty) seed matrix on
+    # any filtered / resharded / id-shifted corpus. Same determinism
+    # (smallest ids win), no contiguity assumption; TakeOrdered keeps
+    # only k rows on the driver.
+    cent_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(n_centroids)
+        .collect()
     )
     cent = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
     cent /= np.linalg.norm(cent, axis=1, keepdims=True)
@@ -285,11 +293,41 @@ def ivf_index(emb, n_centroids: int = 16, lloyd_iters: int = 3):
     return assigned, cent
 
 
+def _lsh_subsplit(assigned, dim: int, max_cluster_rows: int):
+    """Bound cluster populations by construction: one k-row size agg,
+    then deterministic LSH hyperplane-sign sub-buckets for the
+    oversized clusters ONLY (``sub`` = 0 everywhere else, so the
+    common path's grouping — and its results — are unchanged). Plane
+    count targets half the bound for the worst cluster, capped at 10
+    (1024-way split). Near-identical blobs share every plane sign and
+    stay together — the prune kernel's single-component fast path
+    handles that shape in linear time instead."""
+    sizes = {
+        r["cluster"]: r["n"]
+        for r in assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    oversized = {c: n for c, n in sizes.items() if n > max_cluster_rows}
+    if not oversized:
+        return assigned.withColumn("sub", F.lit(0))
+    import math
+
+    worst = max(oversized.values())
+    planes = min(10, max(1, math.ceil(math.log2(worst / (max_cluster_rows / 2)))))
+    return assigned.withColumn(
+        "sub",
+        F.when(
+            F.col("cluster").isin(*[int(c) for c in oversized]),
+            lsh_bucket(F.col("embedding"), dim, planes=planes),
+        ).otherwise(F.lit(0)),
+    )
+
+
 def semantic_dedup(
     emb,
     n_centroids: int | None = None,
     threshold: float = 0.95,
     lloyd_iters: int = 3,
+    max_cluster_rows: int = 2048,
 ):
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, then
@@ -310,9 +348,20 @@ def semantic_dedup(
     n rows partitioned by cluster, never pairs. ``n_centroids``
     defaults adaptively to ~256-row clusters (same lesson as the LSH
     bucketed path: a FIXED cluster count makes in-cluster pair work
-    quadratic in corpus size). A skewed cluster is the residual risk
-    at extreme scale — production would recluster oversized lists
-    hierarchically; cluster sizes here are bounded by the adaptive k.
+    quadratic in corpus size).
+
+    Adaptive k bounds the AVERAGE cluster, not the max — a skewed
+    k-means cluster would re-introduce quadratic per-task work. So
+    populations are bounded BY CONSTRUCTION: any cluster above
+    ``max_cluster_rows`` is sub-split on deterministic LSH hyperplane
+    signs (enough planes to target half the bound), the same
+    discipline the bucketed near-dup path applies; pairs straddling
+    sub-buckets of an oversized cluster are the same accepted LSH
+    approximation. The one shape LSH cannot split — a blob of
+    near-IDENTICAL vectors, which shares every plane sign — is exactly
+    the shape the prune kernel's single-component fast path collapses
+    in linear time (all members within threshold of the first ->
+    provably one connected component, no pair matrix needed).
 
     Returns DataFrame(vec_id long, cluster int, keep boolean).
     """
@@ -323,6 +372,8 @@ def semantic_dedup(
         n_centroids = int(max(16, min(64, n // 256)))
     assigned, cent = ivf_index(emb, n_centroids=n_centroids, lloyd_iters=lloyd_iters)
     bc = emb.sparkSession.sparkContext.broadcast(cent)
+
+    assigned = _lsh_subsplit(assigned, int(cent.shape[1]), max_cluster_rows)
 
     def prune(pdf):
         import pandas as pd
@@ -337,6 +388,18 @@ def semantic_dedup(
         if n_rows == 1:
             return pd.DataFrame(
                 {"vec_id": ids, "cluster": cluster, "keep": [True]}
+            )
+        cos_to_cent = m @ bc.value[cluster]
+        # single-component fast path: if EVERY member is within
+        # threshold of the first, the threshold graph is connected
+        # through row 0 — one component, no m x m matrix. This is the
+        # exact linear-time collapse for the near-identical blob that
+        # LSH sub-splitting cannot break apart (all plane signs equal).
+        if n_rows > 2 and bool(np.all(m @ m[0] >= threshold)):
+            keep = np.zeros(n_rows, dtype=bool)
+            keep[np.argmin(np.round(cos_to_cent, 9))] = True
+            return pd.DataFrame(
+                {"vec_id": ids, "cluster": cluster, "keep": keep}
             )
         sims = m @ m.T
         # union-find over the threshold graph (strictly above-diagonal
@@ -356,7 +419,6 @@ def semantic_dedup(
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         roots = np.array([find(i) for i in range(n_rows)])
-        cos_to_cent = m @ bc.value[cluster]
         keep = np.zeros(n_rows, dtype=bool)
         for root in np.unique(roots):
             members = np.flatnonzero(roots == root)
@@ -365,7 +427,7 @@ def semantic_dedup(
             keep[members[np.argmin(np.round(cos_to_cent[members], 9))]] = True
         return pd.DataFrame({"vec_id": ids, "cluster": cluster, "keep": keep})
 
-    return assigned.groupBy("cluster").applyInPandas(
+    return assigned.groupBy("cluster", "sub").applyInPandas(
         prune, schema="vec_id long, cluster int, keep boolean"
     )
 

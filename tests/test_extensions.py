@@ -988,3 +988,105 @@ def test_ivf_index_resave_replaces_posting_lists(spark, tmp_path):
     assert len(got_rows) == len(want)  # no stale duplicates
     assert {r["vec_id"]: r["cluster"] for r in got_rows} == want
     assert V.load_ivf_centroids(spark, root).shape == c2.shape
+
+
+def test_ivf_seeds_survive_noncontiguous_ids(spark):
+    """Round-7 regression: seeding took `vec_id < k`, which silently
+    assumed ids are contiguous from 0 — a filtered / resharded /
+    id-shifted corpus (the scaling probe's +1e7 replica convention)
+    returned a short or empty seed matrix. Seeds now come from
+    orderBy(vec_id).limit(k): same determinism, no contiguity
+    assumption. All k centroids must be healthy (finite, non-zero,
+    distinct) and training must stay run-deterministic."""
+    import numpy as np
+
+    from netflow_analysis_with_spark_streaming_spark import tables
+    from netflow_analysis_with_spark_streaming_spark.functions import vectors as V
+
+    emb = (
+        tables.load(spark, "embeddings", SF_ORACLE)
+        .filter("vec_id % 3 != 0")  # holes
+        .selectExpr("vec_id + 10000000 AS vec_id", "embedding")  # shifted
+    )
+    a1, c1 = V.ivf_index(emb, n_centroids=16)
+    assert c1.shape[0] == 16
+    assert np.all(np.isfinite(c1))
+    assert np.all(np.linalg.norm(c1, axis=1) > 0.5)  # unit-ish, not degenerate
+    assert len(np.unique(c1.round(6), axis=0)) == 16  # no duplicated seeds
+    # every input vector is assigned, clusters within range
+    rows = a1.collect()
+    assert len(rows) == emb.count()
+    assert all(0 <= r["cluster"] < 16 for r in rows)
+    # determinism on the shifted corpus
+    _, c2 = V.ivf_index(emb, n_centroids=16)
+    assert np.array_equal(c1, c2)
+
+
+def test_semantic_dedup_skewed_cluster_bounded_and_correct(spark):
+    """Round-7 regression: adaptive k bounds the AVERAGE cluster, not
+    the max. A planted dominant cluster (600 diverse vectors forced
+    into k=2 clusters, bound 64) must be LSH sub-split so no prune
+    task sees more than ~the bound, with dedup semantics unchanged:
+    planted exact-duplicate pairs still collapse (identical vectors
+    share every plane sign, so a sub-split can never separate them)
+    and distinct vectors all survive."""
+    import numpy as np
+
+    from netflow_analysis_with_spark_streaming_spark.functions import vectors as V
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(600):
+        v = rng.normal(size=32)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+        if i % 10 == 0:  # plant an exact duplicate
+            rows.append((i + 100_000, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    # the bound mechanism itself: sub-split group sizes stay near the
+    # bound even though one cluster holds ~half the corpus
+    assigned, cent = V.ivf_index(emb, n_centroids=2)
+    split = V._lsh_subsplit(assigned, int(cent.shape[1]), max_cluster_rows=64)
+    by_group = {
+        (r["cluster"], r["sub"]): r["n"]
+        for r in split.groupBy("cluster", "sub").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert max(by_group.values()) <= 64, max(by_group.values())
+
+    out = V.semantic_dedup(emb, n_centroids=2, threshold=0.99, max_cluster_rows=64)
+    res = {r["vec_id"]: r["keep"] for r in out.collect()}
+    assert len(res) == len(rows)  # every vector classified exactly once
+    for i in range(0, 600, 10):  # each planted pair keeps exactly one
+        assert sum([res[i], res[i + 100_000]]) == 1, i
+    # random unit vectors in 32-d are far below 0.99 cosine: all survive
+    for i in range(600):
+        if i % 10 != 0:
+            assert res[i], i
+
+
+def test_semantic_dedup_blob_fast_path_collapses_to_one(spark):
+    """The shape LSH cannot split — hundreds of near-identical vectors
+    (every plane sign equal) — must still collapse to ONE survivor via
+    the prune kernel's single-component fast path, not OOM on an
+    all-pairs matrix."""
+    import numpy as np
+
+    from netflow_analysis_with_spark_streaming_spark.functions import vectors as V
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=32)
+    base /= np.linalg.norm(base)
+    rows = []
+    for i in range(500):  # blob: cosine ~0.99999 pairwise
+        v = base + rng.normal(scale=1e-4, size=32)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(500, 520):  # a few genuinely distinct vectors
+        v = rng.normal(size=32)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = V.semantic_dedup(emb, n_centroids=2, threshold=0.99, max_cluster_rows=64)
+    res = {r["vec_id"]: r["keep"] for r in out.collect()}
+    assert sum(res[i] for i in range(500)) == 1  # blob -> one survivor
+    assert all(res[i] for i in range(500, 520))  # distinct vectors survive
