@@ -72,6 +72,33 @@ _BLOOM_KEY = "__bloom__"
 # group falls back to conservative (never-pruned) point reads.
 _BLOOM_M_MAX = 1 << 18
 
+# --- change-feed action classification -----------------------------------
+# EVERY action string a commit path can write must appear in exactly one
+# of these sets — they are the single source of truth for read_changes /
+# read_change_feed, and tests/test_versioned.py's meta-test AST-scans the
+# module's _commit call sites against them. Without that closed-world
+# check, a future commit path with a new action string would wedge feed
+# consumers at RUNTIME (an unclassified-action ValueError mid-stream)
+# instead of failing a test at development time.
+#
+# row-preserving rewrites: same rows, new files — a feed window slides
+# its file baseline across them and emits nothing
+_FEED_ROW_PRESERVING = frozenset({"compact", "rewrite_clustered", "rewrite_zordered"})
+# pure additions: the new file groups ARE the inserted rows
+_FEED_INSERT_ACTIONS = frozenset({"append"})
+# capture-emitting: removed rows come from the commit's captured change
+# group (delete_where(..., emit_changes=True)); un-captured raises
+_FEED_CAPTURE_ACTIONS = frozenset({"delete"})
+# feed-breaking by construction: the rowset change is not derivable from
+# manifests alone — consumers must recompute from a full snapshot
+_FEED_BREAKING_ACTIONS = frozenset({"overwrite", "upsert", "replace_where", "restore"})
+_FEED_ALL_ACTIONS = (
+    _FEED_ROW_PRESERVING
+    | _FEED_INSERT_ACTIONS
+    | _FEED_CAPTURE_ACTIONS
+    | _FEED_BREAKING_ACTIONS
+)
+
 
 def _bloom_positions_py(value: object, m: int = _BLOOM_M, k: int = _BLOOM_K) -> list[int]:
     """Probe-side bit positions. MUST mirror _bloom_position_cols:
@@ -797,13 +824,19 @@ class VersionedTable:
         for v in self.versions():
             if since_version < v <= to_version:
                 m = self._manifest(v)
-                if m["action"] in ("compact", "rewrite_clustered", "rewrite_zordered"):
+                if m["action"] in _FEED_ROW_PRESERVING:
                     # row-preserving rewrites: same rows, new files —
                     # contribute nothing, just move the file baseline
                     # (without this, routine compaction walls the feed)
                     base = set(m["files"])
                     continue
-                if m["action"] not in ("append",):
+                if m["action"] not in _FEED_ALL_ACTIONS:
+                    raise ValueError(
+                        f"version {v} has unclassified commit action "
+                        f"{m['action']!r}: add it to the feed classification "
+                        "sets in storage/versioned.py"
+                    )
+                if m["action"] not in _FEED_INSERT_ACTIONS:
                     raise ValueError(
                         f"version {v} is {m['action']!r}: change feed is only "
                         "derivable across pure appends"
@@ -853,17 +886,23 @@ class VersionedTable:
             if not (since_version < v <= to_version):
                 continue
             m = self._manifest(v)
-            if m["action"] in ("compact", "rewrite_clustered", "rewrite_zordered"):
+            if m["action"] in _FEED_ROW_PRESERVING:
                 # row-preserving rewrite: no change slice, new baseline
                 # (keeps maybe_compact-after-every-batch compatible
                 # with StreamingViewMaintainer's feed consumption)
                 base = set(m["files"])
                 continue
-            if m["action"] == "append":
+            if m["action"] not in _FEED_ALL_ACTIONS:
+                raise ValueError(
+                    f"version {v} has unclassified commit action "
+                    f"{m['action']!r}: add it to the feed classification "
+                    "sets in storage/versioned.py"
+                )
+            if m["action"] in _FEED_INSERT_ACTIONS:
                 added = [f for f in m["files"] if f not in base]
                 if added:
                     slices.append(_tagged(added, "insert", v))
-            elif m["action"] == "delete":
+            elif m["action"] in _FEED_CAPTURE_ACTIONS:
                 # None = capture was off; "" = capture on, zero rows
                 if m.get("changes") is None:
                     raise ValueError(

@@ -1561,3 +1561,62 @@ def test_restore_rolls_back_on_concurrent_vacuum(spark, tmp_path, monkeypatch):
     assert t.latest_version() == 1
     assert [r["k"] for r in t.read(spark).collect()] == [9]
     assert [h["action"] for h in t.history()] == ["append", "overwrite"]
+
+
+def test_every_commit_action_is_feed_classified():
+    """Closed-world meta-test over the change-feed action taxonomy:
+    AST-scan every `self._commit(...)` call site in storage/versioned.py
+    and assert each committed action string is (a) a literal — a
+    computed action could dodge this test — and (b) classified in
+    EXACTLY one of the feed sets (row-preserving / insert / capture /
+    feed-breaking). A new commit path whose action is missing from the
+    sets fails HERE at development time instead of wedging change-feed
+    consumers at runtime; a stale classification entry with no commit
+    site fails too."""
+    import ast
+    import inspect
+
+    from netflow_analysis_with_spark_streaming_spark.storage import versioned
+
+    tree = ast.parse(inspect.getsource(versioned))
+    committed: set = set()
+    bad: list = []
+    for node in ast.walk(tree):
+        if not (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "_commit"
+        ):
+            continue
+        action = None
+        if len(node.args) >= 2:
+            action = node.args[1]
+        for kw in node.keywords:
+            if kw.arg == "action":
+                action = kw.value
+        if isinstance(action, ast.Constant) and isinstance(action.value, str):
+            committed.add(action.value)
+        else:
+            bad.append(ast.dump(node.func))
+    assert not bad, f"non-literal action at _commit call site(s): {bad}"
+    assert committed, "no _commit call sites found — scan is broken"
+    sets = {
+        "row_preserving": versioned._FEED_ROW_PRESERVING,
+        "insert": versioned._FEED_INSERT_ACTIONS,
+        "capture": versioned._FEED_CAPTURE_ACTIONS,
+        "breaking": versioned._FEED_BREAKING_ACTIONS,
+    }
+    # pairwise disjoint
+    names = list(sets)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            both = sets[a] & sets[b]
+            assert not both, f"action(s) {both} in both {a} and {b}"
+    classified = versioned._FEED_ALL_ACTIONS
+    assert committed <= classified, (
+        f"unclassified commit action(s): {committed - classified} — "
+        "classify them in the feed sets in storage/versioned.py"
+    )
+    assert classified <= committed, (
+        f"classification entries with no commit site: {classified - committed}"
+    )
