@@ -86,7 +86,10 @@ _DRIVER_ORDER = [
     "stream_path2_flatten",
     "stream_static_enrich",
     "stream_running_totals",
-    "stream_update_mode",
+    # stream_update_mode retired to the pytest tier round 7: its hash
+    # evidence duplicated stream_running_totals (same 150-row running
+    # aggregation, different output mode); anomaly_rolling_zscore
+    # promoted in its place (see the relational block below)
     "stream_stream_join",
     "stream_exactly_once_sink",
     "stream_sessionize_closed",
@@ -143,6 +146,10 @@ _DRIVER_ORDER = [
     "window_analytics_suite",
     "set_ops_suite",
     "scalar_functions",
+    # event-analytics capability class (promoted round 7): rolling
+    # z-score anomaly detection, batch ≡ stream agreement pinned in
+    # tests/test_streaming.py
+    "anomaly_rolling_zscore",
 ]
 
 

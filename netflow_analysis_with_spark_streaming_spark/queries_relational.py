@@ -2474,9 +2474,9 @@ def _anomaly_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .operators.anomaly import ANOMALY_SQL as _ANOMALY_SQL  # shared with the streamed entry
 
 
-register(
-    "anomaly_rolling_zscore", _anomaly_rolling_zscore, _ANOMALY_SQL, driver=False
-)
+# promoted to the driver window round 7 (displacing stream_update_mode,
+# whose hash evidence duplicated stream_running_totals)
+register("anomaly_rolling_zscore", _anomaly_rolling_zscore, _ANOMALY_SQL)
 
 
 def _agg_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

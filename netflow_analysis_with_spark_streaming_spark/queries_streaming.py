@@ -1110,7 +1110,11 @@ register("stream_tumbling_window", _stream_tumbling_window, _STREAM_WINDOW_SQL)
 register("stream_path2_flatten", _stream_path2_flatten, _fl.FLATTEN_ORACLE_SQL)
 register("stream_static_enrich", _stream_static_enrich, _STREAM_STATIC_SQL)
 register("stream_running_totals", _stream_running_totals, _STREAM_RUNNING_SQL)
-register("stream_update_mode", _stream_update_mode, _STREAM_UPDATE_SQL)
+# rotated to the pytest tier round 7: its hash evidence was a
+# near-duplicate of stream_running_totals (same 150-row running
+# aggregation, different output mode); the freed driver slot went to
+# anomaly_rolling_zscore (a capability class the window lacked)
+register("stream_update_mode", _stream_update_mode, _STREAM_UPDATE_SQL, driver=False)
 register("stream_stream_join", _stream_stream_join, _STREAM_SSJOIN_SQL)
 
 
