@@ -61,9 +61,38 @@ def get_spark(
     # (spark-submit / env), so it is deliberately not set here — a
     # builder value is a silent no-op when getOrCreate() reuses a
     # running JVM. See SPARK_DRIVER_MEMORY in the launch environment.
+    kafka_pkg = _kafka_packages_from_env()
+    if kafka_pkg:
+        # opportunistic live-Kafka path (S1/S6/K2): resolve the
+        # connector at session build on network-enabled deployments.
+        # Like driver.memory this only takes effect on the session
+        # that STARTS the JVM; resolution failures surface as the
+        # builder's own error (no silent fallback — the operator asked
+        # for the live path explicitly).
+        builder = builder.config("spark.jars.packages", kafka_pkg)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def _kafka_packages_from_env() -> str | None:
+    """The NETFLOW_KAFKA_PACKAGES opt-in (documented in README):
+    unset/empty/0 -> None (sandbox default: no jar, tests record an
+    explicit skip); "1" -> the spark-sql-kafka coordinate matching the
+    running PySpark (Spark 4.x is Scala 2.13); any other value is
+    used verbatim as the spark.jars.packages coordinate list, for
+    pinned mirrors or extra jars."""
+    flag = os.environ.get("NETFLOW_KAFKA_PACKAGES", "").strip()
+    if flag in ("", "0"):
+        return None
+    if flag == "1":
+        import pyspark
+
+        return (
+            "org.apache.spark:spark-sql-kafka-0-10_2.13:"
+            + pyspark.__version__
+        )
+    return flag
 
 
 def scale_hints(total_executor_cores: int, input_tb: float) -> dict[str, str]:

@@ -27,8 +27,11 @@ def test_kafka_roundtrip_when_environment_allows(spark):
     if not kafka_connector_available(spark):
         pytest.skip(
             "spark-sql-kafka connector not on the classpath (no jar ships "
-            "in this sandbox); live S1/S6/K2 path exercised only where the "
-            "session is launched with spark.jars.packages"
+            "in this sandbox and Maven is unreachable offline); on a "
+            "network-enabled deployment set NETFLOW_KAFKA_PACKAGES=1 before "
+            "the session starts — get_spark then resolves the matching "
+            "spark-sql-kafka coordinate and this test runs the live "
+            "roundtrip with no code changes (README 'Live Kafka')"
         )
     if not kafka_broker_reachable(BROKERS):
         pytest.skip(f"no Kafka broker reachable at {BROKERS}")
@@ -53,3 +56,29 @@ def test_kafka_roundtrip_when_environment_allows(spark):
     assert sorted(r["value"] for r in got) == sorted(
         f'{{"n": {i}}}' for i in range(50)
     )
+
+
+def test_kafka_packages_flag_resolution(monkeypatch):
+    """NETFLOW_KAFKA_PACKAGES wiring (no session started — resolving
+    the coordinate needs network): unset/0 means no packages line
+    (sandbox default), 1 means the spark-sql-kafka coordinate matching
+    the running PySpark, anything else passes through verbatim."""
+    import pyspark
+
+    from netflow_analysis_with_spark_streaming_spark.session import (
+        _kafka_packages_from_env,
+    )
+
+    monkeypatch.delenv("NETFLOW_KAFKA_PACKAGES", raising=False)
+    assert _kafka_packages_from_env() is None
+    monkeypatch.setenv("NETFLOW_KAFKA_PACKAGES", "0")
+    assert _kafka_packages_from_env() is None
+    monkeypatch.setenv("NETFLOW_KAFKA_PACKAGES", "1")
+    assert (
+        _kafka_packages_from_env()
+        == f"org.apache.spark:spark-sql-kafka-0-10_2.13:{pyspark.__version__}"
+    )
+    monkeypatch.setenv(
+        "NETFLOW_KAFKA_PACKAGES", "org.example:custom-kafka:9.9.9"
+    )
+    assert _kafka_packages_from_env() == "org.example:custom-kafka:9.9.9"

@@ -30,13 +30,29 @@ Dim tables are symlinked unchanged. Build is cached keyed on source
 mtime/size.
 
 Usage: python tools/scaling_probe.py [--reps 2] [--out FILE]
-                                     [--replicas K]
+                                     [--replicas K] [--nodegrow]
 Prints one JSON object {entry: {"sf0.1": s, "<K>x": s, "ratio": r,
 "rows_sf0.1": n, "rows_<K>x": n}}. ``--replicas`` (default 10, env
 SPARK_GRAFT_SCALE_REPLICAS) sets the scale factor: probing the same
 entries at BOTH 10x and 30x turns the single ratio into a measured
 curve — linear work shows t(30x)/t(10x) ~ 3, and a super-linear term
 too small to see at 10x separates from fixed overheads at 30x.
+
+``--nodegrow`` is the GRAPH axis (round-7): the default replica rules
+keep o_custkey / l_suppkey unchanged, so the customer<->supplier
+DISTINCT edge set is scale-invariant and the pagerank probe
+SATURATES (replicas only densify the same edges — the round-6 curve's
+documented caveat). Node-grow mode shifts o_custkey and l_suppkey by
+k*ID_SHIFT in lockstep with the orderkeys, so replica k is a disjoint
+copy of the graph: nodes AND distinct edges grow with K, which is
+what an iterative-join-per-round claim must be measured against. The
+probe then runs the dedicated ``graph_pagerank_nodegrow`` wrapper
+(identical operator + edge derivation; the custkey filter becomes
+``o_custkey % ID_SHIFT <= 300``, which at k=0 equals the registered
+entry exactly). Dangling customer/supplier FKs in this mode are fine
+for the graph entry (it never joins the dim tables) — which is why
+node-grown data lives in its OWN cache dir and only the graph entry
+runs against it.
 """
 
 from __future__ import annotations
@@ -55,6 +71,7 @@ SCALE_DIR = os.environ.get(
     "SPARK_GRAFT_SCALE_DIR", f"/tmp/netflow_scale_{REPLICAS}x"
 )
 ID_SHIFT = 10_000_000
+NODEGROW = False  # set by --nodegrow: replica k also shifts cust/supp keys
 
 PROBE_ENTRIES = [
     "text_analysis",
@@ -127,7 +144,7 @@ def _build_scale_dir() -> str:
     src_docs = os.path.join(SRC_DIR, "documents.parquet")
     st = os.stat(src_docs)
     marker = os.path.join(SCALE_DIR, "_BUILT")
-    key = f"v3:{SRC_DIR}:{st.st_mtime_ns}:{st.st_size}:{REPLICAS}"
+    key = f"v3:{SRC_DIR}:{st.st_mtime_ns}:{st.st_size}:{REPLICAS}:{NODEGROW}"
     if os.path.exists(marker) and open(marker).read() == key:
         return SCALE_DIR
     # stale generation: wipe, or writes would go through old symlinks
@@ -206,6 +223,8 @@ def _build_scale_dir() -> str:
     )
 
     # orders + lineitem: lockstep orderkey shift, everything else as-is
+    # (--nodegrow additionally shifts cust/supp keys so the trading
+    # graph's NODE and distinct-edge sets grow with the replicas)
     for tname, keycols in (("orders", ["o_orderkey"]), ("lineitem", ["l_orderkey"])):
         tt = pq.read_table(os.path.join(SRC_DIR, f"{tname}.parquet"))
         fbase = tt.to_pandas()
@@ -214,6 +233,10 @@ def _build_scale_dir() -> str:
             f = fbase.copy()
             for c in keycols:
                 f[c] = f[c] + k * 1_000_000_000
+            if NODEGROW:
+                for c in ("o_custkey", "l_suppkey"):
+                    if c in f.columns:
+                        f[c] = f[c] + k * ID_SHIFT
             fr.append(f)
         pq.write_table(
             pa.Table.from_pandas(
@@ -234,18 +257,58 @@ def _build_scale_dir() -> str:
     return SCALE_DIR
 
 
+def _pagerank_nodegrow(spark, sf_dir):
+    """graph_pagerank with the custkey filter generalized to
+    ``o_custkey % ID_SHIFT <= 300`` — bit-identical to the registered
+    entry on un-shifted data (k=0), and on a --nodegrow replica dir it
+    admits every replica's own <=300 customers, so the measured graph
+    grows in nodes and distinct edges with K instead of saturating."""
+    from pyspark.sql import functions as F
+
+    from netflow_analysis_with_spark_streaming_spark import tables
+    from netflow_analysis_with_spark_streaming_spark.operators.pagerank import (
+        pagerank,
+    )
+
+    orders = tables.load(spark, "orders", sf_dir).filter(
+        F.col("o_custkey") % ID_SHIFT <= 300
+    )
+    li = tables.load(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (F.col("l_suppkey") + 1_000_000).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).unionAll(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+    return pagerank(edges, iterations=10).orderBy("id")
+
+
 def main() -> int:
-    global REPLICAS, SCALE_DIR
+    global REPLICAS, SCALE_DIR, NODEGROW
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--out", default=None)
     ap.add_argument("--entries", nargs="*", default=None)
     ap.add_argument("--replicas", type=int, default=None)
+    ap.add_argument("--nodegrow", action="store_true")
     args = ap.parse_args()
     if args.replicas:
         REPLICAS = args.replicas
         if "SPARK_GRAFT_SCALE_DIR" not in os.environ:
             SCALE_DIR = f"/tmp/netflow_scale_{REPLICAS}x"
+    if args.nodegrow:
+        NODEGROW = True
+        if "SPARK_GRAFT_SCALE_DIR" not in os.environ:
+            SCALE_DIR = f"/tmp/netflow_scale_{REPLICAS}x_nodegrow"
+        if args.entries is None:
+            # node-grown replicas have dangling dim FKs by design —
+            # only the graph entry is meaningful against them
+            args.entries = ["graph_pagerank_nodegrow"]
 
     scale_dir = _build_scale_dir()
 
@@ -272,7 +335,8 @@ def main() -> int:
     # carry the same 100 TB claims as driver ones
     from netflow_analysis_with_spark_streaming_spark import queries as Q
 
-    qs = Q.all_queries()
+    qs = dict(Q.all_queries())
+    qs["graph_pagerank_nodegrow"] = _pagerank_nodegrow
     scale_label = f"{REPLICAS}x"
     results: dict[str, dict] = {}
     for label, sf_dir in (("sf0.1", SRC_DIR), (scale_label, scale_dir)):
