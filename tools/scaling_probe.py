@@ -315,16 +315,23 @@ def main() -> int:
     from netflow_analysis_with_spark_streaming_spark import tables
     from netflow_analysis_with_spark_streaming_spark.session import get_spark
 
-    # local-mode driver == the one executor JVM: the default ~1g heap
-    # OOMs on the 10x pass regardless of plan shape (32 threads x
-    # 128m partitions alone exceed it). Sized per this container; a
-    # cluster run sizes executors instead. Applied at JVM launch —
-    # this script always starts a fresh JVM.
+    # local-mode driver == the one executor JVM. Measured floor
+    # (round 7, see BASELINE.md "driver-heap floor"): the binding
+    # term is CONCURRENCY x per-task working set — 32 simultaneous
+    # scan-side tasks whose array-explode stages allocate 1-4 MB
+    # Tungsten pages each (corpus_substring_dedup is the worst) need
+    # ~2g; nothing driver-side accumulates with data (plain scans,
+    # counts and every bounded collect run at 1g even at 30x, and
+    # raising shuffle partitions does not help because the pressure
+    # is scan-stage, not shuffle-stage). 4g = measured 2g floor with
+    # 2x headroom; the earlier 24g was a blanket over-provision, not
+    # a real floor. A cluster run sizes executors instead. Applied at
+    # JVM launch — this script always starts a fresh JVM.
     spark = get_spark(
         app_name="netflow-scaling-probe",
         master="local[32]",
         extra_conf={"spark.driver.memory": os.environ.get(
-            "SPARK_GRAFT_PROBE_DRIVER_MEM", "24g"
+            "SPARK_GRAFT_PROBE_DRIVER_MEM", "4g"
         )},
     )
     spark.range(1000).selectExpr("sum(id)").collect()
