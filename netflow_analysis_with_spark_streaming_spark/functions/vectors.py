@@ -368,6 +368,17 @@ def semantic_dedup(
     import numpy as np
 
     if n_centroids is None:
+        # k ~ n/256 targets ~256-row clusters, CAPPED at 64 — and the
+        # cap is measured, not guessed: raising it to 1024 (average
+        # cluster back to 256 rows at 200k vectors, no sub-splitting)
+        # was benchmarked at 100x corpus and came out 57% SLOWER
+        # (29.6 s vs 18.9 s), because every Lloyd iteration's
+        # assignment costs k*n*d flops — with k ~ n/256 that term is
+        # quadratic in n and at k=1024 it already exceeds the
+        # sub-split-capped in-cluster pair work it was meant to
+        # avoid (<= max_cluster_rows*d flops/row). Small fixed k +
+        # the LSH population cap is the asymptotically right split:
+        # both terms linear in n, smaller constant.
         n = emb.count()
         n_centroids = int(max(16, min(64, n // 256)))
     assigned, cent = ivf_index(emb, n_centroids=n_centroids, lloyd_iters=lloyd_iters)
