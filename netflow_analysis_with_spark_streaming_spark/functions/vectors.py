@@ -299,9 +299,14 @@ def _lsh_subsplit(assigned, dim: int, max_cluster_rows: int):
     oversized clusters ONLY (``sub`` = 0 everywhere else, so the
     common path's grouping — and its results — are unchanged). Plane
     count targets half the bound for the worst cluster, capped at 10
-    (1024-way split). Near-identical blobs share every plane sign and
-    stay together — the prune kernel's single-component fast path
-    handles that shape in linear time instead."""
+    (1024-way split) — so the bound is EXPECTED-case: a cluster beyond
+    ~1024x the bound, or one whose plane-sign distribution is skewed,
+    can still produce an oversized sub-bucket. The prune kernel covers
+    both residuals: near-identical blobs (every plane sign equal)
+    collapse via the linear single-component fast path, and any other
+    oversized group falls back to a block-wise edge scan whose peak
+    memory is block*n instead of n*n — slow but bounded, never an
+    executor OOM."""
     sizes = {
         r["cluster"]: r["n"]
         for r in assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()
@@ -384,6 +389,11 @@ def semantic_dedup(
     assigned, cent = ivf_index(emb, n_centroids=n_centroids, lloyd_iters=lloyd_iters)
     bc = emb.sparkSession.sparkContext.broadcast(cent)
 
+    # two consumers read the assignment — _lsh_subsplit's cluster-size
+    # agg and the final grouped prune. Without the cache each re-runs
+    # the full Arrow/numpy assignment pass over the corpus; the size
+    # agg is the action that materializes it.
+    assigned = assigned.persist()
     assigned = _lsh_subsplit(assigned, int(cent.shape[1]), max_cluster_rows)
 
     def prune(pdf):
@@ -412,10 +422,14 @@ def semantic_dedup(
             return pd.DataFrame(
                 {"vec_id": ids, "cluster": cluster, "keep": keep}
             )
-        sims = m @ m.T
         # union-find over the threshold graph (strictly above-diagonal
-        # edges; cluster populations are ~256 by construction, so the
-        # quadratic edge scan is bounded per task)
+        # edges). Cluster populations are ~bounded by the LSH sub-split,
+        # but its 1024-bucket plane cap makes that an EXPECTED bound,
+        # not a hard one — a pathological cluster (skewed plane signs,
+        # not blob-collapsible) can still arrive oversized. The edge
+        # scan therefore runs in ROW BLOCKS: peak memory is block*n
+        # doubles instead of n*n, so an oversized group degrades to
+        # slow-but-bounded instead of OOMing the executor.
         parent = np.arange(n_rows)
 
         def find(i):
@@ -424,11 +438,16 @@ def semantic_dedup(
                 i = parent[i]
             return i
 
-        ai, bi = np.where(np.triu(sims >= threshold, k=1))
-        for a, b in zip(ai.tolist(), bi.tolist()):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
+        blk = n_rows if n_rows <= 4096 else 2048
+        for s in range(0, n_rows, blk):
+            sims_b = m[s : s + blk] @ m.T
+            ai, bi = np.where(sims_b >= threshold)
+            ai = ai + s
+            above = bi > ai  # strictly above-diagonal, vectorized
+            for a, b in zip(ai[above].tolist(), bi[above].tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
         roots = np.array([find(i) for i in range(n_rows)])
         keep = np.zeros(n_rows, dtype=bool)
         for root in np.unique(roots):

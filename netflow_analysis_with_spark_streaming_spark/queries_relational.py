@@ -2686,7 +2686,7 @@ ORDER BY est DESC, user_id LIMIT 10
 register("agg_cms_heavy_hitters", _agg_cms_heavy_hitters, _cms_sql(), driver=False)
 
 
-def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_pagerank_query(spark: SparkSession, sf_dir: str, custkey_filter=None) -> DataFrame:
     """PageRank over the customer<->supplier trading graph (an edge
     per distinct customer/supplier pair that shares an order, listed
     in both directions) — the iterative-graph-algorithm showcase, in
@@ -2694,12 +2694,20 @@ def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations and hash-match to the last digit (operators/pagerank.py
     explains why float PageRank can never be cross-engine hash-diffed).
 
+    ``custkey_filter`` generalizes the customer predicate — the ONE
+    thing the scaling probe's node-grow wrapper varies (it passes
+    ``o_custkey % 1e7 <= 300``, bit-identical to the default on
+    unshifted data). Shared here so the probe can never drift from the
+    registered entry's edge derivation.
+
     Scale: see operators/pagerank.py — one rank-join + dst hash-agg
     shuffle per iteration, edge table cached once, rank lineage cut
     per round."""
     from .operators.pagerank import pagerank
 
-    orders = tables.load(spark, "orders", sf_dir).filter(F.col("o_custkey") <= 300)
+    if custkey_filter is None:
+        custkey_filter = F.col("o_custkey") <= 300
+    orders = tables.load(spark, "orders", sf_dir).filter(custkey_filter)
     li = tables.load(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
     pairs = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
@@ -2713,6 +2721,13 @@ def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cust").alias("src"), F.col("supp").alias("dst")
     ).unionAll(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
     return pagerank(edges, iterations=10).orderBy("id")
+
+
+def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph_pagerank_query(spark, sf_dir)
+
+
+_graph_pagerank.__doc__ = graph_pagerank_query.__doc__
 
 
 def _pagerank_oracle_sql(iterations: int = 10) -> str:

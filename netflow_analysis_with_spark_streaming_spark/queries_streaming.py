@@ -1006,8 +1006,15 @@ def _stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("u") % 2 == 0, F.lit(1)).otherwise(F.lit(0)).alias("tier"),
     )
     dim = scd2_apply(dim0, updates, "k", ["tier"], F.lit("2024-01-15"))
-    ev = _events_stream(spark, sf_dir).withColumn(
-        "day", F.date_format("ts", "yyyy-MM-dd")
+    # the dim covers users 0..199 only — keep that restriction as an
+    # EXPLICIT stream-side filter (mirroring the oracle's WHERE).
+    # Before the left-join change below it was implicit in the inner
+    # join; leaving it implicit would now keep sf0.1's users 200..1499
+    # as tier-0 rows the oracle excludes.
+    ev = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("user_id") < 200)
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
     )
     # LEFT join with a tier-0 default: an event dated before the
     # dimension's first valid_from must not be DROPPED by enrichment

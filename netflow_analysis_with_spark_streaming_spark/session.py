@@ -88,8 +88,14 @@ def _kafka_packages_from_env() -> str | None:
     if flag == "1":
         import pyspark
 
+        # Scala suffix must match the RUNTIME, not be hardcoded:
+        # Spark 4.x ships Scala 2.13, Spark 3.x ships 2.12 — the
+        # wrong suffix resolves fine from Maven and then fails with
+        # NoSuchMethodError at stream start.
+        major = int(pyspark.__version__.split(".", 1)[0])
+        scala = "2.13" if major >= 4 else "2.12"
         return (
-            "org.apache.spark:spark-sql-kafka-0-10_2.13:"
+            f"org.apache.spark:spark-sql-kafka-0-10_{scala}:"
             + pyspark.__version__
         )
     return flag

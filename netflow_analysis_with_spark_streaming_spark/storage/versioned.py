@@ -597,12 +597,21 @@ class VersionedTable:
         is preserved (the bad versions stay readable for forensics
         until vacuum); data files are shared by reference, nothing is
         rewritten. Fails closed if the target's files were already
-        vacuumed away — including the check-then-commit race with a
-        CONCURRENT vacuum (vacuum's min_age_s grace only protects
+        vacuumed away.
+
+        Concurrent vacuum: the pre-check alone had a full
+        check-then-commit race (vacuum's min_age_s grace protects
         young staged groups, not the old target groups restore is
-        resurrecting): file existence is re-verified AFTER the commit,
-        and a manifest caught referencing deleted groups is unpublished
-        before raising, so no reader ever resolves to missing files."""
+        resurrecting), so file existence is re-verified AFTER the
+        commit and a manifest caught referencing deleted groups is
+        unpublished before raising. That NARROWS the race to the one
+        interleaving it cannot close without a lock: a vacuum whose
+        keep-set snapshot predates the restore commit can still
+        delete the target groups after the re-verify passes (and
+        readers can observe the doomed manifest in the
+        commit-to-rollback window). Like Delta, restore and vacuum
+        are maintenance operations that assume a single maintenance
+        writer; run them under external coordination."""
         m = self._manifest(version)  # raises FileNotFoundError if gone
         for f in m["files"]:
             if not os.path.exists(os.path.join(self.root, f)):

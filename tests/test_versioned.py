@@ -1528,7 +1528,10 @@ def test_restore_rolls_back_on_concurrent_vacuum(spark, tmp_path, monkeypatch):
     target's data groups BETWEEN restore's existence pre-check and its
     manifest publish must not leave a current version referencing
     missing files — restore re-verifies after the commit, unpublishes
-    the bad manifest and raises."""
+    the bad manifest and raises. (This NARROWS the race; a vacuum
+    whose keep-set snapshot predates the commit can still win after
+    the re-verify — restore's docstring documents the single
+    maintenance-writer assumption, same as Delta.)"""
     import os
 
     import pytest

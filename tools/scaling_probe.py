@@ -262,30 +262,19 @@ def _pagerank_nodegrow(spark, sf_dir):
     ``o_custkey % ID_SHIFT <= 300`` — bit-identical to the registered
     entry on un-shifted data (k=0), and on a --nodegrow replica dir it
     admits every replica's own <=300 customers, so the measured graph
-    grows in nodes and distinct edges with K instead of saturating."""
+    grows in nodes and distinct edges with K instead of saturating.
+    Everything except the predicate is the registered entry's own code
+    (queries_relational.graph_pagerank_query), so the probe cannot
+    drift from what it claims to measure."""
     from pyspark.sql import functions as F
 
-    from netflow_analysis_with_spark_streaming_spark import tables
-    from netflow_analysis_with_spark_streaming_spark.operators.pagerank import (
-        pagerank,
+    from netflow_analysis_with_spark_streaming_spark.queries_relational import (
+        graph_pagerank_query,
     )
 
-    orders = tables.load(spark, "orders", sf_dir).filter(
-        F.col("o_custkey") % ID_SHIFT <= 300
+    return graph_pagerank_query(
+        spark, sf_dir, custkey_filter=F.col("o_custkey") % ID_SHIFT <= 300
     )
-    li = tables.load(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
-    pairs = (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.col("o_custkey").alias("cust"),
-            (F.col("l_suppkey") + 1_000_000).alias("supp"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(
-        F.col("cust").alias("src"), F.col("supp").alias("dst")
-    ).unionAll(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
-    return pagerank(edges, iterations=10).orderBy("id")
 
 
 def main() -> int:
@@ -303,7 +292,13 @@ def main() -> int:
             SCALE_DIR = f"/tmp/netflow_scale_{REPLICAS}x"
     if args.nodegrow:
         NODEGROW = True
-        if "SPARK_GRAFT_SCALE_DIR" not in os.environ:
+        if "SPARK_GRAFT_SCALE_DIR" in os.environ:
+            # keep node-grown data in its OWN cache even under the env
+            # override — sharing one dir with normal mode would make
+            # every mode switch fail the _BUILT key and rebuild the
+            # multi-GB replica set from scratch
+            SCALE_DIR = os.environ["SPARK_GRAFT_SCALE_DIR"].rstrip("/") + "_nodegrow"
+        else:
             SCALE_DIR = f"/tmp/netflow_scale_{REPLICAS}x_nodegrow"
         if args.entries is None:
             # node-grown replicas have dangling dim FKs by design —
