@@ -874,6 +874,44 @@ register(
 )
 
 
+def _storage_versioned_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME predicate delete as storage_versioned_delete, via the
+    merge-on-read deletion-vector path (delete_where_dv): positions
+    land in a small DV group, the clustered data files are carried
+    into the new version untouched, reads anti-join the vector away.
+    Hashing against the SAME oracle as the CoW entry pins the
+    mechanism equivalence: DELETE-via-DV == DELETE-via-rewrite ==
+    SQL DELETE, row for row. File-carry-over (the point of DVs: cost
+    proportional to deleted rows, not to the groups holding them) is
+    asserted in tests/test_versioned.py's dv battery."""
+    from .storage.versioned import VersionedTable
+
+    root = _run_tmp_root("netflow_vtdv_") + "/t"
+    t = VersionedTable(root)
+    ev = (
+        tables.load(spark, "events", sf_dir)
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id", "user_id", "value")
+    )
+    t.append_clustered(ev, "user_id", n_groups=8)
+    t.delete_where_dv(
+        spark, "user_id % 7 = 0 AND user_id < 40", prune=("user_id", 0, 39)
+    )
+    return (
+        t.read(spark)
+        .select("event_id", "user_id", F.round("value", 2).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+register(
+    "storage_versioned_delete_dv",
+    _storage_versioned_delete_dv,
+    _STORAGE_VT_DELETE_SQL,
+    driver=False,
+)
+
+
 def _storage_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-indexed point lookups on the versioned format: events
     land in 8 bloom-indexed appends whose event_id ranges all overlap

@@ -87,8 +87,9 @@ _FEED_ROW_PRESERVING = frozenset({"compact", "rewrite_clustered", "rewrite_zorde
 # pure additions: the new file groups ARE the inserted rows
 _FEED_INSERT_ACTIONS = frozenset({"append"})
 # capture-emitting: removed rows come from the commit's captured change
-# group (delete_where(..., emit_changes=True)); un-captured raises
-_FEED_CAPTURE_ACTIONS = frozenset({"delete"})
+# group (delete_where / delete_where_dv with emit_changes=True);
+# un-captured raises
+_FEED_CAPTURE_ACTIONS = frozenset({"delete", "delete_dv"})
 # feed-breaking by construction: the rowset change is not derivable from
 # manifests alone — consumers must recompute from a full snapshot
 _FEED_BREAKING_ACTIONS = frozenset({"overwrite", "upsert", "replace_where", "restore"})
@@ -160,6 +161,7 @@ class VersionedTable:
         self._log = os.path.join(root, "_log")
         self._data = os.path.join(root, "data")
         self._changes_dir = os.path.join(root, "changes")
+        self._dv_dir = os.path.join(root, "dv")
         os.makedirs(self._log, exist_ok=True)
         os.makedirs(self._data, exist_ok=True)
 
@@ -222,6 +224,13 @@ class VersionedTable:
         m = self._manifest(vs[-1])
         return vs[-1] + 1, m["files"], m.get("stats", {})
 
+    @staticmethod
+    def _group_of(rel: str) -> str:
+        """Normalize a manifest file entry to its group dir
+        ('data/<group>'); clustered appends list subpaths
+        ('data/<group>/_rb=N'), deletion vectors key whole groups."""
+        return "/".join(rel.split("/")[:2])
+
     def _commit(
         self,
         files: list[str],
@@ -231,9 +240,29 @@ class VersionedTable:
         stats: dict | None = None,
         version: int | None = None,
         changes: str | None = None,
+        dvs: dict[str, list[str]] | None = None,
+        inherit_dvs: bool = True,
     ) -> int:
         if version is None:
             version = (self.latest_version() + 1) if self.versions() else 0
+        # Deletion vectors ride the manifest: {'data/<group>': [dv
+        # group, ...]}. They PROPAGATE by default — a commit that
+        # carries a file group forward carries its DVs with it, and a
+        # commit that rewrites/drops the group sheds them (the key
+        # vanishes from `files`). Rewrite paths read through read(),
+        # which APPLIES DVs, so materialized survivors never
+        # resurrect deleted rows. `inherit_dvs=False` is for restore,
+        # which must adopt the TARGET snapshot's DV set verbatim.
+        merged_dvs: dict[str, list[str]] = {}
+        if inherit_dvs and version > 0:
+            try:
+                prev_dvs = self._manifest(version - 1).get("dvs") or {}
+            except FileNotFoundError:
+                prev_dvs = {}
+            live = {self._group_of(f) for f in files}
+            merged_dvs = {g: list(v) for g, v in prev_dvs.items() if g in live}
+        for g, v in (dvs or {}).items():
+            merged_dvs.setdefault(g, []).extend(v)
         manifest = {
             "version": version,
             "action": action,
@@ -248,6 +277,10 @@ class VersionedTable:
             # optional change-capture group ("changes/<uuid>"): the
             # rows this commit REMOVED, for CDF consumers
             "changes": changes,
+            # deletion vectors: {'data/<group>': ['dv/<uuid>', ...]} —
+            # positions in the group's files that reads must skip
+            # (merge-on-read DELETE; absent/empty = none)
+            "dvs": merged_dvs,
         }
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w", encoding="utf-8") as f:
@@ -613,10 +646,13 @@ class VersionedTable:
         are maintenance operations that assume a single maintenance
         writer; run them under external coordination."""
         m = self._manifest(version)  # raises FileNotFoundError if gone
-        for f in m["files"]:
+        needed = list(m["files"]) + [
+            d for lst in (m.get("dvs") or {}).values() for d in lst
+        ]
+        for f in needed:
             if not os.path.exists(os.path.join(self.root, f)):
                 raise ValueError(
-                    f"cannot restore version {version}: data group {f} "
+                    f"cannot restore version {version}: group {f} "
                     "was vacuumed"
                 )
         next_version, _, _ = self._snapshot_state()
@@ -626,6 +662,11 @@ class VersionedTable:
             m["schema"],
             stats=m.get("stats", {}),
             version=next_version,
+            # adopt the TARGET snapshot's deletion vectors verbatim —
+            # inheriting the CURRENT version's would apply later
+            # deletes to the restored rows
+            dvs=m.get("dvs") or {},
+            inherit_dvs=False,
         )
         # Once the restore manifest is current, these groups are live
         # again and any LATER vacuum keeps them; only a vacuum that ran
@@ -633,7 +674,7 @@ class VersionedTable:
         # removed them. Re-verify and roll the manifest back if so.
         gone = [
             f
-            for f in m["files"]
+            for f in needed
             if not os.path.exists(os.path.join(self.root, f))
         ]
         if gone:
@@ -809,8 +850,48 @@ class VersionedTable:
         # mergeSchema: file groups may carry evolved (wider) schemas —
         # readers see the union, old rows get NULLs for new columns
         # (additive schema evolution, the Delta default)
-        return spark.read.option("mergeSchema", "true").parquet(
+        df = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.root, f) for f in files]
+        )
+        return self._apply_dvs(spark, df, version, files)
+
+    def _apply_dvs(
+        self, spark: SparkSession, df: DataFrame, version: int, files: list[str]
+    ) -> DataFrame:
+        """Merge-on-read: anti-join away the positions any deletion
+        vector marks dead in the groups being read. No DVs (the
+        common case) = the input plan unchanged. The DV side is
+        deleted-row-count sized and broadcast; the join key is
+        (root-relative file subpath, parquet row index) computed from
+        the hidden ``_metadata`` column identically on the build and
+        probe sides, so relocation of the table root cannot break it."""
+        dvs = self._manifest(version).get("dvs") or {}
+        groups = {self._group_of(f) for f in files}
+        dv_groups = sorted(
+            {d for g, lst in dvs.items() if g in groups for d in lst}
+        )
+        if not dv_groups:
+            return df
+        from pyspark.sql import functions as F
+
+        dv = spark.read.parquet(
+            *[os.path.join(self.root, d) for d in dv_groups]
+        ).select("file", "idx")
+        keyed = df.withColumn(
+            "__dv_file",
+            F.concat(
+                F.lit("data/"),
+                F.substring_index(F.col("_metadata.file_path"), "/data/", -1),
+            ),
+        ).withColumn("__dv_idx", F.col("_metadata.row_index"))
+        return (
+            keyed.join(
+                F.broadcast(dv),
+                (keyed["__dv_file"] == dv["file"])
+                & (keyed["__dv_idx"] == dv["idx"]),
+                "left_anti",
+            )
+            .drop("__dv_file", "__dv_idx")
         )
 
     def read_changes(
@@ -1073,10 +1154,13 @@ class VersionedTable:
             # below (emptiness probe, survivor write + stats agg,
             # capture probe + write) — without this each one re-reads
             # the parquet, on the path pitched as the 100 TB erasure
-            # primitive
-            df = spark.read.option("mergeSchema", "true").parquet(
+            # primitive. DVs applied first: a CoW rewrite of a group
+            # carrying deletion vectors must not resurrect its
+            # DV-deleted rows.
+            raw = spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.root, f) for f in sorted(affected)]
-            ).persist()
+            )
+            df = self._apply_dvs(spark, raw, version - 1, sorted(affected)).persist()
             try:
                 survivors = df.filter(
                     ~F.coalesce(F.expr(predicate), F.lit(False))
@@ -1125,6 +1209,103 @@ class VersionedTable:
         except CommitConflictError as e:
             return self._resolve_conflict(batch_id, e)
 
+    def delete_where_dv(
+        self,
+        spark: SparkSession,
+        predicate: str,
+        prune: tuple[str, object, object] | list[tuple[str, object, object]] | None = None,
+        batch_id: int | None = None,
+        emit_changes: bool = False,
+    ) -> int:
+        """Merge-on-read DELETE (the Delta deletion-vector analog):
+        instead of rewriting every affected file group (copy-on-write
+        ``delete_where``), the matching rows' POSITIONS are written to
+        a small deletion-vector group and the data files are carried
+        into the new version untouched. Reads anti-join the DV away.
+        The write cost is proportional to the DELETED rows, not to
+        the groups that contain them — the right half of the
+        trade-off for small deletes against huge clustered groups,
+        where CoW would rewrite gigabytes to drop a handful of rows.
+        Repeated DV deletes accumulate; a later compact / OPTIMIZE
+        rewrite (which reads through the DV-applying reader)
+        materializes survivors and sheds the vectors.
+
+        Same SQL DELETE semantics as delete_where (predicate TRUE
+        removes, NULL keeps), same ``prune`` contract, same
+        ``emit_changes`` capture for CDF consumers — a DV delete
+        without capture is a feed wall exactly like a CoW delete
+        without capture. Manifest stats of the affected groups stay
+        as-is: min/max and blooms remain a conservative superset of
+        the live rows, so pruning stays correct, only less tight
+        until the next rewrite.
+
+        Erasure caveat, stronger than CoW's: the deleted bytes remain
+        IN the data files until a rewrite AND vacuum — a DV delete
+        alone discharges no erasure obligation."""
+        from pyspark.sql import functions as F
+
+        version, prev_files, prev_stats = self._snapshot_state()
+        if batch_id is not None and batch_id in self.committed_batch_ids():
+            return self.latest_version()
+        if version == 0:
+            raise ValueError(f"table {self.root} has no committed version")
+        affected = self.snapshot_files(version - 1, prune)
+        dvs: dict[str, list[str]] = {}
+        changes_rel: str | None = "" if emit_changes else None
+        if affected:
+            # read the affected groups WITH existing DVs applied, so
+            # already-deleted rows are neither re-captured nor
+            # double-listed in the new vector
+            raw = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.root, f) for f in sorted(affected)]
+            )
+            live = self._apply_dvs(spark, raw, version - 1, affected)
+            matched = live.filter(
+                F.coalesce(F.expr(predicate), F.lit(False))
+            ).persist()
+            try:
+                positions = matched.select(
+                    F.concat(
+                        F.lit("data/"),
+                        F.substring_index(
+                            F.col("_metadata.file_path"), "/data/", -1
+                        ),
+                    ).alias("file"),
+                    F.col("_metadata.row_index").alias("idx"),
+                )
+                if not matched.isEmpty():
+                    group = uuid.uuid4().hex
+                    positions.write.mode("overwrite").parquet(
+                        os.path.join(self._dv_dir, group)
+                    )
+                    rel = f"dv/{group}"
+                    hit_groups = {
+                        self._group_of(r["file"])
+                        for r in positions.select("file").distinct().collect()
+                    }
+                    dvs = {g: [rel] for g in sorted(hit_groups)}
+                    if emit_changes:
+                        cgroup = uuid.uuid4().hex
+                        matched.write.mode("overwrite").parquet(
+                            os.path.join(self._changes_dir, cgroup)
+                        )
+                        changes_rel = f"changes/{cgroup}"
+            finally:
+                matched.unpersist()
+        try:
+            return self._commit(
+                prev_files,
+                "delete_dv",
+                self._manifest(version - 1)["schema"],
+                batch_id,
+                stats=prev_stats,
+                version=version,
+                changes=changes_rel,
+                dvs=dvs,
+            )
+        except CommitConflictError as e:
+            return self._resolve_conflict(batch_id, e)
+
     def replace_where(
         self,
         spark: SparkSession,
@@ -1165,10 +1346,13 @@ class VersionedTable:
         old = None
         if affected:
             # cached for the same reason as delete_where: the emptiness
-            # probe, the write, and the stats agg all consume it
-            old = spark.read.option("mergeSchema", "true").parquet(
+            # probe, the write, and the stats agg all consume it.
+            # DVs applied first — a rewrite must not resurrect
+            # DV-deleted rows from the groups it replaces.
+            raw = spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.root, f) for f in sorted(affected)]
-            ).persist()
+            )
+            old = self._apply_dvs(spark, raw, version - 1, sorted(affected)).persist()
             survivors = old.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
             combined = survivors.unionByName(df, allowMissingColumns=True)
         else:
@@ -1329,6 +1513,15 @@ class VersionedTable:
             ch = m.get("changes")
             if ch and not os.path.exists(os.path.join(self.root, ch)):
                 issues.append(f"manifest {v}: missing change group {ch}")
+            file_groups = {self._group_of(f) for f in m["files"]}
+            for g, lst in (m.get("dvs") or {}).items():
+                if g not in file_groups:
+                    issues.append(
+                        f"manifest {v}: deletion vector for unreferenced group {g}"
+                    )
+                for d in lst:
+                    if not os.path.exists(os.path.join(self.root, d)):
+                        issues.append(f"manifest {v}: missing dv group {d}")
         return issues
 
     def vacuum(self, keep_last: int = 1, min_age_s: float = 3600.0) -> int:
@@ -1358,6 +1551,8 @@ class VersionedTable:
                 keep.add("/".join(f.split("/")[:2]))
             if m.get("changes"):
                 keep.add(m["changes"])
+            for lst in (m.get("dvs") or {}).values():
+                keep.update(lst)
         now = time.time()
         removed = 0
         scan_dirs = [("data", self._data)]
@@ -1366,6 +1561,10 @@ class VersionedTable:
             # this is also where an erasure obligation on CAPTURED
             # deleted rows is finally discharged
             scan_dirs.append(("changes", self._changes_dir))
+        if os.path.isdir(self._dv_dir):
+            # deletion vectors age out with the manifests that carry
+            # them (a rewrite shed them from later manifests)
+            scan_dirs.append(("dv", self._dv_dir))
         for prefix, base_dir in scan_dirs:
             for group in os.listdir(base_dir):
                 rel = f"{prefix}/{group}"

@@ -1623,3 +1623,110 @@ def test_every_commit_action_is_feed_classified():
     assert classified <= committed, (
         f"classification entries with no commit site: {classified - committed}"
     )
+
+
+# --- deletion vectors (merge-on-read DELETE) ---------------------------
+
+
+def test_dv_delete_basic_and_time_travel(spark, tmp_path):
+    """delete_where_dv removes rows on read WITHOUT touching the data
+    files (merge-on-read): the manifest's file list is unchanged, the
+    pre-delete version still shows every row, and SQL DELETE
+    semantics hold (predicate NULL keeps the row)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, None), (3, "c"), (4, "d")]))
+    before = t.snapshot_files()
+    t.delete_where_dv(spark, "v < 'c'")  # NULL v -> predicate NULL -> kept
+    assert t.snapshot_files() == before  # no rewrite
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == [2, 3, 4]  # 'a' deleted; NULL kept
+    assert t.read(spark, version=0).count() == 4  # time travel intact
+    assert t.history()[-1]["action"] == "delete_dv"
+
+
+def test_dv_deletes_accumulate_and_propagate(spark, tmp_path):
+    """Successive DV deletes accumulate; appends carry the vectors
+    forward; upsert (reading through the DV-applying reader) does not
+    resurrect deleted rows and sheds the vectors with the rewrite."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(spark.range(100).selectExpr("id AS k", "CAST(id AS STRING) AS v"))
+    t.delete_where_dv(spark, "k % 10 = 3")
+    t.delete_where_dv(spark, "k % 10 = 7")
+    assert t.read(spark).count() == 80
+    t.append(_df(spark, [(1000, "x")]))  # dvs carried forward
+    assert t.read(spark).count() == 81
+    assert t._manifest(t.latest_version())["dvs"]
+    t.upsert(spark, _df(spark, [(0, "z")]), keys=["k"])
+    rows = {r["k"] for r in t.read(spark).collect()}
+    assert 3 not in rows and 7 not in rows and 1000 in rows and 0 in rows
+    assert not t._manifest(t.latest_version())["dvs"]  # rewrite shed them
+
+
+def test_dv_delete_prune_and_idempotency(spark, tmp_path):
+    """`prune` bounds which groups are scanned for matches (same
+    contract as CoW delete), and batch-id idempotency makes replays
+    no-ops."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(spark.range(0, 100).selectExpr("id AS k", "id AS v"), stats_cols=["k"])
+    t.append(spark.range(100, 200).selectExpr("id AS k", "id AS v"), stats_cols=["k"])
+    v = t.delete_where_dv(spark, "k = 150", prune=("k", 100, 199), batch_id=9)
+    assert t.read(spark).count() == 199
+    assert t.delete_where_dv(spark, "k = 151", batch_id=9) == v  # replay no-op
+    assert t.read(spark).count() == 199
+    # only the second group carries a vector
+    dvs = t._manifest(t.latest_version())["dvs"]
+    assert len(dvs) == 1
+
+
+def test_dv_delete_change_feed_capture(spark, tmp_path):
+    """A captured DV delete serves delete slices to CDF consumers
+    exactly like a captured CoW delete; an uncaptured one is a feed
+    wall (raises)."""
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.delete_where_dv(spark, "k = 2", emit_changes=True)
+    feed = t.read_change_feed(spark, since_version=0).collect()
+    assert [(r["k"], r["_change_type"]) for r in feed] == [(2, "delete")]
+    t.delete_where_dv(spark, "k = 3")  # no capture
+    with pytest.raises(ValueError, match="change feed"):
+        t.read_change_feed(spark, since_version=0)
+
+
+def test_dv_restore_and_vacuum(spark, tmp_path):
+    """RESTORE adopts the target snapshot's DV set verbatim (not the
+    current one's), and vacuum keeps DV groups referenced by kept
+    manifests while collecting shed ones."""
+    import os
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(spark.range(10).selectExpr("id AS k", "id AS v"))  # v0
+    t.delete_where_dv(spark, "k = 5")  # v1: dv on the group
+    t.delete_where_dv(spark, "k = 6")  # v2: second dv
+    t.restore(1)  # v3: only the first dv applies
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [0, 1, 2, 3, 4, 6, 7, 8, 9]
+    # compact sheds vectors; vacuum then collects the dv groups
+    t.compact(spark, target_partitions=1)  # v4 (applies the restored dv set)
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [0, 1, 2, 3, 4, 6, 7, 8, 9]
+    assert t.vacuum(keep_last=1, min_age_s=0) > 0
+    assert not os.path.isdir(os.path.join(str(tmp_path / "t"), "dv")) or not os.listdir(
+        os.path.join(str(tmp_path / "t"), "dv")
+    )
+    assert t.fsck() == []
+
+
+def test_dv_point_lookup_stays_correct(spark, tmp_path):
+    """Bloom/point pruning over DV'd groups stays conservative-correct:
+    a point probe of a DV-deleted key prunes to its group but reads
+    back zero rows (the vector applies after pruning)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    for g in range(4):
+        t.append(
+            spark.range(250).selectExpr(f"id * 4 + {g} AS k"),
+            stats_cols=["k"],
+            bloom_cols=["k"],
+        )
+    t.delete_where_dv(spark, "k = 40")
+    assert t.read(spark, point=("k", 40)).filter("k = 40").count() == 0
+    assert t.read(spark, point=("k", 44)).filter("k = 44").count() == 1
