@@ -128,6 +128,12 @@ PROBE_ENTRIES = [
     "graph_pagerank",
     "agg_cms_heavy_hitters",
     "storage_point_lookup",
+    # round 7: the two DELETE mechanisms side by side — CoW rewrites
+    # the affected clustered groups (cost ~ group bytes), the DV path
+    # writes positions (cost ~ deleted rows); both over the same
+    # events slice, so their ratio IS the mechanism comparison
+    "storage_versioned_delete",
+    "storage_versioned_delete_dv",
     "stream_late_dlq",
     "stream_scd2_enrich",
     "join_salted_skew",
