@@ -912,6 +912,61 @@ register(
 )
 
 
+def _storage_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-clause MERGE exercised in its most oracle-hostile shape —
+    matched=DELETE, not-matched=INSERT, by-source=KEEP — which makes
+    the committed snapshot the SYMMETRIC DIFFERENCE of target and
+    source on the key: every clause's row routing shows up in the
+    hash (a matched row kept, an insert dropped, or a keeper deleted
+    all break it). Target = events with event_id % 10 == 0, source =
+    events with event_id % 15 == 0 (overlap: % 30), value doubled on
+    the source side so a clause mix-up can't hide behind equal
+    values. The full 12-combination clause matrix is model-checked in
+    tests/test_versioned.py."""
+    from .storage.versioned import VersionedTable
+
+    root = _run_tmp_root("netflow_vtm_") + "/t"
+    t = VersionedTable(root)
+    ev = tables.load(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    t.append(ev.filter(F.col("event_id") % 10 == 0))
+    src = ev.filter(F.col("event_id") % 15 == 0).withColumn(
+        "value", F.col("value") * 2
+    )
+    t.merge(
+        spark,
+        src,
+        keys=["event_id"],
+        when_matched="delete",
+        when_not_matched="insert",
+        when_not_matched_by_source="keep",
+    )
+    return (
+        t.read(spark)
+        .select("event_id", "user_id", F.round("value", 2).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+_STORAGE_VT_MERGE_SQL = """
+SELECT event_id, user_id, ROUND(value, 2) AS value
+FROM events
+WHERE event_id % 10 = 0 AND event_id % 15 != 0
+UNION ALL
+SELECT event_id, user_id, ROUND(value * 2, 2) AS value
+FROM events
+WHERE event_id % 15 = 0 AND event_id % 10 != 0
+ORDER BY event_id
+"""
+
+
+register(
+    "storage_versioned_merge",
+    _storage_versioned_merge,
+    _STORAGE_VT_MERGE_SQL,
+    driver=False,
+)
+
+
 def _storage_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-indexed point lookups on the versioned format: events
     land in 8 bloom-indexed appends whose event_id ranges all overlap

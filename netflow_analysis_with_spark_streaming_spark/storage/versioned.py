@@ -92,7 +92,9 @@ _FEED_INSERT_ACTIONS = frozenset({"append"})
 _FEED_CAPTURE_ACTIONS = frozenset({"delete", "delete_dv"})
 # feed-breaking by construction: the rowset change is not derivable from
 # manifests alone — consumers must recompute from a full snapshot
-_FEED_BREAKING_ACTIONS = frozenset({"overwrite", "upsert", "replace_where", "restore"})
+_FEED_BREAKING_ACTIONS = frozenset(
+    {"overwrite", "upsert", "merge", "replace_where", "restore"}
+)
 _FEED_ALL_ACTIONS = (
     _FEED_ROW_PRESERVING
     | _FEED_INSERT_ACTIONS
@@ -1021,6 +1023,124 @@ class VersionedTable:
         for s in slices[1:]:
             out = out.unionByName(s, allowMissingColumns=True)
         return out
+
+    def merge(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: list[str],
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+        when_not_matched_by_source: str = "keep",
+        batch_id: int | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> int:
+        """Three-clause MERGE (the full Delta ``MERGE INTO`` surface;
+        ``upsert`` is the update/insert/keep special case):
+
+        - ``when_matched``: target rows whose keys appear in the
+          source — ``"update"`` (replaced whole by the source row),
+          ``"delete"``, or ``"keep"``.
+        - ``when_not_matched``: source rows with no target match —
+          ``"insert"`` or ``"ignore"``.
+        - ``when_not_matched_by_source``: target rows with no source
+          match — ``"keep"`` or ``"delete"`` (the full-sync clause:
+          update/insert/delete makes the table exactly the source).
+
+        Same contracts as upsert: null-safe key matching (NULL is a
+        legal key value), additive-only schema evolution when the
+        source contributes rows, duplicate-key sources are the
+        caller's to dedupe, copy-on-write commit with batch-id
+        idempotency. Implemented as semi/anti joins off ONE pinned
+        snapshot read — no full-outer join, so each clause is a
+        broadcastable one-sided match at scale."""
+        allowed = {
+            "when_matched": ("update", "delete", "keep"),
+            "when_not_matched": ("insert", "ignore"),
+            "when_not_matched_by_source": ("keep", "delete"),
+        }
+        for arg, val in (
+            ("when_matched", when_matched),
+            ("when_not_matched", when_not_matched),
+            ("when_not_matched_by_source", when_not_matched_by_source),
+        ):
+            if val not in allowed[arg]:
+                raise ValueError(f"{arg}={val!r}; expected one of {allowed[arg]}")
+        from pyspark.sql import functions as F
+
+        version, _, pinned_stats = self._snapshot_state()
+        if batch_id is not None and batch_id in self.committed_batch_ids():
+            return self.latest_version()
+        contributes = when_matched == "update" or when_not_matched == "insert"
+        if contributes:
+            self._enforce(source)
+        if version == 0:
+            if when_not_matched == "insert":
+                return self.append(source, batch_id=batch_id, stats_cols=stats_cols)
+            raise ValueError(f"table {self.root} has no committed version")
+        current = self.read(spark, version=version - 1)
+        if contributes:
+            dropped = sorted(set(current.columns) - set(source.columns))
+            if dropped:
+                raise ValueError(
+                    f"merge source is missing existing columns {dropped}; "
+                    "contributing rows must carry the full row (matched "
+                    "rows are replaced whole). Only additive schema "
+                    "evolution is supported."
+                )
+
+        def key_cond(left: str, right: str):
+            cond = None
+            for k in keys:
+                c = F.col(f"{left}.{k}").eqNullSafe(F.col(f"{right}.{k}"))
+                cond = c if cond is None else (cond & c)
+            return cond
+
+        src_keys = source.select(*keys).alias("src")
+        cur = current.alias("cur")
+        parts: list[DataFrame] = []
+        # matched targets: replaced by source rows / dropped / kept
+        if when_matched == "update":
+            parts.append(
+                source.alias("src")
+                .join(current.select(*keys).alias("cur"), key_cond("src", "cur"), "semi")
+            )
+        elif when_matched == "keep":
+            parts.append(cur.join(src_keys, key_cond("cur", "src"), "semi"))
+        # unmatched targets
+        if when_not_matched_by_source == "keep":
+            parts.append(cur.join(src_keys, key_cond("cur", "src"), "anti"))
+        # unmatched source rows
+        if when_not_matched == "insert":
+            parts.append(
+                source.alias("src")
+                .join(current.select(*keys).alias("cur"), key_cond("src", "cur"), "anti")
+            )
+        if not parts:
+            merged = current.limit(0)
+        else:
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = merged.unionByName(p, allowMissingColumns=True)
+        if stats_cols is None:
+            stats_cols = sorted(
+                {c for st in pinned_stats.values() for c in st if c != _BLOOM_KEY}
+            ) or None
+        new: list[str] = []
+        new_stats: dict = {}
+        if not merged.isEmpty():
+            new, new_stats = self._write_files(merged, stats_cols=stats_cols)
+        try:
+            return self._commit(
+                new,
+                "merge",
+                merged.schema.json(),
+                batch_id,
+                stats=new_stats,
+                version=version,
+            )
+        except CommitConflictError as e:
+            return self._resolve_conflict(batch_id, e)
 
     def upsert(
         self,

@@ -1730,3 +1730,102 @@ def test_dv_point_lookup_stays_correct(spark, tmp_path):
     t.delete_where_dv(spark, "k = 40")
     assert t.read(spark, point=("k", 40)).filter("k = 40").count() == 0
     assert t.read(spark, point=("k", 44)).filter("k = 44").count() == 1
+
+
+# --- three-clause MERGE -------------------------------------------------
+
+
+def test_merge_all_clause_combinations_match_model(spark, tmp_path):
+    """MERGE semantics pinned against a Python dict model for every
+    clause combination (3 matched x 2 not-matched x 2 by-source = 12):
+    target keys 0..9, source keys 5..14 with changed values, so all
+    three row classes (matched, source-only, target-only) are
+    populated. Includes a NULL key on both sides (null-safe match)."""
+    import itertools
+
+    target = {k: f"t{k}" for k in range(10)}
+    target[None] = "tN"
+    source = {k: f"s{k}" for k in range(5, 15)}
+    source[None] = "sN"
+
+    def model(wm, wnm, wnmbs):
+        out = {}
+        for k, v in target.items():
+            if k in source:
+                if wm == "update":
+                    out[k] = source[k]
+                elif wm == "keep":
+                    out[k] = v
+            else:
+                if wnmbs == "keep":
+                    out[k] = v
+        if wnm == "insert":
+            for k, v in source.items():
+                if k not in target:
+                    out[k] = v
+        return out
+
+    combos = list(
+        itertools.product(
+            ("update", "delete", "keep"), ("insert", "ignore"), ("keep", "delete")
+        )
+    )
+    for i, (wm, wnm, wnmbs) in enumerate(combos):
+        t = VersionedTable(str(tmp_path / f"m{i}"))
+        t.append(_df(spark, list(target.items())))
+        t.merge(
+            spark,
+            _df(spark, list(source.items())),
+            keys=["k"],
+            when_matched=wm,
+            when_not_matched=wnm,
+            when_not_matched_by_source=wnmbs,
+        )
+        got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        assert got == model(wm, wnm, wnmbs), (wm, wnm, wnmbs)
+        assert t.history()[-1]["action"] == "merge"
+
+
+def test_merge_full_sync_and_idempotency(spark, tmp_path):
+    """update/insert/delete-by-source = full snapshot sync (the table
+    becomes exactly the source); batch-id replays are no-ops; upsert
+    remains the update/insert/keep special case (same result)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    src = _df(spark, [(2, "B"), (9, "i")])
+    v = t.merge(
+        spark, src, keys=["k"],
+        when_matched="update", when_not_matched="insert",
+        when_not_matched_by_source="delete", batch_id=5,
+    )
+    assert {(r["k"], r["v"]) for r in t.read(spark).collect()} == {(2, "B"), (9, "i")}
+    assert t.merge(spark, src, keys=["k"], batch_id=5) == v  # replay no-op
+    # upsert == merge(update, insert, keep)
+    t2 = VersionedTable(str(tmp_path / "u"))
+    t2.append(_df(spark, [(1, "a"), (2, "b")]))
+    t2.merge(spark, _df(spark, [(2, "B"), (9, "i")]), keys=["k"])
+    t3 = VersionedTable(str(tmp_path / "u2"))
+    t3.append(_df(spark, [(1, "a"), (2, "b")]))
+    t3.upsert(spark, _df(spark, [(2, "B"), (9, "i")]), keys=["k"])
+    assert {tuple(r) for r in t2.read(spark).collect()} == {
+        tuple(r) for r in t3.read(spark).collect()
+    }
+
+
+def test_merge_applies_deletion_vectors_and_validates(spark, tmp_path):
+    """MERGE reads through the DV-applying reader (a DV-deleted row
+    must not resurrect as a not-matched-by-source keeper), rejects a
+    source missing existing columns when it contributes rows, and
+    rejects unknown clause values loudly."""
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.delete_where_dv(spark, "k = 3")
+    t.merge(spark, _df(spark, [(1, "A")]), keys=["k"])
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(1, "A"), (2, "b")}  # 3 stayed dead
+    with pytest.raises(ValueError, match="missing existing columns"):
+        t.merge(spark, spark.createDataFrame([(1,)], "k long"), keys=["k"])
+    with pytest.raises(ValueError, match="when_matched"):
+        t.merge(spark, _df(spark, [(1, "A")]), keys=["k"], when_matched="upsert")
