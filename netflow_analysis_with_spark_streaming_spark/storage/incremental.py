@@ -370,3 +370,85 @@ class StreamingDistinctViewMaintainer:
             to_version=to_v,
         )
         self._watermark = to_v
+
+
+# --- CDC replication (mirror a table from its typed change feed) --------
+
+
+def mirror_from_feed(
+    spark: SparkSession,
+    src: VersionedTable,
+    dst: VersionedTable,
+    keys: list[str],
+    since_version: int,
+    to_version: int | None = None,
+) -> int:
+    """Replicate ``src`` into ``dst`` by consuming src's typed change
+    feed over (since_version, to_version] — the APPLY CHANGES INTO
+    pattern: the mirror is advanced by the rows that CHANGED, the
+    source table is never rescanned after the initial sync. Returns
+    the consumed watermark (to_version) for the caller to persist.
+
+    Per source commit, in version order: an insert slice appends to
+    the mirror; a delete slice removes its keys via
+    ``merge(when_matched='delete', when_not_matched='ignore')`` — CDC
+    apply IS feed + merge, no bespoke machinery. Row-preserving
+    rewrites in the source (compact / OPTIMIZE) contribute no slice
+    and advance nothing; a feed-breaking source commit (overwrite /
+    upsert / merge / uncaptured delete) raises exactly as
+    read_change_feed does — the mirror must then be re-synced from a
+    snapshot, the same contract Delta replication has.
+
+    Exactly-once: every mirror write carries the SOURCE commit version
+    as its batch id, so a replayed window (crash between applying and
+    persisting the watermark) re-resolves to no-ops. The mirror table
+    must be dedicated to this consumer (its batch-id space belongs to
+    the source's version numbers).
+
+    Key semantics: deletes apply BY KEY (``keys``), the Delta APPLY
+    CHANGES requirement — the mirror must be key-unique for deletes
+    to mean what the source meant. Appends preserve source rows
+    verbatim, so a key-unique source yields a key-unique mirror."""
+    if to_version is None:
+        to_version = src.latest_version()
+    if to_version is None or since_version > to_version:
+        raise ValueError("empty or invalid version range")
+    # persist: the per-version loop slices the SAME feed window many
+    # times (distinct, emptiness probes, the writes) — without the
+    # cache each slice re-reads every underlying parquet group
+    feed = src.read_change_feed(spark, since_version, to_version).persist()
+    try:
+        versions = sorted(
+            r["_commit_version"]
+            for r in feed.select("_commit_version").distinct().collect()
+        )
+        for v in versions:
+            window = feed.filter(F.col("_commit_version") == v)
+            inserts = window.filter(F.col("_change_type") == "insert").drop(
+                "_change_type", "_commit_version"
+            )
+            deletes = window.filter(F.col("_change_type") == "delete").drop(
+                "_change_type", "_commit_version"
+            )
+            # a source commit is one action: its slice is inserts XOR
+            # deletes, so at most one mirror write claims batch id v
+            if not inserts.isEmpty():
+                dst.append(inserts, batch_id=v)
+            elif not deletes.isEmpty():
+                if dst.latest_version() is None:
+                    raise ValueError(
+                        "mirror received a delete before any insert; start "
+                        "replication from the source version before its "
+                        "first append"
+                    )
+                dst.merge(
+                    spark,
+                    deletes,
+                    keys=keys,
+                    when_matched="delete",
+                    when_not_matched="ignore",
+                    batch_id=v,
+                )
+    finally:
+        feed.unpersist()
+    return to_version

@@ -1829,3 +1829,100 @@ def test_merge_applies_deletion_vectors_and_validates(spark, tmp_path):
         t.merge(spark, spark.createDataFrame([(1,)], "k long"), keys=["k"])
     with pytest.raises(ValueError, match="when_matched"):
         t.merge(spark, _df(spark, [(1, "A")]), keys=["k"], when_matched="upsert")
+
+
+# --- CDC replication (mirror_from_feed) ---------------------------------
+
+
+def test_mirror_from_feed_replicates_and_replays(spark, tmp_path):
+    """APPLY CHANGES: a mirror advanced only by the source's typed
+    change feed equals the source snapshot after appends, captured
+    deletes (CoW AND deletion-vector), and a compaction; replaying an
+    already-consumed window is a no-op (batch ids = source versions)."""
+    from netflow_analysis_with_spark_streaming_spark.storage.incremental import (
+        mirror_from_feed,
+    )
+
+    src = VersionedTable(str(tmp_path / "src"))
+    dst = VersionedTable(str(tmp_path / "dst"))
+    src.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    src.append(_df(spark, [(4, "d"), (5, "e")]))
+    src.delete_where(spark, "k IN (2, 4)", emit_changes=True)
+    src.compact(spark, target_partitions=1)  # row-preserving: no slice
+    src.delete_where_dv(spark, "k = 5", emit_changes=True)
+    wm = mirror_from_feed(spark, src, dst, keys=["k"], since_version=-1)
+    assert wm == src.latest_version()
+
+    def rows(t):
+        return sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+
+    assert rows(dst) == rows(src) == [(1, "a"), (3, "c")]
+    # replay the same window: every write is a batch-id no-op
+    before = dst.latest_version()
+    mirror_from_feed(spark, src, dst, keys=["k"], since_version=-1)
+    assert dst.latest_version() == before
+    # incremental continuation from the persisted watermark
+    src.append(_df(spark, [(9, "i")]))
+    mirror_from_feed(spark, src, dst, keys=["k"], since_version=wm)
+    assert rows(dst) == rows(src)
+
+
+def test_mirror_from_feed_random_op_sequences(spark, tmp_path):
+    """Property: for random op sequences over the feed-derivable
+    action set (append / captured CoW delete / captured DV delete /
+    compact), mirror == source snapshot at every sync point."""
+    import random
+
+    from netflow_analysis_with_spark_streaming_spark.storage.incremental import (
+        mirror_from_feed,
+    )
+
+    rng = random.Random(77)
+    src = VersionedTable(str(tmp_path / "src"))
+    dst = VersionedTable(str(tmp_path / "dst"))
+    next_key, live = 0, set()
+    wm = -1
+    src.append(_df(spark, [(0, "v0"), (1, "v1")]))
+    live.update([0, 1])
+    next_key = 2
+    for step in range(12):
+        op = rng.choice(["append", "delete", "delete_dv", "compact"])
+        if op == "append" or not live:
+            ks = [next_key + i for i in range(rng.randint(1, 3))]
+            next_key += len(ks)
+            src.append(_df(spark, [(k, f"v{k}") for k in ks]))
+            live.update(ks)
+        elif op in ("delete", "delete_dv"):
+            victims = rng.sample(sorted(live), min(2, len(live)))
+            pred = "k IN (" + ",".join(map(str, victims)) + ")"
+            if op == "delete":
+                src.delete_where(spark, pred, emit_changes=True)
+            else:
+                src.delete_where_dv(spark, pred, emit_changes=True)
+            live.difference_update(victims)
+        else:
+            src.compact(spark, target_partitions=1)
+        if step % 3 == 2:  # periodic sync
+            wm = mirror_from_feed(spark, src, dst, keys=["k"], since_version=wm)
+            got = sorted(r["k"] for r in dst.read(spark).collect())
+            assert got == sorted(live), (step, got, sorted(live))
+    wm = mirror_from_feed(spark, src, dst, keys=["k"], since_version=wm)
+    assert sorted(r["k"] for r in dst.read(spark).collect()) == sorted(live)
+
+
+def test_mirror_from_feed_walls_on_feed_breaking_source(spark, tmp_path):
+    """A feed-breaking source commit (upsert) raises through the
+    mirror exactly as read_change_feed does — the mirror must re-sync
+    from a snapshot, never silently diverge."""
+    import pytest
+
+    from netflow_analysis_with_spark_streaming_spark.storage.incremental import (
+        mirror_from_feed,
+    )
+
+    src = VersionedTable(str(tmp_path / "src"))
+    dst = VersionedTable(str(tmp_path / "dst"))
+    src.append(_df(spark, [(1, "a")]))
+    src.upsert(spark, _df(spark, [(1, "A")]), keys=["k"])
+    with pytest.raises(ValueError, match="change feed"):
+        mirror_from_feed(spark, src, dst, keys=["k"], since_version=-1)
