@@ -829,18 +829,20 @@ FROM events WHERE event_id % 10 = 0 ORDER BY event_id
 register("storage_versioned_upsert", _storage_versioned_upsert, _STORAGE_VT_SQL, driver=False)
 
 
-def _storage_versioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Predicate DELETE on the versioned format: range-clustered
-    write -> stats-pruned copy-on-write delete (only the overlapping
-    file groups rewrite; the rest carry by reference) -> read-back.
-    The oracle is the surviving-rows select — a row deleted too many
-    or too few breaks the hash. Group-carry-over itself is
-    plan-asserted in tests/test_versioned.py."""
-    import tempfile  # noqa: F401 — parity with the upsert entry's env
-
+def _delete_scenario(
+    spark: SparkSession, sf_dir: str, tmp_prefix: str, delete_method: str
+) -> DataFrame:
+    """The SHARED predicate-delete scenario both storage delete
+    entries run — range-clustered write, stats-pruned delete via
+    ``delete_method`` ('delete_where' = copy-on-write,
+    'delete_where_dv' = deletion vectors), read-back. One body, two
+    mechanisms: the entries hash against the SAME oracle, so the
+    'mechanism equivalence' claim is only as good as the scenarios
+    being literally identical — which a shared helper guarantees and
+    two drift-prone copies would not."""
     from .storage.versioned import VersionedTable
 
-    root = _run_tmp_root("netflow_vtd_") + "/t"
+    root = _run_tmp_root(tmp_prefix) + "/t"
     t = VersionedTable(root)
     ev = (
         tables.load(spark, "events", sf_dir)
@@ -848,7 +850,7 @@ def _storage_versioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "value")
     )
     t.append_clustered(ev, "user_id", n_groups=8)
-    t.delete_where(
+    getattr(t, delete_method)(
         spark, "user_id % 7 = 0 AND user_id < 40", prune=("user_id", 0, 39)
     )
     return (
@@ -856,6 +858,16 @@ def _storage_versioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", F.round("value", 2).alias("value"))
         .orderBy("event_id")
     )
+
+
+def _storage_versioned_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE on the versioned format: range-clustered
+    write -> stats-pruned copy-on-write delete (only the overlapping
+    file groups rewrite; the rest carry by reference) -> read-back.
+    The oracle is the surviving-rows select — a row deleted too many
+    or too few breaks the hash. Group-carry-over itself is
+    plan-asserted in tests/test_versioned.py."""
+    return _delete_scenario(spark, sf_dir, "netflow_vtd_", "delete_where")
 
 
 _STORAGE_VT_DELETE_SQL = """
@@ -881,27 +893,12 @@ def _storage_versioned_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the new version untouched, reads anti-join the vector away.
     Hashing against the SAME oracle as the CoW entry pins the
     mechanism equivalence: DELETE-via-DV == DELETE-via-rewrite ==
-    SQL DELETE, row for row. File-carry-over (the point of DVs: cost
-    proportional to deleted rows, not to the groups holding them) is
-    asserted in tests/test_versioned.py's dv battery."""
-    from .storage.versioned import VersionedTable
-
-    root = _run_tmp_root("netflow_vtdv_") + "/t"
-    t = VersionedTable(root)
-    ev = (
-        tables.load(spark, "events", sf_dir)
-        .filter(F.col("event_id") % 10 == 0)
-        .select("event_id", "user_id", "value")
-    )
-    t.append_clustered(ev, "user_id", n_groups=8)
-    t.delete_where_dv(
-        spark, "user_id % 7 = 0 AND user_id < 40", prune=("user_id", 0, 39)
-    )
-    return (
-        t.read(spark)
-        .select("event_id", "user_id", F.round("value", 2).alias("value"))
-        .orderBy("event_id")
-    )
+    SQL DELETE, row for row (the scenario body is literally shared —
+    _delete_scenario — so the two entries cannot drift apart).
+    File-carry-over (the point of DVs: cost proportional to deleted
+    rows, not to the groups holding them) is asserted in
+    tests/test_versioned.py's dv battery."""
+    return _delete_scenario(spark, sf_dir, "netflow_vtdv_", "delete_where_dv")
 
 
 register(

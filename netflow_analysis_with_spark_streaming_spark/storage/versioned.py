@@ -227,6 +227,47 @@ class VersionedTable:
         return vs[-1] + 1, m["files"], m.get("stats", {})
 
     @staticmethod
+    def _nullsafe_key_cond(keys: list[str], left: str, right: str):
+        """AND of null-safe key equalities between two aliased frames —
+        NULL is a legal key value (grouping feeds produce them); plain
+        equality would never match NULL==NULL and stale NULL-key rows
+        would survive next to their replacements (found by the IVM
+        fuzz). Shared by upsert and the three-clause merge so a fix to
+        the matching rule can never apply to one and not the other."""
+        from pyspark.sql import functions as F
+
+        cond = None
+        for k in keys:
+            c = F.col(f"{left}.{k}").eqNullSafe(F.col(f"{right}.{k}"))
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    @staticmethod
+    def _require_full_row(current_cols, source_cols, what: str) -> None:
+        """Additive-only schema evolution gate for row-contributing
+        writes: a source missing an existing column would null it for
+        every replaced row (whole-row copy-on-write) — silent data
+        loss, rejected loudly. Shared by upsert and merge."""
+        dropped = sorted(set(current_cols) - set(source_cols))
+        if dropped:
+            raise ValueError(
+                f"{what} is missing existing columns {dropped}; "
+                "contributing rows must carry the full row (matched rows "
+                "are replaced whole — a missing column would be nulled). "
+                "Only additive schema evolution is supported."
+            )
+
+    @staticmethod
+    def _pinned_stats_cols(pinned_stats: dict) -> list[str] | None:
+        """Default stats columns for a whole-snapshot rewrite: whatever
+        the PINNED snapshot kept stats for (not a re-read — a racing
+        commit must not change what this commit records); the reserved
+        bloom entry is not a min/max column."""
+        return sorted(
+            {c for st in pinned_stats.values() for c in st if c != _BLOOM_KEY}
+        ) or None
+
+    @staticmethod
     def _group_of(rel: str) -> str:
         """Normalize a manifest file entry to its group dir
         ('data/<group>'); clustered appends list subpaths
@@ -1080,21 +1121,10 @@ class VersionedTable:
             raise ValueError(f"table {self.root} has no committed version")
         current = self.read(spark, version=version - 1)
         if contributes:
-            dropped = sorted(set(current.columns) - set(source.columns))
-            if dropped:
-                raise ValueError(
-                    f"merge source is missing existing columns {dropped}; "
-                    "contributing rows must carry the full row (matched "
-                    "rows are replaced whole). Only additive schema "
-                    "evolution is supported."
-                )
+            self._require_full_row(current.columns, source.columns, "merge source")
 
         def key_cond(left: str, right: str):
-            cond = None
-            for k in keys:
-                c = F.col(f"{left}.{k}").eqNullSafe(F.col(f"{right}.{k}"))
-                cond = c if cond is None else (cond & c)
-            return cond
+            return self._nullsafe_key_cond(keys, left, right)
 
         src_keys = source.select(*keys).alias("src")
         cur = current.alias("cur")
@@ -1123,13 +1153,19 @@ class VersionedTable:
             for p in parts[1:]:
                 merged = merged.unionByName(p, allowMissingColumns=True)
         if stats_cols is None:
-            stats_cols = sorted(
-                {c for st in pinned_stats.values() for c in st if c != _BLOOM_KEY}
-            ) or None
+            stats_cols = self._pinned_stats_cols(pinned_stats)
         new: list[str] = []
         new_stats: dict = {}
-        if not merged.isEmpty():
-            new, new_stats = self._write_files(merged, stats_cols=stats_cols)
+        # persist: the emptiness probe, the write, and the stats agg
+        # each consume the semi/anti-join plan — without the cache all
+        # three rescan the pinned snapshot plus source (same
+        # convention as delete_where/replace_where/compact)
+        merged = merged.persist()
+        try:
+            if not merged.isEmpty():
+                new, new_stats = self._write_files(merged, stats_cols=stats_cols)
+        finally:
+            merged.unpersist()
         try:
             return self._commit(
                 new,
@@ -1171,48 +1207,25 @@ class VersionedTable:
             # merge must be built on exactly the state the fence
             # validates, or a racing commit could be silently dropped
             current = self.read(spark, version=version - 1)
-            # Schema evolution on MERGE is ADDITIVE ONLY: an update
-            # carrying a new column widens the table (old rows get
-            # NULLs). An update MISSING an existing column is rejected
-            # — under Delta MERGE semantics unmentioned columns of
-            # matched rows are preserved, but this copy-on-write
-            # replaces whole rows, so the missing column would become
-            # NULL for every matched key: silent data loss.
-            dropped = sorted(set(current.columns) - set(updates.columns))
-            if dropped:
-                raise ValueError(
-                    f"upsert batch is missing existing columns {dropped}; "
-                    "updates must carry the full row (matched rows are "
-                    "replaced whole — a missing column would be nulled). "
-                    "Only additive schema evolution is supported."
-                )
-            # NULL-SAFE key match: a NULL key is a legal key value
-            # (grouping feeds produce them); a plain equality anti-join
-            # never matches NULL==NULL, so the stale NULL-key row would
-            # survive NEXT TO its replacement — found by the
-            # model-based IVM fuzz, not by any example-based test
-            from pyspark.sql import functions as F
-
-            cond = None
-            for k in keys:
-                c = F.col(f"cur.{k}").eqNullSafe(F.col(f"upd.{k}"))
-                cond = c if cond is None else (cond & c)
+            # additive-only schema + null-safe key matching — the
+            # shared helpers merge() also uses (one implementation of
+            # the rules the two writers must agree on)
+            self._require_full_row(current.columns, updates.columns, "upsert batch")
             merged = (
                 current.alias("cur")
-                .join(updates.select(*keys).alias("upd"), cond, "left_anti")
+                .join(
+                    updates.select(*keys).alias("upd"),
+                    self._nullsafe_key_cond(keys, "cur", "upd"),
+                    "left_anti",
+                )
                 .unionByName(updates, allowMissingColumns=True)
             )
         else:
             merged = updates
         if stats_cols is None:
-            # the PINNED snapshot's stats columns, not a re-read (a
-            # racing commit between the pin and here must not change
-            # what this commit records); the reserved bloom entry is
-            # NOT a min/max column — rewritten groups lose their bloom
-            # (conservatively kept by point pruning) until re-appended
-            stats_cols = sorted(
-                {c for st in pinned_stats.values() for c in st if c != _BLOOM_KEY}
-            ) or None
+            # rewritten groups lose their bloom (conservatively kept
+            # by point pruning) until re-appended
+            stats_cols = self._pinned_stats_cols(pinned_stats)
         new, new_stats = self._write_files(merged, stats_cols=stats_cols)
         try:
             return self._commit(
@@ -1380,18 +1393,29 @@ class VersionedTable:
                 *[os.path.join(self.root, f) for f in sorted(affected)]
             )
             live = self._apply_dvs(spark, raw, version - 1, affected)
-            matched = live.filter(
-                F.coalesce(F.expr(predicate), F.lit(False))
-            ).persist()
-            try:
-                positions = matched.select(
+            # resolve the _metadata position key BEFORE persisting:
+            # selecting _metadata off the cached frame later would
+            # alter the scan node (metadata columns change the file
+            # source output), miss the InMemoryRelation match, and
+            # re-scan the groups the persist exists to read once
+            matched = (
+                live.filter(F.coalesce(F.expr(predicate), F.lit(False)))
+                .withColumn(
+                    "__pos_file",
                     F.concat(
                         F.lit("data/"),
                         F.substring_index(
                             F.col("_metadata.file_path"), "/data/", -1
                         ),
-                    ).alias("file"),
-                    F.col("_metadata.row_index").alias("idx"),
+                    ),
+                )
+                .withColumn("__pos_idx", F.col("_metadata.row_index"))
+                .persist()
+            )
+            try:
+                positions = matched.select(
+                    F.col("__pos_file").alias("file"),
+                    F.col("__pos_idx").alias("idx"),
                 )
                 if not matched.isEmpty():
                     group = uuid.uuid4().hex
@@ -1406,9 +1430,9 @@ class VersionedTable:
                     dvs = {g: [rel] for g in sorted(hit_groups)}
                     if emit_changes:
                         cgroup = uuid.uuid4().hex
-                        matched.write.mode("overwrite").parquet(
-                            os.path.join(self._changes_dir, cgroup)
-                        )
+                        matched.drop("__pos_file", "__pos_idx").write.mode(
+                            "overwrite"
+                        ).parquet(os.path.join(self._changes_dir, cgroup))
                         changes_rel = f"changes/{cgroup}"
             finally:
                 matched.unpersist()
