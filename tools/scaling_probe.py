@@ -134,6 +134,7 @@ PROBE_ENTRIES = [
     # events slice, so their ratio IS the mechanism comparison
     "storage_versioned_delete",
     "storage_versioned_delete_dv",
+    "storage_versioned_merge",
     "stream_late_dlq",
     "stream_scd2_enrich",
     "join_salted_skew",
