@@ -519,17 +519,32 @@ class VersionedTable:
             return self.latest_version()  # replay: no-op before any write
         self._enforce(df)
         new, new_stats = self._write_files(df, stats_cols, bloom_cols)
-        try:
-            return self._commit(
-                prev_files + new,
-                "append",
-                df.schema.json(),
-                batch_id,
-                stats={**prev_stats, **new_stats},
-                version=version,
-            )
-        except CommitConflictError as e:
-            return self._resolve_conflict(batch_id, e)
+        # Blind appends COMMUTE with every other commit (they only add
+        # files), so a lost version race is auto-resolved Delta-style:
+        # re-pin the fresh snapshot and re-publish the SAME already
+        # written group — the caller never re-executes the write, and
+        # no orphaned duplicate groups pile up the way caller-side
+        # retry-by-calling-append-again used to leave. Bounded so a
+        # wedged view (or a test's frozen one) still surfaces the
+        # conflict. Rewriting ops (upsert/delete/merge/...) do NOT get
+        # this: their commits are built ON a snapshot, so a conflict
+        # means stale reads and only the caller can rebuild.
+        for _ in range(10):
+            try:
+                return self._commit(
+                    prev_files + new,
+                    "append",
+                    df.schema.json(),
+                    batch_id,
+                    stats={**prev_stats, **new_stats},
+                    version=version,
+                )
+            except CommitConflictError as e:
+                if batch_id is not None and batch_id in self.committed_batch_ids():
+                    return self.latest_version()  # replay raced us: no-op
+                conflict = e
+                version, prev_files, prev_stats = self._snapshot_state()
+        raise conflict
 
     def _write_clustered_group(
         self, df: DataFrame, col: str, n_groups: int

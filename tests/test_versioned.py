@@ -492,9 +492,12 @@ def test_error_paths_and_vacuum_after_rewrite(spark, tmp_path):
 
 def test_concurrent_commit_one_winner(spark, tmp_path):
     """Two writers racing for the same version: the link-based fence
-    gives exactly one winner; the loser raises CommitConflictError,
-    the winner's manifest is untouched, and a refreshed retry lands
-    cleanly as the next version (serializable history)."""
+    gives exactly one winner. Appends auto-retry on a fresh snapshot
+    (they commute), so to observe the loser's conflict this test
+    FREEZES the loser's view — every retry then re-derives the same
+    stale version and the bounded retry exhausts into
+    CommitConflictError; the winner's manifest is untouched and a
+    refreshed retry lands cleanly as the next version."""
     import pytest
 
     from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
@@ -1926,3 +1929,31 @@ def test_mirror_from_feed_walls_on_feed_breaking_source(spark, tmp_path):
     src.upsert(spark, _df(spark, [(1, "A")]), keys=["k"])
     with pytest.raises(ValueError, match="change feed"):
         mirror_from_feed(spark, src, dst, keys=["k"], since_version=-1)
+
+
+def test_append_auto_retries_conflict_without_rewriting(spark, tmp_path):
+    """A blind append losing the version race auto-resolves on a
+    fresh snapshot (appends commute): the loser's ALREADY-WRITTEN
+    group is re-published under the next version — no second data
+    write, no orphaned duplicate group, both writers' rows land."""
+    import os
+
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.append(_df(spark, [(1, "a")]))  # v0
+    loser = VersionedTable(root)
+    real_commit = loser._commit
+
+    def racing_commit(*args, **kw):
+        if not hasattr(racing_commit, "fired"):
+            racing_commit.fired = True  # another writer claims v1 mid-flight
+            VersionedTable(root).append(_df(spark, [(2, "w")]))
+        return real_commit(*args, **kw)
+
+    loser._commit = racing_commit
+    v = loser.append(_df(spark, [(3, "l")]))
+    assert v == 2  # landed as the NEXT version, no exception to the caller
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 2, 3]
+    # exactly three data groups on disk: seed + winner + loser (the
+    # retry re-published the same group instead of rewriting)
+    assert len(os.listdir(os.path.join(root, "data"))) == 3
