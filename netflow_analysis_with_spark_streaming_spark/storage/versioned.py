@@ -72,6 +72,11 @@ _BLOOM_KEY = "__bloom__"
 # group falls back to conservative (never-pruned) point reads.
 _BLOOM_M_MAX = 1 << 18
 
+# manifest protocol implemented by this module: bump when a manifest
+# field changes READ semantics (e.g. a future tombstone format) so
+# older readers fail loudly instead of returning wrong data
+_WRITER_VERSION = 2  # 2 = deletion vectors ("dvs")
+
 # --- change-feed action classification -----------------------------------
 # EVERY action string a commit path can write must appear in exactly one
 # of these sets — they are the single source of truth for read_changes /
@@ -187,7 +192,21 @@ class VersionedTable:
 
     def _manifest(self, version: int) -> dict:
         with open(os.path.join(self._log, f"{version:08d}.json"), encoding="utf-8") as f:
-            return json.load(f)
+            m = json.load(f)
+        # protocol gate (Delta's minReaderVersion): a manifest written
+        # by a FUTURE writer may rely on semantics this reader does not
+        # implement (the next deletion-vector-style feature) — reading
+        # it as if it were current silently returns wrong data, so
+        # fail loudly instead. Absent stamp = protocol 1 (pre-stamp
+        # tables stay readable).
+        wv = m.get("writer_version", 1)
+        if wv > _WRITER_VERSION:
+            raise ValueError(
+                f"table {self.root} version {version} was written by "
+                f"protocol {wv}; this reader implements protocol "
+                f"{_WRITER_VERSION} — upgrade before reading"
+            )
+        return m
 
     def _manifests(self):
         """All manifests, tolerant of a concurrent vacuum unlinking an
@@ -308,6 +327,9 @@ class VersionedTable:
             merged_dvs.setdefault(g, []).extend(v)
         manifest = {
             "version": version,
+            # readers at a lower protocol refuse this manifest; DVs
+            # changed read semantics, hence protocol 2
+            "writer_version": _WRITER_VERSION,
             "action": action,
             "files": sorted(files),
             "n_files": len(files),

@@ -1957,3 +1957,29 @@ def test_append_auto_retries_conflict_without_rewriting(spark, tmp_path):
     # exactly three data groups on disk: seed + winner + loser (the
     # retry re-published the same group instead of rewriting)
     assert len(os.listdir(os.path.join(root, "data"))) == 3
+
+
+def test_writer_protocol_gate(spark, tmp_path):
+    """A manifest stamped by a FUTURE writer protocol must refuse to
+    load (it may rely on semantics this reader lacks — reading it as
+    current would silently return wrong data); pre-stamp manifests
+    (no writer_version field) stay readable as protocol 1."""
+    import json
+    import os
+
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    path = os.path.join(str(tmp_path / "t"), "_log", "00000000.json")
+    m = json.load(open(path))
+    assert m["writer_version"] >= 2
+    # legacy manifest (no stamp) reads fine
+    del m["writer_version"]
+    json.dump(m, open(path, "w"))
+    assert t.read(spark).count() == 1
+    # future protocol refuses
+    m["writer_version"] = 99
+    json.dump(m, open(path, "w"))
+    with pytest.raises(ValueError, match="protocol 99"):
+        t.read(spark)
