@@ -1005,10 +1005,13 @@ def test_curator_audit_survives_partial_crash(spark, tmp_path):
 
 def test_model_based_op_sequences(spark):
     """Model-based fuzz of the table format: seeded random sequences
-    of append / upsert / delete_where / replace_where / compact /
-    rewrite_clustered applied both to a VersionedTable and to a plain
-    dict model; after every op the table's read equals the model, and
-    at the end time travel reproduces each recorded checkpoint."""
+    of append / upsert / delete_where / DV delete / three-clause
+    merge / replace_where / compact / rewrite_clustered / restore
+    applied both to a VersionedTable and to a plain dict model; after
+    every op the table's read equals the model, and at the end time
+    travel reproduces each recorded checkpoint. The DV and merge ops
+    interleaving with every rewrite shape is the point: deletion
+    vectors must hold (and shed) through arbitrary histories."""
     import random
     import tempfile
 
@@ -1045,8 +1048,8 @@ def test_model_based_op_sequences(spark):
         model.update({i: f"s{seed}_{i}" for i in range(10)})
         for step in range(12):
             op = rng.choice(
-                ["append", "upsert", "delete", "replace", "compact",
-                 "recluster", "restore"]
+                ["append", "upsert", "delete", "delete_dv", "merge",
+                 "replace", "compact", "recluster", "restore"]
             )
             if op == "append":
                 base = 100 * (step + 1)
@@ -1068,6 +1071,36 @@ def test_model_based_op_sequences(spark):
                 cut = rng.randint(0, 5)
                 t.delete_where(spark, f"k % 7 = {cut}")
                 model = {k: v for k, v in model.items() if k % 7 != cut}
+            elif op == "delete_dv":
+                cut = rng.randint(0, 8)
+                t.delete_where_dv(spark, f"k % 9 = {cut}")
+                model = {k: v for k, v in model.items() if k % 9 != cut}
+            elif op == "merge":
+                wm = rng.choice(["update", "delete", "keep"])
+                wnm = rng.choice(["insert", "ignore"])
+                wnmbs = rng.choice(["keep", "delete"])
+                keys = rng.sample(sorted(model) or [0], min(2, max(1, len(model))))
+                rows = [(k, f"m{step}") for k in keys] + [(8000 + step, f"mi{step}")]
+                t.merge(
+                    spark, mkdf(rows), keys=["k"],
+                    when_matched=wm, when_not_matched=wnm,
+                    when_not_matched_by_source=wnmbs,
+                )
+                src = dict(rows)
+                nxt = {}
+                for k, v in model.items():
+                    if k in src:
+                        if wm == "update":
+                            nxt[k] = src[k]
+                        elif wm == "keep":
+                            nxt[k] = v
+                    elif wnmbs == "keep":
+                        nxt[k] = v
+                if wnm == "insert":
+                    for k, v in src.items():
+                        if k not in model:
+                            nxt[k] = v
+                model = nxt
             elif op == "replace":
                 cut = rng.randint(0, 3)
                 rows = [(cut + 4 * j, f"r{step}_{j}") for j in range(2)]
