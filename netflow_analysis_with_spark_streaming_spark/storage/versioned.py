@@ -1776,3 +1776,46 @@ class VersionedTable:
             self.upsert(batch_df.sparkSession, batch_df, keys, batch_id=batch_id)
 
         return sink
+
+    def streaming_cdc_sink(self, keys: list[str], op_col: str = "op"):
+        """foreachBatch callable for an op-tagged CDC stream (the
+        Delta APPLY CHANGES INTO pattern on the ingest side): each
+        micro-batch carries ``op_col`` in {'I','U','D'} — I/U rows
+        upsert by key, D rows delete by key, both through merge().
+        Requires at most ONE op per key per batch (dedupe upstream by
+        a sequence column, the same contract Delta imposes); when an
+        upstream violates it and a key appears as both upsert and
+        delete in one batch, the delete wins (applied second) —
+        deterministic, documented, and the safer default for
+        takedown-style feeds.
+
+        Exactly-once: the upsert claims batch id ``2*batch_id`` and
+        the delete ``2*batch_id + 1`` (two table commits per batch
+        need two idempotency slots; the doubling keeps them disjoint
+        across batches), so crash-replayed batches re-resolve to
+        no-ops on both halves."""
+        from pyspark.sql import functions as F
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            spark = batch_df.sparkSession
+            upserts = batch_df.filter(F.col(op_col).isin("I", "U")).drop(op_col)
+            deletes = batch_df.filter(F.col(op_col) == "D").drop(op_col)
+            if self.latest_version() is None:
+                # first batch must establish the table before a merge
+                # can read a pinned snapshot
+                self.append(upserts, batch_id=2 * batch_id)
+            else:
+                self.merge(
+                    spark, upserts, keys=keys, batch_id=2 * batch_id
+                )  # update/insert/keep
+            if not deletes.isEmpty():
+                self.merge(
+                    spark,
+                    deletes,
+                    keys=keys,
+                    when_matched="delete",
+                    when_not_matched="ignore",
+                    batch_id=2 * batch_id + 1,
+                )
+
+        return sink

@@ -2016,3 +2016,29 @@ def test_writer_protocol_gate(spark, tmp_path):
     json.dump(m, open(path, "w"))
     with pytest.raises(ValueError, match="protocol 99"):
         t.read(spark)
+
+
+def test_streaming_cdc_sink_applies_and_replays(spark, tmp_path):
+    """Op-tagged CDC ingest (APPLY CHANGES): I/U rows upsert, D rows
+    delete, a key both upserted and deleted in one batch resolves to
+    deleted (delete applied second), and a crash-replayed batch is a
+    no-op on both halves (2*batch_id / 2*batch_id+1 idempotency)."""
+
+    def cdc(rows):
+        return spark.createDataFrame(rows, "k long, v string, op string")
+
+    t = VersionedTable(str(tmp_path / "t"))
+    sink = t.streaming_cdc_sink(keys=["k"])
+    sink(cdc([(1, "a", "I"), (2, "b", "I"), (3, "c", "I")]), 0)
+    sink(cdc([(2, "B", "U"), (4, "d", "I"), (3, None, "D")]), 1)
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(1, "a"), (2, "B"), (4, "d")}
+    # same-batch upsert+delete of one key: delete wins
+    sink(cdc([(5, "e", "I"), (5, None, "D")]), 2)
+    assert 5 not in {r["k"] for r in t.read(spark).collect()}
+    # crash replay of batch 1: nothing changes
+    before = t.latest_version()
+    sink(cdc([(2, "B", "U"), (4, "d", "I"), (3, None, "D")]), 1)
+    assert t.latest_version() == before
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(1, "a"), (2, "B"), (4, "d")}
