@@ -1800,14 +1800,20 @@ class VersionedTable:
             spark = batch_df.sparkSession
             upserts = batch_df.filter(F.col(op_col).isin("I", "U")).drop(op_col)
             deletes = batch_df.filter(F.col(op_col) == "D").drop(op_col)
-            if self.latest_version() is None:
-                # first batch must establish the table before a merge
-                # can read a pinned snapshot
-                self.append(upserts, batch_id=2 * batch_id)
-            else:
-                self.merge(
-                    spark, upserts, keys=keys, batch_id=2 * batch_id
-                )  # update/insert/keep
+            # skip an empty half entirely: an empty-source merge would
+            # still rewrite the whole snapshot (by-source=keep keeps
+            # every row — as new files). Skipping leaves that half's
+            # batch-id slot unclaimed, which stays idempotent: a
+            # replay re-derives the same empty half and skips again.
+            if not upserts.isEmpty():
+                if self.latest_version() is None:
+                    # first batch must establish the table before a
+                    # merge can read a pinned snapshot
+                    self.append(upserts, batch_id=2 * batch_id)
+                else:
+                    self.merge(
+                        spark, upserts, keys=keys, batch_id=2 * batch_id
+                    )  # update/insert/keep
             if not deletes.isEmpty():
                 self.merge(
                     spark,

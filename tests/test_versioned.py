@@ -2042,3 +2042,21 @@ def test_streaming_cdc_sink_applies_and_replays(spark, tmp_path):
     assert t.latest_version() == before
     got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
     assert got == {(1, "a"), (2, "B"), (4, "d")}
+
+
+def test_streaming_cdc_sink_delete_only_batch_no_rewrite(spark, tmp_path):
+    """A delete-only CDC batch must not pay a whole-snapshot rewrite
+    for its empty upsert half (an empty-source merge with
+    by-source=keep would re-write every row): exactly one commit
+    lands, and it is the delete merge."""
+
+    def cdc(rows):
+        return spark.createDataFrame(rows, "k long, v string, op string")
+
+    t = VersionedTable(str(tmp_path / "t"))
+    sink = t.streaming_cdc_sink(keys=["k"])
+    sink(cdc([(1, "a", "I"), (2, "b", "I")]), 0)
+    n_before = len(t.versions())
+    sink(cdc([(1, None, "D")]), 1)
+    assert len(t.versions()) == n_before + 1  # one commit, not two
+    assert {r["k"] for r in t.read(spark).collect()} == {2}
