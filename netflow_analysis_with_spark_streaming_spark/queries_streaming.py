@@ -964,6 +964,57 @@ register(
 )
 
 
+def _storage_cdc_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replication end-to-end (storage/incremental.mirror_from_feed):
+    a source table lands two appends, a captured copy-on-write delete,
+    a compaction (row-preserving: must contribute nothing), and a
+    captured deletion-vector delete; a mirror table is then advanced
+    from the source's typed change feed ALONE — the source is never
+    rescanned — in two sync passes (mid-history and final) to
+    exercise watermark continuation. The result read is the MIRROR,
+    so every feed slice, merge-application, and batch-id claim is on
+    the hash path; the oracle recomputes the surviving rows directly.
+
+    Scale: feed windows are delta-sized; the mirror's delete
+    application is a broadcast key merge — replication cost follows
+    the CHANGE volume, never source size."""
+    from .storage.incremental import mirror_from_feed
+    from .storage.versioned import VersionedTable
+
+    root = _run_tmp_root("netflow_cdcm_")
+    src = VersionedTable(root + "/src")
+    dst = VersionedTable(root + "/dst")
+    ev = (
+        tables.load(spark, "events", sf_dir)
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id", "user_id", F.round("value", 2).alias("value"))
+    )
+    src.append(ev.filter(F.col("user_id") % 2 == 0))
+    wm = mirror_from_feed(spark, src, dst, keys=["event_id"], since_version=-1)
+    src.append(ev.filter(F.col("user_id") % 2 == 1))
+    src.delete_where(spark, "user_id % 7 = 0", emit_changes=True)
+    src.compact(spark, target_partitions=2)
+    src.delete_where_dv(spark, "user_id % 5 = 1", emit_changes=True)
+    mirror_from_feed(spark, src, dst, keys=["event_id"], since_version=wm)
+    return dst.read(spark).orderBy("event_id")
+
+
+_STORAGE_CDC_MIRROR_SQL = """
+SELECT event_id, user_id, ROUND(value, 2) AS value
+FROM events
+WHERE event_id % 10 = 0 AND user_id % 7 != 0 AND user_id % 5 != 1
+ORDER BY event_id
+"""
+
+
+register(
+    "storage_cdc_mirror",
+    _storage_cdc_mirror,
+    _STORAGE_CDC_MIRROR_SQL,
+    driver=False,
+)
+
+
 def _storage_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-indexed point lookups on the versioned format: events
     land in 8 bloom-indexed appends whose event_id ranges all overlap

@@ -1254,3 +1254,48 @@ def test_anomaly_stream_equals_batch(spark):
     key = lambda r: (r["event_type"], r["hour"])  # noqa: E731
     assert sorted(map(tuple, batch), key=str) == sorted(map(tuple, stream), key=str)
     assert len(batch) == len({key(r) for r in batch})
+
+
+def test_streaming_cdc_sink_real_stream(spark, tmp_path):
+    """The op-tagged CDC apply sink driven by a REAL file-source
+    stream (maxFilesPerTrigger=1, availableNow): three micro-batches
+    of I/U/D ops land through foreachBatch(streaming_cdc_sink) and
+    the table converges to the op-log's net effect — the ingest-side
+    APPLY CHANGES wired through actual Structured Streaming, not a
+    direct sink call."""
+    import json
+    import os
+    import time as _time
+
+    from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+        VersionedTable,
+    )
+
+    d = tmp_path / "cdc_in"
+    d.mkdir()
+    batches = [
+        [{"k": 1, "v": "a", "op": "I"}, {"k": 2, "v": "b", "op": "I"}],
+        [{"k": 3, "v": "c", "op": "I"}, {"k": 2, "v": "B", "op": "U"}],
+        [{"k": 1, "v": None, "op": "D"}, {"k": 4, "v": "d", "op": "I"}],
+    ]
+    now = _time.time()
+    for i, recs in enumerate(batches):
+        p = d / f"b{i}.json"
+        p.write_text("\n".join(json.dumps(r) for r in recs))
+        os.utime(p, (now + i, now + i))  # pin batch order via mtime
+
+    t = VersionedTable(str(tmp_path / "table"))
+    raw = (
+        spark.readStream.schema("k long, v string, op string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        raw.writeStream.foreachBatch(t.streaming_cdc_sink(keys=["k"]))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(2, "B"), (3, "c"), (4, "d")}, got
