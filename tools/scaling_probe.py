@@ -135,6 +135,7 @@ PROBE_ENTRIES = [
     "storage_versioned_delete",
     "storage_versioned_delete_dv",
     "storage_versioned_merge",
+    "storage_cdc_mirror",
     "stream_late_dlq",
     "stream_scd2_enrich",
     "join_salted_skew",
