@@ -54,6 +54,24 @@ def hyperplane(j: int, dim: int) -> Column:
     )
 
 
+def ann_planes(n: int, target: int = 256, lo: int = 4, hi: int = 12) -> int:
+    """Sign-LSH plane count for an n-vector corpus: enough hyperplanes
+    that the EXPECTED bucket population (n / 2^planes) stays near
+    ``target``, clamped to [lo, hi]. A FIXED plane count makes bucket
+    populations — and therefore every per-query candidate set — grow
+    linearly with the corpus (measured 25x at the 100x probe for the
+    fixed-4 design this replaces); adapting keeps the equi-join's
+    per-bucket work ~flat while hamming-1 multi-probe keeps recall —
+    the same discipline as neardup_candidates_bucketed's log2(n/256)
+    and _lsh_subsplit. Deterministic in n alone, so an oracle that
+    knows n can mirror it: stays at the ``lo`` floor (4) up to
+    n = target*(2^lo - 1) = 3840 vectors, which covers the sf0.01 and
+    sf0.1 oracle corpora (500 / 2000) bit-identically."""
+    import math
+
+    return max(lo, min(hi, math.ceil(math.log2(n / target + 1))))
+
+
 def neardup_candidates(
     emb,
     k_per_row: int = 20,
@@ -392,9 +410,19 @@ def semantic_dedup(
     # two consumers read the assignment — _lsh_subsplit's cluster-size
     # agg and the final grouped prune. Without the cache each re-runs
     # the full Arrow/numpy assignment pass over the corpus; the size
-    # agg is the action that materializes it.
+    # agg is the action that materializes it. The cache is released
+    # BEFORE returning: the lazy prune plan instead reads an eager
+    # localCheckpoint of the (cluster, sub) assignment, whose blocks
+    # the ContextCleaner reclaims once the caller drops the result —
+    # a bare persist here would pin one cached corpus per
+    # semantic_dedup call for the session lifetime.
     assigned = assigned.persist()
-    assigned = _lsh_subsplit(assigned, int(cent.shape[1]), max_cluster_rows)
+    try:
+        split = _lsh_subsplit(assigned, int(cent.shape[1]), max_cluster_rows)
+        split = split.localCheckpoint(eager=True)
+    finally:
+        assigned.unpersist()
+    assigned = split
 
     def prune(pdf):
         import pandas as pd

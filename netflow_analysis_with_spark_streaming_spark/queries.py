@@ -85,11 +85,12 @@ _DRIVER_ORDER = [
     "stream_tumbling_window",
     "stream_path2_flatten",
     "stream_static_enrich",
-    "stream_running_totals",
-    # stream_update_mode retired to the pytest tier round 7: its hash
-    # evidence duplicated stream_running_totals (same 150-row running
-    # aggregation, different output mode); anomaly_rolling_zscore
-    # promoted in its place (see the relational block below)
+    # stream_update_mode retired to the pytest tier round 7 (hash
+    # evidence duplicated stream_running_totals); stream_running_totals
+    # itself retired round 8 (covered by stream_tumbling_window + the
+    # oracle-intact pytest-tier update_mode) — the slot went to the
+    # storage layer (storage_versioned_delete_dv, below), which had
+    # zero driver-tier evidence despite being ~1/3 of the engine
     "stream_stream_join",
     "stream_exactly_once_sink",
     "stream_sessionize_closed",
@@ -150,6 +151,10 @@ _DRIVER_ORDER = [
     # z-score anomaly detection, batch ≡ stream agreement pinned in
     # tests/test_streaming.py
     "anomaly_rolling_zscore",
+    # versioned-storage capability class (promoted round 8): the
+    # deletion-vector merge-on-read DELETE, hash-equal to the CoW
+    # delete's oracle (mechanism equivalence on the driver tier)
+    "storage_versioned_delete_dv",
 ]
 
 

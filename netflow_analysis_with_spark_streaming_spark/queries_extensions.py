@@ -479,7 +479,14 @@ def _similarity_lsh_topk(
     """
     emb = tables.load(spark, "embeddings", sf_dir)
     dim = 64
-    planes = 4
+    # adaptive plane count (one columnless count job): the fixed
+    # planes=4 this replaces made bucket populations linear in the
+    # corpus — 25x at the 100x probe. ann_planes stays at 4 up to
+    # 3840 vectors, so the static DuckDB mirror (_lsh_topk_sql,
+    # planes=4) remains bit-identical at the sf0.01/sf0.1 oracle
+    # scales (500 / 2000 vectors); at probe scale the bucket count
+    # grows to hold per-bucket work ~flat instead
+    planes = V.ann_planes(emb.count())
     with_bucket = emb.withColumn("bucket", V.lsh_bucket(F.col("embedding"), dim, planes))
     q = with_bucket.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),

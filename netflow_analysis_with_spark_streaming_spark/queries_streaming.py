@@ -901,11 +901,12 @@ def _storage_versioned_delete_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _delete_scenario(spark, sf_dir, "netflow_vtdv_", "delete_where_dv")
 
 
+# promoted to the driver window round 8 (the storage layer's first
+# driver-tier CORRECTNESS evidence), displacing stream_running_totals
 register(
     "storage_versioned_delete_dv",
     _storage_versioned_delete_dv,
     _STORAGE_VT_DELETE_SQL,
-    driver=False,
 )
 
 
@@ -976,8 +977,10 @@ def _storage_cdc_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash path; the oracle recomputes the surviving rows directly.
 
     Scale: feed windows are delta-sized; the mirror's delete
-    application is a broadcast key merge — replication cost follows
-    the CHANGE volume, never source size."""
+    application is merge-on-read (matched rows DV-invalidated by
+    position, the scan pruned by the mirror groups' key stats/blooms,
+    no mirror group rewritten) — replication cost follows the CHANGE
+    volume on both the source and the mirror side."""
     from .storage.incremental import mirror_from_feed
     from .storage.versioned import VersionedTable
 
@@ -1257,7 +1260,16 @@ register("stream_tumbling_window", _stream_tumbling_window, _STREAM_WINDOW_SQL)
 # under direct submodule import)
 register("stream_path2_flatten", _stream_path2_flatten, _fl.FLATTEN_ORACLE_SQL)
 register("stream_static_enrich", _stream_static_enrich, _STREAM_STATIC_SQL)
-register("stream_running_totals", _stream_running_totals, _STREAM_RUNNING_SQL)
+# rotated to the pytest tier round 8: its semantics are covered by
+# stream_tumbling_window (driver) plus the oracle-intact
+# stream_update_mode (pytest tier, same 150-row running aggregation);
+# the freed driver slot went to storage_versioned_delete_dv — the
+# versioned store is ~1/3 of the engine's non-test LoC and previously
+# had ZERO driver-tier CORRECTNESS evidence
+register(
+    "stream_running_totals", _stream_running_totals, _STREAM_RUNNING_SQL,
+    driver=False,
+)
 # rotated to the pytest tier round 7: its hash evidence was a
 # near-duplicate of stream_running_totals (same 150-row running
 # aggregation, different output mode); the freed driver slot went to

@@ -385,19 +385,28 @@ def mirror_from_feed(
 ) -> int:
     """Replicate ``src`` into ``dst`` by consuming src's typed change
     feed over (since_version, to_version] — the APPLY CHANGES INTO
-    pattern: the mirror is advanced by the rows that CHANGED, the
-    source table is never rescanned after the initial sync. Returns
-    the consumed watermark (to_version) for the caller to persist.
+    pattern: replication cost follows the CHANGE volume on BOTH
+    sides. The source is never rescanned after the initial sync (feed
+    windows are delta-sized), and mirror writes are change-bounded
+    too: inserts append (carrying key stats + blooms so later delete
+    application can prune), deletes apply merge-on-read — matched
+    mirror rows are DV-invalidated by position, no mirror group is
+    rewritten, and the matched-position scan reads only the groups
+    whose stats/blooms can hold the deleted keys. DVs accumulate
+    until a compaction sheds them; pair a long-lived mirror with
+    periodic ``maybe_compact``. Returns the consumed watermark
+    (to_version) for the caller to persist.
 
     Per source commit, in version order: an insert slice appends to
     the mirror; a delete slice removes its keys via
-    ``merge(when_matched='delete', when_not_matched='ignore')`` — CDC
-    apply IS feed + merge, no bespoke machinery. Row-preserving
-    rewrites in the source (compact / OPTIMIZE) contribute no slice
-    and advance nothing; a feed-breaking source commit (overwrite /
-    upsert / merge / uncaptured delete) raises exactly as
-    read_change_feed does — the mirror must then be re-synced from a
-    snapshot, the same contract Delta replication has.
+    ``merge(when_matched='delete', when_not_matched='ignore',
+    strategy='mor')`` — CDC apply IS feed + merge, no bespoke
+    machinery. Row-preserving rewrites in the source (compact /
+    OPTIMIZE) contribute no slice and advance nothing; a
+    feed-breaking source commit (overwrite / upsert / merge /
+    uncaptured delete) raises exactly as read_change_feed does — the
+    mirror must then be re-synced from a snapshot, the same contract
+    Delta replication has.
 
     Exactly-once: every mirror write carries the SOURCE commit version
     as its batch id, so a replayed window (crash between applying and
@@ -433,7 +442,22 @@ def mirror_from_feed(
             # a source commit is one action: its slice is inserts XOR
             # deletes, so at most one mirror write claims batch id v
             if not inserts.isEmpty():
-                dst.append(inserts, batch_id=v)
+                skeys = [
+                    k
+                    for k in keys
+                    if VersionedTable._auto_prunable(inserts.schema[k].dataType)
+                ]
+                bkeys = [
+                    k
+                    for k in keys
+                    if VersionedTable._bloomable(inserts.schema[k].dataType)
+                ]
+                dst.append(
+                    inserts,
+                    batch_id=v,
+                    stats_cols=skeys or None,
+                    bloom_cols=bkeys or None,
+                )
             elif not deletes.isEmpty():
                 if dst.latest_version() is None:
                     raise ValueError(
@@ -448,6 +472,7 @@ def mirror_from_feed(
                     when_matched="delete",
                     when_not_matched="ignore",
                     batch_id=v,
+                    strategy="mor",
                 )
     finally:
         feed.unpersist()

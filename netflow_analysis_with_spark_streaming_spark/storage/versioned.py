@@ -71,6 +71,11 @@ _BLOOM_KEY = "__bloom__"
 # fill); above it the column's bloom is dropped and the compacted
 # group falls back to conservative (never-pruned) point reads.
 _BLOOM_M_MAX = 1 << 18
+# merge sources with at most this many DISTINCT keys probe per-group
+# bloom indexes value-by-value (a bounded driver-side loop over the
+# collected keys — the CDC / targeted-upsert case); bigger sources
+# fall back to range pruning only
+_MERGE_BLOOM_PROBE_MAX = 1024
 
 # manifest protocol implemented by this module: bump when a manifest
 # field changes READ semantics (e.g. a future tombstone format) so
@@ -422,10 +427,9 @@ class VersionedTable:
         pruning — the same contract _bloom_positions_py enforces on
         the probe side."""
         from pyspark.sql import functions as F
-        from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType, StringType
 
         dtype = df.schema[col].dataType
-        if not isinstance(dtype, (ByteType, ShortType, IntegerType, LongType, StringType)):
+        if not VersionedTable._bloomable(dtype):
             raise TypeError(
                 f"bloom index on column {col!r} of type {dtype.simpleString()}: "
                 "only integer and string key columns are supported (other "
@@ -736,6 +740,18 @@ class VersionedTable:
                     "was vacuumed"
                 )
         next_version, _, _ = self._snapshot_state()
+        # second verify at the last instant before the atomic publish:
+        # the observable doomed-manifest window is now [here, link]
+        # instead of [pre-check, link] — the post-commit re-verify
+        # below remains the backstop for a vacuum that wins even this
+        gone_pre = [
+            f for f in needed if not os.path.exists(os.path.join(self.root, f))
+        ]
+        if gone_pre:
+            raise ValueError(
+                f"cannot restore version {version}: data group(s) "
+                f"{gone_pre} were vacuumed concurrently"
+            )
         committed = self._commit(
             m["files"],
             "restore",
@@ -1102,6 +1118,350 @@ class VersionedTable:
             out = out.unionByName(s, allowMissingColumns=True)
         return out
 
+    # --- MERGE / upsert ------------------------------------------------
+
+    def _read_groups(
+        self, spark: SparkSession, version: int, files: list[str]
+    ) -> DataFrame:
+        """Scan an explicit subset of snapshot ``version``'s file
+        groups with its deletion vectors applied — the shared read
+        every partial-rewrite path (merge / delete / replace_where)
+        builds on. An empty subset returns an empty frame with the
+        snapshot schema, so downstream joins stay well-typed."""
+        if not files:
+            m = self._manifest(version)
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(m["schema"]))
+            )
+        ordered = sorted(files)
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.root, f) for f in ordered]
+        )
+        return self._apply_dvs(spark, df, version, ordered)
+
+    @staticmethod
+    def _bloomable(dtype) -> bool:
+        """Types the bloom index supports: integer and string keys
+        stringify identically on the build (CAST AS STRING) and probe
+        (str()) sides; anything else risks silent wrong pruning (see
+        _build_bloom)."""
+        from pyspark.sql.types import (
+            ByteType,
+            IntegerType,
+            LongType,
+            ShortType,
+            StringType,
+        )
+
+        return isinstance(
+            dtype, (ByteType, ShortType, IntegerType, LongType, StringType)
+        )
+
+    @staticmethod
+    def _auto_prunable(dtype) -> bool:
+        """Key types whose driver-side stats comparison provably agrees
+        with Spark's ordering after the manifest JSON round-trip:
+        integers/floats/booleans/strings compare natively, dates
+        stringify TZ-free. Timestamps are EXCLUDED — their stats were
+        stringified under the WRITING session's timezone rendering,
+        and an ordering disagreement here would prune a group that
+        holds a match (a silently dropped update, not a slow query).
+        Decimals likewise (lexical vs numeric). Conservative fallback:
+        an excluded key column simply contributes no prune bound."""
+        from pyspark.sql.types import (
+            BooleanType,
+            ByteType,
+            DateType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+            ShortType,
+            StringType,
+        )
+
+        return isinstance(
+            dtype,
+            (
+                BooleanType,
+                ByteType,
+                ShortType,
+                IntegerType,
+                LongType,
+                FloatType,
+                DoubleType,
+                StringType,
+                DateType,
+            ),
+        )
+
+    def _merge_candidates(
+        self, source: DataFrame, keys: list[str], version: int, stats: dict
+    ) -> tuple[list[str], bool]:
+        """The file groups of snapshot ``version`` that COULD hold a
+        row key-matching ``source`` — merge's read set, and (under
+        copy-on-write) its rewrite set. ONE agg job over the source
+        derives per-key [min, max]; ``snapshot_files`` range-prunes
+        the manifest stats against them, then per-group bloom indexes
+        are probed with the source's distinct keys when the source is
+        point-lookup sized (<= _MERGE_BLOOM_PROBE_MAX — the CDC /
+        targeted-upsert case, where ranges of append-ordered groups
+        all overlap but blooms prove absence). Conservative by
+        construction: a key column carrying NULLs contributes no
+        bound (manifest min/max are null-blind, and null-safe matching
+        means a NULL source key can hit target rows the range never
+        sees); a group without stats or bloom for a column is always
+        kept. Returns (candidate files, source_is_empty)."""
+        from pyspark.sql import functions as F
+
+        prunable = [
+            k for k in keys if self._auto_prunable(source.schema[k].dataType)
+        ]
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for i, k in enumerate(prunable):
+            aggs.extend(
+                [
+                    F.min(k).alias(f"__lo_{i}"),
+                    F.max(k).alias(f"__hi_{i}"),
+                    F.max(F.col(k).isNull().cast("int")).alias(f"__null_{i}"),
+                ]
+            )
+        row = source.agg(*aggs).collect()[0]
+        if row["__n"] == 0:
+            # an empty source matches nothing: no candidates, and the
+            # caller resolves that without reading any group
+            return [], True
+        prune: list[tuple[str, object, object]] = []
+        probe_cols: list[str] = []
+        for i, k in enumerate(prunable):
+            if row[f"__null_{i}"] or row[f"__lo_{i}"] is None:
+                continue
+            probe_cols.append(k)
+            prune.append((k, row[f"__lo_{i}"], row[f"__hi_{i}"]))
+        cands = self.snapshot_files(version, prune or None)
+        for k in probe_cols:
+            bloomed = [
+                f for f in cands if stats.get(f, {}).get(_BLOOM_KEY, {}).get(k)
+            ]
+            if not bloomed:
+                continue
+            vals = (
+                source.select(k)
+                .distinct()
+                .limit(_MERGE_BLOOM_PROBE_MAX + 1)
+                .collect()
+            )
+            if len(vals) > _MERGE_BLOOM_PROBE_MAX:
+                continue  # too many keys for a driver-side probe loop
+            drop = set()
+            for f in bloomed:
+                b = stats[f][_BLOOM_KEY][k]
+                bits = base64.b64decode(b["b64"])
+                if not any(
+                    all(
+                        (bits[p // 8] >> (p % 8)) & 1
+                        for p in _bloom_positions_py(r[k], b["m"], b["k"])
+                    )
+                    for r in vals
+                ):
+                    drop.add(f)  # provably holds NONE of the source keys
+            if drop:
+                cands = [f for f in cands if f not in drop]
+        return cands, False
+
+    def _merge_prepare(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        keys: list[str],
+        when_matched: str,
+        when_not_matched: str,
+        when_not_matched_by_source: str,
+        batch_id: int | None,
+        stats_cols: list[str] | None,
+        strategy: str,
+        what: str,
+    ) -> tuple[int | None, tuple | None]:
+        """Shared merge/upsert planner (ONE implementation of the
+        matching rules and the pruned/merge-on-read write paths, so
+        the two public writers can never diverge). Returns
+        (done_version, None) when the operation resolved without a
+        new commit (batch-id replay, version-0 append), else
+        (None, (files, schema_json, stats, dvs, version)) for the
+        caller to commit under its own LITERAL action string — the
+        feed-taxonomy meta-test AST-checks _commit call sites."""
+        from pyspark.sql import functions as F
+
+        version, prev_files, pinned_stats = self._snapshot_state()
+        if batch_id is not None and batch_id in self.committed_batch_ids():
+            return self.latest_version(), None
+        contributes = when_matched == "update" or when_not_matched == "insert"
+        if contributes:
+            self._enforce(source)
+        if version == 0:
+            if when_not_matched == "insert":
+                # a merge into a never-written table IS an append —
+                # commit it as one (a pure-insert action also keeps
+                # the change feed consumable across the bootstrap)
+                return (
+                    self.append(source, batch_id=batch_id, stats_cols=stats_cols),
+                    None,
+                )
+            raise ValueError(f"table {self.root} has no committed version")
+
+        candidates, src_empty = self._merge_candidates(
+            source, keys, version - 1, pinned_stats
+        )
+        full_sync = when_not_matched_by_source == "delete"
+        if src_empty and not full_sync:
+            # provably identity: carry every group by reference (the
+            # commit still claims the batch id and the "merge" action,
+            # so replays and history stay uniform)
+            return None, (
+                list(prev_files),
+                self._manifest(version - 1)["schema"],
+                dict(pinned_stats),
+                {},
+                version,
+            )
+        cand_df = self._read_groups(spark, version - 1, candidates)
+        if contributes:
+            snap_cols = [
+                f.name
+                for f in StructType.fromJson(
+                    json.loads(self._manifest(version - 1)["schema"])
+                ).fields
+            ]
+            self._require_full_row(
+                set(snap_cols) | set(cand_df.columns), source.columns, what
+            )
+
+        if full_sync:
+            # every unmatched target row is affected: inherently a
+            # table-sized rowset change (only candidates are READ —
+            # survivors can live nowhere else)
+            affected = set(prev_files)
+        elif strategy == "mor" or when_matched == "keep":
+            affected: set[str] = set()  # no target row rewritten in place
+        else:
+            affected = set(candidates)
+
+        def key_cond(left: str, right: str):
+            return self._nullsafe_key_cond(keys, left, right)
+
+        src_keys = source.select(*keys).alias("src")
+        cand_keys = cand_df.select(*keys).alias("cur")
+
+        dvs: dict[str, list[str]] = {}
+        if strategy == "mor" and when_matched in ("update", "delete") and candidates:
+            # merge-on-read: invalidate matched target rows by
+            # POSITION. The scan is pruned to candidate groups,
+            # existing DVs applied first (a dead row is never
+            # double-listed), and _metadata is resolved BEFORE the
+            # persist so the cached plan still matches the scan (the
+            # delete_where_dv lesson).
+            matched = (
+                cand_df.withColumn(
+                    "__pos_file",
+                    F.concat(
+                        F.lit("data/"),
+                        F.substring_index(
+                            F.col("_metadata.file_path"), "/data/", -1
+                        ),
+                    ),
+                )
+                .withColumn("__pos_idx", F.col("_metadata.row_index"))
+                .alias("cur")
+                .join(src_keys, key_cond("cur", "src"), "semi")
+                .persist()
+            )
+            try:
+                if not matched.isEmpty():
+                    positions = matched.select(
+                        F.col("__pos_file").alias("file"),
+                        F.col("__pos_idx").alias("idx"),
+                    )
+                    group = uuid.uuid4().hex
+                    positions.write.mode("overwrite").parquet(
+                        os.path.join(self._dv_dir, group)
+                    )
+                    rel = f"dv/{group}"
+                    hit = {
+                        self._group_of(r["file"])
+                        for r in positions.select("file").distinct().collect()
+                    }
+                    dvs = {g: [rel] for g in sorted(hit)}
+            finally:
+                matched.unpersist()
+
+        parts: list[DataFrame] = []
+        if when_matched == "update":
+            parts.append(
+                source.alias("src").join(cand_keys, key_cond("src", "cur"), "semi")
+            )
+        elif when_matched == "keep" and full_sync:
+            parts.append(
+                cand_df.alias("cur").join(src_keys, key_cond("cur", "src"), "semi")
+            )
+        if not full_sync and strategy == "cow" and when_matched in ("update", "delete"):
+            # survivors of the rewritten candidate groups: unmatched
+            # target rows carried forward IN the new group
+            parts.append(
+                cand_df.alias("cur").join(src_keys, key_cond("cur", "src"), "anti")
+            )
+        if when_not_matched == "insert":
+            parts.append(
+                source.alias("src").join(cand_keys, key_cond("src", "cur"), "anti")
+            )
+
+        if stats_cols is None:
+            stats_cols = self._pinned_stats_cols(pinned_stats)
+        new: list[str] = []
+        new_stats: dict = {}
+        if parts:
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = merged.unionByName(p, allowMissingColumns=True)
+            # keep the point-lookup index alive across the rewrite: a
+            # group written WITHOUT the blooms its predecessors had
+            # would be conservatively kept by every future merge and
+            # snowball the steady-state CDC cost back toward O(table)
+            bloom_cols = [
+                c
+                for c in sorted(
+                    {
+                        c
+                        for st in pinned_stats.values()
+                        for c in st.get(_BLOOM_KEY, {})
+                    }
+                )
+                if c in merged.columns
+                and self._bloomable(merged.schema[c].dataType)
+            ]
+            # persist: the emptiness probe, the write, and the
+            # stats/bloom aggs each consume the semi/anti-join plan —
+            # without the cache each one rescans candidates + source
+            merged = merged.persist()
+            try:
+                if not merged.isEmpty():
+                    new, new_stats = self._write_files(
+                        merged, stats_cols=stats_cols, bloom_cols=bloom_cols or None
+                    )
+            finally:
+                merged.unpersist()
+            schema_json = merged.schema.json()
+        else:
+            schema_json = self._manifest(version - 1)["schema"]
+        untouched = [f for f in prev_files if f not in affected]
+        kept_stats = {f: s for f, s in pinned_stats.items() if f not in affected}
+        return None, (
+            untouched + new,
+            schema_json,
+            {**kept_stats, **new_stats},
+            dvs,
+            version,
+        )
+
     def merge(
         self,
         spark: SparkSession,
@@ -1112,6 +1472,7 @@ class VersionedTable:
         when_not_matched_by_source: str = "keep",
         batch_id: int | None = None,
         stats_cols: list[str] | None = None,
+        strategy: str = "cow",
     ) -> int:
         """Three-clause MERGE (the full Delta ``MERGE INTO`` surface;
         ``upsert`` is the update/insert/keep special case):
@@ -1125,92 +1486,77 @@ class VersionedTable:
           match — ``"keep"`` or ``"delete"`` (the full-sync clause:
           update/insert/delete makes the table exactly the source).
 
-        Same contracts as upsert: null-safe key matching (NULL is a
-        legal key value), additive-only schema evolution when the
-        source contributes rows, duplicate-key sources are the
-        caller's to dedupe, copy-on-write commit with batch-id
-        idempotency. Implemented as semi/anti joins off ONE pinned
-        snapshot read — no full-outer join, so each clause is a
-        broadcastable one-sided match at scale."""
+        Write cost is bounded by the CHANGE, not the table:
+
+        - ``strategy="cow"`` (default) rewrites only the file groups
+          whose manifest stats / bloom indexes could hold a source-key
+          match (``_merge_candidates``); every other group carries
+          into the new version by reference — the ``delete_where``
+          prune discipline. A 10-key MERGE into a key-clustered or
+          bloom-indexed 100 TB table rewrites a few groups, not the
+          snapshot. ``when_not_matched_by_source="delete"`` is the
+          exception: every unmatched target row is affected, so the
+          rowset change is inherently table-sized (candidates are
+          still the only groups READ — survivors live nowhere else).
+        - ``strategy="mor"`` (merge-on-read — the deletion-vector
+          MERGE): matched target rows are invalidated by a deletion
+          vector (positions only, no data rewrite) and the
+          update/insert rows land as ONE appended group, so write
+          cost is O(source) regardless of pruning quality. Requires
+          ``when_not_matched_by_source="keep"``. Repeated MoR merges
+          accumulate vectors until a compaction sheds them —
+          ``maybe_compact`` is the steady-state companion.
+
+        Unchanged contracts: null-safe key matching (NULL is a legal
+        key value), additive-only schema evolution when the source
+        contributes rows, duplicate-key sources are the caller's to
+        dedupe, copy-on-write commit fencing with batch-id
+        idempotency, semi/anti joins off ONE pinned snapshot — no
+        full-outer join, so each clause stays a one-sided match."""
         allowed = {
             "when_matched": ("update", "delete", "keep"),
             "when_not_matched": ("insert", "ignore"),
             "when_not_matched_by_source": ("keep", "delete"),
+            "strategy": ("cow", "mor"),
         }
         for arg, val in (
             ("when_matched", when_matched),
             ("when_not_matched", when_not_matched),
             ("when_not_matched_by_source", when_not_matched_by_source),
+            ("strategy", strategy),
         ):
             if val not in allowed[arg]:
                 raise ValueError(f"{arg}={val!r}; expected one of {allowed[arg]}")
-        from pyspark.sql import functions as F
-
-        version, _, pinned_stats = self._snapshot_state()
-        if batch_id is not None and batch_id in self.committed_batch_ids():
-            return self.latest_version()
-        contributes = when_matched == "update" or when_not_matched == "insert"
-        if contributes:
-            self._enforce(source)
-        if version == 0:
-            if when_not_matched == "insert":
-                return self.append(source, batch_id=batch_id, stats_cols=stats_cols)
-            raise ValueError(f"table {self.root} has no committed version")
-        current = self.read(spark, version=version - 1)
-        if contributes:
-            self._require_full_row(current.columns, source.columns, "merge source")
-
-        def key_cond(left: str, right: str):
-            return self._nullsafe_key_cond(keys, left, right)
-
-        src_keys = source.select(*keys).alias("src")
-        cur = current.alias("cur")
-        parts: list[DataFrame] = []
-        # matched targets: replaced by source rows / dropped / kept
-        if when_matched == "update":
-            parts.append(
-                source.alias("src")
-                .join(current.select(*keys).alias("cur"), key_cond("src", "cur"), "semi")
+        if strategy == "mor" and when_not_matched_by_source == "delete":
+            raise ValueError(
+                "strategy='mor' requires when_not_matched_by_source='keep': "
+                "deleting every unmatched target row is a table-sized rowset "
+                "change that deletion vectors cannot bound by source size"
             )
-        elif when_matched == "keep":
-            parts.append(cur.join(src_keys, key_cond("cur", "src"), "semi"))
-        # unmatched targets
-        if when_not_matched_by_source == "keep":
-            parts.append(cur.join(src_keys, key_cond("cur", "src"), "anti"))
-        # unmatched source rows
-        if when_not_matched == "insert":
-            parts.append(
-                source.alias("src")
-                .join(current.select(*keys).alias("cur"), key_cond("src", "cur"), "anti")
-            )
-        if not parts:
-            merged = current.limit(0)
-        else:
-            merged = parts[0]
-            for p in parts[1:]:
-                merged = merged.unionByName(p, allowMissingColumns=True)
-        if stats_cols is None:
-            stats_cols = self._pinned_stats_cols(pinned_stats)
-        new: list[str] = []
-        new_stats: dict = {}
-        # persist: the emptiness probe, the write, and the stats agg
-        # each consume the semi/anti-join plan — without the cache all
-        # three rescan the pinned snapshot plus source (same
-        # convention as delete_where/replace_where/compact)
-        merged = merged.persist()
-        try:
-            if not merged.isEmpty():
-                new, new_stats = self._write_files(merged, stats_cols=stats_cols)
-        finally:
-            merged.unpersist()
+        done, payload = self._merge_prepare(
+            spark,
+            source,
+            keys,
+            when_matched,
+            when_not_matched,
+            when_not_matched_by_source,
+            batch_id,
+            stats_cols,
+            strategy,
+            "merge source",
+        )
+        if done is not None:
+            return done
+        files, schema_json, stats, dvs, version = payload
         try:
             return self._commit(
-                new,
+                files,
                 "merge",
-                merged.schema.json(),
+                schema_json,
                 batch_id,
-                stats=new_stats,
+                stats=stats,
                 version=version,
+                dvs=dvs,
             )
         except CommitConflictError as e:
             return self._resolve_conflict(batch_id, e)
@@ -1222,56 +1568,51 @@ class VersionedTable:
         keys: list[str],
         batch_id: int | None = None,
         stats_cols: list[str] | None = None,
+        strategy: str = "cow",
     ) -> int:
-        """Copy-on-write MERGE: rows matching ``keys`` are replaced,
-        new keys appended. Updates with duplicate keys keep one
-        arbitrary-but-deterministic row (max over remaining columns is
-        NOT imposed — callers dedupe; streaming update-mode emissions
-        are already one row per key per batch).
+        """Keyed MERGE shorthand: rows matching ``keys`` are replaced
+        whole, new keys appended (``merge`` with update/insert/keep —
+        ONE shared planner, so the matching rules and the group-pruned
+        / merge-on-read write paths can never diverge between the two
+        writers). Updates with duplicate keys keep one arbitrary-but-
+        deterministic row — callers dedupe; streaming update-mode
+        emissions are already one row per key per batch.
 
         ``stats_cols`` re-records the data-skipping index for the
-        rewritten snapshot; when omitted it defaults to the columns
-        the PRIOR snapshot kept stats for, so one routine upsert on a
-        clustered table no longer silently erases pruning (the merged
-        single group keeps coarse whole-table bounds until the next
-        rewrite_clustered tightens them)."""
-        version, _, pinned_stats = self._snapshot_state()
-        if batch_id is not None and batch_id in self.committed_batch_ids():
-            return self.latest_version()
-        self._enforce(updates)
-        if version > 0:
-            # read the PINNED snapshot, not latest-at-read-time: the
-            # merge must be built on exactly the state the fence
-            # validates, or a racing commit could be silently dropped
-            current = self.read(spark, version=version - 1)
-            # additive-only schema + null-safe key matching — the
-            # shared helpers merge() also uses (one implementation of
-            # the rules the two writers must agree on)
-            self._require_full_row(current.columns, updates.columns, "upsert batch")
-            merged = (
-                current.alias("cur")
-                .join(
-                    updates.select(*keys).alias("upd"),
-                    self._nullsafe_key_cond(keys, "cur", "upd"),
-                    "left_anti",
-                )
-                .unionByName(updates, allowMissingColumns=True)
+        rewritten groups; when omitted it defaults to the columns the
+        PRIOR snapshot kept stats for, so a routine upsert on a
+        clustered table no longer silently erases pruning. Blooms the
+        prior snapshot carried are rebuilt on the rewritten group for
+        the same reason. An upsert into an empty table commits as a
+        plain append (it IS one)."""
+        if strategy not in ("cow", "mor"):
+            raise ValueError(
+                f"strategy={strategy!r}; expected one of ('cow', 'mor')"
             )
-        else:
-            merged = updates
-        if stats_cols is None:
-            # rewritten groups lose their bloom (conservatively kept
-            # by point pruning) until re-appended
-            stats_cols = self._pinned_stats_cols(pinned_stats)
-        new, new_stats = self._write_files(merged, stats_cols=stats_cols)
+        done, payload = self._merge_prepare(
+            spark,
+            updates,
+            keys,
+            "update",
+            "insert",
+            "keep",
+            batch_id,
+            stats_cols,
+            strategy,
+            "upsert batch",
+        )
+        if done is not None:
+            return done
+        files, schema_json, stats, dvs, version = payload
         try:
             return self._commit(
-                new,
+                files,
                 "upsert",
-                merged.schema.json(),
+                schema_json,
                 batch_id,
-                stats=new_stats,
+                stats=stats,
                 version=version,
+                dvs=dvs,
             )
         except CommitConflictError as e:
             return self._resolve_conflict(batch_id, e)
@@ -1793,28 +2134,52 @@ class VersionedTable:
         the delete ``2*batch_id + 1`` (two table commits per batch
         need two idempotency slots; the doubling keeps them disjoint
         across batches), so crash-replayed batches re-resolve to
-        no-ops on both halves."""
+        no-ops on both halves.
+
+        Apply cost follows the CHANGE volume, not the mirror size:
+        both halves run merge-on-read (matched rows DV-invalidated,
+        update/insert rows appended as one group), and every landed
+        group carries key stats + blooms so the next batch's matched-
+        position scan prunes to the groups that can actually hold its
+        keys. DVs accumulate until a compaction sheds them — pair a
+        long-running apply stream with periodic ``maybe_compact``."""
         from pyspark.sql import functions as F
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
             spark = batch_df.sparkSession
             upserts = batch_df.filter(F.col(op_col).isin("I", "U")).drop(op_col)
             deletes = batch_df.filter(F.col(op_col) == "D").drop(op_col)
-            # skip an empty half entirely: an empty-source merge would
-            # still rewrite the whole snapshot (by-source=keep keeps
-            # every row — as new files). Skipping leaves that half's
-            # batch-id slot unclaimed, which stays idempotent: a
-            # replay re-derives the same empty half and skips again.
+            skeys = [
+                k for k in keys if self._auto_prunable(upserts.schema[k].dataType)
+            ]
+            bkeys = [k for k in keys if self._bloomable(upserts.schema[k].dataType)]
+            # skip an empty half entirely — no commit, and the
+            # unclaimed batch-id slot stays idempotent: a replay
+            # re-derives the same empty half and skips again
             if not upserts.isEmpty():
                 if self.latest_version() is None:
                     # first batch must establish the table before a
                     # merge can read a pinned snapshot
-                    self.append(upserts, batch_id=2 * batch_id)
+                    self.append(
+                        upserts,
+                        batch_id=2 * batch_id,
+                        stats_cols=skeys or None,
+                        bloom_cols=bkeys or None,
+                    )
                 else:
                     self.merge(
-                        spark, upserts, keys=keys, batch_id=2 * batch_id
+                        spark,
+                        upserts,
+                        keys=keys,
+                        batch_id=2 * batch_id,
+                        stats_cols=skeys or None,
+                        strategy="mor",
                     )  # update/insert/keep
-            if not deletes.isEmpty():
+            # a delete against a never-written mirror is deleting from
+            # an empty table — a no-op, NOT an error: delete events
+            # for unseen keys are normal when a CDC stream starts
+            # mid-topic (a delete-only first batch must not wedge)
+            if not deletes.isEmpty() and self.latest_version() is not None:
                 self.merge(
                     spark,
                     deletes,
@@ -1822,6 +2187,7 @@ class VersionedTable:
                     when_matched="delete",
                     when_not_matched="ignore",
                     batch_id=2 * batch_id + 1,
+                    strategy="mor",
                 )
 
         return sink

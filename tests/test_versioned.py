@@ -325,9 +325,14 @@ def test_zorder_day_user_composition_flagship_filter(spark):
         # day interleaves at even bit positions: a 20% day slice keeps
         # ~2 of 4 top-bit combos -> prunes coarsely but measurably
         assert n_day < n_all * 3 // 4, (n_all, n_day)
-        assert n_user <= n_all // 4, (n_all, n_user)
+        # margin note: repartitionByRange SAMPLES its boundaries with a
+        # seed derived from the session-global RDD id, so group edges
+        # shift a little with how many jobs ran before this test
+        # (measured 7 in isolation, 9 mid-suite) — the bound must hold
+        # for any seed, not one lucky layout
+        assert n_user <= n_all // 3, (n_all, n_user)
         # the composition is the point: both predicates together cut
-        # far below either alone (measured 3/32 vs 19 and 7)
+        # far below either alone (measured 3/32 vs 19 and 7-9)
         assert n_both <= min(n_day, n_user) // 2 + 1, (n_day, n_user, n_both)
         cond = (
             (F.col("day_num") >= d_from)
@@ -2060,3 +2065,201 @@ def test_streaming_cdc_sink_delete_only_batch_no_rewrite(spark, tmp_path):
     sink(cdc([(1, None, "D")]), 1)
     assert len(t.versions()) == n_before + 1  # one commit, not two
     assert {r["k"] for r in t.read(spark).collect()} == {2}
+
+
+# --- group-pruned / merge-on-read MERGE ----------------------------------
+
+
+def test_merge_carries_untouched_groups_by_identity(spark, tmp_path):
+    """A small CoW merge into a key-clustered table rewrites ONLY the
+    groups whose stats overlap the source keys — every other group
+    carries into the new version by FILE IDENTITY (the delete_where
+    prune discipline; this is the difference between Delta's MERGE
+    and a table rewrite per CDC batch)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    for g in range(4):  # disjoint key ranges: [0,99], [100,199], ...
+        t.append(
+            spark.range(g * 100, g * 100 + 100).selectExpr(
+                "id AS k", "CAST(id AS STRING) AS v"
+            ),
+            stats_cols=["k"],
+        )
+    before = set(t._manifest(3)["files"])
+    assert len(before) == 4
+    t.merge(
+        spark,
+        spark.createDataFrame([(105, "X"), (150, "Y")], "k long, v string"),
+        keys=["k"],
+    )
+    after = t._manifest(4)["files"]
+    # the three non-overlapping groups survive verbatim; exactly one
+    # new group replaced the [100,199] one
+    carried = [f for f in after if f in before]
+    assert len(carried) == 3
+    assert len(after) == 4
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got[105] == "X" and got[150] == "Y" and got[5] == "5" and len(got) == 400
+    # the rewritten group re-recorded its stats (pruning stays alive)
+    new_group = next(f for f in after if f not in before)
+    assert "k" in t._manifest(4)["stats"][new_group]
+
+
+def test_merge_bloom_pruning_limits_rewrite(spark, tmp_path):
+    """Append-ordered groups whose key RANGES all overlap can still be
+    pruned by their bloom indexes: a point-sized merge source rewrites
+    only the group(s) whose bloom may contain its keys, and the
+    rewritten group gets its bloom REBUILT (the index must not decay
+    across merges or the steady-state CDC cost snowballs)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    for g in range(4):  # k ≡ g (mod 4): ranges interleave completely
+        t.append(
+            spark.range(25).selectExpr(
+                f"id * 4 + {g} AS k", "CAST(id AS STRING) AS v"
+            ),
+            stats_cols=["k"],
+            bloom_cols=["k"],
+        )
+    before = set(t._manifest(3)["files"])
+    t.merge(
+        spark,
+        spark.createDataFrame([(41, "X")], "k long, v string"),  # 41 % 4 == 1
+        keys=["k"],
+    )
+    after = t._manifest(4)["files"]
+    carried = [f for f in after if f in before]
+    assert len(carried) == 3  # range pruning alone could drop nothing
+    new_group = next(f for f in after if f not in before)
+    assert "__bloom__" in t._manifest(4)["stats"][new_group]
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got[41] == "X" and len(got) == 100
+
+
+def test_merge_mor_matches_model_and_adds_no_files(spark, tmp_path):
+    """strategy='mor' (deletion-vector MERGE) matches the clause model
+    for every by-source=keep combination; matched rows are invalidated
+    by a DV (data groups carried by file identity), updates/inserts
+    land as at most ONE appended group, and by-source=delete is
+    rejected (a table-sized rowset change DVs cannot bound)."""
+    import itertools
+
+    import pytest
+
+    target = {k: f"t{k}" for k in range(10)}
+    target[None] = "tN"
+    source = {k: f"s{k}" for k in range(5, 15)}
+    source[None] = "sN"
+
+    def model(wm, wnm):
+        out = {}
+        for k, v in target.items():
+            if k in source:
+                if wm == "update":
+                    out[k] = source[k]
+                elif wm == "keep":
+                    out[k] = v
+            else:
+                out[k] = v
+        if wnm == "insert":
+            out.update({k: v for k, v in source.items() if k not in target})
+        return out
+
+    for i, (wm, wnm) in enumerate(
+        itertools.product(("update", "delete", "keep"), ("insert", "ignore"))
+    ):
+        t = VersionedTable(str(tmp_path / f"m{i}"))
+        t.append(_df(spark, list(target.items())))
+        before = set(t._manifest(0)["files"])
+        t.merge(
+            spark,
+            _df(spark, list(source.items())),
+            keys=["k"],
+            when_matched=wm,
+            when_not_matched=wnm,
+            strategy="mor",
+        )
+        m = t._manifest(1)
+        got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        assert got == model(wm, wnm), (wm, wnm)
+        assert before <= set(m["files"])  # originals carried by identity
+        assert len(m["files"]) <= len(before) + 1  # at most one appended group
+        if wm in ("update", "delete"):
+            assert m["dvs"], (wm, wnm)  # matched rows died by vector
+
+    t = VersionedTable(str(tmp_path / "reject"))
+    t.append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="mor"):
+        t.merge(
+            spark,
+            _df(spark, [(1, "b")]),
+            keys=["k"],
+            when_not_matched_by_source="delete",
+            strategy="mor",
+        )
+
+
+def test_upsert_mor_and_empty_source_noop(spark, tmp_path):
+    """upsert(strategy='mor') replaces by key without rewriting any
+    data group; an EMPTY merge source with by-source=keep commits a
+    provable no-op that carries every group (and its stats) verbatim."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]), stats_cols=["k"])
+    before = t._manifest(0)["files"]
+    t.upsert(spark, _df(spark, [(2, "B"), (3, "c")]), keys=["k"], strategy="mor")
+    m = t._manifest(1)
+    assert set(before) <= set(m["files"]) and m["dvs"]
+    assert {(r["k"], r["v"]) for r in t.read(spark).collect()} == {
+        (1, "a"), (2, "B"), (3, "c"),
+    }
+    # empty source: identity commit, files carried by reference
+    t.merge(spark, _df(spark, []), keys=["k"], batch_id=77)
+    m2 = t._manifest(2)
+    assert m2["files"] == m["files"] and m2["action"] == "merge"
+    assert m2["batch_id"] == 77 and m2["stats"] == m["stats"]
+
+
+def test_cdc_sink_delete_only_first_batch_is_noop(spark, tmp_path):
+    """A delete-only FIRST micro-batch against a never-written mirror
+    is deleting from an empty table — a no-op, not a wedged stream:
+    delete events for unseen keys are normal when an apply stream
+    starts mid-topic. The next insert batch proceeds normally."""
+    t = VersionedTable(str(tmp_path / "t"))
+    sink = t.streaming_cdc_sink(keys=["k"])
+    sink(
+        spark.createDataFrame([(1, "x", "D")], "k long, v string, op string"),
+        0,
+    )
+    assert t.latest_version() is None  # nothing committed, nothing raised
+    sink(
+        spark.createDataFrame(
+            [(1, "a", "I"), (2, "b", "I")], "k long, v string, op string"
+        ),
+        1,
+    )
+    sink(
+        spark.createDataFrame([(1, "a", "D")], "k long, v string, op string"),
+        2,
+    )
+    assert {(r["k"], r["v"]) for r in t.read(spark).collect()} == {(2, "b")}
+
+
+def test_reader_rejects_future_writer_protocol(spark, tmp_path):
+    """Forward-compatibility gate: a manifest stamped by a FUTURE
+    writer protocol (e.g. a format feature this reader does not
+    implement) must fail CLOSED with an actionable message — on time
+    travel to that version and on latest-reads through it — instead
+    of silently returning wrong data."""
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    path = t._log + "/00000001.json"
+    m = json.load(open(path))
+    m["writer_version"] = 3
+    json.dump(m, open(path, "w"))
+    with pytest.raises(ValueError, match="protocol 3"):
+        t.read(spark)
+    with pytest.raises(ValueError, match="upgrade"):
+        t._manifest(1)
+    # the unaffected older snapshot stays readable
+    assert t.read(spark, version=0).count() == 1

@@ -136,6 +136,9 @@ PROBE_ENTRIES = [
     "storage_versioned_delete_dv",
     "storage_versioned_merge",
     "storage_cdc_mirror",
+    # round 8: merge cost vs table size at FIXED 1k-row change volume
+    # (probe-local wrapper; the group-pruning claim's direct shape)
+    "storage_merge_fixed_source",
     "stream_late_dlq",
     "stream_scd2_enrich",
     "join_salted_skew",
@@ -283,6 +286,50 @@ def _pagerank_nodegrow(spark, sf_dir):
     return graph_pagerank_query(
         spark, sf_dir, custkey_filter=F.col("o_custkey") % ID_SHIFT <= 300
     )
+
+
+_MERGE_PROBE_TABLES: dict[str, str] = {}
+
+
+def _merge_fixed_source(spark, sf_dir):
+    """MERGE cost vs TABLE size at FIXED change volume — the group-
+    pruning claim's direct measurement (the IVM-probe shape): a
+    clustered table grows with the probe scale, the merge source stays
+    1 000 rows, so the sf0.1 -> Kx ratio should read ~flat. Before
+    round 8's pruned merge this was O(table): a 1k-row merge rewrote
+    the whole snapshot. Group size is held ~constant (group COUNT
+    scales with rows — the honest 100 TB layout, where files have a
+    target size and tables grow in file count), so 'rewrite only the
+    touched groups' has something real to prune against. The table
+    build is paid on the FIRST rep per sf_dir only (memoized);
+    min-of-reps therefore times the merge itself, not the setup."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from netflow_analysis_with_spark_streaming_spark import tables as T
+    from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+        VersionedTable,
+    )
+
+    root = _MERGE_PROBE_TABLES.get(sf_dir)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="netflow_mergeprobe_") + "/t"
+        ev = T.load(spark, "events", sf_dir).select("event_id", "user_id", "value")
+        n = ev.count()
+        t = VersionedTable(root)
+        t.append_clustered(ev, "event_id", n_groups=max(32, n // 3000))
+        _MERGE_PROBE_TABLES[sf_dir] = root
+    t = VersionedTable(root)
+    src = (
+        T.load(spark, "events", sf_dir)
+        .filter(F.col("event_id") < 1000)  # replica-0 rows: fixed at any K
+        .select("event_id", "user_id", (F.col("value") + 1).alias("value"))
+    )
+    t.merge(spark, src, keys=["event_id"])
+    return t.read(spark, prune=("event_id", 0, 999)).filter(
+        F.col("event_id") < 1000
+    ).select("event_id")
 
 
 def main() -> int:
