@@ -1069,6 +1069,149 @@ register(
 )
 
 
+def _feed_source_history(spark: SparkSession, sf_dir: str, root: str):
+    """Shared source-table history for the feed-stream entries: two
+    appends, a captured copy-on-write delete, a row-preserving
+    compaction (must contribute no feed slice), and a captured
+    deletion-vector delete — one commit of every feed-visible class,
+    with deterministic commit versions 0..4."""
+    from .storage.versioned import VersionedTable
+
+    src = VersionedTable(root)
+    ev = (
+        tables.load(spark, "events", sf_dir)
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id", "user_id", F.round("value", 2).alias("value"))
+    )
+    src.append(ev.filter(F.col("user_id") % 2 == 0))  # v0
+    src.append(ev.filter(F.col("user_id") % 2 == 1))  # v1
+    src.delete_where(spark, "user_id % 7 = 0", emit_changes=True)  # v2
+    src.compact(spark, target_partitions=2)  # v3: row-preserving
+    src.delete_where_dv(spark, "user_id % 5 = 1", emit_changes=True)  # v4
+    return src
+
+
+def _storage_feed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned table as a Structured Streaming SOURCE
+    (storage/stream_source.py — commit-version offsets over the typed
+    change feed, via PySpark's Python Data Source API): a source
+    table lands appends, a captured CoW delete, a compaction and a
+    captured DV delete; ``spark.readStream.format('versioned_feed')``
+    then streams the WHOLE typed feed into a parquet sink under an
+    availableNow trigger. The result is the landed stream output, so
+    the offset walk, per-file executor reads, change tagging and the
+    compaction's contribute-nothing rule are all on the hash path;
+    the oracle recomputes every slice from the raw events table.
+
+    Scale: micro-batch planning is manifest-only (one JSON per commit
+    in the window); each parquet part FILE of a slice is its own
+    input partition, so a big append fans out across executors while
+    offsets stay a single integer. Replays are byte-identical because
+    manifests and groups are immutable — Delta's readStream contract,
+    natively on this format (reference README.md:98 needs a Kafka
+    round-trip for the same downstream-consumption pattern)."""
+    from .storage.stream_source import FORMAT_NAME, register_feed_source
+
+    root = _run_tmp_root("netflow_vfs_")
+    src = _feed_source_history(spark, sf_dir, root + "/src")
+    register_feed_source(spark)
+    q = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", src.root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", root + "/out")
+        .option("checkpointLocation", root + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(root + "/out")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        .orderBy("commit_version", "event_id")
+    )
+
+
+_STORAGE_FEED_STREAM_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, ROUND(value, 2) AS value
+  FROM events WHERE event_id % 10 = 0
+)
+SELECT event_id, user_id, value, 'insert' AS change_type,
+       CAST(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS BIGINT)
+         AS commit_version
+FROM base
+UNION ALL
+SELECT event_id, user_id, value, 'delete', CAST(2 AS BIGINT)
+FROM base WHERE user_id % 7 = 0
+UNION ALL
+SELECT event_id, user_id, value, 'delete', CAST(4 AS BIGINT)
+FROM base WHERE user_id % 5 = 1 AND user_id % 7 != 0
+ORDER BY commit_version, event_id
+"""
+
+
+register(
+    "storage_feed_stream",
+    _storage_feed_stream,
+    _STORAGE_FEED_STREAM_SQL,
+    driver=False,
+)
+
+
+def _storage_feed_stream_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CDC loop through PUBLIC streaming APIs end-to-end:
+    table -> ``readStream.format('versioned_feed')`` -> op-tagged
+    rows -> ``foreachBatch(streaming_cdc_sink)`` -> mirror table.
+    Where storage_cdc_mirror drives replication through the batch
+    helper (mirror_from_feed), this entry is the same replication as
+    a RUNNING STREAM: Spark owns offsets via the checkpoint, the sink
+    owns idempotency via batch ids, and the result read is the
+    mirror — so a wrong slice, a mis-tagged op, or a non-idempotent
+    application all break the hash. Apply cost is change-bounded on
+    both sides (manifest-only planning; merge-on-read application)."""
+    from .storage.stream_source import FORMAT_NAME, register_feed_source
+    from .storage.versioned import VersionedTable
+
+    root = _run_tmp_root("netflow_vfsm_")
+    src = _feed_source_history(spark, sf_dir, root + "/src")
+    register_feed_source(spark)
+    dst = VersionedTable(root + "/dst")
+    feed = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", src.root)
+        .load()
+        .withColumn(
+            "op",
+            F.when(F.col("_change_type") == "delete", "D").otherwise("U"),
+        )
+        .drop("_change_type", "_commit_version")
+    )
+    q = (
+        feed.writeStream.foreachBatch(dst.streaming_cdc_sink(keys=["event_id"]))
+        .option("checkpointLocation", root + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return dst.read(spark).orderBy("event_id")
+
+
+register(
+    "storage_feed_stream_mirror",
+    _storage_feed_stream_mirror,
+    _STORAGE_CDC_MIRROR_SQL,
+    driver=False,
+)
+
+
 def _stream_late_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data dead-letter routing (streaming/late_router.py) driven
     over a deterministic two-batch backfill: even-user events arrive

@@ -1037,20 +1037,20 @@ class VersionedTable:
             *[os.path.join(self.root, f) for f in sorted(set(new_files))]
         )
 
-    def read_change_feed(
-        self, spark: SparkSession, since_version: int, to_version: int | None = None
-    ) -> DataFrame:
-        """Typed change feed (the Delta CDF analog): every row added
-        or removed by commits in (since_version, to_version], tagged
-        ``_change_type`` ('insert' | 'delete') and
-        ``_commit_version``. Appends contribute inserts from their
-        new file groups; deletes contribute their captured change
-        group (``delete_where(..., emit_changes=True)``) — a delete
-        committed WITHOUT capture raises, because its removed rows
-        are not derivable from manifests alone. Other rewrite actions
-        (overwrite/upsert/compact) raise as in ``read_changes``."""
-        from pyspark.sql import functions as F
-
+    def feed_slices(
+        self, since_version: int, to_version: int | None = None
+    ) -> list[tuple[int, str, list[str]]]:
+        """Manifest-only change-feed plan: the ordered
+        ``(commit_version, 'insert' | 'delete', [group paths])``
+        slices for commits in (since_version, to_version]. This is
+        the driver-side half of the typed change feed, shared by the
+        DataFrame reader (``read_change_feed``) and the streaming
+        source (storage/stream_source.py) so the two can never
+        disagree about which rows a version contributed. Costs one
+        JSON manifest read per commit in the window — never touches
+        data files. Raises exactly as ``read_change_feed``: on an
+        unclassified or feed-breaking action, or an uncaptured
+        delete."""
         if to_version is None:
             to_version = self.latest_version()
         if to_version is None or since_version > to_version:
@@ -1058,16 +1058,7 @@ class VersionedTable:
         base = (
             set(self._manifest(since_version)["files"]) if since_version >= 0 else set()
         )
-        slices: list[DataFrame] = []
-
-        def _tagged(paths: list[str], change: str, v: int) -> DataFrame:
-            df = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.root, p) for p in sorted(set(paths))]
-            )
-            return df.withColumn("_change_type", F.lit(change)).withColumn(
-                "_commit_version", F.lit(v)
-            )
-
+        slices: list[tuple[int, str, list[str]]] = []
         for v in self.versions():
             if not (since_version < v <= to_version):
                 continue
@@ -1087,7 +1078,7 @@ class VersionedTable:
             if m["action"] in _FEED_INSERT_ACTIONS:
                 added = [f for f in m["files"] if f not in base]
                 if added:
-                    slices.append(_tagged(added, "insert", v))
+                    slices.append((v, "insert", sorted(set(added))))
             elif m["action"] in _FEED_CAPTURE_ACTIONS:
                 # None = capture was off; "" = capture on, zero rows
                 if m.get("changes") is None:
@@ -1097,7 +1088,7 @@ class VersionedTable:
                         "not derivable — change feed unavailable across it"
                     )
                 if m["changes"]:
-                    slices.append(_tagged([m["changes"]], "delete", v))
+                    slices.append((v, "delete", [m["changes"]]))
                 # a delete also lands the affected groups' SURVIVORS as
                 # a new file group — those rows did not change, so the
                 # new group is NOT an insert slice
@@ -1107,6 +1098,39 @@ class VersionedTable:
                     "derivable across appends and captured deletes"
                 )
             base = set(m["files"])
+        return slices
+
+    def read_change_feed(
+        self, spark: SparkSession, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Typed change feed (the Delta CDF analog): every row added
+        or removed by commits in (since_version, to_version], tagged
+        ``_change_type`` ('insert' | 'delete') and
+        ``_commit_version``. Appends contribute inserts from their
+        new file groups; deletes contribute their captured change
+        group (``delete_where(..., emit_changes=True)``) — a delete
+        committed WITHOUT capture raises, because its removed rows
+        are not derivable from manifests alone. Other rewrite actions
+        (overwrite/upsert/compact) raise as in ``read_changes``.
+        The version walk lives in ``feed_slices``; this method only
+        turns each slice into a tagged DataFrame."""
+        from pyspark.sql import functions as F
+
+        if to_version is None:
+            to_version = self.latest_version()
+
+        def _tagged(paths: list[str], change: str, v: int) -> DataFrame:
+            df = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(self.root, p) for p in sorted(set(paths))]
+            )
+            return df.withColumn("_change_type", F.lit(change)).withColumn(
+                "_commit_version", F.lit(v)
+            )
+
+        slices = [
+            _tagged(paths, change, v)
+            for v, change, paths in self.feed_slices(since_version, to_version)
+        ]
         if not slices:
             m = self._manifest(to_version)
             schema = StructType.fromJson(json.loads(m["schema"]))

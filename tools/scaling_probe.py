@@ -394,6 +394,7 @@ def main() -> int:
 
     qs = dict(Q.all_queries())
     qs["graph_pagerank_nodegrow"] = _pagerank_nodegrow
+    qs["storage_merge_fixed_source"] = _merge_fixed_source
     scale_label = f"{REPLICAS}x"
     results: dict[str, dict] = {}
     for label, sf_dir in (("sf0.1", SRC_DIR), (scale_label, scale_dir)):
