@@ -1069,6 +1069,55 @@ register(
 )
 
 
+def _storage_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path schema evolution on the versioned format, the whole
+    contract in one read-back: append 1 lands a COLUMN SUBSET with
+    user_id deliberately NARROWED to int; append 2 lands the full row
+    with user_id long and a column append 1 never had. The manifest
+    schema evolves to the union with user_id widened back to long
+    (subset appends never narrow it), and the SCHEMA-DRIVEN read
+    (scan under the manifest schema, not parquet footer merging — a
+    footer-merge read refuses the int/long mix outright with
+    CANNOT_MERGE_SCHEMAS) up-casts append 1's int rows and NULL-pads
+    its missing column. Every padded NULL, up-cast value and evolved
+    column lands on the hash path; the oracle recomputes both
+    generations from the raw table."""
+    from .storage.versioned import VersionedTable
+
+    root = _run_tmp_root("netflow_vse_") + "/t"
+    t = VersionedTable(root)
+    ev = tables.load(spark, "events", sf_dir).filter(F.col("event_id") % 10 == 0)
+    t.append(
+        ev.filter(F.col("user_id") % 2 == 0).select(
+            "event_id", F.col("user_id").cast("int").alias("user_id")
+        )
+    )
+    t.append(
+        ev.filter(F.col("user_id") % 2 == 1).select(
+            "event_id", "user_id", F.round("value", 2).alias("value")
+        )
+    )
+    return t.read(spark).orderBy("event_id")
+
+
+_STORAGE_SCHEMA_EVOLUTION_SQL = """
+SELECT event_id, user_id, CAST(NULL AS DOUBLE) AS value
+FROM events WHERE event_id % 10 = 0 AND user_id % 2 = 0
+UNION ALL
+SELECT event_id, user_id, ROUND(value, 2) AS value
+FROM events WHERE event_id % 10 = 0 AND user_id % 2 = 1
+ORDER BY event_id
+"""
+
+
+register(
+    "storage_schema_evolution",
+    _storage_schema_evolution,
+    _STORAGE_SCHEMA_EVOLUTION_SQL,
+    driver=False,
+)
+
+
 def _feed_source_history(spark: SparkSession, sf_dir: str, root: str):
     """Shared source-table history for the feed-stream entries: two
     appends, a captured copy-on-write delete, a row-preserving

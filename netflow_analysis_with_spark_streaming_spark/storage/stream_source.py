@@ -147,23 +147,45 @@ def _read_partition(partition: FeedPartition) -> Iterator:
 class VersionedFeedStreamReader(DataSourceStreamReader):
     """Commit versions as offsets over VersionedTable.feed_slices."""
 
-    def __init__(self, root: str, schema: StructType, starting_version: int):
+    def __init__(
+        self,
+        root: str,
+        schema: StructType,
+        starting_version: int,
+        max_versions: int | None = None,
+    ):
         self._root = root
         self._schema = schema
         self._schema_json = _data_schema(schema).json()
         self._start = starting_version
+        self._max_versions = max_versions
+        # last batch end seen by partitions(): the rate-limit anchor.
+        # None until the first batch of a (re)started run — that first
+        # batch is uncapped because the reader cannot see the
+        # checkpointed offset before partitions() is called (same
+        # best-effort contract as maxFilesPerTrigger's first trigger).
+        self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
+        self._last_end = self._start
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
         from .versioned import VersionedTable
 
         lv = VersionedTable(self._root).latest_version()
-        return {"version": max(self._start, lv if lv is not None else self._start)}
+        target = max(self._start, lv if lv is not None else self._start)
+        if self._max_versions is not None and self._last_end is not None:
+            # maxVersionsPerTrigger: advance at most N commits per
+            # micro-batch so a long backlog replays as bounded batches
+            # instead of one giant catch-up (the Delta
+            # maxFilesPerTrigger analog, in commit units)
+            target = min(target, self._last_end + self._max_versions)
+        return {"version": target}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         s, e = int(start["version"]), int(end["version"])
+        self._last_end = e  # anchor the next trigger's rate limit
         if e <= s:
             return []
         from .versioned import VersionedTable
@@ -240,7 +262,10 @@ class VersionedFeedDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> VersionedFeedStreamReader:
         start = int(self.options.get("startingversion", -1))
-        return VersionedFeedStreamReader(self._root(), schema, start)
+        mvpt = self.options.get("maxversionspertrigger")
+        return VersionedFeedStreamReader(
+            self._root(), schema, start, int(mvpt) if mvpt is not None else None
+        )
 
     def reader(self, schema: StructType) -> VersionedFeedBatchReader:
         since = int(self.options.get("sinceversion", -1))

@@ -48,7 +48,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 # --- bloom point-lookup index -------------------------------------------
 # Per-file-group bloom filters over a column (Delta's bloom filter
@@ -163,6 +163,16 @@ class ConstraintViolationError(ValueError):
     """A write contained rows violating a CHECK constraint; nothing
     was committed. SQL CHECK semantics: a row violates only when the
     predicate evaluates to FALSE — NULL passes."""
+
+
+class SchemaEvolutionError(ValueError):
+    """An append's schema conflicts with the table's on a shared
+    column (e.g. string vs long): the write is rejected BEFORE any
+    file lands. Without this gate the conflict would surface only at
+    the next mergeSchema READ — after the bad files are already
+    committed and every reader is broken. Additive changes (new
+    columns) and numeric widening (byte<short<int<long,
+    float<double) evolve the table schema instead."""
 
 
 class VersionedTable:
@@ -514,6 +524,90 @@ class VersionedTable:
                 f"(violating-row counts): {bad}"
             )
 
+    # ordered widening chains: a pair of types in one chain merges to
+    # the wider one (what parquet mergeSchema can reconcile at read);
+    # every other mismatch on a shared name is a conflict
+    _INT_CHAIN = ("byte", "short", "integer", "long")
+    _FLOAT_CHAIN = ("float", "double")
+
+    @classmethod
+    def _merge_field_type(cls, old, new):
+        """Widened type for a shared column, or None when the pair is
+        irreconcilable. Non-atomic types (struct/array/map) must match
+        exactly — evolving INSIDE a nested type is not supported (the
+        Delta restriction too, pre-column-mapping)."""
+        if old == new:
+            return old
+        from pyspark.sql.types import (
+            ByteType,
+            DoubleType,
+            FloatType,
+            IntegerType,
+            LongType,
+            ShortType,
+        )
+
+        w = {
+            "byte": ByteType(),
+            "short": ShortType(),
+            "integer": IntegerType(),
+            "long": LongType(),
+            "float": FloatType(),
+            "double": DoubleType(),
+        }
+        on, nn = old.typeName(), new.typeName()
+        for chain in (cls._INT_CHAIN, cls._FLOAT_CHAIN):
+            if on in chain and nn in chain:
+                return w[chain[max(chain.index(on), chain.index(nn))]]
+        return None
+
+    def _evolved_schema_json(self, df: DataFrame, version: int) -> str:
+        """Append-path schema evolution (Delta mergeSchema-on-write):
+        the committed manifest schema becomes the UNION of the current
+        table schema and the incoming frame's — existing columns keep
+        their position and widen along the numeric chains, net-new
+        columns append, columns the frame omits are carried (their
+        rows read NULL from the new files via mergeSchema). A shared
+        name with irreconcilable types raises SchemaEvolutionError
+        with every conflicting column named, and nothing is written.
+        Also the reason the manifest schema (and therefore the feed
+        stream's schema and empty-result schemas) never NARROWS when
+        a producer appends a column subset."""
+        if version == 0:
+            return df.schema.json()
+        cur = StructType.fromJson(json.loads(self._manifest(version - 1)["schema"]))
+        incoming = {f.name: f for f in df.schema.fields}
+        out: list[StructField] = []
+        conflicts: dict[str, tuple[str, str]] = {}
+        for f in cur.fields:
+            hit = incoming.get(f.name)
+            if hit is None:
+                out.append(f)
+                continue
+            merged = self._merge_field_type(f.dataType, hit.dataType)
+            if merged is None:
+                conflicts[f.name] = (
+                    f.dataType.simpleString(),
+                    hit.dataType.simpleString(),
+                )
+            else:
+                out.append(StructField(f.name, merged, True))
+        if conflicts:
+            raise SchemaEvolutionError(
+                f"append to {self.root} conflicts with the table schema "
+                f"(column: table-type vs incoming-type): "
+                + ", ".join(
+                    f"{k}: {a} vs {b}" for k, (a, b) in sorted(conflicts.items())
+                )
+            )
+        known = {f.name for f in cur.fields}
+        out.extend(
+            StructField(f.name, f.dataType, True)
+            for f in df.schema.fields
+            if f.name not in known
+        )
+        return StructType(out).json()
+
     # --- table operations --------------------------------------------------
 
     def _resolve_conflict(
@@ -544,6 +638,7 @@ class VersionedTable:
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return self.latest_version()  # replay: no-op before any write
         self._enforce(df)
+        schema_json = self._evolved_schema_json(df, version)
         new, new_stats = self._write_files(df, stats_cols, bloom_cols)
         # Blind appends COMMUTE with every other commit (they only add
         # files), so a lost version race is auto-resolved Delta-style:
@@ -560,7 +655,7 @@ class VersionedTable:
                 return self._commit(
                     prev_files + new,
                     "append",
-                    df.schema.json(),
+                    schema_json,
                     batch_id,
                     stats={**prev_stats, **new_stats},
                     version=version,
@@ -570,6 +665,11 @@ class VersionedTable:
                     return self.latest_version()  # replay raced us: no-op
                 conflict = e
                 version, prev_files, prev_stats = self._snapshot_state()
+                # the racing commit may itself have evolved the schema:
+                # re-derive the union against the FRESH snapshot (the
+                # conflict check re-raises if the winner is now
+                # irreconcilable with this frame)
+                schema_json = self._evolved_schema_json(df, version)
         raise conflict
 
     def _write_clustered_group(
@@ -611,11 +711,12 @@ class VersionedTable:
         range, so nothing ever prunes)."""
         version, prev_files, prev_stats = self._snapshot_state()
         self._enforce(df)
+        schema_json = self._evolved_schema_json(df, version)
         files, stats = self._write_clustered_group(df, col, n_groups)
         return self._commit(
             prev_files + files,
             "append",
-            df.schema.json(),
+            schema_json,
             stats={**prev_stats, **stats},
             version=version,
         )
@@ -819,6 +920,10 @@ class VersionedTable:
         driver data is the 2-value min/max row. Numeric columns only —
         temporal callers pass unix micros."""
         self._enforce(df)  # same write gate as every other ingest path
+        lv = self.latest_version()
+        # schema gate BEFORE the write so a conflicting frame leaves
+        # no orphan group behind (re-derived at commit below)
+        self._evolved_schema_json(df, 0 if lv is None else lv + 1)
         written = self._write_zordered_group(df, cols, n_groups, bits)
         if written is None:
             # empty (or all-NULL-keys) batch: no z-curve to compute —
@@ -830,7 +935,7 @@ class VersionedTable:
         return self._commit(
             prev_files + files,
             "append",
-            df.schema.json(),
+            self._evolved_schema_json(df, version),
             stats={**prev_stats, **stats},
             version=version,
         )
@@ -943,13 +1048,26 @@ class VersionedTable:
             m = self._manifest(version if version is not None else self.latest_version())
             schema = StructType.fromJson(json.loads(m["schema"]))
             return spark.createDataFrame([], schema)
-        # mergeSchema: file groups may carry evolved (wider) schemas —
-        # readers see the union, old rows get NULLs for new columns
-        # (additive schema evolution, the Delta default)
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.root, f) for f in files]
-        )
+        df = self._read_files(spark, version, files)
         return self._apply_dvs(spark, df, version, files)
+
+    def _read_files(self, spark: SparkSession, version: int, files) -> DataFrame:
+        """Schema-driven scan of ``files`` under the MANIFEST schema
+        of ``version`` — the Delta discipline: the log, not parquet
+        footers, owns the table schema. This kills the footer-merge
+        inference job a ``mergeSchema`` read runs (it opens EVERY
+        footer before planning — real money at 100 TB file counts)
+        and makes evolved groups readable: the reader NULL-pads
+        columns a file predates and up-casts numerics a file wrote
+        narrower (int->long, float->double), which footer merging
+        refuses outright (CANNOT_MERGE_SCHEMAS). Sound because the
+        append-path evolution gate (_evolved_schema_json) guarantees
+        every committed file's schema is a subset-or-widenable of its
+        version's manifest schema."""
+        schema = StructType.fromJson(json.loads(self._manifest(version)["schema"]))
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, f) for f in sorted(set(files))]
+        )
 
     def _apply_dvs(
         self, spark: SparkSession, df: DataFrame, version: int, files: list[str]
@@ -1033,9 +1151,7 @@ class VersionedTable:
             m = self._manifest(to_version)
             schema = StructType.fromJson(json.loads(m["schema"]))
             return spark.createDataFrame([], schema)
-        return spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.root, f) for f in sorted(set(new_files))]
-        )
+        return self._read_files(spark, to_version, new_files)
 
     def feed_slices(
         self, since_version: int, to_version: int | None = None
@@ -1120,9 +1236,9 @@ class VersionedTable:
             to_version = self.latest_version()
 
         def _tagged(paths: list[str], change: str, v: int) -> DataFrame:
-            df = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.root, p) for p in sorted(set(paths))]
-            )
+            # each slice reads under ITS commit's manifest schema (the
+            # stream source applies the same rule per file)
+            df = self._read_files(spark, v, paths)
             return df.withColumn("_change_type", F.lit(change)).withColumn(
                 "_commit_version", F.lit(v)
             )
@@ -1158,9 +1274,7 @@ class VersionedTable:
                 [], StructType.fromJson(json.loads(m["schema"]))
             )
         ordered = sorted(files)
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.root, f) for f in ordered]
-        )
+        df = self._read_files(spark, version, ordered)
         return self._apply_dvs(spark, df, version, ordered)
 
     @staticmethod
@@ -1692,9 +1806,7 @@ class VersionedTable:
             # primitive. DVs applied first: a CoW rewrite of a group
             # carrying deletion vectors must not resurrect its
             # DV-deleted rows.
-            raw = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.root, f) for f in sorted(affected)]
-            )
+            raw = self._read_files(spark, version - 1, affected)
             df = self._apply_dvs(spark, raw, version - 1, sorted(affected)).persist()
             try:
                 survivors = df.filter(
@@ -1791,9 +1903,7 @@ class VersionedTable:
             # read the affected groups WITH existing DVs applied, so
             # already-deleted rows are neither re-captured nor
             # double-listed in the new vector
-            raw = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.root, f) for f in sorted(affected)]
-            )
+            raw = self._read_files(spark, version - 1, affected)
             live = self._apply_dvs(spark, raw, version - 1, affected)
             # resolve the _metadata position key BEFORE persisting:
             # selecting _metadata off the cached frame later would
@@ -1895,9 +2005,7 @@ class VersionedTable:
             # probe, the write, and the stats agg all consume it.
             # DVs applied first — a rewrite must not resurrect
             # DV-deleted rows from the groups it replaces.
-            raw = spark.read.option("mergeSchema", "true").parquet(
-                *[os.path.join(self.root, f) for f in sorted(affected)]
-            )
+            raw = self._read_files(spark, version - 1, affected)
             old = self._apply_dvs(spark, raw, version - 1, sorted(affected)).persist()
             survivors = old.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
             combined = survivors.unionByName(df, allowMissingColumns=True)

@@ -258,3 +258,45 @@ def test_feed_slices_matches_read_change_feed(spark, tmp_path):
         for r in feed.select("_commit_version", "_change_type").distinct().collect()
     }
     assert by_version == {(v, c) for v, c, _ in slices}
+
+
+def test_max_versions_per_trigger_paces_batches(spark, tmp_path):
+    """maxVersionsPerTrigger=1: once the stream is anchored (the
+    FIRST trigger of a run is uncapped by design — the engine asks
+    for latestOffset before the reader can see any start offset, the
+    same best-effort contract as maxFilesPerTrigger), a 3-commit
+    backlog drains as three single-commit micro-batches; the union is
+    complete — the cap paces, never drops or stalls."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    register_feed_source(spark)
+    batches = []
+
+    def sink(df, bid):
+        batches.append(
+            {(r["k"], r["_commit_version"]) for r in df.collect()}
+        )
+
+    q = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", t.root)
+        .option("maxVersionsPerTrigger", 1)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # anchor batch: just v0
+        t.append(_df(spark, [(2, "b")]))
+        t.append(_df(spark, [(3, "c")]))
+        t.append(_df(spark, [(4, "d")]))
+        q.processAllAvailable()  # backlog of 3 commits, capped at 1
+    finally:
+        q.stop()
+    nonempty = [b for b in batches if b]
+    assert len(nonempty) == 4  # anchor + one batch per backlog commit
+    for b in nonempty:
+        assert len({v for (_, v) in b}) == 1  # single commit per batch
+    assert set().union(*nonempty) == {(1, 0), (2, 1), (3, 2), (4, 3)}

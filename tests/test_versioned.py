@@ -2263,3 +2263,83 @@ def test_reader_rejects_future_writer_protocol(spark, tmp_path):
         t._manifest(1)
     # the unaffected older snapshot stays readable
     assert t.read(spark, version=0).count() == 1
+
+
+# --- append-path schema evolution (round 8) ---------------------------
+
+
+def test_append_new_column_evolves_schema(spark, tmp_path):
+    """Additive evolution: the committed schema becomes the union,
+    old rows read NULL for the new column."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.append(
+        spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double")
+    )
+    got = {(r["k"], r["v"], r["score"]) for r in t.read(spark).collect()}
+    assert got == {(1, "a", None), (2, "b", 9.5)}
+    m = t._manifest(t.latest_version())
+    names = [f["name"] for f in json.loads(m["schema"])["fields"]]
+    assert names == ["k", "v", "score"]
+
+
+def test_append_column_subset_never_narrows_schema(spark, tmp_path):
+    """A producer appending a column subset must not narrow the
+    manifest schema (the feed stream and empty-result schemas derive
+    from it); the omitted column survives and the new rows read NULL
+    for it."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.append(spark.createDataFrame([(2,)], "k long"))
+    m = t._manifest(t.latest_version())
+    names = [f["name"] for f in json.loads(m["schema"])["fields"]]
+    assert names == ["k", "v"]
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(1, "a"), (2, None)}
+
+
+def test_append_widens_numeric_types(spark, tmp_path):
+    """int -> long is a widening, not a conflict; the manifest type
+    widens and both generations read as long."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    t.append(_df(spark, [(2, "b")]))  # k long
+    m = t._manifest(t.latest_version())
+    types = {
+        f["name"]: f["type"] for f in json.loads(m["schema"])["fields"]
+    }
+    assert types["k"] == "long"
+    assert {r["k"] for r in t.read(spark).collect()} == {1, 2}
+
+
+def test_append_type_conflict_fails_closed(spark, tmp_path):
+    """string vs long on a shared name: the write raises
+    SchemaEvolutionError BEFORE committing — version count and data
+    unchanged, reads never see the bad files."""
+    from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+        SchemaEvolutionError,
+    )
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    import pytest as _pytest
+
+    with _pytest.raises(SchemaEvolutionError, match="v: string vs bigint"):
+        t.append(spark.createDataFrame([(2, 99)], "k long, v long"))
+    assert t.latest_version() == 0
+    assert {r["v"] for r in t.read(spark).collect()} == {"a"}
+
+
+def test_append_clustered_conflict_also_gated(spark, tmp_path):
+    from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+        SchemaEvolutionError,
+    )
+    import pytest as _pytest
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    with _pytest.raises(SchemaEvolutionError):
+        t.append_clustered(
+            spark.createDataFrame([(2, 1.0)], "k long, v double"), "k"
+        )
+    assert t.latest_version() == 0

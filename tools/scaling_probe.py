@@ -139,6 +139,10 @@ PROBE_ENTRIES = [
     # round 8: merge cost vs table size at FIXED 1k-row change volume
     # (probe-local wrapper; the group-pruning claim's direct shape)
     "storage_merge_fixed_source",
+    # round 8: the table-as-stream source — manifest-only planning +
+    # per-part-file partitions; cost must track the streamed CHANGE
+    # volume (here: the whole history, so ~linear is the honest target)
+    "storage_feed_stream",
     "stream_late_dlq",
     "stream_scd2_enrich",
     "join_salted_skew",
