@@ -226,6 +226,130 @@ class VersionedFeedBatchReader(DataSourceReader):
         return _read_partition(partition)
 
 
+class PruningFeedBatchReader(VersionedFeedBatchReader):
+    """The bounded reader plus manifest-stats partition pruning driven
+    by Spark's own filter pushdown. Opt-in via
+    ``.option("pushdown", "true")`` because implementing
+    ``pushFilters`` at all requires
+    ``spark.sql.python.filterPushdown.enabled=true`` on the session —
+    Spark fails closed rather than silently skipping an implemented
+    pushFilters, so the default reader must not carry one."""
+
+    def __init__(
+        self, root: str, schema: StructType, since: int, to: int | None
+    ):
+        super().__init__(root, schema, since, to)
+        self._prune_filters: list = []
+
+    def pushFilters(self, filters):
+        """Catalyst hands the scan's conjunctive filters here at
+        planning time. We keep the range/point shapes the manifest
+        stats can act on and use them in ``partitions()`` to SKIP
+        whole slice groups (min/max overlap + bloom probes — the same
+        data-skipping index ``VersionedTable.read(prune=/point=)``
+        uses), then return EVERY filter as residual: pruning is a
+        superset guarantee, Spark still applies the exact row
+        predicate. Net effect: a filtered
+        ``spark.read.format('versioned_feed')`` scan plans only the
+        part files that can hold matching rows — pushdown through a
+        Python data source, no reader-specific API needed."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        usable = (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+        self._prune_filters = [
+            f
+            for f in filters
+            if isinstance(f, usable) and len(f.attribute) == 1
+        ]
+        return filters  # all residual: skipping is superset-only
+
+    @staticmethod
+    def _group_may_match(group_stats: dict, filters: list) -> bool:
+        """Conservative overlap check of one group's manifest stats
+        against the pushed filters (AND semantics). Missing stats, a
+        NULL bound, or an incomparable value type keep the group."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in filters:
+            col = f.attribute[0]
+            rng = group_stats.get(col)
+            if not isinstance(rng, list) or len(rng) != 2:
+                continue
+            lo, hi = rng
+            if lo is None or hi is None:
+                continue
+            try:
+                if isinstance(f, EqualTo):
+                    if not (lo <= f.value <= hi):
+                        return False
+                elif isinstance(f, In):
+                    if not any(lo <= v <= hi for v in f.value):
+                        return False
+                elif isinstance(f, GreaterThan):
+                    if hi <= f.value:
+                        return False
+                elif isinstance(f, GreaterThanOrEqual):
+                    if hi < f.value:
+                        return False
+                elif isinstance(f, LessThan):
+                    if lo >= f.value:
+                        return False
+                elif isinstance(f, LessThanOrEqual):
+                    if lo > f.value:
+                        return False
+            except TypeError:
+                continue  # incomparable literal: keep the group
+        return True
+
+    def partitions(self) -> Sequence[InputPartition]:
+        from .versioned import VersionedTable
+
+        t = VersionedTable(self._root)
+        slices = t.feed_slices(self._since, self._to)
+        if self._prune_filters:
+            # per-slice stats from the COMMIT that added the groups —
+            # always present for stat-carrying appends, regardless of
+            # later compactions (capture groups carry no stats and are
+            # conservatively kept)
+            slices = [
+                (
+                    v,
+                    change,
+                    [
+                        g
+                        for g in groups
+                        if self._group_may_match(
+                            (t._manifest(v).get("stats") or {}).get(g) or {},
+                            self._prune_filters,
+                        )
+                    ],
+                )
+                for v, change, groups in slices
+            ]
+        return _slice_partitions(t.root, slices, self._schema_json)
+
+
 class VersionedFeedDataSource(DataSource):
     """spark.readStream.format("versioned_feed").option("path", root)."""
 
@@ -270,7 +394,12 @@ class VersionedFeedDataSource(DataSource):
     def reader(self, schema: StructType) -> VersionedFeedBatchReader:
         since = int(self.options.get("sinceversion", -1))
         to_raw = self.options.get("toversion")
-        return VersionedFeedBatchReader(
+        cls = (
+            PruningFeedBatchReader
+            if str(self.options.get("pushdown", "")).lower() == "true"
+            else VersionedFeedBatchReader
+        )
+        return cls(
             self._root(), schema, since, int(to_raw) if to_raw is not None else None
         )
 

@@ -300,3 +300,63 @@ def test_max_versions_per_trigger_paces_batches(spark, tmp_path):
     for b in nonempty:
         assert len({v for (_, v) in b}) == 1  # single commit per batch
     assert set().union(*nonempty) == {(1, 0), (2, 1), (3, 2), (4, 3)}
+
+
+def test_batch_reader_filter_pushdown_prunes_partitions(spark, tmp_path):
+    """Opt-in pushdown on the bounded reader: Catalyst's pushed
+    filters drive manifest-stats group skipping, so a filtered scan
+    PLANS fewer input partitions (visible as RDD partitions) and
+    still returns exactly the matching rows (all filters stay
+    residual — skipping is a superset guarantee)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    df = spark.range(1000).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    t.append_clustered(df, "k", n_groups=8)
+    register_feed_source(spark)
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        reader = (
+            spark.read.format(FORMAT_NAME)
+            .option("path", t.root)
+            .option("pushdown", "true")
+        )
+        def scan_parts(df):
+            return (
+                df.withColumn("p", F.spark_partition_id())
+                .select("p")
+                .distinct()
+                .count()
+            )
+
+        base = reader.load()
+        filtered = base.filter("k < 100")
+        assert scan_parts(base) == 8  # one per clustered range group
+        assert scan_parts(filtered) == 1  # stats skipped the other 7
+        assert sorted(r["k"] for r in filtered.collect()) == list(range(100))
+        # point filter through the same path
+        one = base.filter("k = 500")
+        assert scan_parts(one) == 1
+        assert [r["v"] for r in one.collect()] == ["500"]
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def test_batch_reader_without_pushdown_needs_no_conf(spark, tmp_path):
+    """The DEFAULT bounded reader must not implement pushFilters at
+    all: Spark fails closed on an implemented pushFilters when
+    spark.sql.python.filterPushdown.enabled is off, and the driver
+    harness runs vanilla sessions."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    register_feed_source(spark)
+    got = (
+        spark.read.format(FORMAT_NAME)
+        .option("path", t.root)
+        .load()
+        .filter("k = 1")
+        .collect()
+    )
+    assert [(r["k"], r["v"]) for r in got] == [(1, "a")]
