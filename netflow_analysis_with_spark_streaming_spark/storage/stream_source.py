@@ -35,8 +35,8 @@ Semantics and scale:
   executor Python workers from the pickled partition alone: plain
   pyarrow against one parquet file, padded/cast to the stream schema
   (the mergeSchema discipline of the batch reader, applied per
-  file). The partition carries the target Arrow schema — no repo
-  code, no SparkSession, no table handle on the worker.
+  file). The partition carries the stream's data schema as JSON — no
+  repo code, no SparkSession, no table handle on the worker.
 - **Feed contract.** Row-preserving rewrites (compact / OPTIMIZE)
   contribute no rows and advance no offset semantics; a
   feed-breaking commit (overwrite / upsert / merge / uncaptured
@@ -280,8 +280,14 @@ class PruningFeedBatchReader(VersionedFeedBatchReader):
     @staticmethod
     def _group_may_match(group_stats: dict, filters: list) -> bool:
         """Conservative overlap check of one group's manifest stats
-        against the pushed filters (AND semantics). Missing stats, a
-        NULL bound, or an incomparable value type keep the group."""
+        against the pushed filters (AND semantics): min/max ranges for
+        every shape, plus bloom probes for EqualTo/In on bloom-indexed
+        groups (the append-ordered case, where every group's range
+        overlaps but blooms prove absence). Missing stats, a NULL
+        bound, or an incomparable/unhashable value keep the group —
+        skipping must stay a superset guarantee."""
+        import base64
+
         from pyspark.sql.datasource import (
             EqualTo,
             GreaterThan,
@@ -291,8 +297,30 @@ class PruningFeedBatchReader(VersionedFeedBatchReader):
             LessThanOrEqual,
         )
 
+        from .versioned import _BLOOM_KEY, _bloom_positions_py
+
+        def bloom_excludes(col: str, values) -> bool:
+            b = (group_stats.get(_BLOOM_KEY) or {}).get(col)
+            if not b:
+                return False  # unindexed: can't prune safely
+            bits = base64.b64decode(b["b64"])
+            try:
+                return not any(
+                    all(
+                        (bits[p // 8] >> (p % 8)) & 1
+                        for p in _bloom_positions_py(v, b["m"], b["k"])
+                    )
+                    for v in values
+                )
+            except TypeError:
+                return False  # unsupported key type: keep the group
+
         for f in filters:
             col = f.attribute[0]
+            if isinstance(f, EqualTo) and bloom_excludes(col, [f.value]):
+                return False
+            if isinstance(f, In) and bloom_excludes(col, list(f.value)):
+                return False
             rng = group_stats.get(col)
             if not isinstance(rng, list) or len(rng) != 2:
                 continue

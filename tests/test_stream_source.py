@@ -360,3 +360,45 @@ def test_batch_reader_without_pushdown_needs_no_conf(spark, tmp_path):
         .collect()
     )
     assert [(r["k"], r["v"]) for r in got] == [(1, "a")]
+
+
+def test_batch_reader_bloom_pushdown_prunes_overlapping_ranges(spark, tmp_path):
+    """Append-ordered ingest: every group's k-range spans the whole
+    domain (k interleaved mod 4), so min/max stats can prove nothing —
+    an EqualTo filter must prune via the groups' BLOOM indexes
+    instead (no-false-negative: the matching group always survives)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    df = spark.range(400).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    for g in range(4):  # interleaved: each group holds k % 4 == g
+        t.append(
+            df.filter(F.col("k") % 4 == g),
+            stats_cols=["k"],
+            bloom_cols=["k"],
+        )
+    register_feed_source(spark)
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+
+        def scan_parts(df_):
+            return (
+                df_.withColumn("p", F.spark_partition_id())
+                .select("p")
+                .distinct()
+                .count()
+            )
+
+        base = (
+            spark.read.format(FORMAT_NAME)
+            .option("path", t.root)
+            .option("pushdown", "true")
+            .load()
+        )
+        one = base.filter("k = 17")  # k%4==1: only group 1 can hold it
+        assert scan_parts(one) < scan_parts(base)
+        assert [(r["k"], r["v"]) for r in one.collect()] == [(17, "17")]
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
