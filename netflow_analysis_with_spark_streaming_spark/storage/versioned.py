@@ -45,6 +45,7 @@ import hashlib
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -235,7 +236,10 @@ class VersionedTable:
 
     def history(self) -> list[dict]:
         return [
-            {k: m.get(k) for k in ("version", "action", "batch_id", "n_files")}
+            {
+                k: m.get(k)
+                for k in ("version", "ts", "action", "batch_id", "n_files")
+            }
             for m in self._manifests()
         ]
 
@@ -345,6 +349,13 @@ class VersionedTable:
             # readers at a lower protocol refuse this manifest; DVs
             # changed read semantics, hence protocol 2
             "writer_version": _WRITER_VERSION,
+            # commit wall-clock (epoch seconds): powers TIMESTAMP AS OF
+            # resolution and history auditing. Additive metadata only —
+            # correctness never depends on it (clocks skew), which is
+            # why it does not bump the writer protocol and pre-stamp
+            # manifests stay readable (version_at_timestamp treats a
+            # missing stamp as 0 = "since forever").
+            "ts": time.time(),
             "action": action,
             "files": sorted(files),
             "n_files": len(files),
@@ -1026,21 +1037,47 @@ class VersionedTable:
         }
         return files, stats
 
+    def version_at_timestamp(self, ts: float) -> int:
+        """TIMESTAMP AS OF resolution (the Delta rule): the LATEST
+        version whose commit timestamp is <= ``ts`` — the snapshot a
+        reader at that wall-clock instant would have seen. Raises if
+        ``ts`` predates the first commit. Manifests written before the
+        stamp existed resolve as timestamp 0 ("since forever"), so
+        pre-stamp history stays addressable."""
+        best = None
+        for v in self.versions():
+            if (self._manifest(v).get("ts") or 0) <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"table {self.root} has no version at or before "
+                f"timestamp {ts} (first commit is newer)"
+            )
+        return best
+
     def read(
         self,
         spark: SparkSession,
         version: int | None = None,
         prune: tuple[str, object, object] | list[tuple[str, object, object]] | None = None,
         point: tuple[str, object] | list[tuple[str, object]] | None = None,
+        timestamp: float | None = None,
     ) -> DataFrame:
         """The snapshot at ``version`` (default: latest). Old versions
         stay readable until vacuum() — that IS time travel.
+        ``timestamp`` is the TIMESTAMP AS OF form (epoch seconds,
+        resolved via ``version_at_timestamp``; mutually exclusive
+        with ``version``).
 
         ``prune`` applies manifest-stats file skipping BEFORE the scan
         and ``point`` bloom-index skipping (see snapshot_files) — the
         caller still applies the exact row filter; pruning is a
         superset guarantee, same contract as parquet row-group stats
         one level up."""
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version= or timestamp=, not both")
+            version = self.version_at_timestamp(timestamp)
         if version is None:
             version = self.latest_version()
         files = self.snapshot_files(version, prune, point)

@@ -2343,3 +2343,48 @@ def test_append_clustered_conflict_also_gated(spark, tmp_path):
             spark.createDataFrame([(2, 1.0)], "k long, v double"), "k"
         )
     assert t.latest_version() == 0
+
+
+# --- commit timestamps + TIMESTAMP AS OF (round 8) --------------------
+
+
+def test_timestamp_as_of_resolves_like_delta(spark, tmp_path):
+    """version_at_timestamp picks the LATEST version committed at or
+    before the instant; read(timestamp=) equals read(version=) for
+    the resolved version; an instant before the first commit raises;
+    history() exposes the stamps."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    t.delete_where(spark, "k = 1")
+    stamps = [h["ts"] for h in t.history()]
+    assert stamps == sorted(stamps) and all(s > 0 for s in stamps)
+    for v, s in enumerate(stamps):
+        assert t.version_at_timestamp(s) == v
+    # an instant strictly between v0 and v2 resolves to the newest <=
+    assert t.version_at_timestamp(stamps[2] + 1e6) == 2
+    got = {r["k"] for r in t.read(spark, timestamp=stamps[1]).collect()}
+    assert got == {r["k"] for r in t.read(spark, version=1).collect()} == {1, 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no version at or before"):
+        t.version_at_timestamp(stamps[0] - 10.0)
+    with _pytest.raises(ValueError, match="not both"):
+        t.read(spark, version=0, timestamp=stamps[0])
+
+
+def test_pre_stamp_manifests_stay_addressable(spark, tmp_path):
+    """A manifest written before the ts field existed (stamp removed
+    here to emulate one) resolves as timestamp 0 — old tables keep
+    working."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(str(tmp_path / "t"), "_log", "00000000.json")
+    m = _json.load(open(p))
+    del m["ts"]
+    _json.dump(m, open(p, "w"))
+    assert t.version_at_timestamp(1.0) == 0
+    assert t.history()[0]["ts"] is None
