@@ -95,8 +95,12 @@ _WRITER_VERSION = 2  # 2 = deletion vectors ("dvs")
 # row-preserving rewrites: same rows, new files — a feed window slides
 # its file baseline across them and emits nothing
 _FEED_ROW_PRESERVING = frozenset({"compact", "rewrite_clustered", "rewrite_zordered"})
-# pure additions: the new file groups ARE the inserted rows
-_FEED_INSERT_ACTIONS = frozenset({"append"})
+# pure additions: the new file groups ARE the inserted rows. `clone`
+# belongs here because a clone's version 0 has no predecessor in the
+# DEST table — every file group is new to this table, so a feed window
+# opened at 0 correctly reports the entire cloned snapshot as inserts
+# (the clone does NOT import the source's change history).
+_FEED_INSERT_ACTIONS = frozenset({"append", "clone"})
 # capture-emitting: removed rows come from the commit's captured change
 # group (delete_where / delete_where_dv with emit_changes=True);
 # un-captured raises
@@ -323,6 +327,7 @@ class VersionedTable:
         changes: str | None = None,
         dvs: dict[str, list[str]] | None = None,
         inherit_dvs: bool = True,
+        provenance: dict | None = None,
     ) -> int:
         if version is None:
             version = (self.latest_version() + 1) if self.versions() else 0
@@ -373,6 +378,10 @@ class VersionedTable:
             # (merge-on-read DELETE; absent/empty = none)
             "dvs": merged_dvs,
         }
+        if provenance is not None:
+            # audit trail only (clone source, etc.) — additive
+            # metadata, never read on the data path
+            manifest["provenance"] = provenance
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(manifest, f, default=str)
@@ -895,6 +904,85 @@ class VersionedTable:
                 f"{gone} were vacuumed concurrently; restore rolled back"
             )
         return committed
+
+    def clone(self, dest_root: str, version: int | None = None) -> "VersionedTable":
+        """Zero-copy snapshot CLONE (Delta ``CLONE TABLE`` analog):
+        materialize the source snapshot at ``version`` (default:
+        latest) as version 0 of a NEW table at ``dest_root``, without
+        rewriting any data. File groups (and the snapshot's deletion
+        vectors) are HARDLINKED into the clone's root, so the clone is
+        self-contained under FORMAT.md's root-relative rule — and,
+        unlike Delta's shallow clones, a later ``vacuum`` on the
+        source cannot break it: unlink drops one link, the clone's
+        inode survives. Falls back to a physical copy per file when
+        the destination is on a different filesystem (EXDEV).
+
+        Safe because data/dv files are immutable by construction —
+        every mutation path (append, CoW delete, DV delete, merge,
+        compaction) writes NEW groups and re-manifests; nothing edits
+        a landed parquet/DV file in place. Clone and source therefore
+        evolve fully independently after the clone commit.
+
+        What carries: the snapshot's rows, per-file stats, bloom
+        indexes (stats travel inside the manifest), deletion vectors,
+        and CHECK constraints (table property, like Delta CLONE).
+        What does NOT: the source's change-feed history (the clone's
+        feed starts at its own version 0, which reports the cloned
+        snapshot as inserts) and older source versions (time-travel a
+        specific ``version`` and clone that instead).
+
+        Cloning an OLD source version races a concurrent source
+        vacuum exactly like ``read(version=old)`` does — same
+        contract: old versions are addressable until vacuumed."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise ValueError(f"cannot clone {self.root}: table has no commits")
+        m = self._manifest(version)
+        dest = VersionedTable(dest_root)
+        if dest.versions():
+            raise ValueError(
+                f"clone destination {dest_root} already has commits; "
+                "clone only creates NEW tables"
+            )
+        dvs = {g: list(v) for g, v in (m.get("dvs") or {}).items()}
+        groups = {self._group_of(f) for f in m["files"]}
+        groups.update(g for lst in dvs.values() for g in lst)
+        for rel in sorted(groups):
+            src_dir = os.path.join(self.root, rel)
+            dst_dir = os.path.join(dest_root, rel)
+            for dirpath, _dirnames, filenames in os.walk(src_dir):
+                sub = os.path.relpath(dirpath, src_dir)
+                out = dst_dir if sub == "." else os.path.join(dst_dir, sub)
+                os.makedirs(out, exist_ok=True)
+                for fn in filenames:
+                    src_f = os.path.join(dirpath, fn)
+                    dst_f = os.path.join(out, fn)
+                    try:
+                        os.link(src_f, dst_f)
+                    except OSError:
+                        # cross-device (EXDEV) or FS without hardlinks:
+                        # degrade to a physical copy, same contract
+                        shutil.copy2(src_f, dst_f)
+        cons = self.check_constraints()
+        if cons:
+            tmp = os.path.join(dest._log, f".tmp-cons-{uuid.uuid4().hex}.json")
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(cons, f)
+            os.replace(tmp, dest._constraints_path())
+        dest._commit(
+            list(m["files"]),
+            "clone",
+            m["schema"],
+            stats=m.get("stats") or {},
+            dvs=dvs,
+            version=0,
+            provenance={
+                "cloned_from": os.path.abspath(self.root),
+                "source_version": version,
+            },
+        )
+        return dest
 
     def overwrite_clustered(
         self, df: DataFrame, col: str, n_groups: int = 8
@@ -2215,12 +2303,26 @@ class VersionedTable:
                         issues.append(f"manifest {v}: missing dv group {d}")
         return issues
 
-    def vacuum(self, keep_last: int = 1, min_age_s: float = 3600.0) -> int:
-        """Drop data files referenced ONLY by versions older than the
-        last ``keep_last`` — bounds storage, forfeits time travel
-        beyond the horizon. Returns number of file groups removed.
+    def vacuum(
+        self,
+        keep_last: int = 1,
+        min_age_s: float = 3600.0,
+        retain_s: float | None = None,
+    ) -> int:
+        """Drop data files referenced ONLY by versions outside the
+        retention horizon — bounds storage, forfeits time travel
+        beyond it. Returns number of file groups removed.
 
-        ``min_age_s`` is the retention window that makes vacuum safe
+        The horizon is the UNION of two rules: the last ``keep_last``
+        versions always survive, and — when ``retain_s`` is given
+        (Delta's ``RETAIN n HOURS``) — so does every version whose
+        commit timestamp is within the last ``retain_s`` seconds, so
+        ``read(timestamp=now - t)`` keeps resolving for any
+        ``t <= retain_s``. Pre-stamp manifests count as timestamp 0
+        (outside any window) — exactly the versions a retention-based
+        vacuum should age out.
+
+        ``min_age_s`` is the file-age grace that makes vacuum safe
         next to CONCURRENT writers: a commit stages its data group
         BEFORE its manifest becomes visible, so an unreferenced group
         younger than the window may belong to a commit about to land —
@@ -2231,12 +2333,29 @@ class VersionedTable:
         import time
 
         vs = self.versions()
+        if keep_last < 1:
+            raise ValueError("vacuum keeps at least the latest version")
+        now_h = time.time()
+        kept_versions = list(vs[-keep_last:])
+        if retain_s is not None:
+            cutoff = now_h - retain_s
+            in_window = [
+                v
+                for v in vs
+                if (self._manifest(v).get("ts") or 0) >= cutoff
+            ]
+            # contiguous tail from the OLDEST version either rule keeps:
+            # history must never get mid-range holes (feed walks and
+            # restore address version ranges), and a skewed clock could
+            # otherwise punch one
+            floor = min(kept_versions + in_window)
+            kept_versions = [v for v in vs if v >= floor]
         # Manifests record either a bare group ("data/{group}") or, for
         # clustered/z-ordered appends, subpaths ("data/{group}/_rb=N") —
         # normalize every kept path to its first two components so a group
         # survives if ANY kept manifest references anything under it.
         keep = set()
-        for v in vs[-keep_last:]:
+        for v in kept_versions:
             m = self._manifest(v)
             for f in m["files"]:
                 keep.add("/".join(f.split("/")[:2]))
@@ -2269,8 +2388,10 @@ class VersionedTable:
                     continue  # vanished under us: someone else removed it
                 shutil.rmtree(path, ignore_errors=True)
                 removed += 1
-        for v in vs[:-keep_last]:
-            os.remove(os.path.join(self._log, f"{v:08d}.json"))
+        kept_set = set(kept_versions)
+        for v in vs:
+            if v not in kept_set:
+                os.remove(os.path.join(self._log, f"{v:08d}.json"))
         return removed
 
     # --- streaming integration --------------------------------------------

@@ -2388,3 +2388,128 @@ def test_pre_stamp_manifests_stay_addressable(spark, tmp_path):
     _json.dump(m, open(p, "w"))
     assert t.version_at_timestamp(1.0) == 0
     assert t.history()[0]["ts"] is None
+
+
+# --- zero-copy CLONE + retention vacuum (round 8) ----------------------
+
+
+def test_clone_is_zero_copy_and_independent(spark, tmp_path):
+    """clone() materializes the latest snapshot in a new root without
+    rewriting data (hardlinks: same inode), carries stats + CHECK
+    constraints, records provenance, and the two tables then evolve
+    independently."""
+    import os as _os
+
+    t = VersionedTable(str(tmp_path / "src"))
+    t.set_check_constraint("pos", "k > 0")
+    t.append_clustered(_df(spark, [(1, "a"), (2, "b")]), "k")
+    t.append(_df(spark, [(3, "c")]))
+    c = t.clone(str(tmp_path / "dst"))
+    assert c.latest_version() == 0
+    m = c._manifest(0)
+    assert m["action"] == "clone"
+    assert m["provenance"]["source_version"] == 1
+    src_m = t._manifest(1)
+    assert m["stats"] == src_m["stats"] and m["stats"]  # skipping stats carried
+    assert c.check_constraints() == {"pos": "k > 0"}
+    # zero copy: every cloned data file shares its inode with the source
+    assert m["files"] == src_m["files"]
+    for f in m["files"]:
+        sp = _os.path.join(str(tmp_path / "src"), f)
+        dp = _os.path.join(str(tmp_path / "dst"), f)
+        for dirpath, _d, fns in _os.walk(sp):
+            for fn in fns:
+                s_ino = _os.stat(_os.path.join(dirpath, fn)).st_ino
+                d_ino = _os.stat(
+                    _os.path.join(dirpath.replace(sp, dp, 1), fn)
+                ).st_ino
+                assert s_ino == d_ino
+    assert {r["k"] for r in c.read(spark).collect()} == {1, 2, 3}
+    # independent evolution: writes on one side never show on the other
+    c.append(_df(spark, [(4, "d")]))
+    t.delete_where(spark, "k = 1")
+    assert {r["k"] for r in c.read(spark).collect()} == {1, 2, 3, 4}
+    assert {r["k"] for r in t.read(spark).collect()} == {2, 3}
+
+
+def test_clone_survives_source_vacuum(spark, tmp_path):
+    """The hardlink design's point: vacuuming the SOURCE (which
+    unlinks the shared groups after a rewrite) cannot break the
+    clone — its links keep the inodes alive. Delta's shallow clones
+    fail exactly this test."""
+    t = VersionedTable(str(tmp_path / "src"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    c = t.clone(str(tmp_path / "dst"))
+    t.overwrite(_df(spark, [(9, "z")]))  # source moves on
+    assert t.vacuum(keep_last=1, min_age_s=0) > 0  # drops the shared group
+    assert {r["k"] for r in c.read(spark).collect()} == {1, 2}
+
+
+def test_clone_carries_deletion_vectors(spark, tmp_path):
+    """A snapshot whose rows are partly DV-invalidated clones with its
+    vectors: the clone reads the same logical rowset, and its manifest
+    references its OWN hardlinked dv groups."""
+    t = VersionedTable(str(tmp_path / "src"))
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.delete_where_dv(spark, "k = 2")
+    c = t.clone(str(tmp_path / "dst"))
+    assert c._manifest(0)["dvs"]
+    assert {r["k"] for r in c.read(spark).collect()} == {1, 3}
+
+
+def test_clone_old_version_and_guards(spark, tmp_path):
+    """Time-travel clone (version=) snapshots history; cloning into a
+    non-empty table or from an empty one refuses."""
+    import pytest as _pytest
+
+    t = VersionedTable(str(tmp_path / "src"))
+    t.append(_df(spark, [(1, "a")]))
+    t.overwrite(_df(spark, [(9, "z")]))
+    c = t.clone(str(tmp_path / "old"), version=0)
+    assert {r["k"] for r in c.read(spark).collect()} == {1}
+    with _pytest.raises(ValueError, match="already has commits"):
+        t.clone(str(tmp_path / "old"))
+    empty = VersionedTable(str(tmp_path / "none"))
+    with _pytest.raises(ValueError, match="no commits"):
+        empty.clone(str(tmp_path / "x"))
+
+
+def test_clone_feed_reports_snapshot_as_inserts(spark, tmp_path):
+    """The clone's change feed starts at ITS version 0: the cloned
+    snapshot reads as inserts, and source history never leaks in."""
+    t = VersionedTable(str(tmp_path / "src"))
+    t.append(_df(spark, [(1, "a")]))
+    t.delete_where(spark, "k = 1", emit_changes=True)
+    t.append(_df(spark, [(2, "b"), (3, "c")]))
+    c = t.clone(str(tmp_path / "dst"))
+    feed = c.read_change_feed(spark, since_version=-1).collect()
+    assert {(r["k"], r["_change_type"]) for r in feed} == {
+        (2, "insert"),
+        (3, "insert"),
+    }
+
+
+def test_vacuum_retention_window(spark, tmp_path):
+    """retain_s keeps every version committed inside the window (so
+    TIMESTAMP AS OF keeps resolving there) even when keep_last alone
+    would drop it; versions outside the window age out; the surviving
+    history is a contiguous tail."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    t = VersionedTable(str(tmp_path / "t"))
+    for i in range(4):
+        t.overwrite(_df(spark, [(i, "x")]))
+    # backdate v0/v1 beyond the window (hermetic: no sleeps)
+    for v, age in ((0, 5000.0), (1, 4000.0)):
+        p = _os.path.join(str(tmp_path / "t"), "_log", f"{v:08d}.json")
+        m = _json.load(open(p))
+        m["ts"] = _time.time() - age
+        _json.dump(m, open(p, "w"))
+    removed = t.vacuum(keep_last=1, min_age_s=0, retain_s=600.0)
+    assert removed > 0
+    assert t.versions() == [2, 3]  # in-window versions survive keep_last=1
+    assert {r["k"] for r in t.read(spark, version=2).collect()} == {2}
+    with __import__("pytest").raises(ValueError, match="at least the latest"):
+        t.vacuum(keep_last=0, min_age_s=0)
