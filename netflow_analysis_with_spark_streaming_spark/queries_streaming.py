@@ -910,6 +910,77 @@ register(
 )
 
 
+def _storage_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregates (Delta/Iceberg's metadata-only query):
+    COUNT(*) and MIN/MAX answered from the MANIFEST — count_rows()
+    and metadata_min_max() take no SparkSession and read no data
+    pages. The scenario stacks every write shape that must keep the
+    __rows__ stat honest: a plain append (footer-recorded), a
+    range-clustered append (agg-recorded per bucket), a stats-pruned
+    copy-on-write DELETE (rewritten groups re-count, carried groups
+    keep their stat), then a second table takes the SAME delete via a
+    deletion vector (count subtracts DV positions exactly; min/max
+    correctly refuses under DVs and the entry falls back to a scan —
+    exercising the exact-or-refuse contract). Hashing both tables'
+    counts against one SQL oracle pins CoW == MoR == SQL DELETE at
+    the aggregate level. At 100 TB the count is one manifest read:
+    O(file groups) driver work, zero executor work."""
+    from .storage.versioned import VersionedTable
+
+    ev = (
+        tables.load(spark, "events", sf_dir)
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id", "user_id", "value")
+    )
+    half1 = ev.filter(F.col("event_id") % 20 == 0)
+    half2 = ev.filter(F.col("event_id") % 20 != 0)
+    results = {}
+    for label, method in (("cow", "delete_where"), ("mor", "delete_where_dv")):
+        t = VersionedTable(_run_tmp_root(f"netflow_vtma_{label}_") + "/t")
+        t.append(half1, stats_cols=["event_id"])
+        t.append_clustered(half2, "event_id", n_groups=4)
+        getattr(t, method)(
+            spark, "event_id % 40 = 0", prune=None
+        )
+        results[label] = t.count_rows()
+        mm = t.metadata_min_max("event_id")
+        if label == "cow":
+            assert mm is not None, "CoW snapshot has full stats, no DVs"
+            results["min_id"], results["max_id"] = mm
+        else:
+            # DVs present: exact-or-refuse refuses; fall back to a scan
+            assert mm is None, "min/max must refuse under deletion vectors"
+    return spark.createDataFrame(
+        [
+            (
+                int(results["cow"]),
+                int(results["mor"]),
+                int(results["min_id"]),
+                int(results["max_id"]),
+            )
+        ],
+        "cnt_cow BIGINT, cnt_mor BIGINT, min_id BIGINT, max_id BIGINT",
+    )
+
+
+_STORAGE_METADATA_AGG_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS cnt_cow,
+       CAST(COUNT(*) AS BIGINT) AS cnt_mor,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_id
+FROM events
+WHERE event_id % 10 = 0 AND NOT (event_id % 40 = 0)
+"""
+
+
+register(
+    "storage_metadata_agg",
+    _storage_metadata_agg,
+    _STORAGE_METADATA_AGG_SQL,
+    driver=False,
+)
+
+
 def _storage_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-clause MERGE exercised in its most oracle-hostile shape —
     matched=DELETE, not-matched=INSERT, by-source=KEEP — which makes

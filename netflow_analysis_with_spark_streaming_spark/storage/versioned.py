@@ -64,6 +64,15 @@ from pyspark.sql.types import StructField, StructType
 _BLOOM_M = 4096
 _BLOOM_K = 3
 _BLOOM_KEY = "__bloom__"
+# exact row count of the file group, recorded AT WRITE TIME (from the
+# count the stats agg already computes, or the just-written parquet
+# footers — never a data scan). Powers metadata-only COUNT(*)
+# (count_rows): at 100 TB an unfiltered count is a manifest read, not
+# a table scan. Reserved like __bloom__ — not a min/max column.
+_ROWS_KEY = "__rows__"
+# stats entries that are not min/max columns; every site that derives
+# "which columns have stats" must exclude these
+_RESERVED_STATS_KEYS = frozenset({_BLOOM_KEY, _ROWS_KEY})
 # compaction folds EVERY group's keys into one bloom, so the fixed
 # per-group m saturates past ~1.5k distinct keys (~100% false
 # positives while still paying a full-scan build job per column).
@@ -116,6 +125,22 @@ _FEED_ALL_ACTIONS = (
     | _FEED_CAPTURE_ACTIONS
     | _FEED_BREAKING_ACTIONS
 )
+
+
+def _footer_rows(abs_dir: str) -> int:
+    """Exact row count of every parquet file under ``abs_dir``, read
+    from the FOOTERS (file metadata) only — no data pages, no Spark
+    job. Cost is one small metadata read per file: fine at write time
+    (bounded by the files just written) and as the count_rows()
+    fallback for legacy groups committed before __rows__ existed."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for dirpath, _dirnames, filenames in os.walk(abs_dir):
+        for fn in filenames:
+            if fn.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(dirpath, fn)).num_rows
+    return total
 
 
 def _bloom_positions_py(value: object, m: int = _BLOOM_M, k: int = _BLOOM_K) -> list[int]:
@@ -304,9 +329,14 @@ class VersionedTable:
         """Default stats columns for a whole-snapshot rewrite: whatever
         the PINNED snapshot kept stats for (not a re-read — a racing
         commit must not change what this commit records); the reserved
-        bloom entry is not a min/max column."""
+        bloom/rows entries are not min/max columns."""
         return sorted(
-            {c for st in pinned_stats.values() for c in st if c != _BLOOM_KEY}
+            {
+                c
+                for st in pinned_stats.values()
+                for c in st
+                if c not in _RESERVED_STATS_KEYS
+            }
         ) or None
 
     @staticmethod
@@ -422,8 +452,12 @@ class VersionedTable:
         group = uuid.uuid4().hex
         out = os.path.join(self._data, group)
         df.write.mode("overwrite").parquet(out)
+        # exact row count from the footers just written: driver-local
+        # metadata reads bounded by THIS group's file count (change
+        # volume, never table size), no extra Spark job
         stats: dict = {}
         path = f"data/{group}"
+        stats[path] = {_ROWS_KEY: _footer_rows(out)}
         if stats_cols:
             from pyspark.sql import functions as F
 
@@ -431,9 +465,9 @@ class VersionedTable:
                 *[F.min(c).alias(f"min_{c}") for c in stats_cols],
                 *[F.max(c).alias(f"max_{c}") for c in stats_cols],
             ).collect()[0]
-            stats = {
-                path: {c: [row[f"min_{c}"], row[f"max_{c}"]] for c in stats_cols}
-            }
+            stats[path].update(
+                {c: [row[f"min_{c}"], row[f"max_{c}"]] for c in stats_cols}
+            )
         if bloom_cols:
             blooms = {
                 c: self._build_bloom(df, c, m=(bloom_m or {}).get(c, _BLOOM_M))
@@ -709,14 +743,21 @@ class VersionedTable:
             with_bucket.write.mode("overwrite").partitionBy("_rb").parquet(out)
             stat_rows = (
                 with_bucket.groupBy("_rb")
-                .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+                .agg(
+                    F.min(col).alias("lo"),
+                    F.max(col).alias("hi"),
+                    F.count(F.lit(1)).alias("n"),
+                )
                 .collect()
             )
         finally:
             ranged.unpersist()
         files = [f"data/{group}/_rb={r['_rb']}" for r in stat_rows]
         stats = {
-            f"data/{group}/_rb={r['_rb']}": {col: [r["lo"], r["hi"]]}
+            f"data/{group}/_rb={r['_rb']}": {
+                col: [r["lo"], r["hi"]],
+                _ROWS_KEY: r["n"],
+            }
             for r in stat_rows
         }
         return files, stats
@@ -1110,6 +1151,7 @@ class VersionedTable:
                 .agg(
                     F.min(c1).alias("lo1"), F.max(c1).alias("hi1"),
                     F.min(c2).alias("lo2"), F.max(c2).alias("hi2"),
+                    F.count(F.lit(1)).alias("n"),
                 )
                 .collect()
             )
@@ -1120,6 +1162,7 @@ class VersionedTable:
             f"data/{group}/_rb={r['_rb']}": {
                 c1: [r["lo1"], r["hi1"]],
                 c2: [r["lo2"], r["hi2"]],
+                _ROWS_KEY: r["n"],
             }
             for r in stat_rows
         }
@@ -1142,6 +1185,77 @@ class VersionedTable:
                 f"timestamp {ts} (first commit is newer)"
             )
         return best
+
+    def count_rows(self, version: int | None = None) -> int:
+        """Metadata-only COUNT(*) (Delta/Iceberg's metadata-only
+        query): the snapshot's exact row count computed WITHOUT a
+        SparkSession and without touching a single data page. Per
+        group the count comes from the manifest's ``__rows__`` stat
+        (recorded at write time); a legacy group committed before the
+        stat existed falls back to its parquet FOOTERS (metadata
+        reads, still no data scan). Deletion-vector positions subtract
+        exactly: DVs on one group are disjoint by construction
+        (delete_where_dv matches against the DV-APPLIED read, so an
+        already-invalidated row can never be re-invalidated).
+
+        Scale: at 100 TB an unfiltered ``SELECT COUNT(*)`` becomes one
+        manifest read — O(file groups) driver work, zero executor
+        work — instead of a full scan. DV footer reads are bounded by
+        DELETE volume, never table size."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no committed version")
+        m = self._manifest(version)
+        stats = m.get("stats") or {}
+        total = 0
+        for f in m["files"]:
+            n = stats.get(f, {}).get(_ROWS_KEY)
+            total += (
+                int(n)
+                if n is not None
+                else _footer_rows(os.path.join(self.root, f))
+            )
+        for lst in (m.get("dvs") or {}).values():
+            for d in lst:
+                total -= _footer_rows(os.path.join(self.root, d))
+        return total
+
+    def metadata_min_max(
+        self, col: str, version: int | None = None
+    ) -> tuple | None:
+        """Metadata-only MIN/MAX of ``col``: (min, max) straight from
+        the manifest's data-skipping stats — no SparkSession, no scan —
+        or None when not derivable. Derivable needs (a) every group to
+        carry min/max for ``col`` (a group of all-NULL values records
+        [None, None] and min/max ignore NULLs, so it simply doesn't
+        contribute — unless EVERY group is all-NULL, which returns
+        None like SQL's NULL min) and (b) no deletion vectors anywhere
+        in the snapshot: a DV may have invalidated exactly the extremal
+        row, making the recorded bound an over-approximation. Callers
+        fall back to a real scan on None — the contract is
+        exact-or-refuse, never approximate."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            raise ValueError(f"table {self.root} has no committed version")
+        m = self._manifest(version)
+        if m.get("dvs"):
+            return None
+        stats = m.get("stats") or {}
+        los: list = []
+        his: list = []
+        for f in m["files"]:
+            s = stats.get(f, {}).get(col)
+            if s is None:
+                return None  # unindexed group: bound unknown
+            if s[0] is None or s[1] is None:
+                continue  # all-NULL group contributes nothing
+            los.append(s[0])
+            his.append(s[1])
+        if not los:
+            return None
+        return (min(los), max(his))
 
     def read(
         self,
@@ -1945,7 +2059,7 @@ class VersionedTable:
                         c
                         for f in affected
                         for c in prev_stats.get(f, {})
-                        if c != _BLOOM_KEY
+                        if c not in _RESERVED_STATS_KEYS
                     }
                 )
                 # an all-rows-deleted rewrite would land a file-less
@@ -2122,7 +2236,7 @@ class VersionedTable:
         affected = set(self.snapshot_files(version - 1, prune)) if version else set()
         untouched = [f for f in prev_files if f not in affected]
         stat_cols = sorted(
-            {c for f in affected for c in prev_stats.get(f, {}) if c != _BLOOM_KEY}
+            {c for f in affected for c in prev_stats.get(f, {}) if c not in _RESERVED_STATS_KEYS}
         )
         old = None
         if affected:
@@ -2186,7 +2300,7 @@ class VersionedTable:
             target_partitions
         )
         stat_cols = sorted(
-            {c for s in prev_stats.values() for c in s if c != _BLOOM_KEY}
+            {c for s in prev_stats.values() for c in s if c not in _RESERVED_STATS_KEYS}
         )
         bloom_cols = sorted(
             {c for s in prev_stats.values() for c in s.get(_BLOOM_KEY, {})}

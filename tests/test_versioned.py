@@ -2513,3 +2513,96 @@ def test_vacuum_retention_window(spark, tmp_path):
     assert {r["k"] for r in t.read(spark, version=2).collect()} == {2}
     with __import__("pytest").raises(ValueError, match="at least the latest"):
         t.vacuum(keep_last=0, min_age_s=0)
+
+
+# --- metadata-only aggregates (round 8) ---------------------------------
+
+
+def test_count_rows_is_metadata_only(spark, tmp_path):
+    """count_rows() needs no SparkSession and no data files: with the
+    __rows__ stat recorded, the count is correct even after the data
+    directory is moved ASIDE — proof that no footer (let alone a data
+    page) is consulted on the fast path."""
+    import os as _os
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    t.append_clustered(_df(spark, [(i, "x") for i in range(4, 14)]), "k")
+    assert t.count_rows() == 13
+    assert t.count_rows(version=0) == 3
+    _os.rename(str(tmp_path / "t" / "data"), str(tmp_path / "gone"))
+    assert t.count_rows() == 13  # manifest-only: data dir absent
+    _os.rename(str(tmp_path / "gone"), str(tmp_path / "t" / "data"))
+
+
+def test_count_rows_tracks_every_mutation(spark, tmp_path):
+    """The count stays exact through CoW delete (rewritten groups
+    re-count, carried groups keep their stat), DV delete (positions
+    subtract), merge, and compaction — always equal to the real
+    read().count()."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append_clustered(_df(spark, [(i, "x") for i in range(100)]), "k", n_groups=4)
+    t.delete_where(spark, "k < 10", prune=("k", 0, 9))
+    assert t.count_rows() == t.read(spark).count() == 90
+    t.delete_where_dv(spark, "k >= 95")
+    assert t.count_rows() == t.read(spark).count() == 85
+    t.upsert(spark, _df(spark, [(10, "N"), (200, "new")]), keys=["k"])
+    assert t.count_rows() == t.read(spark).count() == 86
+    t.compact(spark, target_partitions=2)
+    assert t.count_rows() == t.read(spark).count() == 86
+
+
+def test_count_rows_legacy_footer_fallback(spark, tmp_path):
+    """A manifest written before __rows__ existed (simulated by
+    stripping the stat) still counts exactly via parquet FOOTERS —
+    metadata reads, no scan, no Spark."""
+    import os as _os
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.delete_where_dv(spark, "k = 1")
+    v = t.latest_version()
+    p = _os.path.join(str(tmp_path / "t"), "_log", f"{v:08d}.json")
+    m = json.load(open(p))
+    for st in (m.get("stats") or {}).values():
+        st.pop("__rows__", None)
+    json.dump(m, open(p, "w"), default=str)
+    assert VersionedTable(str(tmp_path / "t")).count_rows() == 1
+
+
+def test_metadata_min_max_exact_or_refuse(spark, tmp_path):
+    """min/max from manifest stats is EXACT after CoW mutations,
+    refuses (None) when any deletion vector exists (the extremal row
+    may be invalidated), refuses for an unindexed column, and ignores
+    all-NULL groups the way SQL MIN/MAX ignore NULLs."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append_clustered(_df(spark, [(i, "x") for i in range(50)]), "k", n_groups=2)
+    assert t.metadata_min_max("k") == (0, 49)
+    t.delete_where(spark, "k = 49 OR k = 0", prune=("k", 0, 49))
+    assert t.metadata_min_max("k") == (1, 48)
+    assert t.metadata_min_max("v") is None  # no stats for v
+    # an all-NULL group contributes nothing (instead of poisoning)
+    t.append(
+        spark.createDataFrame([(None, "n")], "k long, v string"),
+        stats_cols=["k"],
+    )
+    assert t.metadata_min_max("k") == (1, 48)
+    t.delete_where_dv(spark, "k = 48")
+    assert t.metadata_min_max("k") is None  # DV present: refuse
+    assert t.count_rows() == t.read(spark).count()  # count stays exact
+
+
+def test_rows_stat_carries_with_untouched_groups(spark, tmp_path):
+    """A pruned CoW delete carries non-overlapping groups by
+    reference — their __rows__ stat must carry verbatim so the NEXT
+    count stays manifest-only (no footer fallback creep)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append_clustered(_df(spark, [(i, "x") for i in range(40)]), "k", n_groups=4)
+    m0 = t._manifest(0)
+    t.delete_where(spark, "k < 5", prune=("k", 0, 4))
+    m1 = t._manifest(1)
+    carried = [f for f in m1["files"] if f in set(m0["files"])]
+    assert carried, "prune should carry at least one group"
+    for f in carried:
+        assert m1["stats"][f]["__rows__"] == m0["stats"][f]["__rows__"]
+    assert t.count_rows() == 35
