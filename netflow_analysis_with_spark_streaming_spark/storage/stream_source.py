@@ -359,22 +359,26 @@ class PruningFeedBatchReader(VersionedFeedBatchReader):
             # per-slice stats from the COMMIT that added the groups —
             # always present for stat-carrying appends, regardless of
             # later compactions (capture groups carry no stats and are
-            # conservatively kept)
-            slices = [
-                (
-                    v,
-                    change,
-                    [
-                        g
-                        for g in groups
-                        if self._group_may_match(
-                            (t._manifest(v).get("stats") or {}).get(g) or {},
-                            self._prune_filters,
-                        )
-                    ],
+            # conservatively kept). One manifest read per slice — NOT
+            # per group — so planning stays one JSON per commit even
+            # for wide commits.
+            pruned = []
+            for v, change, groups in slices:
+                stats = t._manifest(v).get("stats") or {}
+                pruned.append(
+                    (
+                        v,
+                        change,
+                        [
+                            g
+                            for g in groups
+                            if self._group_may_match(
+                                stats.get(g) or {}, self._prune_filters
+                            )
+                        ],
+                    )
                 )
-                for v, change, groups in slices
-            ]
+            slices = pruned
         return _slice_partitions(t.root, slices, self._schema_json)
 
 
@@ -404,8 +408,19 @@ class VersionedFeedDataSource(DataSource):
                 "is not derivable — commit first or pass .schema(...)"
             )
         base = StructType.fromJson(json.loads(t._manifest(lv)["schema"]))
+        clash = [f.name for f in base.fields if f.name in _META_COLS]
+        if clash:
+            # A real data column named like a feed meta column would be
+            # silently shadowed (its values never surfaced by read());
+            # refuse loudly instead — same stance Delta's CDF takes on
+            # its reserved columns.
+            raise ValueError(
+                f"table {t.root} has column(s) {clash} that collide with "
+                f"reserved change-feed columns {list(_META_COLS)}; rename "
+                "the column(s) or read the table as a batch source"
+            )
         return StructType(
-            [f for f in base.fields if f.name not in _META_COLS]
+            list(base.fields)
             + [
                 StructField("_change_type", StringType(), False),
                 StructField("_commit_version", LongType(), False),

@@ -1216,9 +1216,13 @@ class VersionedTable:
                 if n is not None
                 else _footer_rows(os.path.join(self.root, f))
             )
-        for lst in (m.get("dvs") or {}).values():
-            for d in lst:
-                total -= _footer_rows(os.path.join(self.root, d))
+        # One delete_where_dv commit writes a single positions dir but
+        # lists it under EVERY data group it hit; dedupe before
+        # subtracting (mirrors _apply_dvs) or a multi-group DV delete
+        # would be subtracted once per group.
+        dv_paths = {d for lst in (m.get("dvs") or {}).values() for d in lst}
+        for d in sorted(dv_paths):
+            total -= _footer_rows(os.path.join(self.root, d))
         return total
 
     def metadata_min_max(
@@ -2449,6 +2453,8 @@ class VersionedTable:
         vs = self.versions()
         if keep_last < 1:
             raise ValueError("vacuum keeps at least the latest version")
+        if not vs:
+            return 0  # no commits -> nothing referenced, nothing aged
         now_h = time.time()
         kept_versions = list(vs[-keep_last:])
         if retain_s is not None:

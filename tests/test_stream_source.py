@@ -402,3 +402,19 @@ def test_batch_reader_bloom_pushdown_prunes_overlapping_ranges(spark, tmp_path):
             spark.conf.unset("spark.sql.python.filterPushdown.enabled")
         else:
             spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def test_reserved_feed_column_clash_raises(spark, tmp_path):
+    """A real table column named _change_type or _commit_version would
+    be silently shadowed by the feed's meta columns (its values never
+    surfaced) — the source must refuse loudly instead (round-8
+    advice), same stance Delta CDF takes on its reserved names."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "x")], "k long, _change_type string"
+        )
+    )
+    register_feed_source(spark)
+    with pytest.raises(Exception, match="_change_type.*reserved|reserved.*_change_type"):
+        spark.readStream.format(FORMAT_NAME).option("path", t.root).load()

@@ -2606,3 +2606,33 @@ def test_rows_stat_carries_with_untouched_groups(spark, tmp_path):
     for f in carried:
         assert m1["stats"][f]["__rows__"] == m0["stats"][f]["__rows__"]
     assert t.count_rows() == 35
+
+
+def test_count_rows_dv_spanning_multiple_groups(spark, tmp_path):
+    """One delete_where_dv that hits SEVERAL data groups writes a
+    single positions dir but lists it under every hit group in the
+    manifest's dvs map — count_rows must subtract it ONCE (dedupe by
+    path, mirroring _apply_dvs), not once per group. Regression for
+    the round-8 advice: 2 appends x 20 rows + a DV delete of 4 rows
+    spanning both groups must count 36, not 32."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(i, "a") for i in range(20)]))
+    t.append(_df(spark, [(i, "b") for i in range(20, 40)]))
+    t.delete_where_dv(spark, "k % 10 = 3")  # 4 rows, 2 per group
+    m = t._manifest(t.latest_version())
+    dv_lists = list((m.get("dvs") or {}).values())
+    assert len(dv_lists) == 2, "DV delete should hit both groups"
+    assert dv_lists[0] == dv_lists[1], "same positions dir listed twice"
+    assert t.read(spark).count() == 36
+    assert t.count_rows() == 36  # was 32 before the dedupe fix
+    # and stays consistent through a subsequent single-group DV delete
+    t.delete_where_dv(spark, "k = 0")
+    assert t.count_rows() == t.read(spark).count() == 35
+
+
+def test_vacuum_retention_window_empty_table(tmp_path):
+    """vacuum(retain_s=...) on a table with NO commits is a no-op
+    returning 0 — not a ValueError from min([]) (round-8 advice)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    assert t.vacuum(retain_s=3600.0, min_age_s=0) == 0
+    assert t.vacuum(min_age_s=0) == 0  # retain_s=None path too
