@@ -630,15 +630,25 @@ class VersionedTable:
         if version == 0:
             return df.schema.json()
         cur = StructType.fromJson(json.loads(self._manifest(version - 1)["schema"]))
-        incoming = {f.name: f for f in df.schema.fields}
+        return self._union_schemas(cur, df.schema, f"append to {self.root}").json()
+
+    @classmethod
+    def _union_schemas(
+        cls, cur: StructType, incoming: StructType, what: str
+    ) -> StructType:
+        """UNION of two schemas under the evolution rules (shared
+        columns widen along the numeric chains, net-new columns
+        append, ``cur``'s column order wins); irreconcilable shared
+        names raise SchemaEvolutionError naming every conflict."""
+        incoming_by_name = {f.name: f for f in incoming.fields}
         out: list[StructField] = []
         conflicts: dict[str, tuple[str, str]] = {}
         for f in cur.fields:
-            hit = incoming.get(f.name)
+            hit = incoming_by_name.get(f.name)
             if hit is None:
                 out.append(f)
                 continue
-            merged = self._merge_field_type(f.dataType, hit.dataType)
+            merged = cls._merge_field_type(f.dataType, hit.dataType)
             if merged is None:
                 conflicts[f.name] = (
                     f.dataType.simpleString(),
@@ -648,7 +658,7 @@ class VersionedTable:
                 out.append(StructField(f.name, merged, True))
         if conflicts:
             raise SchemaEvolutionError(
-                f"append to {self.root} conflicts with the table schema "
+                f"{what} conflicts with the table schema "
                 f"(column: table-type vs incoming-type): "
                 + ", ".join(
                     f"{k}: {a} vs {b}" for k, (a, b) in sorted(conflicts.items())
@@ -657,10 +667,10 @@ class VersionedTable:
         known = {f.name for f in cur.fields}
         out.extend(
             StructField(f.name, f.dataType, True)
-            for f in df.schema.fields
+            for f in incoming.fields
             if f.name not in known
         )
-        return StructType(out).json()
+        return StructType(out)
 
     # --- table operations --------------------------------------------------
 
@@ -676,6 +686,87 @@ class VersionedTable:
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return self.latest_version()
         raise err
+
+    def _rebase_rewrite(
+        self,
+        err: "CommitConflictError",
+        batch_id: int | None,
+        attempt_version: int,
+        files: list[str],
+        stats: dict,
+        schema_json: str,
+        would_read,
+    ) -> tuple[list[str], dict, str, int] | None:
+        """A REWRITING commit (merge/upsert/delete/replace_where) lost
+        the version race. Delta-style conflict resolution at the
+        Serializable level: the rewrite may rebase over the
+        interleaved commits iff
+
+        (a) every one of them only ADDED file groups with no deletion-
+            vector change — blind appends. A drop, rewrite, or DV
+            touch means our snapshot-derived survivors are stale
+            (they could resurrect deleted rows), and
+        (b) none of the appended groups could hold a row this
+            operation READ: ``would_read(cur_version, added_groups)``
+            applies the op's own stats/bloom pruning to the winners'
+            groups. Non-empty means the serial-equivalent result
+            differs — e.g. a concurrent append landed a row our DELETE
+            predicate matches, or a key our MERGE source carries —
+            so we fail closed exactly like Delta's
+            ConcurrentAppendException.
+
+        On success returns the FOLDED intent — our rewritten+carried
+        groups plus the winners' appended groups by reference, stats
+        merged, schema UNION (an append may have widened it), and the
+        next version to claim. Returns None when the loss was our own
+        streaming batch replay (the intent is already durable).
+        Re-raises ``err`` otherwise.
+
+        Scale rationale: with continuous streaming ingest, "append
+        lands during a MERGE/DELETE" is the COMMON interleaving on a
+        busy table — aborting the maintenance op each time makes
+        large-table upkeep livelock-prone. Appends already auto-rebase
+        over rewrites (append path); this closes the other direction,
+        while anything that could change the rewrite's input still
+        fails closed."""
+        if batch_id is not None and batch_id in self.committed_batch_ids():
+            return None
+        cur = self.latest_version()
+        pinned = attempt_version - 1
+        walk_files = set(self._manifest(pinned)["files"])
+        walk_dvs = self._manifest(pinned).get("dvs") or {}
+        for v in range(pinned + 1, cur + 1):
+            m = self._manifest(v)
+            v_files = set(m["files"])
+            if not (v_files >= walk_files):
+                raise err  # a group we may have read was rewritten/dropped
+            v_dvs = m.get("dvs") or {}
+            if v_dvs != walk_dvs:
+                raise err  # concurrent merge-on-read delete: stale reads
+            walk_files, walk_dvs = v_files, v_dvs
+        cur_m = self._manifest(cur)
+        base = set(self._manifest(pinned)["files"])
+        added = {f for f in cur_m["files"] if f not in base}
+        if added and set(would_read(cur, added)) & added:
+            raise err
+        cur_stats = cur_m.get("stats") or {}
+        have = set(files)
+        folded = list(files) + [f for f in sorted(added) if f not in have]
+        folded_stats = {
+            **{f: cur_stats[f] for f in added if f in cur_stats},
+            **stats,
+        }
+        folded_schema = self._union_schema_json(schema_json, cur_m["schema"])
+        return folded, folded_stats, folded_schema, cur + 1
+
+    def _union_schema_json(self, base_json: str, other_json: str) -> str:
+        if base_json == other_json:
+            return base_json
+        return self._union_schemas(
+            StructType.fromJson(json.loads(base_json)),
+            StructType.fromJson(json.loads(other_json)),
+            f"rebase of a rewrite on {self.root}",
+        ).json()
 
     def append(
         self,
@@ -1929,18 +2020,44 @@ class VersionedTable:
         if done is not None:
             return done
         files, schema_json, stats, dvs, version = payload
-        try:
-            return self._commit(
-                files,
-                "merge",
-                schema_json,
-                batch_id,
-                stats=stats,
-                version=version,
-                dvs=dvs,
-            )
-        except CommitConflictError as e:
-            return self._resolve_conflict(batch_id, e)
+        would_read = self._merge_would_read(
+            source, keys, when_not_matched_by_source
+        )
+        for _ in range(10):
+            try:
+                return self._commit(
+                    files,
+                    "merge",
+                    schema_json,
+                    batch_id,
+                    stats=stats,
+                    version=version,
+                    dvs=dvs,
+                )
+            except CommitConflictError as e:
+                rb = self._rebase_rewrite(
+                    e, batch_id, version, files, stats, schema_json, would_read
+                )
+                if rb is None:
+                    return self.latest_version()
+                files, stats, schema_json, version = rb
+        raise CommitConflictError(
+            f"merge on {self.root} lost 10 consecutive version races"
+        )
+
+    def _merge_would_read(
+        self, source: DataFrame, keys: list[str], when_not_matched_by_source: str
+    ):
+        """Read-predicate probe for merge's conflict rebase: which of
+        the concurrently APPENDED groups could hold a row this merge
+        read? Full-sync reads every target row (nothing rebases over
+        it); otherwise the merge's own candidate pruning (source key
+        ranges + blooms) applied to the winner's manifest stats."""
+        if when_not_matched_by_source == "delete":
+            return lambda v, added: added
+        return lambda v, added: self._merge_candidates(
+            source, keys, v, self._manifest(v).get("stats") or {}
+        )[0]
 
     def upsert(
         self,
@@ -1985,18 +2102,28 @@ class VersionedTable:
         if done is not None:
             return done
         files, schema_json, stats, dvs, version = payload
-        try:
-            return self._commit(
-                files,
-                "upsert",
-                schema_json,
-                batch_id,
-                stats=stats,
-                version=version,
-                dvs=dvs,
-            )
-        except CommitConflictError as e:
-            return self._resolve_conflict(batch_id, e)
+        would_read = self._merge_would_read(updates, keys, "keep")
+        for _ in range(10):
+            try:
+                return self._commit(
+                    files,
+                    "upsert",
+                    schema_json,
+                    batch_id,
+                    stats=stats,
+                    version=version,
+                    dvs=dvs,
+                )
+            except CommitConflictError as e:
+                rb = self._rebase_rewrite(
+                    e, batch_id, version, files, stats, schema_json, would_read
+                )
+                if rb is None:
+                    return self.latest_version()
+                files, stats, schema_json, version = rb
+        raise CommitConflictError(
+            f"upsert on {self.root} lost 10 consecutive version races"
+        )
 
     def delete_where(
         self,
@@ -2086,18 +2213,47 @@ class VersionedTable:
             finally:
                 df.unpersist()
         kept_stats = {f: s for f, s in prev_stats.items() if f not in affected}
-        try:
-            return self._commit(
-                untouched + new,
-                "delete",
-                self._manifest(version - 1)["schema"],
-                batch_id,
-                stats={**kept_stats, **new_stats},
-                version=version,
-                changes=changes_rel,
-            )
-        except CommitConflictError as e:
-            return self._resolve_conflict(batch_id, e)
+        files = untouched + new
+        stats = {**kept_stats, **new_stats}
+        schema_json = self._manifest(version - 1)["schema"]
+        would_read = self._prune_would_read(prune)
+        for _ in range(10):
+            try:
+                return self._commit(
+                    files,
+                    "delete",
+                    schema_json,
+                    batch_id,
+                    stats=stats,
+                    version=version,
+                    changes=changes_rel,
+                )
+            except CommitConflictError as e:
+                rb = self._rebase_rewrite(
+                    e, batch_id, version, files, stats, schema_json, would_read
+                )
+                if rb is None:
+                    return self.latest_version()
+                files, stats, schema_json, version = rb
+        raise CommitConflictError(
+            f"delete on {self.root} lost 10 consecutive version races"
+        )
+
+    def _prune_would_read(
+        self,
+        prune: tuple[str, object, object] | list[tuple[str, object, object]] | None,
+    ):
+        """Read-predicate probe for the predicate-scoped rewrites
+        (delete/replace_where): their read set is every group
+        overlapping ``prune`` (the caller's conservative bound on the
+        predicate), so a concurrently appended group conflicts iff the
+        manifest stats cannot EXCLUDE it from that bound. With no
+        prune the predicate was evaluated against every group — any
+        append conflicts (fail closed, exactly Delta's unpartitioned
+        DELETE vs append)."""
+        if prune is None:
+            return lambda v, added: added
+        return lambda v, added: set(self.snapshot_files(v, prune)) & added
 
     def delete_where_dv(
         self,
@@ -2191,19 +2347,32 @@ class VersionedTable:
                         changes_rel = f"changes/{cgroup}"
             finally:
                 matched.unpersist()
-        try:
-            return self._commit(
-                prev_files,
-                "delete_dv",
-                self._manifest(version - 1)["schema"],
-                batch_id,
-                stats=prev_stats,
-                version=version,
-                changes=changes_rel,
-                dvs=dvs,
-            )
-        except CommitConflictError as e:
-            return self._resolve_conflict(batch_id, e)
+        files = list(prev_files)
+        stats = dict(prev_stats)
+        schema_json = self._manifest(version - 1)["schema"]
+        would_read = self._prune_would_read(prune)
+        for _ in range(10):
+            try:
+                return self._commit(
+                    files,
+                    "delete_dv",
+                    schema_json,
+                    batch_id,
+                    stats=stats,
+                    version=version,
+                    changes=changes_rel,
+                    dvs=dvs,
+                )
+            except CommitConflictError as e:
+                rb = self._rebase_rewrite(
+                    e, batch_id, version, files, stats, schema_json, would_read
+                )
+                if rb is None:
+                    return self.latest_version()
+                files, stats, schema_json, version = rb
+        raise CommitConflictError(
+            f"delete_dv on {self.root} lost 10 consecutive version races"
+        )
 
     def replace_where(
         self,
@@ -2265,17 +2434,30 @@ class VersionedTable:
             if old is not None:
                 old.unpersist()
         kept_stats = {f: s for f, s in prev_stats.items() if f not in affected}
-        try:
-            return self._commit(
-                untouched + new,
-                "replace_where",
-                df.schema.json(),
-                batch_id,
-                stats={**kept_stats, **new_stats},
-                version=version,
-            )
-        except CommitConflictError as e:
-            return self._resolve_conflict(batch_id, e)
+        files = untouched + new
+        stats = {**kept_stats, **new_stats}
+        schema_json = df.schema.json()
+        would_read = self._prune_would_read(prune)
+        for _ in range(10):
+            try:
+                return self._commit(
+                    files,
+                    "replace_where",
+                    schema_json,
+                    batch_id,
+                    stats=stats,
+                    version=version,
+                )
+            except CommitConflictError as e:
+                rb = self._rebase_rewrite(
+                    e, batch_id, version, files, stats, schema_json, would_read
+                )
+                if rb is None:
+                    return self.latest_version()
+                files, stats, schema_json, version = rb
+        raise CommitConflictError(
+            f"replace_where on {self.root} lost 10 consecutive version races"
+        )
 
     def compact(self, spark: SparkSession, target_partitions: int = 8) -> int:
         """Fold the current snapshot's file groups into one coalesced
