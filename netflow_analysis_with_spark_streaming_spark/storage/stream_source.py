@@ -144,8 +144,47 @@ def _read_partition(partition: FeedPartition) -> Iterator:
     yield from full.to_batches(max_chunksize=1 << 16)
 
 
+def _prune_triples_to_filters(triples: list) -> list:
+    """Convert caller-declared prune triples ``[col, lo, hi]`` into the
+    datasource Filter objects `_group_may_match` evaluates — a point
+    triple (lo == hi) becomes EqualTo so bloom indexes get probed,
+    a range becomes the >=/<= pair."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        LessThanOrEqual,
+    )
+
+    out: list = []
+    for t in triples:
+        if not (isinstance(t, (list, tuple)) and len(t) == 3):
+            raise ValueError(
+                f"prune expects [[col, lo, hi], ...] triples; got {t!r}"
+            )
+        col, lo, hi = t
+        if lo == hi and lo is not None:
+            out.append(EqualTo((col,), lo))
+        else:
+            if lo is not None:
+                out.append(GreaterThanOrEqual((col,), lo))
+            if hi is not None:
+                out.append(LessThanOrEqual((col,), hi))
+    return out
+
+
 class VersionedFeedStreamReader(DataSourceStreamReader):
-    """Commit versions as offsets over VersionedTable.feed_slices."""
+    """Commit versions as offsets over VersionedTable.feed_slices.
+
+    ``prune_filters`` (from ``.option("prune", json)``) stats-prunes
+    each slice's file groups at micro-batch PLANNING time — the
+    streaming twin of the batch reader's Catalyst pushdown, which the
+    Python streaming DataSource API has no hook for, so the caller
+    declares the bound explicitly (a tenant/region/key-range CDC
+    consumer of a 100 TB table's feed plans only the groups that can
+    hold its rows). Superset guarantee as everywhere: the consumer
+    still applies its exact row filter; pruning only skips groups the
+    manifest PROVES empty of matches (min/max overlap + bloom probes
+    on point bounds)."""
 
     def __init__(
         self,
@@ -153,12 +192,14 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         schema: StructType,
         starting_version: int,
         max_versions: int | None = None,
+        prune_filters: list | None = None,
     ):
         self._root = root
         self._schema = schema
         self._schema_json = _data_schema(schema).json()
         self._start = starting_version
         self._max_versions = max_versions
+        self._prune_filters = prune_filters or []
         # last batch end seen by partitions(): the rate-limit anchor.
         # None until the first batch of a (re)started run — that first
         # batch is uncapped because the reader cannot see the
@@ -191,7 +232,29 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         from .versioned import VersionedTable
 
         t = VersionedTable(self._root)
-        return _slice_partitions(t.root, t.feed_slices(s, e), self._schema_json)
+        slices = t.feed_slices(s, e)
+        if self._prune_filters:
+            # one manifest read per slice; capture groups carry no
+            # stats and are conservatively kept (same policy as the
+            # batch pushdown path)
+            pruned = []
+            for v, change, groups in slices:
+                stats = t._manifest(v).get("stats") or {}
+                pruned.append(
+                    (
+                        v,
+                        change,
+                        [
+                            g
+                            for g in groups
+                            if PruningFeedBatchReader._group_may_match(
+                                stats.get(g) or {}, self._prune_filters
+                            )
+                        ],
+                    )
+                )
+            slices = pruned
+        return _slice_partitions(t.root, slices, self._schema_json)
 
     def read(self, partition: FeedPartition) -> Iterator:
         return _read_partition(partition)
@@ -430,8 +493,18 @@ class VersionedFeedDataSource(DataSource):
     def streamReader(self, schema: StructType) -> VersionedFeedStreamReader:
         start = int(self.options.get("startingversion", -1))
         mvpt = self.options.get("maxversionspertrigger")
+        prune_raw = self.options.get("prune")
+        prune = (
+            _prune_triples_to_filters(json.loads(prune_raw))
+            if prune_raw
+            else None
+        )
         return VersionedFeedStreamReader(
-            self._root(), schema, start, int(mvpt) if mvpt is not None else None
+            self._root(),
+            schema,
+            start,
+            int(mvpt) if mvpt is not None else None,
+            prune,
         )
 
     def reader(self, schema: StructType) -> VersionedFeedBatchReader:

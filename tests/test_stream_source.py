@@ -418,3 +418,81 @@ def test_reserved_feed_column_clash_raises(spark, tmp_path):
     register_feed_source(spark)
     with pytest.raises(Exception, match="_change_type.*reserved|reserved.*_change_type"):
         spark.readStream.format(FORMAT_NAME).option("path", t.root).load()
+
+
+def test_stream_prune_option_skips_groups(spark, tmp_path):
+    """.option("prune", json) on the STREAMING feed reader: micro-batch
+    planning stats-prunes each slice's file groups (the streaming twin
+    of the batch pushdown, which the Python streaming DataSource API
+    has no Catalyst hook for). White-box: partitions() plans only the
+    overlapping groups. End-to-end: the pruned stream's rows equal the
+    full feed filtered to the bound — pruning is a superset guarantee
+    and the consumer's exact filter still applies."""
+    import json as _json
+
+    from netflow_analysis_with_spark_streaming_spark.storage.stream_source import (
+        VersionedFeedStreamReader,
+        _prune_triples_to_filters,
+    )
+
+    t = VersionedTable(str(tmp_path / "t"))
+    df = spark.range(800).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    t.append_clustered(df, "k", n_groups=8)  # v0: 8 range groups
+    t.append(
+        spark.createDataFrame([(10_000, "late")], "k long, v string"),
+        stats_cols=["k"],
+    )  # v1: one group, disjoint from the bound
+
+    # white-box: planned partitions shrink to the overlapping group
+    full = VersionedFeedStreamReader(t.root, t_schema(t), -1)
+    pruned = VersionedFeedStreamReader(
+        t.root, t_schema(t), -1,
+        prune_filters=_prune_triples_to_filters([["k", 0, 99]]),
+    )
+    window = ({"version": -1}, {"version": 1})
+
+    def groups(parts):  # partitions are per part FILE; compare groups
+        return {p.file.rsplit("/", 2)[-2] for p in parts}
+
+    full_parts, pruned_parts = full.partitions(*window), pruned.partitions(*window)
+    assert len(groups(full_parts)) == 9
+    assert len(groups(pruned_parts)) == 1
+    assert len(pruned_parts) < len(full_parts)
+
+    # end-to-end through the registered source
+    register_feed_source(spark)
+    reader = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", t.root)
+        .option("prune", _json.dumps([["k", 0, 99]]))
+        .load()
+        .filter("k BETWEEN 0 AND 99")  # the exact predicate, as documented
+    )
+    _run_once(spark, reader, "feed_pruned", str(tmp_path / "ckpt"))
+    got = sorted(
+        r["k"] for r in spark.sql("SELECT k FROM feed_pruned").collect()
+    )
+    assert got == list(range(100))
+
+
+def t_schema(t):
+    """The stream schema the data source would derive for `t`."""
+    import json as _json
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    base = StructType.fromJson(
+        _json.loads(t._manifest(t.latest_version())["schema"])
+    )
+    return StructType(
+        list(base.fields)
+        + [
+            StructField("_change_type", StringType(), False),
+            StructField("_commit_version", LongType(), False),
+        ]
+    )
