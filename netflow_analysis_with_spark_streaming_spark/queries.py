@@ -118,9 +118,11 @@ _DRIVER_ORDER = [
     "corpus_domain_mix",
     "corpus_substring_dedup",
     "corpus_curate_stream_backfill",
-    # multimodal + UDF surface
+    # multimodal + UDF surface (multimodal_frame_sample retired to the
+    # pytest tier round 9 — its hash evidence near-duplicated
+    # multimodal_decode's mapInPandas plumbing; slot went to
+    # storage_versioned_merge below)
     "multimodal_decode",
-    "multimodal_frame_sample",
     "udf_surface",
     # reference parity (parity_live_path / parity_cidr_filter retired
     # to the pytest tier in round 6 — their P8-P12 semantics are
@@ -155,6 +157,10 @@ _DRIVER_ORDER = [
     # deletion-vector merge-on-read DELETE, hash-equal to the CoW
     # delete's oracle (mechanism equivalence on the driver tier)
     "storage_versioned_delete_dv",
+    # promoted round 9: three-clause MERGE in its symmetric-difference
+    # shape — driver-tier evidence for the group-pruned merge write
+    # path (round-7 top ask, fixed round 8)
+    "storage_versioned_merge",
 ]
 
 

@@ -984,7 +984,17 @@ ORDER BY bucket, batch_idx
 # (band keys and hamming distances are functions of the signatures);
 # the folded constituents keep pytest oracle coverage as extras.
 register("multimodal_decode", _multimodal_decode, _MULTIMODAL_SQL)
-register("multimodal_frame_sample", _multimodal_frame_sample, _FRAME_SAMPLE_SQL)
+# retired to the pytest tier round 9 (slot went to
+# storage_versioned_merge): its driver hash evidence near-duplicated
+# multimodal_decode's — same mapInPandas stub-codec plumbing, only the
+# batch shape differs — and the frame-sampling semantics stay
+# oracle-diffed here in tests/test_oracle_corpus.py
+register(
+    "multimodal_frame_sample",
+    _multimodal_frame_sample,
+    _FRAME_SAMPLE_SQL,
+    driver=False,
+)
 register("multimodal_batch_collate", _multimodal_batch_collate, _COLLATE_SQL, driver=False)
 register("udf_surface", _udf_surface, _UDF_SURFACE_SQL)
 register("dedup_fingerprint", _dedup_fingerprint, _DEDUP_FINGERPRINT_SQL)

@@ -1028,11 +1028,14 @@ ORDER BY event_id
 """
 
 
+# promoted to the driver window round 9: the group-pruned /
+# merge-on-read MERGE write path was the round-7 verdict's top ask
+# (fixed round 8) and deserved driver-tier hash evidence; slot freed
+# by multimodal_frame_sample (near-duplicate of multimodal_decode)
 register(
     "storage_versioned_merge",
     _storage_versioned_merge,
     _STORAGE_VT_MERGE_SQL,
-    driver=False,
 )
 
 
