@@ -103,7 +103,9 @@ _WRITER_VERSION = 2  # 2 = deletion vectors ("dvs")
 #
 # row-preserving rewrites: same rows, new files — a feed window slides
 # its file baseline across them and emits nothing
-_FEED_ROW_PRESERVING = frozenset({"compact", "rewrite_clustered", "rewrite_zordered"})
+_FEED_ROW_PRESERVING = frozenset(
+    {"compact", "rewrite_clustered", "rewrite_zordered", "analyze"}
+)
 # pure additions: the new file groups ARE the inserted rows. `clone`
 # belongs here because a clone's version 0 has no predecessor in the
 # DEST table — every file group is new to this table, so a feed window
@@ -2567,6 +2569,185 @@ class VersionedTable:
         if len(self._manifest(vs[-1])["files"]) <= max_file_groups:
             return None
         return self.compact(spark, target_partitions=target_partitions)
+
+    def analyze(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        bloom_cols: list[str] | None = None,
+    ) -> int:
+        """ANALYZE TABLE for the data-skipping index: backfill
+        per-group min/max stats for ``cols`` (and bloom indexes for
+        ``bloom_cols``) on every file group MISSING them, as a
+        METADATA-ONLY commit — same files, enriched ``stats``, not one
+        data byte rewritten. The operational gap it closes: plain
+        streaming appends record only ``__rows__`` (per-column stats
+        are opt-in at write time), so a table built by vanilla ingest
+        has no pruning index — at 100 TB that is the difference
+        between scanning everything and skipping almost everything,
+        and rewriting the table to get the index (re-cluster) costs a
+        full pass plus the write. analyze() pays ONE distributed agg
+        job over just the unindexed groups (per-file min/max via
+        ``_metadata.file_path`` grouping, then one more job for bloom
+        positions — each group contributes <= m positions, driver
+        work bounded by group count, never row count). ``__rows__``
+        is backfilled too (footer metadata reads) so legacy groups
+        join the metadata-only COUNT(*) fast path.
+
+        Stats are computed from the RAW files (deletion vectors NOT
+        applied): min/max and blooms are superset guarantees, and a
+        bound that still covers DV-deleted rows is conservative, never
+        wrong — same contract as the write-time index after a DV
+        delete. Already-indexed groups are left untouched (their
+        possibly TIGHTER bounds survive). Feed consumers see an
+        ``analyze`` commit as row-preserving: it contributes nothing
+        to the change feed. Concurrency: rebase over blind appends is
+        unconditional — the new stats describe groups appends never
+        touch; the appended groups simply stay unindexed until the
+        next analyze."""
+        version, prev_files, prev_stats = self._snapshot_state()
+        if version == 0:
+            raise ValueError(f"table {self.root} has no committed version")
+        want_minmax = list(cols)
+        want_blooms = list(bloom_cols or [])
+        targets_mm = [
+            f
+            for f in prev_files
+            if any(c not in prev_stats.get(f, {}) for c in want_minmax)
+        ]
+        targets_bl = [
+            f
+            for f in prev_files
+            if any(
+                c not in (prev_stats.get(f, {}).get(_BLOOM_KEY) or {})
+                for c in want_blooms
+            )
+        ]
+        if not targets_mm and not targets_bl:
+            return version - 1  # fully indexed already: no-op
+        from pyspark.sql import functions as F
+
+        new_stats = {f: dict(prev_stats.get(f, {})) for f in prev_files}
+
+        def _with_group(files: list[str]) -> DataFrame:
+            # manifest rel path of the group a row's file belongs to:
+            # strip everything through "/data/", then the basename
+            raw = self._read_files(spark, version - 1, files)
+            return raw.withColumn(
+                "__group",
+                F.concat(
+                    F.lit("data/"),
+                    F.regexp_replace(
+                        F.element_at(
+                            F.split(F.col("_metadata.file_path"), "/data/"), -1
+                        ),
+                        "/[^/]+$",
+                        "",
+                    ),
+                ),
+            )
+
+        if targets_mm:
+            per_group = (
+                _with_group(targets_mm)
+                .groupBy("__group")
+                .agg(
+                    *[F.min(c).alias(f"min_{c}") for c in want_minmax],
+                    *[F.max(c).alias(f"max_{c}") for c in want_minmax],
+                )
+                .collect()
+            )
+            for r in per_group:
+                g = r["__group"]
+                if g not in new_stats:
+                    continue  # a file outside the manifest: impossible, skip
+                for c in want_minmax:
+                    if c not in new_stats[g]:
+                        new_stats[g][c] = [r[f"min_{c}"], r[f"max_{c}"]]
+        if targets_bl:
+            for c in want_blooms:
+                dtype = self._read_files(
+                    spark, version - 1, targets_bl[:1]
+                ).schema[c].dataType
+                if not self._bloomable(dtype):
+                    raise TypeError(
+                        f"bloom index on column {c!r} of type "
+                        f"{dtype.simpleString()}: only integer and string "
+                        "key columns are supported"
+                    )
+            df = _with_group(targets_bl)
+            for c in want_blooms:
+                pos = (
+                    df.where(F.col(c).isNotNull())
+                    .select(
+                        "__group",
+                        F.explode(
+                            F.array(*_bloom_position_cols(c, m=_BLOOM_M))
+                        ).alias("p"),
+                    )
+                    .distinct()
+                    .collect()
+                )
+                # pre-seed every target group with an all-zeros bitmap:
+                # a group with NO non-null keys (or that predates the
+                # column entirely) proves absence of every probe value —
+                # leaving it unindexed would just re-scan it forever
+                bitmaps: dict[str, bytearray] = {
+                    f: bytearray(_BLOOM_M // 8) for f in targets_bl
+                }
+                for r in pos:
+                    bits = bitmaps.setdefault(
+                        r["__group"], bytearray(_BLOOM_M // 8)
+                    )
+                    p = int(r["p"])
+                    bits[p // 8] |= 1 << (p % 8)
+                for g, bits in bitmaps.items():
+                    if g not in new_stats:
+                        continue
+                    blooms = new_stats[g].setdefault(_BLOOM_KEY, {})
+                    if c not in blooms:
+                        blooms[c] = {
+                            "m": _BLOOM_M,
+                            "k": _BLOOM_K,
+                            "b64": base64.b64encode(bytes(bits)).decode(
+                                "ascii"
+                            ),
+                        }
+        # __rows__ backfill: footer metadata reads, bounded by the
+        # legacy (pre-__rows__) group count
+        for f in prev_files:
+            if _ROWS_KEY not in new_stats[f]:
+                new_stats[f][_ROWS_KEY] = _footer_rows(
+                    os.path.join(self.root, f)
+                )
+        files = list(prev_files)
+        stats = new_stats
+        schema_json = self._manifest(version - 1)["schema"]
+        for _ in range(10):
+            try:
+                return self._commit(
+                    files,
+                    "analyze",
+                    schema_json,
+                    stats=stats,
+                    version=version,
+                )
+            except CommitConflictError as e:
+                rb = self._rebase_rewrite(
+                    e,
+                    None,
+                    version,
+                    files,
+                    stats,
+                    schema_json,
+                    lambda v, added: (),  # appends never invalidate stats
+                )
+                if rb is None:
+                    return self.latest_version()
+                files, stats, schema_json, version = rb
+        raise CommitConflictError(
+            f"analyze on {self.root} lost 10 consecutive version races"
+        )
 
     def fsck(self) -> list[str]:
         """Table integrity check: verify every file group referenced

@@ -2921,3 +2921,106 @@ def test_concurrent_appenders_and_mergers_stress(spark, tmp_path):
     vs = t.versions()
     assert vs == list(range(len(vs)))  # dense chain: 1 base + 12 + 4
     assert len(vs) == 17
+
+
+# --- ANALYZE (data-skipping index backfill) -----------------------------
+
+
+def test_analyze_backfills_skipping_index(spark, tmp_path):
+    """analyze() turns an unindexed ingest table prunable WITHOUT
+    rewriting data: same file list byte-for-byte, enriched stats.
+    Range pruning and bloom point pruning both start working; rows,
+    counts and the change feed are untouched; existing (tighter)
+    stats survive."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(i, "a") for i in range(100)]))  # no stats_cols
+    t.append(_df(spark, [(i, "b") for i in range(1000, 1100)]))
+    before = t.snapshot_files()
+    assert len(t.snapshot_files(prune=("k", 0, 99))) == 2  # unindexed: all kept
+    v = t.analyze(spark, ["k"], bloom_cols=["k"])
+    assert v == 2
+    assert t.history()[-1]["action"] == "analyze"
+    assert t.snapshot_files() == before  # METADATA-only: files identical
+    assert t.snapshot_files(prune=("k", 0, 99)) == [before[0]] or len(
+        t.snapshot_files(prune=("k", 0, 99))
+    ) == 1
+    assert len(t.snapshot_files(point=("k", 5))) == 1  # bloom excludes group 2
+    assert len(t.snapshot_files(point=("k", 550))) == 0  # in neither group
+    assert t.count_rows() == t.read(spark).count() == 200
+    # feed: analyze is row-preserving, contributes nothing
+    feed = t.read_change_feed(spark, -1)
+    assert feed.filter("_commit_version = 2").count() == 0
+    # idempotent no-op when fully indexed
+    assert t.analyze(spark, ["k"], bloom_cols=["k"]) == 2
+    assert t.latest_version() == 2
+
+
+def test_analyze_preserves_tighter_existing_stats(spark, tmp_path):
+    """A clustered append already carries per-bucket stats; analyze
+    must not widen them (the group-level recompute would produce the
+    same bounds here, but the contract is LEAVE indexed groups
+    alone) and must only index the groups that lack stats."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append_clustered(_df(spark, [(i, "x") for i in range(100)]), "k", n_groups=4)
+    m_before = t._manifest(0)
+    clustered_stats = {
+        f: m_before["stats"][f]["k"] for f in m_before["files"]
+    }
+    t.append(_df(spark, [(i, "y") for i in range(5000, 5100)]))  # unindexed
+    t.analyze(spark, ["k"])
+    m = t._manifest(t.latest_version())
+    for f, bounds in clustered_stats.items():
+        assert m["stats"][f]["k"] == bounds  # untouched
+    new_group = [f for f in m["files"] if f not in clustered_stats]
+    assert len(new_group) == 1
+    assert m["stats"][new_group[0]]["k"] == [5000, 5099]
+
+
+def test_analyze_rows_backfill_and_all_null_group(spark, tmp_path):
+    """__rows__ backfills from footers for legacy groups (simulated by
+    stripping the stat), and an all-NULL column records [None, None]
+    — the same convention metadata_min_max expects from write-time
+    stats."""
+    import os as _os
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.append(spark.createDataFrame([(None, "n")], "k long, v string"))
+    # strip __rows__ from v1's stats to simulate a legacy manifest
+    p = _os.path.join(t.root, "_log", "00000001.json")
+    m = json.load(open(p))
+    for st in (m.get("stats") or {}).values():
+        st.pop("__rows__", None)
+    json.dump(m, open(p, "w"), default=str)
+    t2 = VersionedTable(t.root)
+    t2.analyze(spark, ["k"])
+    m2 = t2._manifest(t2.latest_version())
+    for f in m2["files"]:
+        assert "__rows__" in m2["stats"][f]
+    assert t2.count_rows() == 3
+    null_group = [f for f in m2["files"] if m2["stats"][f]["k"][0] is None]
+    assert len(null_group) == 1
+    assert m2["stats"][null_group[0]]["k"] == [None, None]
+    assert t2.metadata_min_max("k") == (1, 2)
+
+
+def test_analyze_rebases_over_any_append(spark, tmp_path):
+    """analyze's stats describe groups appends never touch, so its
+    rebase over blind appends is UNCONDITIONAL — the appended group
+    simply stays unindexed until the next analyze."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(i, "a") for i in range(50)]))
+    loser = VersionedTable(str(tmp_path / "t"))
+    _inject_once(
+        loser,
+        lambda: VersionedTable(str(tmp_path / "t")).append(
+            _df(spark, [(999, "race")])
+        ),
+    )
+    v = loser.analyze(spark, ["k"])
+    assert v == 2
+    m = t._manifest(2)
+    assert len(m["files"]) == 2  # racer's group folded in by reference
+    indexed = [f for f in m["files"] if "k" in m["stats"].get(f, {})]
+    assert len(indexed) == 1  # the pre-race group; racer stays unindexed
+    assert t.read(spark).count() == 51
