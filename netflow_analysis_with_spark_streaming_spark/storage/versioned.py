@@ -2675,44 +2675,75 @@ class VersionedTable:
                         f"{dtype.simpleString()}: only integer and string "
                         "key columns are supported"
                     )
-            df = _with_group(targets_bl)
-            for c in want_blooms:
-                pos = (
-                    df.where(F.col(c).isNotNull())
-                    .select(
-                        "__group",
-                        F.explode(
-                            F.array(*_bloom_position_cols(c, m=_BLOOM_M))
-                        ).alias("p"),
+            df = _with_group(targets_bl).persist()
+            try:
+                # NDV-adaptive sizing (the compaction discipline): one
+                # bitmap size per column, fitted to the LARGEST target
+                # group's distinct count at <=50% fill — a fixed 4 KiB
+                # bloom saturates to all-ones on a high-NDV group and
+                # prunes nothing. A column whose largest group needs
+                # more than _BLOOM_M_MAX is dropped (saturated at any
+                # affordable size), exactly like compact(). Driver
+                # work for the position collect is O(groups x m) —
+                # bounded by the index size being built, never by row
+                # count.
+                ndv = (
+                    df.groupBy("__group")
+                    .agg(
+                        *[
+                            F.approx_count_distinct(c).alias(c)
+                            for c in want_blooms
+                        ]
                     )
-                    .distinct()
                     .collect()
                 )
-                # pre-seed every target group with an all-zeros bitmap:
-                # a group with NO non-null keys (or that predates the
-                # column entirely) proves absence of every probe value —
-                # leaving it unindexed would just re-scan it forever
-                bitmaps: dict[str, bytearray] = {
-                    f: bytearray(_BLOOM_M // 8) for f in targets_bl
-                }
-                for r in pos:
-                    bits = bitmaps.setdefault(
-                        r["__group"], bytearray(_BLOOM_M // 8)
+                for c in want_blooms:
+                    worst = max((int(r[c]) for r in ndv), default=0)
+                    need = int(worst * 1.2 * _BLOOM_K / 0.6931) + 1
+                    m = _BLOOM_M
+                    while m < need:
+                        m *= 2
+                    if m > _BLOOM_M_MAX:
+                        continue  # saturated at any affordable m: skip
+                    pos = (
+                        df.where(F.col(c).isNotNull())
+                        .select(
+                            "__group",
+                            F.explode(
+                                F.array(*_bloom_position_cols(c, m=m))
+                            ).alias("p"),
+                        )
+                        .distinct()
+                        .collect()
                     )
-                    p = int(r["p"])
-                    bits[p // 8] |= 1 << (p % 8)
-                for g, bits in bitmaps.items():
-                    if g not in new_stats:
-                        continue
-                    blooms = new_stats[g].setdefault(_BLOOM_KEY, {})
-                    if c not in blooms:
-                        blooms[c] = {
-                            "m": _BLOOM_M,
-                            "k": _BLOOM_K,
-                            "b64": base64.b64encode(bytes(bits)).decode(
-                                "ascii"
-                            ),
-                        }
+                    # pre-seed every target group with an all-zeros
+                    # bitmap: a group with NO non-null keys (or that
+                    # predates the column entirely) proves absence of
+                    # every probe value — leaving it unindexed would
+                    # just re-scan it forever
+                    bitmaps: dict[str, bytearray] = {
+                        f: bytearray(m // 8) for f in targets_bl
+                    }
+                    for r in pos:
+                        bits = bitmaps.setdefault(
+                            r["__group"], bytearray(m // 8)
+                        )
+                        p = int(r["p"])
+                        bits[p // 8] |= 1 << (p % 8)
+                    for g, bits in bitmaps.items():
+                        if g not in new_stats:
+                            continue
+                        blooms = new_stats[g].setdefault(_BLOOM_KEY, {})
+                        if c not in blooms:
+                            blooms[c] = {
+                                "m": m,
+                                "k": _BLOOM_K,
+                                "b64": base64.b64encode(bytes(bits)).decode(
+                                    "ascii"
+                                ),
+                            }
+            finally:
+                df.unpersist()
         # __rows__ backfill: footer metadata reads, bounded by the
         # legacy (pre-__rows__) group count
         for f in prev_files:

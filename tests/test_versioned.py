@@ -1011,8 +1011,8 @@ def test_curator_audit_survives_partial_crash(spark, tmp_path):
 def test_model_based_op_sequences(spark):
     """Model-based fuzz of the table format: seeded random sequences
     of append / upsert / delete_where / DV delete / three-clause
-    merge / replace_where / compact / rewrite_clustered / restore
-    applied both to a VersionedTable and to a plain dict model; after
+    merge / replace_where / compact / rewrite_clustered / restore /
+    analyze applied both to a VersionedTable and to a plain dict model; after
     every op the table's read equals the model, and at the end time
     travel reproduces each recorded checkpoint. The DV and merge ops
     interleaving with every rewrite shape is the point: deletion
@@ -1054,7 +1054,7 @@ def test_model_based_op_sequences(spark):
         for step in range(12):
             op = rng.choice(
                 ["append", "upsert", "delete", "delete_dv", "merge",
-                 "replace", "compact", "recluster", "restore"]
+                 "replace", "compact", "recluster", "restore", "analyze"]
             )
             if op == "append":
                 base = 100 * (step + 1)
@@ -1114,6 +1114,11 @@ def test_model_based_op_sequences(spark):
                 model.update(dict(rows))
             elif op == "compact":
                 t.compact(spark, target_partitions=2)
+            elif op == "analyze":
+                # metadata-only: model unchanged; tightens the very
+                # bloom/range probes check() runs against whatever mix
+                # of indexed groups the history produced
+                t.analyze(spark, ["k"], bloom_cols=["k"])
             elif op == "restore":
                 if snapshots:
                     v, snap = rng.choice(snapshots)
@@ -3024,3 +3029,31 @@ def test_analyze_rebases_over_any_append(spark, tmp_path):
     indexed = [f for f in m["files"] if "k" in m["stats"].get(f, {})]
     assert len(indexed) == 1  # the pre-race group; racer stays unindexed
     assert t.read(spark).count() == 51
+
+
+def test_analyze_bloom_ndv_sizing_and_saturation_drop(spark, tmp_path, monkeypatch):
+    """analyze sizes blooms from the LARGEST target group's NDV (the
+    compaction discipline) and DROPS a column that would saturate at
+    any affordable size instead of recording a useless all-ones
+    bitmap — min/max stats still land."""
+    from netflow_analysis_with_spark_streaming_spark.storage import versioned as V
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(i, "x") for i in range(3000)]))  # NDV 3000 > default m budget
+    # grown bitmap case: default 4096 bits can't hold 3000 keys at <=50%
+    # fill, so m must grow (3000*1.2*3/ln2 ~ 15.6k -> 16384)
+    t.analyze(spark, ["k"], bloom_cols=["k"])
+    m1 = t._manifest(t.latest_version())
+    f = m1["files"][0]
+    bloom = m1["stats"][f]["__bloom__"]["k"]
+    assert bloom["m"] > V._BLOOM_M and bloom["m"] <= V._BLOOM_M_MAX
+    assert m1["stats"][f]["k"] == [0, 2999]
+    # saturation case: cap the max so the same NDV is unaffordable
+    t2 = VersionedTable(str(tmp_path / "t2"))
+    t2.append(_df(spark, [(i, "x") for i in range(3000)]))
+    monkeypatch.setattr(V, "_BLOOM_M_MAX", V._BLOOM_M)
+    t2.analyze(spark, ["k"], bloom_cols=["k"])
+    m2 = t2._manifest(t2.latest_version())
+    f2 = m2["files"][0]
+    assert "k" not in (m2["stats"][f2].get("__bloom__") or {})  # dropped
+    assert m2["stats"][f2]["k"] == [0, 2999]  # min/max still recorded
