@@ -981,6 +981,64 @@ register(
 )
 
 
+def _storage_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only RENAME COLUMN through the full read/write surface
+    (column mapping, writer protocol 3): a clustered events slice is
+    landed, `value` renames to `amount` (zero bytes move — files keep
+    the physical name), a pruned CoW delete and an upsert then run
+    UNDER the mapping (their rewrites land physical-named files; their
+    reads project back), and the final read is hashed against the
+    plain-SQL expectation computed with the new name. A mapping bug
+    anywhere — scan schema, write translation, stats re-key, capture
+    groups — shifts rows or nulls the renamed column and breaks the
+    hash. The rename itself is O(1): one manifest write at any table
+    size (FORMAT.md cost table)."""
+    from .storage.versioned import VersionedTable
+
+    root = _run_tmp_root("netflow_vtrn_") + "/t"
+    t = VersionedTable(root)
+    ev = tables.load(spark, "events", sf_dir).filter(
+        F.col("event_id") % 10 == 0
+    ).select("event_id", "user_id", "value")
+    t.append_clustered(ev, "event_id", n_groups=4)
+    t.rename_column("value", "amount")
+    t.delete_where(
+        spark, "event_id % 40 = 0", prune=None
+    )
+    t.upsert(
+        spark,
+        ev.filter(F.col("event_id") % 50 == 0)
+        .withColumn("amount", F.col("value") * 3)
+        .drop("value"),
+        keys=["event_id"],
+    )
+    return (
+        t.read(spark)
+        .select("event_id", "user_id", F.round("amount", 2).alias("amount"))
+        .orderBy("event_id")
+    )
+
+
+_STORAGE_RENAME_SQL = """
+SELECT event_id, user_id, ROUND(value, 2) AS amount
+FROM events
+WHERE event_id % 10 = 0 AND NOT (event_id % 40 = 0) AND event_id % 50 != 0
+UNION ALL
+SELECT event_id, user_id, ROUND(value * 3, 2) AS amount
+FROM events
+WHERE event_id % 50 = 0
+ORDER BY event_id
+"""
+
+
+register(
+    "storage_rename_column",
+    _storage_rename_column,
+    _STORAGE_RENAME_SQL,
+    driver=False,
+)
+
+
 def _storage_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-clause MERGE exercised in its most oracle-hostile shape —
     matched=DELETE, not-matched=INSERT, by-source=KEEP — which makes

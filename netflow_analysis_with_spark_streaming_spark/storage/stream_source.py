@@ -78,11 +78,22 @@ class FeedPartition(InputPartition):
     executor side has no dependency on this package being importable
     (plain pyarrow + the pickled fields)."""
 
-    def __init__(self, file: str, change: str, version: int, schema_json: str):
+    def __init__(
+        self,
+        file: str,
+        change: str,
+        version: int,
+        schema_json: str,
+        mapping: dict | None = None,
+    ):
         self.file = file
         self.change = change
         self.version = version
         self.schema_json = schema_json
+        # column mapping {logical: physical} of the window (constant
+        # across any servable window: mapping changes are feed-breaking
+        # commits, so feed_slices refuses windows that cross one)
+        self.mapping = mapping or {}
 
 
 def _data_schema(schema: StructType) -> StructType:
@@ -93,6 +104,7 @@ def _slice_partitions(
     root: str,
     slices: list[tuple[int, str, list[str]]],
     schema_json: str,
+    mapping: dict | None = None,
 ) -> list[FeedPartition]:
     """Fan each slice group out to its parquet part files (driver-side
     listing — one listdir per group, no file opened)."""
@@ -103,7 +115,13 @@ def _slice_partitions(
             for fn in sorted(os.listdir(gdir)):
                 if fn.endswith(".parquet"):
                     parts.append(
-                        FeedPartition(os.path.join(gdir, fn), change, v, schema_json)
+                        FeedPartition(
+                            os.path.join(gdir, fn),
+                            change,
+                            v,
+                            schema_json,
+                            mapping,
+                        )
                     )
     return parts
 
@@ -130,9 +148,13 @@ def _read_partition(partition: FeedPartition) -> Iterator:
     t = pq.read_table(partition.file)
     n = t.num_rows
     cols = []
+    mapping = getattr(partition, "mapping", None) or {}
     for f in arrow_data:
-        if f.name in t.column_names:
-            c = t.column(f.name)
+        # files store PHYSICAL column names (column mapping); resolve
+        # the stream's logical name to the on-file one before lookup
+        src = mapping.get(f.name, f.name)
+        if src in t.column_names:
+            c = t.column(src)
             if c.type != f.type:
                 c = c.cast(f.type)
         else:
@@ -254,7 +276,9 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
                     )
                 )
             slices = pruned
-        return _slice_partitions(t.root, slices, self._schema_json)
+        return _slice_partitions(
+            t.root, slices, self._schema_json, t._mapping(e)
+        )
 
     def read(self, partition: FeedPartition) -> Iterator:
         return _read_partition(partition)
@@ -281,8 +305,12 @@ class VersionedFeedBatchReader(DataSourceReader):
         from .versioned import VersionedTable
 
         t = VersionedTable(self._root)
+        end = self._to if self._to is not None else t.latest_version()
         return _slice_partitions(
-            t.root, t.feed_slices(self._since, self._to), self._schema_json
+            t.root,
+            t.feed_slices(self._since, self._to),
+            self._schema_json,
+            t._mapping(end),
         )
 
     def read(self, partition: FeedPartition) -> Iterator:
@@ -442,7 +470,10 @@ class PruningFeedBatchReader(VersionedFeedBatchReader):
                     )
                 )
             slices = pruned
-        return _slice_partitions(t.root, slices, self._schema_json)
+        end = self._to if self._to is not None else t.latest_version()
+        return _slice_partitions(
+            t.root, slices, self._schema_json, t._mapping(end)
+        )
 
 
 class VersionedFeedDataSource(DataSource):

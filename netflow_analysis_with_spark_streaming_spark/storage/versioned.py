@@ -89,8 +89,14 @@ _MERGE_BLOOM_PROBE_MAX = 1024
 
 # manifest protocol implemented by this module: bump when a manifest
 # field changes READ semantics (e.g. a future tombstone format) so
-# older readers fail loudly instead of returning wrong data
-_WRITER_VERSION = 2  # 2 = deletion vectors ("dvs")
+# older readers fail loudly instead of returning wrong data.
+# 2 = deletion vectors ("dvs"); 3 = column mapping ("column_mapping" /
+# "retired_physical" — metadata-only RENAME/DROP COLUMN). A table
+# stamps the LOWEST protocol its manifest actually needs (a no-mapping
+# table stays at 2, readable by protocol-2 readers) — Delta's
+# feature-gated protocol discipline.
+_WRITER_VERSION = 3
+_WRITER_VERSION_NO_MAPPING = 2
 
 # --- change-feed action classification -----------------------------------
 # EVERY action string a commit path can write must appear in exactly one
@@ -119,7 +125,20 @@ _FEED_CAPTURE_ACTIONS = frozenset({"delete", "delete_dv"})
 # feed-breaking by construction: the rowset change is not derivable from
 # manifests alone — consumers must recompute from a full snapshot
 _FEED_BREAKING_ACTIONS = frozenset(
-    {"overwrite", "upsert", "merge", "replace_where", "restore"}
+    {
+        "overwrite",
+        "upsert",
+        "merge",
+        "replace_where",
+        "restore",
+        # schema-shape changes: a running stream cannot re-negotiate
+        # its output schema mid-flight (Spark's own restriction), so a
+        # rename/drop is a feed wall — consumers restart from a fresh
+        # window, whose mapping is then constant end-to-end (the
+        # invariant the partition readers rely on)
+        "rename_column",
+        "drop_column",
+    }
 )
 _FEED_ALL_ACTIONS = (
     _FEED_ROW_PRESERVING
@@ -360,6 +379,8 @@ class VersionedTable:
         dvs: dict[str, list[str]] | None = None,
         inherit_dvs: bool = True,
         provenance: dict | None = None,
+        column_mapping: dict[str, str] | None = None,
+        retired_physical: list[str] | None = None,
     ) -> int:
         if version is None:
             version = (self.latest_version() + 1) if self.versions() else 0
@@ -381,11 +402,33 @@ class VersionedTable:
             merged_dvs = {g: list(v) for g, v in prev_dvs.items() if g in live}
         for g, v in (dvs or {}).items():
             merged_dvs.setdefault(g, []).extend(v)
+        # Column mapping rides the manifest like DVs do: inherited
+        # verbatim from the parent unless the commit (rename/drop/
+        # restore/clone) overrides it. {logical: physical} for every
+        # column whose on-file name differs; retired_physical lists
+        # on-file names that may never be (re)bound to a new logical
+        # column (a dropped column's bytes still live in old files —
+        # rebinding the name would resurrect them).
+        if column_mapping is None or retired_physical is None:
+            try:
+                prev_m = self._manifest(version - 1) if version > 0 else {}
+            except FileNotFoundError:
+                prev_m = {}
+            if column_mapping is None:
+                column_mapping = dict(prev_m.get("column_mapping") or {})
+            if retired_physical is None:
+                retired_physical = list(prev_m.get("retired_physical") or [])
         manifest = {
             "version": version,
-            # readers at a lower protocol refuse this manifest; DVs
-            # changed read semantics, hence protocol 2
-            "writer_version": _WRITER_VERSION,
+            # readers at a lower protocol refuse this manifest; the
+            # stamp is the LOWEST protocol the manifest needs — column
+            # mapping requires 3, deletion-vector-era manifests stay
+            # at 2 so protocol-2 readers keep working
+            "writer_version": (
+                _WRITER_VERSION
+                if (column_mapping or retired_physical)
+                else _WRITER_VERSION_NO_MAPPING
+            ),
             # commit wall-clock (epoch seconds): powers TIMESTAMP AS OF
             # resolution and history auditing. Additive metadata only —
             # correctness never depends on it (clocks skew), which is
@@ -410,6 +453,10 @@ class VersionedTable:
             # (merge-on-read DELETE; absent/empty = none)
             "dvs": merged_dvs,
         }
+        if column_mapping:
+            manifest["column_mapping"] = column_mapping
+        if retired_physical:
+            manifest["retired_physical"] = sorted(retired_physical)
         if provenance is not None:
             # audit trail only (clone source, etc.) — additive
             # metadata, never read on the data path
@@ -435,12 +482,36 @@ class VersionedTable:
             os.unlink(tmp)
         return version
 
+    @staticmethod
+    def _to_physical(df: DataFrame, mapping: dict[str, str] | None) -> DataFrame:
+        """Translate LOGICAL column names to their on-file PHYSICAL
+        names (column mapping: a rename never touches data, so files
+        keep the original physical name forever — Delta's fixed-
+        physical-name rule). No mapping (the common case) = the input
+        plan unchanged."""
+        if not mapping:
+            return df
+        for logical, physical in mapping.items():
+            if physical != logical and logical in df.columns:
+                df = df.withColumnRenamed(logical, physical)
+        return df
+
+    def _mapping(self, version: int | None = None) -> dict[str, str]:
+        """{logical: physical} of snapshot ``version`` (empty when the
+        table never renamed)."""
+        if version is None:
+            version = self.latest_version()
+        if version is None or version < 0:
+            return {}
+        return dict(self._manifest(version).get("column_mapping") or {})
+
     def _write_files(
         self,
         df: DataFrame,
         stats_cols: list[str] | None = None,
         bloom_cols: list[str] | None = None,
         bloom_m: dict[str, int] | None = None,
+        mapping: dict[str, str] | None = None,
     ) -> tuple[list[str], dict]:
         """Write df as a new immutable file group; returns (paths,
         stats) — paths relative to the table root, stats the group's
@@ -453,7 +524,16 @@ class VersionedTable:
         protects the LOG, not local state)."""
         group = uuid.uuid4().hex
         out = os.path.join(self._data, group)
-        df.write.mode("overwrite").parquet(out)
+        # files land under PHYSICAL names; the stats/bloom aggs below
+        # stay on the logical frame so the skipping index keys by the
+        # names readers prune with. Default mapping = the current
+        # snapshot's: safe under races because a rename landing after
+        # the caller's pin makes its commit fail closed (the rebase
+        # walk requires mapping identity), so a published commit's
+        # files always used its parent's mapping.
+        if mapping is None:
+            mapping = self._mapping()
+        self._to_physical(df, mapping).write.mode("overwrite").parquet(out)
         # exact row count from the footers just written: driver-local
         # metadata reads bounded by THIS group's file count (change
         # volume, never table size), no extra Spark job
@@ -631,7 +711,31 @@ class VersionedTable:
         a producer appends a column subset."""
         if version == 0:
             return df.schema.json()
-        cur = StructType.fromJson(json.loads(self._manifest(version - 1)["schema"]))
+        prev_m = self._manifest(version - 1)
+        cur = StructType.fromJson(json.loads(prev_m["schema"]))
+        # column-mapping guard: a NET-NEW logical column may not take a
+        # name that is (a) the on-file physical of a RENAMED column —
+        # its writes would collide with the old bytes — or (b) a
+        # RETIRED physical (a dropped column's bytes still live in old
+        # files; rebinding the name would resurrect them on read).
+        mapping = prev_m.get("column_mapping") or {}
+        blocked = {p for l, p in mapping.items() if p != l} | set(
+            prev_m.get("retired_physical") or []
+        )
+        if blocked:
+            known = {f.name for f in cur.fields}
+            hits = sorted(
+                f.name
+                for f in df.schema.fields
+                if f.name not in known and f.name in blocked
+            )
+            if hits:
+                raise SchemaEvolutionError(
+                    f"append to {self.root} adds column(s) {hits} whose "
+                    "name is the on-file physical name of a renamed or "
+                    "dropped column; pick a different name (physical "
+                    "names are never rebound)"
+                )
         return self._union_schemas(cur, df.schema, f"append to {self.root}").json()
 
     @classmethod
@@ -735,8 +839,11 @@ class VersionedTable:
             return None
         cur = self.latest_version()
         pinned = attempt_version - 1
-        walk_files = set(self._manifest(pinned)["files"])
-        walk_dvs = self._manifest(pinned).get("dvs") or {}
+        pinned_m = self._manifest(pinned)
+        walk_files = set(pinned_m["files"])
+        walk_dvs = pinned_m.get("dvs") or {}
+        walk_map = pinned_m.get("column_mapping") or {}
+        walk_ret = pinned_m.get("retired_physical") or []
         for v in range(pinned + 1, cur + 1):
             m = self._manifest(v)
             v_files = set(m["files"])
@@ -745,6 +852,15 @@ class VersionedTable:
             v_dvs = m.get("dvs") or {}
             if v_dvs != walk_dvs:
                 raise err  # concurrent merge-on-read delete: stale reads
+            if (m.get("column_mapping") or {}) != walk_map or (
+                m.get("retired_physical") or []
+            ) != walk_ret:
+                # concurrent RENAME/DROP COLUMN: our files were written
+                # under the pinned mapping's physical names and our
+                # schema under the old logical names — folding would
+                # publish a manifest whose mapping no longer matches
+                # its files. Fail closed; the caller re-plans.
+                raise err
             walk_files, walk_dvs = v_files, v_dvs
         cur_m = self._manifest(cur)
         base = set(self._manifest(pinned)["files"])
@@ -833,7 +949,9 @@ class VersionedTable:
             group = uuid.uuid4().hex
             out = os.path.join(self._data, group)
             with_bucket = ranged.withColumn("_rb", F.spark_partition_id())
-            with_bucket.write.mode("overwrite").partitionBy("_rb").parquet(out)
+            self._to_physical(with_bucket, self._mapping()).write.mode(
+                "overwrite"
+            ).partitionBy("_rb").parquet(out)
             stat_rows = (
                 with_bucket.groupBy("_rb")
                 .agg(
@@ -1007,6 +1125,13 @@ class VersionedTable:
                 f"cannot restore version {version}: data group(s) "
                 f"{gone_pre} were vacuumed concurrently"
             )
+        # retired physicals UNION, never un-retire: the abandoned
+        # future's manifests (and their files) remain in history, so a
+        # physical name retired there must stay unbindable even after
+        # restoring past the drop
+        cur_retired = set(
+            self._manifest(next_version - 1).get("retired_physical") or []
+        ) | set(m.get("retired_physical") or [])
         committed = self._commit(
             m["files"],
             "restore",
@@ -1018,6 +1143,10 @@ class VersionedTable:
             # deletes to the restored rows
             dvs=m.get("dvs") or {},
             inherit_dvs=False,
+            # same rule for the column mapping: the restored schema's
+            # logical names must resolve to the TARGET's physicals
+            column_mapping=m.get("column_mapping") or {},
+            retired_physical=sorted(cur_retired),
         )
         # Once the restore manifest is current, these groups are live
         # again and any LATER vacuum keeps them; only a vacuum that ran
@@ -1115,6 +1244,10 @@ class VersionedTable:
                 "cloned_from": os.path.abspath(self.root),
                 "source_version": version,
             },
+            # hardlinked files keep their physical column names — the
+            # clone needs the source snapshot's mapping to read them
+            column_mapping=m.get("column_mapping") or {},
+            retired_physical=m.get("retired_physical") or [],
         )
         return dest
 
@@ -1238,7 +1371,9 @@ class VersionedTable:
             group = uuid.uuid4().hex
             out = os.path.join(self._data, group)
             with_bucket = ranged.withColumn("_rb", F.spark_partition_id())
-            with_bucket.drop("_z").write.mode("overwrite").partitionBy("_rb").parquet(out)
+            self._to_physical(
+                with_bucket.drop("_z"), self._mapping()
+            ).write.mode("overwrite").partitionBy("_rb").parquet(out)
             stat_rows = (
                 with_bucket.groupBy("_rb")
                 .agg(
@@ -1289,12 +1424,16 @@ class VersionedTable:
         reads, still no data scan). Deletion-vector positions subtract
         exactly: DVs on one group are disjoint by construction
         (delete_where_dv matches against the DV-APPLIED read, so an
-        already-invalidated row can never be re-invalidated).
+        already-invalidated row can never be re-invalidated), and only
+        positions in LIVE files count — a subgroup rewrite can orphan
+        part of a carried vector; reads ignore those positions (the
+        anti-join key never matches) and so does the count.
 
         Scale: at 100 TB an unfiltered ``SELECT COUNT(*)`` becomes one
         manifest read — O(file groups) driver work, zero executor
-        work — instead of a full scan. DV footer reads are bounded by
-        DELETE volume, never table size."""
+        work — instead of a full scan. DV reads (the ``file`` column
+        of the position lists) are bounded by DELETE volume, never
+        table size."""
         if version is None:
             version = self.latest_version()
         if version is None:
@@ -1312,10 +1451,31 @@ class VersionedTable:
         # One delete_where_dv commit writes a single positions dir but
         # lists it under EVERY data group it hit; dedupe before
         # subtracting (mirrors _apply_dvs) or a multi-group DV delete
-        # would be subtracted once per group.
+        # would be subtracted once per group. Subtract only positions
+        # in LIVE files: DVs ride at GROUP granularity while rewrites
+        # drop individual subgroup files (a pruned merge/delete on one
+        # _rb range of a clustered group), so a carried vector can
+        # reference files no longer in the snapshot — reads already
+        # ignore those positions (the anti-join key never matches),
+        # and the count must too. Cost: the DV parquet's `file` column
+        # — a read bounded by DELETE volume, never table size, still
+        # no Spark job.
         dv_paths = {d for lst in (m.get("dvs") or {}).values() for d in lst}
-        for d in sorted(dv_paths):
-            total -= _footer_rows(os.path.join(self.root, d))
+        if dv_paths:
+            import pyarrow.parquet as pq
+
+            live_dirs = set(m["files"])
+            for d in sorted(dv_paths):
+                ddir = os.path.join(self.root, d)
+                for fn in os.listdir(ddir):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    col = pq.read_table(
+                        os.path.join(ddir, fn), columns=["file"]
+                    ).column("file")
+                    for fp in col.to_pylist():
+                        if fp.rsplit("/", 1)[0] in live_dirs:
+                            total -= 1
         return total
 
     def metadata_min_max(
@@ -1400,10 +1560,30 @@ class VersionedTable:
         append-path evolution gate (_evolved_schema_json) guarantees
         every committed file's schema is a subset-or-widenable of its
         version's manifest schema."""
-        schema = StructType.fromJson(json.loads(self._manifest(version)["schema"]))
-        return spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, f) for f in sorted(set(files))]
+        m = self._manifest(version)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        mapping = m.get("column_mapping") or {}
+        paths = [os.path.join(self.root, f) for f in sorted(set(files))]
+        if not mapping:
+            return spark.read.schema(schema).parquet(*paths)
+        # column mapping: scan under the PHYSICAL schema (files keep
+        # their original on-file names forever — a rename is metadata
+        # only), then project back to logical names. A DROPPED
+        # column's physical simply isn't in the logical schema, so
+        # the scan never reads it (column pruning does the "delete").
+        physical = StructType(
+            [
+                StructField(
+                    mapping.get(f.name, f.name), f.dataType, f.nullable, f.metadata
+                )
+                for f in schema.fields
+            ]
         )
+        df = spark.read.schema(physical).parquet(*paths)
+        for logical, phys in mapping.items():
+            if phys != logical and phys in df.columns:
+                df = df.withColumnRenamed(phys, logical)
+        return df
 
     def _apply_dvs(
         self, spark: SparkSession, df: DataFrame, version: int, files: list[str]
@@ -2208,7 +2388,11 @@ class VersionedTable:
                     )
                     if not removed.isEmpty():
                         group = uuid.uuid4().hex
-                        removed.write.mode("overwrite").parquet(
+                        # physical names, like every landed file — the
+                        # feed reads captures through _read_files too
+                        self._to_physical(
+                            removed, self._mapping(version - 1)
+                        ).write.mode("overwrite").parquet(
                             os.path.join(self._changes_dir, group)
                         )
                         changes_rel = f"changes/{group}"
@@ -2343,9 +2527,12 @@ class VersionedTable:
                     dvs = {g: [rel] for g in sorted(hit_groups)}
                     if emit_changes:
                         cgroup = uuid.uuid4().hex
-                        matched.drop("__pos_file", "__pos_idx").write.mode(
-                            "overwrite"
-                        ).parquet(os.path.join(self._changes_dir, cgroup))
+                        self._to_physical(
+                            matched.drop("__pos_file", "__pos_idx"),
+                            self._mapping(version - 1),
+                        ).write.mode("overwrite").parquet(
+                            os.path.join(self._changes_dir, cgroup)
+                        )
                         changes_rel = f"changes/{cgroup}"
             finally:
                 matched.unpersist()
@@ -2569,6 +2756,150 @@ class VersionedTable:
         if len(self._manifest(vs[-1])["files"]) <= max_file_groups:
             return None
         return self.compact(spark, target_partitions=target_partitions)
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only RENAME COLUMN (Delta column mapping): not one
+        data byte moves. Files keep the column's original on-file
+        (PHYSICAL) name forever; the manifest records
+        ``column_mapping[new_logical] = physical`` and every read
+        scans under physical names then projects back to logical —
+        which is also why the commit stamps writer protocol 3 (a
+        protocol-2 reader would silently NULL-pad the renamed column
+        instead of failing; the gate makes it fail loudly). Stats and
+        bloom index keys re-key to the new logical name in the same
+        commit, so pruning on the new name works immediately. Time
+        travel is name-faithful: reads at pre-rename versions show
+        the old name (each manifest carries its own mapping).
+
+        At 100 TB this is the difference between an O(1) metadata
+        commit and rewriting the table to rename a column. Renaming
+        BACK to the original name drops the mapping entry (the table
+        can return to protocol 2 once no mapping remains). Renaming TO
+        a name that is some column's on-file physical (or a retired
+        one) is refused — two logicals must never share a physical.
+        Feed-classified as breaking: a running stream cannot
+        re-negotiate its schema; consumers restart from a fresh
+        window."""
+        version, prev_files, prev_stats = self._snapshot_state()
+        if version == 0:
+            raise ValueError(f"table {self.root} has no committed version")
+        m = self._manifest(version - 1)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"rename_column: no column {old!r} in {names}")
+        if new in names:
+            raise ValueError(f"rename_column: column {new!r} already exists")
+        mapping = dict(m.get("column_mapping") or {})
+        retired = list(m.get("retired_physical") or [])
+        phys = mapping.pop(old, old)
+        if phys != new:
+            used = {mapping.get(n, n) for n in names if n != old} | set(retired)
+            if new in used:
+                raise ValueError(
+                    f"rename_column: {new!r} is the on-file physical name "
+                    "of another (or a dropped) column; two logical columns "
+                    "must never share a physical name"
+                )
+            mapping[new] = phys
+        # else: renamed back to its own physical — entry simply drops
+        new_schema = StructType(
+            [
+                StructField(
+                    new if f.name == old else f.name,
+                    f.dataType,
+                    f.nullable,
+                    f.metadata,
+                )
+                for f in schema.fields
+            ]
+        )
+        new_stats = self._rekey_stats(prev_stats, {old: new}, drop=None)
+        try:
+            return self._commit(
+                list(prev_files),
+                "rename_column",
+                new_schema.json(),
+                stats=new_stats,
+                version=version,
+                column_mapping=mapping,
+                retired_physical=retired,
+            )
+        except CommitConflictError as e:
+            return self._resolve_conflict(None, e)
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only DROP COLUMN: the column leaves the logical
+        schema; its bytes stay in the files but the physical-schema
+        scan never reads them (parquet column pruning does the
+        "delete" — zero I/O for the dropped data on every future
+        read). The on-file physical name is RETIRED permanently: a
+        later append adding a column with that name is refused
+        (SchemaEvolutionError), because binding it would resurrect
+        the old bytes in old files. Stats/bloom entries drop with the
+        column. Protocol 3 like rename (older readers would silently
+        resurrect the column). Time travel still shows the column at
+        pre-drop versions; a real erasure obligation still requires
+        CoW delete + vacuum — drop hides, it does not erase."""
+        version, prev_files, prev_stats = self._snapshot_state()
+        if version == 0:
+            raise ValueError(f"table {self.root} has no committed version")
+        m = self._manifest(version - 1)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"drop_column: no column {name!r} in {names}")
+        if len(names) == 1:
+            raise ValueError("drop_column: cannot drop the only column")
+        mapping = dict(m.get("column_mapping") or {})
+        retired = list(m.get("retired_physical") or [])
+        phys = mapping.pop(name, name)
+        if phys not in retired:
+            retired.append(phys)
+        new_schema = StructType([f for f in schema.fields if f.name != name])
+        new_stats = self._rekey_stats(prev_stats, {}, drop=name)
+        try:
+            return self._commit(
+                list(prev_files),
+                "drop_column",
+                new_schema.json(),
+                stats=new_stats,
+                version=version,
+                column_mapping=mapping,
+                retired_physical=retired,
+            )
+        except CommitConflictError as e:
+            return self._resolve_conflict(None, e)
+
+    @staticmethod
+    def _rekey_stats(
+        prev_stats: dict, renames: dict[str, str], drop: str | None
+    ) -> dict:
+        """Stats/bloom entries follow their column's LOGICAL name
+        through rename/drop, so the skipping index keeps pruning on
+        the names readers actually use."""
+        out: dict = {}
+        for f, s in prev_stats.items():
+            s2 = dict(s)
+            for old, new in renames.items():
+                if old in s2:
+                    s2[new] = s2.pop(old)
+            if drop is not None:
+                s2.pop(drop, None)
+            bl = s2.get(_BLOOM_KEY)
+            if bl:
+                bl = dict(bl)
+                for old, new in renames.items():
+                    if old in bl:
+                        bl[new] = bl.pop(old)
+                if drop is not None:
+                    bl.pop(drop, None)
+                if bl:
+                    s2[_BLOOM_KEY] = bl
+                else:
+                    s2.pop(_BLOOM_KEY, None)
+            out[f] = s2
+        return out
 
     def analyze(
         self,

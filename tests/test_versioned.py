@@ -2260,9 +2260,9 @@ def test_reader_rejects_future_writer_protocol(spark, tmp_path):
     t.append(_df(spark, [(2, "b")]))
     path = t._log + "/00000001.json"
     m = json.load(open(path))
-    m["writer_version"] = 3
+    m["writer_version"] = 4  # one past the implemented protocol (3)
     json.dump(m, open(path, "w"))
-    with pytest.raises(ValueError, match="protocol 3"):
+    with pytest.raises(ValueError, match="protocol 4"):
         t.read(spark)
     with pytest.raises(ValueError, match="upgrade"):
         t._manifest(1)
@@ -3057,3 +3057,260 @@ def test_analyze_bloom_ndv_sizing_and_saturation_drop(spark, tmp_path, monkeypat
     f2 = m2["files"][0]
     assert "k" not in (m2["stats"][f2].get("__bloom__") or {})  # dropped
     assert m2["stats"][f2]["k"] == [0, 2999]  # min/max still recorded
+
+
+# --- column mapping: metadata-only RENAME / DROP COLUMN (protocol 3) ---
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    """RENAME COLUMN moves no data: file list byte-identical, reads at
+    the new name, appends after the rename land under the ORIGINAL
+    physical name (fixed-physical rule), time travel shows the old
+    name, stats re-key so pruning on the new name works, and the
+    manifest stamps protocol 3 only once a mapping exists."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append_clustered(_df(spark, [(i, f"v{i}") for i in range(40)]), "k", n_groups=2)
+    assert t._manifest(0)["writer_version"] == 2  # no mapping yet
+    before = t.snapshot_files()
+    v = t.rename_column("k", "id")
+    m = t._manifest(v)
+    assert m["writer_version"] == 3
+    assert m["column_mapping"] == {"id": "k"}
+    assert t.snapshot_files() == before  # metadata only
+    got = t.read(spark)
+    assert set(got.columns) == {"id", "v"}
+    assert sorted(r["id"] for r in got.collect()) == list(range(40))
+    # stats re-keyed: pruning on the NEW name is selective
+    assert len(t.snapshot_files(prune=("id", 0, 5))) < len(before)
+    # time travel: the pre-rename version keeps the old name
+    assert set(t.read(spark, version=0).columns) == {"k", "v"}
+    # post-rename append: logical "id" lands under physical "k"
+    t.append(spark.createDataFrame([(1000, "x")], "id long, v string"))
+    import os
+
+    import pyarrow.parquet as pq
+
+    new_group = [f for f in t.snapshot_files() if f not in before]
+    gdir = os.path.join(t.root, new_group[0])
+    part = [f for f in os.listdir(gdir) if f.endswith(".parquet")][0]
+    assert "k" in pq.read_schema(os.path.join(gdir, part)).names
+    assert sorted(r["id"] for r in t.read(spark).collect())[-1] == 1000
+    assert t.count_rows() == 41
+
+
+def test_rename_column_back_returns_to_protocol_2(spark, tmp_path):
+    """Renaming back to the original name drops the mapping entry and
+    the table returns to protocol 2 — protocol is feature-gated, not
+    ratcheted."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.rename_column("k", "id")
+    v = t.rename_column("id", "k")
+    m = t._manifest(v)
+    assert "column_mapping" not in m
+    assert m["writer_version"] == 2
+    assert {r["k"] for r in t.read(spark).collect()} == {1}
+
+
+def test_rename_column_validation(spark, tmp_path):
+    """Unknown source, existing target, and physical-name collisions
+    all refuse loudly."""
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="no column"):
+        t.rename_column("zz", "id")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("k", "v")
+    t.rename_column("k", "id")
+    # "k" is now the physical of "id": renaming v -> k would make two
+    # logicals share a physical on future reads
+    with pytest.raises(ValueError, match="physical"):
+        t.rename_column("v", "k")
+
+
+def test_drop_column_metadata_only_and_name_retired(spark, tmp_path):
+    """DROP COLUMN is metadata-only (files identical; the scan never
+    reads the dropped bytes via parquet column pruning), re-adding the
+    dropped name is refused (would resurrect old bytes), time travel
+    still shows the column, and CoW rewrites shed the dropped data
+    physically."""
+    import pytest
+
+    from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+        SchemaEvolutionError,
+    )
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(i, f"v{i}", i * 1.5) for i in range(20)],
+            "k long, v string, score double",
+        )
+    )
+    before = t.snapshot_files()
+    v = t.drop_column("score")
+    m = t._manifest(v)
+    assert t.snapshot_files() == before
+    assert m["retired_physical"] == ["score"]
+    assert m["writer_version"] == 3
+    assert set(t.read(spark).columns) == {"k", "v"}
+    assert set(t.read(spark, version=0).columns) == {"k", "v", "score"}
+    with pytest.raises(SchemaEvolutionError, match="physical"):
+        t.append(
+            spark.createDataFrame([(100, "x", 9.9)], "k long, v string, score double")
+        )
+    # a different name is fine
+    t.append(
+        spark.createDataFrame([(100, "x", 9.9)], "k long, v string, score2 double")
+    )
+    assert set(t.read(spark).columns) == {"k", "v", "score2"}
+    assert t.read(spark).filter("k = 100").collect()[0]["score2"] == 9.9
+
+
+def test_rename_then_mutations_round_trip(spark, tmp_path):
+    """The whole write surface keeps working after a rename: CoW
+    delete, DV delete, merge and compaction all read/write through the
+    mapping, and the final rowset matches the plain-SQL expectation."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append_clustered(_df(spark, [(i, f"v{i}") for i in range(100)]), "k", n_groups=4)
+    t.rename_column("k", "id")
+    t.delete_where(spark, "id < 10", prune=("id", 0, 9))
+    t.delete_where_dv(spark, "id >= 95")
+    t.merge(
+        spark,
+        spark.createDataFrame([(50, "M"), (500, "NEW")], "id long, v string"),
+        keys=["id"],
+    )
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert len(got) == 86  # 100 - 10 - 5 + 1 insert (50 updates in place)
+    assert got[50] == "M" and got[500] == "NEW"
+    assert 5 not in got and 97 not in got
+    assert t.count_rows() == 86
+    t.compact(spark, target_partitions=2)
+    assert {r["id"]: r["v"] for r in t.read(spark).collect()} == got
+    assert t.count_rows() == 86
+
+
+def test_rename_feed_and_clone_and_restore(spark, tmp_path):
+    """Feed semantics across a rename: the rename is a feed WALL
+    (windows crossing it raise); a fresh window after it streams the
+    renamed columns correctly off physical-named files. Clone carries
+    the mapping; restore to a pre-rename version restores the old
+    name but keeps retired physicals retired."""
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))  # v0
+    t.rename_column("k", "id")  # v1: feed wall
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))  # v2
+    with pytest.raises(ValueError, match="change feed|rename"):
+        t.read_change_feed(spark, -1).collect()
+    post = t.read_change_feed(spark, 1)  # window after the wall
+    assert {(r["id"], r["_change_type"]) for r in post.collect()} == {
+        (2, "insert")
+    }
+    c = t.clone(str(tmp_path / "c"))
+    assert {r["id"] for r in c.read(spark).collect()} == {1, 2}
+    assert c._manifest(0)["column_mapping"] == {"id": "k"}
+    # drop then restore past it: name returns, physical stays retired
+    t.drop_column("v")  # v3
+    t.restore(2)  # v4
+    assert set(t.read(spark).columns) == {"id", "v"}
+    m = t._manifest(t.latest_version())
+    assert m["retired_physical"] == ["v"]
+    from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+        SchemaEvolutionError,
+    )
+    # "v" exists again (restored), so appending it is fine; a NET-NEW
+    # column named like the retired physical of a column that no
+    # longer exists would be refused — simulate by dropping v again
+    t.drop_column("v")
+    with pytest.raises(SchemaEvolutionError):
+        t.append(spark.createDataFrame([(9, "z")], "id long, v string"))
+
+
+def test_rewrite_fails_closed_on_concurrent_rename(spark, tmp_path):
+    """A rewrite racing a concurrent RENAME COLUMN must not rebase:
+    its files were written under the old mapping's physical names and
+    its schema under the old logical names."""
+    import pytest
+
+    from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+        CommitConflictError,
+    )
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append_clustered(_df(spark, [(i, "x") for i in range(50)]), "k", n_groups=2)
+    loser = VersionedTable(str(tmp_path / "t"))
+    _inject_once(
+        loser,
+        lambda: VersionedTable(str(tmp_path / "t")).rename_column("v", "val"),
+    )
+    with pytest.raises(CommitConflictError):
+        loser.delete_where(spark, "k < 10", prune=("k", 0, 9))
+    assert set(t.read(spark).columns) == {"k", "val"}
+    assert t.read(spark).count() == 50  # delete did not land
+
+
+def test_stream_feed_after_rename_translates_physical(spark, tmp_path):
+    """The streaming feed's executor-side arrow reader resolves
+    logical names through the window's mapping: post-rename appends
+    (physical-named files) stream under the logical name instead of
+    silently NULL-padding."""
+    from netflow_analysis_with_spark_streaming_spark.storage.stream_source import (
+        FORMAT_NAME,
+        register_feed_source,
+    )
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.rename_column("k", "id")
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    register_feed_source(spark)
+    reader = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", t.root)
+        .option("startingversion", 1)  # fresh window after the wall
+        .load()
+    )
+    q = (
+        reader.writeStream.format("memory")
+        .queryName("feed_renamed")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT id, v FROM feed_renamed").collect()
+    assert [(r["id"], r["v"]) for r in rows] == [(2, "b")]
+
+
+def test_count_rows_dv_partially_orphaned_by_subgroup_rewrite(spark, tmp_path):
+    """DVs ride at parent-GROUP granularity while pruned rewrites drop
+    individual clustered SUBGROUP files — a carried vector can then
+    reference dead files. Reads already ignore those positions (the
+    anti-join key never matches); the metadata count must too: only
+    positions in LIVE files subtract. No column mapping involved —
+    pure DV/rewrite interplay (found by the round-9 rename battery,
+    reproducible without it)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append_clustered(_df(spark, [(i, f"v{i}") for i in range(100)]), "k", n_groups=4)
+    # one DV delete spanning two clustered subgroups (k=48..52 straddles
+    # the 25-row range buckets)
+    t.delete_where_dv(spark, "k >= 48 AND k < 53", prune=("k", 48, 52))
+    assert t.count_rows() == t.read(spark).count() == 95
+    # pruned CoW delete rewrites ONLY the subgroup holding k<25 — the
+    # DV (keyed by the parent group) carries with its other subgroups
+    t.delete_where(spark, "k < 5", prune=("k", 0, 4))
+    assert t.count_rows() == t.read(spark).count() == 90
+    # now rewrite ONE of the DV'd subgroups via a pruned merge: part of
+    # the carried vector's positions go dead with the dropped file
+    t.merge(
+        spark,
+        _df(spark, [(49, "M")]),
+        keys=["k"],
+    )
+    assert t._manifest(t.latest_version())["dvs"], "vector still carried"
+    assert t.count_rows() == t.read(spark).count() == 91
