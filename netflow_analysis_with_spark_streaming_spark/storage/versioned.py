@@ -3111,6 +3111,66 @@ class VersionedTable:
             f"analyze on {self.root} lost 10 consecutive version races"
         )
 
+    def operation_metrics(self, version: int) -> dict:
+        """Delta ``operationMetrics`` analog, derived LAZILY from two
+        manifests (nothing extra is recorded at commit time): what
+        this commit did to the snapshot in file and row terms. Row
+        counts come from the manifests' ``__rows__`` stats (falling
+        back to parquet footers while the files still exist); a count
+        that cannot be derived — a removed group already vacuumed —
+        reports None rather than guessing. ``rows_dv_invalidated`` is
+        the NEW deletion-vector positions this commit added (footer
+        rows of the new DV groups), the MoR counterpart of
+        ``rows_removed``."""
+        m = self._manifest(version)
+        prev = (
+            self._manifest(version - 1)
+            if version > 0
+            else {"files": [], "stats": {}, "dvs": {}}
+        )
+
+        def _rows(man: dict, fs: list[str]) -> int | None:
+            total = 0
+            stats = man.get("stats") or {}
+            for f in fs:
+                n = stats.get(f, {}).get(_ROWS_KEY)
+                if n is not None:
+                    total += int(n)
+                    continue
+                p = os.path.join(self.root, f)
+                if not os.path.isdir(p):
+                    return None  # vacuumed: underivable, don't guess
+                total += _footer_rows(p)
+            return total
+
+        prev_files = set(prev["files"])
+        added = [f for f in m["files"] if f not in prev_files]
+        removed = [f for f in prev["files"] if f not in set(m["files"])]
+        prev_dvs = {
+            d for lst in (prev.get("dvs") or {}).values() for d in lst
+        }
+        new_dvs = sorted(
+            {d for lst in (m.get("dvs") or {}).values() for d in lst}
+            - prev_dvs
+        )
+        dv_rows = 0
+        for d in new_dvs:
+            p = os.path.join(self.root, d)
+            dv_rows = (
+                None
+                if dv_rows is None or not os.path.isdir(p)
+                else dv_rows + _footer_rows(p)
+            )
+        return {
+            "version": version,
+            "action": m["action"],
+            "files_added": len(added),
+            "files_removed": len(removed),
+            "rows_added": _rows(m, added),
+            "rows_removed": _rows(prev, removed),
+            "rows_dv_invalidated": dv_rows,
+        }
+
     def fsck(self) -> list[str]:
         """Table integrity check: verify every file group referenced
         by any live manifest exists on disk, manifests parse, and the
@@ -3151,10 +3211,14 @@ class VersionedTable:
         keep_last: int = 1,
         min_age_s: float = 3600.0,
         retain_s: float | None = None,
+        dry_run: bool = False,
     ) -> int:
         """Drop data files referenced ONLY by versions outside the
         retention horizon — bounds storage, forfeits time travel
         beyond it. Returns number of file groups removed.
+        ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``) computes the
+        same keep-set and age checks but deletes nothing — returns the
+        count a real run at this instant would remove.
 
         The horizon is the UNION of two rules: the last ``keep_last``
         versions always survive, and — when ``retain_s`` is given
@@ -3231,12 +3295,14 @@ class VersionedTable:
                         continue  # possibly an in-flight writer's staged group
                 except OSError:
                     continue  # vanished under us: someone else removed it
-                shutil.rmtree(path, ignore_errors=True)
+                if not dry_run:
+                    shutil.rmtree(path, ignore_errors=True)
                 removed += 1
-        kept_set = set(kept_versions)
-        for v in vs:
-            if v not in kept_set:
-                os.remove(os.path.join(self._log, f"{v:08d}.json"))
+        if not dry_run:
+            kept_set = set(kept_versions)
+            for v in vs:
+                if v not in kept_set:
+                    os.remove(os.path.join(self._log, f"{v:08d}.json"))
         return removed
 
     # --- streaming integration --------------------------------------------

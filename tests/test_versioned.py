@@ -3314,3 +3314,140 @@ def test_count_rows_dv_partially_orphaned_by_subgroup_rewrite(spark, tmp_path):
     )
     assert t._manifest(t.latest_version())["dvs"], "vector still carried"
     assert t.count_rows() == t.read(spark).count() == 91
+
+
+def test_append_racing_rename_fails_loudly(spark, tmp_path):
+    """An append losing the version race to a RENAME COLUMN must not
+    silently publish: its file was written under the OLD name, and the
+    retry's schema re-derivation hits the physical-name guard (the old
+    name is now the renamed column's physical) — a loud
+    SchemaEvolutionError, never a silent two-column table."""
+    import pytest
+
+    from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+        SchemaEvolutionError,
+    )
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    loser = VersionedTable(str(tmp_path / "t"))
+    _inject_once(
+        loser,
+        lambda: VersionedTable(str(tmp_path / "t")).rename_column("k", "id"),
+    )
+    with pytest.raises(SchemaEvolutionError, match="physical"):
+        loser.append(_df(spark, [(2, "b")]))
+    # nothing half-landed: the rename is the latest version and reads fine
+    assert t.latest_version() == 1
+    assert {r["id"] for r in t.read(spark).collect()} == {1}
+
+
+def test_column_mapping_model_fuzz(spark, tmp_path):
+    """Seeded random rename/drop/append/delete sequences against a
+    python model tracking the logical view: after every op the read
+    equals the model (names AND values), and at the end every recorded
+    checkpoint time-travels back name-faithfully."""
+    import random
+
+    for seed in (5, 19):
+        rng = random.Random(seed)
+        t = VersionedTable(str(tmp_path / f"t{seed}"))
+        # model: list of (logical_name,) column order + {key: row dict}
+        cols = ["k", "a", "b"]
+        t.append(
+            spark.createDataFrame(
+                [(i, f"a{i}", float(i)) for i in range(20)],
+                "k long, a string, b double",
+            )
+        )
+        rows = {i: {"k": i, "a": f"a{i}", "b": float(i)} for i in range(20)}
+        snaps = []
+        fresh = 0
+        for step in range(10):
+            op = rng.choice(["rename", "append", "delete", "rename_back", "drop"])
+            if op == "rename":
+                old = rng.choice([c for c in cols if c != "k"])
+                new = f"c{step}"
+                t.rename_column(old, new)
+                cols = [new if c == old else c for c in cols]
+                for r in rows.values():
+                    r[new] = r.pop(old)
+            elif op == "rename_back" and any(c.startswith("c") for c in cols):
+                old = rng.choice([c for c in cols if c.startswith("c")])
+                new = f"d{step}"
+                t.rename_column(old, new)
+                cols = [new if c == old else c for c in cols]
+                for r in rows.values():
+                    r[new] = r.pop(old)
+            elif op == "append":
+                # key-only append: omitted columns read NULL from the
+                # new files under whatever names they hold at read time
+                fresh += 1
+                base = 100 * fresh
+                new_rows = [(base + j,) for j in range(3)]
+                t.append(spark.createDataFrame(new_rows, "k long"))
+                for (kk,) in new_rows:
+                    rows[kk] = {"k": kk, **{c: None for c in cols if c != "k"}}
+            elif op == "delete":
+                cut = rng.randint(0, 6)
+                t.delete_where(spark, f"k % 7 = {cut}")
+                rows = {k: r for k, r in rows.items() if k % 7 != cut}
+            elif op == "drop" and len(cols) > 2:
+                victim = rng.choice([c for c in cols if c != "k"])
+                t.drop_column(victim)
+                cols = [c for c in cols if c != victim]
+                for r in rows.values():
+                    r.pop(victim, None)
+            got = {r["k"]: r.asDict() for r in t.read(spark).collect()}
+            want = {k: {c: r.get(c) for c in cols} for k, r in rows.items()}
+            assert got == want, (seed, step, op)
+            assert t.count_rows() == len(rows)
+            if rng.random() < 0.4:
+                snaps.append(
+                    (t.latest_version(), sorted(cols), {k: dict(v) for k, v in want.items()})
+                )
+        for v, cs, snap in snaps:
+            df = t.read(spark, version=v)
+            assert sorted(df.columns) == cs, (seed, v)
+            got = {r["k"]: r.asDict() for r in df.collect()}
+            assert got == snap, (seed, v)
+
+
+def test_vacuum_dry_run_predicts_real_run(spark, tmp_path):
+    """vacuum(dry_run=True) computes the same keep-set and age checks
+    but deletes nothing — its count equals the subsequent real run's,
+    and history/data are untouched in between."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.overwrite(_df(spark, [(2, "b")]))
+    t.overwrite(_df(spark, [(3, "c")]))
+    would = t.vacuum(min_age_s=0, dry_run=True)
+    assert would > 0
+    assert t.versions() == [0, 1, 2]  # nothing touched
+    assert t.read(spark, version=0).count() == 1  # time travel intact
+    assert t.vacuum(min_age_s=0) == would
+    assert t.versions() == [2]
+
+
+def test_operation_metrics_per_action(spark, tmp_path):
+    """operation_metrics derives file/row deltas per commit from
+    manifests alone: append adds, CoW delete removes+adds, DV delete
+    reports invalidated positions with no file churn, merge both."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append_clustered(_df(spark, [(i, "x") for i in range(100)]), "k", n_groups=4)
+    m0 = t.operation_metrics(0)
+    assert (m0["action"], m0["files_added"], m0["rows_added"]) == ("append", 4, 100)
+    assert m0["files_removed"] == 0 and m0["rows_removed"] == 0
+    t.delete_where(spark, "k < 10", prune=("k", 0, 9))  # v1: 1 group rewritten
+    m1 = t.operation_metrics(1)
+    assert m1["action"] == "delete"
+    assert m1["files_removed"] == 1 and m1["rows_removed"] == 25
+    assert m1["rows_added"] == 15  # survivors of the rewritten bucket
+    t.delete_where_dv(spark, "k >= 95")  # v2: positions only
+    m2 = t.operation_metrics(2)
+    assert (m2["files_added"], m2["files_removed"]) == (0, 0)
+    assert m2["rows_dv_invalidated"] == 5
+    t.merge(spark, _df(spark, [(50, "M"), (500, "N")]), keys=["k"])  # v3
+    m3 = t.operation_metrics(3)
+    assert m3["action"] == "merge"
+    assert m3["files_added"] >= 1 and m3["files_removed"] >= 1
