@@ -1150,6 +1150,69 @@ register(
 )
 
 
+def _storage_cdc_merge_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replication ACROSS A MERGE (round 9 — merges used to be
+    unconditional feed walls): the source lands an append, then a
+    captured three-clause merge (updates double the value for
+    event_id % 30 == 0 rows and insert the % 15-only rows — both
+    directions ride ONE typed capture group) and a captured delete;
+    the mirror advances from the typed feed alone in two sync passes.
+    The result read is the MIRROR: a wrong update preimage, a delete
+    winning over its paired insert, or a replayed batch-id half all
+    shift rows and break the hash. Oracle recomputes the surviving
+    rows with plain SQL."""
+    from .storage.incremental import mirror_from_feed
+    from .storage.versioned import VersionedTable
+
+    root = _run_tmp_root("netflow_cdcmm_")
+    src = VersionedTable(root + "/src")
+    dst = VersionedTable(root + "/dst")
+    ev = (
+        tables.load(spark, "events", sf_dir)
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id", "user_id", "value")
+    )
+    src.append(ev, stats_cols=["event_id"])
+    wm = mirror_from_feed(spark, src, dst, keys=["event_id"], since_version=-1)
+    src.merge(
+        spark,
+        tables.load(spark, "events", sf_dir)
+        .filter(F.col("event_id") % 15 == 0)
+        .select("event_id", "user_id", (F.col("value") * 2).alias("value")),
+        keys=["event_id"],
+        emit_changes=True,
+    )
+    src.delete_where(spark, "user_id % 9 = 2", emit_changes=True)
+    mirror_from_feed(spark, src, dst, keys=["event_id"], since_version=wm)
+    return (
+        dst.read(spark)
+        .select("event_id", "user_id", F.round("value", 2).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+_STORAGE_CDC_MERGE_MIRROR_SQL = """
+SELECT event_id, user_id, ROUND(value, 2) AS value FROM (
+  SELECT event_id, user_id, value
+  FROM events
+  WHERE event_id % 10 = 0 AND event_id % 15 != 0
+  UNION ALL
+  SELECT event_id, user_id, value * 2 AS value
+  FROM events
+  WHERE event_id % 15 = 0
+) WHERE user_id % 9 != 2
+ORDER BY event_id
+"""
+
+
+register(
+    "storage_cdc_merge_mirror",
+    _storage_cdc_merge_mirror,
+    _STORAGE_CDC_MERGE_MIRROR_SQL,
+    driver=False,
+)
+
+
 def _storage_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-indexed point lookups on the versioned format: events
     land in 8 bloom-indexed appends whose event_id ranges all overlap

@@ -382,6 +382,7 @@ def mirror_from_feed(
     keys: list[str],
     since_version: int,
     to_version: int | None = None,
+    emit_changes: bool = False,
 ) -> int:
     """Replicate ``src`` into ``dst`` by consuming src's typed change
     feed over (since_version, to_version] — the APPLY CHANGES INTO
@@ -400,19 +401,27 @@ def mirror_from_feed(
     Per source commit, in version order: an insert slice appends to
     the mirror; a delete slice removes its keys via
     ``merge(when_matched='delete', when_not_matched='ignore',
-    strategy='mor')`` — CDC apply IS feed + merge, no bespoke
-    machinery. Row-preserving rewrites in the source (compact /
-    OPTIMIZE) contribute no slice and advance nothing; a
-    feed-breaking source commit (overwrite / upsert / merge /
-    uncaptured delete) raises exactly as read_change_feed does — the
+    strategy='mor')``; a TYPED slice (a source merge/upsert captured
+    with ``emit_changes=True`` — an update arrives as delete preimage
+    + insert postimage of the same key) applies as a merge-on-read
+    UPSERT of the postimages plus a delete of the keys with no
+    postimage — CDC apply IS feed + merge, no bespoke machinery.
+    Row-preserving rewrites in the source (compact / OPTIMIZE)
+    contribute no slice and advance nothing; a feed-breaking source
+    commit (overwrite / replace_where / restore / rename / UNCAPTURED
+    delete or merge) raises exactly as read_change_feed does — the
     mirror must then be re-synced from a snapshot, the same contract
     Delta replication has.
 
-    Exactly-once: every mirror write carries the SOURCE commit version
-    as its batch id, so a replayed window (crash between applying and
-    persisting the watermark) re-resolves to no-ops. The mirror table
-    must be dedicated to this consumer (its batch-id space belongs to
-    the source's version numbers).
+    Exactly-once: the additive half of source version v claims mirror
+    batch id ``2*v`` and the delete half ``2*v + 1`` (a typed slice
+    needs two commits; the doubling keeps every slot disjoint — the
+    streaming_cdc_sink discipline), so a replayed window re-resolves
+    to no-ops on both halves. The mirror table must be dedicated to
+    this consumer (its batch-id space belongs to the source's
+    version numbers). ``emit_changes=True`` captures the mirror's own
+    merges, making the MIRROR a consumable change feed in turn —
+    replication chains (source -> mirror -> mirror2) compose.
 
     Key semantics: deletes apply BY KEY (``keys``), the Delta APPLY
     CHANGES requirement — the mirror must be key-unique for deletes
@@ -439,26 +448,54 @@ def mirror_from_feed(
             deletes = window.filter(F.col("_change_type") == "delete").drop(
                 "_change_type", "_commit_version"
             )
-            # a source commit is one action: its slice is inserts XOR
-            # deletes, so at most one mirror write claims batch id v
-            if not inserts.isEmpty():
-                skeys = [
-                    k
-                    for k in keys
-                    if VersionedTable._auto_prunable(inserts.schema[k].dataType)
-                ]
-                bkeys = [
-                    k
-                    for k in keys
-                    if VersionedTable._bloomable(inserts.schema[k].dataType)
-                ]
+            has_ins, has_del = not inserts.isEmpty(), not deletes.isEmpty()
+            skeys = [
+                k
+                for k in keys
+                if VersionedTable._auto_prunable(inserts.schema[k].dataType)
+            ]
+            bkeys = [
+                k
+                for k in keys
+                if VersionedTable._bloomable(inserts.schema[k].dataType)
+            ]
+            if has_ins and has_del:
+                # typed merge/upsert slice: postimages upsert by key;
+                # only keys with NO postimage are true deletes (an
+                # update's delete half must not win over its insert)
+                dst.merge(
+                    spark,
+                    inserts,
+                    keys=keys,
+                    batch_id=2 * v,
+                    stats_cols=skeys or None,
+                    strategy="mor",
+                    emit_changes=emit_changes,
+                )
+                cond = VersionedTable._nullsafe_key_cond(keys, "d", "i")
+                true_del = (
+                    deletes.alias("d")
+                    .join(inserts.select(*keys).alias("i"), cond, "left_anti")
+                )
+                if not true_del.isEmpty():
+                    dst.merge(
+                        spark,
+                        true_del,
+                        keys=keys,
+                        when_matched="delete",
+                        when_not_matched="ignore",
+                        batch_id=2 * v + 1,
+                        strategy="mor",
+                        emit_changes=emit_changes,
+                    )
+            elif has_ins:
                 dst.append(
                     inserts,
-                    batch_id=v,
+                    batch_id=2 * v,
                     stats_cols=skeys or None,
                     bloom_cols=bkeys or None,
                 )
-            elif not deletes.isEmpty():
+            elif has_del:
                 if dst.latest_version() is None:
                     raise ValueError(
                         "mirror received a delete before any insert; start "
@@ -471,8 +508,9 @@ def mirror_from_feed(
                     keys=keys,
                     when_matched="delete",
                     when_not_matched="ignore",
-                    batch_id=v,
+                    batch_id=2 * v + 1,
                     strategy="mor",
+                    emit_changes=emit_changes,
                 )
     finally:
         feed.unpersist()

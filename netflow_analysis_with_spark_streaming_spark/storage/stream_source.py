@@ -160,7 +160,15 @@ def _read_partition(partition: FeedPartition) -> Iterator:
         else:
             c = pa.nulls(n, f.type)
         cols.append(c)
-    cols.append(pa.array([partition.change] * n, pa.string()))
+    if partition.change == "typed":
+        # merge/upsert capture group: the direction tag is embedded
+        # per row in the file itself (update = delete+insert pair)
+        ct = t.column("_change_type")
+        if ct.type != pa.string():
+            ct = ct.cast(pa.string())
+        cols.append(ct)
+    else:
+        cols.append(pa.array([partition.change] * n, pa.string()))
     cols.append(pa.array([partition.version] * n, pa.int64()))
     full = pa.table(cols, schema=arrow_full)
     yield from full.to_batches(max_chunksize=1 << 16)

@@ -49,7 +49,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 # --- bloom point-lookup index -------------------------------------------
 # Per-file-group bloom filters over a column (Delta's bloom filter
@@ -122,13 +122,18 @@ _FEED_INSERT_ACTIONS = frozenset({"append", "clone"})
 # group (delete_where / delete_where_dv with emit_changes=True);
 # un-captured raises
 _FEED_CAPTURE_ACTIONS = frozenset({"delete", "delete_dv"})
+# typed-capture: the capture group carries BOTH directions, tagged
+# per row in an embedded _change_type column (an update = delete of
+# the preimage + insert of the postimage — merge/upsert with
+# emit_changes=True, the Delta CDF-for-MERGE analog). Un-captured
+# raises, exactly like the delete family — merge used to be an
+# unconditional feed wall; now only an uncaptured one is.
+_FEED_TYPED_CAPTURE_ACTIONS = frozenset({"merge", "upsert"})
 # feed-breaking by construction: the rowset change is not derivable from
 # manifests alone — consumers must recompute from a full snapshot
 _FEED_BREAKING_ACTIONS = frozenset(
     {
         "overwrite",
-        "upsert",
-        "merge",
         "replace_where",
         "restore",
         # schema-shape changes: a running stream cannot re-negotiate
@@ -144,6 +149,7 @@ _FEED_ALL_ACTIONS = (
     _FEED_ROW_PRESERVING
     | _FEED_INSERT_ACTIONS
     | _FEED_CAPTURE_ACTIONS
+    | _FEED_TYPED_CAPTURE_ACTIONS
     | _FEED_BREAKING_ACTIONS
 )
 
@@ -1547,7 +1553,13 @@ class VersionedTable:
         df = self._read_files(spark, version, files)
         return self._apply_dvs(spark, df, version, files)
 
-    def _read_files(self, spark: SparkSession, version: int, files) -> DataFrame:
+    def _read_files(
+        self,
+        spark: SparkSession,
+        version: int,
+        files,
+        with_change_col: bool = False,
+    ) -> DataFrame:
         """Schema-driven scan of ``files`` under the MANIFEST schema
         of ``version`` — the Delta discipline: the log, not parquet
         footers, owns the table schema. This kills the footer-merge
@@ -1562,6 +1574,14 @@ class VersionedTable:
         version's manifest schema."""
         m = self._manifest(version)
         schema = StructType.fromJson(json.loads(m["schema"]))
+        if with_change_col:
+            # typed capture groups embed the per-row direction tag
+            # alongside the data columns (never a table column — the
+            # feed source refuses tables that name one _change_type)
+            schema = StructType(
+                list(schema.fields)
+                + [StructField("_change_type", StringType(), False)]
+            )
         mapping = m.get("column_mapping") or {}
         paths = [os.path.join(self.root, f) for f in sorted(set(files))]
         if not mapping:
@@ -1673,8 +1693,10 @@ class VersionedTable:
         self, since_version: int, to_version: int | None = None
     ) -> list[tuple[int, str, list[str]]]:
         """Manifest-only change-feed plan: the ordered
-        ``(commit_version, 'insert' | 'delete', [group paths])``
-        slices for commits in (since_version, to_version]. This is
+        ``(commit_version, 'insert' | 'delete' | 'typed', [group
+        paths])`` slices for commits in (since_version, to_version].
+        'typed' slices (captured merge/upsert) carry the per-row
+        direction in the capture group's own _change_type column. This is
         the driver-side half of the typed change feed, shared by the
         DataFrame reader (``read_change_feed``) and the streaming
         source (storage/stream_source.py) so the two can never
@@ -1724,10 +1746,25 @@ class VersionedTable:
                 # a delete also lands the affected groups' SURVIVORS as
                 # a new file group — those rows did not change, so the
                 # new group is NOT an insert slice
+            elif m["action"] in _FEED_TYPED_CAPTURE_ACTIONS:
+                # merge/upsert: the capture group carries BOTH
+                # directions, per-row typed (update = delete preimage +
+                # insert postimage) — the rewritten data groups mix
+                # changed and carried rows, so only the capture is a
+                # change slice
+                if m.get("changes") is None:
+                    raise ValueError(
+                        f"version {v} is a {m['action']} committed without "
+                        "change capture (emit_changes=False): its rowset "
+                        "change is not derivable — change feed unavailable "
+                        "across it"
+                    )
+                if m["changes"]:
+                    slices.append((v, "typed", [m["changes"]]))
             else:
                 raise ValueError(
                     f"version {v} is {m['action']!r}: change feed is only "
-                    "derivable across appends and captured deletes"
+                    "derivable across appends and captured deletes/merges"
                 )
             base = set(m["files"])
         return slices
@@ -1754,6 +1791,11 @@ class VersionedTable:
         def _tagged(paths: list[str], change: str, v: int) -> DataFrame:
             # each slice reads under ITS commit's manifest schema (the
             # stream source applies the same rule per file)
+            if change == "typed":
+                # merge/upsert capture: the direction tag is a per-row
+                # column embedded in the capture group itself
+                df = self._read_files(spark, v, paths, with_change_col=True)
+                return df.withColumn("_commit_version", F.lit(v))
             df = self._read_files(spark, v, paths)
             return df.withColumn("_change_type", F.lit(change)).withColumn(
                 "_commit_version", F.lit(v)
@@ -1935,14 +1977,16 @@ class VersionedTable:
         stats_cols: list[str] | None,
         strategy: str,
         what: str,
+        emit_changes: bool = False,
     ) -> tuple[int | None, tuple | None]:
         """Shared merge/upsert planner (ONE implementation of the
         matching rules and the pruned/merge-on-read write paths, so
         the two public writers can never diverge). Returns
         (done_version, None) when the operation resolved without a
         new commit (batch-id replay, version-0 append), else
-        (None, (files, schema_json, stats, dvs, version)) for the
-        caller to commit under its own LITERAL action string — the
+        (None, (files, schema_json, stats, dvs, version,
+        changes_rel)) for the caller to commit under its own LITERAL
+        action string — the
         feed-taxonomy meta-test AST-checks _commit call sites."""
         from pyspark.sql import functions as F
 
@@ -1977,6 +2021,7 @@ class VersionedTable:
                 dict(pinned_stats),
                 {},
                 version,
+                "" if emit_changes else None,  # capture on, zero rows
             )
         cand_df = self._read_groups(spark, version - 1, candidates)
         if contributes:
@@ -2106,6 +2151,57 @@ class VersionedTable:
             schema_json = merged.schema.json()
         else:
             schema_json = self._manifest(version - 1)["schema"]
+        changes_rel: str | None = "" if emit_changes else None
+        if emit_changes:
+            # Typed change capture (Delta CDF for MERGE): one group
+            # holding every REMOVED row tagged 'delete' (matched
+            # preimages under update/delete — read DV-applied, so a
+            # dead row never re-emits) and every ADDED row tagged
+            # 'insert' (update postimages + inserts). An update is the
+            # standard delete+insert pair, which sign-based consumers
+            # (IVM) net correctly and key-based consumers (mirror)
+            # apply as an upsert. Cost: one capture write bounded by
+            # the CHANGE volume — the groups read are the candidates
+            # the merge already reads.
+            removed_parts: list[DataFrame] = []
+            added_parts: list[DataFrame] = []
+            if when_matched in ("update", "delete") and candidates:
+                removed_parts.append(
+                    cand_df.alias("cur").join(
+                        src_keys, key_cond("cur", "src"), "semi"
+                    )
+                )
+            if when_matched == "update":
+                added_parts.append(
+                    source.alias("src").join(
+                        cand_keys, key_cond("src", "cur"), "semi"
+                    )
+                )
+            if when_not_matched == "insert":
+                added_parts.append(
+                    source.alias("src").join(
+                        cand_keys, key_cond("src", "cur"), "anti"
+                    )
+                )
+            tagged = [
+                p.withColumn("_change_type", F.lit("delete"))
+                for p in removed_parts
+            ] + [
+                p.withColumn("_change_type", F.lit("insert"))
+                for p in added_parts
+            ]
+            if tagged:
+                cf = tagged[0]
+                for p in tagged[1:]:
+                    cf = cf.unionByName(p, allowMissingColumns=True)
+                if not cf.isEmpty():
+                    cgroup = uuid.uuid4().hex
+                    self._to_physical(
+                        cf, self._mapping(version - 1)
+                    ).write.mode("overwrite").parquet(
+                        os.path.join(self._changes_dir, cgroup)
+                    )
+                    changes_rel = f"changes/{cgroup}"
         untouched = [f for f in prev_files if f not in affected]
         kept_stats = {f: s for f, s in pinned_stats.items() if f not in affected}
         return None, (
@@ -2114,6 +2210,7 @@ class VersionedTable:
             {**kept_stats, **new_stats},
             dvs,
             version,
+            changes_rel,
         )
 
     def merge(
@@ -2127,6 +2224,7 @@ class VersionedTable:
         batch_id: int | None = None,
         stats_cols: list[str] | None = None,
         strategy: str = "cow",
+        emit_changes: bool = False,
     ) -> int:
         """Three-clause MERGE (the full Delta ``MERGE INTO`` surface;
         ``upsert`` is the update/insert/keep special case):
@@ -2187,6 +2285,13 @@ class VersionedTable:
                 "deleting every unmatched target row is a table-sized rowset "
                 "change that deletion vectors cannot bound by source size"
             )
+        if emit_changes and when_not_matched_by_source == "delete":
+            raise ValueError(
+                "emit_changes with when_not_matched_by_source='delete' is "
+                "not supported: every unmatched target row is removed, so "
+                "the capture is table-sized — re-sync consumers from a "
+                "snapshot instead"
+            )
         done, payload = self._merge_prepare(
             spark,
             source,
@@ -2198,10 +2303,11 @@ class VersionedTable:
             stats_cols,
             strategy,
             "merge source",
+            emit_changes,
         )
         if done is not None:
             return done
-        files, schema_json, stats, dvs, version = payload
+        files, schema_json, stats, dvs, version, changes_rel = payload
         would_read = self._merge_would_read(
             source, keys, when_not_matched_by_source
         )
@@ -2215,6 +2321,7 @@ class VersionedTable:
                     stats=stats,
                     version=version,
                     dvs=dvs,
+                    changes=changes_rel,
                 )
             except CommitConflictError as e:
                 rb = self._rebase_rewrite(
@@ -2249,6 +2356,7 @@ class VersionedTable:
         batch_id: int | None = None,
         stats_cols: list[str] | None = None,
         strategy: str = "cow",
+        emit_changes: bool = False,
     ) -> int:
         """Keyed MERGE shorthand: rows matching ``keys`` are replaced
         whole, new keys appended (``merge`` with update/insert/keep —
@@ -2280,10 +2388,11 @@ class VersionedTable:
             stats_cols,
             strategy,
             "upsert batch",
+            emit_changes,
         )
         if done is not None:
             return done
-        files, schema_json, stats, dvs, version = payload
+        files, schema_json, stats, dvs, version, changes_rel = payload
         would_read = self._merge_would_read(updates, keys, "keep")
         for _ in range(10):
             try:
@@ -2295,6 +2404,7 @@ class VersionedTable:
                     stats=stats,
                     version=version,
                     dvs=dvs,
+                    changes=changes_rel,
                 )
             except CommitConflictError as e:
                 rb = self._rebase_rewrite(
@@ -3307,19 +3417,30 @@ class VersionedTable:
 
     # --- streaming integration --------------------------------------------
 
-    def streaming_upsert_sink(self, keys: list[str]):
+    def streaming_upsert_sink(self, keys: list[str], emit_changes: bool = False):
         """foreachBatch callable: lands every micro-batch as an
         idempotent keyed upsert — replayed batch ids are no-ops, so
         the table is exactly-once end-to-end (T7 on table semantics).
         Use with update-mode stateful queries whose emissions are
-        one-row-per-key-per-batch."""
+        one-row-per-key-per-batch. ``emit_changes=True`` captures each
+        upsert's typed change group so the LANDED table is itself a
+        consumable change feed (replication chains: stream -> table ->
+        mirror -> ...)."""
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            self.upsert(batch_df.sparkSession, batch_df, keys, batch_id=batch_id)
+            self.upsert(
+                batch_df.sparkSession,
+                batch_df,
+                keys,
+                batch_id=batch_id,
+                emit_changes=emit_changes,
+            )
 
         return sink
 
-    def streaming_cdc_sink(self, keys: list[str], op_col: str = "op"):
+    def streaming_cdc_sink(
+        self, keys: list[str], op_col: str = "op", emit_changes: bool = False
+    ):
         """foreachBatch callable for an op-tagged CDC stream (the
         Delta APPLY CHANGES INTO pattern on the ingest side): each
         micro-batch carries ``op_col`` in {'I','U','D'} — I/U rows
@@ -3375,6 +3496,7 @@ class VersionedTable:
                         batch_id=2 * batch_id,
                         stats_cols=skeys or None,
                         strategy="mor",
+                        emit_changes=emit_changes,
                     )  # update/insert/keep
             # a delete against a never-written mirror is deleting from
             # an empty table — a no-op, NOT an error: delete events
@@ -3389,6 +3511,7 @@ class VersionedTable:
                     when_not_matched="ignore",
                     batch_id=2 * batch_id + 1,
                     strategy="mor",
+                    emit_changes=emit_changes,
                 )
 
         return sink

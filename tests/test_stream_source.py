@@ -496,3 +496,35 @@ def t_schema(t):
             StructField("_commit_version", LongType(), False),
         ]
     )
+
+
+def test_stream_serves_typed_merge_capture(spark, tmp_path):
+    """A captured MERGE streams through the feed source: the capture
+    group's per-row _change_type column rides the arrow partition
+    reader (no constant tag), so an update arrives as its
+    delete-preimage + insert-postimage pair in the same micro-batch."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.merge(
+        spark,
+        _df(spark, [(2, "B"), (9, "i")]),
+        keys=["k"],
+        emit_changes=True,
+    )
+    register_feed_source(spark)
+    reader = spark.readStream.format(FORMAT_NAME).option("path", t.root).load()
+    _run_once(spark, reader, "feed_typed", str(tmp_path / "ckpt"))
+    got = _rows(spark, "feed_typed")
+    assert got == {
+        (1, "a", "insert", 0),
+        (2, "b", "insert", 0),
+        (2, "b", "delete", 1),   # update preimage
+        (2, "B", "insert", 1),   # update postimage
+        (9, "i", "insert", 1),
+    }
+    # and the batch twin agrees (shared feed_slices walk)
+    batch = {
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in t.read_change_feed(spark, -1).collect()
+    }
+    assert batch == got

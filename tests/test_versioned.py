@@ -1653,6 +1653,7 @@ def test_every_commit_action_is_feed_classified():
         "row_preserving": versioned._FEED_ROW_PRESERVING,
         "insert": versioned._FEED_INSERT_ACTIONS,
         "capture": versioned._FEED_CAPTURE_ACTIONS,
+        "typed_capture": versioned._FEED_TYPED_CAPTURE_ACTIONS,
         "breaking": versioned._FEED_BREAKING_ACTIONS,
     }
     # pairwise disjoint
@@ -3451,3 +3452,208 @@ def test_operation_metrics_per_action(spark, tmp_path):
     m3 = t.operation_metrics(3)
     assert m3["action"] == "merge"
     assert m3["files_added"] >= 1 and m3["files_removed"] >= 1
+
+
+# --- typed change capture: CDF across MERGE/UPSERT ----------------------
+
+
+def test_merge_emit_changes_typed_feed(spark, tmp_path):
+    """merge(emit_changes=True) removes the 'merge is a feed wall'
+    limitation (Delta CDF-for-MERGE): the capture group carries both
+    directions per row — an update arrives as delete preimage +
+    insert postimage of the same key, an insert alone, a matched
+    delete alone — and read_change_feed serves them typed."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append_clustered(_df(spark, [(i, f"v{i}") for i in range(50)]), "k", n_groups=2)
+    t.merge(
+        spark,
+        _df(spark, [(5, "NEW5"), (500, "INS")]),
+        keys=["k"],
+        emit_changes=True,
+    )  # v1: update k=5, insert k=500
+    t.merge(
+        spark,
+        _df(spark, [(7, "ignored")]),
+        keys=["k"],
+        when_matched="delete",
+        when_not_matched="ignore",
+        emit_changes=True,
+    )  # v2: delete k=7
+    feed = t.read_change_feed(spark, 0)
+    rows = {
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in feed.collect()
+    }
+    assert rows == {
+        (5, "v5", "delete", 1),   # update preimage
+        (5, "NEW5", "insert", 1),  # update postimage
+        (500, "INS", "insert", 1),
+        (7, "v7", "delete", 2),
+    }
+    # the table itself is right too
+    got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert got[5] == "NEW5" and got[500] == "INS" and 7 not in got
+    assert len(got) == 50  # 50 - 1 delete + 1 insert
+
+
+def test_upsert_emit_changes_and_mor_strategy(spark, tmp_path):
+    """upsert(emit_changes=True) captures the same way, and the
+    merge-on-read strategy captures IDENTICAL typed rows (mechanism
+    equivalence on the change feed): preimages come from the
+    DV-applied read so an already-dead row never re-emits."""
+    rows_by_strategy = {}
+    for strat in ("cow", "mor"):
+        t = VersionedTable(str(tmp_path / strat))
+        t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+        t.delete_where_dv(spark, "k = 3")  # k=3 dead before the upsert
+        t.upsert(
+            spark,
+            _df(spark, [(2, "B2"), (3, "C2"), (9, "i")]),
+            keys=["k"],
+            strategy=strat,
+            emit_changes=True,
+        )
+        feed = t.read_change_feed(spark, 1)  # just the upsert commit
+        rows_by_strategy[strat] = {
+            (r["k"], r["v"], r["_change_type"]) for r in feed.collect()
+        }
+        got = {r["k"]: r["v"] for r in t.read(spark).collect()}
+        assert got == {1: "a", 2: "B2", 3: "C2", 9: "i"}, strat
+    want = {
+        (2, "b", "delete"),  # preimage of the update
+        (2, "B2", "insert"),
+        (3, "C2", "insert"),  # k=3 was DV-dead: plain insert, no preimage
+        (9, "i", "insert"),
+    }
+    assert rows_by_strategy["cow"] == rows_by_strategy["mor"] == want
+
+
+def test_uncaptured_merge_still_walls(spark, tmp_path):
+    """Without emit_changes, merge/upsert stay feed walls with a loud
+    error — silence was never an option, and capture is opt-in."""
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.merge(spark, _df(spark, [(1, "A")]), keys=["k"])
+    with pytest.raises(ValueError, match="change feed|emit_changes"):
+        t.read_change_feed(spark, -1).collect()
+    # and the full-sync clause refuses capture outright (table-sized)
+    with pytest.raises(ValueError, match="table-sized|snapshot"):
+        t.merge(
+            spark,
+            _df(spark, [(1, "B")]),
+            keys=["k"],
+            when_not_matched_by_source="delete",
+            emit_changes=True,
+        )
+
+
+def test_mirror_replicates_across_captured_merge(spark, tmp_path):
+    """mirror_from_feed applies typed slices: updates land as upserts,
+    pure deletes as deletes, replay no-ops on both batch-id halves —
+    CDC replication now survives source MERGEs."""
+    from netflow_analysis_with_spark_streaming_spark.storage.incremental import (
+        mirror_from_feed,
+    )
+
+    src = VersionedTable(str(tmp_path / "src"))
+    dst = VersionedTable(str(tmp_path / "dst"))
+    src.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    src.merge(
+        spark,
+        _df(spark, [(2, "B"), (9, "i")]),
+        keys=["k"],
+        emit_changes=True,
+    )
+    src.merge(
+        spark,
+        _df(spark, [(1, "x")]),
+        keys=["k"],
+        when_matched="delete",
+        when_not_matched="ignore",
+        emit_changes=True,
+    )
+    src.delete_where(spark, "k = 3", emit_changes=True)
+    wm = mirror_from_feed(spark, src, dst, keys=["k"], since_version=-1)
+
+    def rows(t):
+        return sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+
+    assert rows(dst) == rows(src) == [(2, "B"), (9, "i")]
+    before = dst.latest_version()
+    mirror_from_feed(spark, src, dst, keys=["k"], since_version=-1)  # replay
+    assert dst.latest_version() == before
+    src.upsert(spark, _df(spark, [(2, "B2")]), keys=["k"], emit_changes=True)
+    mirror_from_feed(spark, src, dst, keys=["k"], since_version=wm)
+    assert rows(dst) == rows(src) == [(2, "B2"), (9, "i")]
+
+
+def test_ivm_maintains_across_captured_merge(spark, tmp_path):
+    """Sign-based incremental view maintenance needs NO changes for
+    typed slices: an update's delete+insert pair nets the measure
+    delta exactly, so the maintained SUM equals a from-scratch
+    recompute after a captured merge."""
+    from netflow_analysis_with_spark_streaming_spark.storage.incremental import (
+        maintain_from_feed,
+    )
+
+    fact = VersionedTable(str(tmp_path / "fact"))
+    agg = VersionedTable(str(tmp_path / "agg"))
+    fact.append(
+        spark.createDataFrame(
+            [(1, 10.0), (1, 5.0), (2, 7.0)], "g long, m double"
+        )
+    )
+    maintain_from_feed(spark, fact, agg, keys=["g"], measures=["m"], since_version=-1)
+    wm = fact.latest_version()
+    fact.merge(
+        spark,
+        spark.createDataFrame([(2, 100.0), (3, 1.0)], "g long, m double"),
+        keys=["g"],
+        emit_changes=True,
+    )  # update g=2: 7 -> 100; insert g=3
+    maintain_from_feed(spark, fact, agg, keys=["g"], measures=["m"], since_version=wm)
+    got = {
+        r["g"]: r["sum_m"]
+        for r in agg.read(spark).select("g", "sum_m").collect()
+    }
+    want = {
+        r["g"]: r["sum_m"]
+        for r in fact.read(spark).groupBy("g").agg(F.sum("m").alias("sum_m")).collect()
+    }
+    assert got == want == {1: 15.0, 2: 100.0, 3: 1.0}
+
+
+def test_replication_chain_composes(spark, tmp_path):
+    """mirror_from_feed(emit_changes=True) makes the MIRROR a
+    consumable change feed: a two-hop chain source -> m1 -> m2 stays
+    row-identical through appends, a captured merge, and a captured
+    delete — replication composes instead of dead-ending after one
+    hop."""
+    from netflow_analysis_with_spark_streaming_spark.storage.incremental import (
+        mirror_from_feed,
+    )
+
+    src = VersionedTable(str(tmp_path / "src"))
+    m1 = VersionedTable(str(tmp_path / "m1"))
+    m2 = VersionedTable(str(tmp_path / "m2"))
+    src.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    src.merge(spark, _df(spark, [(2, "B"), (9, "i")]), keys=["k"], emit_changes=True)
+    src.delete_where(spark, "k = 1", emit_changes=True)
+    wm1 = mirror_from_feed(
+        spark, src, m1, keys=["k"], since_version=-1, emit_changes=True
+    )
+    wm2 = mirror_from_feed(spark, m1, m2, keys=["k"], since_version=-1)
+
+    def rows(t):
+        return sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+
+    assert rows(m2) == rows(m1) == rows(src) == [(2, "B"), (3, "c"), (9, "i")]
+    # incremental continuation down the chain
+    src.upsert(spark, _df(spark, [(3, "C3")]), keys=["k"], emit_changes=True)
+    wm1 = mirror_from_feed(
+        spark, src, m1, keys=["k"], since_version=wm1, emit_changes=True
+    )
+    mirror_from_feed(spark, m1, m2, keys=["k"], since_version=wm2)
+    assert rows(m2) == rows(m1) == rows(src)
