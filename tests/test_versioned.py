@@ -3657,3 +3657,25 @@ def test_replication_chain_composes(spark, tmp_path):
     )
     mirror_from_feed(spark, m1, m2, keys=["k"], since_version=wm2)
     assert rows(m2) == rows(m1) == rows(src)
+
+
+def test_typed_capture_under_column_mapping(spark, tmp_path):
+    """A captured merge AFTER a rename: the capture group lands under
+    physical names and the typed feed reads back under the CURRENT
+    logical names — column mapping and CDF-for-MERGE compose."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.rename_column("v", "val")  # v1: feed wall + mapping {val: v}
+    t.merge(
+        spark,
+        spark.createDataFrame([(2, "B"), (9, "i")], "k long, val string"),
+        keys=["k"],
+        emit_changes=True,
+    )  # v2: typed capture, physical-named
+    feed = t.read_change_feed(spark, 1)
+    rows = {(r["k"], r["val"], r["_change_type"]) for r in feed.collect()}
+    assert rows == {
+        (2, "b", "delete"),
+        (2, "B", "insert"),
+        (9, "i", "insert"),
+    }

@@ -146,6 +146,9 @@ PROBE_ENTRIES = [
     # round 9: the metadata-only skipping-index backfill — one linear
     # read pass (min/max + bloom position aggs), zero data written
     "storage_analyze_backfill",
+    # round 9: typed capture overhead at FIXED source size — must stay
+    # as flat as the uncaptured fixed-source merge
+    "storage_merge_fixed_source_captured",
     "stream_late_dlq",
     "stream_scd2_enrich",
     "join_salted_skew",
@@ -339,6 +342,32 @@ def _merge_fixed_source(spark, sf_dir):
     ).select("event_id")
 
 
+def _merge_fixed_source_captured(spark, sf_dir):
+    """The fixed-source merge probe with emit_changes=True: the typed
+    capture write must track SOURCE size (one bounded group of
+    preimages+postimages), so the curve should stay as flat as the
+    uncaptured probe's — a capture cost that grew with the table
+    would mean the capture reads outside the candidate set."""
+    from pyspark.sql import functions as F
+
+    from netflow_analysis_with_spark_streaming_spark import tables as T
+    from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+        VersionedTable,
+    )
+
+    root = _MERGE_PROBE_TABLES.get(sf_dir)
+    if root is None:
+        return _merge_fixed_source(spark, sf_dir)  # builds + memoizes
+    t = VersionedTable(root)
+    src = (
+        T.load(spark, "events", sf_dir)
+        .filter(F.col("event_id") < 1000)
+        .select("event_id", "user_id", (F.col("value") + 2).alias("value"))
+    )
+    t.merge(spark, src, keys=["event_id"], emit_changes=True)
+    return t.read_change_feed(spark, t.latest_version() - 1).select("event_id")
+
+
 _ANALYZE_PROBE_TABLES: dict[str, str] = {}
 
 
@@ -457,6 +486,7 @@ def main() -> int:
     qs = dict(Q.all_queries())
     qs["graph_pagerank_nodegrow"] = _pagerank_nodegrow
     qs["storage_merge_fixed_source"] = _merge_fixed_source
+    qs["storage_merge_fixed_source_captured"] = _merge_fixed_source_captured
     qs["storage_analyze_backfill"] = _analyze_backfill
     scale_label = f"{REPLICAS}x"
     results: dict[str, dict] = {}
