@@ -408,8 +408,8 @@ def mirror_from_feed(
     postimage — CDC apply IS feed + merge, no bespoke machinery.
     Row-preserving rewrites in the source (compact / OPTIMIZE)
     contribute no slice and advance nothing; a feed-breaking source
-    commit (overwrite / replace_where / restore / rename / UNCAPTURED
-    delete or merge) raises exactly as read_change_feed does — the
+    commit (overwrite / restore / rename / UNCAPTURED delete, merge,
+    or replace_where) raises exactly as read_change_feed does — the
     mirror must then be re-synced from a snapshot, the same contract
     Delta replication has.
 

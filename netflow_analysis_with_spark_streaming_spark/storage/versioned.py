@@ -128,13 +128,12 @@ _FEED_CAPTURE_ACTIONS = frozenset({"delete", "delete_dv"})
 # emit_changes=True, the Delta CDF-for-MERGE analog). Un-captured
 # raises, exactly like the delete family — merge used to be an
 # unconditional feed wall; now only an uncaptured one is.
-_FEED_TYPED_CAPTURE_ACTIONS = frozenset({"merge", "upsert"})
+_FEED_TYPED_CAPTURE_ACTIONS = frozenset({"merge", "upsert", "replace_where"})
 # feed-breaking by construction: the rowset change is not derivable from
 # manifests alone — consumers must recompute from a full snapshot
 _FEED_BREAKING_ACTIONS = frozenset(
     {
         "overwrite",
-        "replace_where",
         "restore",
         # schema-shape changes: a running stream cannot re-negotiate
         # its output schema mid-flight (Spark's own restriction), so a
@@ -2680,6 +2679,7 @@ class VersionedTable:
         predicate: str,
         prune: tuple[str, object, object] | list[tuple[str, object, object]] | None = None,
         batch_id: int | None = None,
+        emit_changes: bool = False,
     ) -> int:
         """Delta ``replaceWhere``: atomically replace exactly the rows
         matching ``predicate`` with ``df`` — the idempotent backfill
@@ -2688,7 +2688,13 @@ class VersionedTable:
         satisfy ``predicate`` (validated in one agg job; a row outside
         the scope would silently widen the overwrite — Delta rejects
         it and so does this). ``prune`` bounds which file groups can
-        hold matching rows, exactly as in ``delete_where``."""
+        hold matching rows, exactly as in ``delete_where``.
+
+        ``emit_changes=True`` writes a typed capture group (removed
+        rows tagged 'delete', the replacement rows 'insert') so a
+        captured BACKFILL stays feed-consumable — bounded by the
+        replaced scope, never the table. Uncaptured replace_where
+        remains a feed wall."""
         from pyspark.sql import functions as F
 
         version, prev_files, prev_stats = self._snapshot_state()
@@ -2711,6 +2717,7 @@ class VersionedTable:
             {c for f in affected for c in prev_stats.get(f, {}) if c not in _RESERVED_STATS_KEYS}
         )
         old = None
+        changes_rel: str | None = "" if emit_changes else None
         if affected:
             # cached for the same reason as delete_where: the emptiness
             # probe, the write, and the stats agg all consume it.
@@ -2725,6 +2732,24 @@ class VersionedTable:
         new: list[str] = []
         new_stats: dict = {}
         try:
+            if emit_changes:
+                # typed capture: the replaced scope's old rows out, the
+                # replacement rows in — bounded by the scope like the
+                # rewrite itself (the old frame is already persisted)
+                cf = df.withColumn("_change_type", F.lit("insert"))
+                if old is not None:
+                    removed = old.filter(
+                        F.coalesce(F.expr(predicate), F.lit(False))
+                    ).withColumn("_change_type", F.lit("delete"))
+                    cf = removed.unionByName(cf, allowMissingColumns=True)
+                if not cf.isEmpty():
+                    cgroup = uuid.uuid4().hex
+                    self._to_physical(
+                        cf, self._mapping(version - 1) if version else {}
+                    ).write.mode("overwrite").parquet(
+                        os.path.join(self._changes_dir, cgroup)
+                    )
+                    changes_rel = f"changes/{cgroup}"
             if not combined.isEmpty():
                 new, new_stats = self._write_files(
                     combined, stats_cols=stat_cols or None
@@ -2746,6 +2771,7 @@ class VersionedTable:
                     batch_id,
                     stats=stats,
                     version=version,
+                    changes=changes_rel,
                 )
             except CommitConflictError as e:
                 rb = self._rebase_rewrite(

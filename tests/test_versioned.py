@@ -1917,7 +1917,8 @@ def test_mirror_from_feed_replicates_and_replays(spark, tmp_path):
 def test_mirror_from_feed_random_op_sequences(spark, tmp_path):
     """Property: for random op sequences over the feed-derivable
     action set (append / captured CoW delete / captured DV delete /
-    compact), mirror == source snapshot at every sync point."""
+    captured upsert / captured replace_where backfill / compact),
+    mirror == source snapshot at every sync point."""
     import random
 
     from netflow_analysis_with_spark_streaming_spark.storage.incremental import (
@@ -1933,7 +1934,9 @@ def test_mirror_from_feed_random_op_sequences(spark, tmp_path):
     live.update([0, 1])
     next_key = 2
     for step in range(12):
-        op = rng.choice(["append", "delete", "delete_dv", "compact"])
+        op = rng.choice(
+            ["append", "delete", "delete_dv", "compact", "upsert", "replace"]
+        )
         if op == "append" or not live:
             ks = [next_key + i for i in range(rng.randint(1, 3))]
             next_key += len(ks)
@@ -1947,14 +1950,35 @@ def test_mirror_from_feed_random_op_sequences(spark, tmp_path):
             else:
                 src.delete_where_dv(spark, pred, emit_changes=True)
             live.difference_update(victims)
+        elif op == "upsert":
+            hit = rng.sample(sorted(live), min(2, len(live)))
+            rows = [(k, f"u{step}") for k in hit] + [(next_key, f"u{step}")]
+            live.add(next_key)
+            next_key += 1
+            src.upsert(spark, _df(spark, rows), keys=["k"], emit_changes=True)
+        elif op == "replace":
+            scope = rng.sample(sorted(live), min(2, len(live)))
+            pred = "k IN (" + ",".join(map(str, scope)) + ")"
+            keep = scope[: rng.randint(0, len(scope))]
+            src.replace_where(
+                spark,
+                _df(spark, [(k, f"r{step}") for k in keep]),
+                pred,
+                emit_changes=True,
+            )
+            live.difference_update(set(scope) - set(keep))
         else:
             src.compact(spark, target_partitions=1)
         if step % 3 == 2:  # periodic sync
             wm = mirror_from_feed(spark, src, dst, keys=["k"], since_version=wm)
-            got = sorted(r["k"] for r in dst.read(spark).collect())
-            assert got == sorted(live), (step, got, sorted(live))
+            got = sorted((r["k"], r["v"]) for r in dst.read(spark).collect())
+            want = sorted((r["k"], r["v"]) for r in src.read(spark).collect())
+            assert got == want, (step, got, want)
+            assert sorted(k for k, _ in got) == sorted(live)
     wm = mirror_from_feed(spark, src, dst, keys=["k"], since_version=wm)
-    assert sorted(r["k"] for r in dst.read(spark).collect()) == sorted(live)
+    got = sorted((r["k"], r["v"]) for r in dst.read(spark).collect())
+    want = sorted((r["k"], r["v"]) for r in src.read(spark).collect())
+    assert got == want and sorted(k for k, _ in got) == sorted(live)
 
 
 def test_mirror_from_feed_walls_on_feed_breaking_source(spark, tmp_path):
@@ -3679,3 +3703,47 @@ def test_typed_capture_under_column_mapping(spark, tmp_path):
         (2, "B", "insert"),
         (9, "i", "insert"),
     }
+
+
+def test_replace_where_emit_changes(spark, tmp_path):
+    """A captured BACKFILL is feed-consumable: replace_where's typed
+    capture carries the replaced scope's old rows as deletes and the
+    replacement rows as inserts — and a mirror replicates across it.
+    Uncaptured replace_where remains a feed wall."""
+    import pytest
+
+    from netflow_analysis_with_spark_streaming_spark.storage.incremental import (
+        mirror_from_feed,
+    )
+
+    src = VersionedTable(str(tmp_path / "src"))
+    dst = VersionedTable(str(tmp_path / "dst"))
+    src.append_clustered(
+        _df(spark, [(i, f"old{i}") for i in range(40)]), "k", n_groups=2
+    )
+    src.replace_where(
+        spark,
+        _df(spark, [(5, "NEW5"), (7, "NEW7")]),
+        "k >= 0 AND k < 10",
+        prune=("k", 0, 9),
+        emit_changes=True,
+    )
+    feed = src.read_change_feed(spark, 0)
+    rows = {(r["k"], r["v"], r["_change_type"]) for r in feed.collect()}
+    assert rows == {(i, f"old{i}", "delete") for i in range(10)} | {
+        (5, "NEW5", "insert"),
+        (7, "NEW7", "insert"),
+    }
+    wm = mirror_from_feed(spark, src, dst, keys=["k"], since_version=-1)
+
+    def rowset(t):
+        return sorted((r["k"], r["v"]) for r in t.read(spark).collect())
+
+    assert rowset(dst) == rowset(src)
+    assert len(rowset(dst)) == 32  # 40 - 10 replaced-out + 2 in
+    # uncaptured backfill: still a loud wall
+    src.replace_where(
+        spark, _df(spark, [(20, "X")]), "k = 20", prune=("k", 20, 20)
+    )
+    with pytest.raises(ValueError, match="change feed|emit_changes"):
+        mirror_from_feed(spark, src, dst, keys=["k"], since_version=wm)
