@@ -39,7 +39,8 @@ Semantics and scale:
   repo code, no SparkSession, no table handle on the worker.
 - **Feed contract.** Row-preserving rewrites (compact / OPTIMIZE)
   contribute no rows and advance no offset semantics; a
-  feed-breaking commit (overwrite / upsert / merge / uncaptured
+  feed-breaking commit (overwrite / restore / uncaptured merge /
+  uncaptured
   delete) inside a consumed window fails the stream with
   ``read_change_feed``'s own error — the consumer must re-sync from
   a snapshot, the same contract Delta CDF streaming has.

@@ -1776,12 +1776,15 @@ class VersionedTable:
         ``_change_type`` ('insert' | 'delete') and
         ``_commit_version``. Appends contribute inserts from their
         new file groups; deletes contribute their captured change
-        group (``delete_where(..., emit_changes=True)``) — a delete
-        committed WITHOUT capture raises, because its removed rows
-        are not derivable from manifests alone. Other rewrite actions
-        (overwrite/upsert/compact) raise as in ``read_changes``.
-        The version walk lives in ``feed_slices``; this method only
-        turns each slice into a tagged DataFrame."""
+        group (``delete_where(..., emit_changes=True)``); captured
+        merges/upserts/replace_wheres contribute their TYPED capture
+        group (per-row tag — an update is delete preimage + insert
+        postimage). Any of those committed WITHOUT capture raises,
+        because its rowset change is not derivable from manifests
+        alone; overwrite/restore raise unconditionally (table-sized).
+        Row-preserving rewrites (compact/OPTIMIZE/analyze) contribute
+        nothing. The version walk lives in ``feed_slices``; this
+        method only turns each slice into a tagged DataFrame."""
         from pyspark.sql import functions as F
 
         if to_version is None:
@@ -2257,6 +2260,12 @@ class VersionedTable:
           ``when_not_matched_by_source="keep"``. Repeated MoR merges
           accumulate vectors until a compaction sheds them —
           ``maybe_compact`` is the steady-state companion.
+
+        ``emit_changes=True`` writes a TYPED capture group (removed
+        rows tagged 'delete', added rows 'insert'; an update is the
+        delete-preimage + insert-postimage pair) so the commit stays
+        change-feed-consumable — cost bounded by the CHANGE volume,
+        refused for the table-sized full-sync clause.
 
         Unchanged contracts: null-safe key matching (NULL is a legal
         key value), additive-only schema evolution when the source
