@@ -51,8 +51,13 @@ partition/read path — handy for backfills that want the stream's
 exact row set without running a stream.
 
 Options: ``path`` (table root, required), ``startingVersion``
-(stream: first offset, exclusive; default -1), ``sinceVersion`` /
-``toVersion`` (batch window, exclusive / inclusive).
+(stream: first offset, exclusive; default -1) OR
+``startingTimestamp`` (epoch seconds: every commit stamped at or
+after the instant streams — Delta's rule), ``maxVersionsPerTrigger``
+(commit-unit rate limit), ``prune`` (caller-declared stats pruning,
+``[[col, lo, hi], ...]``), ``sinceVersion`` / ``toVersion`` (batch
+window, exclusive / inclusive), ``pushdown`` (batch: opt-in Catalyst
+filter pushdown).
 """
 
 from __future__ import annotations
@@ -500,6 +505,22 @@ class VersionedFeedDataSource(DataSource):
             )
         return root
 
+    def _version_before_timestamp(self, ts: float) -> int:
+        """startingTimestamp resolution (Delta's rule for streams:
+        include every commit stamped AT or AFTER the instant): the
+        exclusive starting offset is the latest version committed
+        strictly BEFORE ``ts``; a timestamp predating the first commit
+        streams from the beginning; one past the last commit streams
+        only future commits."""
+        from .versioned import VersionedTable
+
+        t = VersionedTable(self._root())
+        best = -1
+        for v in t.versions():
+            if (t._manifest(v).get("ts") or 0) < ts:
+                best = v
+        return best
+
     def schema(self) -> StructType:
         from .versioned import VersionedTable
 
@@ -531,7 +552,15 @@ class VersionedFeedDataSource(DataSource):
         )
 
     def streamReader(self, schema: StructType) -> VersionedFeedStreamReader:
-        start = int(self.options.get("startingversion", -1))
+        start_ts = self.options.get("startingtimestamp")
+        if start_ts is not None:
+            if "startingversion" in self.options:
+                raise ValueError(
+                    "set startingVersion OR startingTimestamp, not both"
+                )
+            start = self._version_before_timestamp(float(start_ts))
+        else:
+            start = int(self.options.get("startingversion", -1))
         mvpt = self.options.get("maxversionspertrigger")
         prune_raw = self.options.get("prune")
         prune = (

@@ -528,3 +528,51 @@ def test_stream_serves_typed_merge_capture(spark, tmp_path):
         for r in t.read_change_feed(spark, -1).collect()
     }
     assert batch == got
+
+
+def test_starting_timestamp_resolves_offset(spark, tmp_path):
+    """.option("startingTimestamp", epoch): Delta's stream rule —
+    every commit stamped AT or AFTER the instant streams; earlier
+    history is skipped. Exclusive with startingVersion."""
+    import json as _json
+    import os as _os
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))  # v0
+    t.append(_df(spark, [(2, "b")]))  # v1
+    t.append(_df(spark, [(3, "c")]))  # v2
+    # pin deterministic commit stamps: v0=100, v1=200, v2=300
+    for v, ts in ((0, 100.0), (1, 200.0), (2, 300.0)):
+        p = _os.path.join(t.root, "_log", f"{v:08d}.json")
+        m = _json.load(open(p))
+        m["ts"] = ts
+        _json.dump(m, open(p, "w"), default=str)
+    register_feed_source(spark)
+    reader = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", t.root)
+        .option("startingTimestamp", "200")  # at-or-after v1
+        .load()
+    )
+    _run_once(spark, reader, "feed_ts", str(tmp_path / "ckpt"))
+    got = {(r["k"], r["_commit_version"]) for r in
+           spark.sql("SELECT k, _commit_version FROM feed_ts").collect()}
+    assert got == {(2, 1), (3, 2)}
+    # predating the first commit = from the beginning
+    reader2 = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", t.root)
+        .option("startingTimestamp", "1")
+        .load()
+    )
+    _run_once(spark, reader2, "feed_ts0", str(tmp_path / "ckpt0"))
+    assert spark.sql("SELECT * FROM feed_ts0").count() == 3
+    # both options together: loud error
+    with pytest.raises(Exception, match="not both"):
+        spark.readStream.format(FORMAT_NAME).option("path", t.root).option(
+            "startingVersion", 0
+        ).option("startingTimestamp", "200").load().writeStream.format(
+            "memory"
+        ).queryName("feed_both").option(
+            "checkpointLocation", str(tmp_path / "ckptb")
+        ).trigger(availableNow=True).start().awaitTermination()
