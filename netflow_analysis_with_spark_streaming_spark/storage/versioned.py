@@ -1274,18 +1274,21 @@ class VersionedTable:
     def append_zordered(
         self,
         df: DataFrame,
-        cols: tuple[str, str],
+        cols: tuple,
         n_groups: int = 16,
         bits: int = 8,
     ) -> int:
-        """Two-column Z-order clustered append: rows are sorted along
-        the Morton curve of (cols[0], cols[1]) — each value linearly
-        bucketized to ``bits`` bits off its min/max, bits interleaved
-        — then range-partitioned on the z-value so every file group is
-        a locality square in BOTH dimensions. Manifest stats are
-        recorded for both columns, so prune() on EITHER dimension
-        skips groups (the property 1-D clustering lacks: its
-        non-cluster column spans the full range in every file).
+        """Multi-column Z-order clustered append: rows are sorted
+        along the Morton curve of ``cols`` (N >= 2; each value
+        linearly bucketized to ``bits`` bits off its min/max, bit
+        streams interleaved N-ary) — then range-partitioned on the
+        z-value so every file group is a locality CELL in every
+        dimension. Manifest stats are recorded for all N columns, so
+        prune() on ANY dimension skips groups (the property 1-D
+        clustering lacks: its non-cluster columns span the full range
+        in every file). With more columns use fewer ``bits`` — N*bits
+        must fit a long, and per-dimension selectivity dilutes as
+        1/2^(bits used per dim) anyway (the standard z-order trade).
 
         All expression-level (shift/and/add inside codegen); the only
         driver data is the 2-value min/max row. Numeric columns only —
@@ -1314,14 +1317,14 @@ class VersionedTable:
     def rewrite_zordered(
         self,
         spark: SparkSession,
-        cols: tuple[str, str],
+        cols: tuple,
         n_groups: int = 16,
         bits: int = 8,
     ) -> int:
         """OPTIMIZE ... ZORDER BY: rewrite the CURRENT snapshot along
-        the Morton curve of two columns in one commit — the 2-D
+        the Morton curve of N >= 2 columns in one commit — the N-D
         sibling of rewrite_clustered, for tables whose ingest order
-        left every file spanning both key ranges. Old versions stay
+        left every file spanning the key ranges. Old versions stay
         readable (time travel) until vacuum()."""
         if self.latest_version() is None:
             raise ValueError(f"table {self.root} has no committed version")
@@ -1339,22 +1342,34 @@ class VersionedTable:
         )
 
     def _write_zordered_group(
-        self, df: DataFrame, cols: tuple[str, str], n_groups: int, bits: int
+        self, df: DataFrame, cols: tuple, n_groups: int, bits: int
     ) -> tuple[list[str], dict] | None:
-        """Land ``df`` as one Morton-ordered file group; returns
-        (files, stats) for the caller's commit, or None when the
-        frame has no non-NULL key pair to bucketize."""
+        """Land ``df`` as one Morton-ordered file group over N >= 2
+        columns; returns (files, stats) for the caller's commit, or
+        None when the frame has no non-NULL key tuple to bucketize.
+        Bit i of column j lands at z-position ``len(cols)*i + j`` —
+        the straight N-ary Morton interleave, all expression-level
+        inside codegen. ``len(cols) * bits`` must fit a long (gated);
+        with many columns lower ``bits`` per column is the right
+        trade — the curve only needs enough resolution to separate
+        n_groups locality cells."""
         from pyspark.sql import functions as F
 
-        c1, c2 = cols
+        cols = tuple(cols)
+        n = len(cols)
+        if n < 2:
+            raise ValueError("z-order needs at least two columns")
+        if n * bits > 62:
+            raise ValueError(
+                f"{n} columns x {bits} bits = {n * bits} z-bits "
+                "exceed a long; lower bits (resolution per column)"
+            )
         row = df.agg(
-            F.min(c1).alias("lo1"), F.max(c1).alias("hi1"),
-            F.min(c2).alias("lo2"), F.max(c2).alias("hi2"),
+            *[F.min(c).alias(f"lo_{j}") for j, c in enumerate(cols)],
+            *[F.max(c).alias(f"hi_{j}") for j, c in enumerate(cols)],
         ).collect()[0]
-        if row["lo1"] is None or row["lo2"] is None:
+        if any(row[f"lo_{j}"] is None for j in range(n)):
             return None
-        span1 = max(float(row["hi1"]) - float(row["lo1"]), 1e-12)
-        span2 = max(float(row["hi2"]) - float(row["lo2"]), 1e-12)
         top = (1 << bits) - 1
 
         def bucket(col: str, lo: float, span: float):
@@ -1362,14 +1377,17 @@ class VersionedTable:
                 (F.col(col).cast("double") - F.lit(lo)) / F.lit(span) * top
             ).cast("long")
 
-        b1, b2 = bucket(c1, float(row["lo1"]), span1), bucket(c2, float(row["lo2"]), span2)
+        bs = []
+        for j, c in enumerate(cols):
+            lo = float(row[f"lo_{j}"])
+            span = max(float(row[f"hi_{j}"]) - lo, 1e-12)
+            bs.append(bucket(c, lo, span))
         z = F.lit(0).cast("long")
         for i in range(bits):
-            z = (
-                z
-                + F.shiftleft(F.shiftright(b1, i).bitwiseAND(1), 2 * i)
-                + F.shiftleft(F.shiftright(b2, i).bitwiseAND(1), 2 * i + 1)
-            )
+            for j, b in enumerate(bs):
+                z = z + F.shiftleft(
+                    F.shiftright(b, i).bitwiseAND(1), n * i + j
+                )
         ranged = df.withColumn("_z", z).repartitionByRange(n_groups, "_z").cache()
         try:
             ranged.count()
@@ -1382,8 +1400,8 @@ class VersionedTable:
             stat_rows = (
                 with_bucket.groupBy("_rb")
                 .agg(
-                    F.min(c1).alias("lo1"), F.max(c1).alias("hi1"),
-                    F.min(c2).alias("lo2"), F.max(c2).alias("hi2"),
+                    *[F.min(c).alias(f"lo_{j}") for j, c in enumerate(cols)],
+                    *[F.max(c).alias(f"hi_{j}") for j, c in enumerate(cols)],
                     F.count(F.lit(1)).alias("n"),
                 )
                 .collect()
@@ -1393,8 +1411,10 @@ class VersionedTable:
         files = [f"data/{group}/_rb={r['_rb']}" for r in stat_rows]
         stats = {
             f"data/{group}/_rb={r['_rb']}": {
-                c1: [r["lo1"], r["hi1"]],
-                c2: [r["lo2"], r["hi2"]],
+                **{
+                    c: [r[f"lo_{j}"], r[f"hi_{j}"]]
+                    for j, c in enumerate(cols)
+                },
                 _ROWS_KEY: r["n"],
             }
             for r in stat_rows

@@ -3747,3 +3747,43 @@ def test_replace_where_emit_changes(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="change feed|emit_changes"):
         mirror_from_feed(spark, src, dst, keys=["k"], since_version=wm)
+
+
+def test_zorder_three_columns_prunes_every_dimension(spark, tmp_path):
+    """N-column z-order (round 9 generalization from 2): a 3-D Morton
+    layout gives selective pruning on EACH of the three dimensions,
+    values round-trip exactly, and the 2-D call path is the N=2
+    special case of the same code."""
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "t"))
+    df = spark.range(4096).selectExpr(
+        "id AS a",
+        "CAST(pmod(id * 37, 4096) AS LONG) AS b",
+        "CAST(pmod(id * 101, 4096) AS LONG) AS c",
+        "CAST(id AS STRING) AS v",
+    )
+    t.append_zordered(df, ("a", "b", "c"), n_groups=16, bits=6)
+    total = len(t.snapshot_files())
+    assert total == 16
+    for col in ("a", "b", "c"):
+        kept = len(t.snapshot_files(prune=(col, 0, 255)))
+        assert kept < total, f"no pruning on {col}: {kept}/{total}"
+    # conjunctive multi-dimension prune is tighter than any single one
+    multi = len(
+        t.snapshot_files(
+            prune=[("a", 0, 255), ("b", 0, 255), ("c", 0, 255)]
+        )
+    )
+    assert multi <= min(
+        len(t.snapshot_files(prune=(c, 0, 255))) for c in ("a", "b", "c")
+    )
+    got = sorted(r["a"] for r in t.read(spark, prune=("a", 0, 255)).filter("a < 256").collect())
+    assert got == list(range(256))
+    assert t.count_rows() == 4096
+    # bit-budget gate: 62 bits is the long ceiling
+    with pytest.raises(ValueError, match="z-bits"):
+        t.append_zordered(df, ("a", "b", "c"), bits=21)
+    # N=1 refused
+    with pytest.raises(ValueError, match="at least two"):
+        t.append_zordered(df, ("a",))
