@@ -3326,6 +3326,8 @@ class VersionedTable:
                 if dv_rows is None or not os.path.isdir(p)
                 else dv_rows + _footer_rows(p)
             )
+        ch = m.get("changes")
+        ch_dir = os.path.join(self.root, ch) if ch else None
         return {
             "version": version,
             "action": m["action"],
@@ -3334,6 +3336,15 @@ class VersionedTable:
             "rows_added": _rows(m, added),
             "rows_removed": _rows(prev, removed),
             "rows_dv_invalidated": dv_rows,
+            # change-capture volume (delete preimages, or the typed
+            # merge capture's delete+insert rows): footer metadata of
+            # the capture group; 0 = capture on but empty, None =
+            # capture off or the group already vacuumed
+            "rows_captured": (
+                None
+                if ch is None or (ch and not os.path.isdir(ch_dir))
+                else (_footer_rows(ch_dir) if ch else 0)
+            ),
         }
 
     def fsck(self) -> list[str]:

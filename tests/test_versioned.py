@@ -3787,3 +3787,25 @@ def test_zorder_three_columns_prunes_every_dimension(spark, tmp_path):
     # N=1 refused
     with pytest.raises(ValueError, match="at least two"):
         t.append_zordered(df, ("a",))
+
+
+def test_operation_metrics_rows_captured_and_minmax_after_rename(spark, tmp_path):
+    """operation_metrics reports the change-capture volume (delete
+    preimages / typed merge rows; None = capture off), and
+    metadata_min_max answers on the RENAMED column name after a
+    metadata-only rename (stats re-keyed in the same commit)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append_clustered(_df(spark, [(i, "x") for i in range(50)]), "k", n_groups=2)
+    t.delete_where(spark, "k < 5", prune=("k", 0, 4), emit_changes=True)  # v1
+    m1 = t.operation_metrics(1)
+    assert m1["rows_captured"] == 5
+    t.merge(
+        spark, _df(spark, [(10, "M"), (99, "N")]), keys=["k"], emit_changes=True
+    )  # v2: typed capture = 1 preimage + 2 postimages
+    m2 = t.operation_metrics(2)
+    assert m2["rows_captured"] == 3
+    t.delete_where(spark, "k = 20", prune=("k", 20, 20))  # v3: capture off
+    assert t.operation_metrics(3)["rows_captured"] is None
+    t.rename_column("k", "id")
+    assert t.metadata_min_max("id") == (5, 99)
+    assert t.metadata_min_max("k") is None  # old name gone with the stats key
