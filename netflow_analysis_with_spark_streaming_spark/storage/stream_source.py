@@ -208,6 +208,31 @@ def _prune_triples_to_filters(triples: list) -> list:
     return out
 
 
+def _prune_slices(t, slices: list, filters: list) -> list:
+    """Stats-prune each slice's file groups against ``filters`` — one
+    manifest read per slice; capture groups carry no stats and are
+    conservatively kept. Shared by the stream reader, the Catalyst
+    pushdown reader, and the explicit-prune bounded reader so the
+    skipping semantics cannot diverge."""
+    pruned = []
+    for v, change, groups in slices:
+        stats = t._manifest(v).get("stats") or {}
+        pruned.append(
+            (
+                v,
+                change,
+                [
+                    g
+                    for g in groups
+                    if PruningFeedBatchReader._group_may_match(
+                        stats.get(g) or {}, filters
+                    )
+                ],
+            )
+        )
+    return pruned
+
+
 class VersionedFeedStreamReader(DataSourceStreamReader):
     """Commit versions as offsets over VersionedTable.feed_slices.
 
@@ -270,26 +295,7 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         t = VersionedTable(self._root)
         slices = t.feed_slices(s, e)
         if self._prune_filters:
-            # one manifest read per slice; capture groups carry no
-            # stats and are conservatively kept (same policy as the
-            # batch pushdown path)
-            pruned = []
-            for v, change, groups in slices:
-                stats = t._manifest(v).get("stats") or {}
-                pruned.append(
-                    (
-                        v,
-                        change,
-                        [
-                            g
-                            for g in groups
-                            if PruningFeedBatchReader._group_may_match(
-                                stats.get(g) or {}, self._prune_filters
-                            )
-                        ],
-                    )
-                )
-            slices = pruned
+            slices = _prune_slices(t, slices, self._prune_filters)
         return _slice_partitions(
             t.root, slices, self._schema_json, t._mapping(e)
         )
@@ -463,27 +469,32 @@ class PruningFeedBatchReader(VersionedFeedBatchReader):
         if self._prune_filters:
             # per-slice stats from the COMMIT that added the groups —
             # always present for stat-carrying appends, regardless of
-            # later compactions (capture groups carry no stats and are
-            # conservatively kept). One manifest read per slice — NOT
-            # per group — so planning stays one JSON per commit even
-            # for wide commits.
-            pruned = []
-            for v, change, groups in slices:
-                stats = t._manifest(v).get("stats") or {}
-                pruned.append(
-                    (
-                        v,
-                        change,
-                        [
-                            g
-                            for g in groups
-                            if self._group_may_match(
-                                stats.get(g) or {}, self._prune_filters
-                            )
-                        ],
-                    )
-                )
-            slices = pruned
+            # later compactions. One manifest read per slice, never
+            # per group.
+            slices = _prune_slices(t, slices, self._prune_filters)
+        end = self._to if self._to is not None else t.latest_version()
+        return _slice_partitions(
+            t.root, slices, self._schema_json, t._mapping(end)
+        )
+
+
+class ExplicitPruneFeedBatchReader(VersionedFeedBatchReader):
+    """The bounded reader plus CALLER-DECLARED stats pruning
+    (.option("prune", '[[col, lo, hi], ...]')) — the vanilla-session
+    twin of PruningFeedBatchReader: same _prune_slices skipping, no
+    pushFilters implementation, so it needs no
+    spark.sql.python.filterPushdown conf. The consumer still applies
+    its exact filter (superset guarantee)."""
+
+    _prune_filters: list = []
+
+    def partitions(self) -> Sequence[InputPartition]:
+        from .versioned import VersionedTable
+
+        t = VersionedTable(self._root)
+        slices = t.feed_slices(self._since, self._to)
+        if self._prune_filters:
+            slices = _prune_slices(t, slices, self._prune_filters)
         end = self._to if self._to is not None else t.latest_version()
         return _slice_partitions(
             t.root, slices, self._schema_json, t._mapping(end)
@@ -584,9 +595,18 @@ class VersionedFeedDataSource(DataSource):
             if str(self.options.get("pushdown", "")).lower() == "true"
             else VersionedFeedBatchReader
         )
-        return cls(
+        prune_raw = self.options.get("prune")
+        if prune_raw and cls is VersionedFeedBatchReader:
+            # explicit caller-declared bound — works on VANILLA
+            # sessions (ExplicitPruneFeedBatchReader implements no
+            # pushFilters, so no filterPushdown conf is needed)
+            cls = ExplicitPruneFeedBatchReader
+        r = cls(
             self._root(), schema, since, int(to_raw) if to_raw is not None else None
         )
+        if prune_raw:
+            r._prune_filters = _prune_triples_to_filters(json.loads(prune_raw))
+        return r
 
 
 def register_feed_source(spark) -> None:

@@ -1439,6 +1439,51 @@ class VersionedTable:
             )
         return best
 
+    def restore_to_timestamp(self, ts: float) -> int:
+        """RESTORE TABLE ... TO TIMESTAMP AS OF: restore to the
+        snapshot a reader at wall-clock ``ts`` would have seen
+        (``version_at_timestamp`` resolution), with restore's full
+        vacuum-race discipline."""
+        return self.restore(self.version_at_timestamp(ts))
+
+    def detail(self) -> dict:
+        """DESCRIBE DETAIL: one metadata-only summary of the current
+        snapshot — version, protocol, file/row counts, on-disk bytes
+        of the LIVE data groups, schema, column mapping, deletion-
+        vector presence, CHECK constraints, and commit timestamp. No
+        SparkSession, no data pages; byte sizes are os.stat walks of
+        the live groups (bounded by file count)."""
+        lv = self.latest_version()
+        if lv is None:
+            raise ValueError(f"table {self.root} has no committed version")
+        m = self._manifest(lv)
+        size = 0
+        for f in m["files"]:
+            base = os.path.join(self.root, f)
+            for dirpath, _dirs, files in os.walk(base):
+                for fn in files:
+                    try:
+                        size += os.path.getsize(os.path.join(dirpath, fn))
+                    except OSError:
+                        pass
+        return {
+            "format": "versioned-manifest/parquet",
+            "location": os.path.abspath(self.root),
+            "version": lv,
+            "writer_version": m.get("writer_version", 1),
+            "num_files": len(m["files"]),
+            "num_rows": self.count_rows(lv),
+            "size_bytes": size,
+            "created_ts": (self._manifest(0).get("ts") or None),
+            "last_modified_ts": (m.get("ts") or None),
+            "schema": m["schema"],
+            "column_mapping": m.get("column_mapping") or {},
+            "retired_physical": m.get("retired_physical") or [],
+            "has_deletion_vectors": bool(m.get("dvs")),
+            "check_constraints": self.check_constraints(),
+            "num_versions": len(self.versions()),
+        }
+
     def count_rows(self, version: int | None = None) -> int:
         """Metadata-only COUNT(*) (Delta/Iceberg's metadata-only
         query): the snapshot's exact row count computed WITHOUT a

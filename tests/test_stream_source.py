@@ -576,3 +576,38 @@ def test_starting_timestamp_resolves_offset(spark, tmp_path):
         ).queryName("feed_both").option(
             "checkpointLocation", str(tmp_path / "ckptb")
         ).trigger(availableNow=True).start().awaitTermination()
+
+
+def test_bounded_reader_explicit_prune_on_vanilla_session(spark, tmp_path):
+    """.option("prune", json) on the BOUNDED reader: caller-declared
+    stats pruning with NO pushFilters implementation, so it works on a
+    vanilla session (no spark.sql.python.filterPushdown conf). Planned
+    scan partitions shrink; rows stay exact under the consumer's own
+    filter."""
+    t = VersionedTable(str(tmp_path / "t"))
+    df = spark.range(1000).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    t.append_clustered(df, "k", n_groups=8)
+    register_feed_source(spark)
+    import json as _json
+
+    def scan_parts(frame):
+        return (
+            frame.withColumn("p", F.spark_partition_id())
+            .select("p")
+            .distinct()
+            .count()
+        )
+
+    base = spark.read.format(FORMAT_NAME).option("path", t.root).load()
+    pruned = (
+        spark.read.format(FORMAT_NAME)
+        .option("path", t.root)
+        .option("prune", _json.dumps([["k", 0, 99]]))
+        .load()
+    )
+    assert scan_parts(base) == 8
+    assert scan_parts(pruned) == 1
+    got = sorted(
+        r["k"] for r in pruned.filter("k BETWEEN 0 AND 99").collect()
+    )
+    assert got == list(range(100))

@@ -3809,3 +3809,32 @@ def test_operation_metrics_rows_captured_and_minmax_after_rename(spark, tmp_path
     t.rename_column("k", "id")
     assert t.metadata_min_max("id") == (5, 99)
     assert t.metadata_min_max("k") is None  # old name gone with the stats key
+
+
+def test_detail_and_restore_to_timestamp(spark, tmp_path):
+    """DESCRIBE DETAIL summarizes the snapshot metadata-only, and
+    RESTORE ... TO TIMESTAMP resolves through version_at_timestamp."""
+    import json as _json
+    import os as _os
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.delete_where_dv(spark, "k = 2")
+    t.rename_column("v", "val")
+    d = t.detail()
+    assert d["version"] == 2 and d["num_versions"] == 3
+    assert d["writer_version"] == 3  # mapping present
+    assert d["num_rows"] == 1 and d["num_files"] == 1
+    assert d["size_bytes"] > 0
+    assert d["column_mapping"] == {"val": "v"}
+    assert d["has_deletion_vectors"] is True
+    # pin stamps, then restore to the instant of v0
+    for v, ts in ((0, 100.0), (1, 200.0), (2, 300.0)):
+        p = _os.path.join(t.root, "_log", f"{v:08d}.json")
+        m = _json.load(open(p))
+        m["ts"] = ts
+        _json.dump(m, open(p, "w"), default=str)
+    t.restore_to_timestamp(150.0)  # latest at-or-before 150 = v0
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    assert t.history()[-1]["action"] == "restore"
