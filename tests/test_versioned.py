@@ -1133,6 +1133,12 @@ def test_model_based_op_sequences(spark):
         for v, snap in snapshots:  # time travel reproduces history
             got = {r["k"]: r["v"] for r in t.read(spark, version=v).collect()}
             assert got == snap, (seed, v)
+        # end-of-history invariants: DESCRIBE DETAIL agrees with the
+        # model, integrity check clean, whatever ops the seed rolled
+        d = t.detail()
+        assert d["num_rows"] == len(model) == t.count_rows(), seed
+        assert d["version"] == t.latest_version()
+        assert t.fsck() == [], seed
 
 
 def test_ivm_randomized_differential(spark):
