@@ -325,10 +325,16 @@ class VersionedFeedBatchReader(DataSourceReader):
         from .versioned import VersionedTable
 
         t = VersionedTable(self._root)
+        # resolve the window end ONCE and pass it as feed_slices'
+        # explicit to_version: letting feed_slices re-resolve latest
+        # on its own admits a TOCTOU where a commit (e.g. a
+        # rename_column) landing between the two resolutions makes the
+        # mapping used for physical-name translation disagree with the
+        # planned slice window
         end = self._to if self._to is not None else t.latest_version()
         return _slice_partitions(
             t.root,
-            t.feed_slices(self._since, self._to),
+            t.feed_slices(self._since, end),
             self._schema_json,
             t._mapping(end),
         )
@@ -350,6 +356,12 @@ class PruningFeedBatchReader(VersionedFeedBatchReader):
         self, root: str, schema: StructType, since: int, to: int | None
     ):
         super().__init__(root, schema, since, to)
+        # _explicit_prune holds caller-declared .option("prune", ...)
+        # bounds; pushFilters UNIONS Catalyst's pushed filters with
+        # them rather than replacing (AND semantics — both bounds
+        # hold), so combining the two options never silently discards
+        # the caller's declared skipping bound.
+        self._explicit_prune: list = []
         self._prune_filters: list = []
 
     def pushFilters(self, filters):
@@ -381,7 +393,7 @@ class PruningFeedBatchReader(VersionedFeedBatchReader):
             LessThan,
             LessThanOrEqual,
         )
-        self._prune_filters = [
+        self._prune_filters = list(self._explicit_prune) + [
             f
             for f in filters
             if isinstance(f, usable) and len(f.attribute) == 1
@@ -465,14 +477,19 @@ class PruningFeedBatchReader(VersionedFeedBatchReader):
         from .versioned import VersionedTable
 
         t = VersionedTable(self._root)
-        slices = t.feed_slices(self._since, self._to)
+        # end resolved ONCE, before feed_slices, and passed through as
+        # its to_version — same TOCTOU guard as the base reader (a
+        # rename committing between two independent latest_version()
+        # resolutions would translate physical names with a mapping
+        # newer than the planned window)
+        end = self._to if self._to is not None else t.latest_version()
+        slices = t.feed_slices(self._since, end)
         if self._prune_filters:
             # per-slice stats from the COMMIT that added the groups —
             # always present for stat-carrying appends, regardless of
             # later compactions. One manifest read per slice, never
             # per group.
             slices = _prune_slices(t, slices, self._prune_filters)
-        end = self._to if self._to is not None else t.latest_version()
         return _slice_partitions(
             t.root, slices, self._schema_json, t._mapping(end)
         )
@@ -492,10 +509,11 @@ class ExplicitPruneFeedBatchReader(VersionedFeedBatchReader):
         from .versioned import VersionedTable
 
         t = VersionedTable(self._root)
-        slices = t.feed_slices(self._since, self._to)
+        # end resolved once, before feed_slices — see the base reader
+        end = self._to if self._to is not None else t.latest_version()
+        slices = t.feed_slices(self._since, end)
         if self._prune_filters:
             slices = _prune_slices(t, slices, self._prune_filters)
-        end = self._to if self._to is not None else t.latest_version()
         return _slice_partitions(
             t.root, slices, self._schema_json, t._mapping(end)
         )
@@ -605,7 +623,13 @@ class VersionedFeedDataSource(DataSource):
             self._root(), schema, since, int(to_raw) if to_raw is not None else None
         )
         if prune_raw:
-            r._prune_filters = _prune_triples_to_filters(json.loads(prune_raw))
+            explicit = _prune_triples_to_filters(json.loads(prune_raw))
+            r._prune_filters = explicit
+            if isinstance(r, PruningFeedBatchReader):
+                # pushFilters unions the pushed query filters with the
+                # caller-declared bound instead of clobbering it — both
+                # skipping bounds apply (AND)
+                r._explicit_prune = explicit
         return r
 
 

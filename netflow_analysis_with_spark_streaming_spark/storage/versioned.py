@@ -510,6 +510,21 @@ class VersionedTable:
             return {}
         return dict(self._manifest(version).get("column_mapping") or {})
 
+    def _mapping_identity(
+        self, version: int | None
+    ) -> tuple[dict[str, str], list[str]]:
+        """(column_mapping, retired_physical) of snapshot ``version``
+        in canonical form — the pair whose IDENTITY append's conflict
+        retry and _rebase_rewrite's walk both require: files written
+        under one mapping must never be published under another."""
+        if version is None or version < 0:
+            return {}, []
+        m = self._manifest(version)
+        return (
+            dict(m.get("column_mapping") or {}),
+            sorted(m.get("retired_physical") or []),
+        )
+
     def _write_files(
         self,
         df: DataFrame,
@@ -532,10 +547,12 @@ class VersionedTable:
         # files land under PHYSICAL names; the stats/bloom aggs below
         # stay on the logical frame so the skipping index keys by the
         # names readers prune with. Default mapping = the current
-        # snapshot's: safe under races because a rename landing after
-        # the caller's pin makes its commit fail closed (the rebase
-        # walk requires mapping identity), so a published commit's
-        # files always used its parent's mapping.
+        # snapshot's: safe under races because every publish path
+        # requires mapping identity — rewrites via _rebase_rewrite's
+        # walk, appends via the retry loop's _mapping_identity check
+        # (which re-writes the group under the fresh mapping when a
+        # rename/drop won the race) — so a published commit's files
+        # always used its parent's mapping.
         if mapping is None:
             mapping = self._mapping()
         self._to_physical(df, mapping).write.mode("overwrite").parquet(out)
@@ -640,6 +657,28 @@ class VersionedTable:
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(cons, f)
         os.replace(tmp, self._constraints_path())
+
+    def _constraints_referencing(self, column: str) -> list[str]:
+        """Names of CHECK constraints whose predicate references
+        ``column`` as an identifier. Conservative lexical scan: string
+        literals are stripped first so 'value' inside a quoted string
+        doesn't count, then the column must appear as a standalone
+        identifier token (bare or backtick-quoted). Used by
+        rename_column/drop_column to refuse mutating a constrained
+        column — Delta's stance too — because otherwise every later
+        write's _enforce would raise unresolved-column and the table
+        would be wedged until the constraint is manually dropped."""
+        import re
+
+        hits = []
+        ident = re.compile(
+            r"(?<![A-Za-z0-9_])" + re.escape(column) + r"(?![A-Za-z0-9_])"
+        )
+        for name, pred in self.check_constraints().items():
+            stripped = re.sub(r"'(?:[^']|'')*'", "''", pred)
+            if ident.search(stripped) or f"`{column}`" in stripped:
+                hits.append(name)
+        return hits
 
     def _enforce(self, df: DataFrame) -> None:
         """Validate incoming rows against every CHECK constraint in
@@ -907,7 +946,17 @@ class VersionedTable:
             return self.latest_version()  # replay: no-op before any write
         self._enforce(df)
         schema_json = self._evolved_schema_json(df, version)
-        new, new_stats = self._write_files(df, stats_cols, bloom_cols)
+        # pin the mapping the files are physically written under: the
+        # retry loop below must fail-close (re-write, actually) if a
+        # concurrent rename/drop changes it — appends never go through
+        # _rebase_rewrite, so without this check a retry could commit
+        # files whose physical names no longer match the new mapping
+        # (renamed a->b then concurrent b->c: appended 'b' bytes would
+        # surface under 'c' or read NULL — silent mis-binding).
+        write_mapping, write_retired = self._mapping_identity(version - 1)
+        new, new_stats = self._write_files(
+            df, stats_cols, bloom_cols, mapping=write_mapping
+        )
         # Blind appends COMMUTE with every other commit (they only add
         # files), so a lost version race is auto-resolved Delta-style:
         # re-pin the fresh snapshot and re-publish the SAME already
@@ -938,6 +987,22 @@ class VersionedTable:
                 # conflict check re-raises if the winner is now
                 # irreconcilable with this frame)
                 schema_json = self._evolved_schema_json(df, version)
+                fresh_mapping, fresh_retired = self._mapping_identity(
+                    version - 1
+                )
+                if (
+                    fresh_mapping != write_mapping
+                    or fresh_retired != write_retired
+                ):
+                    # a rename/drop won the race: the already-written
+                    # group's physical names bind to the OLD mapping.
+                    # Re-write the group under the fresh mapping and
+                    # publish that instead (the stale group is
+                    # unreferenced; fsck/vacuum reclaims it).
+                    write_mapping, write_retired = fresh_mapping, fresh_retired
+                    new, new_stats = self._write_files(
+                        df, stats_cols, bloom_cols, mapping=write_mapping
+                    )
         raise conflict
 
     def _write_clustered_group(
@@ -1446,6 +1511,20 @@ class VersionedTable:
         vacuum-race discipline."""
         return self.restore(self.version_at_timestamp(ts))
 
+    def _created_ts(self) -> float | None:
+        """Creation timestamp for DESCRIBE DETAIL: manifest 0's commit
+        ts when it survives, else the OLDEST surviving manifest's
+        (vacuum deletes manifests past the retention horizon, so a
+        long-lived table's version 0 is gone in the steady state —
+        detail() must not raise on exactly the tables it matters
+        for)."""
+        for v in self.versions():
+            try:
+                return self._manifest(v).get("ts") or None
+            except FileNotFoundError:
+                continue
+        return None
+
     def detail(self) -> dict:
         """DESCRIBE DETAIL: one metadata-only summary of the current
         snapshot — version, protocol, file/row counts, on-disk bytes
@@ -1474,7 +1553,7 @@ class VersionedTable:
             "num_files": len(m["files"]),
             "num_rows": self.count_rows(lv),
             "size_bytes": size,
-            "created_ts": (self._manifest(0).get("ts") or None),
+            "created_ts": self._created_ts(),
             "last_modified_ts": (m.get("ts") or None),
             "schema": m["schema"],
             "column_mapping": m.get("column_mapping") or {},
@@ -3000,6 +3079,14 @@ class VersionedTable:
             raise ValueError(f"rename_column: no column {old!r} in {names}")
         if new in names:
             raise ValueError(f"rename_column: column {new!r} already exists")
+        refs = self._constraints_referencing(old)
+        if refs:
+            raise ValueError(
+                f"rename_column: column {old!r} is referenced by CHECK "
+                f"constraint(s) {refs}; drop the constraint(s) first "
+                "(renaming under them would wedge every later write on "
+                "an unresolved column)"
+            )
         mapping = dict(m.get("column_mapping") or {})
         retired = list(m.get("retired_physical") or [])
         phys = mapping.pop(old, old)
@@ -3061,6 +3148,12 @@ class VersionedTable:
             raise ValueError(f"drop_column: no column {name!r} in {names}")
         if len(names) == 1:
             raise ValueError("drop_column: cannot drop the only column")
+        refs = self._constraints_referencing(name)
+        if refs:
+            raise ValueError(
+                f"drop_column: column {name!r} is referenced by CHECK "
+                f"constraint(s) {refs}; drop the constraint(s) first"
+            )
         mapping = dict(m.get("column_mapping") or {})
         retired = list(m.get("retired_physical") or [])
         phys = mapping.pop(name, name)

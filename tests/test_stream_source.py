@@ -611,3 +611,95 @@ def test_bounded_reader_explicit_prune_on_vanilla_session(spark, tmp_path):
         r["k"] for r in pruned.filter("k BETWEEN 0 AND 99").collect()
     )
     assert got == list(range(100))
+
+
+# --- round-10 ADVICE regressions ----------------------------------------
+
+
+def test_bounded_reader_prune_and_pushdown_union(spark, tmp_path):
+    """ADVICE r9 #4: .option('prune', ...) combined with
+    .option('pushdown','true') keeps BOTH skipping bounds (AND):
+    pushFilters unions the pushed query filters with the caller's
+    declared triples instead of clobbering them. With no query filter
+    at all, the explicit bound alone must still prune the scan."""
+    import json as _json
+
+    t = VersionedTable(str(tmp_path / "t"))
+    df = spark.range(1000).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    t.append_clustered(df, "k", n_groups=8)
+    register_feed_source(spark)
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+
+        def scan_parts(frame):
+            return (
+                frame.withColumn("p", F.spark_partition_id())
+                .select("p")
+                .distinct()
+                .count()
+            )
+
+        both = (
+            spark.read.format(FORMAT_NAME)
+            .option("path", t.root)
+            .option("pushdown", "true")
+            .option("prune", _json.dumps([["k", 0, 249]]))
+            .load()
+        )
+        # no query filter: the explicit bound alone prunes 8 -> 2
+        assert scan_parts(both) == 2
+        # query filter intersects with the declared bound: 1 group
+        narrowed = both.filter("k < 100")
+        assert scan_parts(narrowed) == 1
+        assert sorted(r["k"] for r in narrowed.collect()) == list(range(100))
+        # the declared bound still applies alongside the pushed one
+        rows = both.filter("k BETWEEN 0 AND 249").collect()
+        assert sorted(r["k"] for r in rows) == list(range(250))
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def test_bounded_readers_resolve_window_end_once(spark, tmp_path, monkeypatch):
+    """ADVICE r9 #5: every bounded reader resolves the window end ONCE
+    and passes it as feed_slices' to_version — feed_slices must never
+    re-resolve its own (later) latest, or a rename committing between
+    the two resolutions mis-binds physical names (TOCTOU)."""
+    import json as _json
+
+    from netflow_analysis_with_spark_streaming_spark.storage import (
+        stream_source as ss,
+    )
+    from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+        VersionedTable as VT,
+    )
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    seen = []
+    real = VT.feed_slices
+
+    def spying(self, since, to=None, *a, **kw):
+        seen.append(to)
+        return real(self, since, to, *a, **kw)
+
+    monkeypatch.setattr(VT, "feed_slices", spying)
+    schema = (
+        spark.read.format(FORMAT_NAME).option("path", t.root).load().schema
+    )
+    data_schema = ss._data_schema(schema)
+    for cls in (
+        ss.VersionedFeedBatchReader,
+        ss.PruningFeedBatchReader,
+        ss.ExplicitPruneFeedBatchReader,
+    ):
+        seen.clear()
+        r = cls(t.root, data_schema, -1, None)
+        if cls is not ss.VersionedFeedBatchReader:
+            r._prune_filters = ss._prune_triples_to_filters([["k", 0, 99]])
+        r.partitions()
+        assert seen == [t.latest_version()], cls.__name__

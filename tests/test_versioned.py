@@ -3844,3 +3844,126 @@ def test_detail_and_restore_to_timestamp(spark, tmp_path):
     got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
     assert got == {(1, "a"), (2, "b")}
     assert t.history()[-1]["action"] == "restore"
+
+
+# --- round-10 ADVICE regressions ----------------------------------------
+
+
+def test_detail_after_vacuum_past_version_zero(spark, tmp_path):
+    """ADVICE r9 #1: DESCRIBE DETAIL on a table whose version-0
+    manifest was vacuumed away (the steady state for long-lived
+    tables) must fall back to the oldest SURVIVING manifest's ts, not
+    raise FileNotFoundError."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    t = VersionedTable(str(tmp_path / "t"))
+    for i in range(4):
+        t.overwrite(_df(spark, [(i, "x")]))
+    # backdate v0/v1 far beyond any retention window, then vacuum them
+    for v, age in ((0, 5000.0), (1, 4000.0)):
+        p = _os.path.join(t.root, "_log", f"{v:08d}.json")
+        m = _json.load(open(p))
+        m["ts"] = _time.time() - age
+        _json.dump(m, open(p, "w"))
+    t.vacuum(keep_last=1, min_age_s=0, retain_s=600.0)
+    assert t.versions()[0] > 0  # v0 manifest is gone
+    d = t.detail()
+    assert d["version"] == 3 and d["num_rows"] == 1
+    # created_ts degraded to the oldest surviving commit's stamp
+    oldest = t._manifest(t.versions()[0]).get("ts")
+    assert d["created_ts"] == oldest
+
+
+def test_append_retry_rewrites_under_fresh_mapping(spark, tmp_path):
+    """ADVICE r9 #2: an append losing its commit race to a concurrent
+    RENAME must not publish the already-written group (its physical
+    names bind to the superseded mapping — silent mis-binding); the
+    retry re-writes the group under the fresh mapping. Scenario is the
+    advisor's: v renamed to b, writer appends a (k, b) frame, a
+    concurrent rename b -> c wins the race mid-commit. The appended
+    value must surface under logical 'b' (a fresh column), never under
+    'c'."""
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.append(_df(spark, [(1, "a")]))  # v0: columns (k, v)
+    t.rename_column("v", "b")  # v1: mapping {b: v}
+    loser = VersionedTable(root)
+    real_commit = loser._commit
+
+    def racing_commit(*args, **kw):
+        if not hasattr(racing_commit, "fired"):
+            racing_commit.fired = True
+            VersionedTable(root).rename_column("b", "c")  # claims v2
+        return real_commit(*args, **kw)
+
+    loser._commit = racing_commit
+    v = loser.append(
+        spark.createDataFrame([(3, "l")], "k long, b string")
+    )
+    assert v == 3
+    got = {r["k"]: (r["c"], r["b"]) for r in t.read(spark).collect()}
+    # old row reads under 'c' (physical v); appended row's value binds
+    # to the re-added logical 'b' — NOT mis-bound under 'c'
+    assert got[1] == ("a", None)
+    assert got[3] == (None, "l")
+
+
+def test_append_retry_fails_closed_on_concurrent_drop(spark, tmp_path):
+    """ADVICE r9 #2 (drop flavor): a concurrent DROP COLUMN retiring
+    the physical the append just wrote must fail the retry closed
+    (SchemaEvolutionError via the retired-name guard) — never
+    resurrect the dropped column's bytes by publishing the stale
+    group."""
+    import pytest
+
+    from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+        SchemaEvolutionError,
+    )
+
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.append(_df(spark, [(1, "a")]))  # v0: (k, v)
+    loser = VersionedTable(root)
+    real_commit = loser._commit
+
+    def racing_commit(*args, **kw):
+        if not hasattr(racing_commit, "fired"):
+            racing_commit.fired = True
+            VersionedTable(root).drop_column("v")  # retires physical 'v'
+        return real_commit(*args, **kw)
+
+    loser._commit = racing_commit
+    with pytest.raises(SchemaEvolutionError, match="physical"):
+        loser.append(_df(spark, [(3, "l")]))
+    # nothing published: table is the winner's snapshot
+    assert set(t.read(spark).columns) == {"k"}
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1]
+
+
+def test_rename_drop_refuse_constrained_column(spark, tmp_path):
+    """ADVICE r9 #3: renaming/dropping a column referenced by a CHECK
+    constraint is refused (Delta's stance) — otherwise every later
+    write's _enforce raises unresolved-column and the table is wedged.
+    String literals in predicates don't count as references; dropping
+    the constraint unblocks the rename."""
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.set_check_constraint("k_pos", "k > 0")
+    t.set_check_constraint("v_lit", "v != 'k'")  # 'k' only as a literal
+    with pytest.raises(ValueError, match="CHECK"):
+        t.rename_column("k", "id")
+    with pytest.raises(ValueError, match="CHECK"):
+        t.drop_column("k")
+    # the literal-only reference must NOT block v's rename on account
+    # of k; v itself is referenced by v_lit though
+    with pytest.raises(ValueError, match="CHECK"):
+        t.rename_column("v", "w")
+    t.drop_check_constraint("v_lit")
+    t.rename_column("v", "w")  # unblocked
+    t.drop_check_constraint("k_pos")
+    t.rename_column("k", "id")
+    assert set(t.read(spark).columns) == {"id", "w"}
