@@ -1039,6 +1039,63 @@ register(
 )
 
 
+def _storage_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protocol-4 delta-encoded commit log on the full mutation mix:
+    the table is FORCED into delta mode (threshold 0, checkpoint every
+    3 versions), so appends, a merge-on-read DV delete and a keyed
+    upsert all publish O(change) delta records that every read must
+    materialize back through the checkpoint chain. The final snapshot
+    is hashed against the plain-SQL expectation — a diff/replay bug
+    anywhere (files, stats, deletion vectors, schema carriage) shifts
+    rows and breaks the hash. At 100 TB this encoding is what keeps
+    per-commit metadata flat (~0.6 KB vs O(live groups) full
+    manifests; tools/delta_log_probe.py measures 425x at 2k groups).
+    Differential twin-table and fuzz coverage: tests/test_versioned.py
+    round-10 battery."""
+    from .storage.versioned import VersionedTable
+
+    root = _run_tmp_root("netflow_vdl_") + "/t"
+    t = VersionedTable(root, delta_log_min_files=0, checkpoint_every=3)
+    ev = tables.load(spark, "events", sf_dir).filter(
+        F.col("event_id") % 10 == 0
+    ).select("event_id", "user_id", "value")
+    t.append(ev.filter(F.col("user_id") % 2 == 0), stats_cols=["event_id"])
+    t.append(ev.filter(F.col("user_id") % 2 == 1), stats_cols=["event_id"])
+    t.delete_where_dv(spark, "event_id % 30 = 0")
+    t.upsert(
+        spark,
+        ev.filter(F.col("event_id") % 50 == 0).withColumn(
+            "value", F.col("value") * 2
+        ),
+        keys=["event_id"],
+    )
+    return (
+        t.read(spark)
+        .select("event_id", "user_id", F.round("value", 2).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+_STORAGE_DELTA_LOG_SQL = """
+SELECT event_id, user_id, ROUND(value, 2) AS value
+FROM events
+WHERE event_id % 10 = 0 AND event_id % 30 != 0 AND event_id % 50 != 0
+UNION ALL
+SELECT event_id, user_id, ROUND(value * 2, 2) AS value
+FROM events
+WHERE event_id % 10 = 0 AND event_id % 50 = 0
+ORDER BY event_id
+"""
+
+
+register(
+    "storage_delta_log",
+    _storage_delta_log,
+    _STORAGE_DELTA_LOG_SQL,
+    driver=False,
+)
+
+
 def _storage_versioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-clause MERGE exercised in its most oracle-hostile shape —
     matched=DELETE, not-matched=INSERT, by-source=KEEP — which makes

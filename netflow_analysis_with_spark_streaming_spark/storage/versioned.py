@@ -91,12 +91,32 @@ _MERGE_BLOOM_PROBE_MAX = 1024
 # field changes READ semantics (e.g. a future tombstone format) so
 # older readers fail loudly instead of returning wrong data.
 # 2 = deletion vectors ("dvs"); 3 = column mapping ("column_mapping" /
-# "retired_physical" — metadata-only RENAME/DROP COLUMN). A table
-# stamps the LOWEST protocol its manifest actually needs (a no-mapping
-# table stays at 2, readable by protocol-2 readers) — Delta's
-# feature-gated protocol discipline.
-_WRITER_VERSION = 3
+# "retired_physical" — metadata-only RENAME/DROP COLUMN); 4 = delta-
+# encoded commit records ("delta_of" + add/remove diffs against the
+# parent snapshot, materialized back to a full snapshot on read). A
+# table stamps the LOWEST protocol each record actually needs (a
+# no-mapping full manifest stays at 2, readable by protocol-2
+# readers) — Delta's feature-gated protocol discipline.
+_WRITER_VERSION = 4
+_WRITER_VERSION_MAPPING = 3
 _WRITER_VERSION_NO_MAPPING = 2
+
+# --- delta-encoded commit records (protocol 4) ---------------------------
+# FORMAT.md's "known scale trade-off": a full manifest lists the
+# snapshot's COMPLETE file-group set, so at N live groups every commit
+# writes O(N) metadata and the log grows O(N^2) — the 100 TB
+# bottleneck. Past _DELTA_LOG_MIN_FILES live groups, commits instead
+# write a DELTA record (adds/removes/stat+DV diffs against the parent
+# — O(change) bytes), with a FULL manifest checkpoint every
+# _CHECKPOINT_EVERY versions bounding read-side replay. Small tables
+# (and therefore protocol-2/3 readers of them) are untouched: below
+# the threshold every record is a full manifest, exactly as before.
+_DELTA_LOG_MIN_FILES = 64
+_CHECKPOINT_EVERY = 16
+# commits that may DELETE their own manifest on a detected race
+# (restore's vacuum-race rollback) must stay full: unlinking a delta
+# record a concurrent commit already chained on would orphan the chain
+_ALWAYS_FULL_ACTIONS = frozenset({"restore"})
 
 # --- change-feed action classification -----------------------------------
 # EVERY action string a commit path can write must appear in exactly one
@@ -234,12 +254,36 @@ class SchemaEvolutionError(ValueError):
 class VersionedTable:
     """A managed, versioned parquet table rooted at ``root``."""
 
-    def __init__(self, root: str) -> None:
+    def __init__(
+        self,
+        root: str,
+        *,
+        delta_log_min_files: int | None = None,
+        checkpoint_every: int | None = None,
+    ) -> None:
         self.root = root
         self._log = os.path.join(root, "_log")
         self._data = os.path.join(root, "data")
         self._changes_dir = os.path.join(root, "changes")
         self._dv_dir = os.path.join(root, "dv")
+        # delta-log knobs are WRITER-side only (every reader handles
+        # both record forms): threshold below which commits stay full
+        # manifests, and the full-checkpoint cadence in delta mode.
+        # Overridable per handle for tests and tuning; mixed-handle
+        # writers on one table are fine — the encoding is a per-commit
+        # choice.
+        self._delta_min = (
+            _DELTA_LOG_MIN_FILES
+            if delta_log_min_files is None
+            else delta_log_min_files
+        )
+        self._ckpt_every = (
+            _CHECKPOINT_EVERY if checkpoint_every is None else checkpoint_every
+        )
+        # materialized-snapshot memo for delta chains (records are
+        # immutable once published; vacuum's checkpoint rewrite
+        # invalidates its entry explicitly)
+        self._mat_cache: dict[int, dict] = {}
         os.makedirs(self._log, exist_ok=True)
         os.makedirs(self._data, exist_ok=True)
 
@@ -261,7 +305,10 @@ class VersionedTable:
         vs = self.versions()
         return vs[-1] if vs else None
 
-    def _manifest(self, version: int) -> dict:
+    def _load_record(self, version: int) -> dict:
+        """One on-disk commit record, protocol-gated but NOT
+        materialized — may be a full manifest or a protocol-4 delta
+        record (has ``delta_of``)."""
         with open(os.path.join(self._log, f"{version:08d}.json"), encoding="utf-8") as f:
             m = json.load(f)
         # protocol gate (Delta's minReaderVersion): a manifest written
@@ -277,6 +324,69 @@ class VersionedTable:
                 f"protocol {wv}; this reader implements protocol "
                 f"{_WRITER_VERSION} — upgrade before reading"
             )
+        return m
+
+    def _manifest(self, version: int) -> dict:
+        """The FULL materialized snapshot manifest of ``version``. For
+        a full record this is the record itself; for a delta record
+        (protocol 4) the chain back to the nearest full checkpoint is
+        replayed forward — bounded by the checkpoint cadence, and
+        memoized per handle (records are immutable). Every consumer in
+        the module reads through here, so delta encoding is invisible
+        above this line."""
+        rec = self._load_record(version)
+        if "delta_of" not in rec:
+            return rec
+        hit = self._mat_cache.get(version)
+        if hit is not None:
+            return hit
+        chain = [rec]
+        v = rec["delta_of"]
+        while True:
+            base = self._mat_cache.get(v)
+            if base is not None:
+                break  # a memoized snapshot is a valid replay base
+            base = self._load_record(v)
+            if "delta_of" not in base:
+                break
+            chain.append(base)
+            v = base["delta_of"]
+        files = set(base["files"])
+        stats = dict(base.get("stats") or {})
+        dvs = {g: list(x) for g, x in (base.get("dvs") or {}).items()}
+        for r in reversed(chain):
+            for f in r["remove_files"]:
+                files.discard(f)
+                stats.pop(f, None)
+            files.update(r["add_files"])
+            stats.update(r.get("stats_set") or {})
+            for f in r.get("stats_del") or ():
+                stats.pop(f, None)
+            for g in r.get("dvs_del") or ():
+                dvs.pop(g, None)
+            dvs.update(
+                {g: list(x) for g, x in (r.get("dvs_set") or {}).items()}
+            )
+        top = chain[0]
+        m = {
+            "version": top["version"],
+            "writer_version": top["writer_version"],
+            "ts": top["ts"],
+            "action": top["action"],
+            "files": sorted(files),
+            "n_files": top["n_files"],
+            "schema": top["schema"],
+            "batch_id": top.get("batch_id"),
+            "stats": {f: s for f, s in stats.items() if f in files},
+            "changes": top.get("changes"),
+            "dvs": dvs,
+        }
+        for k in ("column_mapping", "retired_physical", "provenance"):
+            if k in top:
+                m[k] = top[k]
+        if len(self._mat_cache) > 256:
+            self._mat_cache.clear()  # bound a long-lived handle's memo
+        self._mat_cache[version] = m
         return m
 
     def _manifests(self):
@@ -389,6 +499,14 @@ class VersionedTable:
     ) -> int:
         if version is None:
             version = (self.latest_version() + 1) if self.versions() else 0
+        # one materialized parent read serves DV inheritance, mapping
+        # inheritance AND the delta encoder below
+        prev_m: dict = {}
+        if version > 0:
+            try:
+                prev_m = self._manifest(version - 1)
+            except FileNotFoundError:
+                prev_m = {}
         # Deletion vectors ride the manifest: {'data/<group>': [dv
         # group, ...]}. They PROPAGATE by default — a commit that
         # carries a file group forward carries its DVs with it, and a
@@ -398,11 +516,8 @@ class VersionedTable:
         # resurrect deleted rows. `inherit_dvs=False` is for restore,
         # which must adopt the TARGET snapshot's DV set verbatim.
         merged_dvs: dict[str, list[str]] = {}
-        if inherit_dvs and version > 0:
-            try:
-                prev_dvs = self._manifest(version - 1).get("dvs") or {}
-            except FileNotFoundError:
-                prev_dvs = {}
+        if inherit_dvs and prev_m:
+            prev_dvs = prev_m.get("dvs") or {}
             live = {self._group_of(f) for f in files}
             merged_dvs = {g: list(v) for g, v in prev_dvs.items() if g in live}
         for g, v in (dvs or {}).items():
@@ -414,15 +529,10 @@ class VersionedTable:
         # on-file names that may never be (re)bound to a new logical
         # column (a dropped column's bytes still live in old files —
         # rebinding the name would resurrect them).
-        if column_mapping is None or retired_physical is None:
-            try:
-                prev_m = self._manifest(version - 1) if version > 0 else {}
-            except FileNotFoundError:
-                prev_m = {}
-            if column_mapping is None:
-                column_mapping = dict(prev_m.get("column_mapping") or {})
-            if retired_physical is None:
-                retired_physical = list(prev_m.get("retired_physical") or [])
+        if column_mapping is None:
+            column_mapping = dict(prev_m.get("column_mapping") or {})
+        if retired_physical is None:
+            retired_physical = list(prev_m.get("retired_physical") or [])
         manifest = {
             "version": version,
             # readers at a lower protocol refuse this manifest; the
@@ -430,7 +540,7 @@ class VersionedTable:
             # mapping requires 3, deletion-vector-era manifests stay
             # at 2 so protocol-2 readers keep working
             "writer_version": (
-                _WRITER_VERSION
+                _WRITER_VERSION_MAPPING
                 if (column_mapping or retired_physical)
                 else _WRITER_VERSION_NO_MAPPING
             ),
@@ -466,9 +576,23 @@ class VersionedTable:
             # audit trail only (clone source, etc.) — additive
             # metadata, never read on the data path
             manifest["provenance"] = provenance
+        # delta encoding decision (protocol 4): past the live-group
+        # threshold, write O(change) diff records instead of the O(N)
+        # full file list, checkpointing a full manifest every
+        # _ckpt_every versions to bound read-side replay. Small tables
+        # always write full manifests (and keep protocol <= 3).
+        record = manifest
+        if (
+            prev_m
+            and action not in _ALWAYS_FULL_ACTIONS
+            and len(files) >= self._delta_min
+            and self._ckpt_every > 0
+            and (version % self._ckpt_every) != 0
+        ):
+            record = self._encode_delta_record(manifest, prev_m)
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(manifest, f, default=str)
+            json.dump(record, f, default=str)
         target = os.path.join(self._log, f"{version:08d}.json")
         try:
             # hard link = atomic CREATE-IF-ABSENT publish (rename would
@@ -486,6 +610,56 @@ class VersionedTable:
         finally:
             os.unlink(tmp)
         return version
+
+    @staticmethod
+    def _encode_delta_record(full: dict, prev: dict) -> dict:
+        """Protocol-4 delta record: the commit's diff against its
+        materialized parent. Stores adds/removes of file paths, the
+        stat entries that changed, and the DV entries that changed —
+        O(change) bytes where a full manifest is O(live files).
+        Per-commit metadata (action, ts, schema, batch_id, changes,
+        mapping — all small or per-commit) stays verbatim so
+        materialization rebuilds the exact full manifest."""
+        prev_files = set(prev["files"])
+        cur_files = set(full["files"])
+        prev_stats = prev.get("stats") or {}
+        cur_stats = full["stats"]
+        prev_dvs = prev.get("dvs") or {}
+        cur_dvs = full["dvs"]
+        rec = {
+            "version": full["version"],
+            "writer_version": _WRITER_VERSION,  # delta needs protocol 4
+            "ts": full["ts"],
+            "action": full["action"],
+            "delta_of": full["version"] - 1,
+            "add_files": sorted(cur_files - prev_files),
+            "remove_files": sorted(prev_files - cur_files),
+            "n_files": full["n_files"],
+            "schema": full["schema"],
+            "batch_id": full["batch_id"],
+            "changes": full["changes"],
+            "stats_set": {
+                f: s
+                for f, s in cur_stats.items()
+                if prev_stats.get(f) != s
+            },
+            # stat entries dropped for files that stay live (rare —
+            # rename rekeying passes full stats, so a diff suffices,
+            # but guard the shape anyway)
+            "stats_del": sorted(
+                f
+                for f in prev_stats
+                if f in cur_files and f not in cur_stats
+            ),
+            "dvs_set": {
+                g: v for g, v in cur_dvs.items() if prev_dvs.get(g) != v
+            },
+            "dvs_del": sorted(g for g in prev_dvs if g not in cur_dvs),
+        }
+        for k in ("column_mapping", "retired_physical", "provenance"):
+            if k in full:
+                rec[k] = full[k]
+        return rec
 
     @staticmethod
     def _to_physical(df: DataFrame, mapping: dict[str, str] | None) -> DataFrame:
@@ -3614,10 +3788,44 @@ class VersionedTable:
                 removed += 1
         if not dry_run:
             kept_set = set(kept_versions)
-            for v in vs:
-                if v not in kept_set:
-                    os.remove(os.path.join(self._log, f"{v:08d}.json"))
+            doomed = [v for v in vs if v not in kept_set]
+            if doomed:
+                # delta-chain integrity: if the oldest SURVIVING record
+                # is a delta, its replay chain passes through versions
+                # about to be deleted — rewrite it as a full checkpoint
+                # FIRST (atomic replace, semantically identical
+                # snapshot), then drop the ancestors. Readers racing
+                # this see either the delta (ancestors still present —
+                # deletion happens after) or the full record.
+                self._checkpoint_record(min(kept_set))
+            for v in doomed:
+                os.remove(os.path.join(self._log, f"{v:08d}.json"))
         return removed
+
+    def _checkpoint_record(self, version: int) -> None:
+        """Rewrite ``version``'s on-disk record as a FULL manifest if
+        it is currently a delta record (no-op otherwise). The snapshot
+        content is identical — only the encoding changes — so
+        concurrent readers are unaffected; the handle's memo entry is
+        dropped so later reads see the re-stamped record."""
+        try:
+            rec = self._load_record(version)
+        except FileNotFoundError:
+            return
+        if "delta_of" not in rec:
+            return
+        full = dict(self._manifest(version))
+        # a full manifest needs only the protocol its FEATURES need
+        full["writer_version"] = (
+            _WRITER_VERSION_MAPPING
+            if (full.get("column_mapping") or full.get("retired_physical"))
+            else _WRITER_VERSION_NO_MAPPING
+        )
+        tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(full, f, default=str)
+        os.replace(tmp, os.path.join(self._log, f"{version:08d}.json"))
+        self._mat_cache.pop(version, None)
 
     # --- streaming integration --------------------------------------------
 

@@ -1020,10 +1020,20 @@ def test_model_based_op_sequences(spark):
     import random
     import tempfile
 
-    for seed in (11, 23, 47):
+    for seed, delta_log in ((11, False), (23, True), (47, True)):
         rng = random.Random(seed)
         root = tempfile.mkdtemp(prefix="netflow_model_")
-        t = VersionedTable(root + "/t")
+        # seeds 23/47 force PROTOCOL-4 DELTA commit records (threshold
+        # 0, checkpoint every 4 versions) so the whole op mix — DV
+        # deletes, merges, restores, compactions — runs through delta
+        # encode + materialize; seed 11 keeps the full-manifest path
+        t = (
+            VersionedTable(
+                root + "/t", delta_log_min_files=0, checkpoint_every=4
+            )
+            if delta_log
+            else VersionedTable(root + "/t")
+        )
         model: dict[int, str] = {}
         snapshots: list[tuple[int, dict[int, str]]] = []
 
@@ -2291,9 +2301,9 @@ def test_reader_rejects_future_writer_protocol(spark, tmp_path):
     t.append(_df(spark, [(2, "b")]))
     path = t._log + "/00000001.json"
     m = json.load(open(path))
-    m["writer_version"] = 4  # one past the implemented protocol (3)
+    m["writer_version"] = 5  # one past the implemented protocol (4)
     json.dump(m, open(path, "w"))
-    with pytest.raises(ValueError, match="protocol 4"):
+    with pytest.raises(ValueError, match="protocol 5"):
         t.read(spark)
     with pytest.raises(ValueError, match="upgrade"):
         t._manifest(1)
@@ -3967,3 +3977,195 @@ def test_rename_drop_refuse_constrained_column(spark, tmp_path):
     t.drop_check_constraint("k_pos")
     t.rename_column("k", "id")
     assert set(t.read(spark).columns) == {"id", "w"}
+
+
+# --- protocol-4 delta-encoded commit records (round 10) -----------------
+
+
+def _delta_table(tmp_path, name="t", ckpt=4):
+    return VersionedTable(
+        str(tmp_path / name), delta_log_min_files=0, checkpoint_every=ckpt
+    )
+
+
+def test_delta_log_differential_vs_full(spark, tmp_path):
+    """Twin tables — one writing protocol-4 delta records, one full
+    manifests — driven through the same mutation history must agree on
+    every materialized snapshot: rows at every version, stats index,
+    DV sets, feed slices, and metadata-only count."""
+    td = _delta_table(tmp_path, "d")
+    tf = VersionedTable(str(tmp_path / "f"))
+    for t in (td, tf):
+        t.append(
+            _df(spark, [(i, f"v{i}") for i in range(20)]), stats_cols=["k"]
+        )
+        t.append(
+            _df(spark, [(100 + i, f"w{i}") for i in range(5)]),
+            stats_cols=["k"],
+            bloom_cols=["k"],
+        )
+        t.delete_where_dv(spark, "k % 4 = 1", emit_changes=True)
+        t.upsert(
+            spark,
+            _df(spark, [(2, "U"), (500, "N")]),
+            keys=["k"],
+            emit_changes=True,
+        )
+        t.append(_df(spark, [(600, "z")]), stats_cols=["k"])
+    assert td.latest_version() == tf.latest_version()
+    for v in td.versions():
+        md, mf = td._manifest(v), tf._manifest(v)
+        assert len(md["files"]) == len(mf["files"]), v
+        got_d = sorted(
+            (r["k"], r["v"]) for r in td.read(spark, version=v).collect()
+        )
+        got_f = sorted(
+            (r["k"], r["v"]) for r in tf.read(spark, version=v).collect()
+        )
+        assert got_d == got_f, v
+        assert td.count_rows(v) == tf.count_rows(v), v
+        # the skipping index carries the same COLUMN bounds per version
+        def bounds(t, m):
+            out = {}
+            for f, s in (m.get("stats") or {}).items():
+                for c, rng in s.items():
+                    if c == "k":
+                        out.setdefault(c, []).append(tuple(rng))
+            return {c: sorted(v) for c, v in out.items()}
+        assert bounds(td, md) == bounds(tf, mf), v
+    # feed plans agree slice-for-slice (shape + change kinds)
+    sd = td.feed_slices(-1)
+    sf = tf.feed_slices(-1)
+    assert [(v, kind, len(g)) for v, kind, g in sd] == [
+        (v, kind, len(g)) for v, kind, g in sf
+    ]
+    assert td.fsck() == [] and tf.fsck() == []
+
+
+def test_delta_log_record_is_o_change(spark, tmp_path):
+    """The point of protocol 4: once a table has many live groups, a
+    single-group append's commit record is O(change) bytes — far
+    smaller than the full manifest it replaces — while small tables
+    keep writing full (protocol <= 3) manifests."""
+    import json as _json
+    import os as _os
+
+    t = VersionedTable(
+        str(tmp_path / "t"), delta_log_min_files=8, checkpoint_every=1000
+    )
+    for i in range(30):
+        t.append(_df(spark, [(i, f"v{i}")]), stats_cols=["k"], bloom_cols=["k"])
+
+    def raw(v):
+        return open(_os.path.join(t.root, "_log", f"{v:08d}.json")).read()
+
+    early = _json.loads(raw(3))  # below threshold: full manifest
+    assert "delta_of" not in early
+    assert early["writer_version"] == 2
+    late = _json.loads(raw(29))  # 30 groups live: delta record
+    assert late["delta_of"] == 28
+    assert late["writer_version"] == 4
+    assert len(late["add_files"]) == 1 and late["remove_files"] == []
+    assert list(late["stats_set"]) == late["add_files"]
+    # O(change) vs O(table): the delta record must not carry the other
+    # 29 groups' paths + stats + blooms — compare against the LARGEST
+    # full manifest on disk (the last below-threshold commit)
+    biggest_full = max(
+        len(raw(v))
+        for v in t.versions()
+        if "delta_of" not in _json.loads(raw(v))
+    )
+    assert len(raw(29)) * 4 < biggest_full
+    # materialized view is complete regardless of encoding
+    m = t._manifest(29)
+    assert len(m["files"]) == 30 and len(m["stats"]) == 30
+    assert t.count_rows() == 30
+
+
+def test_delta_log_vacuum_checkpoints_oldest_survivor(spark, tmp_path):
+    """Vacuuming ancestors out from under a delta chain must first
+    rewrite the oldest surviving record as a FULL manifest — the
+    surviving history stays readable with its stats/DV index intact."""
+    import json as _json
+    import os as _os
+
+    t = _delta_table(tmp_path, ckpt=1000)  # no checkpoints: worst case
+    t.append(_df(spark, [(1, "a"), (2, "b")]), stats_cols=["k"])
+    for i in range(6):
+        t.append(_df(spark, [(10 + i, f"v{i}")]), stats_cols=["k"])
+    t.delete_where_dv(spark, "k = 2")
+    lv = t.latest_version()
+    # every non-zero record is a delta right now
+    assert "delta_of" in _json.loads(
+        open(_os.path.join(t.root, "_log", f"{lv:08d}.json")).read()
+    )
+    t.vacuum(keep_last=3, min_age_s=0)
+    vs = t.versions()
+    assert vs[0] == lv - 2  # ancestors gone
+    floor_rec = _json.loads(
+        open(_os.path.join(t.root, "_log", f"{vs[0]:08d}.json")).read()
+    )
+    assert "delta_of" not in floor_rec  # rewritten as full checkpoint
+    assert floor_rec["writer_version"] == 2
+    # fresh handle (no memo): whole surviving history materializes
+    t2 = VersionedTable(t.root)
+    for v in vs:
+        t2.read(spark, version=v).count()
+    got = {r["k"] for r in t2.read(spark).collect()}
+    assert 2 not in got and 1 in got  # DV survived the rewrite
+    assert t2.fsck() == []
+
+
+def test_delta_log_feed_stream_over_delta_records(spark, tmp_path):
+    """The versioned_feed source consumes a delta-encoded table
+    transparently (every consumer reads through _manifest)."""
+    from netflow_analysis_with_spark_streaming_spark.storage.stream_source import (
+        FORMAT_NAME,
+        register_feed_source,
+    )
+
+    t = _delta_table(tmp_path, ckpt=1000)
+    t.append(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    t.append(_df(spark, [(3, "c")]))
+    register_feed_source(spark)
+    got = (
+        spark.read.format(FORMAT_NAME)
+        .option("path", t.root)
+        .load()
+        .collect()
+    )
+    assert sorted((r["k"], r["_commit_version"]) for r in got) == [
+        (1, 0),
+        (2, 1),
+        (3, 2),
+    ]
+
+
+def test_delta_log_rename_and_restore_interop(spark, tmp_path):
+    """Column mapping and restore through delta records: rename's
+    mapping rides each record verbatim; restore commits FULL (its
+    race-rollback may unlink its own manifest, which must never orphan
+    a chain); time travel across the mixed history stays exact."""
+    import json as _json
+    import os as _os
+
+    t = _delta_table(tmp_path, ckpt=1000)
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.append(_df(spark, [(3, "c")]))
+    t.rename_column("v", "val")  # delta record carrying the mapping
+    t.append(spark.createDataFrame([(4, "d")], "k long, val string"))
+    v_pre = t.latest_version()
+    rv = t.restore(1)
+    rec = _json.loads(
+        open(_os.path.join(t.root, "_log", f"{rv:08d}.json")).read()
+    )
+    assert "delta_of" not in rec  # restore always writes full
+    assert set(t.read(spark).columns) == {"k", "v"}
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 2, 3]
+    # post-restore append chains a delta on the full restore record
+    t.append(_df(spark, [(9, "z")]))
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 2, 3, 9]
+    # pre-restore snapshot still addressable with the renamed schema
+    assert set(t.read(spark, version=v_pre).columns) == {"k", "val"}
+    assert t.fsck() == []
