@@ -546,7 +546,7 @@ class VersionedFeedDataSource(DataSource):
         t = VersionedTable(self._root())
         best = -1
         for v in t.versions():
-            if (t._manifest(v).get("ts") or 0) < ts:
+            if (t._load_record(v).get("ts") or 0) < ts:
                 best = v
         return best
 

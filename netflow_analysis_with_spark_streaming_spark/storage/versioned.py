@@ -390,12 +390,25 @@ class VersionedTable:
         return m
 
     def _manifests(self):
-        """All manifests, tolerant of a concurrent vacuum unlinking an
-        old version between the listing and the open (the reader keeps
-        the surviving history — exactly what vacuum's forfeit means)."""
+        """All manifests MATERIALIZED, tolerant of a concurrent vacuum
+        unlinking an old version between the listing and the open (the
+        reader keeps the surviving history — exactly what vacuum's
+        forfeit means)."""
         for v in self.versions():
             try:
                 yield self._manifest(v)
+            except FileNotFoundError:
+                continue
+
+    def _records(self):
+        """All RAW commit records (full or delta), same vacuum
+        tolerance. Per-commit metadata (version/ts/action/batch_id/
+        n_files) lives on every record verbatim, so metadata-only
+        scans read O(record) bytes per version instead of
+        materializing O(live files) snapshots."""
+        for v in self.versions():
+            try:
+                yield self._load_record(v)
             except FileNotFoundError:
                 continue
 
@@ -405,13 +418,13 @@ class VersionedTable:
                 k: m.get(k)
                 for k in ("version", "ts", "action", "batch_id", "n_files")
             }
-            for m in self._manifests()
+            for m in self._records()
         ]
 
     def committed_batch_ids(self) -> set[int]:
         return {
             m["batch_id"]
-            for m in self._manifests()
+            for m in self._records()
             if m.get("batch_id") is not None
         }
 
@@ -1669,7 +1682,8 @@ class VersionedTable:
         pre-stamp history stays addressable."""
         best = None
         for v in self.versions():
-            if (self._manifest(v).get("ts") or 0) <= ts:
+            # ts is per-record metadata: no need to materialize
+            if (self._load_record(v).get("ts") or 0) <= ts:
                 best = v
         if best is None:
             raise ValueError(
@@ -1694,7 +1708,7 @@ class VersionedTable:
         for)."""
         for v in self.versions():
             try:
-                return self._manifest(v).get("ts") or None
+                return self._load_record(v).get("ts") or None
             except FileNotFoundError:
                 continue
         return None
@@ -3739,7 +3753,7 @@ class VersionedTable:
             in_window = [
                 v
                 for v in vs
-                if (self._manifest(v).get("ts") or 0) >= cutoff
+                if (self._load_record(v).get("ts") or 0) >= cutoff
             ]
             # contiguous tail from the OLDEST version either rule keeps:
             # history must never get mid-range holes (feed walks and

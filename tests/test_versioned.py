@@ -2884,7 +2884,11 @@ def test_rebase_folds_concurrent_schema_evolution(spark, tmp_path):
     assert len(rows) == 91
 
 
-def test_concurrent_appenders_and_mergers_stress(spark, tmp_path):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("delta_log", [False, True])
+def test_concurrent_appenders_and_mergers_stress(spark, tmp_path, delta_log):
     """Multi-writer consistency under REAL thread interleaving: four
     appenders land disjoint key ranges while two mergers upsert into a
     base range, all against one table root, no coordination. Whatever
@@ -2893,10 +2897,24 @@ def test_concurrent_appenders_and_mergers_stress(spark, tmp_path):
     writer's value (one of the mergers'), metadata count == real
     count, fsck clean, and the version chain dense. Exercises both
     rebase directions (append-over-rewrite and rewrite-over-append)
-    under contention rather than injected races."""
+    under contention rather than injected races. The delta_log arm
+    runs every handle in forced protocol-4 delta mode (threshold 0,
+    checkpoint every 4): conflict retries, rebases and replay all ride
+    delta records diffed against whichever parent actually won."""
     import threading
 
-    t = VersionedTable(str(tmp_path / "t"))
+    def handle():
+        return (
+            VersionedTable(
+                str(tmp_path / "t"),
+                delta_log_min_files=0,
+                checkpoint_every=4,
+            )
+            if delta_log
+            else VersionedTable(str(tmp_path / "t"))
+        )
+
+    t = handle()
     t.append_clustered(
         _df(spark, [(i, "base") for i in range(100)]), "k", n_groups=2
     )  # v0: merge targets live in [0, 100)
@@ -2905,7 +2923,7 @@ def test_concurrent_appenders_and_mergers_stress(spark, tmp_path):
 
     def appender(tid: int) -> None:
         try:
-            h = VersionedTable(str(tmp_path / "t"))
+            h = handle()
             for j in range(3):
                 lo = 10_000 + tid * 1_000 + j * 100
                 h.append(
@@ -2921,7 +2939,7 @@ def test_concurrent_appenders_and_mergers_stress(spark, tmp_path):
         )
 
         try:
-            h = VersionedTable(str(tmp_path / "t"))
+            h = handle()
             for j in range(2):
                 src = _df(spark, [(i, f"m{tid}.{j}") for i in range(20)])
                 # merge-vs-merge is a REAL conflict (both rewrite the
