@@ -210,13 +210,19 @@ def _prune_triples_to_filters(triples: list) -> list:
 
 def _prune_slices(t, slices: list, filters: list) -> list:
     """Stats-prune each slice's file groups against ``filters`` — one
-    manifest read per slice; capture groups carry no stats and are
-    conservatively kept. Shared by the stream reader, the Catalyst
-    pushdown reader, and the explicit-prune bounded reader so the
-    skipping semantics cannot diverge."""
+    RECORD read per slice, never a materialized snapshot: an insert
+    slice's groups are the groups its commit ADDED, whose stats ride a
+    protocol-4 delta record's own stats_set verbatim (full manifests
+    carry the whole index; capture groups have no stats either way and
+    are conservatively kept). Shared by the stream reader, the
+    Catalyst pushdown reader, and the explicit-prune bounded reader so
+    the skipping semantics cannot diverge."""
     pruned = []
     for v, change, groups in slices:
-        stats = t._manifest(v).get("stats") or {}
+        rec = t._load_record(v)
+        stats = (
+            rec.get("stats_set") if "delta_of" in rec else rec.get("stats")
+        ) or {}
         pruned.append(
             (
                 v,
@@ -311,7 +317,12 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
 
 class VersionedFeedBatchReader(DataSourceReader):
     """Bounded (sinceVersion, toVersion] window through the stream's
-    exact partition/read path."""
+    exact partition/read path. ``_prune_filters`` (empty here, set by
+    the pruning subclasses / the reader() factory) stats-prunes each
+    slice's groups — ONE shared partitions() so the window/pruning
+    plumbing cannot diverge across the three reader variants."""
+
+    _prune_filters: list = []
 
     def __init__(
         self, root: str, schema: StructType, since: int, to: int | None
@@ -332,11 +343,15 @@ class VersionedFeedBatchReader(DataSourceReader):
         # mapping used for physical-name translation disagree with the
         # planned slice window
         end = self._to if self._to is not None else t.latest_version()
+        slices = t.feed_slices(self._since, end)
+        if self._prune_filters:
+            # per-slice stats from the COMMIT that added the groups —
+            # always present for stat-carrying appends, regardless of
+            # later compactions. One manifest read per slice, never
+            # per group.
+            slices = _prune_slices(t, slices, self._prune_filters)
         return _slice_partitions(
-            t.root,
-            t.feed_slices(self._since, end),
-            self._schema_json,
-            t._mapping(end),
+            t.root, slices, self._schema_json, t._mapping(end)
         )
 
     def read(self, partition: FeedPartition) -> Iterator:
@@ -473,50 +488,14 @@ class PruningFeedBatchReader(VersionedFeedBatchReader):
                 continue  # incomparable literal: keep the group
         return True
 
-    def partitions(self) -> Sequence[InputPartition]:
-        from .versioned import VersionedTable
-
-        t = VersionedTable(self._root)
-        # end resolved ONCE, before feed_slices, and passed through as
-        # its to_version — same TOCTOU guard as the base reader (a
-        # rename committing between two independent latest_version()
-        # resolutions would translate physical names with a mapping
-        # newer than the planned window)
-        end = self._to if self._to is not None else t.latest_version()
-        slices = t.feed_slices(self._since, end)
-        if self._prune_filters:
-            # per-slice stats from the COMMIT that added the groups —
-            # always present for stat-carrying appends, regardless of
-            # later compactions. One manifest read per slice, never
-            # per group.
-            slices = _prune_slices(t, slices, self._prune_filters)
-        return _slice_partitions(
-            t.root, slices, self._schema_json, t._mapping(end)
-        )
-
 
 class ExplicitPruneFeedBatchReader(VersionedFeedBatchReader):
     """The bounded reader plus CALLER-DECLARED stats pruning
     (.option("prune", '[[col, lo, hi], ...]')) — the vanilla-session
-    twin of PruningFeedBatchReader: same _prune_slices skipping, no
-    pushFilters implementation, so it needs no
+    twin of PruningFeedBatchReader: same shared partitions() skipping,
+    no pushFilters implementation, so it needs no
     spark.sql.python.filterPushdown conf. The consumer still applies
     its exact filter (superset guarantee)."""
-
-    _prune_filters: list = []
-
-    def partitions(self) -> Sequence[InputPartition]:
-        from .versioned import VersionedTable
-
-        t = VersionedTable(self._root)
-        # end resolved once, before feed_slices — see the base reader
-        end = self._to if self._to is not None else t.latest_version()
-        slices = t.feed_slices(self._since, end)
-        if self._prune_filters:
-            slices = _prune_slices(t, slices, self._prune_filters)
-        return _slice_partitions(
-            t.root, slices, self._schema_json, t._mapping(end)
-        )
 
 
 class VersionedFeedDataSource(DataSource):
@@ -560,7 +539,8 @@ class VersionedFeedDataSource(DataSource):
                 f"table {t.root} has no committed version: the feed schema "
                 "is not derivable — commit first or pass .schema(...)"
             )
-        base = StructType.fromJson(json.loads(t._manifest(lv)["schema"]))
+        # schema rides every record verbatim: no materialization
+        base = StructType.fromJson(json.loads(t._load_record(lv)["schema"]))
         clash = [f.name for f in base.fields if f.name in _META_COLS]
         if clash:
             # A real data column named like a feed meta column would be

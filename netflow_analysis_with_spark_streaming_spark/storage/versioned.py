@@ -118,6 +118,21 @@ _CHECKPOINT_EVERY = 16
 # record a concurrent commit already chained on would orphan the chain
 _ALWAYS_FULL_ACTIONS = frozenset({"restore"})
 
+
+def _stamp_protocol(
+    column_mapping: dict | None, retired_physical: list | None
+) -> int:
+    """The LOWEST writer protocol a FULL manifest's features need —
+    the single source of truth for the stamp, shared by _commit and
+    vacuum's checkpoint rewrite so a future feature can't be stamped
+    differently on the two paths (delta records always stamp
+    _WRITER_VERSION directly)."""
+    return (
+        _WRITER_VERSION_MAPPING
+        if (column_mapping or retired_physical)
+        else _WRITER_VERSION_NO_MAPPING
+    )
+
 # --- change-feed action classification -----------------------------------
 # EVERY action string a commit path can write must appear in exactly one
 # of these sets — they are the single source of truth for read_changes /
@@ -331,15 +346,31 @@ class VersionedTable:
         a full record this is the record itself; for a delta record
         (protocol 4) the chain back to the nearest full checkpoint is
         replayed forward — bounded by the checkpoint cadence, and
-        memoized per handle (records are immutable). Every consumer in
-        the module reads through here, so delta encoding is invisible
-        above this line."""
-        rec = self._load_record(version)
-        if "delta_of" not in rec:
-            return rec
+        memoized per handle (records are immutable; the memo is
+        checked first, so hits skip the disk read). A vacuum racing
+        the chain walk can delete an ancestor AFTER rewriting the
+        oldest survivor as a full checkpoint — the walk then restarts
+        from the top record (now reachable through the rewritten
+        checkpoint); FileNotFoundError propagates only when the
+        version's OWN record is gone (genuinely vacuumed)."""
         hit = self._mat_cache.get(version)
         if hit is not None:
             return hit
+        for _attempt in range(5):
+            rec = self._load_record(version)
+            if "delta_of" not in rec:
+                return rec
+            try:
+                return self._materialize(version, rec)
+            except FileNotFoundError:
+                continue  # ancestor vanished mid-walk: vacuum rewrote
+                # the floor checkpoint before deleting — restart from
+                # the top record, which now resolves through it
+        # persistent hole (crash mid-vacuum left a doomed suffix):
+        # surface the broken chain loudly
+        return self._materialize(version, self._load_record(version))
+
+    def _materialize(self, version: int, rec: dict) -> dict:
         chain = [rec]
         v = rec["delta_of"]
         while True:
@@ -384,8 +415,13 @@ class VersionedTable:
         for k in ("column_mapping", "retired_physical", "provenance"):
             if k in top:
                 m[k] = top[k]
-        if len(self._mat_cache) > 256:
-            self._mat_cache.clear()  # bound a long-lived handle's memo
+        # small bound: a materialized snapshot is O(live files) in
+        # memory (10s of MB at 1e5 groups), and ascending walks only
+        # need the immediate predecessor to stay O(1) per version —
+        # worst case after a clear is one replay to the nearest
+        # checkpoint (< _CHECKPOINT_EVERY records)
+        if len(self._mat_cache) > 8:
+            self._mat_cache.clear()
         self._mat_cache[version] = m
         return m
 
@@ -519,6 +555,18 @@ class VersionedTable:
             try:
                 prev_m = self._manifest(version - 1)
             except FileNotFoundError:
+                # ONLY a missing version-1 RECORD means "no parent"
+                # (restore's race rollback unlinked it) — committing
+                # with an empty parent then correctly yields a FULL
+                # manifest with no inherited DVs/mapping for a
+                # from-scratch slot. A broken delta CHAIN under a
+                # live version-1 must propagate instead: swallowing
+                # it would silently publish a snapshot that dropped
+                # every inherited deletion vector and column mapping.
+                if os.path.exists(
+                    os.path.join(self._log, f"{version - 1:08d}.json")
+                ):
+                    raise
                 prev_m = {}
         # Deletion vectors ride the manifest: {'data/<group>': [dv
         # group, ...]}. They PROPAGATE by default — a commit that
@@ -552,11 +600,7 @@ class VersionedTable:
             # stamp is the LOWEST protocol the manifest needs — column
             # mapping requires 3, deletion-vector-era manifests stay
             # at 2 so protocol-2 readers keep working
-            "writer_version": (
-                _WRITER_VERSION_MAPPING
-                if (column_mapping or retired_physical)
-                else _WRITER_VERSION_NO_MAPPING
-            ),
+            "writer_version": _stamp_protocol(column_mapping, retired_physical),
             # commit wall-clock (epoch seconds): powers TIMESTAMP AS OF
             # resolution and history auditing. Additive metadata only —
             # correctness never depends on it (clocks skew), which is
@@ -695,7 +739,9 @@ class VersionedTable:
             version = self.latest_version()
         if version is None or version < 0:
             return {}
-        return dict(self._manifest(version).get("column_mapping") or {})
+        # mapping rides every record VERBATIM (full and delta), so no
+        # snapshot materialization is needed to resolve it
+        return dict(self._load_record(version).get("column_mapping") or {})
 
     def _mapping_identity(
         self, version: int | None
@@ -706,7 +752,7 @@ class VersionedTable:
         under one mapping must never be published under another."""
         if version is None or version < 0:
             return {}, []
-        m = self._manifest(version)
+        m = self._load_record(version)  # both fields per-record verbatim
         return (
             dict(m.get("column_mapping") or {}),
             sorted(m.get("retired_physical") or []),
@@ -858,12 +904,17 @@ class VersionedTable:
         import re
 
         hits = []
+        # IGNORECASE: Spark resolves identifiers case-insensitively by
+        # default (spark.sql.caseSensitive=false), so a constraint on
+        # 'V' binds column 'v' — the guard must match the same way or
+        # a rename slips past it and wedges _enforce anyway
         ident = re.compile(
-            r"(?<![A-Za-z0-9_])" + re.escape(column) + r"(?![A-Za-z0-9_])"
+            r"(?<![A-Za-z0-9_])" + re.escape(column) + r"(?![A-Za-z0-9_])",
+            re.IGNORECASE,
         )
         for name, pred in self.check_constraints().items():
             stripped = re.sub(r"'(?:[^']|'')*'", "''", pred)
-            if ident.search(stripped) or f"`{column}`" in stripped:
+            if ident.search(stripped) or f"`{column.lower()}`" in stripped.lower():
                 hits.append(name)
         return hits
 
@@ -1415,15 +1466,49 @@ class VersionedTable:
             if not os.path.exists(os.path.join(self.root, f))
         ]
         if gone:
-            try:
-                os.unlink(os.path.join(self._log, f"{committed:08d}.json"))
-            except FileNotFoundError:
-                pass
+            self._rollback_own_commit(committed)
             raise ValueError(
                 f"cannot restore version {version}: data group(s) "
                 f"{gone} were vacuumed concurrently; restore rolled back"
             )
         return committed
+
+    def _rollback_own_commit(self, committed: int) -> None:
+        """Unlink the manifest this operation JUST published — but
+        only while nothing chained on it. A concurrent append may have
+        claimed version committed+1 as a protocol-4 delta record whose
+        replay base is this manifest; unlinking would then wedge the
+        whole table (latest forever unreadable), which is strictly
+        worse than the vacuum-damaged-but-addressable history the
+        rollback is trying to avoid. So: skip the unlink if a child is
+        already visible, and if one lands in the check-to-unlink
+        window, put the manifest back (the slot is ours to re-fill —
+        old slots are never claimed by other writers)."""
+        path = os.path.join(self._log, f"{committed:08d}.json")
+        try:
+            rec = json.load(open(path, encoding="utf-8"))
+        except (FileNotFoundError, json.JSONDecodeError):
+            return
+        latest = self.latest_version()
+        if latest is not None and latest > committed:
+            return  # a child already chained on us: keep the manifest
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            return
+        latest = self.latest_version()
+        if latest is not None and latest > committed:
+            # a child slipped into the window: restore its replay base
+            tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(rec, f, default=str)
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                pass  # someone else healed it
+            finally:
+                os.unlink(tmp)
+            self._mat_cache.pop(committed, None)
 
     def clone(self, dest_root: str, version: int | None = None) -> "VersionedTable":
         """Zero-copy snapshot CLONE (Delta ``CLONE TABLE`` analog):
@@ -2032,72 +2117,113 @@ class VersionedTable:
         DataFrame reader (``read_change_feed``) and the streaming
         source (storage/stream_source.py) so the two can never
         disagree about which rows a version contributed. Costs one
-        JSON manifest read per commit in the window — never touches
-        data files. Raises exactly as ``read_change_feed``: on an
+        JSON record read per commit in the window — never touches data
+        files, and on a protocol-4 delta history never MATERIALIZES a
+        snapshot either: an append's added groups are the record's own
+        ``add_files`` and a capture's group is per-record, so a pure
+        streaming-ingest CDC window plans in O(change) bytes at any
+        table size (full-manifest histories fall back to the snapshot
+        diff, memoized). Raises exactly as ``read_change_feed``: on an
         unclassified or feed-breaking action, or an uncaptured
         delete."""
         if to_version is None:
             to_version = self.latest_version()
         if to_version is None or since_version > to_version:
             raise ValueError("empty or invalid version range")
-        base = (
-            set(self._manifest(since_version)["files"]) if since_version >= 0 else set()
-        )
+        # `base` = the file set at `prev_v`, maintained LAZILY: the
+        # delta fast paths never need it, so it is only computed
+        # (memoized _manifest) when a full record's diff demands it.
+        base: set | None = None
+        prev_v = since_version
         slices: list[tuple[int, str, list[str]]] = []
+
+        def _base_at(v: int) -> set:
+            return set(self._manifest(v)["files"]) if v >= 0 else set()
+
         for v in self.versions():
             if not (since_version < v <= to_version):
                 continue
-            m = self._manifest(v)
-            if m["action"] in _FEED_ROW_PRESERVING:
+            rec = self._load_record(v)
+            action = rec["action"]
+            chained = "delta_of" in rec and rec["delta_of"] == prev_v
+
+            def _advance(rec=rec, chained=chained):
+                # keep `base` current for the NEXT iteration when it
+                # is cheap; otherwise drop it and let a later full
+                # diff recompute lazily
+                nonlocal base
+                if "delta_of" not in rec:
+                    base = set(rec["files"])
+                elif chained and base is not None:
+                    base = (base - set(rec["remove_files"])) | set(
+                        rec["add_files"]
+                    )
+                else:
+                    base = None
+
+            if action in _FEED_ROW_PRESERVING:
                 # row-preserving rewrite: no change slice, new baseline
                 # (keeps maybe_compact-after-every-batch compatible
                 # with StreamingViewMaintainer's feed consumption)
-                base = set(m["files"])
+                _advance()
+                prev_v = v
                 continue
-            if m["action"] not in _FEED_ALL_ACTIONS:
+            if action not in _FEED_ALL_ACTIONS:
                 raise ValueError(
                     f"version {v} has unclassified commit action "
-                    f"{m['action']!r}: add it to the feed classification "
+                    f"{action!r}: add it to the feed classification "
                     "sets in storage/versioned.py"
                 )
-            if m["action"] in _FEED_INSERT_ACTIONS:
-                added = [f for f in m["files"] if f not in base]
+            if action in _FEED_INSERT_ACTIONS:
+                if chained:
+                    # O(change): the record's own adds ARE the diff
+                    added = list(rec["add_files"])
+                else:
+                    if base is None:
+                        base = _base_at(prev_v)
+                    files = (
+                        rec["files"]
+                        if "delta_of" not in rec
+                        else self._manifest(v)["files"]
+                    )
+                    added = [f for f in files if f not in base]
                 if added:
                     slices.append((v, "insert", sorted(set(added))))
-            elif m["action"] in _FEED_CAPTURE_ACTIONS:
+            elif action in _FEED_CAPTURE_ACTIONS:
                 # None = capture was off; "" = capture on, zero rows
-                if m.get("changes") is None:
+                if rec.get("changes") is None:
                     raise ValueError(
                         f"version {v} is a delete committed without change "
                         "capture (emit_changes=False): its removed rows are "
                         "not derivable — change feed unavailable across it"
                     )
-                if m["changes"]:
-                    slices.append((v, "delete", [m["changes"]]))
+                if rec["changes"]:
+                    slices.append((v, "delete", [rec["changes"]]))
                 # a delete also lands the affected groups' SURVIVORS as
                 # a new file group — those rows did not change, so the
                 # new group is NOT an insert slice
-            elif m["action"] in _FEED_TYPED_CAPTURE_ACTIONS:
+            elif action in _FEED_TYPED_CAPTURE_ACTIONS:
                 # merge/upsert: the capture group carries BOTH
                 # directions, per-row typed (update = delete preimage +
                 # insert postimage) — the rewritten data groups mix
                 # changed and carried rows, so only the capture is a
                 # change slice
-                if m.get("changes") is None:
+                if rec.get("changes") is None:
                     raise ValueError(
-                        f"version {v} is a {m['action']} committed without "
+                        f"version {v} is a {action} committed without "
                         "change capture (emit_changes=False): its rowset "
                         "change is not derivable — change feed unavailable "
                         "across it"
                     )
-                if m["changes"]:
-                    slices.append((v, "typed", [m["changes"]]))
+                if rec["changes"]:
+                    slices.append((v, "typed", [rec["changes"]]))
             else:
                 raise ValueError(
-                    f"version {v} is {m['action']!r}: change feed is only "
+                    f"version {v} is {action!r}: change feed is only "
                     "derivable across appends and captured deletes/merges"
                 )
-            base = set(m["files"])
+            _advance()
+            prev_v = v
         return slices
 
     def read_change_feed(
@@ -3830,10 +3956,8 @@ class VersionedTable:
             return
         full = dict(self._manifest(version))
         # a full manifest needs only the protocol its FEATURES need
-        full["writer_version"] = (
-            _WRITER_VERSION_MAPPING
-            if (full.get("column_mapping") or full.get("retired_physical"))
-            else _WRITER_VERSION_NO_MAPPING
+        full["writer_version"] = _stamp_protocol(
+            full.get("column_mapping"), full.get("retired_physical")
         )
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w", encoding="utf-8") as f:

@@ -703,3 +703,53 @@ def test_bounded_readers_resolve_window_end_once(spark, tmp_path, monkeypatch):
             r._prune_filters = ss._prune_triples_to_filters([["k", 0, 99]])
         r.partitions()
         assert seen == [t.latest_version()], cls.__name__
+
+
+def test_feed_planning_is_o_change_on_delta_history(spark, tmp_path, monkeypatch):
+    """On a protocol-4 delta history of pure appends, the ENTIRE feed
+    plan — slice walk, caller-declared pruning, mapping resolution,
+    batch partitions — reads raw commit records only: snapshot
+    materialization must never run. That is the 100 TB CDC claim: a
+    consumer of a 1e5-group table's feed plans each window in
+    O(change) bytes, not O(live files)."""
+    import json as _json
+
+    from netflow_analysis_with_spark_streaming_spark.storage import (
+        stream_source as ss,
+    )
+    from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+        VersionedTable as VT,
+    )
+
+    t = VersionedTable(str(tmp_path / "t"), delta_log_min_files=0,
+                       checkpoint_every=1000)
+    for i in range(4):
+        t.append(
+            _df(spark, [(100 * i + j, f"v{i}") for j in range(5)]),
+            stats_cols=["k"],
+        )
+
+    def boom(self, version, rec):
+        raise AssertionError(
+            f"snapshot materialization ran for version {version} "
+            "during feed planning"
+        )
+
+    monkeypatch.setattr(VT, "_materialize", boom)
+    fresh = VersionedTable(t.root)
+    slices = fresh.feed_slices(-1)
+    assert [v for v, _, _ in slices] == [0, 1, 2, 3]
+    pruned = ss._prune_slices(
+        fresh, slices, ss._prune_triples_to_filters([["k", 0, 99]])
+    )
+    assert sum(len(g) for _, _, g in pruned) == 1  # stats_set pruned 3/4
+    register_feed_source(spark)
+    got = (
+        spark.read.format(FORMAT_NAME)
+        .option("path", t.root)
+        .option("prune", _json.dumps([["k", 0, 99]]))
+        .load()
+        .filter("k < 100")
+        .collect()
+    )
+    assert sorted(r["k"] for r in got) == [0, 1, 2, 3, 4]

@@ -4187,3 +4187,105 @@ def test_delta_log_rename_and_restore_interop(spark, tmp_path):
     # pre-restore snapshot still addressable with the renamed schema
     assert set(t.read(spark, version=v_pre).columns) == {"k", "val"}
     assert t.fsck() == []
+
+
+def test_constraint_guard_is_case_insensitive(spark, tmp_path):
+    """Spark resolves identifiers case-insensitively by default, so a
+    CHECK constraint written as 'V > 0' binds column 'v' — the
+    rename/drop guard must match the same way or the rename slips
+    through and wedges every later write anyway."""
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.set_check_constraint("upper_ref", "K > 0")
+    with pytest.raises(ValueError, match="CHECK"):
+        t.rename_column("k", "id")
+    with pytest.raises(ValueError, match="CHECK"):
+        t.drop_column("k")
+    t.drop_check_constraint("upper_ref")
+    t.rename_column("k", "id")  # unblocked
+
+
+def test_manifest_retry_rides_vacuum_checkpoint_race(
+    spark, tmp_path, monkeypatch
+):
+    """A vacuum deleting delta-chain ancestors AFTER rewriting the
+    oldest survivor as a full checkpoint can race a reader mid-walk:
+    the reader's next ancestor load raises FileNotFoundError. The
+    materializer must RESTART from the top record (which now resolves
+    through the rewritten checkpoint) instead of surfacing a spurious
+    error for a perfectly live version."""
+    t = _delta_table(tmp_path, ckpt=1000)
+    for i in range(6):
+        t.append(_df(spark, [(i, f"v{i}")]))
+    reader = VersionedTable(t.root)  # fresh handle: empty memo
+    real = VersionedTable._load_record
+    state = {"fired": False}
+
+    def racing(self, version):
+        if self is reader and version == 2 and not state["fired"]:
+            state["fired"] = True  # vacuum wins mid-chain-walk
+            VersionedTable(t.root).vacuum(keep_last=2, min_age_s=0)
+        return real(self, version)
+
+    monkeypatch.setattr(VersionedTable, "_load_record", racing)
+    m = reader._manifest(5)
+    assert state["fired"]
+    assert len(m["files"]) == 6
+    assert sorted(
+        r["k"] for r in reader.read(spark, version=5).collect()
+    ) == list(range(6))
+
+
+def test_append_fails_loudly_on_broken_delta_chain(spark, tmp_path):
+    """A delta chain with a genuinely missing ancestor (crash-torn
+    history, no rewritten checkpoint) must fail LOUDLY on the next
+    write — never silently publish a snapshot that dropped the
+    inherited deletion vectors and column mapping."""
+    import os as _os
+
+    import pytest
+
+    t = _delta_table(tmp_path, ckpt=1000)
+    for i in range(4):
+        t.append(_df(spark, [(i, f"v{i}")]))
+    _os.remove(_os.path.join(t.root, "_log", "00000001.json"))
+    fresh = VersionedTable(t.root)
+    with pytest.raises(FileNotFoundError):
+        fresh.append(_df(spark, [(99, "x")]))
+    assert fresh.latest_version() == 3  # nothing was committed
+
+
+def test_rollback_own_commit_preserves_child_replay_base(spark, tmp_path):
+    """restore's race rollback may unlink its own manifest — but never
+    one a concurrent commit already chained a delta record on (that
+    would wedge the table: latest forever unreadable). Child visible
+    before the check: no-op. No child: unlink proceeds. Child landing
+    INSIDE the check-to-unlink window: the manifest is put back."""
+    import os as _os
+
+    t = _delta_table(tmp_path, ckpt=1000)
+    for i in range(3):
+        t.append(_df(spark, [(i, f"v{i}")]))  # v0 full, v1..v2 delta
+    log = _os.path.join(t.root, "_log")
+    # child exists (v2 chains on v1): rollback of v1 must keep it
+    t._rollback_own_commit(1)
+    assert _os.path.exists(_os.path.join(log, "00000001.json"))
+    # no child: rollback of the latest unlinks it
+    t._rollback_own_commit(2)
+    assert not _os.path.exists(_os.path.join(log, "00000002.json"))
+    assert t.latest_version() == 1
+    # recreate v2, then simulate a child landing in the window: the
+    # first latest_version() (pre-check) sees no child, the second
+    # (post-unlink) sees one — the manifest must be restored
+    t.append(_df(spark, [(2, "v2")]))
+    seq = iter([2, 3])
+    t.latest_version = lambda: next(seq)  # instance shadow
+    t._rollback_own_commit(2)
+    del t.latest_version
+    assert _os.path.exists(_os.path.join(log, "00000002.json"))
+    fresh = VersionedTable(t.root)
+    assert sorted(
+        r["k"] for r in fresh.read(spark, version=2).collect()
+    ) == [0, 1, 2]

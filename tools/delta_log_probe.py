@@ -88,10 +88,12 @@ def main() -> int:
             "groups": n,
             "per_commit_bytes_full": {m: s_full[m] for m in marks},
             # report a NON-checkpoint delta record at each mark (the
-            # steady-state commit; checkpoints are the amortized term)
+            # steady-state commit; checkpoints are the amortized term);
+            # step DOWN off a checkpoint so the version always exists
             "per_commit_bytes_delta": {
-                (m if m % 16 else m + 1): s_delta[m if m % 16 else m + 1]
+                (m if m % 16 else m - 1): s_delta[m if m % 16 else m - 1]
                 for m in marks
+                if m % 16 or m >= 1
             },
             "log_total_bytes_full": sum(s_full.values()),
             "log_total_bytes_delta": sum(s_delta.values()),
