@@ -3408,9 +3408,19 @@ def test_column_mapping_model_fuzz(spark, tmp_path):
     checkpoint time-travels back name-faithfully."""
     import random
 
-    for seed in (5, 19):
+    for seed, delta_log in ((5, False), (19, True)):
         rng = random.Random(seed)
-        t = VersionedTable(str(tmp_path / f"t{seed}"))
+        # seed 19 forces protocol-4 delta records so the mapping rides
+        # (and materializes through) delta chains on every op
+        t = (
+            VersionedTable(
+                str(tmp_path / f"t{seed}"),
+                delta_log_min_files=0,
+                checkpoint_every=4,
+            )
+            if delta_log
+            else VersionedTable(str(tmp_path / f"t{seed}"))
+        )
         # model: list of (logical_name,) column order + {key: row dict}
         cols = ["k", "a", "b"]
         t.append(
