@@ -104,7 +104,10 @@ _DRIVER_ORDER = [
     # dedup + similarity pipeline
     "dedup_fingerprint",
     "dedup_minhash_candidates",
-    "dedup_simhash_pairs",
+    # dedup_simhash_pairs retired to the pytest tier round 10 (hamming-
+    # band hash evidence near-duplicated dedup_minhash_candidates'
+    # banded LSH; oracle intact in pytest) — slot went to the
+    # table-as-stream CDC source (storage_feed_stream, below)
     "dedup_components",
     "similarity_ngram_jaccard",
     "similarity_cosine_topk",
@@ -161,6 +164,11 @@ _DRIVER_ORDER = [
     # shape — driver-tier evidence for the group-pruned merge write
     # path (round-7 top ask, fixed round 8)
     "storage_versioned_merge",
+    # promoted round 10: the versioned table as a Structured Streaming
+    # SOURCE — readStream over the typed change feed into a parquet
+    # sink, the engine's replacement for the reference's Kafka
+    # round-trip downstream-consumption pattern (README.md:98)
+    "storage_feed_stream",
 ]
 
 

@@ -1001,9 +1001,14 @@ register("dedup_fingerprint", _dedup_fingerprint, _DEDUP_FINGERPRINT_SQL)
 register("dedup_minhash_candidates", _dedup_minhash_candidates, _MINHASH_CAND_SQL)
 register("similarity_ngram_jaccard", _similarity_ngram_jaccard, _NGRAM_JACCARD_SQL)
 register(
+    # retired to the pytest tier round 10: its hamming-band hash
+    # evidence near-duplicated dedup_minhash_candidates' banded-LSH
+    # evidence (VERDICT r9 ask #4); oracle stays exact in
+    # tests/test_oracle_corpus.py. Slot went to storage_feed_stream.
     "dedup_simhash_pairs",
     _dedup_simhash_pairs,
     _SIMHASH_PAIRS_SQL.replace("{SIG}", _SIMHASH_SQL),
+    driver=False,
 )
 register("similarity_cosine_topk", _similarity_cosine_topk, _COSINE_TOPK_SQL)
 register("similarity_ann_topk", _similarity_ann_topk, _LSH_TOPK_SQL)

@@ -1460,10 +1460,13 @@ ORDER BY commit_version, event_id
 
 
 register(
+    # promoted to the driver window round 10 (VERDICT r9 ask #4): the
+    # table-as-stream CDC source is the engine's replacement for the
+    # reference's Kafka round-trip (README.md:98) and had only
+    # pytest-tier evidence. Displaced dedup_simhash_pairs.
     "storage_feed_stream",
     _storage_feed_stream,
     _STORAGE_FEED_STREAM_SQL,
-    driver=False,
 )
 
 
