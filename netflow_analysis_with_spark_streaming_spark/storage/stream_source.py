@@ -519,14 +519,23 @@ class VersionedFeedDataSource(DataSource):
         exclusive starting offset is the latest version committed
         strictly BEFORE ``ts``; a timestamp predating the first commit
         streams from the beginning; one past the last commit streams
-        only future commits."""
+        only future commits. Bisects the log (stamps are
+        non-decreasing — commit clamp in versioned._commit), so stream
+        start-up costs O(log versions) record reads on a long
+        streaming-ingest history, not a full-log walk."""
         from .versioned import VersionedTable
 
         t = VersionedTable(self._root())
+        vs = t.versions()
         best = -1
-        for v in t.versions():
-            if (t._load_record(v).get("ts") or 0) < ts:
-                best = v
+        lo, hi = 0, len(vs) - 1
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if t._ts_at(vs[mid]) < ts:
+                best = vs[mid]
+                lo = mid + 1
+            else:
+                hi = mid - 1
         return best
 
     def schema(self) -> StructType:

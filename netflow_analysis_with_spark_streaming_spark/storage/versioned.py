@@ -606,8 +606,14 @@ class VersionedTable:
             # correctness never depends on it (clocks skew), which is
             # why it does not bump the writer protocol and pre-stamp
             # manifests stay readable (version_at_timestamp treats a
-            # missing stamp as 0 = "since forever").
-            "ts": time.time(),
+            # missing stamp as 0 = "since forever"). Clamped to the
+            # parent's stamp so the log's stamps are NON-DECREASING
+            # even across a backwards clock adjustment (Delta's
+            # monotonization, applied at write time instead of read
+            # time) — the invariant that lets version_at_timestamp /
+            # startingTimestamp / vacuum-retain BISECT the log in
+            # O(log versions) record reads instead of walking it.
+            "ts": max(time.time(), float(prev_m.get("ts") or 0)),
             "action": action,
             "files": sorted(files),
             "n_files": len(files),
@@ -1758,18 +1764,38 @@ class VersionedTable:
         }
         return files, stats
 
+    def _ts_at(self, version: int) -> float:
+        """Commit stamp of one version, O(record) bytes (never
+        materializes). Missing stamp (pre-stamp history) reads as 0 =
+        "since forever" — and pre-stamp records are always a history
+        PREFIX (newer writers always stamp), so the 0s sort first and
+        the non-decreasing invariant holds across an engine upgrade."""
+        return float(self._load_record(version).get("ts") or 0)
+
     def version_at_timestamp(self, ts: float) -> int:
         """TIMESTAMP AS OF resolution (the Delta rule): the LATEST
         version whose commit timestamp is <= ``ts`` — the snapshot a
         reader at that wall-clock instant would have seen. Raises if
-        ``ts`` predates the first commit. Manifests written before the
-        stamp existed resolve as timestamp 0 ("since forever"), so
-        pre-stamp history stays addressable."""
+        ``ts`` predates the first commit.
+
+        O(log versions): commit stamps are non-decreasing by
+        construction (``_commit`` clamps each stamp to its parent's —
+        Delta's read-time monotonization, applied at write time), so
+        the resolution BISECTS the version list with one raw-record
+        read per probe instead of walking every manifest. On a
+        1000-commit streaming-ingest table that is ~10 tiny JSON reads
+        instead of 1000 (measured: tests/test_versioned.py
+        ``test_timestamp_resolution_bisects``)."""
+        vs = self.versions()
         best = None
-        for v in self.versions():
-            # ts is per-record metadata: no need to materialize
-            if (self._load_record(v).get("ts") or 0) <= ts:
-                best = v
+        lo, hi = 0, len(vs) - 1
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if self._ts_at(vs[mid]) <= ts:
+                best = vs[mid]
+                lo = mid + 1
+            else:
+                hi = mid - 1
         if best is None:
             raise ValueError(
                 f"table {self.root} has no version at or before "
@@ -3876,16 +3902,27 @@ class VersionedTable:
         kept_versions = list(vs[-keep_last:])
         if retain_s is not None:
             cutoff = now_h - retain_s
-            in_window = [
-                v
-                for v in vs
-                if (self._load_record(v).get("ts") or 0) >= cutoff
-            ]
+            # stamps are non-decreasing (commit clamp), so the oldest
+            # in-window version is a bisect — O(log versions) record
+            # reads, not a full-log walk (the same invariant TIMESTAMP
+            # AS OF resolution rides)
+            first_in_window = None
+            lo, hi = 0, len(vs) - 1
+            while lo <= hi:
+                mid = (lo + hi) // 2
+                if self._ts_at(vs[mid]) >= cutoff:
+                    first_in_window = vs[mid]
+                    hi = mid - 1
+                else:
+                    lo = mid + 1
             # contiguous tail from the OLDEST version either rule keeps:
             # history must never get mid-range holes (feed walks and
             # restore address version ranges), and a skewed clock could
             # otherwise punch one
-            floor = min(kept_versions + in_window)
+            floor = min(
+                kept_versions
+                + ([first_in_window] if first_in_window is not None else [])
+            )
             kept_versions = [v for v in vs if v >= floor]
         # Manifests record either a bare group ("data/{group}") or, for
         # clustered/z-ordered appends, subpaths ("data/{group}/_rb=N") —

@@ -2436,6 +2436,87 @@ def test_pre_stamp_manifests_stay_addressable(spark, tmp_path):
     assert t.history()[0]["ts"] is None
 
 
+def test_commit_stamps_are_monotone_under_clock_skew(spark, tmp_path):
+    """_commit clamps each stamp to its parent's (Delta's
+    monotonization applied at WRITE time): a backwards clock
+    adjustment — emulated by editing the parent's stamp far into the
+    future — cannot produce a dip, which is the invariant the
+    bisecting TIMESTAMP AS OF / startingTimestamp / vacuum-retain
+    resolutions rely on."""
+    import os as _os
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    future = 4_000_000_000.0  # year ~2096: any real clock is behind it
+    p = _os.path.join(t.root, "_log", "00000000.json")
+    m = json.load(open(p))
+    m["ts"] = future
+    json.dump(m, open(p, "w"), default=str)
+    t._mat_cache.clear()  # drop the memoized pre-edit manifest
+    t.append(_df(spark, [(2, "b")]))
+    stamps = [h["ts"] for h in t.history()]
+    assert stamps[1] >= future  # clamped, not time.time()
+    assert stamps == sorted(stamps)
+    # and resolution honors the clamped stamps
+    assert t.version_at_timestamp(future) == 1
+
+
+def test_timestamp_resolution_bisects(tmp_path):
+    """The verdict-#2 measurement: TIMESTAMP AS OF on a 1024-commit
+    table costs O(log versions) record reads, not a full-log walk.
+    The log is synthesized directly (tiny full manifests — the log
+    layer is plain JSON), _load_record is counted, and resolution at
+    several instants must stay within 2*log2(n)+2 reads each while
+    agreeing with the linear-walk answer."""
+    import math
+    import os as _os
+
+    root = str(tmp_path / "t")
+    log = _os.path.join(root, "_log")
+    _os.makedirs(log)
+    _os.makedirs(_os.path.join(root, "data"))
+    n = 1024
+    for v in range(n):
+        rec = {
+            "version": v,
+            "writer_version": 2,
+            "ts": 1000.0 + 10 * v,
+            "action": "append",
+            "files": [],
+            "n_files": 0,
+            "schema": "{}",
+            "batch_id": None,
+            "stats": {},
+            "changes": None,
+            "dvs": {},
+        }
+        with open(_os.path.join(log, f"{v:08d}.json"), "w") as f:
+            json.dump(rec, f)
+    t = VersionedTable(root)
+    reads = {"n": 0}
+    orig = VersionedTable._load_record
+
+    def counting(self, version):
+        reads["n"] += 1
+        return orig(self, version)
+
+    VersionedTable._load_record = counting
+    try:
+        budget = 2 * math.ceil(math.log2(n)) + 2
+        for ts, want in (
+            (1000.0, 0),  # exactly the first stamp
+            (1005.0, 0),  # between v0 and v1
+            (1000.0 + 10 * (n - 1), n - 1),  # exactly the last
+            (10**9, n - 1),  # far future
+            (1000.0 + 10 * 517 + 3, 517),  # arbitrary interior instant
+        ):
+            reads["n"] = 0
+            assert t.version_at_timestamp(ts) == want
+            assert reads["n"] <= budget, (ts, reads["n"], budget)
+    finally:
+        VersionedTable._load_record = orig
+
+
 # --- zero-copy CLONE + retention vacuum (round 8) ----------------------
 
 
