@@ -198,6 +198,69 @@ def test_feed_breaking_commit_fails_stream(spark, tmp_path):
         _run_once(spark, reader, "feed_broken", str(tmp_path / "ckpt"))
 
 
+def test_feed_renegotiates_schema_after_rename_restart(spark, tmp_path):
+    """RENAME COLUMN is a feed wall — a running stream cannot
+    re-negotiate its output schema mid-flight (Spark's own
+    restriction) — but NOT a dead end: a stream fails crossing the
+    rename with the actionable error, and a RESTART with
+    ``startingVersion`` at-or-after the rename commit negotiates the
+    NEW logical schema and resumes, never touching pre-rename
+    history. This is the documented consumer runbook for schema
+    changes on a CDC-fed table."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))  # v0
+    t.append(_df(spark, [(2, "b")]))  # v1
+    rv = t.rename_column("v", "label")  # v2: feed-breaking wall
+    t.append(
+        spark.createDataFrame([(3, "c")], "k long, label string")
+    )  # v3, new logical schema (physical name unchanged on file)
+    register_feed_source(spark)
+    # 1) a stream whose window crosses the rename fails loudly with
+    # the batch feed's own error (no partial rows)
+    reader = spark.readStream.format(FORMAT_NAME).option("path", t.root).load()
+    with pytest.raises(Exception, match="change feed|rename_column"):
+        _run_once(spark, reader, "feed_wall", str(tmp_path / "ckpt_wall"))
+    # 2) restart at the rename: schema() negotiates the CURRENT
+    # logical schema (the renamed column), the window (rv, latest]
+    # contains only post-rename commits, and the mapping is constant
+    # end-to-end — physical-name translation surfaces the pre-rename
+    # bytes of carried files under the new logical name
+    ckpt = str(tmp_path / "ckpt_resume")
+
+    def run(out_dir: str):
+        reader2 = (
+            spark.readStream.format(FORMAT_NAME)
+            .option("path", t.root)
+            .option("startingVersion", rv)  # exclusive: stream v3 onward
+            .load()
+        )
+        assert "label" in reader2.columns and "v" not in reader2.columns
+        q = (
+            reader2.writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "out1"))
+    got = {
+        (r["k"], r["label"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.parquet(str(tmp_path / "out1")).collect()
+    }
+    assert got == {(3, "c", "insert", 3)}
+    # 3) and the resumed checkpoint keeps streaming future commits
+    t.append(spark.createDataFrame([(4, "d")], "k long, label string"))
+    run(str(tmp_path / "out2"))
+    got2 = {
+        (r["k"], r["label"], r["_commit_version"])
+        for r in spark.read.parquet(str(tmp_path / "out2")).collect()
+    }
+    assert got2 == {(4, "d", 4)}
+
+
 def test_empty_table_has_no_schema(spark, tmp_path):
     register_feed_source(spark)
     with pytest.raises(Exception, match="no committed version"):
