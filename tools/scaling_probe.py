@@ -149,6 +149,10 @@ PROBE_ENTRIES = [
     # round 9: typed capture overhead at FIXED source size — must stay
     # as flat as the uncaptured fixed-source merge
     "storage_merge_fixed_source_captured",
+    # round 10: steady-state ANN — query-only latency against the
+    # durable IVF index (build memoized out of the timing); isolates
+    # the similarity_ann_topk residual, which is per-call index build
+    "similarity_ann_query_steady",
     "stream_late_dlq",
     "stream_scd2_enrich",
     "join_salted_skew",
@@ -368,6 +372,92 @@ def _merge_fixed_source_captured(spark, sf_dir):
     return t.read_change_feed(spark, t.latest_version() - 1).select("event_id")
 
 
+_ANN_INDEX_ROOTS: dict[str, str] = {}
+
+
+def _ann_query_steady(spark, sf_dir):
+    """Steady-state ANN (verdict-r9 #3): separates amortized QUERY
+    latency from index BUILD. The IVF index is trained and SAVED once
+    per sf_dir (durable posting lists range-clustered on cluster id,
+    memoized like the merge probe — min-of-reps times the query path
+    only); each timed call is what a serving session pays: load the
+    (k x dim) centroid matrix, route 8 fixed queries to their
+    n_probe=4 nearest lists, read ONLY the probed posting lists
+    through manifest-stats file skipping (read_ivf_clusters — storage
+    level pruning, not a post-scan filter), exact cosine top-5 inside
+    them. Centroid count scales ~sqrt(corpus) (standard IVF sizing),
+    so probed bytes grow ~sqrt(n) and the measured curve must read
+    strongly SUBLINEAR — unlike similarity_ann_topk, whose per-call
+    LSH build is the documented residual this probe isolates."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from netflow_analysis_with_spark_streaming_spark import tables as T
+    from netflow_analysis_with_spark_streaming_spark.functions import (
+        vectors as V,
+    )
+
+    root = _ANN_INDEX_ROOTS.get(sf_dir)
+    if root is None:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="netflow_annprobe_") + "/ivf"
+        emb = T.load(spark, "embeddings", sf_dir)
+        n = emb.count()
+        ncent = max(16, int(round(math.sqrt(n))))
+        assigned, cent = V.ivf_index(emb, n_centroids=ncent)
+        V.save_ivf_index(root, assigned, cent)
+        _ANN_INDEX_ROOTS[sf_dir] = root
+    # ---- the query path (everything below is the steady state) ----
+    emb = T.load(spark, "embeddings", sf_dir)
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )[:8]
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    cent = V.load_ivf_centroids(spark, root)
+    probes = V.ivf_probe_clusters(q_mat, cent, n_probe=4)
+    lists = V.read_ivf_clusters(
+        spark, root, {int(c) for row in probes for c in row}
+    )
+    probe_df = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), int(c))
+            for r, row in zip(q_rows, probes)
+            for c in row
+        ],
+        "query_id long, cluster int",
+    )
+    q_df = spark.createDataFrame(
+        [
+            (int(r["vec_id"]), list(map(float, r["embedding"])))
+            for r in q_rows
+        ],
+        "query_id long, q_emb array<float>",
+    )
+    scored = (
+        lists.join(F.broadcast(probe_df), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q_df), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 _ANALYZE_PROBE_TABLES: dict[str, str] = {}
 
 
@@ -488,6 +578,7 @@ def main() -> int:
     qs["storage_merge_fixed_source"] = _merge_fixed_source
     qs["storage_merge_fixed_source_captured"] = _merge_fixed_source_captured
     qs["storage_analyze_backfill"] = _analyze_backfill
+    qs["similarity_ann_query_steady"] = _ann_query_steady
     scale_label = f"{REPLICAS}x"
     results: dict[str, dict] = {}
     for label, sf_dir in (("sf0.1", SRC_DIR), (scale_label, scale_dir)):
