@@ -3068,6 +3068,144 @@ def test_concurrent_appenders_and_mergers_stress(spark, tmp_path, delta_log):
     assert len(vs) == 17
 
 
+def test_interleaved_analyze_capture_rename_stress(spark, tmp_path):
+    """Round-10 fuzz arm (verdict-r9 ask #7): the three round-9
+    features that all touch the commit race — analyze's metadata
+    rebase, typed capture groups, and column-mapping renames —
+    interleaved with appends under REAL threads, in forced protocol-4
+    delta mode, with fsck + count + FEED consistency asserted at the
+    quiescent points. Feed consistency is checked the strongest way
+    the engine itself offers: a CDC mirror built purely from the
+    typed change feed must equal the source table byte-for-byte
+    (phase 1), and after the rename feed-wall the documented consumer
+    runbook — re-sync from a snapshot, resume the feed from the
+    rename version — must reconverge the mirror (phase 2)."""
+    import threading
+
+    import pytest
+
+    from netflow_analysis_with_spark_streaming_spark.storage.incremental import (
+        mirror_from_feed,
+    )
+    from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+        CommitConflictError,
+    )
+
+    def handle():
+        return VersionedTable(
+            str(tmp_path / "t"), delta_log_min_files=0, checkpoint_every=4
+        )
+
+    t = handle()
+    t.append_clustered(
+        _df(spark, [(i, "base") for i in range(60)]), "k", n_groups=2
+    )
+
+    errors: list = []
+
+    def retrying(fn, what: str) -> None:
+        for _attempt in range(20):
+            try:
+                fn()
+                return
+            except CommitConflictError:
+                continue
+        raise RuntimeError(f"{what} never landed")
+
+    def appender(col: str, base_key: int) -> None:
+        try:
+            h = handle()
+            for j in range(3):
+                lo = base_key + j * 100
+                h.append(
+                    spark.createDataFrame(
+                        [(lo + i, f"a{j}") for i in range(10)],
+                        f"k long, {col} string",
+                    ),
+                    stats_cols=["k"],
+                )
+        except Exception as e:
+            errors.append(e)
+
+    def captured_merger(col: str) -> None:
+        try:
+            h = handle()
+            for j in range(2):
+                src = spark.createDataFrame(
+                    [(i, f"m{j}") for i in range(0, 30)],
+                    f"k long, {col} string",
+                )
+                retrying(
+                    lambda s=src: h.merge(
+                        spark, s, keys=["k"], emit_changes=True
+                    ),
+                    f"captured merge {j}",
+                )
+        except Exception as e:
+            errors.append(e)
+
+    def analyzer() -> None:
+        try:
+            h = handle()
+            for _ in range(2):
+                retrying(lambda: h.analyze(spark, ["k"]), "analyze")
+        except Exception as e:
+            errors.append(e)
+
+    # ---- phase 1: append x analyze x captured-merge interleaving ----
+    threads = [
+        threading.Thread(target=appender, args=("v", 10_000)),
+        threading.Thread(target=appender, args=("v", 20_000)),
+        threading.Thread(target=captured_merger, args=("v",)),
+        threading.Thread(target=analyzer),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, f"phase-1 thread(s) failed: {errors}"
+    # quiescent point 1: metadata invariants + full feed consistency
+    assert t.fsck() == []
+    vs = t.versions()
+    assert vs == list(range(len(vs)))  # dense chain, no holes
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert t.count_rows() == len(rows) == 60 + 60  # base + 6 appends
+    for k in range(0, 30):
+        assert rows[k].startswith("m")  # some merger pass won
+    for k in range(30, 60):
+        assert rows[k] == "base"
+    mirror1 = VersionedTable(str(tmp_path / "m1"))
+    mirror_from_feed(spark, t, mirror1, keys=["k"], since_version=-1)
+    got = {(r["k"], r["v"]) for r in mirror1.read(spark).collect()}
+    assert got == set(rows.items())  # mirror == source, from feed alone
+
+    # ---- phase 2: rename feed wall, then more interleaved writes ----
+    rv = t.rename_column("v", "w")
+    threads = [
+        threading.Thread(target=appender, args=("w", 30_000)),
+        threading.Thread(target=captured_merger, args=("w",)),
+        threading.Thread(target=analyzer),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, f"phase-2 thread(s) failed: {errors}"
+    assert t.fsck() == []
+    rows2 = {r["k"]: r["w"] for r in t.read(spark).collect()}
+    assert t.count_rows() == len(rows2) == 120 + 30
+    # feed windows crossing the rename fail with the actionable error
+    with pytest.raises(ValueError, match="rename_column|change feed"):
+        t.feed_slices(-1, t.latest_version())
+    # the runbook: re-sync the consumer from a snapshot AT the rename,
+    # then resume the feed from there — must reconverge exactly
+    mirror2 = VersionedTable(str(tmp_path / "m2"))
+    mirror2.append(t.read(spark, version=rv))
+    mirror_from_feed(spark, t, mirror2, keys=["k"], since_version=rv)
+    got2 = {(r["k"], r["w"]) for r in mirror2.read(spark).collect()}
+    assert got2 == set(rows2.items())
+
+
 # --- ANALYZE (data-skipping index backfill) -----------------------------
 
 
