@@ -1039,6 +1039,65 @@ register(
 )
 
 
+def _storage_compact_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-scoped OPTIMIZE (Delta's ``OPTIMIZE ... WHERE``,
+    reference capability: the maintenance story its Mongo store never
+    had): a COLD well-clustered range plus a HOT fragmented ingest
+    range land in one table; ``compact_where`` folds only the file
+    groups whose stats overlap the hot bound — the cold groups carry
+    by reference, so maintenance cost is O(selected groups), never
+    O(snapshot) (the 100 TB contract; plan/file-level assertions live
+    in tests/test_versioned.py). Row-preserving: the oracle is the
+    FULL rowset — one row lost or duplicated by the fold, or a DV
+    resurrected (a DV delete runs first and the fold must shed it),
+    breaks the hash."""
+    from .storage.versioned import VersionedTable
+
+    root = _run_tmp_root("netflow_vtcw_") + "/t"
+    t = VersionedTable(root)
+    ev = tables.load(spark, "events", sf_dir).filter(
+        F.col("event_id") % 10 == 0
+    ).select("event_id", "user_id", "value")
+    # cold: clustered, already well-laid-out
+    t.append_clustered(
+        ev.filter(F.col("user_id") >= 100), "user_id", n_groups=4
+    )
+    # hot: four fragmented arrival-order appends over user_id < 100
+    for lo in (0, 25, 50, 75):
+        t.append(
+            ev.filter(
+                (F.col("user_id") >= lo) & (F.col("user_id") < lo + 25)
+            ),
+            stats_cols=["user_id"],
+        )
+    # a DV delete inside the hot range: the fold must apply+shed it
+    t.delete_where_dv(
+        spark, "user_id = 7", prune=("user_id", 7, 7), emit_changes=True
+    )
+    t.compact_where(spark, ("user_id", 0, 99))
+    return (
+        t.read(spark)
+        .select("event_id", "user_id", F.round("value", 2).alias("value"))
+        .orderBy("event_id")
+    )
+
+
+_STORAGE_COMPACT_WHERE_SQL = """
+SELECT event_id, user_id, ROUND(value, 2) AS value
+FROM events
+WHERE event_id % 10 = 0 AND user_id != 7
+ORDER BY event_id
+"""
+
+
+register(
+    "storage_compact_where",
+    _storage_compact_where,
+    _STORAGE_COMPACT_WHERE_SQL,
+    driver=False,
+)
+
+
 def _storage_delta_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Protocol-4 delta-encoded commit log on the full mutation mix:
     the table is FORCED into delta mode (threshold 0, checkpoint every

@@ -1388,6 +1388,109 @@ def test_compact_preserves_skipping_index(spark, tmp_path):
     assert t.read(spark, point=("k", 250)).filter("k = 250").count() == 1
 
 
+def test_compact_where_folds_only_overlapping_groups(spark, tmp_path):
+    """Predicate-scoped OPTIMIZE: only the groups whose stats overlap
+    the bound fold into one; cold groups carry BY REFERENCE (same
+    file paths in the new manifest — zero bytes rewritten for them);
+    rows, pruning, and time travel all intact; action is the
+    row-preserving "compact" so feeds see no slice."""
+    t = VersionedTable(str(tmp_path / "t"))
+    # cold, well-laid range: two big clustered groups over [0, 200)
+    t.append_clustered(
+        _df(spark, [(i, "cold") for i in range(200)]), "k", n_groups=2
+    )
+    cold = set(t.snapshot_files())
+    # hot fragmented ingest: 5 tiny appends, keys gapped (1000-1009,
+    # 1020-1029, ...) so an in-range ABSENT key exists for the bloom
+    for j in range(5):
+        t.append(
+            _df(spark, [(1000 + 20 * j + i, "hot") for i in range(10)]),
+            stats_cols=["k"],
+            bloom_cols=["k"],
+        )
+    assert len(t.snapshot_files()) == len(cold) + 5
+    pre = t.latest_version()
+    v = t.compact_where(spark, ("k", 1000, 1099))
+    assert v == pre + 1
+    assert t.history()[-1]["action"] == "compact"
+    files = t.snapshot_files()
+    assert cold <= set(files)  # cold groups byte-identical, by reference
+    assert len(files) == len(cold) + 1  # 5 hot groups -> 1
+    assert t.read(spark).count() == 250
+    # skipping index rebuilt for the folded group: range pruning works,
+    # the rebuilt bloom excludes an in-range absent key (point pruning
+    # is bloom-only by contract — cold groups have no blooms)
+    hot_files = [f for f in files if f not in cold]
+    assert t.snapshot_files(prune=("k", 1000, 1099)) == hot_files
+    assert [
+        f for f in t.snapshot_files(point=("k", 1015)) if f in hot_files
+    ] == []  # 1015 falls in a gap: bloom proves absence
+    assert t.read(spark, point=("k", 1025)).filter("k = 1025").count() == 1
+    # time travel: pre-compaction snapshot intact
+    assert t.read(spark, version=pre).count() == 250
+    # feed: the compaction contributes no slice (baseline advance only)
+    feed = t.read_change_feed(spark, pre - 1)  # window = last append + compact
+    assert {r["_change_type"] for r in feed.collect()} == {"insert"}
+    assert feed.count() == 10
+
+
+def test_compact_where_sheds_dvs_and_noops_below_min(spark, tmp_path):
+    """DV discipline: folded groups are read with deletion vectors
+    APPLIED and the new group sheds them (no resurrection, manifest
+    dvs entries gone); below min_groups the call is a no-op returning
+    None (the post-ingest policy-hook contract)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    for j in range(3):
+        t.append(
+            _df(spark, [(100 * j + i, "x") for i in range(10)]),
+            stats_cols=["k"],
+        )
+    t.delete_where_dv(spark, "k IN (5, 105)", prune=("k", 0, 299))
+    assert t.read(spark).count() == 28
+    assert t._manifest(t.latest_version())["dvs"]  # DVs live
+    v = t.compact_where(spark, ("k", 0, 299))
+    assert v is not None
+    assert t._manifest(v)["dvs"] == {}  # folded group shed them
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert len(got) == 28 and 5 not in got and 105 not in got
+    assert t.count_rows() == 28
+    assert t.fsck() == []
+    # single overlapping group now: nothing to fold
+    assert t.compact_where(spark, ("k", 0, 299)) is None
+    assert t.latest_version() == v
+
+
+def test_compact_where_rebases_over_concurrent_append(spark, tmp_path):
+    """A blind append landing mid-compaction REBASES (a compaction
+    preserves rows — the appended group simply stays uncompacted),
+    even when the append lands INSIDE the compacted key range; the
+    serial-equivalent rowset holds."""
+    t = VersionedTable(str(tmp_path / "t"))
+    for j in range(3):
+        t.append(
+            _df(spark, [(10 * j + i, "x") for i in range(10)]),
+            stats_cols=["k"],
+        )
+    loser = VersionedTable(str(tmp_path / "t"))
+    _inject_once(
+        loser,
+        lambda: VersionedTable(str(tmp_path / "t")).append(
+            _df(spark, [(15_000 + i, "late") for i in range(5)])
+            .selectExpr("k", "v"),
+            stats_cols=["k"],
+        ),
+    )
+    v = loser.compact_where(spark, ("k", 0, 29))
+    assert v is not None
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert len(rows) == 35
+    assert all(rows[k] == "x" for k in range(30))
+    assert all(rows[15_000 + i] == "late" for i in range(5))
+    assert t.fsck() == []
+    # the racing append's group carried by reference (uncompacted)
+    assert len(t.snapshot_files()) == 2  # 3 folded -> 1, + the late group
+
+
 def test_rewrite_zordered_restores_two_dim_pruning(spark, tmp_path):
     """OPTIMIZE ZORDER: a table ingested in arrival order (every file
     spans both key ranges, nothing prunes) is rewritten along the
