@@ -1575,6 +1575,66 @@ register(
 )
 
 
+def _storage_sink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned table as a native Structured Streaming SINK
+    (storage/stream_sink.py, round 10): the same typed-feed history
+    as storage_feed_stream streams source-table -> readStream ->
+    ``writeStream.format('versioned_table')`` -> DESTINATION
+    versioned table — no foreachBatch, no parquet directory sink.
+    Executors stage arrow-written groups with min/max stats; the
+    driver-side two-phase commit lands each micro-batch as ONE
+    atomic, batch-id-stamped version (exactly-once by the same slot
+    discipline the foreachBatch sinks use). The result is the read of
+    the destination TABLE, hashed against the slice-recomputing
+    oracle — a dropped task message, a double-landed replay, a type
+    mangled in the arrow hop, or a row lost in the staging fold all
+    break the hash. Reference parity: this is the 'results land in a
+    store' half of the reference pipeline (spark/README.md foreachRDD
+    Mongo inserts), upgraded to atomic versioned commits."""
+    from .storage.stream_sink import (
+        FORMAT_NAME as SINK_FORMAT,
+    )
+    from .storage.stream_sink import register_table_sink
+    from .storage.stream_source import FORMAT_NAME, register_feed_source
+    from .storage.versioned import VersionedTable
+
+    root = _run_tmp_root("netflow_vsk_")
+    src = _feed_source_history(spark, sf_dir, root + "/src")
+    register_feed_source(spark)
+    register_table_sink(spark)
+    q = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", src.root)
+        .load()
+        .writeStream.format(SINK_FORMAT)
+        .option("path", root + "/dst")
+        .option("checkpointLocation", root + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        VersionedTable(root + "/dst")
+        .read(spark)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        .orderBy("commit_version", "event_id")
+    )
+
+
+register(
+    "storage_sink_stream",
+    _storage_sink_stream,
+    _STORAGE_FEED_STREAM_SQL,  # same feed history, same expected rows
+    driver=False,
+)
+
+
 def _stream_late_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data dead-letter routing (streaming/late_router.py) driven
     over a deterministic two-batch backfill: even-user events arrive

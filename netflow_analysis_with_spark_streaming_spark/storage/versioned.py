@@ -1004,6 +1004,15 @@ class VersionedTable:
         a producer appends a column subset."""
         if version == 0:
             return df.schema.json()
+        return self._evolved_schema_json_of(df.schema, version)
+
+    def _evolved_schema_json_of(self, incoming: StructType, version: int) -> str:
+        """Schema-based twin of ``_evolved_schema_json`` — pure
+        metadata work (no DataFrame, no SparkSession), which is what
+        lets the native streaming sink's driver-side commit evolve the
+        manifest schema from inside a data-source worker process."""
+        if version == 0:
+            return incoming.json()
         prev_m = self._manifest(version - 1)
         cur = StructType.fromJson(json.loads(prev_m["schema"]))
         # column-mapping guard: a NET-NEW logical column may not take a
@@ -1019,7 +1028,7 @@ class VersionedTable:
             known = {f.name for f in cur.fields}
             hits = sorted(
                 f.name
-                for f in df.schema.fields
+                for f in incoming.fields
                 if f.name not in known and f.name in blocked
             )
             if hits:
@@ -1029,7 +1038,7 @@ class VersionedTable:
                     "dropped column; pick a different name (physical "
                     "names are never rebound)"
                 )
-        return self._union_schemas(cur, df.schema, f"append to {self.root}").json()
+        return self._union_schemas(cur, incoming, f"append to {self.root}").json()
 
     @classmethod
     def _union_schemas(
@@ -1252,6 +1261,94 @@ class VersionedTable:
                     new, new_stats = self._write_files(
                         df, stats_cols, bloom_cols, mapping=write_mapping
                     )
+        raise conflict
+
+    def commit_staged(
+        self,
+        groups: list[str],
+        stats: dict[str, dict],
+        incoming_schema_json: str,
+        batch_id: int | None = None,
+        write_mapping: dict | None = None,
+        write_retired: list | None = None,
+        overwrite: bool = False,
+    ) -> int:
+        """Publish PRE-STAGED file groups as one commit — the driver
+        half of the native streaming sink (storage/stream_sink.py):
+        executors already landed the parquet bytes under
+        ``data/<group>/`` and shipped back per-group stats; this
+        method is pure metadata, runnable WITHOUT a SparkSession
+        (which the data-source worker process does not have).
+
+        Mirrors ``append``'s discipline exactly: batch-id replay is a
+        no-op (and deletes the staged groups — a replayed micro-batch
+        re-staged the same rows, leaving them would double-land
+        nothing but would leak garbage), the committed schema is the
+        evolution UNION, and a lost version race auto-resolves by
+        re-pinning (blind appends commute). The one divergence is the
+        column-mapping race: ``append`` re-WRITES its group under a
+        fresh mapping, but staged bytes cannot be rewritten without
+        Spark — so a concurrent rename/drop fails the commit closed
+        with an actionable message (restart the stream; its next
+        writer pins the new mapping). Tables with CHECK constraints
+        are refused for the same no-SparkSession reason."""
+        import shutil
+
+        if self.check_constraints():
+            raise ValueError(
+                f"table {self.root} has CHECK constraints; commit_staged "
+                "cannot enforce SQL predicates — write via append"
+            )
+
+        def _drop_staged() -> None:
+            for g in groups:
+                shutil.rmtree(os.path.join(self.root, g), ignore_errors=True)
+
+        version, prev_files, prev_stats = self._snapshot_state()
+        if batch_id is not None and batch_id in self.committed_batch_ids():
+            _drop_staged()
+            return self.latest_version()
+        incoming = StructType.fromJson(json.loads(incoming_schema_json))
+        conflict: Exception | None = None
+        for _ in range(10):
+            # mapping identity FIRST: after a rename, schema evolution
+            # would also fail but with a misleading "physical name"
+            # message — the actionable diagnosis is the mapping race
+            fresh_mapping, fresh_retired = self._mapping_identity(version - 1)
+            if (
+                fresh_mapping != (write_mapping or {})
+                or fresh_retired != sorted(write_retired or [])
+            ):
+                _drop_staged()
+                raise ValueError(
+                    f"table {self.root} changed its column mapping while "
+                    "the batch was being staged (concurrent RENAME/DROP "
+                    "COLUMN): the staged files bind to the old physical "
+                    "names — restart the stream to pin the new mapping"
+                )
+            if overwrite:
+                schema_json = incoming.json()
+            else:
+                schema_json = self._evolved_schema_json_of(incoming, version)
+            try:
+                return self._commit(
+                    groups if overwrite else prev_files + list(groups),
+                    "overwrite" if overwrite else "append",
+                    schema_json,
+                    batch_id,
+                    stats=(
+                        dict(stats)
+                        if overwrite
+                        else {**prev_stats, **stats}
+                    ),
+                    version=version,
+                )
+            except CommitConflictError as e:
+                if batch_id is not None and batch_id in self.committed_batch_ids():
+                    _drop_staged()
+                    return self.latest_version()
+                conflict = e
+                version, prev_files, prev_stats = self._snapshot_state()
         raise conflict
 
     def _write_clustered_group(

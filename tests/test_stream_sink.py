@@ -1,0 +1,284 @@
+"""VersionedTable as a native Structured Streaming SINK (storage/
+stream_sink.py): writeStream.format("versioned_table") lands each
+micro-batch as one atomic, batch-id-idempotent version through the
+Python Data Source API's two-phase writer. The battery pins the
+contract at both levels: end-to-end (a real stream from the feed
+SOURCE into the sink — engine reading itself writing itself) and
+unit (replay idempotency, type fidelity, mapping/constraint
+fail-close, staged-group hygiene)."""
+
+import json
+import os
+from datetime import date, datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from netflow_analysis_with_spark_streaming_spark.storage.stream_sink import (
+    FORMAT_NAME as SINK_FORMAT,
+)
+from netflow_analysis_with_spark_streaming_spark.storage.stream_sink import (
+    VersionedSinkDataSource,
+    VersionedSinkWriter,
+    register_table_sink,
+)
+from netflow_analysis_with_spark_streaming_spark.storage.stream_source import (
+    FORMAT_NAME as FEED_FORMAT,
+)
+from netflow_analysis_with_spark_streaming_spark.storage.stream_source import (
+    register_feed_source,
+)
+from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+    VersionedTable,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_stream_feed_into_sink_end_to_end(spark, tmp_path):
+    """The headline: a versioned table's typed change feed streams
+    into ANOTHER versioned table through the native sink — no
+    foreachBatch, no driver-side landing code. Each availableNow run
+    commits batch-id-stamped appends; a second run with new source
+    commits picks up exactly the delta."""
+    src = VersionedTable(str(tmp_path / "src"))
+    src.append(_df(spark, [(1, "a"), (2, "b")]))
+    src.append(_df(spark, [(3, "c")]))
+    register_feed_source(spark)
+    register_table_sink(spark)
+    dst_root = str(tmp_path / "dst")
+
+    def run():
+        q = (
+            spark.readStream.format(FEED_FORMAT)
+            .option("path", src.root)
+            .load()
+            .writeStream.format(SINK_FORMAT)
+            .option("path", dst_root)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    dst = VersionedTable(dst_root)
+    got = {
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in dst.read(spark).collect()
+    }
+    want = {
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in src.read_change_feed(spark, -1).collect()
+    }
+    assert got == want and len(got) == 3
+    assert all(h["action"] == "append" for h in dst.history())
+    assert all(h["batch_id"] is not None for h in dst.history())
+    assert dst.fsck() == []
+    # incremental: one more source commit, same checkpoint -> delta only
+    src.append(_df(spark, [(4, "d")]))
+    n_versions = len(dst.versions())
+    run()
+    got2 = {(r["k"], r["_commit_version"]) for r in dst.read(spark).collect()}
+    assert got2 == {(1, 0), (2, 0), (3, 1), (4, 2)}
+    assert len(dst.versions()) == n_versions + 1
+    # third run with nothing new: empty batch commits nothing
+    run()
+    assert len(dst.versions()) == n_versions + 1
+    # stats recorded at write time: out-of-range prune hits nothing
+    assert dst.snapshot_files(prune=("k", 10_000, 20_000)) == []
+
+
+def test_sink_replayed_batch_is_noop_and_drops_staging(spark, tmp_path):
+    """Exactly-once at the unit level: commit() with an
+    already-committed batchId must publish nothing AND delete the
+    replay's freshly staged groups (they hold the same rows — leaving
+    them would leak unreferenced garbage)."""
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    w = VersionedSinkWriter(root, schema_json, {}, [], ["k"])
+    m1 = w.write(iter([(1, "a"), (2, "b")]))
+    w.commit([m1], 7)
+    t = VersionedTable(root)
+    assert t.read(spark).count() == 2
+    assert t.history()[-1]["batch_id"] == 7
+    # replay: same batch id, fresh staging
+    m2 = w.write(iter([(1, "a"), (2, "b")]))
+    staged_dir = os.path.join(root, m2.group)
+    assert os.path.isdir(staged_dir)
+    w.commit([m2], 7)
+    assert len(t.versions()) == 1  # nothing double-landed
+    assert t.read(spark).count() == 2
+    assert not os.path.isdir(staged_dir)  # replay staging reclaimed
+    assert t.fsck() == []
+    # abort: staged groups deleted, nothing committed
+    m3 = w.write(iter([(9, "z")]))
+    w.abort([m3], 8)
+    assert not os.path.isdir(os.path.join(root, m3.group))
+    assert len(t.versions()) == 1
+
+
+def test_sink_type_fidelity_roundtrip(spark, tmp_path):
+    """Worker-side arrow staging must round-trip every supported
+    type through a Spark read: integral/floating/string/boolean/
+    binary/date/timestamp/array. Timestamps are the treacherous one
+    (naive local-zone Rows -> integer micros -> UTC-adjusted
+    parquet); integer-exact conversion is asserted to the
+    microsecond."""
+    root = str(tmp_path / "t")
+    fields = [
+        ("i", "integer"),
+        ("l", "long"),
+        ("d", "double"),
+        ("s", "string"),
+        ("b", "boolean"),
+        ("raw", "binary"),
+        ("dt", "date"),
+        ("ts", "timestamp"),
+        ("arr", {"type": "array", "elementType": "float", "containsNull": True}),
+    ]
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": n, "type": t, "nullable": True, "metadata": {}}
+                for n, t in fields
+            ],
+        }
+    )
+    ts = datetime(2026, 3, 14, 15, 9, 26, 535897)
+    row = (
+        7,
+        2**40,
+        3.5,
+        "x",
+        True,
+        b"\x00\x01",
+        date(2026, 2, 28),
+        ts,
+        [1.5, -2.0],
+    )
+    w = VersionedSinkWriter(root, schema_json, {}, [], ["l", "dt", "ts"])
+    os.makedirs(root)
+    w.commit([w.write(iter([row, tuple([None] * 9)]))], 0)
+    t = VersionedTable(root)
+    got = t.read(spark).orderBy(F.col("i").asc_nulls_last()).collect()
+    assert len(got) == 2
+    r = got[0]
+    assert (r["i"], r["l"], r["d"], r["s"], r["b"]) == (7, 2**40, 3.5, "x", True)
+    assert bytes(r["raw"]) == b"\x00\x01"
+    assert r["dt"] == date(2026, 2, 28)
+    assert r["ts"] == ts  # microsecond-exact through the local-zone hop
+    assert r["arr"] == [1.5, -2.0]
+    assert all(v is None for v in got[1].asDict().values())
+    # temporal stats recorded (JSON-stringified like every writer)
+    s = t._manifest(0)["stats"]
+    (g,) = s
+    assert s[g]["l"] == [2**40, 2**40]
+    assert s[g]["__rows__"] == 2
+
+
+def test_sink_refuses_constraints_and_unsupported_types(spark, tmp_path):
+    """Fail-closed surfaces: a CHECK-constrained table refuses the
+    sink at writer creation AND at commit_staged (no SparkSession to
+    enforce predicates in the data-source worker); an unsupported
+    column type refuses at creation, never mid-stream."""
+    from pyspark.sql.types import StructType
+
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.append(_df(spark, [(1, "a")]))
+    t.set_check_constraint("k_pos", "k > 0")
+    ds = VersionedSinkDataSource(options={"path": root})
+    schema = StructType.fromJson(
+        json.loads(_df(spark, [(1, "a")]).schema.json())
+    )
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        ds.streamWriter(schema, False)
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        t.commit_staged(["data/xyz"], {}, schema.json())
+    # unsupported type (map) fails at creation
+    bad = StructType.fromJson(
+        json.loads(
+            json.dumps(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": "m",
+                            "type": {
+                                "type": "map",
+                                "keyType": "string",
+                                "valueType": "long",
+                                "valueContainsNull": True,
+                            },
+                            "nullable": True,
+                            "metadata": {},
+                        }
+                    ],
+                }
+            )
+        )
+    )
+    ds2 = VersionedSinkDataSource(options={"path": str(tmp_path / "t2")})
+    with pytest.raises(ValueError, match="unsupported column type"):
+        ds2.streamWriter(bad, False)
+
+
+def test_sink_fails_closed_on_concurrent_rename(spark, tmp_path):
+    """A rename landing between staging and commit means the staged
+    files bind to the OLD physical names — commit must fail with the
+    actionable restart message and reclaim the staged groups, never
+    publish a manifest whose mapping mismatches its files."""
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.append(_df(spark, [(1, "a")]))
+    schema_json = _df(spark, [(1, "a")]).schema.json()
+    w = VersionedSinkWriter(root, schema_json, {}, [], ["k"])
+    m = w.write(iter([(2, "b")]))
+    staged = os.path.join(root, m.group)
+    t.rename_column("v", "w")  # race winner
+    with pytest.raises(ValueError, match="restart the stream"):
+        w.commit([m], 1)
+    assert not os.path.isdir(staged)
+    assert len(t.versions()) == 2  # append + rename only
+    assert t.fsck() == []
+
+
+def test_sink_batch_twin_and_schema_evolution(spark, tmp_path):
+    """The batch writer twin: df.write.format("versioned_table")
+    appends (or overwrites under mode("overwrite")) through the same
+    staging path; an evolved frame (new column) commits the UNION
+    schema, and earlier rows read NULL for the new column."""
+    register_table_sink(spark)
+    root = str(tmp_path / "t")
+    _df(spark, [(1, "a"), (2, "b")]).write.format(SINK_FORMAT).option(
+        "path", root
+    ).mode("append").save()
+    t = VersionedTable(root)
+    assert t.read(spark).count() == 2
+    # evolution: extra column appends the union schema
+    spark.createDataFrame(
+        [(3, "c", 9.5)], "k long, v string, score double"
+    ).write.format(SINK_FORMAT).option("path", root).mode("append").save()
+    got = {r["k"]: (r["v"], r["score"]) for r in t.read(spark).collect()}
+    assert got == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+    # overwrite twin replaces the rowset and the schema
+    _df(spark, [(9, "z")]).write.format(SINK_FORMAT).option(
+        "path", root
+    ).mode("overwrite").save()
+    assert [r["k"] for r in t.read(spark).collect()] == [9]
+    assert t.history()[-1]["action"] == "overwrite"
+    # pre-overwrite history stays addressable (time travel)
+    assert t.read(spark, version=t.latest_version() - 1).count() == 3
