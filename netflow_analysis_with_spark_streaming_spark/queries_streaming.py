@@ -1074,7 +1074,11 @@ def _storage_compact_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete_where_dv(
         spark, "user_id = 7", prune=("user_id", 7, 7), emit_changes=True
     )
-    t.compact_where(spark, ("user_id", 0, 99))
+    # clustered variant (OPTIMIZE ... WHERE ... ZORDER, 1-D): the hot
+    # range defragments AND re-clusters in one commit — the re-layout
+    # is on the hash path (a row lost/duplicated by the range
+    # partitioning breaks it)
+    t.compact_where(spark, ("user_id", 0, 99), cluster_col="user_id", n_groups=4)
     return (
         t.read(spark)
         .select("event_id", "user_id", F.round("value", 2).alias("value"))

@@ -3467,6 +3467,8 @@ class VersionedTable:
         prune: tuple[str, object, object] | list[tuple[str, object, object]],
         target_partitions: int = 1,
         min_groups: int = 2,
+        cluster_col: str | None = None,
+        n_groups: int = 8,
     ) -> int | None:
         """Predicate-scoped OPTIMIZE (Delta's ``OPTIMIZE ... WHERE``):
         fold ONLY the file groups whose manifest stats overlap
@@ -3476,6 +3478,15 @@ class VersionedTable:
         range (today's keys / latest event-time window) while the cold
         99% is already well-laid-out, so maintenance must cost
         O(selected groups), never O(snapshot) like ``compact``.
+
+        ``cluster_col`` makes it the ``OPTIMIZE ... WHERE ... ZORDER``
+        shape for the 1-D case: the folded rows land range-CLUSTERED
+        on the column across ``n_groups`` sub-ranges with tight
+        min/max stats (``rewrite_clustered``'s layout, scoped to the
+        hot range) instead of one coalesced group — arrival-order
+        ingest destroys pruning exactly in the range this rewrites,
+        so the periodic hot-range pass both defragments AND restores
+        the skipping index.
 
         Row-preserving: commits as action "compact" (no feed slice,
         baseline advance — running CDC consumers are unaffected).
@@ -3524,13 +3535,20 @@ class VersionedTable:
                     for c in prev_stats.get(f, {}).get(_BLOOM_KEY, {})
                 }
             )
-            bloom_cols, bloom_m = self._size_rebuilt_blooms(df, bloom_cols)
-            new, new_stats = self._write_files(
-                df,
-                stats_cols=stat_cols or None,
-                bloom_cols=bloom_cols or None,
-                bloom_m=bloom_m or None,
-            )
+            if cluster_col is not None:
+                new, new_stats = self._write_clustered_group(
+                    df, cluster_col, n_groups
+                )
+            else:
+                bloom_cols, bloom_m = self._size_rebuilt_blooms(
+                    df, bloom_cols
+                )
+                new, new_stats = self._write_files(
+                    df,
+                    stats_cols=stat_cols or None,
+                    bloom_cols=bloom_cols or None,
+                    bloom_m=bloom_m or None,
+                )
         finally:
             df.unpersist()
         kept_stats = {

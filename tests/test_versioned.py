@@ -1460,6 +1460,36 @@ def test_compact_where_sheds_dvs_and_noops_below_min(spark, tmp_path):
     assert t.latest_version() == v
 
 
+def test_compact_where_clustered_restores_hot_range_pruning(spark, tmp_path):
+    """cluster_col: the OPTIMIZE ... WHERE ... ZORDER shape (1-D).
+    Arrival-order hot fragments (every fragment spans the full hot key
+    range — nothing prunes inside it) are folded RANGE-CLUSTERED, so
+    the hot range both defragments and regains selective pruning;
+    cold groups still carry by reference."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append_clustered(
+        _df(spark, [(i, "cold") for i in range(500, 700)]), "k", n_groups=2
+    )
+    cold = set(t.snapshot_files())
+    # arrival-order ingest: each fragment spans the WHOLE hot range
+    for j in range(4):
+        t.append(
+            _df(spark, [(i, f"hot{j}") for i in range(j, 400, 4)]),
+            stats_cols=["k"],
+        )
+    assert len(t.snapshot_files(prune=("k", 0, 49))) == 4 + 0  # no pruning
+    v = t.compact_where(spark, ("k", 0, 399), cluster_col="k", n_groups=8)
+    assert v is not None
+    files = t.snapshot_files()
+    assert cold <= set(files)
+    hot = [f for f in files if f not in cold]
+    assert len(hot) == 8  # clustered sub-ranges
+    # narrow hot predicate now prunes most of the folded range
+    assert len(t.snapshot_files(prune=("k", 0, 49))) <= 2
+    assert t.read(spark).count() == 200 + 400
+    assert t.fsck() == []
+
+
 def test_compact_where_rebases_over_concurrent_append(spark, tmp_path):
     """A blind append landing mid-compaction REBASES (a compaction
     preserves rows — the appended group simply stays uncompacted),
