@@ -256,6 +256,33 @@ def test_sink_fails_closed_on_concurrent_rename(spark, tmp_path):
     assert t.fsck() == []
 
 
+def test_sink_writes_under_pinned_column_mapping(spark, tmp_path):
+    """A table renamed BEFORE the stream starts: the writer pins the
+    mapping at creation and stages files under PHYSICAL names, so the
+    landed rows surface under the new LOGICAL name next to the carried
+    pre-rename bytes — the same translation discipline every other
+    write path follows."""
+    root = str(tmp_path / "t")
+    t = VersionedTable(root)
+    t.append(_df(spark, [(1, "a")]))
+    t.rename_column("v", "label")  # files keep physical name 'v'
+    register_table_sink(spark)
+    spark.createDataFrame([(2, "b")], "k long, label string").write.format(
+        SINK_FORMAT
+    ).option("path", root).mode("append").save()
+    got = {(r["k"], r["label"]) for r in t.read(spark).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    assert t.fsck() == []
+    # the staged file really is physical-named: reading the newest
+    # group raw shows column 'v', not 'label'
+    import pyarrow.parquet as pq
+
+    g = [f for f in t.snapshot_files() if f not in set(t.snapshot_files(0))]
+    (gdir,) = g
+    raw = pq.read_table(os.path.join(root, gdir))
+    assert "v" in raw.column_names and "label" not in raw.column_names
+
+
 def test_sink_batch_twin_and_schema_evolution(spark, tmp_path):
     """The batch writer twin: df.write.format("versioned_table")
     appends (or overwrites under mode("overwrite")) through the same
