@@ -156,6 +156,11 @@ PROBE_ENTRIES = [
     # round 10: predicate-scoped OPTIMIZE at fixed hot-range volume —
     # maintenance cost must track the selected groups, not the table
     "storage_compact_where_fixed_hot",
+    # round 10: the native streaming sink end-to-end (feed source ->
+    # two-phase arrow-staged commit); change volume scales with the
+    # events replicas, so ~linear is the honest target
+    "storage_sink_stream",
+    "storage_compact_where",
     "stream_late_dlq",
     "stream_scd2_enrich",
     "join_salted_skew",
