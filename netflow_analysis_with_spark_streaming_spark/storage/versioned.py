@@ -1331,16 +1331,24 @@ class VersionedTable:
             else:
                 schema_json = self._evolved_schema_json_of(incoming, version)
             try:
+                # two literal call sites, not one computed action: the
+                # feed-classification meta-test AST-scans every
+                # _commit site and requires the action be a literal
+                if overwrite:
+                    return self._commit(
+                        list(groups),
+                        "overwrite",
+                        schema_json,
+                        batch_id,
+                        stats=dict(stats),
+                        version=version,
+                    )
                 return self._commit(
-                    groups if overwrite else prev_files + list(groups),
-                    "overwrite" if overwrite else "append",
+                    prev_files + list(groups),
+                    "append",
                     schema_json,
                     batch_id,
-                    stats=(
-                        dict(stats)
-                        if overwrite
-                        else {**prev_stats, **stats}
-                    ),
+                    stats={**prev_stats, **stats},
                     version=version,
                 )
             except CommitConflictError as e:
