@@ -3285,12 +3285,26 @@ def test_interleaved_analyze_capture_rename_stress(spark, tmp_path):
         except Exception as e:
             errors.append(e)
 
-    # ---- phase 1: append x analyze x captured-merge interleaving ----
+    def compactor() -> None:
+        # predicate-scoped OPTIMIZE racing the other writers: rebases
+        # over the appenders' blind appends, retries over the mergers'
+        # rewrites (a real conflict — same retry contract as merge)
+        try:
+            h = handle()
+            retrying(
+                lambda: h.compact_where(spark, ("k", 10_000, 99_999)),
+                "compact_where",
+            )
+        except Exception as e:
+            errors.append(e)
+
+    # ---- phase 1: append x analyze x captured-merge x scoped-OPTIMIZE ----
     threads = [
         threading.Thread(target=appender, args=("v", 10_000)),
         threading.Thread(target=appender, args=("v", 20_000)),
         threading.Thread(target=captured_merger, args=("v",)),
         threading.Thread(target=analyzer),
+        threading.Thread(target=compactor),
     ]
     for th in threads:
         th.start()
@@ -3785,7 +3799,9 @@ def test_column_mapping_model_fuzz(spark, tmp_path):
         snaps = []
         fresh = 0
         for step in range(10):
-            op = rng.choice(["rename", "append", "delete", "rename_back", "drop"])
+            op = rng.choice(
+                ["rename", "append", "delete", "rename_back", "drop", "optimize"]
+            )
             if op == "rename":
                 old = rng.choice([c for c in cols if c != "k"])
                 new = f"c{step}"
@@ -3819,6 +3835,14 @@ def test_column_mapping_model_fuzz(spark, tmp_path):
                 cols = [c for c in cols if c != victim]
                 for r in rows.values():
                     r.pop(victim, None)
+            elif op == "optimize":
+                # predicate-scoped OPTIMIZE under whatever mapping the
+                # sequence built: strictly row-preserving, so the
+                # MODEL does not change — the read-equals-model check
+                # below is the assertion that the fold resurrected and
+                # lost nothing under renamed/dropped physical names
+                lo = rng.randint(0, 200)
+                t.compact_where(spark, ("k", lo, lo + 300), min_groups=2)
             got = {r["k"]: r.asDict() for r in t.read(spark).collect()}
             want = {k: {c: r.get(c) for c in cols} for k, r in rows.items()}
             assert got == want, (seed, step, op)
