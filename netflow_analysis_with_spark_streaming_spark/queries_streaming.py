@@ -1639,6 +1639,67 @@ register(
 )
 
 
+def _storage_sql_over_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain ``spark.sql`` over a versioned table via ``as_view`` —
+    the SQL-interop surface: a user's existing SQL (here a per-user
+    aggregate with HAVING) runs unchanged against the storage layer,
+    with the view pinning ONE snapshot. The table history includes a
+    DV delete and an upsert, so the SQL result goes through the full
+    merge-on-read read path (anti-joined vectors, carried groups);
+    the oracle recomputes the same aggregate from the raw events
+    table with the history's surviving-row predicate."""
+    from .storage.versioned import VersionedTable
+
+    root = _run_tmp_root("netflow_vsql_") + "/t"
+    t = VersionedTable(root)
+    ev = tables.load(spark, "events", sf_dir).filter(
+        F.col("event_id") % 10 == 0
+    ).select("event_id", "user_id", "value")
+    t.append_clustered(ev, "user_id", n_groups=4)
+    t.delete_where_dv(spark, "user_id % 9 = 0", prune=("user_id", 0, 10**9))
+    t.upsert(
+        spark,
+        ev.filter(F.col("event_id") % 50 == 0).withColumn(
+            "value", F.col("value") * 2
+        ),
+        keys=["event_id"],
+    )
+    t.as_view(spark, "vt_events")
+    return spark.sql(
+        """
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM vt_events
+        GROUP BY user_id
+        HAVING COUNT(*) >= 3
+        ORDER BY user_id
+        """
+    )
+
+
+_STORAGE_SQL_VIEW_SQL = """
+WITH surviving AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 50 = 0 THEN value * 2 ELSE value END AS value
+  FROM events
+  WHERE event_id % 10 = 0
+    AND (user_id % 9 != 0 OR event_id % 50 = 0)
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM surviving GROUP BY user_id HAVING COUNT(*) >= 3 ORDER BY user_id
+"""
+
+
+register(
+    "storage_sql_over_table",
+    _storage_sql_over_table,
+    _STORAGE_SQL_VIEW_SQL,
+    driver=False,
+)
+
+
 def _stream_late_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data dead-letter routing (streaming/late_router.py) driven
     over a deterministic two-batch backfill: even-user events arrive

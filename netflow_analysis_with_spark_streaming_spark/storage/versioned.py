@@ -2105,6 +2105,27 @@ class VersionedTable:
         df = self._read_files(spark, version, files)
         return self._apply_dvs(spark, df, version, files)
 
+    def as_view(
+        self,
+        spark: SparkSession,
+        name: str,
+        version: int | None = None,
+        timestamp: float | None = None,
+    ) -> str:
+        """Register a snapshot as a temp view so plain ``spark.sql``
+        queries run over the versioned table — the SQL-interop half
+        of the Delta `CREATE TABLE ... USING delta` story that a
+        metastore normally provides. The view binds ONE snapshot
+        (pinned at registration: DataFrame reads of an immutable file
+        set — later commits do not leak in, exactly time travel's
+        contract); re-register to follow the head. ``version=`` /
+        ``timestamp=`` expose AS OF directly in the SQL workflow.
+        Returns ``name`` for call chaining."""
+        self.read(spark, version=version, timestamp=timestamp).createOrReplaceTempView(
+            name
+        )
+        return name
+
     def _read_files(
         self,
         spark: SparkSession,

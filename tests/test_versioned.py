@@ -2569,6 +2569,28 @@ def test_pre_stamp_manifests_stay_addressable(spark, tmp_path):
     assert t.history()[0]["ts"] is None
 
 
+def test_as_view_pins_snapshot_and_supports_as_of(spark, tmp_path):
+    """as_view: plain spark.sql runs over the table; the view binds
+    ONE snapshot (later commits don't leak in — time travel's
+    contract), re-registering follows the head, and version=/
+    timestamp= expose AS OF in the SQL workflow."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    t.as_view(spark, "vt_pin")
+    assert spark.sql("SELECT COUNT(*) AS n FROM vt_pin").collect()[0]["n"] == 2
+    t.append(_df(spark, [(3, "c")]))
+    # pinned: the new commit does not leak into the registered view
+    assert spark.sql("SELECT COUNT(*) AS n FROM vt_pin").collect()[0]["n"] == 2
+    t.as_view(spark, "vt_pin")  # re-register follows the head
+    assert spark.sql("SELECT COUNT(*) AS n FROM vt_pin").collect()[0]["n"] == 3
+    # AS OF forms
+    t.as_view(spark, "vt_v0", version=0)
+    assert spark.sql("SELECT MAX(k) AS m FROM vt_v0").collect()[0]["m"] == 2
+    ts0 = t.history()[0]["ts"]
+    t.as_view(spark, "vt_ts", timestamp=ts0)
+    assert spark.sql("SELECT MAX(k) AS m FROM vt_ts").collect()[0]["m"] == 2
+
+
 def test_commit_stamps_are_monotone_under_clock_skew(spark, tmp_path):
     """_commit clamps each stamp to its parent's (Delta's
     monotonization applied at WRITE time): a backwards clock
