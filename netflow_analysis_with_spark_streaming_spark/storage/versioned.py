@@ -3498,6 +3498,8 @@ class VersionedTable:
         min_groups: int = 2,
         cluster_col: str | None = None,
         n_groups: int = 8,
+        zorder_cols: tuple | None = None,
+        zorder_bits: int = 12,
     ) -> int | None:
         """Predicate-scoped OPTIMIZE (Delta's ``OPTIMIZE ... WHERE``):
         fold ONLY the file groups whose manifest stats overlap
@@ -3515,7 +3517,12 @@ class VersionedTable:
         hot range) instead of one coalesced group — arrival-order
         ingest destroys pruning exactly in the range this rewrites,
         so the periodic hot-range pass both defragments AND restores
-        the skipping index.
+        the skipping index. ``zorder_cols`` is the N-D form: the fold
+        lands Morton-interleaved (``rewrite_zordered``'s layout) so
+        narrow predicates on EVERY named dimension prune inside the
+        rewritten range. Mutually exclusive with ``cluster_col``; if
+        the selected rows have no non-NULL key tuple the z-curve is
+        undefined and the fold falls back to the coalesced layout.
 
         Row-preserving: commits as action "compact" (no feed slice,
         baseline advance — running CDC consumers are unaffected).
@@ -3564,7 +3571,18 @@ class VersionedTable:
                     for c in prev_stats.get(f, {}).get(_BLOOM_KEY, {})
                 }
             )
-            if cluster_col is not None:
+            if cluster_col is not None and zorder_cols is not None:
+                raise ValueError(
+                    "pass cluster_col OR zorder_cols, not both"
+                )
+            zw = None
+            if zorder_cols is not None:
+                zw = self._write_zordered_group(
+                    df, tuple(zorder_cols), n_groups, zorder_bits
+                )
+            if zw is not None:
+                new, new_stats = zw
+            elif cluster_col is not None:
                 new, new_stats = self._write_clustered_group(
                     df, cluster_col, n_groups
                 )

@@ -1490,6 +1490,44 @@ def test_compact_where_clustered_restores_hot_range_pruning(spark, tmp_path):
     assert t.fsck() == []
 
 
+def test_compact_where_zordered_restores_two_dim_pruning(spark, tmp_path):
+    """zorder_cols: the N-D OPTIMIZE ... WHERE ... ZORDER shape —
+    arrival-order hot fragments spanning both key dimensions fold
+    Morton-interleaved, so narrow predicates on EITHER dimension
+    prune inside the rewritten range; cold groups carry by
+    reference."""
+    t = VersionedTable(str(tmp_path / "t"))
+    # cold: x far outside the hot grid, WITH x stats (a group without
+    # them would be conservatively kept by the prune and folded)
+    t.append_clustered(
+        spark.range(100_000, 100_200).selectExpr(
+            "id AS x", "id AS y"
+        ),
+        "x",
+        n_groups=2,
+    )
+    cold = set(t.snapshot_files())
+    for g in range(4):  # each fragment covers the full 2-D hot grid
+        t.append(
+            spark.range(g, 4096, 4).selectExpr(
+                "id % 64 AS x", "CAST(id / 64 AS LONG) AS y"
+            ),
+            stats_cols=["x", "y"],
+        )
+    v = t.compact_where(
+        spark, ("x", 0, 63), zorder_cols=("x", "y"), n_groups=16
+    )
+    assert v is not None
+    files = t.snapshot_files()
+    assert cold <= set(files)
+    hot = [f for f in files if f not in cold]
+    assert len(hot) == 16
+    assert len([f for f in t.snapshot_files(prune=("x", 0, 7)) if f in hot]) <= 8
+    assert len([f for f in t.snapshot_files(prune=("y", 0, 7)) if f in hot]) <= 8
+    assert t.read(spark).count() == 200 + 4096
+    assert t.fsck() == []
+
+
 def test_compact_where_rebases_over_concurrent_append(spark, tmp_path):
     """A blind append landing mid-compaction REBASES (a compaction
     preserves rows — the appended group simply stays uncompacted),
