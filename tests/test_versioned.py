@@ -3358,13 +3358,39 @@ def test_interleaved_analyze_capture_rename_stress(spark, tmp_path):
         except Exception as e:
             errors.append(e)
 
-    # ---- phase 1: append x analyze x captured-merge x scoped-OPTIMIZE ----
+    def sink_committer(col: str, base_key: int) -> None:
+        # the native sink's two-phase path under contention: stage a
+        # group pure-pyarrow (executor-side code), publish through
+        # commit_staged — whose blind-append retry must commute with
+        # every other writer here, batch-id slots staying exactly-once
+        from netflow_analysis_with_spark_streaming_spark.storage.stream_sink import (
+            VersionedSinkWriter,
+        )
+
+        try:
+            schema_json = spark.createDataFrame(
+                [], f"k long, {col} string"
+            ).schema.json()
+            w = VersionedSinkWriter(
+                str(tmp_path / "t"), schema_json, {}, [], ["k"]
+            )
+            for j in range(2):
+                rows = [(base_key + j * 100 + i, f"s{j}") for i in range(10)]
+                m = w.write(iter(rows))
+                w.commit([m], batchId=900_000 + j)
+                w.commit([w.write(iter(rows))], batchId=900_000 + j)  # replay
+        except Exception as e:
+            errors.append(e)
+
+    # ---- phase 1: append x analyze x captured-merge x scoped-OPTIMIZE
+    # x native-sink commit ----
     threads = [
         threading.Thread(target=appender, args=("v", 10_000)),
         threading.Thread(target=appender, args=("v", 20_000)),
         threading.Thread(target=captured_merger, args=("v",)),
         threading.Thread(target=analyzer),
         threading.Thread(target=compactor),
+        threading.Thread(target=sink_committer, args=("v", 50_000)),
     ]
     for th in threads:
         th.start()
@@ -3376,11 +3402,15 @@ def test_interleaved_analyze_capture_rename_stress(spark, tmp_path):
     vs = t.versions()
     assert vs == list(range(len(vs)))  # dense chain, no holes
     rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
-    assert t.count_rows() == len(rows) == 60 + 60  # base + 6 appends
+    # base + 6 appends + 2 sink batches (their replays are no-ops)
+    assert t.count_rows() == len(rows) == 60 + 60 + 20
     for k in range(0, 30):
         assert rows[k].startswith("m")  # some merger pass won
     for k in range(30, 60):
         assert rows[k] == "base"
+    for j in range(2):  # sink rows exactly once, despite the replay
+        for i in range(10):
+            assert rows[50_000 + j * 100 + i] == f"s{j}"
     mirror1 = VersionedTable(str(tmp_path / "m1"))
     mirror_from_feed(spark, t, mirror1, keys=["k"], since_version=-1)
     got = {(r["k"], r["v"]) for r in mirror1.read(spark).collect()}
@@ -3400,7 +3430,7 @@ def test_interleaved_analyze_capture_rename_stress(spark, tmp_path):
     assert not errors, f"phase-2 thread(s) failed: {errors}"
     assert t.fsck() == []
     rows2 = {r["k"]: r["w"] for r in t.read(spark).collect()}
-    assert t.count_rows() == len(rows2) == 120 + 30
+    assert t.count_rows() == len(rows2) == 140 + 30
     # feed windows crossing the rename fail with the actionable error
     with pytest.raises(ValueError, match="rename_column|change feed"):
         t.feed_slices(-1, t.latest_version())
