@@ -1593,8 +1593,9 @@ def _storage_sink_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — a dropped task message, a double-landed replay, a type
     mangled in the arrow hop, or a row lost in the staging fold all
     break the hash. Reference parity: this is the 'results land in a
-    store' half of the reference pipeline (spark/README.md foreachRDD
-    Mongo inserts), upgraded to atomic versioned commits."""
+    store' half of the reference pipeline (README.md:130-142,
+    `sendMongoDB` row-wise inserts), upgraded to atomic versioned
+    commits."""
     from .storage.stream_sink import (
         FORMAT_NAME as SINK_FORMAT,
     )

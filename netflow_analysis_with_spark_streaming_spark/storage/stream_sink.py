@@ -3,10 +3,12 @@
 ``df.writeStream.format("versioned_table").option("path", root)`` —
 the write-side twin of storage/stream_source.py, through PySpark 4's
 Python Data Source API (DataSourceStreamWriter). The reference's
-pipeline pushed results row-wise at a Mongo store (SURVEY §2 K1-K3,
-reference spark/README.md foreachRDD inserts); this sink lands each
-micro-batch as ONE atomic, exactly-once version of a versioned table,
-with data-skipping stats recorded at write time.
+pipeline pushed results row-wise at a Mongo store (SURVEY §2 K1-K3;
+reference README.md:130-142 — `sendMongoDB(partition)` opening a
+client per partition and `collection.insert_one(record)` per row, no
+atomicity, no replay safety); this sink lands each micro-batch as ONE
+atomic, exactly-once version of a versioned table, with data-skipping
+stats recorded at write time.
 
 Two-phase commit, Delta-style:
 
