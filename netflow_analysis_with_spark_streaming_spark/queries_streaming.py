@@ -1701,6 +1701,62 @@ register(
 )
 
 
+def _storage_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS on the ingest path (round 10): the table
+    declares ``bucket = user_id % 10`` and producers never write it —
+    every append/upsert derives the column at the write gate, and a
+    provided value is validated for equality (the Delta generated-
+    column contract). The scenario routes through both paths: a
+    clustered append that omits the column (computed), then an upsert
+    that PROVIDES correct values (validated), then a pruned delete ON
+    the generated column. The oracle recomputes bucket from raw
+    events — a generation skipped on any path, or an upsert that
+    double-applied, breaks the hash. The 100 TB point: derived
+    pruning keys (day from ts, shard from id) maintain themselves at
+    the table, not in every producer."""
+    from .storage.versioned import VersionedTable
+
+    root = _run_tmp_root("netflow_vgen_") + "/t"
+    t = VersionedTable(root)
+    t.set_generated_column("bucket", "CAST(user_id % 10 AS BIGINT)")
+    ev = tables.load(spark, "events", sf_dir).filter(
+        F.col("event_id") % 10 == 0
+    ).select("event_id", "user_id", F.round("value", 2).alias("value"))
+    t.append_clustered(ev, "user_id", n_groups=4)  # bucket computed
+    t.upsert(  # bucket provided-and-correct: validated, not recomputed
+        spark,
+        ev.filter(F.col("event_id") % 40 == 0)
+        .withColumn("value", F.round(F.col("value") * 3, 2))
+        .withColumn("bucket", (F.col("user_id") % 10).cast("long")),
+        keys=["event_id"],
+    )
+    t.delete_where(spark, "bucket = 7", prune=None)  # delete ON the derived col
+    return (
+        t.read(spark)
+        .select("event_id", "user_id", "value", "bucket")
+        .orderBy("event_id")
+    )
+
+
+_STORAGE_GENERATED_SQL = """
+SELECT event_id, user_id,
+       CASE WHEN event_id % 40 = 0 THEN ROUND(ROUND(value, 2) * 3, 2)
+            ELSE ROUND(value, 2) END AS value,
+       CAST(user_id % 10 AS BIGINT) AS bucket
+FROM events
+WHERE event_id % 10 = 0 AND user_id % 10 != 7
+ORDER BY event_id
+"""
+
+
+register(
+    "storage_generated_columns",
+    _storage_generated_columns,
+    _STORAGE_GENERATED_SQL,
+    driver=False,
+)
+
+
 def _stream_late_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data dead-letter routing (streaming/late_router.py) driven
     over a deterministic two-batch backfill: even-user events arrive

@@ -272,12 +272,12 @@ class VersionedSinkDataSource(DataSource):
                 "versioned_table requires .option('path', <table root>)"
             )
         t = VersionedTable(root)
-        if t.check_constraints():
+        if t.check_constraints() or t.generated_columns():
             raise ValueError(
-                f"table {root} has CHECK constraints; the versioned_table "
-                "sink cannot enforce SQL predicates (no SparkSession at "
-                "commit time) — write via foreachBatch + VersionedTable."
-                "append, which enforces them"
+                f"table {root} has CHECK constraints or generated columns; "
+                "the versioned_table sink cannot evaluate SQL expressions "
+                "(no SparkSession at commit time) — write via foreachBatch "
+                "+ VersionedTable.append, which enforces them"
             )
         mapping, retired = ({}, [])
         if t.latest_version() is not None:

@@ -929,29 +929,119 @@ class VersionedTable:
                 hits.append(name)
         return hits
 
-    def _enforce(self, df: DataFrame) -> None:
-        """Validate incoming rows against every CHECK constraint in
-        ONE aggregation pass (all violation counters in a single job
-        — the extra write-path scan real systems fold into their
-        write metrics); raises with per-constraint counts."""
+    def _generated_path(self) -> str:
+        return os.path.join(self._log, "_generated.json")
+
+    def generated_columns(self) -> dict[str, str]:
+        """{column: generation_expr_sql} — Delta GENERATED ALWAYS AS
+        analog, applied on every ingest path."""
+        try:
+            with open(self._generated_path(), encoding="utf-8") as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def set_generated_column(self, name: str, expr_sql: str) -> None:
+        """Declare ``name`` as a generated column: every subsequent
+        write COMPUTES it from ``expr_sql`` when the incoming frame
+        omits it, and VALIDATES equality when the frame provides it
+        (Delta's GENERATED ALWAYS AS contract — a provided value that
+        disagrees with the expression fails the write). The standard
+        use is a derived partition/pruning key — e.g.
+        ``set_generated_column("day", "CAST(ts AS DATE)")`` on an
+        ingest table clustered/stats-indexed on ``day``: producers
+        write raw events, the table derives the skipping column
+        itself. Existing data is NOT retro-filled (same stance as
+        CHECK constraints: table properties gate writes, not
+        history). Published via tmp+rename like the constraints
+        file."""
+        gens = self.generated_columns()
+        gens[name] = expr_sql
+        tmp = os.path.join(self._log, f".tmp-gen-{uuid.uuid4().hex}.json")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(gens, f)
+        os.replace(tmp, self._generated_path())
+
+    def drop_generated_column(self, name: str) -> None:
+        """Remove the generation rule (the column itself, if present
+        in the schema, stays an ordinary column)."""
+        gens = self.generated_columns()
+        gens.pop(name, None)
+        tmp = os.path.join(self._log, f".tmp-gen-{uuid.uuid4().hex}.json")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(gens, f)
+        os.replace(tmp, self._generated_path())
+
+    def _generated_referencing(self, column: str) -> list[str]:
+        """Generated columns whose expression references ``column``
+        (same conservative lexical scan as the constraints guard) —
+        rename/drop must refuse these or every later write's
+        generation would raise unresolved-column."""
+        import re
+
+        ident = re.compile(
+            r"(?<![A-Za-z0-9_])" + re.escape(column) + r"(?![A-Za-z0-9_])",
+            re.IGNORECASE,
+        )
+        hits = []
+        for name, expr in self.generated_columns().items():
+            stripped = re.sub(r"'(?:[^']|'')*'", "''", expr)
+            if ident.search(stripped) or f"`{column.lower()}`" in stripped.lower():
+                hits.append(name)
+        return hits
+
+    def _enforce(self, df: DataFrame) -> DataFrame:
+        """The write gate every ingest path runs: (1) GENERATED
+        columns materialize — computed from their expression when the
+        frame omits them — and (2) CHECK constraints plus
+        provided-generated-value equality validate in ONE aggregation
+        pass (all violation counters in a single job — the extra
+        write-path scan real systems fold into their write metrics);
+        raises with per-rule counts. Returns the (possibly augmented)
+        frame — callers rebind. Constraints run AFTER generation so a
+        constraint may reference a generated column."""
+        gens = self.generated_columns()
         cons = self.check_constraints()
-        if not cons:
-            return
+        if not gens and not cons:
+            return df
         from pyspark.sql import functions as F
 
+        provided = [c for c in gens if c in df.columns]
+        for col, expr in gens.items():
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr))
         aggs = [
             F.sum(
                 (~F.coalesce(F.expr(pred), F.lit(True))).cast("long")
-            ).alias(name)
+            ).alias(f"c_{name}")
             for name, pred in cons.items()
+        ] + [
+            # eqNullSafe: a NULL generated value only passes if the
+            # expression also yields NULL for that row
+            F.sum(
+                (~F.col(c).eqNullSafe(F.expr(gens[c]))).cast("long")
+            ).alias(f"g_{c}")
+            for c in provided
         ]
+        if not aggs:
+            return df
         row = df.agg(*aggs).collect()[0]
-        bad = {name: row[name] for name in cons if row[name]}
-        if bad:
+        bad_c = {n: row[f"c_{n}"] for n in cons if row[f"c_{n}"]}
+        bad_g = {c: row[f"g_{c}"] for c in provided if row[f"g_{c}"]}
+        if bad_c or bad_g:
+            parts = []
+            if bad_c:
+                parts.append(f"CHECK constraints {bad_c}")
+            if bad_g:
+                parts.append(
+                    f"generated-column values disagreeing with their "
+                    f"expression {bad_g}"
+                )
             raise ConstraintViolationError(
-                f"write to {self.root} violates CHECK constraints "
-                f"(violating-row counts): {bad}"
+                f"write to {self.root} violates (violating-row counts): "
+                + "; ".join(parts)
             )
+        return df
 
     # ordered widening chains: a pair of types in one chain merges to
     # the wider one (what parquet mergeSchema can reconcile at read);
@@ -1202,7 +1292,7 @@ class VersionedTable:
         version, prev_files, prev_stats = self._snapshot_state()
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return self.latest_version()  # replay: no-op before any write
-        self._enforce(df)
+        df = self._enforce(df)
         schema_json = self._evolved_schema_json(df, version)
         # pin the mapping the files are physically written under: the
         # retry loop below must fail-close (re-write, actually) if a
@@ -1298,6 +1388,11 @@ class VersionedTable:
             raise ValueError(
                 f"table {self.root} has CHECK constraints; commit_staged "
                 "cannot enforce SQL predicates — write via append"
+            )
+        if self.generated_columns():
+            raise ValueError(
+                f"table {self.root} has generated columns; commit_staged "
+                "cannot compute SQL expressions — write via append"
             )
 
         def _drop_staged() -> None:
@@ -1406,7 +1501,7 @@ class VersionedTable:
         selective (a random layout gives every group the full value
         range, so nothing ever prunes)."""
         version, prev_files, prev_stats = self._snapshot_state()
-        self._enforce(df)
+        df = self._enforce(df)
         schema_json = self._evolved_schema_json(df, version)
         files, stats = self._write_clustered_group(df, col, n_groups)
         return self._commit(
@@ -1426,7 +1521,7 @@ class VersionedTable:
         version, _, _ = self._snapshot_state()
         if batch_id is not None and batch_id in self.committed_batch_ids():
             return self.latest_version()
-        self._enforce(df)
+        df = self._enforce(df)
         new, new_stats = self._write_files(df, stats_cols)
         try:
             return self._commit(
@@ -1718,7 +1813,7 @@ class VersionedTable:
         posting list) where append_clustered would stack the new data
         on top of the stale snapshot."""
         version, _, _ = self._snapshot_state()
-        self._enforce(df)
+        df = self._enforce(df)
         files, stats = self._write_clustered_group(df, col, n_groups)
         return self._commit(
             files, "overwrite", df.schema.json(), stats=stats, version=version
@@ -1746,7 +1841,7 @@ class VersionedTable:
         All expression-level (shift/and/add inside codegen); the only
         driver data is the 2-value min/max row. Numeric columns only —
         temporal callers pass unix micros."""
-        self._enforce(df)  # same write gate as every other ingest path
+        df = self._enforce(df)  # same write gate as every other ingest path
         lv = self.latest_version()
         # schema gate BEFORE the write so a conflicting frame leaves
         # no orphan group behind (re-derived at commit below)
@@ -2612,7 +2707,7 @@ class VersionedTable:
             return self.latest_version(), None
         contributes = when_matched == "update" or when_not_matched == "insert"
         if contributes:
-            self._enforce(source)
+            source = self._enforce(source)
         if version == 0:
             if when_not_matched == "insert":
                 # a merge into a never-written table IS an append —
@@ -3334,7 +3429,7 @@ class VersionedTable:
                 f"replace_where data contains {n_outside} rows NOT matching "
                 f"{predicate!r}; the replacement scope must cover its data"
             )
-        self._enforce(df)
+        df = self._enforce(df)
         affected = set(self.snapshot_files(version - 1, prune)) if version else set()
         untouched = [f for f in prev_files if f not in affected]
         stat_cols = sorted(
@@ -3702,6 +3797,13 @@ class VersionedTable:
                 "(renaming under them would wedge every later write on "
                 "an unresolved column)"
             )
+        grefs = self._generated_referencing(old)
+        if old in self.generated_columns() or grefs:
+            raise ValueError(
+                f"rename_column: column {old!r} is a generated column or "
+                f"referenced by generated column(s) {grefs}; drop the "
+                "generation rule(s) first (same wedge as constraints)"
+            )
         mapping = dict(m.get("column_mapping") or {})
         retired = list(m.get("retired_physical") or [])
         phys = mapping.pop(old, old)
@@ -3768,6 +3870,13 @@ class VersionedTable:
             raise ValueError(
                 f"drop_column: column {name!r} is referenced by CHECK "
                 f"constraint(s) {refs}; drop the constraint(s) first"
+            )
+        grefs = self._generated_referencing(name)
+        if name in self.generated_columns() or grefs:
+            raise ValueError(
+                f"drop_column: column {name!r} is a generated column or "
+                f"referenced by generated column(s) {grefs}; drop the "
+                "generation rule(s) first"
             )
         mapping = dict(m.get("column_mapping") or {})
         retired = list(m.get("retired_physical") or [])

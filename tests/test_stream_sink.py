@@ -208,6 +208,16 @@ def test_sink_refuses_constraints_and_unsupported_types(spark, tmp_path):
         ds.streamWriter(schema, False)
     with pytest.raises(ValueError, match="CHECK constraint"):
         t.commit_staged(["data/xyz"], {}, schema.json())
+    # generated columns refuse the sink the same way (no SparkSession
+    # to evaluate the expression at commit time)
+    t2 = VersionedTable(str(tmp_path / "tg"))
+    t2.append(_df(spark, [(1, "a")]))
+    t2.set_generated_column("kmod", "k % 10")
+    ds_g = VersionedSinkDataSource(options={"path": t2.root})
+    with pytest.raises(ValueError, match="generated column"):
+        ds_g.streamWriter(schema, False)
+    with pytest.raises(ValueError, match="generated column"):
+        t2.commit_staged(["data/xyz"], {}, schema.json())
     # unsupported type (map) fails at creation
     bad = StructType.fromJson(
         json.loads(

@@ -2607,6 +2607,51 @@ def test_pre_stamp_manifests_stay_addressable(spark, tmp_path):
     assert t.history()[0]["ts"] is None
 
 
+def test_generated_columns_compute_validate_and_guard(spark, tmp_path):
+    """GENERATED ALWAYS AS (Delta analog): writes that omit the
+    column get it COMPUTED from the expression; writes that provide
+    it are VALIDATED for equality (a disagreeing value fails the
+    whole write); rename/drop refuse generated or referenced columns
+    (the constraints wedge-guard, same stance); CHECK constraints may
+    reference generated columns (generation runs first)."""
+    import pytest
+
+    from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+        ConstraintViolationError,
+    )
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.set_generated_column("kmod", "k % 10")
+    t.append(_df(spark, [(11, "a"), (22, "b")]))  # kmod omitted
+    got = {r["k"]: r["kmod"] for r in t.read(spark).collect()}
+    assert got == {11: 1, 22: 2}
+    # provided-and-correct passes; provided-and-wrong fails the write
+    t.upsert(
+        spark,
+        spark.createDataFrame([(33, "c", 3)], "k long, v string, kmod long"),
+        keys=["k"],
+    )
+    with pytest.raises(ConstraintViolationError, match="generated-column"):
+        t.append(
+            spark.createDataFrame([(44, "d", 9)], "k long, v string, kmod long")
+        )
+    assert t.read(spark).count() == 3  # the bad write landed nothing
+    # constraints may reference the generated column (generation first)
+    t.set_check_constraint("kmod_range", "kmod BETWEEN 0 AND 9")
+    t.append(_df(spark, [(55, "e")]))
+    assert {r["kmod"] for r in t.read(spark).collect()} == {1, 2, 3, 5}
+    # rename/drop guards: the source column and the generated column
+    with pytest.raises(ValueError, match="generated"):
+        t.rename_column("k", "key")
+    t.drop_check_constraint("kmod_range")
+    with pytest.raises(ValueError, match="generated"):
+        t.drop_column("kmod")
+    # dropping the RULE frees both; kmod becomes an ordinary column
+    t.drop_generated_column("kmod")
+    t.rename_column("k", "key")
+    assert {r["key"] for r in t.read(spark).collect()} == {11, 22, 33, 55}
+
+
 def test_as_view_pins_snapshot_and_supports_as_of(spark, tmp_path):
     """as_view: plain spark.sql runs over the table; the view binds
     ONE snapshot (later commits don't leak in — time travel's
