@@ -2755,6 +2755,67 @@ def test_timestamp_resolution_bisects(tmp_path):
         VersionedTable._load_record = orig
 
 
+def test_committed_batch_ids_scans_incrementally(tmp_path):
+    """The idempotency read-set is O(new commits) per call on a live
+    handle, not O(history): on a synthesized 1024-commit log the
+    first call walks everything once, the second reads NOTHING, and
+    after one new commit the third reads exactly one record —
+    the difference between 100k file opens per streaming trigger and
+    ~1 on a long-retention ingest table."""
+    import os as _os
+
+    root = str(tmp_path / "t")
+    log = _os.path.join(root, "_log")
+    _os.makedirs(log)
+    _os.makedirs(_os.path.join(root, "data"))
+    n = 1024
+
+    def rec(v):
+        return {
+            "version": v,
+            "writer_version": 2,
+            "ts": 1000.0 + v,
+            "action": "append",
+            "files": [],
+            "n_files": 0,
+            "schema": "{}",
+            "batch_id": v if v % 3 == 0 else None,
+            "stats": {},
+            "changes": None,
+            "dvs": {},
+        }
+
+    for v in range(n):
+        with open(_os.path.join(log, f"{v:08d}.json"), "w") as f:
+            json.dump(rec(v), f)
+    t = VersionedTable(root)
+    reads = {"n": 0}
+    orig = VersionedTable._load_record
+
+    def counting(self, version):
+        reads["n"] += 1
+        return orig(self, version)
+
+    VersionedTable._load_record = counting
+    try:
+        got = set(t.committed_batch_ids())  # copy: the memo is live
+        assert got == {v for v in range(n) if v % 3 == 0}
+        assert reads["n"] == n  # first call: one full walk
+        reads["n"] = 0
+        assert set(t.committed_batch_ids()) == got
+        assert reads["n"] == 0  # second call: memo, zero reads
+        new_v = n + 2  # multiple of 3: rec() stamps a batch id on it
+        assert new_v % 3 == 0
+        with open(_os.path.join(log, f"{new_v:08d}.json"), "w") as f:
+            json.dump(rec(new_v), f)
+        reads["n"] = 0
+        got2 = set(t.committed_batch_ids())
+        assert new_v in got2 and len(got2) == len(got) + 1
+        assert reads["n"] == 1  # only the new record
+    finally:
+        VersionedTable._load_record = orig
+
+
 # --- zero-copy CLONE + retention vacuum (round 8) ----------------------
 
 
