@@ -2090,6 +2090,7 @@ class VersionedTable:
             "retired_physical": m.get("retired_physical") or [],
             "has_deletion_vectors": bool(m.get("dvs")),
             "check_constraints": self.check_constraints(),
+            "generated_columns": self.generated_columns(),
             "num_versions": len(self.versions()),
         }
 
