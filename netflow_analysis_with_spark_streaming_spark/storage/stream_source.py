@@ -53,11 +53,16 @@ exact row set without running a stream.
 Options: ``path`` (table root, required), ``startingVersion``
 (stream: first offset, exclusive; default -1) OR
 ``startingTimestamp`` (epoch seconds: every commit stamped at or
-after the instant streams — Delta's rule), ``maxVersionsPerTrigger``
-(commit-unit rate limit), ``prune`` (caller-declared stats pruning,
-``[[col, lo, hi], ...]``), ``sinceVersion`` / ``toVersion`` (batch
-window, exclusive / inclusive), ``pushdown`` (batch: opt-in Catalyst
-filter pushdown).
+after the instant streams — Delta's rule) OR ``initialSnapshot``
+("true": the FIRST micro-batch serves the whole current snapshot as
+inserts — deletion vectors applied executor-side — and change
+consumption starts right after the pinned version; Delta readStream's
+opening move, and what lets a consumer start on a table with feed
+walls anywhere in its past), ``maxVersionsPerTrigger`` (commit-unit
+rate limit), ``prune`` (caller-declared stats pruning,
+``[[col, lo, hi], ...]``; applies to the snapshot batch too),
+``sinceVersion`` / ``toVersion`` (batch window, exclusive /
+inclusive), ``pushdown`` (batch: opt-in Catalyst filter pushdown).
 """
 
 from __future__ import annotations
@@ -91,6 +96,8 @@ class FeedPartition(InputPartition):
         version: int,
         schema_json: str,
         mapping: dict | None = None,
+        rel: str | None = None,
+        dv_files: list | None = None,
     ):
         self.file = file
         self.change = change
@@ -100,6 +107,12 @@ class FeedPartition(InputPartition):
         # across any servable window: mapping changes are feed-breaking
         # commits, so feed_slices refuses windows that cross one)
         self.mapping = mapping or {}
+        # initial-snapshot partitions only: this file's root-relative
+        # path (the DV join key) + the DV parquet dirs of its GROUP —
+        # the worker anti-filters the marked row indexes out, the
+        # executor-side half of merge-on-read
+        self.rel = rel
+        self.dv_files = dv_files or []
 
 
 def _data_schema(schema: StructType) -> StructType:
@@ -132,6 +145,47 @@ def _slice_partitions(
     return parts
 
 
+def _snapshot_partitions(
+    t, version: int, schema_json: str, filters: list | None = None
+) -> list[FeedPartition]:
+    """Initial-snapshot partitions (the Delta readStream opening move):
+    every live parquet file of the snapshot at ``version`` becomes an
+    'insert' partition stamped with that version, each carrying its
+    group's deletion-vector dirs for EXECUTOR-side merge-on-read (the
+    worker drops the marked row indexes — same (rel-path, row_index)
+    key the JVM anti-join uses). O(live files) by definition — serving
+    a snapshot IS a table scan; the stream's caller-declared ``prune``
+    bound applies against the manifest stats."""
+    m = t._manifest(version)
+    mapping = t._mapping(version)
+    stats = m.get("stats") or {}
+    dvs = m.get("dvs") or {}
+    parts: list[FeedPartition] = []
+    for g in m["files"]:
+        if filters and not PruningFeedBatchReader._group_may_match(
+            stats.get(g) or {}, filters
+        ):
+            continue
+        gdir = os.path.join(t.root, g)
+        dv_dirs = [
+            os.path.join(t.root, d) for d in dvs.get(t._group_of(g), [])
+        ]
+        for fn in sorted(os.listdir(gdir)):
+            if fn.endswith(".parquet"):
+                parts.append(
+                    FeedPartition(
+                        os.path.join(gdir, fn),
+                        "insert",
+                        version,
+                        schema_json,
+                        mapping,
+                        rel=f"{g}/{fn}",
+                        dv_files=dv_dirs,
+                    )
+                )
+    return parts
+
+
 def _read_partition(partition: FeedPartition) -> Iterator:
     """Executor-side read: one parquet file -> Arrow batches in the
     stream schema. Pads columns the file predates with nulls and
@@ -152,6 +206,23 @@ def _read_partition(partition: FeedPartition) -> Iterator:
         ]
     )
     t = pq.read_table(partition.file)
+    dv_files = getattr(partition, "dv_files", None)
+    if dv_files:
+        # merge-on-read, executor-side: drop the row indexes any of
+        # the group's deletion vectors mark dead in THIS file (the
+        # same (rel-path, row_index) key the JVM anti-join uses)
+        drop = set()
+        for d in dv_files:
+            dvt = pq.read_table(d, columns=["file", "idx"])
+            for f_, i in zip(
+                dvt.column("file").to_pylist(), dvt.column("idx").to_pylist()
+            ):
+                if f_ == partition.rel:
+                    drop.add(i)
+        if drop:
+            keep = [i for i in range(t.num_rows) if i not in drop]
+            # explicit int64: an empty keep-list would infer null type
+            t = t.take(pa.array(keep, type=pa.int64()))
     n = t.num_rows
     cols = []
     mapping = getattr(partition, "mapping", None) or {}
@@ -260,6 +331,7 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         starting_version: int,
         max_versions: int | None = None,
         prune_filters: list | None = None,
+        initial_snapshot: bool = False,
     ):
         self._root = root
         self._schema = schema
@@ -267,6 +339,7 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         self._start = starting_version
         self._max_versions = max_versions
         self._prune_filters = prune_filters or []
+        self._initial_snapshot = initial_snapshot
         # last batch end seen by partitions(): the rate-limit anchor.
         # None until the first batch of a (re)started run — that first
         # batch is uncapped because the reader cannot see the
@@ -275,6 +348,22 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         self._last_end: int | None = None
 
     def initialOffset(self) -> dict:
+        if self._initial_snapshot:
+            # Delta's readStream opening move: the FIRST micro-batch
+            # serves the whole current snapshot as inserts stamped at
+            # the pinned version, and change consumption starts right
+            # after it — which is what lets a consumer start on a
+            # table with feed walls (overwrite/restore/uncaptured ops)
+            # anywhere in its PAST. The offset carries the pinned
+            # snapshot version; once the first batch commits, the
+            # checkpointed offset is a plain version and later batches
+            # are ordinary change slices.
+            from .versioned import VersionedTable
+
+            lv = VersionedTable(self._root).latest_version()
+            # schema() already refused tables with no committed version
+            self._last_end = lv
+            return {"version": lv, "snapshot": lv}
         self._last_end = self._start
         return {"version": self._start}
 
@@ -294,15 +383,30 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         s, e = int(start["version"]), int(end["version"])
         self._last_end = e  # anchor the next trigger's rate limit
-        if e <= s:
-            return []
         from .versioned import VersionedTable
 
+        parts: list[InputPartition] = []
+        snap = start.get("snapshot")
+        if snap is not None:
+            # first batch of an initialSnapshot stream: the pinned
+            # snapshot's live files (DV-filtered executor-side), plus
+            # whatever commits landed between the pin and this
+            # trigger's end as ordinary change slices below
+            parts.extend(
+                _snapshot_partitions(
+                    VersionedTable(self._root),
+                    int(snap),
+                    self._schema_json,
+                    self._prune_filters or None,
+                )
+            )
+        if e <= s:
+            return parts
         t = VersionedTable(self._root)
         slices = t.feed_slices(s, e)
         if self._prune_filters:
             slices = _prune_slices(t, slices, self._prune_filters)
-        return _slice_partitions(
+        return parts + _slice_partitions(
             t.root, slices, self._schema_json, t._mapping(e)
         )
 
@@ -570,7 +674,16 @@ class VersionedFeedDataSource(DataSource):
         )
 
     def streamReader(self, schema: StructType) -> VersionedFeedStreamReader:
+        snap = str(self.options.get("initialsnapshot", "")).lower() == "true"
         start_ts = self.options.get("startingtimestamp")
+        if snap and (
+            start_ts is not None or "startingversion" in self.options
+        ):
+            raise ValueError(
+                "initialSnapshot pins its own starting point (the current "
+                "snapshot version) — exclusive with startingVersion and "
+                "startingTimestamp"
+            )
         if start_ts is not None:
             if "startingversion" in self.options:
                 raise ValueError(
@@ -592,6 +705,7 @@ class VersionedFeedDataSource(DataSource):
             start,
             int(mvpt) if mvpt is not None else None,
             prune,
+            initial_snapshot=snap,
         )
 
     def reader(self, schema: StructType) -> VersionedFeedBatchReader:

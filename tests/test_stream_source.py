@@ -287,6 +287,73 @@ def test_stream_source_rejects_future_writer_protocol(spark, tmp_path):
         _run_once(spark, reader, "feed_proto", str(tmp_path / "ckpt"))
 
 
+def test_initial_snapshot_stream_starts_past_feed_walls(spark, tmp_path):
+    """.option("initialSnapshot", "true") — Delta readStream's opening
+    move: the first micro-batch serves the WHOLE current snapshot as
+    inserts (deletion vectors applied executor-side), pinned at the
+    current version; change consumption resumes right after it on the
+    same checkpoint. This is what lets a consumer start on a table
+    with feed walls (here: an OVERWRITE) anywhere in its past — the
+    plain stream from the beginning fails on the wall."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "old")]))  # v0
+    t.overwrite(_df(spark, [(10, "a"), (11, "b"), (12, "c")]))  # v1: WALL
+    t.append(_df(spark, [(13, "d")]))  # v2
+    t.delete_where_dv(spark, "k = 11", emit_changes=True)  # v3: DV inside
+    register_feed_source(spark)
+    # the wall blocks a from-the-beginning stream
+    reader = spark.readStream.format(FORMAT_NAME).option("path", t.root).load()
+    with pytest.raises(Exception, match="overwrite|change feed"):
+        _run_once(spark, reader, "feed_walled", str(tmp_path / "ckpt_w"))
+    ckpt = str(tmp_path / "ckpt_snap")
+
+    def run(out_dir: str):
+        q = (
+            spark.readStream.format(FORMAT_NAME)
+            .option("path", t.root)
+            .option("initialSnapshot", "true")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "out1"))
+    got1 = {
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.parquet(str(tmp_path / "out1")).collect()
+    }
+    # the snapshot at v3: overwrite survivors + the post-wall append,
+    # MINUS the DV-deleted row, all tagged insert @ the pinned version
+    assert got1 == {
+        (10, "a", "insert", 3),
+        (12, "c", "insert", 3),
+        (13, "d", "insert", 3),
+    }
+    # the same checkpoint then follows ordinary change slices
+    t.append(_df(spark, [(14, "e")]))  # v4
+    t.delete_where(spark, "k = 10", emit_changes=True)  # v5: captured
+    run(str(tmp_path / "out2"))
+    got2 = {
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in spark.read.parquet(str(tmp_path / "out2")).collect()
+    }
+    assert got2 == {(14, "insert", 4), (10, "delete", 5)}
+    # option exclusivity: loud error
+    with pytest.raises(Exception, match="exclusive"):
+        spark.readStream.format(FORMAT_NAME).option("path", t.root).option(
+            "initialSnapshot", "true"
+        ).option("startingVersion", 0).load().writeStream.format(
+            "memory"
+        ).queryName("feed_excl").option(
+            "checkpointLocation", str(tmp_path / "ckpt_x")
+        ).trigger(availableNow=True).start().awaitTermination()
+
+
 def test_empty_table_has_no_schema(spark, tmp_path):
     register_feed_source(spark)
     with pytest.raises(Exception, match="no committed version"):
