@@ -1757,6 +1757,85 @@ register(
 )
 
 
+def _storage_snapshot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """initialSnapshot streaming (round 10): the source table's
+    history contains an OVERWRITE — a feed wall that blocks any
+    from-the-beginning change stream — plus a captured DV delete.
+    ``.option("initialSnapshot", "true")`` starts anyway: the first
+    availableNow run serves the whole current snapshot as inserts
+    pinned at the current version (the DV-deleted rows must be
+    filtered EXECUTOR-side by the arrow reader), then a post-start
+    append streams as an ordinary change slice on the SAME
+    checkpoint. The oracle recomputes both halves from raw events —
+    a resurrected DV row, a snapshot row mis-stamped, or a replayed
+    slice breaks the hash."""
+    from .storage.stream_source import FORMAT_NAME, register_feed_source
+    from .storage.versioned import VersionedTable
+
+    root = _run_tmp_root("netflow_vss_")
+    src = VersionedTable(root + "/src")
+    ev = tables.load(spark, "events", sf_dir).filter(
+        F.col("event_id") % 10 == 0
+    ).select("event_id", "user_id", F.round("value", 2).alias("value"))
+    src.append(ev.filter(F.col("user_id") % 2 == 0))  # v0
+    src.overwrite(ev)  # v1: the feed WALL
+    src.delete_where_dv(spark, "user_id % 5 = 1", emit_changes=True)  # v2
+    register_feed_source(spark)
+
+    def run():
+        q = (
+            spark.readStream.format(FORMAT_NAME)
+            .option("path", src.root)
+            .option("initialSnapshot", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", root + "/out")
+            .option("checkpointLocation", root + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()  # batch 1: the snapshot at v2, DV-filtered, insert @ 2
+    src.append(  # v3: streams as an ordinary slice on the same ckpt
+        ev.filter(F.col("user_id") % 5 == 1).withColumn(
+            "value", F.round(F.col("value") + 1, 2)
+        )
+    )
+    run()
+    return (
+        spark.read.parquet(root + "/out")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+        )
+        .orderBy("commit_version", "event_id")
+    )
+
+
+_STORAGE_SNAPSHOT_STREAM_SQL = """
+SELECT event_id, user_id, ROUND(value, 2) AS value,
+       'insert' AS change_type, CAST(2 AS BIGINT) AS commit_version
+FROM events WHERE event_id % 10 = 0 AND user_id % 5 != 1
+UNION ALL
+SELECT event_id, user_id, ROUND(ROUND(value, 2) + 1, 2),
+       'insert', CAST(3 AS BIGINT)
+FROM events WHERE event_id % 10 = 0 AND user_id % 5 = 1
+ORDER BY commit_version, event_id
+"""
+
+
+register(
+    "storage_snapshot_stream",
+    _storage_snapshot_stream,
+    _STORAGE_SNAPSHOT_STREAM_SQL,
+    driver=False,
+)
+
+
 def _stream_late_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data dead-letter routing (streaming/late_router.py) driven
     over a deterministic two-batch backfill: even-user events arrive
