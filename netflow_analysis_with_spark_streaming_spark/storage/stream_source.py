@@ -62,7 +62,11 @@ walls anywhere in its past), ``maxVersionsPerTrigger`` (commit-unit
 rate limit), ``prune`` (caller-declared stats pruning,
 ``[[col, lo, hi], ...]``; applies to the snapshot batch too),
 ``sinceVersion`` / ``toVersion`` (batch window, exclusive /
-inclusive), ``pushdown`` (batch: opt-in Catalyst filter pushdown).
+inclusive), ``pushdown`` (batch: opt-in Catalyst filter pushdown),
+``skipChangeCommits`` ("true": insert-only consumption, Delta's
+option of the same name — deletes/merges/upserts/replace_wheres,
+captured or NOT, contribute nothing instead of slicing or walling;
+overwrite/restore/rename stay walls; stream and batch windows both).
 """
 
 from __future__ import annotations
@@ -332,6 +336,7 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         max_versions: int | None = None,
         prune_filters: list | None = None,
         initial_snapshot: bool = False,
+        skip_change_commits: bool = False,
     ):
         self._root = root
         self._schema = schema
@@ -340,6 +345,7 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         self._max_versions = max_versions
         self._prune_filters = prune_filters or []
         self._initial_snapshot = initial_snapshot
+        self._skip_changes = skip_change_commits
         # last batch end seen by partitions(): the rate-limit anchor.
         # None until the first batch of a (re)started run — that first
         # batch is uncapped because the reader cannot see the
@@ -403,7 +409,9 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         if e <= s:
             return parts
         t = VersionedTable(self._root)
-        slices = t.feed_slices(s, e)
+        slices = t.feed_slices(
+            s, e, skip_change_commits=self._skip_changes
+        )
         if self._prune_filters:
             slices = _prune_slices(t, slices, self._prune_filters)
         return parts + _slice_partitions(
@@ -427,6 +435,7 @@ class VersionedFeedBatchReader(DataSourceReader):
     plumbing cannot diverge across the three reader variants."""
 
     _prune_filters: list = []
+    _skip_changes: bool = False  # skipChangeCommits (reader() factory)
 
     def __init__(
         self, root: str, schema: StructType, since: int, to: int | None
@@ -447,7 +456,9 @@ class VersionedFeedBatchReader(DataSourceReader):
         # mapping used for physical-name translation disagree with the
         # planned slice window
         end = self._to if self._to is not None else t.latest_version()
-        slices = t.feed_slices(self._since, end)
+        slices = t.feed_slices(
+            self._since, end, skip_change_commits=self._skip_changes
+        )
         if self._prune_filters:
             # per-slice stats from the COMMIT that added the groups —
             # always present for stat-carrying appends, regardless of
@@ -706,6 +717,10 @@ class VersionedFeedDataSource(DataSource):
             int(mvpt) if mvpt is not None else None,
             prune,
             initial_snapshot=snap,
+            skip_change_commits=(
+                str(self.options.get("skipchangecommits", "")).lower()
+                == "true"
+            ),
         )
 
     def reader(self, schema: StructType) -> VersionedFeedBatchReader:
@@ -725,6 +740,8 @@ class VersionedFeedDataSource(DataSource):
         r = cls(
             self._root(), schema, since, int(to_raw) if to_raw is not None else None
         )
+        if str(self.options.get("skipchangecommits", "")).lower() == "true":
+            r._skip_changes = True
         if prune_raw:
             explicit = _prune_triples_to_filters(json.loads(prune_raw))
             r._prune_filters = explicit

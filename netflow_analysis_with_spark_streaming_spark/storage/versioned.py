@@ -186,6 +186,13 @@ _FEED_ALL_ACTIONS = (
     | _FEED_TYPED_CAPTURE_ACTIONS
     | _FEED_BREAKING_ACTIONS
 )
+# what feed_slices(skip_change_commits=True) — Delta's
+# skipChangeCommits — deliberately ignores: every file-CHANGING
+# data operation, captured or not (insert-only consumption).
+# Overwrite/restore/rename stay walls even then.
+_SKIPPABLE_CHANGE_ACTIONS = (
+    _FEED_CAPTURE_ACTIONS | _FEED_TYPED_CAPTURE_ACTIONS
+)
 
 
 def _footer_rows(abs_dir: str) -> int:
@@ -2385,7 +2392,10 @@ class VersionedTable:
         return self._read_files(spark, to_version, new_files)
 
     def feed_slices(
-        self, since_version: int, to_version: int | None = None
+        self,
+        since_version: int,
+        to_version: int | None = None,
+        skip_change_commits: bool = False,
     ) -> list[tuple[int, str, list[str]]]:
         """Manifest-only change-feed plan: the ordered
         ``(commit_version, 'insert' | 'delete' | 'typed', [group
@@ -2404,7 +2414,11 @@ class VersionedTable:
         table size (full-manifest histories fall back to the snapshot
         diff, memoized). Raises exactly as ``read_change_feed``: on an
         unclassified or feed-breaking action, or an uncaptured
-        delete."""
+        delete. ``skip_change_commits`` (Delta's skipChangeCommits):
+        insert-only consumption — deletes/merges/upserts/
+        replace_wheres, captured or not, contribute nothing instead
+        of slicing or raising; overwrite/restore/rename stay
+        walls."""
         if to_version is None:
             to_version = self.latest_version()
         if to_version is None or since_version > to_version:
@@ -2453,6 +2467,17 @@ class VersionedTable:
                     f"{action!r}: add it to the feed classification "
                     "sets in storage/versioned.py"
                 )
+            if skip_change_commits and action in _SKIPPABLE_CHANGE_ACTIONS:
+                # Delta's skipChangeCommits: an insert-only consumer
+                # deliberately ignores file-changing commits — captured
+                # OR uncaptured deletes/merges/upserts/replace_wheres
+                # contribute nothing and just advance the baseline
+                # (their rewritten survivor groups are NOT new rows).
+                # Overwrite/restore/rename stay walls: those replace
+                # the table, which no insert-only semantics can absorb.
+                _advance()
+                prev_v = v
+                continue
             if action in _FEED_INSERT_ACTIONS:
                 if chained:
                     # O(change): the record's own adds ARE the diff

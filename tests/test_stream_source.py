@@ -354,6 +354,60 @@ def test_initial_snapshot_stream_starts_past_feed_walls(spark, tmp_path):
         ).trigger(availableNow=True).start().awaitTermination()
 
 
+def test_skip_change_commits_streams_inserts_only(spark, tmp_path):
+    """.option("skipChangeCommits", "true") — Delta's insert-only
+    consumption: an UNCAPTURED merge (a hard wall for the plain feed)
+    and a captured delete both contribute NOTHING, appends keep
+    streaming; the bounded reader honors the same option through the
+    shared feed_slices walk. Overwrite stays a wall even then."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))  # v0
+    t.merge(spark, _df(spark, [(1, "A!")]), keys=["k"])  # v1: UNCAPTURED
+    t.delete_where(spark, "k = 2", emit_changes=True)  # v2: captured
+    t.append(_df(spark, [(3, "c")]))  # v3
+    register_feed_source(spark)
+    # plain stream: the uncaptured merge is a wall
+    reader = spark.readStream.format(FORMAT_NAME).option("path", t.root).load()
+    with pytest.raises(Exception, match="change feed|merge"):
+        _run_once(spark, reader, "feed_wall2", str(tmp_path / "ckpt_w"))
+    # insert-only: appends stream, change commits contribute nothing
+    reader2 = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", t.root)
+        .option("skipChangeCommits", "true")
+        .load()
+    )
+    _run_once(spark, reader2, "feed_skip", str(tmp_path / "ckpt_s"))
+    got = {
+        (r["k"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in spark.sql("SELECT * FROM feed_skip").collect()
+    }
+    assert got == {(1, "a", "insert", 0), (2, "b", "insert", 0),
+                   (3, "c", "insert", 3)}
+    # the bounded twin honors the same option (shared walk)
+    batch = (
+        spark.read.format(FORMAT_NAME)
+        .option("path", t.root)
+        .option("skipChangeCommits", "true")
+        .load()
+    )
+    got_b = {
+        (r["k"], r["_change_type"], r["_commit_version"])
+        for r in batch.collect()
+    }
+    assert got_b == {(1, "insert", 0), (2, "insert", 0), (3, "insert", 3)}
+    # overwrite stays a wall even insert-only
+    t.overwrite(_df(spark, [(9, "z")]))  # v4
+    reader3 = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", t.root)
+        .option("skipChangeCommits", "true")
+        .load()
+    )
+    with pytest.raises(Exception, match="overwrite|change feed"):
+        _run_once(spark, reader3, "feed_skip2", str(tmp_path / "ckpt_s2"))
+
+
 def test_empty_table_has_no_schema(spark, tmp_path):
     register_feed_source(spark)
     with pytest.raises(Exception, match="no committed version"):
