@@ -161,6 +161,10 @@ PROBE_ENTRIES = [
     # events replicas, so ~linear is the honest target
     "storage_sink_stream",
     "storage_compact_where",
+    # round 10: initialSnapshot streaming — the first batch is an
+    # O(live files) snapshot serve by definition, so ~linear in the
+    # snapshot is the honest target
+    "storage_snapshot_stream",
     "stream_late_dlq",
     "stream_scd2_enrich",
     "join_salted_skew",
