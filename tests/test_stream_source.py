@@ -354,6 +354,61 @@ def test_initial_snapshot_stream_starts_past_feed_walls(spark, tmp_path):
         ).trigger(availableNow=True).start().awaitTermination()
 
 
+def test_initial_snapshot_composes_with_pacing(spark, tmp_path):
+    """initialSnapshot + maxVersionsPerTrigger: the snapshot batch is
+    atomic (never split — it IS one offset), and the post-snapshot
+    backlog drains as rate-limited micro-batches anchored at the
+    pinned version."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))  # v0
+    t.overwrite(_df(spark, [(10, "x"), (11, "y")]))  # v1: wall
+    register_feed_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(out_dir: str):
+        q = (
+            spark.readStream.format(FORMAT_NAME)
+            .option("path", t.root)
+            .option("initialSnapshot", "true")
+            .option("maxVersionsPerTrigger", 1)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "out1"))  # snapshot at v1
+    got1 = {
+        (r["k"], r["_commit_version"])
+        for r in spark.read.parquet(str(tmp_path / "out1")).collect()
+    }
+    assert got1 == {(10, 1), (11, 1)}
+    # backlog of 3 appends drains capped at 1 commit per trigger;
+    # the availableNow fallback runs one batch per run, so three runs
+    for i in range(3):
+        t.append(_df(spark, [(20 + i, f"n{i}")]))
+    for i in range(3):
+        run(str(tmp_path / f"out2_{i}"))
+    drained = set()
+    for i in range(3):
+        drained |= {
+            (r["k"], r["_commit_version"])
+            for r in spark.read.parquet(str(tmp_path / f"out2_{i}")).collect()
+        }
+    assert drained == {(20, 2), (21, 3), (22, 4)}
+    # each capped run emitted at most one commit's rows
+    for i in range(3):
+        vs = {
+            r["_commit_version"]
+            for r in spark.read.parquet(str(tmp_path / f"out2_{i}")).collect()
+        }
+        assert len(vs) <= 1, (i, vs)
+
+
 def test_skip_change_commits_streams_inserts_only(spark, tmp_path):
     """.option("skipChangeCommits", "true") — Delta's insert-only
     consumption: an UNCAPTURED merge (a hard wall for the plain feed)
