@@ -1534,7 +1534,13 @@ register(
 # scalar_functions and the suite entries; the oracle stays green in
 # tests/test_oracle_corpus.py.
 register("scalar_array_functions", _scalar_array_functions, _SCALAR_ARRAY_SQL, driver=False)
-register("text_zscore_by_lang", _text_zscore_by_lang, _TEXT_ZSCORE_SQL)
+# Retired to the pytest tier in round 11 (displaced by
+# storage_sink_stream, the native streaming sink): its grouped-agg
+# pandas_udf evidence overlaps udf_surface; the exact oracle stays
+# green in tests/test_oracle_corpus.py.
+register(
+    "text_zscore_by_lang", _text_zscore_by_lang, _TEXT_ZSCORE_SQL, driver=False
+)
 register("profile_columns", _profile_columns, _PROFILE_SQL)
 register("text_analysis", _text_analysis, _TEXT_ANALYSIS_SQL)
 def _text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:

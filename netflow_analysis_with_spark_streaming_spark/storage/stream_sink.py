@@ -22,12 +22,17 @@ Two-phase commit, Delta-style:
   staged files (garbage for fsck/vacuum), never torn state.
 - ``commit()`` runs once per micro-batch on the driver-side data
   source worker with ALL task messages: it publishes one manifest
-  referencing every non-empty staged group, stamped with the
-  micro-batch's ``batchId`` — the SAME batch-id idempotency slot the
-  foreachBatch sinks use, so a replayed batch is a no-op (its staged
-  groups are deleted, nothing double-lands) and a crash between
-  commit and checkpoint write is absorbed exactly-once.
-  ``abort()`` deletes the staged groups.
+  referencing every non-empty staged group, stamped with
+  ``"<appId>#<batchId>"`` — the batch-id idempotency slot the
+  foreachBatch sinks use, SCOPED per query (Delta's txnAppId rule):
+  the scope is the explicit ``txnAppId`` option or, by default, the
+  query's checkpoint location, so a replayed batch of the SAME query
+  is a no-op (its staged groups are deleted, nothing double-lands)
+  while a different query — or a restart with a fresh checkpoint,
+  whose batch ids restart at 0 — lands normally instead of being
+  silently dropped as a fake replay. A crash between commit and
+  checkpoint write is absorbed exactly-once. ``abort()`` deletes the
+  staged groups.
 
 Semantics and fail-closed edges:
 
@@ -51,7 +56,9 @@ Semantics and fail-closed edges:
 
 Options: ``path`` (table root, required), ``statsCols`` (csv of
 columns to record min/max for; default = every primitive
-non-binary top-level column).
+non-binary top-level column), ``txnAppId`` (stable per-query
+idempotency scope; defaults to the checkpoint location — streaming
+writes REQUIRE one of the two).
 
 Pair a continuous ingest with ``maybe_compact``/``compact_where`` —
 each task lands its own single-file group (a 32-partition batch is 32
@@ -131,6 +138,40 @@ def _arrow_type(spark_type: dict | str):
     return t
 
 
+def _needs_ts_conversion(spark_type) -> bool:
+    """True when the (possibly nested-array) type carries a temporal
+    leaf that must be converted to integer micros BEFORE pyarrow sees
+    it: handing naive datetimes to a tz-aware arrow type interprets
+    them as UTC, while Spark built the Row values in the worker's
+    LOCAL zone — nested instants would round-trip shifted by the UTC
+    offset in non-UTC sessions (top-level ones always went through
+    _ts_to_micros)."""
+    if isinstance(spark_type, dict):
+        return _needs_ts_conversion(spark_type.get("elementType"))
+    return spark_type in ("timestamp", "timestamp_ntz")
+
+
+def _ts_shadow_type(spark_type):
+    """int64 shadow of a temporal (possibly nested-array) type: the
+    conversion builds integer micros, then casts to the real arrow
+    type zone-exactly."""
+    import pyarrow as pa
+
+    if isinstance(spark_type, dict):
+        return pa.list_(_ts_shadow_type(spark_type["elementType"]))
+    return pa.int64()
+
+
+def _convert_ts_tree(v, spark_type):
+    """Element-wise _ts_to_micros through any array nesting depth."""
+    if v is None:
+        return None
+    if isinstance(spark_type, dict):
+        elem = spark_type["elementType"]
+        return [_convert_ts_tree(x, elem) for x in v]
+    return _ts_to_micros(v, spark_type == "timestamp_ntz")
+
+
 def _ts_to_micros(dt, wall_clock: bool) -> int | None:
     """datetime -> integer microseconds, integer-exact (float
     ``.timestamp()`` loses sub-microsecond precision at current
@@ -162,6 +203,11 @@ class VersionedSinkWriter(DataSourceStreamWriter, DataSourceWriter):
     serves both the streaming sink (batchId-stamped commits) and the
     batch twin (un-stamped append / overwrite)."""
 
+    # rows buffered per staged row group: bounds executor memory at
+    # O(chunk) instead of O(micro-batch partition) — a 100 GB batch
+    # partition streams through in 64k-row arrow chunks
+    CHUNK_ROWS = 1 << 16
+
     def __init__(
         self,
         root: str,
@@ -170,6 +216,7 @@ class VersionedSinkWriter(DataSourceStreamWriter, DataSourceWriter):
         retired: list,
         stats_cols: list[str],
         overwrite: bool = False,
+        app_id: str | None = None,
     ):
         self.root = root
         self.schema_json = schema_json
@@ -177,6 +224,17 @@ class VersionedSinkWriter(DataSourceStreamWriter, DataSourceWriter):
         self.retired = retired
         self.stats_cols = stats_cols
         self.overwrite = overwrite
+        # per-query idempotency scope (Delta's txnAppId): the bare
+        # micro-batch batchId restarts at 0 for every new checkpoint,
+        # so without a scope a second query into the same table — or a
+        # restart with a fresh checkpoint — would be silently dropped
+        # as a "replay" (data loss, not duplicates)
+        self.app_id = app_id
+
+    def _batch_key(self, batchId: int | None):
+        if batchId is None:
+            return None
+        return f"{self.app_id}#{batchId}" if self.app_id else batchId
 
     # --- executor side (no package imports) ---------------------------
 
@@ -184,41 +242,76 @@ class VersionedSinkWriter(DataSourceStreamWriter, DataSourceWriter):
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
+        from itertools import islice
 
         fields = json.loads(self.schema_json)["fields"]
-        rows = list(iterator)
-        if not rows:
-            return SinkCommitMessage(None, 0, {})
         names = [f["name"] for f in fields]
-        arrays = []
-        pa_fields = []
-        for i, f in enumerate(fields):
-            t = f["type"]
-            at = _arrow_type(t)
-            col = [r[i] for r in rows]
-            if t == "timestamp" or t == "timestamp_ntz":
-                col = [_ts_to_micros(v, t == "timestamp_ntz") for v in col]
-                arr = pa.array(col, type=pa.int64()).cast(at)
-            else:
-                arr = pa.array(col, type=at)
-            # staged files carry PHYSICAL names (column mapping)
-            pa_fields.append(pa.field(self.mapping.get(f["name"], f["name"]), at))
-            arrays.append(arr)
-        table = pa.table(dict(zip([fl.name for fl in pa_fields], arrays)))
-        group = uuid.uuid4().hex
-        gdir = os.path.join(self.root, "data", group)
-        os.makedirs(gdir, exist_ok=True)
-        pq.write_table(table, os.path.join(gdir, "part-0.parquet"))
-        stats: dict = {"__rows__": len(rows)}
-        for c in self.stats_cols:
-            i = names.index(c)
-            mm = pc.min_max(arrays[i])
-            lo, hi = mm["min"].as_py(), mm["max"].as_py()
-            if lo is not None and hi is not None:
-                if hasattr(lo, "isoformat"):  # temporal: manifest JSON
-                    lo, hi = str(lo), str(hi)
-                stats[c] = [lo, hi]
-        return SinkCommitMessage(f"data/{group}", len(rows), stats)
+        types = [f["type"] for f in fields]
+        ats = [_arrow_type(t) for t in types]
+        # staged files carry PHYSICAL names (column mapping)
+        pa_schema = pa.schema(
+            [
+                pa.field(self.mapping.get(n, n), at)
+                for n, at in zip(names, ats)
+            ]
+        )
+        stat_i = {c: names.index(c) for c in self.stats_cols}
+        writer = None
+        group = gdir = None
+        total = 0
+        agg: dict = {}  # col -> [lo, hi], raw (pre-stringify) values
+        try:
+            while True:
+                rows = list(islice(iterator, self.CHUNK_ROWS))
+                if not rows:
+                    break
+                arrays = []
+                for i, (t, at) in enumerate(zip(types, ats)):
+                    col = [r[i] for r in rows]
+                    if _needs_ts_conversion(t):
+                        # integer-exact micros BEFORE arrow sees the
+                        # values, element-wise through array nesting —
+                        # naive datetimes handed to a tz-aware type
+                        # would be misread as UTC
+                        col = [_convert_ts_tree(v, t) for v in col]
+                        arr = pa.array(col, type=_ts_shadow_type(t)).cast(at)
+                    else:
+                        arr = pa.array(col, type=at)
+                    arrays.append(arr)
+                table = pa.table(dict(zip(pa_schema.names, arrays)))
+                if writer is None:
+                    group = uuid.uuid4().hex
+                    gdir = os.path.join(self.root, "data", group)
+                    os.makedirs(gdir, exist_ok=True)
+                    writer = pq.ParquetWriter(
+                        os.path.join(gdir, "part-0.parquet"), pa_schema
+                    )
+                writer.write_table(table)
+                total += len(rows)
+                # fold min/max per chunk — stats stay O(columns), never
+                # a second pass over the buffered rows
+                for c, i in stat_i.items():
+                    mm = pc.min_max(arrays[i])
+                    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+                    if lo is None or hi is None:
+                        continue
+                    cur = agg.get(c)
+                    agg[c] = (
+                        [lo, hi]
+                        if cur is None
+                        else [min(cur[0], lo), max(cur[1], hi)]
+                    )
+        finally:
+            if writer is not None:
+                writer.close()
+        if total == 0:
+            return SinkCommitMessage(None, 0, {})
+        stats: dict = {"__rows__": total}
+        for c, (lo, hi) in agg.items():
+            if hasattr(lo, "isoformat"):  # temporal: manifest JSON
+                lo, hi = str(lo), str(hi)
+            stats[c] = [lo, hi]
+        return SinkCommitMessage(f"data/{group}", total, stats)
 
     # --- driver side ---------------------------------------------------
 
@@ -230,14 +323,18 @@ class VersionedSinkWriter(DataSourceStreamWriter, DataSourceWriter):
 
         staged = self._staged(messages)
         t = VersionedTable(self.root)
-        if not staged:
-            return  # empty batch: nothing lands, replay is naturally a no-op
+        if not staged and not self.overwrite:
+            return  # empty append batch: nothing lands, replay no-ops
+        # empty OVERWRITE batch still publishes: mode('overwrite') with
+        # an empty frame must truncate (commit_staged handles groups=[]),
+        # matching VersionedTable.overwrite / Delta semantics — an early
+        # return would silently keep the old contents
         try:
             t.commit_staged(
                 [m.group for m in staged],
                 {m.group: m.stats for m in staged},
                 self.schema_json,
-                batch_id=batchId,
+                batch_id=self._batch_key(batchId),
                 write_mapping=self.mapping,
                 write_retired=self.retired,
                 overwrite=self.overwrite,
@@ -257,13 +354,108 @@ class VersionedSinkWriter(DataSourceStreamWriter, DataSourceWriter):
 
 
 class VersionedSinkDataSource(DataSource):
-    """spark.writeStream.format("versioned_table").option("path", root)."""
+    """The ``versioned_table`` interop format — every quadrant of the
+    read/write x batch/stream matrix that isn't the change FEED
+    (which is ``versioned_feed`` in stream_source.py):
+
+    - ``df.writeStream.format("versioned_table")`` — streaming sink
+      (exactly-once micro-batch commits);
+    - ``df.write.format("versioned_table")`` — batch append/overwrite;
+    - ``spark.read.format("versioned_table")`` — batch SNAPSHOT read
+      (current or AS-OF), with the same deletion-vector merge-on-read,
+      column mapping, schema-evolution padding, and manifest-stats /
+      bloom pruning the Python ``VersionedTable.read`` API serves —
+      so a vanilla Spark session needs no engine imports to read the
+      table. Read options: ``versionAsOf`` (int), ``timestampAsOf``
+      (epoch seconds — Delta's rule: latest commit at or before the
+      instant), ``pushdown`` ("true": Catalyst pushFilters prune,
+      needs spark.sql.python.filterPushdown.enabled), ``prune``
+      (caller-declared ``[[col, lo, hi], ...]`` for vanilla sessions).
+    """
 
     @classmethod
     def name(cls) -> str:
         return FORMAT_NAME
 
-    def _build_writer(self, schema, overwrite: bool) -> VersionedSinkWriter:
+    # --- batch snapshot READ ------------------------------------------
+
+    def _table(self):
+        from .versioned import VersionedTable
+
+        root = self.options.get("path")
+        if not root:
+            raise ValueError(
+                "versioned_table requires .option('path', <table root>)"
+            )
+        return VersionedTable(root)
+
+    def _pinned_version(self, t) -> int:
+        """Resolve the snapshot version ONCE per DataSource instance:
+        schema() and reader() must describe the same snapshot even if
+        a commit lands between the two calls (TOCTOU)."""
+        pin = getattr(self, "_pin", None)
+        if pin is not None:
+            return pin
+        vo = self.options.get("versionasof")
+        tso = self.options.get("timestampasof")
+        if vo is not None and tso is not None:
+            raise ValueError("set versionAsOf OR timestampAsOf, not both")
+        if vo is not None:
+            v = int(vo)
+            try:
+                t._load_record(v)  # exists (not vacuumed / future)?
+            except FileNotFoundError:
+                raise ValueError(
+                    f"table {t.root} has no version {v} (vacuumed or "
+                    "never committed)"
+                ) from None
+        elif tso is not None:
+            v = t.version_at_timestamp(float(tso))
+        else:
+            v = t.latest_version()
+            if v is None:
+                raise ValueError(
+                    f"table {t.root} has no committed version to read"
+                )
+        self._pin = v
+        return v
+
+    def schema(self):
+        from pyspark.sql.types import StructType
+
+        t = self._table()
+        v = self._pinned_version(t)
+        return StructType.fromJson(json.loads(t._load_record(v)["schema"]))
+
+    def reader(self, schema):
+        from .stream_source import (
+            ExplicitPruneSnapshotBatchReader,
+            PruningSnapshotBatchReader,
+            VersionedSnapshotBatchReader,
+            _prune_triples_to_filters,
+        )
+
+        t = self._table()
+        v = self._pinned_version(t)
+        cls = (
+            PruningSnapshotBatchReader
+            if str(self.options.get("pushdown", "")).lower() == "true"
+            else VersionedSnapshotBatchReader
+        )
+        prune_raw = self.options.get("prune")
+        if prune_raw and cls is VersionedSnapshotBatchReader:
+            cls = ExplicitPruneSnapshotBatchReader
+        r = cls(t.root, schema, v)
+        if prune_raw:
+            explicit = _prune_triples_to_filters(json.loads(prune_raw))
+            r._prune_filters = explicit
+            if isinstance(r, PruningSnapshotBatchReader):
+                r._explicit_prune = explicit
+        return r
+
+    def _build_writer(
+        self, schema, overwrite: bool, app_id: str | None = None
+    ) -> VersionedSinkWriter:
         from .versioned import VersionedTable
 
         root = self.options.get("path")
@@ -302,13 +494,41 @@ class VersionedSinkDataSource(DataSource):
                 and f["type"] not in ("binary", "boolean")
             ]
         return VersionedSinkWriter(
-            root, schema.json(), mapping, retired, stats_cols, overwrite
+            root,
+            schema.json(),
+            mapping,
+            retired,
+            stats_cols,
+            overwrite,
+            app_id=app_id,
         )
 
     def streamWriter(self, schema, overwrite: bool) -> VersionedSinkWriter:
-        return self._build_writer(schema, overwrite)
+        # Exactly-once needs a PER-QUERY idempotency scope (Delta's
+        # txnAppId): micro-batch ids restart at 0 for every fresh
+        # checkpoint, so scoping by the bare batchId would make a
+        # second query into the same table — or a restart with a new
+        # checkpoint — look like a replay and be silently DROPPED.
+        # The scope is the explicit txnAppId option when given, else
+        # the query's checkpoint location (stable across restarts of
+        # the same query, distinct across queries). Fail at creation
+        # when neither exists — never ambiguous idempotency.
+        w = self._build_writer(schema, overwrite)  # table checks first
+        app = self.options.get("txnappid") or self.options.get(
+            "checkpointlocation"
+        )
+        if not app:
+            raise ValueError(
+                "versioned_table sink: exactly-once requires a stable "
+                "per-query identity — set .option('checkpointLocation', "
+                "...) (any durable streaming query has one) or "
+                ".option('txnAppId', <stable name>)"
+            )
+        w.app_id = app.rstrip("/")
+        return w
 
     def writer(self, schema, overwrite: bool) -> VersionedSinkWriter:
+        # batch twin: un-stamped single commit, no replay surface
         return self._build_writer(schema, overwrite)
 
 

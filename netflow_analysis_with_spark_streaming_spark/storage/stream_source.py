@@ -102,11 +102,17 @@ class FeedPartition(InputPartition):
         mapping: dict | None = None,
         rel: str | None = None,
         dv_files: list | None = None,
+        bare: bool = False,
     ):
         self.file = file
         self.change = change
         self.version = version
         self.schema_json = schema_json
+        # bare = plain SNAPSHOT read (spark.read.format("versioned_
+        # table")): no _change_type/_commit_version meta columns —
+        # the same DV-filtered, mapping-resolved, schema-padded file
+        # read, minus the feed framing
+        self.bare = bare
         # column mapping {logical: physical} of the window (constant
         # across any servable window: mapping changes are feed-breaking
         # commits, so feed_slices refuses windows that cross one)
@@ -150,7 +156,11 @@ def _slice_partitions(
 
 
 def _snapshot_partitions(
-    t, version: int, schema_json: str, filters: list | None = None
+    t,
+    version: int,
+    schema_json: str,
+    filters: list | None = None,
+    bare: bool = False,
 ) -> list[FeedPartition]:
     """Initial-snapshot partitions (the Delta readStream opening move):
     every live parquet file of the snapshot at ``version`` becomes an
@@ -185,6 +195,7 @@ def _snapshot_partitions(
                         mapping,
                         rel=f"{g}/{fn}",
                         dv_files=dv_dirs,
+                        bare=bare,
                     )
                 )
     return parts
@@ -201,13 +212,21 @@ def _read_partition(partition: FeedPartition) -> Iterator:
     from pyspark.sql.types import StructType as _St
 
     target = _St.fromJson(json.loads(partition.schema_json))  # data cols only
-    arrow_data = to_arrow_schema(_data_schema(target))
-    arrow_full = pa.schema(
-        list(arrow_data)
-        + [
-            pa.field("_change_type", pa.string(), nullable=False),
-            pa.field("_commit_version", pa.int64(), nullable=False),
-        ]
+    bare = getattr(partition, "bare", False)
+    # bare snapshot reads serve the table schema VERBATIM (a data
+    # column that happens to be named like a feed meta column is
+    # real data there — only the feed reserves those names)
+    arrow_data = to_arrow_schema(target if bare else _data_schema(target))
+    arrow_full = (
+        arrow_data
+        if bare  # plain snapshot read: no feed meta columns
+        else pa.schema(
+            list(arrow_data)
+            + [
+                pa.field("_change_type", pa.string(), nullable=False),
+                pa.field("_commit_version", pa.int64(), nullable=False),
+            ]
+        )
     )
     t = pq.read_table(partition.file)
     dv_files = getattr(partition, "dv_files", None)
@@ -241,16 +260,17 @@ def _read_partition(partition: FeedPartition) -> Iterator:
         else:
             c = pa.nulls(n, f.type)
         cols.append(c)
-    if partition.change == "typed":
-        # merge/upsert capture group: the direction tag is embedded
-        # per row in the file itself (update = delete+insert pair)
-        ct = t.column("_change_type")
-        if ct.type != pa.string():
-            ct = ct.cast(pa.string())
-        cols.append(ct)
-    else:
-        cols.append(pa.array([partition.change] * n, pa.string()))
-    cols.append(pa.array([partition.version] * n, pa.int64()))
+    if not bare:
+        if partition.change == "typed":
+            # merge/upsert capture group: the direction tag is embedded
+            # per row in the file itself (update = delete+insert pair)
+            ct = t.column("_change_type")
+            if ct.type != pa.string():
+                ct = ct.cast(pa.string())
+            cols.append(ct)
+        else:
+            cols.append(pa.array([partition.change] * n, pa.string()))
+        cols.append(pa.array([partition.version] * n, pa.int64()))
     full = pa.table(cols, schema=arrow_full)
     yield from full.to_batches(max_chunksize=1 << 16)
 
@@ -604,6 +624,92 @@ class PruningFeedBatchReader(VersionedFeedBatchReader):
         return True
 
 
+class VersionedSnapshotBatchReader(DataSourceReader):
+    """Plain-Spark batch read of ONE pinned snapshot —
+    ``spark.read.format("versioned_table")`` — the read quadrant that
+    closes the interop matrix (read/write x batch/stream): vanilla
+    sessions get the table without the Python ``VersionedTable.read``
+    API or the ``as_view`` SQL hop. Rides the initial-snapshot
+    machinery verbatim (``_snapshot_partitions`` + ``_read_partition``
+    in bare mode): every live parquet part file is its own input
+    partition, deletion vectors anti-filter executor-side
+    (merge-on-read), column mapping resolves physical names, and
+    schema evolution pads/casts per file. The snapshot version is
+    pinned at DataSource construction — schema() and partitions()
+    cannot disagree across a concurrent commit."""
+
+    _prune_filters: list = []
+
+    def __init__(self, root: str, schema: StructType, version: int):
+        self._root = root
+        self._schema_json = schema.json()
+        self._version = version
+
+    def partitions(self) -> Sequence[InputPartition]:
+        from .versioned import VersionedTable
+
+        return _snapshot_partitions(
+            VersionedTable(self._root),
+            self._version,
+            self._schema_json,
+            self._prune_filters or None,
+            bare=True,
+        )
+
+    def read(self, partition: FeedPartition) -> Iterator:
+        return _read_partition(partition)
+
+
+class PruningSnapshotBatchReader(VersionedSnapshotBatchReader):
+    """The snapshot reader plus manifest-stats pruning driven by
+    Catalyst's own filter pushdown — same opt-in
+    (``.option("pushdown", "true")`` + the session filterPushdown
+    conf) and the same superset-only skipping semantics as
+    PruningFeedBatchReader: groups whose min/max ranges (or bloom
+    probes, for point predicates) PROVE no match are never planned;
+    every filter returns residual so Spark still applies the exact
+    row predicate."""
+
+    def __init__(self, root: str, schema: StructType, version: int):
+        super().__init__(root, schema, version)
+        self._explicit_prune: list = []
+        self._prune_filters: list = []
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        usable = (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+        # UNION with any caller-declared prune bound (AND semantics),
+        # same rule as the feed's pushFilters
+        self._prune_filters = list(self._explicit_prune) + [
+            f
+            for f in filters
+            if isinstance(f, usable) and len(f.attribute) == 1
+        ]
+        return filters  # all residual: skipping is superset-only
+
+
+class ExplicitPruneSnapshotBatchReader(VersionedSnapshotBatchReader):
+    """Snapshot reader plus CALLER-DECLARED stats pruning
+    (``.option("prune", '[[col, lo, hi], ...]')``) for vanilla
+    sessions without the filterPushdown conf — no pushFilters
+    implementation, same shared partitions() skipping."""
+
+
 class ExplicitPruneFeedBatchReader(VersionedFeedBatchReader):
     """The bounded reader plus CALLER-DECLARED stats pruning
     (.option("prune", '[[col, lo, hi], ...]')) — the vanilla-session
@@ -637,21 +743,14 @@ class VersionedFeedDataSource(DataSource):
         only future commits. Bisects the log (stamps are
         non-decreasing — commit clamp in versioned._commit), so stream
         start-up costs O(log versions) record reads on a long
-        streaming-ingest history, not a full-log walk."""
+        streaming-ingest history, not a full-log walk; a pre-clamp
+        history with a proven stamp inversion falls back to the linear
+        prefix-max walk (versioned._bisect_stamps)."""
         from .versioned import VersionedTable
 
         t = VersionedTable(self._root())
-        vs = t.versions()
-        best = -1
-        lo, hi = 0, len(vs) - 1
-        while lo <= hi:
-            mid = (lo + hi) // 2
-            if t._ts_at(vs[mid]) < ts:
-                best = vs[mid]
-                lo = mid + 1
-            else:
-                hi = mid - 1
-        return best
+        best = t._bisect_stamps(t.versions(), ts, "last_lt")
+        return -1 if best is None else best
 
     def schema(self) -> StructType:
         from .versioned import VersionedTable

@@ -370,6 +370,14 @@ class VersionedTable:
         for _attempt in range(5):
             rec = self._load_record(version)
             if "delta_of" not in rec:
+                # memoize FULL records too (same bound as _materialize):
+                # repeated snapshot reads of a checkpoint version — or of
+                # any large-group table below the delta threshold — were
+                # re-reading and re-parsing the O(groups) JSON each time
+                # while delta records hit the memo
+                if len(self._mat_cache) > 8:
+                    self._mat_cache.clear()
+                self._mat_cache[version] = rec
                 return rec
             try:
                 return self._materialize(version, rec)
@@ -2010,6 +2018,79 @@ class VersionedTable:
         the non-decreasing invariant holds across an engine upgrade."""
         return float(self._load_record(version).get("ts") or 0)
 
+    def _bisect_stamps(self, vs: list[int], ts: float, side: str) -> int | None:
+        """Shared stamp-bisect for TIMESTAMP AS OF / startingTimestamp
+        / vacuum-RETAIN resolution. ``side``: 'last_le' = latest
+        version with stamp <= ts, 'last_lt' = latest with stamp < ts,
+        'first_ge' = earliest with stamp >= ts. O(log versions) record
+        reads on the clamp-written (non-decreasing) histories every
+        protocol-4 writer produces.
+
+        Legacy guard: a history written BEFORE the write-time clamp
+        can carry a backwards clock step, and a bisect over disordered
+        stamps resolves to a wrong version silently. Each probe is
+        checked against the extremes of the probes already bracketing
+        it — any proven inversion aborts to a LINEAR walk under
+        prefix-max monotonization (Delta's read-time rule: a commit's
+        effective stamp is the max of its own and every predecessor's,
+        which is also exactly what the write-time clamp produces for
+        new commits). Probe-level detection is best-effort — an
+        inversion invisible to the ~log(n) probes can still misresolve
+        — so ``fsck`` checks the FULL history for stamp monotonicity;
+        run it once on any table imported from a pre-clamp engine, and
+        ``monotonize_stamps()`` to repair what it flags (after which
+        bisects are exact again)."""
+        stamps: dict[int, float] = {}
+
+        def at(i: int) -> float:
+            if i not in stamps:
+                stamps[i] = self._ts_at(vs[i])
+            return stamps[i]
+
+        lo, hi = 0, len(vs) - 1
+        best: int | None = None
+        left_max, right_min = float("-inf"), float("inf")
+        disorder = False
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            s = at(mid)
+            if s < left_max or s > right_min:
+                disorder = True
+                break
+            if side == "first_ge":
+                if s >= ts:
+                    best = vs[mid]
+                    hi = mid - 1
+                    right_min = min(right_min, s)
+                else:
+                    lo = mid + 1
+                    left_max = max(left_max, s)
+            else:
+                took = (s < ts) if side == "last_lt" else (s <= ts)
+                if took:
+                    best = vs[mid]
+                    lo = mid + 1
+                    left_max = max(left_max, s)
+                else:
+                    hi = mid - 1
+                    right_min = min(right_min, s)
+        if not disorder:
+            return best
+        # linear fallback: prefix-max monotonized stamps, early break
+        # once the (now non-decreasing) effective stamp passes ts
+        run = float("-inf")
+        best = None
+        for v in vs:
+            run = max(run, self._ts_at(v))
+            if side == "first_ge":
+                if run >= ts:
+                    return v
+            elif run < ts if side == "last_lt" else run <= ts:
+                best = v
+            else:
+                break
+        return None if side == "first_ge" else best
+
     def version_at_timestamp(self, ts: float) -> int:
         """TIMESTAMP AS OF resolution (the Delta rule): the LATEST
         version whose commit timestamp is <= ``ts`` — the snapshot a
@@ -2023,23 +2104,51 @@ class VersionedTable:
         read per probe instead of walking every manifest. On a
         1000-commit streaming-ingest table that is ~10 tiny JSON reads
         instead of 1000 (measured: tests/test_versioned.py
-        ``test_timestamp_resolution_bisects``)."""
+        ``test_timestamp_resolution_bisects``). Pre-clamp histories
+        with a backwards clock step fall back to a linear prefix-max
+        walk when the probes prove an inversion (``_bisect_stamps``)."""
         vs = self.versions()
-        best = None
-        lo, hi = 0, len(vs) - 1
-        while lo <= hi:
-            mid = (lo + hi) // 2
-            if self._ts_at(vs[mid]) <= ts:
-                best = vs[mid]
-                lo = mid + 1
-            else:
-                hi = mid - 1
+        best = self._bisect_stamps(vs, ts, "last_le")
         if best is None:
             raise ValueError(
                 f"table {self.root} has no version at or before "
                 f"timestamp {ts} (first commit is newer)"
             )
         return best
+
+    def monotonize_stamps(self) -> int:
+        """One-time repair for PRE-CLAMP histories (engines before the
+        write-time stamp clamp): rewrite every record whose commit
+        stamp decreases below its predecessor's to the running
+        prefix-max — Delta's read-time monotonization, applied once at
+        rest — so TIMESTAMP AS OF / startingTimestamp / vacuum-RETAIN
+        bisects are exact again (``fsck`` reports the disorder that
+        warrants this). Stamps are additive metadata (correctness
+        never depends on them), each rewrite is an atomic
+        ``os.replace`` of one record, and file sets are untouched, so
+        concurrent READERS are unaffected; run it without concurrent
+        WRITERS (a writer clamping against a not-yet-rewritten parent
+        could reintroduce a smaller stamp). Returns the number of
+        records rewritten."""
+        run = float("-inf")
+        fixed = 0
+        for v in self.versions():
+            try:
+                rec = self._load_record(v)
+            except FileNotFoundError:
+                continue  # vacuumed under us
+            ts_v = float(rec.get("ts") or 0)
+            if ts_v < run:
+                rec["ts"] = run
+                tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
+                with open(tmp, "w", encoding="utf-8") as f:
+                    json.dump(rec, f, default=str)
+                os.replace(tmp, os.path.join(self._log, f"{v:08d}.json"))
+                self._mat_cache.pop(v, None)
+                fixed += 1
+            else:
+                run = ts_v
+        return fixed
 
     def restore_to_timestamp(self, ts: float) -> int:
         """RESTORE TABLE ... TO TIMESTAMP AS OF: restore to the
@@ -4269,6 +4378,7 @@ class VersionedTable:
         human-readable issues (empty = healthy). Read-only — the
         operational preflight before trusting a restored/copied table."""
         issues: list[str] = []
+        prev_ts = float("-inf")
         for v in self.versions():
             try:
                 m = self._manifest(v)
@@ -4277,6 +4387,20 @@ class VersionedTable:
                 continue
             if m.get("version") != v:
                 issues.append(f"manifest {v}: records version {m.get('version')}")
+            # commit stamps must be non-decreasing (write-time clamp);
+            # a pre-clamp history with a backwards clock step makes
+            # TIMESTAMP AS OF / vacuum-RETAIN bisects fall back to the
+            # linear walk only when the probes SEE the inversion — this
+            # full-history check is the definitive detector
+            ts_v = float(m.get("ts") or 0)
+            if ts_v < prev_ts:
+                issues.append(
+                    f"manifest {v}: commit stamp {ts_v} decreases below "
+                    f"predecessor's {prev_ts} (pre-clamp history) — "
+                    "timestamp bisects may misresolve; run "
+                    "monotonize_stamps() once to repair"
+                )
+            prev_ts = max(prev_ts, ts_v)
             m_files = set(m["files"])  # hoisted: per-item set() is O(n^2)
             for f in m["files"]:
                 if not os.path.exists(os.path.join(self.root, f)):
@@ -4343,16 +4467,10 @@ class VersionedTable:
             # stamps are non-decreasing (commit clamp), so the oldest
             # in-window version is a bisect — O(log versions) record
             # reads, not a full-log walk (the same invariant TIMESTAMP
-            # AS OF resolution rides)
-            first_in_window = None
-            lo, hi = 0, len(vs) - 1
-            while lo <= hi:
-                mid = (lo + hi) // 2
-                if self._ts_at(vs[mid]) >= cutoff:
-                    first_in_window = vs[mid]
-                    hi = mid - 1
-                else:
-                    lo = mid + 1
+            # AS OF resolution rides; pre-clamp disorder falls back to
+            # the linear prefix-max walk so a skewed legacy stamp can
+            # never shrink the retention window)
+            first_in_window = self._bisect_stamps(vs, cutoff, "first_ge")
             # contiguous tail from the OLDEST version either rule keeps:
             # history must never get mid-range holes (feed walks and
             # restore address version ranges), and a skewed clock could

@@ -1,0 +1,203 @@
+"""Batch SNAPSHOT read through the versioned_table DataSource
+(spark.read.format("versioned_table") — storage/stream_sink.py
+reader() + storage/stream_source.py VersionedSnapshotBatchReader):
+the read quadrant that closes the interop matrix. The battery pins
+hash-exact agreement across the three read surfaces (format read ==
+VersionedTable.read() == as_view SQL), AS-OF resolution, pushdown /
+explicit-prune partition skipping (plan-asserted), and correctness
+through deletion vectors, column mapping, schema evolution, and
+generated columns."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from netflow_analysis_with_spark_streaming_spark.storage.stream_sink import (
+    FORMAT_NAME,
+    register_table_sink,
+)
+from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+    VersionedTable,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def _rowset(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_snapshot_read_equals_api_and_view(spark, tmp_path):
+    """The three read surfaces serve byte-identical snapshots over a
+    history exercising the whole read path: DV delete (merge-on-read
+    anti-filter), upsert (group rewrite), schema evolution (padded
+    column), and a rename (column-mapping physical-name resolution)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(i, f"r{i}") for i in range(20)]))
+    t.delete_where_dv(spark, "k % 5 = 0")
+    t.upsert(spark, _df(spark, [(7, "SEVEN"), (99, "new")]), keys=["k"])
+    t.append(
+        spark.createDataFrame([(100, "x", 1.5)], "k long, v string, score double")
+    )
+    t.rename_column("v", "label")
+    register_table_sink(spark)
+    fmt = spark.read.format(FORMAT_NAME).option("path", t.root).load()
+    api = t.read(spark)
+    assert fmt.schema == api.schema
+    assert _rowset(fmt) == _rowset(api)
+    t.as_view(spark, "snap_t")
+    sql = spark.sql("SELECT * FROM snap_t")
+    assert _rowset(fmt) == _rowset(sql)
+    # sanity on content: DV'd keys gone, upsert applied, pad NULL
+    got = {r["k"]: (r["label"], r["score"]) for r in fmt.collect()}
+    assert 0 not in got and 5 not in got and 15 not in got
+    assert got[7] == ("SEVEN", None)
+    assert got[100] == ("x", 1.5)
+
+
+def test_snapshot_read_as_of(spark, tmp_path):
+    """versionAsOf / timestampAsOf pin historical snapshots with the
+    Delta resolution rule; conflicting or unresolvable pins fail
+    loudly at planning, never as an empty scan."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    t.overwrite(_df(spark, [(9, "z")]))
+    register_table_sink(spark)
+
+    def rd(**opts):
+        r = spark.read.format(FORMAT_NAME).option("path", t.root)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    assert sorted(r["k"] for r in rd().collect()) == [9]
+    assert sorted(r["k"] for r in rd(versionAsOf="1").collect()) == [1, 2]
+    ts1 = t._ts_at(1)
+    assert sorted(r["k"] for r in rd(timestampAsOf=str(ts1)).collect()) == [1, 2]
+    with pytest.raises(Exception, match="not both"):
+        rd(versionAsOf="1", timestampAsOf="0").collect()
+    with pytest.raises(Exception, match="no version 77"):
+        rd(versionAsOf="77").collect()
+    with pytest.raises(Exception, match="no version at or before"):
+        rd(timestampAsOf="1.0").collect()
+    # empty table: loud, not an empty frame
+    t2 = VersionedTable(str(tmp_path / "empty"))
+    os.makedirs(t2.root, exist_ok=True)
+    with pytest.raises(Exception, match="no committed version"):
+        spark.read.format(FORMAT_NAME).option("path", t2.root).load()
+
+
+def test_snapshot_read_pushdown_prunes_partitions(spark, tmp_path):
+    """Opt-in Catalyst pushdown: a filtered format read PLANS only the
+    clustered groups whose manifest stats can hold matches — same
+    skipping index as VersionedTable.read(prune=/point=) — while all
+    filters stay residual (exact rows come back)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    df = spark.range(1000).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    t.append_clustered(df, "k", n_groups=8)
+    register_table_sink(spark)
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+
+        def scan_parts(df_):
+            return (
+                df_.withColumn("p", F.spark_partition_id())
+                .select("p")
+                .distinct()
+                .count()
+            )
+
+        base = (
+            spark.read.format(FORMAT_NAME)
+            .option("path", t.root)
+            .option("pushdown", "true")
+            .load()
+        )
+        assert scan_parts(base) == 8
+        filtered = base.filter("k < 100")
+        assert scan_parts(filtered) == 1
+        assert sorted(r["k"] for r in filtered.collect()) == list(range(100))
+        one = base.filter("k = 500")
+        assert scan_parts(one) == 1
+        assert [r["v"] for r in one.collect()] == ["500"]
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def test_snapshot_read_explicit_prune_vanilla_session(spark, tmp_path):
+    """The caller-declared prune option skips groups on a VANILLA
+    session (no filterPushdown conf, no pushFilters implementation) —
+    the same superset guarantee, driven by the declared bound."""
+    t = VersionedTable(str(tmp_path / "t"))
+    df = spark.range(400).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+    t.append_clustered(df, "k", n_groups=4)
+    register_table_sink(spark)
+
+    def scan_parts(df_):
+        return (
+            df_.withColumn("p", F.spark_partition_id())
+            .select("p")
+            .distinct()
+            .count()
+        )
+
+    base = spark.read.format(FORMAT_NAME).option("path", t.root).load()
+    assert scan_parts(base) == 4
+    pruned = (
+        spark.read.format(FORMAT_NAME)
+        .option("path", t.root)
+        .option("prune", json.dumps([["k", 0, 50]]))
+        .load()
+    )
+    assert scan_parts(pruned) == 1
+    # superset guarantee: consumer still applies the exact filter
+    assert sorted(
+        r["k"] for r in pruned.filter("k <= 50").collect()
+    ) == list(range(51))
+
+
+def test_snapshot_read_generated_columns_table(spark, tmp_path):
+    """A table with GENERATED ALWAYS AS columns reads through the
+    format verbatim (values are materialized at write time — the
+    sink refuses such tables, the READER must not)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.set_generated_column("kmod", "k % 10")
+    t.append(_df(spark, [(13, "a"), (27, "b")]))
+    register_table_sink(spark)
+    fmt = spark.read.format(FORMAT_NAME).option("path", t.root).load()
+    got = {r["k"]: r["kmod"] for r in fmt.collect()}
+    assert got == {13: 3, 27: 7}
+    assert _rowset(fmt) == _rowset(t.read(spark))
+
+
+def test_snapshot_read_write_roundtrip_same_format(spark, tmp_path):
+    """The interop matrix composes: write a table with the batch
+    writer, read it back with the batch reader — one format string,
+    no engine imports on either side of a vanilla session."""
+    register_table_sink(spark)
+    root = str(tmp_path / "t")
+    _df(spark, [(1, "a"), (2, "b")]).write.format(FORMAT_NAME).option(
+        "path", root
+    ).mode("append").save()
+    _df(spark, [(3, "c")]).write.format(FORMAT_NAME).option(
+        "path", root
+    ).mode("append").save()
+    got = spark.read.format(FORMAT_NAME).option("path", root).load()
+    assert sorted(r["k"] for r in got.collect()) == [1, 2, 3]
+    # AS OF the first write through the same surface
+    v0 = (
+        spark.read.format(FORMAT_NAME)
+        .option("path", root)
+        .option("versionAsOf", "0")
+        .load()
+    )
+    assert sorted(r["k"] for r in v0.collect()) == [1, 2]

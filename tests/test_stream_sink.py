@@ -319,3 +319,166 @@ def test_sink_batch_twin_and_schema_evolution(spark, tmp_path):
     assert t.history()[-1]["action"] == "overwrite"
     # pre-overwrite history stays addressable (time travel)
     assert t.read(spark, version=t.latest_version() - 1).count() == 3
+
+
+def test_sink_idempotency_scoped_per_query(spark, tmp_path):
+    """Exactly-once must be scoped per QUERY (Delta's txnAppId rule):
+    batch ids restart at 0 for every fresh checkpoint, so a second
+    query into the same table — or a restart with a new checkpoint —
+    must LAND, not be silently dropped as a fake replay; only a
+    replay of the SAME query's batch no-ops."""
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    schema_json = _df(spark, [(1, "a")]).schema.json()
+    w_q1 = VersionedSinkWriter(root, schema_json, {}, [], ["k"], app_id="q1")
+    w_q2 = VersionedSinkWriter(root, schema_json, {}, [], ["k"], app_id="q2")
+    w_q1.commit([w_q1.write(iter([(1, "a")]))], 0)
+    t = VersionedTable(root)
+    assert t.read(spark).count() == 1
+    # different query, same bare batchId: LANDS (the data-loss bug)
+    w_q2.commit([w_q2.write(iter([(2, "b")]))], 0)
+    assert t.read(spark).count() == 2
+    # same query replaying its batch: no-op, staging reclaimed
+    m = w_q1.write(iter([(1, "a")]))
+    staged = os.path.join(root, m.group)
+    w_q1.commit([m], 0)
+    assert t.read(spark).count() == 2
+    assert not os.path.isdir(staged)
+    # the committed keys are the scoped pairs, not bare ints
+    assert {h["batch_id"] for h in t.history()} == {"q1#0", "q2#0"}
+    assert t.fsck() == []
+
+
+def test_sink_stream_writer_requires_query_identity(spark, tmp_path):
+    """streamWriter without txnAppId or checkpointLocation fails at
+    creation (ambiguous idempotency scope is data loss waiting);
+    txnAppId alone satisfies it."""
+    from pyspark.sql.types import StructType
+
+    root = str(tmp_path / "t")
+    VersionedTable(root).append(_df(spark, [(1, "a")]))
+    schema = StructType.fromJson(json.loads(_df(spark, [(1, "a")]).schema.json()))
+    with pytest.raises(ValueError, match="per-query identity"):
+        VersionedSinkDataSource(options={"path": root}).streamWriter(
+            schema, False
+        )
+    w = VersionedSinkDataSource(
+        options={"path": root, "txnappid": "jobA"}
+    ).streamWriter(schema, False)
+    assert w.app_id == "jobA"
+    w2 = VersionedSinkDataSource(
+        options={"path": root, "checkpointlocation": "/ck/pt/"}
+    ).streamWriter(schema, False)
+    assert w2.app_id == "/ck/pt"
+
+
+def test_sink_nested_timestamps_match_toplevel_encoding(tmp_path):
+    """array<timestamp> elements must go through the same
+    local-zone-aware micros conversion as top-level timestamps:
+    handing naive datetimes straight to a tz-aware arrow list type
+    reads them as UTC and shifts every nested instant by the worker's
+    UTC offset. Pin the invariant zone-independently: the STORED
+    micros of a top-level timestamp and of the same datetime inside
+    an array must be equal (no Spark session — raw parquet check)."""
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "ts", "type": "timestamp", "nullable": True, "metadata": {}},
+                {
+                    "name": "arr",
+                    "type": {
+                        "type": "array",
+                        "elementType": "timestamp",
+                        "containsNull": True,
+                    },
+                    "nullable": True,
+                    "metadata": {},
+                },
+                {
+                    "name": "nested",
+                    "type": {
+                        "type": "array",
+                        "elementType": {
+                            "type": "array",
+                            "elementType": "timestamp_ntz",
+                            "containsNull": True,
+                        },
+                        "containsNull": True,
+                    },
+                    "nullable": True,
+                    "metadata": {},
+                },
+            ],
+        }
+    )
+    dt = datetime(2026, 3, 15, 7, 30, 12, 345678)
+    w = VersionedSinkWriter(root, schema_json, {}, [], [])
+    m = w.write(iter([(dt, [dt, None], [[dt]]), (None, None, None)]))
+    w.commit([m], 0)
+    raw = pq.read_table(os.path.join(root, m.group))
+    top = raw.column("ts").cast("int64").to_pylist()[0]
+    elem = raw.column("arr").to_pylist()[0][0]
+    from netflow_analysis_with_spark_streaming_spark.storage.stream_sink import (
+        _ts_to_micros,
+    )
+
+    assert elem is not None
+    # stored micros identical between nesting levels (instant column)
+    assert int(elem.timestamp() * 1_000_000) == top
+    # NTZ leaf two levels deep: zone-free wall-clock conversion
+    deep = raw.column("nested").to_pylist()[0][0][0]
+    assert deep.replace(tzinfo=None) == dt
+    assert _ts_to_micros(dt, True) == 1773559812345678 // 1  # wall-clock micros stable
+
+
+def test_sink_empty_overwrite_truncates(spark, tmp_path):
+    """mode('overwrite') with an EMPTY frame must still publish the
+    truncating commit — an early return would silently keep the old
+    contents, diverging from VersionedTable.overwrite."""
+    register_table_sink(spark)
+    root = str(tmp_path / "t")
+    _df(spark, [(1, "a"), (2, "b")]).write.format(SINK_FORMAT).option(
+        "path", root
+    ).mode("append").save()
+    t = VersionedTable(root)
+    assert t.read(spark).count() == 2
+    _df(spark, []).write.format(SINK_FORMAT).option("path", root).mode(
+        "overwrite"
+    ).save()
+    assert t.read(spark).count() == 0
+    assert t.history()[-1]["action"] == "overwrite"
+    # time travel still serves the pre-truncate snapshot
+    assert t.read(spark, version=t.latest_version() - 1).count() == 2
+    assert t.fsck() == []
+
+
+def test_sink_chunked_staging_bounds_memory(spark, tmp_path, monkeypatch):
+    """write() consumes the task iterator in bounded chunks (one arrow
+    row group each) instead of buffering the whole partition: with the
+    chunk size forced tiny, a 25-row task still lands ONE staged file
+    whose parquet has multiple row groups, with min/max stats folded
+    across every chunk."""
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr(VersionedSinkWriter, "CHUNK_ROWS", 7)
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    schema_json = _df(spark, [(1, "a")]).schema.json()
+    w = VersionedSinkWriter(root, schema_json, {}, [], ["k"])
+    rows = [(i, f"r{i}") for i in range(25)]
+    m = w.write(iter(rows))
+    assert m.rows == 25
+    assert m.stats["k"] == [0, 24]  # folded across all 4 chunks
+    assert m.stats["__rows__"] == 25
+    pf = pq.ParquetFile(os.path.join(root, m.group, "part-0.parquet"))
+    assert pf.metadata.num_row_groups == 4  # 7+7+7+4
+    w.commit([m], 0)
+    t = VersionedTable(root)
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == list(range(25))
+    assert t.fsck() == []

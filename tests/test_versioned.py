@@ -2232,12 +2232,17 @@ def test_writer_protocol_gate(spark, tmp_path):
     # legacy manifest (no stamp) reads fine
     del m["writer_version"]
     json.dump(m, open(path, "w"))
+    t._mat_cache.clear()  # in-place record edit: drop the handle memo
     assert t.read(spark).count() == 1
     # future protocol refuses
     m["writer_version"] = 99
     json.dump(m, open(path, "w"))
+    t._mat_cache.clear()
     with pytest.raises(ValueError, match="protocol 99"):
         t.read(spark)
+    # a FRESH handle (no memo) gates too — the production path
+    with pytest.raises(ValueError, match="protocol 99"):
+        VersionedTable(t.root).read(spark)
 
 
 def test_streaming_cdc_sink_applies_and_replays(spark, tmp_path):
@@ -4871,3 +4876,237 @@ def test_rollback_own_commit_preserves_child_replay_base(spark, tmp_path):
     assert sorted(
         r["k"] for r in fresh.read(spark, version=2).collect()
     ) == [0, 1, 2]
+
+
+def _synth_log(root, stamps):
+    """Synthesize a tiny full-manifest log with the given commit
+    stamps (the log layer is plain JSON — same trick the bisect
+    read-count test uses)."""
+    import os as _os
+
+    log = _os.path.join(root, "_log")
+    _os.makedirs(log)
+    _os.makedirs(_os.path.join(root, "data"))
+    for v, ts in enumerate(stamps):
+        rec = {
+            "version": v,
+            "writer_version": 2,
+            "ts": ts,
+            "action": "append",
+            "files": [],
+            "n_files": 0,
+            "schema": "{}",
+            "batch_id": None,
+            "stats": {},
+            "changes": None,
+            "dvs": {},
+        }
+        with open(_os.path.join(log, f"{v:08d}.json"), "w") as f:
+            json.dump(rec, f)
+    return VersionedTable(root)
+
+
+def test_legacy_disordered_stamps_fsck_and_monotonize(tmp_path):
+    """A PRE-CLAMP history with a backwards clock step: fsck flags
+    every version whose stamp sits below the running max (each one
+    breaks the bisect invariant), monotonize_stamps() rewrites them
+    to the prefix-max (Delta's read-time monotonization, applied once
+    at rest), and resolution afterwards is exact under the bisect."""
+    t = _synth_log(
+        str(tmp_path / "t"), [100.0, 900.0, 300.0, 400.0, 500.0, 600.0, 700.0, 800.0]
+    )
+    issues = t.fsck()
+    assert len([i for i in issues if "commit stamp" in i]) == 6  # v2..v7
+    assert t.monotonize_stamps() == 6
+    assert t.fsck() == []
+    assert [h["ts"] for h in t.history()] == [100.0] + [900.0] * 7
+    # prefix-max semantics: the 900 spike dominates everything after
+    assert t.version_at_timestamp(450) == 0
+    assert t.version_at_timestamp(899) == 0
+    assert t.version_at_timestamp(900) == 7
+    # second run is a no-op
+    assert t.monotonize_stamps() == 0
+
+
+def test_bisect_probe_detects_inversion_and_falls_back(tmp_path):
+    """When the bisect's own probes PROVE a stamp inversion (a probe
+    below an already-probed left bracket or above a right bracket),
+    resolution falls back to the linear prefix-max walk instead of
+    trusting a bisect over disordered stamps. The stamps are chosen
+    so a naive bisect that IGNORED the inversion would resolve to
+    version 6 — the prefix-max answer is version 3, so the result
+    itself proves the fallback executed."""
+    t = _synth_log(
+        str(tmp_path / "t"),
+        [100.0, 110.0, 120.0, 200.0, 900.0, 150.0, 160.0],
+    )
+    # T=250: bisect probes idx3 (200 <= 250, left bracket) then idx5
+    # (150 < the 200 left bracket -> inversion proven). A naive bisect
+    # would keep going right and return 6; prefix-max truth is 3
+    # (effective stamps [100,110,120,200,900,900,900]).
+    assert t._bisect_stamps(t.versions(), 250.0, "last_le") == 3
+    assert t.version_at_timestamp(250.0) == 3
+    # the disorder is also fsck-visible
+    assert any("commit stamp" in i for i in t.fsck())
+
+
+def test_manifest_memoizes_full_records(tmp_path):
+    """Full commit records memoize in _mat_cache exactly like
+    materialized delta chains: the second _manifest() of the same
+    version reads ZERO records (repeated snapshot reads of a
+    checkpoint version — or any table below the delta threshold —
+    must not re-parse the O(groups) JSON every time)."""
+    t = _synth_log(str(tmp_path / "t"), [100.0, 200.0])
+    reads = {"n": 0}
+    orig = VersionedTable._load_record
+
+    def counting(self, version):
+        reads["n"] += 1
+        return orig(self, version)
+
+    VersionedTable._load_record = counting
+    try:
+        t._manifest(1)
+        first = reads["n"]
+        assert first >= 1
+        t._manifest(1)
+        assert reads["n"] == first  # memo hit: no new reads
+    finally:
+        VersionedTable._load_record = orig
+
+
+def test_concurrent_vacuum_stress(spark, tmp_path):
+    """Round-11 fuzz arm (verdict-r10 ask #7): VACUUM racing live
+    writers and cold readers in forced protocol-4 delta mode — the
+    subtlest race surface in the format: vacuum rewrites the floor
+    survivor as a full checkpoint, THEN deletes the doomed ancestors,
+    while a reader mid-chain-walk can lose an ancestor and must
+    restart through the rewritten checkpoint (never a torn snapshot),
+    and metadata walks (history, committed_batch_ids, _created_ts)
+    must tolerate records vanishing between the listing and the open.
+    Writers use the safe concurrent mode (min_age_s grace protects
+    in-flight staged groups — the documented contract); the quiescent
+    point then runs an offline vacuum (min_age_s=0) that actually
+    reclaims data groups, and asserts fsck + count + a feed-built
+    mirror from the surviving floor."""
+    import threading
+
+    from netflow_analysis_with_spark_streaming_spark.storage.incremental import (
+        mirror_from_feed,
+    )
+    from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+        CommitConflictError,
+    )
+
+    root = str(tmp_path / "t")
+
+    def handle():
+        return VersionedTable(root, delta_log_min_files=0, checkpoint_every=4)
+
+    t = handle()
+    for j in range(8):  # a real history for vacuum to chew through
+        t.append(
+            _df(spark, [(j * 100 + i, f"seed{j}") for i in range(5)]),
+            stats_cols=["k"],
+        )
+
+    errors: list = []
+
+    def retrying(fn, what: str) -> None:
+        for _attempt in range(30):
+            try:
+                fn()
+                return
+            except CommitConflictError:
+                continue
+        raise RuntimeError(f"{what} never landed")
+
+    def appender(base_key: int) -> None:
+        try:
+            h = handle()
+            for j in range(4):
+                h.append(
+                    _df(
+                        spark,
+                        [(base_key + j * 100 + i, f"a{j}") for i in range(5)],
+                    ),
+                    stats_cols=["k"],
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def merger() -> None:
+        try:
+            h = handle()
+            for j in range(3):
+                src = _df(spark, [(i, f"m{j}") for i in range(0, 20)])
+                retrying(
+                    lambda s=src: h.merge(
+                        spark, s, keys=["k"], emit_changes=True
+                    ),
+                    f"captured merge {j}",
+                )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def vacuumer() -> None:
+        # short retention, SAFE grace: deletes out-of-horizon
+        # manifests (after checkpoint-rewriting the floor survivor)
+        # while data groups young enough to be in-flight stay put
+        try:
+            h = handle()
+            for _ in range(6):
+                h.vacuum(keep_last=3, min_age_s=3600.0)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    def cold_reader() -> None:
+        # fresh handle per pass: every read pays the full chain
+        # materialization and the full metadata walks — the paths
+        # that race vacuum's delete phase
+        try:
+            for _ in range(6):
+                h = handle()
+                assert h.count_rows() == h.read(spark).count()
+                h.history()
+                h.committed_batch_ids()
+                h.detail()
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=appender, args=(10_000,)),
+        threading.Thread(target=appender, args=(20_000,)),
+        threading.Thread(target=merger),
+        threading.Thread(target=vacuumer),
+        threading.Thread(target=cold_reader),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, f"thread(s) failed: {errors}"
+    # quiescent: metadata invariants on the SURVIVING contiguous tail
+    assert t.fsck() == []
+    vs = t.versions()
+    assert vs == list(range(vs[0], vs[0] + len(vs)))  # contiguous, no holes
+    rows = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    # 8x5 seed + 2 appenders x 4x5 + 15 NEW merge keys (5..19; keys
+    # 0..4 update seed rows in place)
+    assert t.count_rows() == len(rows) == 40 + 40 + 15
+    for k in range(20):
+        assert rows[k].startswith("m")  # some merger pass won
+    # offline vacuum (documented single-writer mode): data groups of
+    # forfeited versions actually reclaimed, current snapshot intact
+    before = t.read(spark).count()
+    t.vacuum(keep_last=2, min_age_s=0.0)
+    assert t.fsck() == []
+    assert t.read(spark).count() == before
+    # feed consistency from the surviving floor: snapshot at floor +
+    # feed replay must reconverge to the live table exactly
+    floor = t.versions()[0]
+    mirror = VersionedTable(str(tmp_path / "m"))
+    mirror.append(t.read(spark, version=floor))
+    mirror_from_feed(spark, t, mirror, keys=["k"], since_version=floor)
+    got = {(r["k"], r["v"]) for r in mirror.read(spark).collect()}
+    assert got == set(rows.items())
