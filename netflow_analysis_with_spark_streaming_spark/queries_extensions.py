@@ -1254,6 +1254,147 @@ register(
 register("similarity_ivf_topk", _similarity_ivf_topk, driver=False)  # rows-only
 
 
+def _similarity_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF SERVING path with an exact DuckDB oracle (round 11,
+    verdict-r10 ask #4): the round-10 steady-state probe proved query
+    latency flat in corpus size, but the path carried only probe
+    timings + recall properties — this entry puts it on the hash
+    line. Index build here is deterministic and SQL-mirrorable so the
+    oracle can be EXACT: centroids are the 32 smallest-vec_id
+    embeddings (no k-means — the sampled-seed quantizer; k-means
+    quality is property-tested with similarity_ivf_topk), each vector
+    is assigned to its max-cosine centroid (ties to the lower cluster
+    id), and the posting lists round-trip through the REAL durable
+    index — ``save_ivf_index`` (range-clustered on cluster id) then
+    ``read_ivf_clusters``, which plans ONLY the probed clusters' file
+    groups via manifest-stats skipping. Queries (vec_id < 8) route to
+    their 4 max-cosine centroids and re-rank exact cosine top-5
+    inside the probed lists. A posting list lost in the round-trip, a
+    group over-pruned by the stats index, a stale snapshot mixed in,
+    or a re-rank error all break the hash; the oracle recomputes
+    assignment, routing, and re-rank from raw embeddings in SQL."""
+    import tempfile
+
+    emb = tables.load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    cent_df = (
+        emb.filter(F.col("vec_id") < 32)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cluster"),
+            F.col("embedding").alias("c_emb"),
+        )
+    )
+    # assignment: argmax cosine over the 32 centroids, ties -> lower id
+    aw = Window.partitionBy("vec_id").orderBy(
+        V.cosine(F.col("embedding"), F.col("c_emb")).desc(), F.col("cluster")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cent_df))
+        .withColumn("rn", F.row_number().over(aw))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cluster")
+    )
+    import numpy as np
+
+    cent_rows = sorted(cent_df.collect(), key=lambda r: r["cluster"])
+    cent = np.array([r["c_emb"] for r in cent_rows], dtype=np.float64)
+    root = tempfile.mkdtemp(prefix="netflow_annserve_") + "/ivf"
+    V.save_ivf_index(root, assigned, cent)  # the durable inverted file
+    # ---- serving: route queries, read ONLY the probed lists ----
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        V.cosine(F.col("q_emb"), F.col("c_emb")).desc(), F.col("cluster")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("rn", F.row_number().over(pw))
+        .filter(F.col("rn") <= 4)
+        .select("query_id", "cluster")
+    )
+    probe_rows = probes.collect()  # 8 queries x 4 probes: bounded
+    lists = V.read_ivf_clusters(
+        spark, root, {int(r["cluster"]) for r in probe_rows}
+    )
+    probe_df = spark.createDataFrame(
+        [(int(r["query_id"]), int(r["cluster"])) for r in probe_rows],
+        "query_id long, cluster int",
+    )
+    scored = (
+        lists.join(F.broadcast(probe_df), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            V.cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+_ANN_SERVE_SQL = """
+WITH cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster,
+         embedding AS c_emb
+  FROM embeddings WHERE vec_id < 32
+),
+assigned AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(c.c_emb AS DOUBLE[])) DESC,
+                      c.cluster) AS rn
+    FROM embeddings e, cent c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb
+  FROM embeddings WHERE vec_id < 8
+),
+probes AS (
+  SELECT query_id, cluster FROM (
+    SELECT q.query_id, c.cluster,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+                                             CAST(c.c_emb AS DOUBLE[])) DESC,
+                      c.cluster) AS rn
+    FROM q, cent c
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, a.embedding
+  FROM probes p JOIN assigned a ON a.cluster = p.cluster
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT c.query_id, c.neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.query_id
+           ORDER BY list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.neighbor_id) AS rank
+  FROM cand c JOIN q ON q.query_id = c.query_id
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+register(
+    "similarity_ann_serve", _similarity_ann_serve, _ANN_SERVE_SQL, driver=False
+)
+
+
 def _similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication over the embeddings table
     (vectors.semantic_dedup): k-means clusters, then within-cluster

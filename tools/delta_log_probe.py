@@ -66,10 +66,100 @@ def _drive(t: VersionedTable, n: int, groups: list[str]) -> dict[int, int]:
     return sizes
 
 
+def _checkpoint_cost(sizes: list[int]) -> list[dict]:
+    """Round-11 probe (verdict-r10 ask #5): the two O(live groups)
+    terms protocol 4 retains — the FULL checkpoint written every 16th
+    commit, and the cold-handle materialization that parses one full
+    base then replays <=16 delta records. Synthesizes a table AT each
+    size directly (a version-0 full record carrying N groups — growing
+    there by appends would write O(N^2/16) checkpoint bytes), then
+    measures: the wall seconds and bytes of the next CHECKPOINT commit
+    (version 16), a steady-state delta commit for contrast, and a cold
+    _manifest() of a 15-deltas-past-checkpoint version (the worst
+    replay)."""
+    import time as _time
+
+    out = []
+    for n in sizes:
+        base = tempfile.mkdtemp(prefix="netflow_dlpc_")
+        try:
+            t = VersionedTable(os.path.join(base, "t"))
+            groups = [f"data/{uuid.uuid4().hex}" for _ in range(n + 32)]
+            files = groups[:n]
+            stats = {
+                g: {"k": [i * 10, i * 10 + 9], "__rows__": 10}
+                for i, g in enumerate(files)
+            }
+            t._commit(list(files), "append", SCHEMA_JSON, stats=dict(stats))
+            # versions 1..15: steady-state delta commits
+            dt_delta = None
+            for j in range(1, 16):
+                g = groups[n + j]
+                files.append(g)
+                stats[g] = {"k": [0, 9], "__rows__": 10}
+                t0 = _time.perf_counter()
+                t._commit(
+                    list(files), "append", SCHEMA_JSON, stats=dict(stats)
+                )
+                dt_delta = _time.perf_counter() - t0
+            # version 16: the FULL checkpoint (version % 16 == 0)
+            g = groups[n + 16]
+            files.append(g)
+            stats[g] = {"k": [0, 9], "__rows__": 10}
+            t0 = _time.perf_counter()
+            v16 = t._commit(
+                list(files), "append", SCHEMA_JSON, stats=dict(stats)
+            )
+            ckpt_s = _time.perf_counter() - t0
+            assert v16 == 16
+            rec16 = os.path.join(t.root, "_log", "00000016.json")
+            # versions 17..31: deltas past the checkpoint, so the cold
+            # read below replays the WORST chain (15 records + base)
+            for j in range(17, 32):
+                g = groups[n + j] if n + j < len(groups) else f"data/{uuid.uuid4().hex}"
+                files.append(g)
+                stats[g] = {"k": [0, 9], "__rows__": 10}
+                t._commit(
+                    list(files), "append", SCHEMA_JSON, stats=dict(stats)
+                )
+            cold = VersionedTable(os.path.join(base, "t"))
+            t0 = _time.perf_counter()
+            m = cold._manifest(31)
+            cold_s = _time.perf_counter() - t0
+            assert len(m["files"]) == n + 31  # 16 + 15 synthetic appends
+            t0 = _time.perf_counter()
+            cold._manifest(31)  # memoized (the round-11 memo fix)
+            warm_s = _time.perf_counter() - t0
+            out.append(
+                {
+                    "groups": n,
+                    "checkpoint_write_s": round(ckpt_s, 3),
+                    "checkpoint_bytes": os.path.getsize(rec16),
+                    "steady_delta_commit_s": round(dt_delta, 4),
+                    "cold_manifest_s": round(cold_s, 3),
+                    "warm_manifest_s": round(warm_s, 6),
+                }
+            )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--groups", type=int, default=2048)
+    ap.add_argument(
+        "--checkpoint-cost",
+        type=str,
+        default=None,
+        help="csv of live-group sizes; measures checkpoint-write and "
+        "cold-read seconds at each (skips the growth probe)",
+    )
     args = ap.parse_args()
+    if args.checkpoint_cost:
+        sizes = [int(s) for s in args.checkpoint_cost.split(",") if s]
+        print(json.dumps({"checkpoint_cost": _checkpoint_cost(sizes)}))
+        return 0
     n = args.groups
     base = tempfile.mkdtemp(prefix="netflow_dlp_")
     try:
