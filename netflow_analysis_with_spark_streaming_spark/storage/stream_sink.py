@@ -480,11 +480,26 @@ class VersionedSinkDataSource(DataSource):
         csv = self.options.get("statscols")
         if csv:
             stats_cols = [c.strip() for c in csv.split(",") if c.strip()]
-            known = {f["name"] for f in fields}
+            known = {f["name"]: f["type"] for f in fields}
             bad = [c for c in stats_cols if c not in known]
             if bad:
                 raise ValueError(
                     f"statsCols {bad} not in the stream schema {sorted(known)}"
+                )
+            unord = [
+                c
+                for c in stats_cols
+                if not isinstance(known[c], str)
+                or known[c] in ("binary", "boolean")
+            ]
+            if unord:
+                # min/max over arrays/binary would only blow up at the
+                # first arrow chunk — refuse at CREATION like every
+                # other writer contract
+                raise ValueError(
+                    f"statsCols {unord} are not orderable primitive "
+                    "columns (arrays/binary/boolean carry no min/max "
+                    "skipping index)"
                 )
         else:
             stats_cols = [

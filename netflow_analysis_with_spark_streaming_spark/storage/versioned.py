@@ -620,8 +620,14 @@ class VersionedTable:
         merged_dvs: dict[str, list[str]] = {}
         if inherit_dvs and prev_m:
             prev_dvs = prev_m.get("dvs") or {}
-            live = {self._group_of(f) for f in files}
-            merged_dvs = {g: list(v) for g, v in prev_dvs.items() if g in live}
+            if prev_dvs:
+                # the live-group set costs O(files) string splits —
+                # only pay it when there ARE vectors to carry (profiled
+                # at 0.1 s/commit on a DV-free 131k-group ingest table)
+                live = {self._group_of(f) for f in files}
+                merged_dvs = {
+                    g: list(v) for g, v in prev_dvs.items() if g in live
+                }
         for g, v in (dvs or {}).items():
             merged_dvs.setdefault(g, []).extend(v)
         # Column mapping rides the manifest like DVs do: inherited
@@ -718,6 +724,19 @@ class VersionedTable:
             ) from None
         finally:
             os.unlink(tmp)
+        # the manifest we just built IS the published snapshot of
+        # `version` (we won the fence) — memoize it so the NEXT commit
+        # on this handle reads its parent from memory instead of
+        # re-loading and re-materializing the record chain (profiled
+        # at ~0.25 s/commit of JSON parse + set/sort replay at 131k
+        # groups); same bound discipline as _materialize
+        if record is not manifest:
+            # delta-encoded: a cold materialization reports the
+            # RECORD's protocol stamp — keep warm and cold identical
+            manifest["writer_version"] = record["writer_version"]
+        if len(self._mat_cache) > 8:
+            self._mat_cache.clear()
+        self._mat_cache[version] = manifest
         return version
 
     @staticmethod

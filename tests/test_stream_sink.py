@@ -482,3 +482,29 @@ def test_sink_chunked_staging_bounds_memory(spark, tmp_path, monkeypatch):
     got = sorted(r["k"] for r in t.read(spark).collect())
     assert got == list(range(25))
     assert t.fsck() == []
+
+
+def test_sink_refuses_unorderable_stats_cols_at_creation(spark, tmp_path):
+    """An explicit statsCols naming an array/binary/boolean column
+    must refuse at WRITER CREATION — min/max over those would only
+    blow up at the first arrow chunk, mid-stream."""
+    from pyspark.sql.types import StructType
+
+    root = str(tmp_path / "t")
+    VersionedTable(root).append(_df(spark, [(1, "a")]))
+    schema = StructType.fromJson(
+        json.loads(
+            spark.createDataFrame(
+                [(1, [1.0])], "k long, emb array<double>"
+            ).schema.json()
+        )
+    )
+    with pytest.raises(ValueError, match="not orderable"):
+        VersionedSinkDataSource(
+            options={"path": root, "statscols": "emb", "txnappid": "q"}
+        ).streamWriter(schema, False)
+    # a valid explicit list still works
+    w = VersionedSinkDataSource(
+        options={"path": root, "statscols": "k", "txnappid": "q"}
+    ).streamWriter(schema, False)
+    assert w.stats_cols == ["k"]

@@ -2479,12 +2479,16 @@ def test_reader_rejects_future_writer_protocol(spark, tmp_path):
     m = json.load(open(path))
     m["writer_version"] = 5  # one past the implemented protocol (4)
     json.dump(m, open(path, "w"))
+    t._mat_cache.clear()  # in-place record edit: drop the handle memo
     with pytest.raises(ValueError, match="protocol 5"):
         t.read(spark)
     with pytest.raises(ValueError, match="upgrade"):
         t._manifest(1)
     # the unaffected older snapshot stays readable
     assert t.read(spark, version=0).count() == 1
+    # a FRESH handle (no memo) gates identically — the production path
+    with pytest.raises(ValueError, match="protocol 5"):
+        VersionedTable(t.root).read(spark)
 
 
 # --- append-path schema evolution (round 8) ---------------------------
