@@ -228,7 +228,22 @@ def _read_partition(partition: FeedPartition) -> Iterator:
             ]
         )
     )
-    t = pq.read_table(partition.file)
+    mapping = getattr(partition, "mapping", None) or {}
+    # COLUMN pruning at the arrow read: open only the physical
+    # columns the negotiated schema needs (plus the embedded tag of
+    # typed capture files) — a 2-column projection over a wide table
+    # reads 2 columns' pages, and a file's retired/dropped physical
+    # columns are never decoded (the ReadSchema discipline, applied
+    # inside the Python data source). Columns the file predates are
+    # simply absent and padded below; a file predating EVERY
+    # projected column still reports its row count (pyarrow preserves
+    # num_rows for zero-column reads).
+    pf = pq.ParquetFile(partition.file)
+    avail = set(pf.schema_arrow.names)
+    needed = [mapping.get(f.name, f.name) for f in arrow_data]
+    if partition.change == "typed":
+        needed.append("_change_type")
+    t = pf.read(columns=[c for c in needed if c in avail])
     dv_files = getattr(partition, "dv_files", None)
     if dv_files:
         # merge-on-read, executor-side: drop the row indexes any of
@@ -248,7 +263,6 @@ def _read_partition(partition: FeedPartition) -> Iterator:
             t = t.take(pa.array(keep, type=pa.int64()))
     n = t.num_rows
     cols = []
-    mapping = getattr(partition, "mapping", None) or {}
     for f in arrow_data:
         # files store PHYSICAL column names (column mapping); resolve
         # the stream's logical name to the on-file one before lookup

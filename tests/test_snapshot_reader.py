@@ -220,7 +220,7 @@ def test_read_path_prunes_columns_per_file(spark, tmp_path):
         spark.createDataFrame(
             [(i, f"r{i}", float(i), f"pad{i}" * 50) for i in range(10)],
             "k long, v string, score double, wide string",
-        )
+        ).coalesce(1)  # one part file: the unit read below targets it
     )
     t.rename_column("v", "label")  # physical name 'v' stays on file
     register_table_sink(spark)
