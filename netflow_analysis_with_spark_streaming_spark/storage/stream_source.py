@@ -66,7 +66,17 @@ inclusive), ``pushdown`` (batch: opt-in Catalyst filter pushdown),
 ``skipChangeCommits`` ("true": insert-only consumption, Delta's
 option of the same name — deletes/merges/upserts/replace_wheres,
 captured or NOT, contribute nothing instead of slicing or walling;
-overwrite/restore/rename stay walls; stream and batch windows both).
+overwrite/restore/rename stay walls; stream and batch windows both),
+``maxFilesPerTrigger`` (part-file-unit rate limit with FILE-GRANULAR
+offsets — Delta's DeltaSourceOffset (reservoirVersion, index) design:
+an offset may be {"version": v, "file_idx": n}, splitting ONE huge
+commit across bounded micro-batches, so a 10 TB backfill append
+drains as many small batches instead of one monster batch; the
+file-idx space is the deterministic raw enumeration of the commit's
+slice files, so replays stay byte-identical and the prune bound only
+skips emission, never shifts offsets; composes with
+maxVersionsPerTrigger — both bounds hold; metadata-only commits pass
+free; first trigger of a (re)started run is uncapped, same as Delta).
 """
 
 from __future__ import annotations
@@ -371,21 +381,76 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         prune_filters: list | None = None,
         initial_snapshot: bool = False,
         skip_change_commits: bool = False,
+        max_files: int | None = None,
     ):
         self._root = root
         self._schema = schema
         self._schema_json = _data_schema(schema).json()
         self._start = starting_version
         self._max_versions = max_versions
+        self._max_files = max_files
         self._prune_filters = prune_filters or []
         self._initial_snapshot = initial_snapshot
         self._skip_changes = skip_change_commits
-        # last batch end seen by partitions(): the rate-limit anchor.
-        # None until the first batch of a (re)started run — that first
-        # batch is uncapped because the reader cannot see the
-        # checkpointed offset before partitions() is called (same
-        # best-effort contract as maxFilesPerTrigger's first trigger).
-        self._last_end: int | None = None
+        # last batch end OFFSET seen by partitions(): the rate-limit
+        # anchor. None until the first batch of a (re)started run —
+        # that first batch is uncapped because the reader cannot see
+        # the checkpointed offset before partitions() is called (the
+        # best-effort first-trigger contract Delta's own rate limits
+        # have).
+        self._last_end: dict | None = None
+
+    # --- file-granular offsets (maxFilesPerTrigger) --------------------
+    #
+    # An offset is {"version": v} — the feed consumed THROUGH commit v
+    # entirely — or {"version": v, "file_idx": n} — the first n part
+    # files of commit v's slice consumed, the rest pending. The
+    # file-idx space is the deterministic enumeration _version_files
+    # returns (slice order from feed_slices over immutable records,
+    # sorted part-file listing per group), so any (start, end] window
+    # replays byte-identically; this is Delta's DeltaSourceOffset
+    # (reservoirVersion, index) design, and what lets a single 10 TB
+    # backfill COMMIT drain as bounded micro-batches instead of one
+    # monster batch. Pruning never shifts the index space: offsets
+    # count RAW files, the prune bound only skips EMITTING partitions.
+
+    def _version_files(self, t, v: int) -> list[tuple]:
+        """Deterministic [(change, group, file path)] enumeration of
+        ONE commit's feed slice — the offset index space."""
+        out = []
+        for _v, change, groups in t.feed_slices(
+            v - 1, v, skip_change_commits=self._skip_changes
+        ):
+            for g in groups:
+                gdir = os.path.join(t.root, g)
+                for fn in sorted(os.listdir(gdir)):
+                    if fn.endswith(".parquet"):
+                        out.append((change, g, os.path.join(gdir, fn)))
+        return out
+
+    def _partial_version_partitions(
+        self, t, v: int, lo: int, hi: int | None, mapping: dict
+    ) -> list[FeedPartition]:
+        """Partitions for file-idx window [lo, hi) of commit v (hi
+        None = through the end), prune applied AFTER slicing so the
+        offset space stays raw."""
+        files = self._version_files(t, v)[lo:hi]
+        if self._prune_filters and files:
+            allowed: set = set()
+            pruned = _prune_slices(
+                t,
+                t.feed_slices(
+                    v - 1, v, skip_change_commits=self._skip_changes
+                ),
+                self._prune_filters,
+            )
+            for _v, _c, groups in pruned:
+                allowed.update(groups)
+            files = [f for f in files if f[1] in allowed]
+        return [
+            FeedPartition(path, change, v, self._schema_json, mapping)
+            for change, _g, path in files
+        ]
 
     def initialOffset(self) -> dict:
         if self._initial_snapshot:
@@ -402,27 +467,79 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
 
             lv = VersionedTable(self._root).latest_version()
             # schema() already refused tables with no committed version
-            self._last_end = lv
+            self._last_end = {"version": lv}
             return {"version": lv, "snapshot": lv}
-        self._last_end = self._start
+        self._last_end = {"version": self._start}
         return {"version": self._start}
 
     def latestOffset(self) -> dict:
         from .versioned import VersionedTable
 
-        lv = VersionedTable(self._root).latest_version()
-        target = max(self._start, lv if lv is not None else self._start)
-        if self._max_versions is not None and self._last_end is not None:
+        t = VersionedTable(self._root)
+        lv = t.latest_version()
+        anchor = self._last_end
+        if anchor is None:
+            # first trigger of a (re)started run: uncapped by design
+            # (the engine asks for latestOffset before the reader can
+            # see the checkpointed start)
+            return {
+                "version": max(self._start, lv if lv is not None else self._start)
+            }
+        av, ai = int(anchor["version"]), anchor.get("file_idx")
+        target_v = max(av, lv if lv is not None else av)
+        if self._max_versions is not None:
             # maxVersionsPerTrigger: advance at most N commits per
-            # micro-batch so a long backlog replays as bounded batches
-            # instead of one giant catch-up (the Delta
-            # maxFilesPerTrigger analog, in commit units)
-            target = min(target, self._last_end + self._max_versions)
-        return {"version": target}
+            # micro-batch (commit-unit pacing; composes with the
+            # file-unit cap below — both bounds hold)
+            target_v = min(target_v, av + self._max_versions)
+        if self._max_files is None:
+            # no file cap: a partial anchor simply finishes its commit
+            # inside the next window
+            return {"version": target_v}
+        budget = self._max_files
+        end_v, end_i = av, ai
+        if ai is not None:
+            # finish (or keep chipping at) the partially-consumed commit
+            rem = len(self._version_files(t, av)) - ai
+            if rem > budget:
+                return {"version": av, "file_idx": ai + budget}
+            budget -= rem
+            end_v, end_i = av, None
+        v = av + 1
+        while v <= target_v:
+            n = len(self._version_files(t, v))
+            if n == 0:
+                # metadata-only / fully-compacted commit: free to pass
+                end_v, end_i = v, None
+                v += 1
+                continue
+            if budget == 0:
+                break
+            if n <= budget:
+                budget -= n
+                end_v, end_i = v, None
+                v += 1
+            else:
+                end_v, end_i = v, budget
+                break
+        if end_i is None:
+            return {"version": end_v}
+        return {"version": end_v, "file_idx": end_i}
+
+    @staticmethod
+    def _pos(v: int, idx: int | None) -> tuple:
+        # total order over offsets: a partial position sorts before
+        # the full consumption of the same version
+        return (v, float("inf") if idx is None else idx)
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
-        s, e = int(start["version"]), int(end["version"])
-        self._last_end = e  # anchor the next trigger's rate limit
+        s_v, s_i = int(start["version"]), start.get("file_idx")
+        e_v, e_i = int(end["version"]), end.get("file_idx")
+        self._last_end = (  # anchor the next trigger's rate limit
+            {"version": e_v}
+            if e_i is None
+            else {"version": e_v, "file_idx": e_i}
+        )
         from .versioned import VersionedTable
 
         parts: list[InputPartition] = []
@@ -440,17 +557,48 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
                     self._prune_filters or None,
                 )
             )
-        if e <= s:
+        if self._pos(e_v, e_i) <= self._pos(s_v, s_i):
             return parts
         t = VersionedTable(self._root)
-        slices = t.feed_slices(
-            s, e, skip_change_commits=self._skip_changes
-        )
-        if self._prune_filters:
-            slices = _prune_slices(t, slices, self._prune_filters)
-        return parts + _slice_partitions(
-            t.root, slices, self._schema_json, t._mapping(e)
-        )
+        mapping = t._mapping(e_v)
+        if s_i is None and e_i is None:
+            # whole-commit window: the original group-level plan
+            slices = t.feed_slices(
+                s_v, e_v, skip_change_commits=self._skip_changes
+            )
+            if self._prune_filters:
+                slices = _prune_slices(t, slices, self._prune_filters)
+            return parts + _slice_partitions(
+                t.root, slices, self._schema_json, mapping
+            )
+        # file-granular window (maxFilesPerTrigger in play)
+        if s_i is not None:
+            # the remainder (or middle span) of the straddled commit
+            hi = e_i if e_v == s_v else None
+            parts.extend(
+                self._partial_version_partitions(t, s_v, s_i, hi, mapping)
+            )
+            if e_v == s_v:
+                return parts
+        # middle full commits: (s_v, mid_hi] — feed_slices' lower bound
+        # is exclusive, which is exactly right whether s_v was fully
+        # consumed at the start offset or its remainder was emitted
+        # just above
+        mid_hi = e_v - 1 if e_i is not None else e_v
+        if mid_hi > s_v:
+            slices = t.feed_slices(
+                s_v, mid_hi, skip_change_commits=self._skip_changes
+            )
+            if self._prune_filters:
+                slices = _prune_slices(t, slices, self._prune_filters)
+            parts.extend(
+                _slice_partitions(t.root, slices, self._schema_json, mapping)
+            )
+        if e_i is not None:
+            parts.extend(
+                self._partial_version_partitions(t, e_v, 0, e_i, mapping)
+            )
+        return parts
 
     def read(self, partition: FeedPartition) -> Iterator:
         return _read_partition(partition)
@@ -817,6 +965,9 @@ class VersionedFeedDataSource(DataSource):
         else:
             start = int(self.options.get("startingversion", -1))
         mvpt = self.options.get("maxversionspertrigger")
+        mfpt = self.options.get("maxfilespertrigger")
+        if mfpt is not None and int(mfpt) < 1:
+            raise ValueError("maxFilesPerTrigger must be >= 1")
         prune_raw = self.options.get("prune")
         prune = (
             _prune_triples_to_filters(json.loads(prune_raw))
@@ -834,6 +985,7 @@ class VersionedFeedDataSource(DataSource):
                 str(self.options.get("skipchangecommits", "")).lower()
                 == "true"
             ),
+            max_files=int(mfpt) if mfpt is not None else None,
         )
 
     def reader(self, schema: StructType) -> VersionedFeedBatchReader:

@@ -1018,3 +1018,134 @@ def test_feed_planning_is_o_change_on_delta_history(spark, tmp_path, monkeypatch
         .collect()
     )
     assert sorted(r["k"] for r in got) == [0, 1, 2, 3, 4]
+
+
+def test_max_files_per_trigger_splits_one_commit(spark, tmp_path):
+    """maxFilesPerTrigger=1 with FILE-GRANULAR offsets: one commit
+    landing 3 part files drains as three one-file micro-batches — the
+    offset straddles the commit ({"version": v, "file_idx": n}), which
+    is what lets a single 10 TB backfill append stream as bounded
+    batches. The union is complete and exactly-once; at least one
+    batch boundary falls INSIDE the commit."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(0, "z")]))
+    register_feed_source(spark)
+    batches = []
+
+    def sink(df, bid):
+        batches.append({(r["k"], r["_commit_version"]) for r in df.collect()})
+
+    q = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", t.root)
+        .option("maxFilesPerTrigger", 1)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # anchor batch: v0 (first trigger uncapped)
+        # ONE commit, three part files
+        t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).repartition(3))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    nonempty = [b for b in batches if b]
+    # v0 anchor + the 3-file commit split into 3 single-file batches
+    assert len(nonempty) == 4
+    for b in nonempty[1:]:
+        assert len(b) == 1  # one file (one row here) per batch
+        assert {v for (_, v) in b} == {1}  # all from the SAME commit
+    assert set().union(*nonempty) == {(0, 0), (1, 1), (2, 1), (3, 1)}
+
+
+def test_max_files_per_trigger_paces_multi_commit_backlog(spark, tmp_path):
+    """maxFilesPerTrigger=2 over a backlog of 2+3 files across two
+    commits: batches carry at most 2 files each, commit boundaries are
+    crossed and straddled as needed, union exact; composes with
+    maxVersionsPerTrigger (both bounds hold)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(0, "z")]))
+    register_feed_source(spark)
+    batches = []
+
+    def sink(df, bid):
+        batches.append({(r["k"], r["_commit_version"]) for r in df.collect()})
+
+    q = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", t.root)
+        .option("maxFilesPerTrigger", 2)
+        .option("maxVersionsPerTrigger", 1)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # anchor
+        t.append(_df(spark, [(1, "a"), (2, "b")]).repartition(2))
+        t.append(_df(spark, [(3, "c"), (4, "d"), (5, "e")]).repartition(3))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    nonempty = [b for b in batches if b]
+    assert set().union(*nonempty) == {
+        (0, 0), (1, 1), (2, 1), (3, 2), (4, 2), (5, 2)
+    }
+    for b in nonempty[1:]:
+        assert len(b) <= 2  # file cap holds
+        assert len({v for (_, v) in b}) == 1  # version cap holds too
+    # the 3-file commit needed a straddle: some batch holds 2 of its
+    # rows, another holds the remaining 1
+    v2_sizes = sorted(len(b) for b in nonempty if {v for (_, v) in b} == {2})
+    assert v2_sizes == [1, 2]
+
+
+def test_max_files_per_trigger_restart_resumes_mid_commit(spark, tmp_path):
+    """A checkpointed stream killed with a PARTIAL offset (mid-commit)
+    resumes exactly where it stopped: no row lost, none duplicated —
+    the file-idx enumeration is deterministic across processes."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(0, "z")]))
+    register_feed_source(spark)
+    seen = []
+
+    def sink(df, bid):
+        seen.append({(r["k"], r["_commit_version"]) for r in df.collect()})
+
+    def run_until(n_batches):
+        q = (
+            spark.readStream.format(FORMAT_NAME)
+            .option("path", t.root)
+            .option("maxFilesPerTrigger", 1)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="150 milliseconds")
+            .start()
+        )
+        try:
+            import time as _t
+
+            deadline = _t.time() + 60
+            while (
+                len([b for b in seen if b]) < n_batches
+                and _t.time() < deadline
+            ):
+                _t.sleep(0.1)
+        finally:
+            q.stop()
+
+    run_until(1)  # anchor: v0
+    t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).repartition(3))
+    run_until(3)  # two more one-file batches -> offset now MID-commit
+    # restart from the checkpoint: must serve exactly the remainder
+    run_until(4)
+    got = set().union(*[b for b in seen if b])
+    assert got == {(0, 0), (1, 1), (2, 1), (3, 1)}
+    total_rows = sum(len(b) for b in seen if b)
+    assert total_rows == 4  # exactly-once: no duplicates across restarts
