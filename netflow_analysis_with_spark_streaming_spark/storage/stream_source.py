@@ -382,6 +382,7 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         initial_snapshot: bool = False,
         skip_change_commits: bool = False,
         max_files: int | None = None,
+        max_bytes: int | None = None,
     ):
         self._root = root
         self._schema = schema
@@ -389,6 +390,7 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         self._start = starting_version
         self._max_versions = max_versions
         self._max_files = max_files
+        self._max_bytes = max_bytes
         self._prune_filters = prune_filters or []
         self._initial_snapshot = initial_snapshot
         self._skip_changes = skip_change_commits
@@ -492,39 +494,52 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
             # micro-batch (commit-unit pacing; composes with the
             # file-unit cap below — both bounds hold)
             target_v = min(target_v, av + self._max_versions)
-        if self._max_files is None:
-            # no file cap: a partial anchor simply finishes its commit
-            # inside the next window
+        if self._max_files is None and self._max_bytes is None:
+            # no fine-grained cap: a partial anchor simply finishes
+            # its commit inside the next window
             return {"version": target_v}
-        budget = self._max_files
+        # unified pacing walk: spend file-count and byte budgets over
+        # the deterministic file enumeration, stopping at (possibly
+        # mid-commit) the last affordable file. At least ONE file is
+        # always taken when any is pending (a single file bigger than
+        # maxBytesPerTrigger must still flow — Delta's rule — or the
+        # stream would stall forever).
+        import math
+
+        fb = self._max_files if self._max_files is not None else math.inf
+        bb = self._max_bytes if self._max_bytes is not None else math.inf
         end_v, end_i = av, ai
-        if ai is not None:
-            # finish (or keep chipping at) the partially-consumed commit
-            rem = len(self._version_files(t, av)) - ai
-            if rem > budget:
-                return {"version": av, "file_idx": ai + budget}
-            budget -= rem
-            end_v, end_i = av, None
-        v = av + 1
+        v = av if ai is not None else av + 1
+        i0 = ai or 0
+        took = 0
         while v <= target_v:
-            n = len(self._version_files(t, v))
+            files = self._version_files(t, v)
+            n = len(files)
             if n == 0:
                 # metadata-only / fully-compacted commit: free to pass
                 end_v, end_i = v, None
                 v += 1
+                i0 = 0
                 continue
-            if budget == 0:
-                break
-            if n <= budget:
-                budget -= n
-                end_v, end_i = v, None
-                v += 1
-            else:
-                end_v, end_i = v, budget
-                break
-        if end_i is None:
-            return {"version": end_v}
-        return {"version": end_v, "file_idx": end_i}
+            i = i0
+            while i < n:
+                sz = os.path.getsize(files[i][2])
+                if took > 0 and (fb < 1 or bb < sz):
+                    return self._offset(end_v, end_i)
+                fb -= 1
+                bb -= sz
+                took += 1
+                i += 1
+                end_v, end_i = (v, None) if i == n else (v, i)
+            if fb < 1 or bb <= 0:
+                return self._offset(end_v, end_i)
+            v += 1
+            i0 = 0
+        return self._offset(end_v, end_i)
+
+    @staticmethod
+    def _offset(v: int, idx: int | None) -> dict:
+        return {"version": v} if idx is None else {"version": v, "file_idx": idx}
 
     @staticmethod
     def _pos(v: int, idx: int | None) -> tuple:
@@ -968,6 +983,9 @@ class VersionedFeedDataSource(DataSource):
         mfpt = self.options.get("maxfilespertrigger")
         if mfpt is not None and int(mfpt) < 1:
             raise ValueError("maxFilesPerTrigger must be >= 1")
+        mbpt = self.options.get("maxbytespertrigger")
+        if mbpt is not None and int(mbpt) < 1:
+            raise ValueError("maxBytesPerTrigger must be >= 1")
         prune_raw = self.options.get("prune")
         prune = (
             _prune_triples_to_filters(json.loads(prune_raw))
@@ -986,6 +1004,7 @@ class VersionedFeedDataSource(DataSource):
                 == "true"
             ),
             max_files=int(mfpt) if mfpt is not None else None,
+            max_bytes=int(mbpt) if mbpt is not None else None,
         )
 
     def reader(self, schema: StructType) -> VersionedFeedBatchReader:

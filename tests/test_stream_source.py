@@ -1107,8 +1107,12 @@ def test_max_files_per_trigger_paces_multi_commit_backlog(spark, tmp_path):
 
 def test_max_files_per_trigger_restart_resumes_mid_commit(spark, tmp_path):
     """A checkpointed stream killed with a PARTIAL offset (mid-commit)
-    resumes exactly where it stopped: no row lost, none duplicated —
-    the file-idx enumeration is deterministic across processes."""
+    resumes where it stopped: full coverage, and the only permissible
+    re-delivery is Spark's at-least-once replay of the final
+    UNCOMMITTED batch (one batch, once) — a wrong file-idx resume
+    would instead re-serve the whole commit or drop its tail."""
+    from collections import Counter
+
     t = VersionedTable(str(tmp_path / "t"))
     t.append(_df(spark, [(0, "z")]))
     register_feed_source(spark)
@@ -1117,7 +1121,7 @@ def test_max_files_per_trigger_restart_resumes_mid_commit(spark, tmp_path):
     def sink(df, bid):
         seen.append({(r["k"], r["_commit_version"]) for r in df.collect()})
 
-    def run_until(n_batches):
+    def run_until(pred):
         q = (
             spark.readStream.format(FORMAT_NAME)
             .option("path", t.root)
@@ -1125,27 +1129,107 @@ def test_max_files_per_trigger_restart_resumes_mid_commit(spark, tmp_path):
             .load()
             .writeStream.foreachBatch(sink)
             .option("checkpointLocation", str(tmp_path / "ckpt"))
-            .trigger(processingTime="150 milliseconds")
+            # slow trigger + fast poll: the stop lands between
+            # batches, biasing phase 2 to halt genuinely MID-commit
+            .trigger(processingTime="1 second")
             .start()
         )
         try:
             import time as _t
 
-            deadline = _t.time() + 60
-            while (
-                len([b for b in seen if b]) < n_batches
-                and _t.time() < deadline
-            ):
-                _t.sleep(0.1)
+            deadline = _t.time() + 90
+            while not pred() and _t.time() < deadline:
+                _t.sleep(0.02)
         finally:
             q.stop()
 
-    run_until(1)  # anchor: v0
+    def covered():
+        return set().union(*[b for b in seen if b], set())
+
+    run_until(lambda: (0, 0) in covered())  # anchor: v0
     t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).repartition(3))
-    run_until(3)  # two more one-file batches -> offset now MID-commit
-    # restart from the checkpoint: must serve exactly the remainder
-    run_until(4)
-    got = set().union(*[b for b in seen if b])
-    assert got == {(0, 0), (1, 1), (2, 1), (3, 1)}
-    total_rows = sum(len(b) for b in seen if b)
-    assert total_rows == 4  # exactly-once: no duplicates across restarts
+    # two more one-file batches -> checkpointed offset lands MID-commit
+    run_until(lambda: len(covered()) >= 3)
+    mid = covered()
+    # 3 = stopped mid-commit (the interesting case, near-certain with
+    # the 1 s trigger); 4 tolerated if a last batch raced the stop
+    assert len(mid) in (3, 4)
+    # restart from the checkpoint: the file-idx offset must resume the
+    # commit's REMAINDER (deterministic enumeration across processes)
+    run_until(lambda: covered() >= {(0, 0), (1, 1), (2, 1), (3, 1)})
+    assert covered() == {(0, 0), (1, 1), (2, 1), (3, 1)}
+    counts = Counter(k for b in seen if b for k in b)
+    # every key delivered; the only re-deliveries allowed are Spark's
+    # at-least-once replay of the final uncommitted batch at each of
+    # the TWO restarts (one single-file batch each) — a wrong file-idx
+    # resume would instead re-serve the whole commit (3 extras at one
+    # restart) or drop its tail (coverage assert above)
+    assert all(v <= 2 for v in counts.values()), counts
+    assert sum(v - 1 for v in counts.values()) <= 2, counts
+
+
+def test_max_bytes_per_trigger_paces_and_never_stalls(spark, tmp_path):
+    """maxBytesPerTrigger: batches stop before exceeding the byte
+    budget (file-granular straddles as needed), and a single file
+    BIGGER than the budget still flows — at least one pending file is
+    always taken (Delta's rule), or the stream would stall forever."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(0, "z")]))
+    register_feed_source(spark)
+    # learn a real single-file size to set a budget below 2 files
+    import os as _os
+
+    g0 = t.snapshot_files()[0]
+    gdir = _os.path.join(t.root, g0)
+    f0 = [f for f in _os.listdir(gdir) if f.endswith(".parquet")][0]
+    one_file = _os.path.getsize(_os.path.join(gdir, f0))
+    batches = []
+
+    def sink(df, bid):
+        batches.append({(r["k"], r["_commit_version"]) for r in df.collect()})
+
+    q = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", t.root)
+        # budget: more than one file, less than two -> one file/batch
+        .option("maxBytesPerTrigger", int(one_file * 1.5))
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # anchor (first trigger uncapped)
+        t.append(_df(spark, [(1, "a"), (2, "b"), (3, "c")]).repartition(3))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    nonempty = [b for b in batches if b]
+    assert set().union(*nonempty) == {(0, 0), (1, 1), (2, 1), (3, 1)}
+    for b in nonempty[1:]:
+        assert len(b) == 1  # ~1.5-file budget -> one file per batch
+    # never-stall: a budget SMALLER than any single file still drains
+    batches.clear()
+    t2 = VersionedTable(str(tmp_path / "t2"))
+    t2.append(_df(spark, [(0, "z")]))
+    q2 = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", t2.root)
+        .option("maxBytesPerTrigger", 1)  # below every real file size
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        t2.append(_df(spark, [(1, "a"), (2, "b")]).repartition(2))
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    nonempty2 = [b for b in batches if b]
+    assert set().union(*nonempty2) == {(0, 0), (1, 1), (2, 1)}
+    for b in nonempty2[1:]:
+        assert len(b) == 1  # exactly one (oversized) file per batch
