@@ -156,3 +156,130 @@ def decode_media(df: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+# --- REAL audio codec path (round 11) ------------------------------------
+#
+# The image/video codecs (Pillow/ffmpeg) stay stubbed — they don't ship
+# in this environment — but AUDIO needs only the stdlib: `wave` writes
+# and parses real RIFF/WAVE containers. So the audio half of the
+# multimodal story is now a genuine codec round-trip: payloads are real
+# 16-bit PCM mono WAV bytes (deterministically synthesized, so a DuckDB
+# oracle can mirror the EXPECTED signal), and decode runs a real parser
+# + numpy feature extraction over the recovered samples. A payload
+# mangled anywhere in the binary-column plumbing — or a parser/packing
+# bug — breaks the hash.
+
+WAV_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+WAV_DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("zcr", DoubleType()),
+    ]
+)
+
+
+def _wav_params(doc_id: int) -> tuple[int, int]:
+    """(sample_rate, n_samples) — deterministic per doc, mirrored in
+    the oracle SQL."""
+    return 8000 + (doc_id % 3) * 4000, 256 + (doc_id % 64)
+
+
+def _wav_sample(doc_id: int, i: int) -> int:
+    """Sample i of doc's synthetic signal: a full-range integer hash
+    sequence (Knuth multiplicative), exactly expressible in SQL."""
+    return ((doc_id * 2654435761 + i * 97) % 65536) - 32768
+
+
+def synth_wav(docs: DataFrame) -> DataFrame:
+    """Real RIFF/WAVE payloads (16-bit PCM mono), one per doc_id, via
+    the stdlib ``wave`` writer inside an Arrow-batched mapInPandas —
+    the engine carries genuine media bytes, not placeholders."""
+    import io
+    import struct
+    import wave
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                sr, n = _wav_params(d)
+                samples = [_wav_sample(d, i) for i in range(n)]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sr)
+                    w.writeframes(struct.pack(f"<{n}h", *samples))
+                ids.append(d)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(batches, WAV_SCHEMA)
+
+
+def decode_wav(media: DataFrame) -> DataFrame:
+    """REAL audio decode: parse the binary column with the stdlib
+    ``wave`` reader, recover the PCM samples, and extract signal
+    features (RMS energy, zero-crossing rate) with numpy. Malformed
+    payloads raise loudly — a corrupted media column must never
+    produce silent garbage features."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {
+                "doc_id": [],
+                "sample_rate": [],
+                "n_samples": [],
+                "duration_s": [],
+                "rms": [],
+                "zcr": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                        raise ValueError(
+                            f"doc {doc_id}: expected 16-bit mono PCM, got "
+                            f"{w.getnchannels()}ch/{w.getsampwidth()*8}-bit"
+                        )
+                    sr = w.getframerate()
+                    n = w.getnframes()
+                    pcm = np.frombuffer(
+                        w.readframes(n), dtype="<i2"
+                    ).astype(np.int64)
+                # integer-exact sum of squares, then one double divide +
+                # IEEE sqrt: bit-identical to the SQL mirror (math.sqrt
+                # is correctly rounded; `** 0.5` via C pow is not
+                # guaranteed to be)
+                import math
+
+                rms = math.sqrt(int((pcm * pcm).sum()) / n)
+                zcr = float(int((pcm[1:] * pcm[:-1] < 0).sum())) / (n - 1)
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(sr)
+                out["n_samples"].append(n)
+                out["duration_s"].append(round(n / sr, 6))
+                out["rms"].append(round(rms, 6))
+                out["zcr"].append(round(zcr, 6))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, WAV_DECODED_SCHEMA)

@@ -983,7 +983,70 @@ ORDER BY bucket, batch_idx
 # minhash candidates / simhash pairs hash-cover their signature stages
 # (band keys and hamming distances are functions of the signatures);
 # the folded constituents keep pytest oracle coverage as extras.
+def _multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec round-trip (round 11): payloads are genuine
+    RIFF/WAVE containers (16-bit PCM mono, stdlib ``wave`` writer),
+    decode runs the REAL parser + numpy feature extraction
+    (functions/multimodal.synth_wav / decode_wav) — no fake codec on
+    this path. The signal is synthesized deterministically per doc
+    (integer hash sequence), so the oracle recomputes the EXPECTED
+    sample stream and its features (RMS energy, zero-crossing rate)
+    straight from the formula in SQL: a byte mangled anywhere in the
+    binary-column plumbing, a WAV header mis-pack, or a parser bug
+    shifts the recovered samples and breaks the hash. Image/video
+    decode stays honestly stubbed (no Pillow/ffmpeg in this
+    environment); audio needs only the stdlib."""
+    from .functions import multimodal as M
+
+    docs = tables.load(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 20 == 0
+    )
+    return (
+        M.decode_wav(M.synth_wav(docs))
+        .select(
+            "doc_id",
+            "sample_rate",
+            "n_samples",
+            "duration_s",
+            "rms",
+            "zcr",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_WAV_DECODE_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+         CAST(256 + (doc_id % 64) AS INTEGER) AS n_samples
+  FROM documents WHERE doc_id % 20 = 0
+),
+samples AS (
+  SELECT d.doc_id, d.sample_rate, d.n_samples, i,
+         ((d.doc_id * 2654435761 + i * 97) % 65536) - 32768 AS s
+  FROM docs d, unnest(range(0, d.n_samples)) t(i)
+),
+lagged AS (
+  SELECT doc_id, sample_rate, n_samples, s,
+         LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM samples
+)
+SELECT doc_id, sample_rate, n_samples,
+       ROUND(CAST(n_samples AS DOUBLE) / sample_rate, 6) AS duration_s,
+       ROUND(SQRT(CAST(SUM(s * s) AS DOUBLE) / n_samples), 6) AS rms,
+       ROUND(CAST(SUM(CASE WHEN s * prev < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / (n_samples - 1), 6) AS zcr
+FROM lagged
+GROUP BY doc_id, sample_rate, n_samples
+ORDER BY doc_id
+"""
+
+
 register("multimodal_decode", _multimodal_decode, _MULTIMODAL_SQL)
+register(
+    "multimodal_wav_decode", _multimodal_wav_decode, _WAV_DECODE_SQL, driver=False
+)
 # retired to the pytest tier round 9 (slot went to
 # storage_versioned_merge): its driver hash evidence near-duplicated
 # multimodal_decode's — same mapInPandas stub-codec plumbing, only the

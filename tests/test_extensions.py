@@ -1090,3 +1090,38 @@ def test_semantic_dedup_blob_fast_path_collapses_to_one(spark):
     res = {r["vec_id"]: r["keep"] for r in out.collect()}
     assert sum(res[i] for i in range(500)) == 1  # blob -> one survivor
     assert all(res[i] for i in range(500, 520))  # distinct vectors survive
+
+
+def test_multimodal_wav_real_codec_roundtrip(spark):
+    """The REAL audio path: synth_wav emits parseable RIFF/WAVE bytes
+    (verified by an independent stdlib re-parse of the raw payload),
+    decode_wav recovers the exact synthesized samples, and a corrupted
+    payload fails LOUDLY instead of producing garbage features."""
+    import io
+    import wave
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from netflow_analysis_with_spark_streaming_spark.functions import (
+        multimodal as M,
+    )
+
+    docs = spark.createDataFrame([(7,), (40,)], "doc_id long")
+    media = M.synth_wav(docs)
+    rows = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    # independent re-parse: genuine WAV container, expected params
+    with wave.open(io.BytesIO(rows[7]), "rb") as w:
+        assert (w.getnchannels(), w.getsampwidth()) == (1, 2)
+        assert w.getframerate() == 8000 + (7 % 3) * 4000
+        assert w.getnframes() == 256 + (7 % 64)
+    dec = {r["doc_id"]: r for r in M.decode_wav(media).collect()}
+    assert dec[7]["n_samples"] == 256 + 7 % 64
+    assert dec[40]["sample_rate"] == 8000 + (40 % 3) * 4000
+    assert 0.0 <= dec[7]["zcr"] <= 1.0 and dec[7]["rms"] > 0
+    # corruption fails loudly (truncated container)
+    bad = spark.createDataFrame(
+        [(1, bytearray(rows[7][:20]))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="wave|WAVE|EOF|Error"):
+        M.decode_wav(bad).collect()
