@@ -2095,6 +2095,106 @@ register(
 )
 
 
+def _stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative streaming EXPECTATIONS (round 11 —
+    streaming/expectations.py, the Delta Live Tables
+    expect/expect_or_drop pattern): two micro-batches of events gate
+    through three declared predicates — ``valid_type`` (drop: rows
+    with event_type 'error' route to the dead-letter table with the
+    failed-expectation name attached), ``value_positive`` (warn:
+    violating rows still land, the count is audited), ``has_user``
+    (fail: zero violations here, proving the strict arm coexists) —
+    and every row's route PLUS its batch's audited violation counts
+    go on the hash line. A row mis-routed, a violation miscounted, a
+    DLQ reason mangled, or a replay double-landing anything breaks
+    the hash; the oracle recomputes routing and per-batch counts from
+    raw events."""
+    from .streaming.expectations import Expectation, ExpectationsSink
+
+    ev = tables.load(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    sink = ExpectationsSink(
+        _run_tmp_root("netflow_expect_") + "/t",
+        [
+            Expectation(
+                "valid_type",
+                "event_type IN ('signup','click','view','purchase')",
+                "drop",
+            ),
+            Expectation("value_positive", "value >= 1", "warn"),
+            Expectation("has_user", "user_id IS NOT NULL", "fail"),
+        ],
+    )
+    sink.process_batch(ev.filter(F.col("user_id") % 2 == 0), 0)
+    sink.process_batch(ev.filter(F.col("user_id") % 2 == 1), 1)
+    routed = (
+        sink.dest.read(spark)
+        .select("event_id", "user_id", F.lit("dest").alias("route"))
+        .unionAll(
+            sink.dlq.read(spark).select(
+                "event_id",
+                "user_id",
+                F.col("_failed_expectations").alias("route"),
+            )
+        )
+    )
+    met = (
+        sink.metrics.read(spark)
+        .groupBy("batch_id")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("expectation") == "valid_type", F.col("violations")
+                )
+            ).alias("batch_viol_type"),
+            F.max(
+                F.when(
+                    F.col("expectation") == "value_positive",
+                    F.col("violations"),
+                )
+            ).alias("batch_viol_value"),
+        )
+    )
+    return (
+        routed.withColumn("b", F.col("user_id") % 2)
+        .join(met, F.col("b") == F.col("batch_id"))
+        .select("event_id", "route", "batch_viol_type", "batch_viol_value")
+        .orderBy("event_id")
+    )
+
+
+_STREAM_EXPECTATIONS_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, user_id % 2 AS b
+  FROM events
+),
+m AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN event_type NOT IN
+              ('signup','click','view','purchase') THEN 1 ELSE 0 END)
+              AS BIGINT) AS batch_viol_type,
+         CAST(SUM(CASE WHEN NOT (value >= 1) THEN 1 ELSE 0 END)
+              AS BIGINT) AS batch_viol_value
+  FROM ev GROUP BY b
+)
+SELECT e.event_id,
+       CASE WHEN e.event_type IN ('signup','click','view','purchase')
+            THEN 'dest' ELSE 'valid_type' END AS route,
+       m.batch_viol_type, m.batch_viol_value
+FROM ev e JOIN m ON e.b = m.b
+ORDER BY e.event_id
+"""
+
+
+register(
+    "stream_expectations",
+    _stream_expectations,
+    _STREAM_EXPECTATIONS_SQL,
+    driver=False,
+)
+
+
 def _storage_snapshot_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Plain ``spark.read.format("versioned_table")`` (round 11) —
     the batch snapshot reader that closes the interop matrix

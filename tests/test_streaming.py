@@ -1299,3 +1299,103 @@ def test_streaming_cdc_sink_real_stream(spark, tmp_path):
     q.awaitTermination()
     got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
     assert got == {(2, "B"), (3, "c"), (4, "d")}, got
+
+
+def test_expectations_sink_actions_and_replay(spark, tmp_path):
+    """streaming/expectations.py unit contract: warn keeps rows and
+    audits the count, drop routes to the DLQ with the failed names
+    attached, fail aborts the batch BEFORE anything lands, and a
+    crash-replayed batch is a no-op on all three tables (metrics
+    commits last = the replay detector)."""
+    import pytest
+
+    from netflow_analysis_with_spark_streaming_spark.streaming.expectations import (
+        Expectation,
+        ExpectationsSink,
+    )
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k long, v double, tag string")
+
+    sink = ExpectationsSink(
+        str(tmp_path / "t"),
+        [
+            Expectation("tag_ok", "tag IN ('a','b')", "drop"),
+            Expectation("v_pos", "v >= 0", "warn"),
+        ],
+    )
+    sink.process_batch(
+        df([(1, 1.0, "a"), (2, -5.0, "b"), (3, 9.0, "zz"), (4, None, "a")]), 0
+    )
+    dest = {r["k"] for r in sink.dest.read(spark).collect()}
+    assert dest == {1, 2, 4}  # warn keeps the v<0 row AND the NULL-v row
+    dlq = {
+        (r["k"], r["_failed_expectations"])
+        for r in sink.dlq.read(spark).collect()
+    }
+    assert dlq == {(3, "tag_ok")}
+    met = {
+        (r["batch_id"], r["expectation"]): (r["rows_in"], r["violations"])
+        for r in sink.metrics.read(spark).collect()
+    }
+    # NULL predicate result counts as a violation (coalesce False) —
+    # silent NULL-passes are how bad rows sneak through gates
+    assert met[(0, "tag_ok")] == (4, 1)
+    assert met[(0, "v_pos")] == (4, 2)
+    # crash replay: same batch id -> no-op everywhere
+    sink.process_batch(df([(1, 1.0, "a")]), 0)
+    assert sink.dest.read(spark).count() == 3
+    assert sink.dlq.read(spark).count() == 1
+    assert sink.metrics.read(spark).count() == 2
+    # fail action aborts BEFORE anything lands
+    strict = ExpectationsSink(
+        str(tmp_path / "strict"),
+        [Expectation("all_pos", "v >= 0", "fail")],
+    )
+    with pytest.raises(ValueError, match="all_pos"):
+        strict.process_batch(df([(1, 1.0, "a"), (2, -1.0, "b")]), 0)
+    assert strict.dest.versions() == []  # nothing landed
+    assert strict.metrics.versions() == []
+    # declaration-time validation
+    with pytest.raises(ValueError, match="action"):
+        Expectation("x", "v >= 0", "explode")
+    with pytest.raises(ValueError, match="duplicate"):
+        ExpectationsSink(
+            str(tmp_path / "dup"),
+            [Expectation("x", "v >= 0"), Expectation("x", "v < 0")],
+        )
+
+
+def test_expectations_sink_end_to_end_stream(spark, tmp_path):
+    """The sink through a REAL availableNow stream (foreachBatch):
+    clean rows land exactly-once in dest, 'error' rows in the DLQ."""
+    import json as _json
+    import os as _os
+
+    from netflow_analysis_with_spark_streaming_spark.streaming.expectations import (
+        Expectation,
+        ExpectationsSink,
+    )
+
+    src = str(tmp_path / "in")
+    _os.makedirs(src)
+    with open(src + "/a.json", "w") as f:
+        for k, tag in [(1, "a"), (2, "error"), (3, "b"), (4, "a")]:
+            f.write(_json.dumps({"k": k, "tag": tag}) + "\n")
+    sink = ExpectationsSink(
+        str(tmp_path / "t"),
+        [Expectation("tag_ok", "tag != 'error'", "drop")],
+    )
+    q = (
+        spark.readStream.schema("k long, tag string")
+        .json(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert {r["k"] for r in sink.dest.read(spark).collect()} == {1, 3, 4}
+    assert {r["k"] for r in sink.dlq.read(spark).collect()} == {2}
+    met = sink.metrics.read(spark).collect()
+    assert [(r["rows_in"], r["violations"]) for r in met] == [(4, 1)]
