@@ -1149,6 +1149,34 @@ def test_model_based_op_sequences(spark):
         assert d["num_rows"] == len(model) == t.count_rows(), seed
         assert d["version"] == t.latest_version()
         assert t.fsck() == [], seed
+        # the plain-Spark batch snapshot reader serves the SAME final
+        # state through the data-source path (DV anti-filter, padding,
+        # whatever group/DV mix the seed's op sequence produced), and
+        # an AS-OF format read reproduces a recorded checkpoint
+        from netflow_analysis_with_spark_streaming_spark.storage.stream_sink import (
+            register_table_sink,
+        )
+
+        register_table_sink(spark)
+        fmt = {
+            r["k"]: r["v"]
+            for r in spark.read.format("versioned_table")
+            .option("path", t.root)
+            .load()
+            .collect()
+        }
+        assert fmt == model, seed
+        if snapshots:
+            v, snap = snapshots[-1]
+            got = {
+                r["k"]: r["v"]
+                for r in spark.read.format("versioned_table")
+                .option("path", t.root)
+                .option("versionAsOf", str(v))
+                .load()
+                .collect()
+            }
+            assert got == snap, (seed, v)
 
 
 def test_ivm_randomized_differential(spark):
