@@ -2095,6 +2095,79 @@ register(
 )
 
 
+def _storage_table_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-only TABLE stream (round 11):
+    ``spark.readStream.format('versioned_table')`` — bare data rows in
+    the table schema, Delta's readStream-on-a-table default, under one
+    format name with the batch reader/writer and the streaming sink.
+    The history is two appends, a CAPTURED DV delete (which a bare
+    stream cannot represent — ``skipChangeCommits`` streams past it,
+    the guard behavior is pinned in tests), and a third append; the
+    stream opens with ``initialSnapshot`` OFF and startingVersion
+    default, so the two pre-delete appends, the skip, and the
+    post-delete append are all on the hash path along with the bare
+    row framing (no feed meta columns in the output schema). The
+    oracle recomputes exactly the appended rows."""
+    from .storage.stream_sink import FORMAT_NAME as TABLE_FORMAT
+    from .storage.stream_sink import register_table_sink
+    from .storage.versioned import VersionedTable
+
+    root = _run_tmp_root("netflow_vts_")
+    src = VersionedTable(root + "/src")
+    ev = (
+        tables.load(spark, "events", sf_dir)
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id", "user_id", F.round("value", 2).alias("value"))
+    )
+    src.append(ev.filter(F.col("user_id") % 2 == 0))  # v0
+    src.append(ev.filter(F.col("user_id") % 2 == 1))  # v1
+    src.delete_where_dv(spark, "user_id % 7 = 0", emit_changes=True)  # v2
+    src.append(  # v3
+        ev.filter(F.col("user_id") % 5 == 2).withColumn(
+            "value", F.round(F.col("value") * 3, 2)
+        )
+    )
+    register_table_sink(spark)
+    q = (
+        spark.readStream.format(TABLE_FORMAT)
+        .option("path", src.root)
+        .option("skipChangeCommits", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", root + "/out")
+        .option("checkpointLocation", root + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(root + "/out")
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id", "value")
+    )
+
+
+_STORAGE_TABLE_STREAM_SQL = """
+WITH base AS (
+  SELECT event_id, user_id, ROUND(value, 2) AS value
+  FROM events WHERE event_id % 10 = 0
+)
+SELECT event_id, user_id, value FROM base
+UNION ALL
+SELECT event_id, user_id, ROUND(value * 3, 2) AS value
+FROM base WHERE user_id % 5 = 2
+ORDER BY event_id, value
+"""
+
+
+register(
+    "storage_table_stream",
+    _storage_table_stream,
+    _STORAGE_TABLE_STREAM_SQL,
+    driver=False,
+)
+
+
 def _stream_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative streaming EXPECTATIONS (round 11 —
     streaming/expectations.py, the Delta Live Tables

@@ -427,6 +427,26 @@ class VersionedSinkDataSource(DataSource):
         v = self._pinned_version(t)
         return StructType.fromJson(json.loads(t._load_record(v)["schema"]))
 
+    def streamReader(self, schema):
+        """``spark.readStream.format("versioned_table")`` — the
+        insert-only TABLE stream (bare data rows in the table schema,
+        Delta's readStream-on-a-table default): appends stream
+        through, optionally opening with the whole current snapshot
+        (``initialSnapshot``); change commits fail loudly unless
+        ``skipChangeCommits`` — consumers that need removals stream
+        the typed feed (``versioned_feed``). Same options and rate
+        limits as the feed reader; only the row framing differs. The
+        negotiated schema is this DataSource's schema() = the
+        snapshot schema, which is exactly the bare row shape."""
+        from .stream_source import VersionedTableStreamReader, build_stream_reader
+
+        return build_stream_reader(
+            self.options,
+            self._table().root,  # validates the path option
+            schema,
+            reader_cls=VersionedTableStreamReader,
+        )
+
     def reader(self, schema):
         from .stream_source import (
             ExplicitPruneSnapshotBatchReader,

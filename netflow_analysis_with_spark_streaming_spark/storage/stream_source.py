@@ -896,6 +896,112 @@ class ExplicitPruneFeedBatchReader(VersionedFeedBatchReader):
     its exact filter (superset guarantee)."""
 
 
+class VersionedTableStreamReader(VersionedFeedStreamReader):
+    """Insert-only TABLE stream — ``spark.readStream.format(
+    "versioned_table")``: bare data rows (no feed meta columns), the
+    Delta ``readStream``-on-a-table default. Appends stream through
+    (optionally opening with the whole current snapshot via
+    ``initialSnapshot``); any CHANGE commit — delete/merge/upsert,
+    captured or not — fails the stream with an actionable error,
+    because bare rows cannot represent a removal (Delta fails these
+    too). ``skipChangeCommits`` opts into streaming PAST them
+    insert-only; consumers that need the removals stream the typed
+    feed (``versioned_feed``) instead. Offsets, rate limits
+    (maxVersions/maxFiles/maxBytesPerTrigger), pruning, and the
+    checkpoint discipline are the feed reader's verbatim — only the
+    row framing differs."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        # bare rows serve the table schema VERBATIM: no meta-column
+        # stripping (a data column that happens to be named like a
+        # feed meta column is real data in a table stream)
+        self._schema_json = self._schema.json()
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        parts = list(super().partitions(start, end))
+        for p in parts:
+            if p.change != "insert":
+                raise ValueError(
+                    f"versioned_table stream: commit {p.version} is a "
+                    f"'{p.change}' change — a bare table stream cannot "
+                    "represent removals. Stream the typed change feed "
+                    "(format 'versioned_feed') for CDC, or set "
+                    ".option('skipChangeCommits','true') to stream past "
+                    "data changes insert-only"
+                )
+            p.bare = True
+        return parts
+
+
+def _version_before_timestamp(root: str, ts: float) -> int:
+    """startingTimestamp resolution (Delta's rule for streams: include
+    every commit stamped AT or AFTER the instant): the exclusive
+    starting offset is the latest version committed strictly BEFORE
+    ``ts``; a timestamp predating the first commit streams from the
+    beginning; one past the last commit streams only future commits.
+    Bisects the log (stamps are non-decreasing — commit clamp in
+    versioned._commit), so stream start-up costs O(log versions)
+    record reads on a long streaming-ingest history, not a full-log
+    walk; a pre-clamp history with a proven stamp inversion falls back
+    to the linear prefix-max walk (versioned._bisect_stamps)."""
+    from .versioned import VersionedTable
+
+    t = VersionedTable(root)
+    best = t._bisect_stamps(t.versions(), ts, "last_lt")
+    return -1 if best is None else best
+
+
+def build_stream_reader(
+    options, root: str, schema: StructType, reader_cls=None
+) -> VersionedFeedStreamReader:
+    """Shared option-parsing for the two streaming formats: the typed
+    feed ('versioned_feed') and the bare insert-only table stream
+    ('versioned_table') accept the SAME options; only the reader class
+    (row framing) differs."""
+    snap = str(options.get("initialsnapshot", "")).lower() == "true"
+    start_ts = options.get("startingtimestamp")
+    if snap and (start_ts is not None or "startingversion" in options):
+        raise ValueError(
+            "initialSnapshot pins its own starting point (the current "
+            "snapshot version) — exclusive with startingVersion and "
+            "startingTimestamp"
+        )
+    if start_ts is not None:
+        if "startingversion" in options:
+            raise ValueError(
+                "set startingVersion OR startingTimestamp, not both"
+            )
+        start = _version_before_timestamp(root, float(start_ts))
+    else:
+        start = int(options.get("startingversion", -1))
+    mvpt = options.get("maxversionspertrigger")
+    mfpt = options.get("maxfilespertrigger")
+    if mfpt is not None and int(mfpt) < 1:
+        raise ValueError("maxFilesPerTrigger must be >= 1")
+    mbpt = options.get("maxbytespertrigger")
+    if mbpt is not None and int(mbpt) < 1:
+        raise ValueError("maxBytesPerTrigger must be >= 1")
+    prune_raw = options.get("prune")
+    prune = (
+        _prune_triples_to_filters(json.loads(prune_raw)) if prune_raw else None
+    )
+    cls = reader_cls or VersionedFeedStreamReader
+    return cls(
+        root,
+        schema,
+        start,
+        int(mvpt) if mvpt is not None else None,
+        prune,
+        initial_snapshot=snap,
+        skip_change_commits=(
+            str(options.get("skipchangecommits", "")).lower() == "true"
+        ),
+        max_files=int(mfpt) if mfpt is not None else None,
+        max_bytes=int(mbpt) if mbpt is not None else None,
+    )
+
+
 class VersionedFeedDataSource(DataSource):
     """spark.readStream.format("versioned_feed").option("path", root)."""
 
@@ -910,24 +1016,6 @@ class VersionedFeedDataSource(DataSource):
                 "versioned_feed requires .option('path', <table root>)"
             )
         return root
-
-    def _version_before_timestamp(self, ts: float) -> int:
-        """startingTimestamp resolution (Delta's rule for streams:
-        include every commit stamped AT or AFTER the instant): the
-        exclusive starting offset is the latest version committed
-        strictly BEFORE ``ts``; a timestamp predating the first commit
-        streams from the beginning; one past the last commit streams
-        only future commits. Bisects the log (stamps are
-        non-decreasing — commit clamp in versioned._commit), so stream
-        start-up costs O(log versions) record reads on a long
-        streaming-ingest history, not a full-log walk; a pre-clamp
-        history with a proven stamp inversion falls back to the linear
-        prefix-max walk (versioned._bisect_stamps)."""
-        from .versioned import VersionedTable
-
-        t = VersionedTable(self._root())
-        best = t._bisect_stamps(t.versions(), ts, "last_lt")
-        return -1 if best is None else best
 
     def schema(self) -> StructType:
         from .versioned import VersionedTable
@@ -961,51 +1049,7 @@ class VersionedFeedDataSource(DataSource):
         )
 
     def streamReader(self, schema: StructType) -> VersionedFeedStreamReader:
-        snap = str(self.options.get("initialsnapshot", "")).lower() == "true"
-        start_ts = self.options.get("startingtimestamp")
-        if snap and (
-            start_ts is not None or "startingversion" in self.options
-        ):
-            raise ValueError(
-                "initialSnapshot pins its own starting point (the current "
-                "snapshot version) — exclusive with startingVersion and "
-                "startingTimestamp"
-            )
-        if start_ts is not None:
-            if "startingversion" in self.options:
-                raise ValueError(
-                    "set startingVersion OR startingTimestamp, not both"
-                )
-            start = self._version_before_timestamp(float(start_ts))
-        else:
-            start = int(self.options.get("startingversion", -1))
-        mvpt = self.options.get("maxversionspertrigger")
-        mfpt = self.options.get("maxfilespertrigger")
-        if mfpt is not None and int(mfpt) < 1:
-            raise ValueError("maxFilesPerTrigger must be >= 1")
-        mbpt = self.options.get("maxbytespertrigger")
-        if mbpt is not None and int(mbpt) < 1:
-            raise ValueError("maxBytesPerTrigger must be >= 1")
-        prune_raw = self.options.get("prune")
-        prune = (
-            _prune_triples_to_filters(json.loads(prune_raw))
-            if prune_raw
-            else None
-        )
-        return VersionedFeedStreamReader(
-            self._root(),
-            schema,
-            start,
-            int(mvpt) if mvpt is not None else None,
-            prune,
-            initial_snapshot=snap,
-            skip_change_commits=(
-                str(self.options.get("skipchangecommits", "")).lower()
-                == "true"
-            ),
-            max_files=int(mfpt) if mfpt is not None else None,
-            max_bytes=int(mbpt) if mbpt is not None else None,
-        )
+        return build_stream_reader(self.options, self._root(), schema)
 
     def reader(self, schema: StructType) -> VersionedFeedBatchReader:
         since = int(self.options.get("sinceversion", -1))

@@ -276,3 +276,110 @@ def test_read_path_prunes_columns_per_file(spark, tmp_path):
         )
     ]
     assert sorted(rows) == [(i, f"r{i}") for i in range(10)]
+
+
+def test_table_stream_insert_only(spark, tmp_path):
+    """spark.readStream.format('versioned_table'): the insert-only
+    TABLE stream (bare rows, Delta's readStream default) — appends
+    flow through on one checkpoint, the schema is the table schema
+    (no feed meta columns), and rate limits compose."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    register_table_sink(spark)
+    batches = []
+
+    def sink(df, bid):
+        batches.append({tuple(r) for r in df.collect()})
+
+    stream = (
+        spark.readStream.format(FORMAT_NAME).option("path", t.root).load()
+    )
+    assert stream.columns == ["k", "v"]  # bare: no _change_type et al.
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        t.append(_df(spark, [(3, "c")]))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert set().union(*[b for b in batches if b]) == {
+        (1, "a"), (2, "b"), (3, "c")
+    }
+
+
+def test_table_stream_fails_on_change_commits_unless_skipped(spark, tmp_path):
+    """A delete/merge commit inside the consumed window fails the bare
+    table stream loudly (bare rows cannot represent removals — Delta's
+    contract); skipChangeCommits opts into insert-only consumption
+    past it; the typed feed remains the CDC answer."""
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a"), (2, "b")]))
+    # CAPTURED delete: the feed can represent it (typed slice), the
+    # BARE table stream cannot — this exercises the table stream's own
+    # guard rather than feed_slices' uncaptured wall (also loud)
+    t.delete_where_dv(spark, "k = 1", emit_changes=True)
+    t.append(_df(spark, [(3, "c")]))
+    register_table_sink(spark)
+    rows = []
+
+    def sink(df, bid):
+        rows.extend(tuple(r) for r in df.collect())
+
+    def run(skip: bool, ckpt: str):
+        r = spark.readStream.format(FORMAT_NAME).option("path", t.root)
+        if skip:
+            r = r.option("skipChangeCommits", "true")
+        q = (
+            r.load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(Exception, match="versioned_feed|skipChangeCommits"):
+        run(False, "ckpt1")
+    rows.clear()
+    run(True, "ckpt2")
+    assert set(rows) == {(1, "a"), (2, "b"), (3, "c")}  # inserts only
+
+
+def test_table_stream_initial_snapshot_dv_filtered(spark, tmp_path):
+    """initialSnapshot on the TABLE stream: the first batch serves the
+    DV-filtered current snapshot as bare rows, then ordinary appends
+    follow on the same checkpoint."""
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(i, f"r{i}") for i in range(6)]))
+    t.delete_where_dv(spark, "k % 2 = 0")
+    register_table_sink(spark)
+    rows = []
+
+    def sink(df, bid):
+        rows.extend(tuple(r) for r in df.collect())
+
+    def run():
+        q = (
+            spark.readStream.format(FORMAT_NAME)
+            .option("path", t.root)
+            .option("initialSnapshot", "true")
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert set(rows) == {(1, "r1"), (3, "r3"), (5, "r5")}  # DVs applied
+    t.append(_df(spark, [(9, "new")]))
+    run()
+    assert set(rows) == {(1, "r1"), (3, "r3"), (5, "r5"), (9, "new")}
