@@ -390,9 +390,15 @@ class VersionedSinkDataSource(DataSource):
         return VersionedTable(root)
 
     def _pinned_version(self, t) -> int:
-        """Resolve the snapshot version ONCE per DataSource instance:
-        schema() and reader() must describe the same snapshot even if
-        a commit lands between the two calls (TOCTOU)."""
+        """Resolve the snapshot version ONCE per DataSource instance,
+        so schema() and reader() describe the same snapshot when Spark
+        serves both from one instance (the pin rides the pickled
+        instance state). If the engine ever re-instantiates between
+        the two calls, each resolves latest independently — a commit
+        landing in that window then pairs schema(v) with rowset(v+1),
+        which schema-evolution union semantics keep benign (the reader
+        pads/casts every file to the NEGOTIATED schema; explicit
+        versionAsOf/timestampAsOf pins are deterministic either way)."""
         pin = getattr(self, "_pin", None)
         if pin is not None:
             return pin

@@ -87,7 +87,24 @@ class ExpectationsSink:
             )
             for e in self.expectations
         ]
-        flagged = batch_df.select("*", *flags)
+        # persist the flagged batch: the count pass plus up to two
+        # landings (dest, DLQ) would otherwise recompute the
+        # micro-batch source 3x; MEMORY_AND_DISK spills instead of
+        # OOMing on a fat batch, and the unpersist below bounds the
+        # footprint to one batch
+        from pyspark import StorageLevel
+
+        flagged = batch_df.select("*", *flags).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            self._gate_and_land(spark, flagged, batch_df.columns, batch_id)
+        finally:
+            flagged.unpersist()
+
+    def _gate_and_land(
+        self, spark, flagged: DataFrame, data_cols: list, batch_id: int
+    ) -> None:
         # ONE aggregation pass for every expectation's violation count
         counts_row = flagged.agg(
             F.count(F.lit(1)).alias("__n"),
@@ -133,11 +150,11 @@ class ExpectationsSink:
                 ),
                 lambda x: x.isNotNull(),
             )
-            clean = flagged.filter(keep_pred).select(*batch_df.columns)
+            clean = flagged.filter(keep_pred).select(*data_cols)
             dead = (
                 flagged.filter(~keep_pred)
                 .select(
-                    *batch_df.columns,
+                    *data_cols,
                     F.concat_ws(",", failed_list).alias(
                         "_failed_expectations"
                     ),
@@ -145,7 +162,7 @@ class ExpectationsSink:
             )
             self.dlq.append(dead, batch_id=batch_id)
         else:
-            clean = flagged.select(*batch_df.columns)
+            clean = flagged.select(*data_cols)
         # data first, metrics LAST (the replay detector)
         self.dest.append(clean, batch_id=batch_id)
         metrics_rows = [
