@@ -1,4 +1,9 @@
-"""VersionedTable as a native Structured Streaming SINK.
+"""The ``versioned_table`` interop DataSource: streaming SINK (this
+module's core), batch writer twin, batch SNAPSHOT reader, and
+insert-only table stream — every quadrant of read/write x
+batch/stream under one format name (the typed change feed is the
+sibling ``versioned_feed`` in stream_source.py, which also implements
+the reader classes this module's DataSource delegates to).
 
 ``df.writeStream.format("versioned_table").option("path", root)`` —
 the write-side twin of storage/stream_source.py, through PySpark 4's
