@@ -76,7 +76,10 @@ file-idx space is the deterministic raw enumeration of the commit's
 slice files, so replays stay byte-identical and the prune bound only
 skips emission, never shifts offsets; composes with
 maxVersionsPerTrigger — both bounds hold; metadata-only commits pass
-free; first trigger of a (re)started run is uncapped, same as Delta).
+free; first trigger of a (re)started run is uncapped, same as Delta.
+Rate limits govern CHANGE consumption: an ``initialSnapshot`` opening
+batch always serves the whole pinned snapshot — offsets subdivide
+commits, not snapshots).
 """
 
 from __future__ import annotations

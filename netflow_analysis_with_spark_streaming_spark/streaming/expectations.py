@@ -81,6 +81,19 @@ class ExpectationsSink:
         spark = batch_df.sparkSession
         if batch_id in self.metrics.committed_batch_ids():
             return  # metrics commit LAST: present = batch fully landed
+        clash = [
+            c
+            for c in batch_df.columns
+            if c.startswith("__ok_") or c == "_failed_expectations"
+        ]
+        if clash:
+            # the gate's working columns would silently shadow (or be
+            # shadowed by) same-named data columns — refuse loudly
+            raise ValueError(
+                f"batch columns {clash} collide with the expectations "
+                "gate's reserved names (__ok_* / _failed_expectations); "
+                "rename them upstream"
+            )
         flags = [
             F.coalesce(F.expr(e.predicate_sql), F.lit(False)).alias(
                 f"__ok_{e.name}"

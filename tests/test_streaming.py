@@ -1399,3 +1399,23 @@ def test_expectations_sink_end_to_end_stream(spark, tmp_path):
     assert {r["k"] for r in sink.dlq.read(spark).collect()} == {2}
     met = sink.metrics.read(spark).collect()
     assert [(r["rows_in"], r["violations"]) for r in met] == [(4, 1)]
+
+
+def test_expectations_sink_refuses_reserved_column_clash(spark, tmp_path):
+    """A batch whose columns collide with the gate's working names
+    (__ok_* / _failed_expectations) refuses loudly — silent shadowing
+    is how a gate passes rows it never evaluated."""
+    import pytest
+
+    from netflow_analysis_with_spark_streaming_spark.streaming.expectations import (
+        Expectation,
+        ExpectationsSink,
+    )
+
+    sink = ExpectationsSink(
+        str(tmp_path / "t"), [Expectation("x", "k >= 0", "drop")]
+    )
+    bad = spark.createDataFrame([(1, True)], "k long, __ok_x boolean")
+    with pytest.raises(ValueError, match="reserved"):
+        sink.process_batch(bad, 0)
+    assert sink.dest.versions() == []
