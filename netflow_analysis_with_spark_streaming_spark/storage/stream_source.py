@@ -816,7 +816,14 @@ class VersionedSnapshotBatchReader(DataSourceReader):
     (merge-on-read), column mapping resolves physical names, and
     schema evolution pads/casts per file. The snapshot version is
     pinned at DataSource construction — schema() and partitions()
-    cannot disagree across a concurrent commit."""
+    cannot disagree across a concurrent commit.
+
+    Column projection: Spark does NOT push required columns into
+    Python scans (the plan shows the full-width BatchScan under a
+    Project), so narrow reads should pass ``.schema("k long, v
+    double")`` — the per-file arrow read then opens ONLY those
+    physical columns (measured 12x on a 2-of-22-column projection;
+    on object storage the unfetched bytes are the real win)."""
 
     _prune_filters: list = []
 
