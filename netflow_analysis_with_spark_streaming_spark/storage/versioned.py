@@ -308,7 +308,7 @@ class VersionedTable:
         self._mat_cache: dict[int, dict] = {}
         # incremental idempotency read-set (committed_batch_ids):
         # batch ids folded from versions <= _batch_scan_hwm
-        self._batch_ids: set[int] = set()
+        self._batch_ids: set = set()
         self._batch_scan_hwm: int = -1
         os.makedirs(self._log, exist_ok=True)
         os.makedirs(self._data, exist_ok=True)
@@ -476,10 +476,12 @@ class VersionedTable:
             for m in self._records()
         ]
 
-    def committed_batch_ids(self) -> set[int]:
+    def committed_batch_ids(self) -> set:
         """Every batch id any live commit carries — the idempotency
         read-set, consulted (up to twice) by EVERY batch-stamped
-        write. Incrementally maintained per handle: a commit's batch
+        write. Ids are plain ints (foreachBatch sinks) or
+        per-query-scoped ``"<appId>#<batchId>"`` strings (the native
+        streaming sink) — the set holds both. Incrementally maintained per handle: a commit's batch
         id is immutable, so only versions ABOVE the handle's
         high-water mark are read — O(new commits) per call instead of
         O(history), which on a long-retention streaming-ingest table
