@@ -37,6 +37,29 @@ def _df(spark, rows):
     return spark.createDataFrame(rows, "k long, v string")
 
 
+def _rows_batch(schema_json, rows):
+    """Arrow batch shaped the way Spark's transport delivers data to
+    the arrow writer: logical field order, timestamps as epoch-micros
+    arrays (a naive local wall-clock datetime becomes the aware
+    instant the JVM would tag with the session zone — collect()'s own
+    convention, so round-trip asserts stay zone-honest)."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    sch = to_arrow_schema(StructType.fromJson(json.loads(schema_json)))
+    cols = []
+    for i, f in enumerate(sch):
+        vals = [r[i] for r in rows]
+        if pa.types.is_timestamp(f.type) and f.type.tz is not None:
+            vals = [
+                v.astimezone() if v is not None and v.tzinfo is None else v
+                for v in vals
+            ]
+        cols.append(pa.array(vals, type=f.type))
+    return pa.RecordBatch.from_arrays(cols, schema=sch)
+
+
 def test_stream_feed_into_sink_end_to_end(spark, tmp_path):
     """The headline: a versioned table's typed change feed streams
     into ANOTHER versioned table through the native sink — no
@@ -108,13 +131,13 @@ def test_sink_replayed_batch_is_noop_and_drops_staging(spark, tmp_path):
         }
     )
     w = VersionedSinkWriter(root, schema_json, {}, [], ["k"])
-    m1 = w.write(iter([(1, "a"), (2, "b")]))
+    m1 = w.write(iter([_rows_batch(schema_json, [(1, "a"), (2, "b")])]))
     w.commit([m1], 7)
     t = VersionedTable(root)
     assert t.read(spark).count() == 2
     assert t.history()[-1]["batch_id"] == 7
     # replay: same batch id, fresh staging
-    m2 = w.write(iter([(1, "a"), (2, "b")]))
+    m2 = w.write(iter([_rows_batch(schema_json, [(1, "a"), (2, "b")])]))
     staged_dir = os.path.join(root, m2.group)
     assert os.path.isdir(staged_dir)
     w.commit([m2], 7)
@@ -123,7 +146,7 @@ def test_sink_replayed_batch_is_noop_and_drops_staging(spark, tmp_path):
     assert not os.path.isdir(staged_dir)  # replay staging reclaimed
     assert t.fsck() == []
     # abort: staged groups deleted, nothing committed
-    m3 = w.write(iter([(9, "z")]))
+    m3 = w.write(iter([_rows_batch(schema_json, [(9, "z")])]))
     w.abort([m3], 8)
     assert not os.path.isdir(os.path.join(root, m3.group))
     assert len(t.versions()) == 1
@@ -171,7 +194,7 @@ def test_sink_type_fidelity_roundtrip(spark, tmp_path):
     )
     w = VersionedSinkWriter(root, schema_json, {}, [], ["l", "dt", "ts"])
     os.makedirs(root)
-    w.commit([w.write(iter([row, tuple([None] * 9)]))], 0)
+    w.commit([w.write(iter([_rows_batch(schema_json, [row, tuple([None] * 9)])]))], 0)
     t = VersionedTable(root)
     got = t.read(spark).orderBy(F.col("i").asc_nulls_last()).collect()
     assert len(got) == 2
@@ -218,32 +241,19 @@ def test_sink_refuses_constraints_and_unsupported_types(spark, tmp_path):
         ds_g.streamWriter(schema, False)
     with pytest.raises(ValueError, match="generated column"):
         t2.commit_staged(["data/xyz"], {}, schema.json())
-    # unsupported type (map) fails at creation
-    bad = StructType.fromJson(
-        json.loads(
-            json.dumps(
-                {
-                    "type": "struct",
-                    "fields": [
-                        {
-                            "name": "m",
-                            "type": {
-                                "type": "map",
-                                "keyType": "string",
-                                "valueType": "long",
-                                "valueContainsNull": True,
-                            },
-                            "nullable": True,
-                            "metadata": {},
-                        }
-                    ],
-                }
-            )
-        )
-    )
+    # unsupported type (interval — arrow duration, no parquet story)
+    # fails at creation; nested/map/decimal are SUPPORTED since the
+    # arrow-writer rework, so the probe type is an interval column
+    bad = spark.sql(
+        "SELECT id * INTERVAL '1' SECOND AS dur FROM range(1)"
+    ).schema
     ds2 = VersionedSinkDataSource(options={"path": str(tmp_path / "t2")})
     with pytest.raises(ValueError, match="unsupported column type"):
         ds2.streamWriter(bad, False)
+    # VARIANT would silently round-trip as a bare struct-of-binaries
+    bad_v = spark.sql("SELECT parse_json('{\"a\":1}') AS v").schema
+    with pytest.raises(ValueError, match="unsupported column type"):
+        ds2.streamWriter(bad_v, False)
 
 
 def test_sink_fails_closed_on_concurrent_rename(spark, tmp_path):
@@ -256,7 +266,7 @@ def test_sink_fails_closed_on_concurrent_rename(spark, tmp_path):
     t.append(_df(spark, [(1, "a")]))
     schema_json = _df(spark, [(1, "a")]).schema.json()
     w = VersionedSinkWriter(root, schema_json, {}, [], ["k"])
-    m = w.write(iter([(2, "b")]))
+    m = w.write(iter([_rows_batch(schema_json, [(2, "b")])]))
     staged = os.path.join(root, m.group)
     t.rename_column("v", "w")  # race winner
     with pytest.raises(ValueError, match="restart the stream"):
@@ -332,14 +342,14 @@ def test_sink_idempotency_scoped_per_query(spark, tmp_path):
     schema_json = _df(spark, [(1, "a")]).schema.json()
     w_q1 = VersionedSinkWriter(root, schema_json, {}, [], ["k"], app_id="q1")
     w_q2 = VersionedSinkWriter(root, schema_json, {}, [], ["k"], app_id="q2")
-    w_q1.commit([w_q1.write(iter([(1, "a")]))], 0)
+    w_q1.commit([w_q1.write(iter([_rows_batch(schema_json, [(1, "a")])]))], 0)
     t = VersionedTable(root)
     assert t.read(spark).count() == 1
     # different query, same bare batchId: LANDS (the data-loss bug)
-    w_q2.commit([w_q2.write(iter([(2, "b")]))], 0)
+    w_q2.commit([w_q2.write(iter([_rows_batch(schema_json, [(2, "b")])]))], 0)
     assert t.read(spark).count() == 2
     # same query replaying its batch: no-op, staging reclaimed
-    m = w_q1.write(iter([(1, "a")]))
+    m = w_q1.write(iter([_rows_batch(schema_json, [(1, "a")])]))
     staged = os.path.join(root, m.group)
     w_q1.commit([m], 0)
     assert t.read(spark).count() == 2
@@ -373,13 +383,14 @@ def test_sink_stream_writer_requires_query_identity(spark, tmp_path):
 
 
 def test_sink_nested_timestamps_match_toplevel_encoding(tmp_path):
-    """array<timestamp> elements must go through the same
-    local-zone-aware micros conversion as top-level timestamps:
-    handing naive datetimes straight to a tz-aware arrow list type
-    reads them as UTC and shifts every nested instant by the worker's
-    UTC offset. Pin the invariant zone-independently: the STORED
-    micros of a top-level timestamp and of the same datetime inside
-    an array must be equal (no Spark session — raw parquet check)."""
+    """Instant fidelity at every nesting depth on the arrow path:
+    Spark's transport delivers timestamps as epoch-micros arrays
+    tagged with the SESSION zone, and the staged cast to UTC must
+    RELABEL — never shift — those instants, for a top-level column,
+    an array element, and a two-deep NTZ leaf alike. Pin it
+    zone-independently by feeding a batch tagged with a non-UTC zone
+    and asserting the STORED micros (raw parquet, no Spark session)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     root = str(tmp_path / "t")
@@ -416,24 +427,38 @@ def test_sink_nested_timestamps_match_toplevel_encoding(tmp_path):
             ],
         }
     )
-    dt = datetime(2026, 3, 15, 7, 30, 12, 345678)
+    micros = 1773559812345678  # one fixed instant, as epoch micros
+    ny = pa.timestamp("us", tz="America/New_York")  # hostile session zone
+    ntz = pa.timestamp("us")
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([micros, None], type=pa.int64()).cast(ny),
+            pa.array([[micros, None], None], type=pa.list_(pa.int64())).cast(
+                pa.list_(ny)
+            ),
+            # NTZ arrives zone-free from Spark: wall-clock micros
+            pa.array(
+                [[[micros]], None], type=pa.list_(pa.list_(pa.int64()))
+            ).cast(pa.list_(pa.list_(ntz))),
+        ],
+        names=["ts", "arr", "nested"],
+    )
     w = VersionedSinkWriter(root, schema_json, {}, [], [])
-    m = w.write(iter([(dt, [dt, None], [[dt]]), (None, None, None)]))
+    m = w.write(iter([batch]))
     w.commit([m], 0)
     raw = pq.read_table(os.path.join(root, m.group))
-    top = raw.column("ts").cast("int64").to_pylist()[0]
-    elem = raw.column("arr").to_pylist()[0][0]
-    from netflow_analysis_with_spark_streaming_spark.storage.stream_sink import (
-        _ts_to_micros,
-    )
-
-    assert elem is not None
-    # stored micros identical between nesting levels (instant column)
-    assert int(elem.timestamp() * 1_000_000) == top
-    # NTZ leaf two levels deep: zone-free wall-clock conversion
-    deep = raw.column("nested").to_pylist()[0][0][0]
-    assert deep.replace(tzinfo=None) == dt
-    assert _ts_to_micros(dt, True) == 1773559812345678 // 1  # wall-clock micros stable
+    # stored micros identical between nesting levels (instant columns)
+    assert raw.column("ts").type == pa.timestamp("us", tz="UTC")
+    assert raw.column("ts").cast(pa.int64()).to_pylist() == [micros, None]
+    arr = raw.column("arr").combine_chunks()
+    assert arr.type == pa.list_(pa.timestamp("us", tz="UTC"))
+    assert arr.to_pylist()[1] is None
+    assert arr.flatten().cast(pa.int64()).to_pylist() == [micros, None]
+    # NTZ leaf two levels deep: zone-free wall-clock, byte-identical
+    deep = raw.column("nested").combine_chunks()
+    assert deep.type == pa.list_(pa.list_(pa.timestamp("us")))
+    assert deep.flatten().flatten().cast(pa.int64()).to_pylist() == [micros]
+    assert deep.to_pylist()[0][0][0] == datetime(2026, 3, 15, 7, 30, 12, 345678)
 
 
 def test_sink_empty_overwrite_truncates(spark, tmp_path):
@@ -458,30 +483,62 @@ def test_sink_empty_overwrite_truncates(spark, tmp_path):
 
 
 def test_sink_chunked_staging_bounds_memory(spark, tmp_path, monkeypatch):
-    """write() consumes the task iterator in bounded chunks (one arrow
-    row group each) instead of buffering the whole partition: with the
-    chunk size forced tiny, a 25-row task still lands ONE staged file
-    whose parquet has multiple row groups, with min/max stats folded
-    across every chunk."""
+    """write() buffers incoming arrow batches only up to FLUSH_ROWS
+    before writing one parquet row group: with the flush size forced
+    tiny, a task fed five 5-row batches still lands ONE staged file
+    whose parquet has multiple row groups (10+10+5), with min/max
+    stats folded across every flush — executor memory stays O(flush),
+    never O(micro-batch partition)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    monkeypatch.setattr(VersionedSinkWriter, "CHUNK_ROWS", 7)
+    monkeypatch.setattr(VersionedSinkWriter, "FLUSH_ROWS", 7)
     root = str(tmp_path / "t")
     os.makedirs(root)
     schema_json = _df(spark, [(1, "a")]).schema.json()
     w = VersionedSinkWriter(root, schema_json, {}, [], ["k"])
-    rows = [(i, f"r{i}") for i in range(25)]
-    m = w.write(iter(rows))
+    batches = [
+        pa.RecordBatch.from_arrays(
+            [
+                pa.array([i * 5 + j for j in range(5)], type=pa.int64()),
+                pa.array([f"r{i * 5 + j}" for j in range(5)]),
+            ],
+            names=["k", "v"],
+        )
+        for i in range(5)
+    ]
+    m = w.write(iter(batches))
     assert m.rows == 25
-    assert m.stats["k"] == [0, 24]  # folded across all 4 chunks
+    assert m.stats["k"] == [0, 24]  # folded across all 3 flushes
     assert m.stats["__rows__"] == 25
     pf = pq.ParquetFile(os.path.join(root, m.group, "part-0.parquet"))
-    assert pf.metadata.num_row_groups == 4  # 7+7+7+4
+    assert pf.metadata.num_row_groups == 3  # 10+10+5 (flush at >=7)
     w.commit([m], 0)
     t = VersionedTable(root)
     got = sorted(r["k"] for r in t.read(spark).collect())
     assert got == list(range(25))
     assert t.fsck() == []
+
+
+def test_sink_writer_is_arrow_native(spark, tmp_path):
+    """The sink writer subclasses the Arrow writer ABCs — the exact
+    isinstance Spark's write worker dispatches on — so rows never
+    materialize as Python objects on the staging path (measured 8x
+    staging throughput vs the row-iterator writer; BASELINE.md
+    round 11)."""
+    from pyspark.sql.datasource import (
+        DataSourceArrowWriter,
+        DataSourceStreamArrowWriter,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    ds = VersionedSinkDataSource(options={"path": root, "txnappid": "q1"})
+    schema = _df(spark, [(1, "a")]).schema
+    assert isinstance(ds.writer(schema, False), DataSourceArrowWriter)
+    assert isinstance(
+        ds.streamWriter(schema, False), DataSourceStreamArrowWriter
+    )
 
 
 def test_sink_refuses_unorderable_stats_cols_at_creation(spark, tmp_path):
@@ -508,3 +565,105 @@ def test_sink_refuses_unorderable_stats_cols_at_creation(spark, tmp_path):
         options={"path": root, "statscols": "k", "txnappid": "q"}
     ).streamWriter(schema, False)
     assert w.stats_cols == ["k"]
+
+
+def test_sink_nested_types_roundtrip(spark, tmp_path):
+    """The sink accepts the full nested surface — struct, map, array,
+    decimal, nested timestamps — and the table reads back EXACTLY,
+    through both the Python API and the vanilla format reader (the
+    document shapes the reference pushed at Mongo, README.md:130-142,
+    now land as typed parquet instead of BSON)."""
+    register_table_sink(spark)
+    root = str(tmp_path / "t")
+    src = spark.sql(
+        """
+        SELECT id,
+               named_struct('a', CAST(id AS INT),
+                            'when', timestamp_micros(1700000000000000 + id),
+                            'tags', array(CAST(id AS STRING), 'x')) AS st,
+               map('k1', CAST(id AS DECIMAL(10,2)),
+                   'k2', CAST(id * 2 AS DECIMAL(10,2))) AS m,
+               array(named_struct('d', date_add(date'2024-01-01', CAST(id AS INT)))) AS arr
+        FROM range(100)
+        """
+    )
+    src.write.format(SINK_FORMAT).option("path", root).mode("append").save()
+    t = VersionedTable(root)
+    exp = sorted(src.collect(), key=lambda r: r.id)
+
+    got_api = sorted(t.read(spark).collect(), key=lambda r: r.id)
+    assert got_api == exp
+
+    got_fmt = sorted(
+        spark.read.format(SINK_FORMAT).option("path", root).load().collect(),
+        key=lambda r: r.id,
+    )
+    assert got_fmt == exp
+
+    # nested columns carry no skipping stats; the scalar still does
+    v = t.latest_version()
+    stats = next(iter(t._load_record(v)["stats"].values()))
+    assert "id" in stats
+    assert "st" not in stats and "m" not in stats and "arr" not in stats
+    assert t.fsck() == []
+
+def test_sink_nested_types_survive_dv_delete_and_stream(spark, tmp_path):
+    """Nested columns flow through the WHOLE storage stack, not just
+    the writer: a merge-on-read DV delete anti-filters files carrying
+    struct columns executor-side, and the insert-only table stream
+    serves them through the arrow read path."""
+    register_table_sink(spark)
+    root = str(tmp_path / "t")
+    src = spark.sql(
+        """
+        SELECT id, named_struct('a', CAST(id AS INT), 'b', CAST(id AS STRING)) AS st
+        FROM range(50)
+        """
+    )
+    src.write.format(SINK_FORMAT).option("path", root).mode("append").save()
+    t = VersionedTable(root)
+    t.delete_where_dv(spark, "id % 5 = 0")
+    kept = t.read(spark)
+    assert kept.count() == 40
+    assert sorted(r.st.a for r in kept.collect()) == sorted(
+        i for i in range(50) if i % 5
+    )
+    # vanilla-session stream over the table (bare rows): the snapshot
+    # open serves the DV-filtered struct rows through _read_partition
+    out = (
+        spark.readStream.format(SINK_FORMAT)
+        .option("path", root)
+        .option("initialSnapshot", "true")
+        .option("skipChangeCommits", "true")
+        .load()
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("nested_tbl_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM nested_tbl_stream").collect()
+    assert sorted(r.st.a for r in rows) == sorted(
+        i for i in range(50) if i % 5
+    )
+
+def test_sink_stats_cols_exclude_nested_and_decimal(spark, tmp_path):
+    """Explicit statsCols naming a nested or decimal column refuses at
+    creation (no order / lexicographic traps in the skipping index)."""
+    register_table_sink(spark)
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    df = spark.sql(
+        """
+        SELECT id, CAST(id AS DECIMAL(10,2)) AS dec,
+               named_struct('a', id) AS st
+        FROM range(3)
+        """
+    )
+    for bad in ("dec", "st"):
+        with pytest.raises(Exception, match="not orderable"):
+            df.write.format(SINK_FORMAT).option("path", root).option(
+                "statsCols", f"id,{bad}"
+            ).mode("append").save()

@@ -3517,11 +3517,20 @@ def test_interleaved_analyze_capture_rename_stress(spark, tmp_path):
             w = VersionedSinkWriter(
                 str(tmp_path / "t"), schema_json, {}, [], ["k"]
             )
+            import pyarrow as pa
+
             for j in range(2):
                 rows = [(base_key + j * 100 + i, f"s{j}") for i in range(10)]
-                m = w.write(iter(rows))
+                batch = pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([r[0] for r in rows], type=pa.int64()),
+                        pa.array([r[1] for r in rows]),
+                    ],
+                    names=["k", col],
+                )
+                m = w.write(iter([batch]))
                 w.commit([m], batchId=900_000 + j)
-                w.commit([w.write(iter(rows))], batchId=900_000 + j)  # replay
+                w.commit([w.write(iter([batch]))], batchId=900_000 + j)  # replay
         except Exception as e:
             errors.append(e)
 
