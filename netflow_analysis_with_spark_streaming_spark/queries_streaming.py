@@ -2367,6 +2367,85 @@ register(
 )
 
 
+def _storage_nested_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested document shapes through the native sink (round 11): the
+    arrow-native writer accepts struct/map/array/decimal columns — the
+    shapes the reference pushed at Mongo row-wise (reference
+    README.md:130-142, nested JSON documents) — and the vanilla format
+    reader serves them back. The hash line projects LEAVES of every
+    nested kind (struct field, decimal inside a struct, array element,
+    map value), so a shifted nested timestamp-style encoding bug, a
+    mis-padded struct, or a reordered map entry breaks the hash. The
+    oracle recomputes the same aggregates from raw events.
+
+    Scale: one pass to land (executor-side arrow staging, no
+    shuffle), one scan + tiny-key agg to read back."""
+    from .storage.stream_sink import FORMAT_NAME as TABLE_FORMAT
+    from .storage.stream_sink import register_table_sink
+
+    root = _run_tmp_root("netflow_vnested_") + "/t"
+    ev = (
+        tables.load(spark, "events", sf_dir)
+        .filter(F.col("event_id") % 7 == 0)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+    )
+    doc = ev.select(
+        "event_id",
+        F.struct(
+            F.col("user_id").cast("int").alias("uid"),
+            F.col("value").cast("decimal(12,2)").alias("amount"),
+            F.array("event_type", F.lit("tagged")).alias("tags"),
+        ).alias("st"),
+        F.create_map(F.lit("v"), F.col("value")).alias("m"),
+    )
+    register_table_sink(spark)
+    doc.write.format(TABLE_FORMAT).option("path", root).mode("append").save()
+    back = spark.read.format(TABLE_FORMAT).option("path", root).load()
+    return (
+        back.groupBy(F.col("st.uid").alias("uid"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum(F.col("st.amount")), 2)
+            .cast("double")
+            .alias("amount_sum"),
+            F.round(F.sum(F.element_at("m", F.lit("v"))), 2).alias("map_sum"),
+            F.max(F.element_at(F.col("st.tags"), 1)).alias("max_tag"),
+        )
+        .orderBy("uid")
+    )
+
+
+_STORAGE_NESTED_SINK_SQL = """
+WITH src AS (
+  SELECT event_id, CAST(user_id AS INT) AS uid, event_type,
+         CAST(ROUND(value, 2) AS DECIMAL(12,2)) AS amount,
+         ROUND(value, 2) AS v
+  FROM events WHERE event_id % 7 = 0
+)
+SELECT uid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS amount_sum,
+       ROUND(SUM(v), 2) AS map_sum,
+       MAX(event_type) AS max_tag
+FROM src
+GROUP BY uid
+ORDER BY uid
+"""
+
+
+register(
+    "storage_nested_sink_roundtrip",
+    _storage_nested_sink_roundtrip,
+    _STORAGE_NESTED_SINK_SQL,
+    driver=False,
+)
+
+
 # Report this registrar's completion — covers users importing a
 # registrar submodule directly, where queries.py's own registrar
 # imports re-enter this module mid-body. registrar_done is defined

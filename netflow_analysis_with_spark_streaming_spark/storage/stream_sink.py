@@ -375,6 +375,7 @@ class VersionedSinkDataSource(DataSource):
     # --- batch snapshot READ ------------------------------------------
 
     def _table(self):
+        from .stream_source import resolve_table_root
         from .versioned import VersionedTable
 
         root = self.options.get("path")
@@ -382,7 +383,10 @@ class VersionedSinkDataSource(DataSource):
             raise ValueError(
                 "versioned_table requires .option('path', <table root>)"
             )
-        return VersionedTable(root)
+        # SQL DDL (CREATE TABLE ... USING versioned_table) hands the
+        # path back catalog-qualified (file:/x) — unwrap to the plain
+        # path every other entry point uses
+        return VersionedTable(resolve_table_root(root))
 
     def _pinned_version(self, t) -> int:
         """Resolve the snapshot version ONCE per DataSource instance,
@@ -477,6 +481,7 @@ class VersionedSinkDataSource(DataSource):
     def _build_writer(
         self, schema, overwrite: bool, app_id: str | None = None
     ) -> VersionedSinkWriter:
+        from .stream_source import resolve_table_root
         from .versioned import VersionedTable
 
         root = self.options.get("path")
@@ -484,6 +489,7 @@ class VersionedSinkDataSource(DataSource):
             raise ValueError(
                 "versioned_table requires .option('path', <table root>)"
             )
+        root = resolve_table_root(root)  # SQL DDL qualifies to file:/x
         t = VersionedTable(root)
         if t.check_constraints() or t.generated_columns():
             raise ValueError(

@@ -302,6 +302,28 @@ def _read_partition(partition: FeedPartition) -> Iterator:
     yield from full.to_batches(max_chunksize=1 << 16)
 
 
+def resolve_table_root(root: str) -> str:
+    """Resolve a ``path`` option to the plain filesystem path every
+    other entry point uses. SQL DDL (``CREATE TABLE ... USING
+    versioned_table OPTIONS (path ...)``) hands the option back
+    catalog-QUALIFIED (``file:/x`` or ``file:///x``) rather than as
+    the literal string the user wrote; the engine is
+    local-filesystem-scoped, so a ``file:`` URI unwraps to its path
+    and any other scheme refuses loudly instead of being treated as a
+    relative directory name."""
+    if ":" not in root.split("/", 1)[0]:
+        return root  # plain path (no scheme before the first slash)
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(root)
+    if u.scheme == "file":
+        return unquote(u.path)
+    raise ValueError(
+        f"versioned table paths are local-filesystem only; got scheme "
+        f"{u.scheme!r} in {root!r}"
+    )
+
+
 def _prune_triples_to_filters(triples: list) -> list:
     """Convert caller-declared prune triples ``[col, lo, hi]`` into the
     datasource Filter objects `_group_may_match` evaluates — a point
@@ -1025,7 +1047,7 @@ class VersionedFeedDataSource(DataSource):
             raise ValueError(
                 "versioned_feed requires .option('path', <table root>)"
             )
-        return root
+        return resolve_table_root(root)
 
     def schema(self) -> StructType:
         from .versioned import VersionedTable

@@ -383,3 +383,37 @@ def test_table_stream_initial_snapshot_dv_filtered(spark, tmp_path):
     t.append(_df(spark, [(9, "new")]))
     run()
     assert set(rows) == {(1, "r1"), (3, "r3"), (5, "r5"), (9, "new")}
+
+
+def test_path_option_accepts_file_uri(spark, tmp_path):
+    """A catalog-qualified ``file:`` URI in the path option resolves
+    to the plain local path (SQL DDL and some catalog layers qualify
+    paths before handing them back); any other scheme refuses loudly
+    instead of being treated as a relative directory name. Full
+    ``CREATE TABLE ... USING versioned_table`` interop is blocked by
+    Spark itself — the catalog drops a python data source's OPTIONS on
+    read and refuses direct ``format.`path``` queries — so ``as_view``
+    remains the SQL route (FORMAT.md)."""
+    import pytest as _pytest
+
+    from netflow_analysis_with_spark_streaming_spark.storage.stream_source import (
+        resolve_table_root,
+    )
+
+    register_table_sink(spark)
+    root = str(tmp_path / "t")
+    _df(spark, [(1, "a"), (2, "b")]).write.format(FORMAT_NAME).option(
+        "path", f"file://{root}"
+    ).mode("append").save()
+    assert VersionedTable(root).read(spark).count() == 2  # plain path on disk
+    got = (
+        spark.read.format(FORMAT_NAME)
+        .option("path", f"file:{root}")
+        .load()
+        .count()
+    )
+    assert got == 2
+    assert resolve_table_root("file:///x/y") == "/x/y"
+    assert resolve_table_root("/plain/path") == "/plain/path"
+    with _pytest.raises(ValueError, match="local-filesystem only"):
+        resolve_table_root("s3a://bucket/t")
