@@ -789,6 +789,114 @@ ORDER BY a.user_id, click_id, buy_id
 """
 
 
+def _stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the surface the inner
+    entry above cannot cover: a null-extended row for a click with no
+    purchase inside the bound only emits when the GLOBAL watermark
+    (min across both inputs) passes the click's eviction edge
+    (cts + bound), i.e. it exercises outer-join STATE EVICTION, not
+    row matching. Determinism: one sentinel row per side planted 30
+    days past the global max ts (user_id -1, excluded from the
+    result) pushes both inputs' watermarks far beyond every real
+    click's edge, so — availableNow running its trailing no-data
+    batch — the emitted set equals the complete batch LEFT JOIN, an
+    exact hash oracle for eviction correctness (a row evicted early,
+    late, or twice breaks it).
+
+    Scale: state stays bounded by watermark + bound per key, the same
+    shuffle-on-user_id shape as the inner join; eviction is part of
+    the same stateful stage, no extra pass."""
+    import datetime as _dt
+    import hashlib
+    import os
+    import tempfile
+
+    tables.harden_session(spark)
+    ev = (
+        tables.load(spark, "events", sf_dir)
+        .filter(F.col("user_id") < 100)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+    # one scalar to the driver (max ts) — needed to PLANT the sentinels
+    flush_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"] + _dt.timedelta(
+        days=30
+    )
+    src_file = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src_file)
+    tag = hashlib.md5(
+        f"louter:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    src_dir = tempfile.gettempdir() + f"/netflow_louter_src_{tag}"
+
+    def _build(tmp: str) -> None:
+        ev.coalesce(1).write.mode("append").parquet(tmp)
+        spark.createDataFrame(
+            [(-1, -1, "click", flush_ts), (-2, -1, "purchase", flush_ts)],
+            "event_id long, user_id long, event_type string, ts timestamp",
+        ).coalesce(1).write.mode("append").parquet(tmp)
+
+    _prepare_cached_dir(src_dir, _build)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampType()),
+        ]
+    )
+    clicks = (
+        sources.parquet_file_source(spark, src_dir, schema)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+        )
+        .withWatermark("cts", "2 days")
+    )
+    buys = (
+        sources.parquet_file_source(spark, src_dir, schema)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("bts"), F.col("event_id").alias("buy_id"))
+        .withWatermark("bts", "2 days")
+    )
+    joined = clicks.join(
+        buys,
+        (clicks.user_id == buys.user_id)
+        & (buys.bts >= clicks.cts)
+        & (buys.bts <= clicks.cts + F.expr("INTERVAL 1 DAY")),
+        "leftOuter",
+    ).select(clicks.user_id, "click_id", "buy_id")
+    with _bounded_state_partitions(spark):
+        jobs.run_to_memory(joined, "stream_join_left_outer", output_mode="append")
+    return (
+        spark.table("stream_join_left_outer")
+        .filter(F.col("user_id") >= 0)  # sentinels out
+        .orderBy("user_id", "click_id", "buy_id")
+    )
+
+
+_STREAM_LOUTER_SQL = """
+SELECT a.user_id, a.event_id AS click_id, b.event_id AS buy_id
+FROM events a
+LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND b.event_type = 'purchase'
+ AND b.user_id < 100
+ AND b.ts >= a.ts
+ AND b.ts <= a.ts + INTERVAL 1 DAY
+WHERE a.event_type = 'click' AND a.user_id < 100
+ORDER BY a.user_id, click_id, buy_id
+"""
+
+
+register(
+    "stream_join_left_outer",
+    _stream_join_left_outer,
+    _STREAM_LOUTER_SQL,
+    driver=False,
+)
+
+
 def _storage_versioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The versioned table format end-to-end (storage/versioned.py):
     snapshot write -> copy-on-write keyed upsert -> read-back. The
