@@ -897,6 +897,141 @@ register(
 )
 
 
+def _pipeline_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze -> silver -> gold medallion pipeline, every hop an
+    engine surface, exactly-once end to end — the reference's whole
+    topology (pmacct -> Kafka -> Spark -> Mongo -> dashboard,
+    reference README.md:63-153) as durable, time-travelable hops
+    instead of fire-and-forget row inserts:
+
+    - BRONZE: raw events replayed as a paced file stream (3 files,
+      maxFilesPerTrigger=1) land through the native arrow sink as 3
+      exactly-once commits.
+    - SILVER + GOLD: the bronze TABLE STREAM (insert-only, paced
+      1 commit/trigger) is cleaned declaratively (null/negative
+      values dropped, day bucket derived) and lands through
+      StreamingViewMaintainer — silver appends batch-id-stamped, the
+      gold per-(day, event_type) aggregate advanced from silver's
+      typed change feed ONLY (IVM: the silver table is never
+      rescanned).
+
+    The oracle recomputes gold from raw events in one SQL statement;
+    a dropped batch, a double-landed replay, or IVM drift at any hop
+    breaks the hash. Scale: each hop is the already-probed surface
+    (sink staging is arrow-native O(batch); the table stream is
+    delta-sized per trigger; maintenance is O(change) via feed
+    windows)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .storage import incremental as IVM
+    from .storage.stream_sink import FORMAT_NAME as TABLE_FORMAT
+    from .storage.stream_sink import register_table_sink
+    from .storage.versioned import VersionedTable
+
+    tables.harden_session(spark)
+    register_table_sink(spark)
+    run_root = _run_tmp_root("netflow_medallion_")
+    bronze = VersionedTable(run_root + "/bronze")
+    silver = VersionedTable(run_root + "/silver")
+    gold = VersionedTable(run_root + "/gold")
+
+    ev = (
+        tables.load(spark, "events", sf_dir)
+        .filter(F.col("event_id") % 5 == 0)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+    src_file = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src_file)
+    tag = hashlib.md5(
+        f"medallion:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    src_dir = tempfile.gettempdir() + f"/netflow_medallion_src_{tag}"
+
+    def _build(tmp: str) -> None:
+        for k in range(3):  # 3 files -> 3 bronze micro-batches
+            ev.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+                "append"
+            ).parquet(tmp)
+
+    _prepare_cached_dir(src_dir, _build)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    # --- bronze: paced raw ingest through the native sink
+    raw = sources.parquet_file_source(
+        spark, src_dir, schema, max_files_per_trigger=1
+    )
+    with _bounded_state_partitions(spark):
+        q = (
+            raw.writeStream.format(TABLE_FORMAT)
+            .option("path", bronze.root)
+            .option("checkpointLocation", run_root + "/ck_bronze")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # --- silver + gold: bronze table stream, paced, cleaned, IVM
+        b = (
+            spark.readStream.format(TABLE_FORMAT)
+            .option("path", bronze.root)
+            .option("maxVersionsPerTrigger", "1")
+            .load()
+        )
+        cleaned = (
+            b.filter(F.col("value").isNotNull() & (F.col("value") >= 0))
+            .withColumn("day", F.to_date("ts"))
+            .select("event_id", "event_type", "day", "value")
+        )
+        sink = IVM.StreamingViewMaintainer(
+            silver, gold, ["day", "event_type"], ["value"]
+        )
+        q2 = (
+            cleaned.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", run_root + "/ck_silver")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+    assert len(bronze.versions()) == 3  # one exactly-once commit per file
+    return (
+        gold.read(spark)
+        .select(
+            "day",
+            "event_type",
+            "n_rows",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+_PIPELINE_MEDALLION_SQL = """
+SELECT CAST(ts AS DATE) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+WHERE event_id % 5 = 0 AND value IS NOT NULL AND value >= 0
+GROUP BY day, event_type
+ORDER BY day, event_type
+"""
+
+
+register(
+    "pipeline_medallion",
+    _pipeline_medallion,
+    _PIPELINE_MEDALLION_SQL,
+    driver=False,
+)
+
+
 def _storage_versioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The versioned table format end-to-end (storage/versioned.py):
     snapshot write -> copy-on-write keyed upsert -> read-back. The

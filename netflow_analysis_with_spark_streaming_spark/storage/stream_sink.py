@@ -365,7 +365,11 @@ class VersionedSinkDataSource(DataSource):
       (epoch seconds — Delta's rule: latest commit at or before the
       instant), ``pushdown`` ("true": Catalyst pushFilters prune,
       needs spark.sql.python.filterPushdown.enabled), ``prune``
-      (caller-declared ``[[col, lo, hi], ...]`` for vanilla sessions).
+      (caller-declared ``[[col, lo, hi], ...]`` for vanilla sessions),
+      ``columns`` (csv — column projection AT THE SOURCE: Spark does
+      not push column pruning into Python scans, so this narrows the
+      negotiated schema itself and the per-file arrow read opens only
+      those physical columns; composes with the table stream too).
     """
 
     @classmethod
@@ -430,7 +434,27 @@ class VersionedSinkDataSource(DataSource):
 
         t = self._table()
         v = self._pinned_version(t)
-        return StructType.fromJson(json.loads(t._load_record(v)["schema"]))
+        full = StructType.fromJson(json.loads(t._load_record(v)["schema"]))
+        csv = self.options.get("columns")
+        if not csv:
+            return full
+        # .option("columns", "a,b") — column projection AT THE SOURCE:
+        # Spark does not push column pruning into Python data source
+        # scans (the plan shows BatchScan[all cols] + Project), so
+        # without this a 2-column query decodes every page of a wide
+        # table. The negotiated schema becomes the subset, and the
+        # per-file arrow read opens only those physical columns
+        # (stream_source._read_partition). Equivalent to passing
+        # .schema(subset), but without the caller restating types.
+        want = [c.strip() for c in csv.split(",") if c.strip()]
+        known = {f.name: f for f in full.fields}
+        missing = [c for c in want if c not in known]
+        if missing:
+            raise ValueError(
+                f"columns {missing} not in table schema "
+                f"{sorted(known)} (table {t.root} @ v{v})"
+            )
+        return StructType([known[c] for c in want])
 
     def streamReader(self, schema):
         """``spark.readStream.format("versioned_table")`` — the

@@ -417,3 +417,49 @@ def test_path_option_accepts_file_uri(spark, tmp_path):
     assert resolve_table_root("/plain/path") == "/plain/path"
     with _pytest.raises(ValueError, match="local-filesystem only"):
         resolve_table_root("s3a://bucket/t")
+
+
+def test_columns_option_projects_at_source(spark, tmp_path):
+    """.option('columns', 'a,b') narrows the NEGOTIATED schema itself
+    (Spark never pushes column pruning into Python scans), so the
+    per-file arrow read opens only those physical columns — the
+    .schema(subset) recipe without restating types. Unknown names
+    refuse at planning; the subset flows through the table STREAM
+    reader too."""
+    register_table_sink(spark)
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 1.5, "pad1"), (2, "b", 2.5, "pad2")],
+            "k long, v string, x double, wide string",
+        )
+    )
+    got = (
+        spark.read.format(FORMAT_NAME)
+        .option("path", t.root)
+        .option("columns", "v,k")
+        .load()
+    )
+    assert got.columns == ["v", "k"]  # caller's order, caller's subset
+    assert {tuple(r) for r in got.collect()} == {("a", 1), ("b", 2)}
+    with pytest.raises(Exception, match="not in table schema"):
+        spark.read.format(FORMAT_NAME).option("path", t.root).option(
+            "columns", "k,nope"
+        ).load().collect()
+    # the projection composes with the insert-only table stream
+    out = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", t.root)
+        .option("columns", "k")
+        .option("initialSnapshot", "true")
+        .load()
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cols_tbl_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM cols_tbl_stream").collect()
+    assert sorted(tuple(r) for r in rows) == [(1,), (2,)]
