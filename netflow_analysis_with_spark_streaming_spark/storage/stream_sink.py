@@ -71,6 +71,15 @@ Semantics and fail-closed edges:
   with constraints refuses this sink at writer creation AND at
   commit (add constraints only to tables fed via foreachBatch +
   ``append``, which enforces them).
+- **GENERATED columns**: the two derived-pruning-key shapes —
+  integral ``col % N`` and ``to_date(col)`` / ``CAST(col AS DATE)``
+  — compile into arrow-compute plans at writer creation and
+  materialize executor-side at staging (values land in the skipping
+  stats; provided values validate per batch; commit attests the
+  pinned definitions and fails closed on a mid-stream change). Any
+  other expression refuses at creation with the foreachBatch path
+  named — the subset stays tiny because a general shadow SQL
+  evaluator is how engines grow silent divergence.
 - **Conflict handling**: the published version is a blind append, so
   losing a commit race auto-resolves by re-pinning and re-publishing
   the same staged groups (bounded retries), exactly like ``append``.
@@ -170,6 +179,69 @@ def _check_type(spark_type: dict | str) -> None:
     )
 
 
+_MOD_RE = re.compile(r"^\s*(\w+)\s*%\s*(\d+)\s*$")
+_TO_DATE_RE = re.compile(
+    r"^\s*(?:to_date\s*\(\s*(\w+)\s*\)|cast\s*\(\s*(\w+)\s+as\s+date\s*\))\s*$",
+    re.IGNORECASE,
+)
+_INT_TYPES = ("byte", "short", "integer", "long")
+
+
+def _compile_generated(expr: str, field_types: dict):
+    """Compile a generated-column expression into an arrow-compute
+    plan, or return None when it falls outside the supported subset.
+
+    The subset is deliberately TINY — the two derived-pruning-key
+    shapes a 100 TB ingest actually declares (`shard-from-id`,
+    `day-from-ts`), each with semantics differentially pinned against
+    Spark's own `_enforce` evaluation (tests): a general shadow SQL
+    evaluator is how engines grow silent divergence, so everything
+    else keeps the fail-closed foreachBatch+append contract.
+
+    - ``col % N``          (integral col, N >= 1) -> ("mod", col, N, out)
+      Spark's % keeps the DIVIDEND's sign; arrow integer divide
+      truncates toward zero, so x - (x/N)*N reproduces it exactly.
+    - ``to_date(col)`` / ``CAST(col AS DATE)`` (timestamp col)
+      -> ("date", col, out): session-zone local date — the incoming
+      arrow batch carries the session zone on the column, so
+      local_timestamp + floor-to-day is exactly Spark's to_date.
+    """
+    m = _MOD_RE.match(expr)
+    if m:
+        col, n = m.group(1), int(m.group(2))
+        t = field_types.get(col)
+        if t in _INT_TYPES and n >= 1:
+            out = "integer" if t in ("byte", "short", "integer") else "long"
+            return ("mod", col, n, out)
+        return None
+    m = _TO_DATE_RE.match(expr)
+    if m:
+        col = m.group(1) or m.group(2)
+        if field_types.get(col) in ("timestamp", "timestamp_ntz"):
+            return ("date", col, None, "date")
+        return None
+    return None
+
+
+def _eval_generated(plan, cols: dict):
+    """Evaluate a compiled plan against a dict of arrow arrays."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    kind, src, arg, _out = plan
+    x = cols[src]
+    if kind == "mod":
+        x = x.cast(pa.int64())  # widen once; staged cast narrows back
+        n = pa.scalar(arg, type=pa.int64())
+        # truncating integer divide -> remainder keeps dividend sign,
+        # exactly Spark's % (differentially tested vs append)
+        return pc.subtract(x, pc.multiply(pc.divide(x, n), n))
+    # kind == "date": wall-clock day in the column's own zone tag
+    # (session zone for instants, none for NTZ), floored — to_date
+    local = pc.local_timestamp(x) if x.type.tz is not None else x
+    return pc.floor_temporal(local, unit="day").cast("date32")
+
+
 def _staged_schema(schema_json: str, mapping: dict):
     """The arrow schema staged files are written in: Spark's own
     logical->arrow mapping (timestamps become UTC-tagged epoch micros
@@ -210,13 +282,25 @@ class VersionedSinkWriter(DataSourceStreamArrowWriter, DataSourceArrowWriter):
         stats_cols: list[str],
         overwrite: bool = False,
         app_id: str | None = None,
+        stream_schema_json: str | None = None,
+        generated_plans: list | None = None,
+        generated: dict | None = None,
     ):
         self.root = root
+        # the STAGED/COMMITTED schema: the stream schema AUGMENTED
+        # with any generated columns the stream omits
         self.schema_json = schema_json
+        # the shape batches actually ARRIVE in (no omitted gen cols)
+        self.stream_schema_json = stream_schema_json or schema_json
         self.mapping = mapping
         self.retired = retired
         self.stats_cols = stats_cols
         self.overwrite = overwrite
+        # compiled (out_col, plan, provided) triples from
+        # _compile_generated — evaluated arrow-side per batch; and the
+        # pinned {col: expr} definitions commit attests to
+        self.generated_plans = generated_plans or []
+        self.generated = generated or {}
         # per-query idempotency scope (Delta's txnAppId): the bare
         # micro-batch batchId restarts at 0 for every new checkpoint,
         # so without a scope a second query into the same table — or a
@@ -238,6 +322,9 @@ class VersionedSinkWriter(DataSourceStreamArrowWriter, DataSourceArrowWriter):
 
         fields = json.loads(self.schema_json)["fields"]
         names = [f["name"] for f in fields]
+        stream_names = [
+            f["name"] for f in json.loads(self.stream_schema_json)["fields"]
+        ]
         pa_schema = _staged_schema(self.schema_json, self.mapping)
         ats = [f.type for f in pa_schema]
         stat_i = {c: names.index(c) for c in self.stats_cols}
@@ -281,12 +368,38 @@ class VersionedSinkWriter(DataSourceStreamArrowWriter, DataSourceArrowWriter):
             for batch in iterator:
                 if batch.num_rows == 0:
                     continue
+                by_name = {
+                    n: batch.column(i) for i, n in enumerate(stream_names)
+                }
+                for out, plan, provided in self.generated_plans:
+                    comp = _eval_generated(plan, by_name)
+                    if provided:
+                        # the stream supplied the generated column:
+                        # validate value-for-value (null-safe), the
+                        # same rule append's _enforce applies
+                        a = by_name[out]
+                        ok = pc.or_(
+                            pc.fill_null(pc.equal(a, comp), False),
+                            pc.and_(pc.is_null(a), pc.is_null(comp)),
+                        )
+                        bad = (
+                            batch.num_rows
+                            - pc.sum(ok.cast(pa.int64())).as_py()
+                        )
+                        if bad:
+                            raise ValueError(
+                                f"generated column {out!r}: {bad} row(s) "
+                                "in this batch disagree with the "
+                                "declared expression — batch aborted, "
+                                "nothing lands"
+                            )
+                    by_name[out] = comp
                 # cast to the staged schema under physical names: for
                 # timestamps this relabels session-zone epoch micros
                 # as UTC (metadata-only, instant-exact, any nesting);
                 # everything else is a no-op or a checked widen
                 cols = [
-                    batch.column(i).cast(at) for i, at in enumerate(ats)
+                    by_name[n].cast(ats[i]) for i, n in enumerate(names)
                 ]
                 buf.append(
                     pa.RecordBatch.from_arrays(cols, schema=pa_schema)
@@ -333,6 +446,7 @@ class VersionedSinkWriter(DataSourceStreamArrowWriter, DataSourceArrowWriter):
                 write_mapping=self.mapping,
                 write_retired=self.retired,
                 overwrite=self.overwrite,
+                write_generated=self.generated or None,
             )
         except Exception:
             self._cleanup(staged)
@@ -515,12 +629,12 @@ class VersionedSinkDataSource(DataSource):
             )
         root = resolve_table_root(root)  # SQL DDL qualifies to file:/x
         t = VersionedTable(root)
-        if t.check_constraints() or t.generated_columns():
+        if t.check_constraints():
             raise ValueError(
-                f"table {root} has CHECK constraints or generated columns; "
-                "the versioned_table sink cannot evaluate SQL expressions "
-                "(no SparkSession at commit time) — write via foreachBatch "
-                "+ VersionedTable.append, which enforces them"
+                f"table {root} has CHECK constraints; the versioned_table "
+                "sink cannot enforce SQL predicates (no SparkSession at "
+                "commit time) — write via foreachBatch + "
+                "VersionedTable.append, which enforces them"
             )
         mapping, retired = ({}, [])
         if t.latest_version() is not None:
@@ -528,6 +642,52 @@ class VersionedSinkDataSource(DataSource):
         fields = json.loads(schema.json())["fields"]
         for f in fields:
             _check_type(f["type"])  # unsupported types fail at CREATION
+        # GENERATED columns: compile each declared expression into the
+        # narrow arrow-compute subset (shard-from-id, day-from-ts) and
+        # materialize executor-side at staging; anything beyond the
+        # subset keeps the fail-closed foreachBatch+append contract.
+        # Definitions are PINNED here and attested at commit (the
+        # mapping-identity discipline): a definition added or changed
+        # mid-stream fails the commit closed.
+        gens = t.generated_columns()
+        gen_plans: list = []
+        aug_fields = list(fields)
+        if gens:
+            ftypes = {f["name"]: f["type"] for f in fields}
+            for col, expr in gens.items():
+                plan = _compile_generated(expr, ftypes)
+                if plan is None:
+                    raise ValueError(
+                        f"table {root}: generated column {col!r} = "
+                        f"{expr!r} is outside the sink's supported "
+                        "subset (integral `col % N`, `to_date(col)` / "
+                        "`CAST(col AS DATE)` of a timestamp) — write "
+                        "via foreachBatch + VersionedTable.append, "
+                        "which evaluates any expression"
+                    )
+                out_t = plan[3]
+                provided = col in ftypes
+                if provided and ftypes[col] != out_t:
+                    raise ValueError(
+                        f"table {root}: the stream provides generated "
+                        f"column {col!r} as {ftypes[col]!r} but its "
+                        f"expression yields {out_t!r} — fix the stream "
+                        "schema or omit the column"
+                    )
+                if not provided:
+                    aug_fields.append(
+                        {
+                            "name": col,
+                            "type": out_t,
+                            "nullable": True,
+                            "metadata": {},
+                        }
+                    )
+                gen_plans.append((col, plan, provided))
+        aug_schema_json = json.dumps(
+            {"type": "struct", "fields": aug_fields}
+        )
+        fields = aug_fields  # stats/statsCols see the staged shape
 
         def _orderable(tp) -> bool:
             # the skipping index holds scalar [min, max] pairs the
@@ -565,12 +725,15 @@ class VersionedSinkDataSource(DataSource):
             ]
         return VersionedSinkWriter(
             root,
-            schema.json(),
+            aug_schema_json,
             mapping,
             retired,
             stats_cols,
             overwrite,
             app_id=app_id,
+            stream_schema_json=schema.json(),
+            generated_plans=gen_plans,
+            generated=gens,
         )
 
     def streamWriter(self, schema, overwrite: bool) -> VersionedSinkWriter:

@@ -1424,6 +1424,7 @@ class VersionedTable:
         write_mapping: dict | None = None,
         write_retired: list | None = None,
         overwrite: bool = False,
+        write_generated: dict | None = None,
     ) -> int:
         """Publish PRE-STAGED file groups as one commit — the driver
         half of the native streaming sink (storage/stream_sink.py):
@@ -1443,7 +1444,11 @@ class VersionedTable:
         Spark — so a concurrent rename/drop fails the commit closed
         with an actionable message (restart the stream; its next
         writer pins the new mapping). Tables with CHECK constraints
-        are refused for the same no-SparkSession reason."""
+        are refused for the same no-SparkSession reason; tables with
+        GENERATED columns are accepted only when ``write_generated``
+        attests the staged files carry values computed for exactly
+        the current definitions (the native sink's narrow arrow
+        evaluator — stream_sink._compile_generated)."""
         import shutil
 
         if self.check_constraints():
@@ -1451,10 +1456,21 @@ class VersionedTable:
                 f"table {self.root} has CHECK constraints; commit_staged "
                 "cannot enforce SQL predicates — write via append"
             )
-        if self.generated_columns():
+        gens = self.generated_columns()
+        if gens and write_generated != gens:
+            # fail closed unless the STAGING side attests it
+            # materialized exactly this generation set (the native
+            # sink's narrow arrow evaluator pins the definitions at
+            # writer creation, same discipline as the mapping
+            # identity): a caller that never computed them, or a
+            # definition added/changed while the batch was staged,
+            # would publish files missing (or disagreeing with) a
+            # generated column
             raise ValueError(
                 f"table {self.root} has generated columns; commit_staged "
-                "cannot compute SQL expressions — write via append"
+                "requires the staged files to carry values computed for "
+                "exactly the current definitions (restart the stream to "
+                "re-pin them) — or write via append"
             )
 
         def _drop_staged() -> None:

@@ -235,9 +235,12 @@ def test_sink_refuses_constraints_and_unsupported_types(spark, tmp_path):
     # to evaluate the expression at commit time)
     t2 = VersionedTable(str(tmp_path / "tg"))
     t2.append(_df(spark, [(1, "a")]))
-    t2.set_generated_column("kmod", "k % 10")
+    # expressions OUTSIDE the narrow arrow subset refuse at creation
+    # (the foreachBatch+append contract); commit_staged without the
+    # staging-side attestation refuses regardless
+    t2.set_generated_column("vu", "upper(v)")
     ds_g = VersionedSinkDataSource(options={"path": t2.root})
-    with pytest.raises(ValueError, match="generated column"):
+    with pytest.raises(ValueError, match="outside the sink's supported"):
         ds_g.streamWriter(schema, False)
     with pytest.raises(ValueError, match="generated column"):
         t2.commit_staged(["data/xyz"], {}, schema.json())
@@ -667,3 +670,106 @@ def test_sink_stats_cols_exclude_nested_and_decimal(spark, tmp_path):
             df.write.format(SINK_FORMAT).option("path", root).option(
                 "statsCols", f"id,{bad}"
             ).mode("append").save()
+
+
+def test_sink_generated_columns_narrow_evaluator(spark, tmp_path):
+    """The two derived-pruning-key shapes (shard-from-id, day-from-ts)
+    MATERIALIZE through the native sink's arrow evaluator, and the
+    values are DIFFERENTIALLY identical to append's Catalyst
+    evaluation — including negative dividends (Spark's % keeps the
+    dividend sign) and the timestamp->date session-zone hop. The
+    generated columns land in the skipping stats (they are pruning
+    keys — the point of declaring them)."""
+    register_table_sink(spark)
+    src = spark.createDataFrame(
+        [
+            (7, datetime(2026, 3, 14, 23, 59, 59)),
+            (-7, datetime(2026, 3, 15, 0, 0, 0)),
+            (10, None),
+            (None, datetime(2026, 1, 2, 3, 4, 5)),
+        ],
+        "k long, ts timestamp",
+    )
+    # reference values via Catalyst (_enforce inside append)
+    t_ref = VersionedTable(str(tmp_path / "ref"))
+    t_ref.set_generated_column("shard", "k % 3")
+    t_ref.set_generated_column("day", "to_date(ts)")
+    t_ref.append(src)
+    # same rows via the native sink's arrow evaluator
+    t_got = VersionedTable(str(tmp_path / "got"))
+    t_got.set_generated_column("shard", "k % 3")
+    t_got.set_generated_column("day", "to_date(ts)")
+    # one task -> one staged group, so the group's day/shard stats
+    # cover every row (a null-only group would be unprunable)
+    src.coalesce(1).write.format(SINK_FORMAT).option(
+        "path", t_got.root
+    ).mode("append").save()
+    key = lambda r: (r[0] is None, r[0])
+    ref = sorted(map(tuple, t_ref.read(spark).collect()), key=key)
+    got = sorted(map(tuple, t_got.read(spark).collect()), key=key)
+    assert got == ref
+    # Spark's sign rule really held: -7 % 3 == -1, not 2
+    by_k = {r[0]: r for r in got}
+    assert by_k[-7][2] == -1
+    # generated columns are in the skipping index (pruning keys)
+    stats = next(iter(t_got._load_record(t_got.latest_version())["stats"].values()))
+    assert "shard" in stats and "day" in stats
+    # and pruning on the generated day actually skips
+    assert t_got.snapshot_files(prune=("day", "2027-01-01", "2027-12-31")) == []
+
+
+def test_sink_generated_provided_values_validate(spark, tmp_path):
+    """A stream that PROVIDES a generated column is validated
+    value-for-value against the expression (append's _enforce rule):
+    a disagreeing batch aborts with nothing landed and staging
+    reclaimed."""
+    register_table_sink(spark)
+    t = VersionedTable(str(tmp_path / "t"))
+    t.set_generated_column("shard", "k % 3")
+    ok = spark.createDataFrame([(7, 1), (6, 0)], "k long, shard long")
+    ok.write.format(SINK_FORMAT).option("path", t.root).mode("append").save()
+    assert {(r["k"], r["shard"]) for r in t.read(spark).collect()} == {
+        (7, 1),
+        (6, 0),
+    }
+    bad = spark.createDataFrame([(7, 2)], "k long, shard long")
+    with pytest.raises(Exception, match="disagree with the declared"):
+        bad.write.format(SINK_FORMAT).option("path", t.root).mode(
+            "append"
+        ).save()
+    assert t.read(spark).count() == 2  # nothing landed
+    assert t.fsck() == []  # no orphaned staged garbage in the manifest
+    # provided-with-wrong-TYPE refuses at creation
+    wrong = spark.createDataFrame([(1, "x")], "k long, shard string")
+    with pytest.raises(Exception, match="expression yields"):
+        wrong.write.format(SINK_FORMAT).option("path", t.root).mode(
+            "append"
+        ).save()
+
+
+def test_sink_generated_definition_change_fails_commit(spark, tmp_path):
+    """The pinned definitions are attested at commit (the
+    mapping-identity discipline): a generated column added while the
+    batch was staged fails the commit closed and the sink's wrapper
+    reclaims the staged group."""
+    import pyarrow as pa
+
+    register_table_sink(spark)
+    t = VersionedTable(str(tmp_path / "t"))
+    t.set_generated_column("shard", "k % 3")
+    schema_json = spark.createDataFrame([], "k long").schema.json()
+    ds = VersionedSinkDataSource(options={"path": t.root, "txnappid": "q"})
+    w = ds.streamWriter(
+        spark.createDataFrame([], "k long").schema, False
+    )
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([1, 2], type=pa.int64())], names=["k"]
+    )
+    m = w.write(iter([batch]))
+    staged = os.path.join(t.root, m.group)
+    assert os.path.isdir(staged)
+    t.set_generated_column("day2", "k % 7")  # race winner
+    with pytest.raises(ValueError, match="current definitions"):
+        w.commit([m], 0)
+    assert not os.path.isdir(staged)  # wrapper reclaimed staging
+    assert t.latest_version() is None  # nothing published
