@@ -789,23 +789,12 @@ ORDER BY a.user_id, click_id, buy_id
 """
 
 
-def _stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream LEFT OUTER interval join — the surface the inner
-    entry above cannot cover: a null-extended row for a click with no
-    purchase inside the bound only emits when the GLOBAL watermark
-    (min across both inputs) passes the click's eviction edge
-    (cts + bound), i.e. it exercises outer-join STATE EVICTION, not
-    row matching. Determinism: one sentinel row per side planted 30
-    days past the global max ts (user_id -1, excluded from the
-    result) pushes both inputs' watermarks far beyond every real
-    click's edge, so — availableNow running its trailing no-data
-    batch — the emitted set equals the complete batch LEFT JOIN, an
-    exact hash oracle for eviction correctness (a row evicted early,
-    late, or twice breaks it).
-
-    Scale: state stays bounded by watermark + bound per key, the same
-    shuffle-on-user_id shape as the inner join; eviction is part of
-    the same stateful stage, no extra pass."""
+def _louter_streams(spark: SparkSession, sf_dir: str):
+    """Shared source builder for the outer-join entries: clicks and
+    purchases as watermarked file streams over the events slice, with
+    one far-future sentinel per side (user_id -1, excluded from
+    results) so every real row's eviction edge passes
+    deterministically under availableNow's trailing no-data batch."""
     import datetime as _dt
     import hashlib
     import os
@@ -859,6 +848,26 @@ def _stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("ts").alias("bts"), F.col("event_id").alias("buy_id"))
         .withWatermark("bts", "2 days")
     )
+    return clicks, buys
+
+
+def _stream_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the surface the inner
+    entry above cannot cover: a null-extended row for a click with no
+    purchase inside the bound only emits when the GLOBAL watermark
+    (min across both inputs) passes the click's eviction edge
+    (cts + bound), i.e. it exercises outer-join STATE EVICTION, not
+    row matching. Determinism: the shared sentinel-planted source
+    (``_louter_streams``) pushes both inputs' watermarks far beyond
+    every real click's edge, so — availableNow running its trailing
+    no-data batch — the emitted set equals the complete batch LEFT
+    JOIN, an exact hash oracle for eviction correctness (a row
+    evicted early, late, or twice breaks it).
+
+    Scale: state stays bounded by watermark + bound per key, the same
+    shuffle-on-user_id shape as the inner join; eviction is part of
+    the same stateful stage, no extra pass."""
+    clicks, buys = _louter_streams(spark, sf_dir)
     joined = clicks.join(
         buys,
         (clicks.user_id == buys.user_id)
@@ -1030,6 +1039,239 @@ register(
     _PIPELINE_MEDALLION_SQL,
     driver=False,
 )
+
+
+def _storage_generated_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived pruning keys THROUGH the native sink (round 11): a
+    table declaring ``shard = user_id % 8`` and ``day = to_date(ts)``
+    lands via ``format("versioned_table")`` — the narrow arrow
+    evaluator materializes both at staging, executor-side — and the
+    result aggregates BY the generated columns read back through the
+    vanilla format reader, so a sign-rule or zone-hop divergence from
+    Catalyst's evaluation breaks the hash against the oracle's
+    recomputation from raw events.
+
+    Scale: generation is O(batch) arrow compute inside the staging
+    pass (no extra job, unlike append's ``_enforce`` agg); the
+    generated values land in the group skipping stats, which is the
+    point of declaring them."""
+    from .storage.stream_sink import FORMAT_NAME as TABLE_FORMAT
+    from .storage.stream_sink import register_table_sink
+    from .storage.versioned import VersionedTable
+
+    root = _run_tmp_root("netflow_gensink_") + "/t"
+    t = VersionedTable(root)
+    t.set_generated_column("shard", "user_id % 8")
+    t.set_generated_column("day", "to_date(ts)")
+    ev = (
+        tables.load(spark, "events", sf_dir)
+        .filter(F.col("event_id") % 11 == 0)
+        .select("event_id", "user_id", "ts", F.round("value", 2).alias("value"))
+    )
+    register_table_sink(spark)
+    ev.write.format(TABLE_FORMAT).option("path", root).mode("append").save()
+    back = spark.read.format(TABLE_FORMAT).option("path", root).load()
+    return (
+        back.groupBy("day", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .orderBy("day", "shard")
+    )
+
+
+_STORAGE_GENERATED_SINK_SQL = """
+SELECT CAST(ts AS DATE) AS day, user_id % 8 AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(ROUND(value, 2)), 2) AS total
+FROM events
+WHERE event_id % 11 = 0
+GROUP BY day, shard
+ORDER BY day, shard
+"""
+
+
+register(
+    "storage_generated_sink",
+    _storage_generated_sink,
+    _STORAGE_GENERATED_SINK_SQL,
+    driver=False,
+)
+
+
+
+def _stream_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join — completes the join
+    family (inner / left / full): BOTH sides' unmatched rows are
+    null-extended on eviction, so the entry pins right-side state
+    eviction too (a purchase with no click in the preceding day).
+    Same sentinel-flush determinism as the LEFT OUTER entry; the
+    shared source builder is reused verbatim.
+
+    Scale: identical bounded-state shape; the only delta vs left
+    outer is the second eviction stream, same shuffle."""
+    clicks, buys = _louter_streams(spark, sf_dir)
+    joined = clicks.join(
+        buys,
+        (clicks.user_id == buys.user_id)
+        & (buys.bts >= clicks.cts)
+        & (buys.bts <= clicks.cts + F.expr("INTERVAL 1 DAY")),
+        "fullOuter",
+    ).select(
+        F.coalesce(clicks.user_id, buys.user_id).alias("user_id"),
+        "click_id",
+        "buy_id",
+    )
+    with _bounded_state_partitions(spark):
+        jobs.run_to_memory(joined, "stream_join_full_outer", output_mode="append")
+    return (
+        spark.table("stream_join_full_outer")
+        .filter(F.col("user_id") >= 0)  # sentinels out
+        # NULLS LAST: Spark's ASC default is nulls-first, DuckDB's is
+        # nulls-last — full outer is the one entry with NULL join keys
+        # in the ORDER BY, so pin the tie-break explicitly
+        .orderBy(
+            F.col("user_id").asc(),
+            F.col("click_id").asc_nulls_last(),
+            F.col("buy_id").asc_nulls_last(),
+        )
+    )
+
+
+_STREAM_FOUTER_SQL = """
+WITH a AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'click' AND user_id < 100
+),
+b AS (
+  SELECT user_id, ts, event_id FROM events
+  WHERE event_type = 'purchase' AND user_id < 100
+)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       a.event_id AS click_id, b.event_id AS buy_id
+FROM a
+FULL JOIN b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts
+ AND b.ts <= a.ts + INTERVAL 1 DAY
+ORDER BY user_id, click_id, buy_id
+"""
+
+
+register(
+    "stream_join_full_outer",
+    _stream_join_full_outer,
+    _STREAM_FOUTER_SQL,
+    driver=False,
+)
+
+
+def _stream_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through Spark's NATIVE session_window operator
+    as a real stream (the custom applyInPandasWithState sessionize
+    covers the same semantic through the arbitrary-state API; this
+    pins the BUILT-IN merging-window aggregation, append mode, whose
+    sessions only emit when the watermark passes session_end).
+    Sentinel-closed like stream_sessionize_closed: one event per user
+    planted 2 gaps past the global max ts closes every real session
+    deterministically; sentinel sessions never close and are excluded
+    by timestamp. The oracle is the batch gaps-and-islands
+    sessionization with session_end = last event + gap (the
+    session_window convention).
+
+    Scale: one shuffle on user_id into a merging-window stateful agg;
+    state is one (start, end, count) per OPEN session per user —
+    independent of history length."""
+    import datetime as _dt
+    import hashlib
+    import os
+    import tempfile
+
+    tables.harden_session(spark)
+    gap = 3600
+    ev = (
+        tables.load(spark, "events", sf_dir)
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "ts")
+    )
+    flush_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"] + _dt.timedelta(
+        seconds=2 * gap
+    )
+    src_file = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src_file)
+    tag = hashlib.md5(
+        f"swnative:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    src_dir = tempfile.gettempdir() + f"/netflow_swnative_src_{tag}"
+
+    def _build(tmp: str) -> None:
+        ev.coalesce(1).write.mode("append").parquet(tmp)
+        (
+            ev.select("user_id")
+            .distinct()
+            .withColumn("ts", F.lit(flush_ts))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(tmp)
+        )
+
+    _prepare_cached_dir(src_dir, _build)
+    schema = StructType(
+        [StructField("user_id", LongType()), StructField("ts", TimestampType())]
+    )
+    raw = sources.parquet_file_source(spark, src_dir, schema)
+    sessions = (
+        raw.withWatermark("ts", "1 second")
+        .groupBy("user_id", F.session_window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    with _bounded_state_partitions(spark):
+        jobs.run_to_memory(
+            sessions, "stream_session_window_native", output_mode="append"
+        )
+    return (
+        spark.table("stream_session_window_native")
+        .filter(F.col("session_start") < F.lit(flush_ts))
+        .orderBy("user_id", "session_start")
+    )
+
+
+_STREAM_SW_NATIVE_SQL = """
+WITH t AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 1 HOUR
+                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE user_id < 20
+),
+g AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM t
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 1 HOUR AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+register(
+    "stream_session_window_native",
+    _stream_session_window_native,
+    _STREAM_SW_NATIVE_SQL,
+    driver=False,
+)
+
 
 
 def _storage_versioned_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
