@@ -773,3 +773,40 @@ def test_sink_generated_definition_change_fails_commit(spark, tmp_path):
         w.commit([m], 0)
     assert not os.path.isdir(staged)  # wrapper reclaimed staging
     assert t.latest_version() is None  # nothing published
+
+
+def test_sink_generated_columns_stream_end_to_end(spark, tmp_path):
+    """Generated columns through a REAL stream: the feed of a source
+    table streams into a destination that declares shard-from-id, the
+    arrow evaluator materializes it per micro-batch, and a second
+    availableNow run lands only the delta — exactly-once unchanged by
+    the generation step."""
+    src = VersionedTable(str(tmp_path / "src"))
+    src.append(_df(spark, [(1, "a"), (-7, "b")]))
+    register_feed_source(spark)
+    register_table_sink(spark)
+    dst = VersionedTable(str(tmp_path / "dst"))
+    dst.set_generated_column("shard", "k % 3")
+
+    def run():
+        q = (
+            spark.readStream.format(FEED_FORMAT)
+            .option("path", src.root)
+            .load()
+            .select("k", "v")  # bare data cols; shard is generated
+            .writeStream.format(SINK_FORMAT)
+            .option("path", dst.root)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    got = {(r["k"], r["v"], r["shard"]) for r in dst.read(spark).collect()}
+    assert got == {(1, "a", 1), (-7, "b", -1)}  # Spark sign rule
+    src.append(_df(spark, [(5, "c")]))
+    run()
+    got2 = {(r["k"], r["shard"]) for r in dst.read(spark).collect()}
+    assert got2 == {(1, 1), (-7, -1), (5, 2)}
+    assert dst.fsck() == []
