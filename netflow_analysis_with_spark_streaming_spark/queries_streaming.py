@@ -807,10 +807,6 @@ def _louter_streams(spark: SparkSession, sf_dir: str):
         .filter(F.col("event_type").isin("click", "purchase"))
         .select("event_id", "user_id", "event_type", "ts")
     )
-    # one scalar to the driver (max ts) — needed to PLANT the sentinels
-    flush_ts = ev.agg(F.max("ts").alias("m")).collect()[0]["m"] + _dt.timedelta(
-        days=30
-    )
     src_file = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src_file)
     tag = hashlib.md5(
@@ -819,6 +815,13 @@ def _louter_streams(spark: SparkSession, sf_dir: str):
     src_dir = tempfile.gettempdir() + f"/netflow_louter_src_{tag}"
 
     def _build(tmp: str) -> None:
+        # one scalar to the driver (max ts) — needed only to PLANT the
+        # sentinels, so the scan runs ONLY on a cache miss (a cached
+        # source dir skips it entirely; the result filter never needs
+        # the value, unlike the sessionize entries)
+        flush_ts = ev.agg(F.max("ts").alias("m")).collect()[0][
+            "m"
+        ] + _dt.timedelta(days=30)
         ev.coalesce(1).write.mode("append").parquet(tmp)
         spark.createDataFrame(
             [(-1, -1, "click", flush_ts), (-2, -1, "purchase", flush_ts)],

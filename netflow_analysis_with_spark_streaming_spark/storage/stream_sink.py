@@ -23,7 +23,7 @@ Two-phase commit, Delta-style:
   feed source's read path — never imports this package. The task
   consumes Arrow ``RecordBatch``es straight off Spark's Arrow
   transport (the writer subclasses ``DataSourceArrowWriter``, so the
-  engine skips its per-row Python conversion entirely — measured 8x
+  engine skips its per-row Python conversion entirely — measured ~7.5x
   faster staging than the row-iterator writer at 2M rows x 5 cols),
   casts each batch to the staged schema (timestamps arrive as
   epoch-micros arrays tagged with the session zone; the cast to the
@@ -213,13 +213,35 @@ def _compile_generated(expr: str, field_types: dict):
         if t in _INT_TYPES and n >= 1:
             out = "integer" if t in ("byte", "short", "integer") else "long"
             return ("mod", col, n, out)
-        return None
+        # the SHAPE is supported — the stream just can't feed it:
+        # misdiagnosing this as "outside the subset" would send the
+        # user to foreachBatch, which fails on the same column
+        raise ValueError(
+            f"generated expression {expr!r} is in the supported subset "
+            f"but its source column {col!r} is "
+            + (
+                "absent from the stream schema"
+                if t is None
+                else f"{t!r}, not an integral type"
+            )
+            + " — include/fix the column in the stream"
+        )
     m = _TO_DATE_RE.match(expr)
     if m:
         col = m.group(1) or m.group(2)
-        if field_types.get(col) in ("timestamp", "timestamp_ntz"):
+        t = field_types.get(col)
+        if t in ("timestamp", "timestamp_ntz"):
             return ("date", col, None, "date")
-        return None
+        raise ValueError(
+            f"generated expression {expr!r} is in the supported subset "
+            f"but its source column {col!r} is "
+            + (
+                "absent from the stream schema"
+                if t is None
+                else f"{t!r}, not a timestamp"
+            )
+            + " — include/fix the column in the stream"
+        )
     return None
 
 

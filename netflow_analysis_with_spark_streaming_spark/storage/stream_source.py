@@ -317,6 +317,14 @@ def resolve_table_root(root: str) -> str:
 
     u = urlparse(root)
     if u.scheme == "file":
+        if u.netloc not in ("", "localhost"):
+            # file://host/x names a REMOTE authority — silently
+            # resolving it to the local /x would open (or commit
+            # into) a different table than the one named
+            raise ValueError(
+                f"versioned table paths are local-filesystem only; "
+                f"{root!r} names remote authority {u.netloc!r}"
+            )
         return unquote(u.path)
     raise ValueError(
         f"versioned table paths are local-filesystem only; got scheme "

@@ -1457,15 +1457,16 @@ class VersionedTable:
                 "cannot enforce SQL predicates — write via append"
             )
         gens = self.generated_columns()
-        if gens and write_generated != gens:
+        if (gens or write_generated) and write_generated != gens:
             # fail closed unless the STAGING side attests it
             # materialized exactly this generation set (the native
             # sink's narrow arrow evaluator pins the definitions at
             # writer creation, same discipline as the mapping
             # identity): a caller that never computed them, or a
-            # definition added/changed while the batch was staged,
-            # would publish files missing (or disagreeing with) a
-            # generated column
+            # definition added/changed/DROPPED while the batch was
+            # staged (hence comparing when EITHER side is non-empty),
+            # would publish files missing, disagreeing with, or
+            # carrying a stale generated column
             raise ValueError(
                 f"table {self.root} has generated columns; commit_staged "
                 "requires the staged files to carry values computed for "

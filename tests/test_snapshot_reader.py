@@ -417,6 +417,11 @@ def test_path_option_accepts_file_uri(spark, tmp_path):
     assert resolve_table_root("/plain/path") == "/plain/path"
     with _pytest.raises(ValueError, match="local-filesystem only"):
         resolve_table_root("s3a://bucket/t")
+    # file://HOST/x names a remote authority — refusing beats silently
+    # opening the local /x (a different table than the one named)
+    with _pytest.raises(ValueError, match="remote authority"):
+        resolve_table_root("file://nfs-server/data/t")
+    assert resolve_table_root("file://localhost/x/y") == "/x/y"
 
 
 def test_columns_option_projects_at_source(spark, tmp_path):

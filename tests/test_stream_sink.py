@@ -526,7 +526,7 @@ def test_sink_chunked_staging_bounds_memory(spark, tmp_path, monkeypatch):
 def test_sink_writer_is_arrow_native(spark, tmp_path):
     """The sink writer subclasses the Arrow writer ABCs — the exact
     isinstance Spark's write worker dispatches on — so rows never
-    materialize as Python objects on the staging path (measured 8x
+    materialize as Python objects on the staging path (measured ~7.5x
     staging throughput vs the row-iterator writer; BASELINE.md
     round 11)."""
     from pyspark.sql.datasource import (
@@ -810,3 +810,43 @@ def test_sink_generated_columns_stream_end_to_end(spark, tmp_path):
     got2 = {(r["k"], r["shard"]) for r in dst.read(spark).collect()}
     assert got2 == {(1, 1), (-7, -1), (5, 2)}
     assert dst.fsck() == []
+
+
+def test_sink_generated_dropped_definition_fails_commit(spark, tmp_path):
+    """Dropping EVERY generated definition while a batch is staged
+    also fails the commit closed (the attestation compares whenever
+    either side is non-empty — gens == {} must not skip the check and
+    silently publish a stale materialized column)."""
+    import pyarrow as pa
+
+    register_table_sink(spark)
+    t = VersionedTable(str(tmp_path / "t"))
+    t.set_generated_column("shard", "k % 3")
+    ds = VersionedSinkDataSource(options={"path": t.root, "txnappid": "q"})
+    w = ds.streamWriter(spark.createDataFrame([], "k long").schema, False)
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array([1], type=pa.int64())], names=["k"]
+    )
+    m = w.write(iter([batch]))
+    t.drop_generated_column("shard")  # race winner drops the LAST one
+    with pytest.raises(ValueError, match="current definitions"):
+        w.commit([m], 0)
+    assert not os.path.isdir(os.path.join(t.root, m.group))
+    assert t.latest_version() is None
+
+
+def test_sink_generated_missing_source_column_diagnosis(spark, tmp_path):
+    """A supported-shape expression whose SOURCE column the stream
+    does not carry (or carries mistyped) gets the precise diagnosis —
+    not the misleading 'outside the supported subset' message, whose
+    foreachBatch suggestion would fail on the same missing column."""
+    register_table_sink(spark)
+    t = VersionedTable(str(tmp_path / "t"))
+    t.set_generated_column("day", "to_date(ts)")
+    ds = VersionedSinkDataSource(options={"path": t.root, "txnappid": "q"})
+    no_ts = spark.createDataFrame([], "k long").schema
+    with pytest.raises(ValueError, match="absent from the stream schema"):
+        ds.streamWriter(no_ts, False)
+    wrong_ts = spark.createDataFrame([], "k long, ts string").schema
+    with pytest.raises(ValueError, match="not a timestamp"):
+        ds.streamWriter(wrong_ts, False)
