@@ -147,7 +147,10 @@ _SCALARS = frozenset(
         "timestamp_ntz",
     }
 )
-_DECIMAL_RE = re.compile(r"decimal\(\s*\d+\s*,\s*-?\d+\s*\)")
+# scale group is \d+ on purpose: negative-scale decimals exist in
+# Spark's grammar but are NOT parquet-round-trippable, and this
+# allowlist's contract is "exact round-trip only"
+_DECIMAL_RE = re.compile(r"decimal\(\s*\d+\s*,\s*\d+\s*\)")
 
 
 def _check_type(spark_type: dict | str) -> None:
@@ -213,6 +216,14 @@ def _compile_generated(expr: str, field_types: dict):
         if t in _INT_TYPES and n >= 1:
             out = "integer" if t in ("byte", "short", "integer") else "long"
             return ("mod", col, n, out)
+        if n < 1:
+            # Catalyst evaluates `x % 0` to NULL — a constant-NULL
+            # pruning key is a declaration bug, so name the real
+            # problem instead of misdiagnosing the column's type
+            raise ValueError(
+                f"generated expression {expr!r}: modulus must be >= 1 "
+                "(Spark would evaluate `% 0` to NULL for every row)"
+            )
         # the SHAPE is supported — the stream just can't feed it:
         # misdiagnosing this as "outside the subset" would send the
         # user to foreachBatch, which fails on the same column
@@ -431,6 +442,19 @@ class VersionedSinkWriter(DataSourceStreamArrowWriter, DataSourceArrowWriter):
                 if buffered >= self.FLUSH_ROWS:
                     _flush()
             _flush()
+        except Exception:
+            # expected failure mode (e.g. generated-column validation):
+            # a prior flush may already have staged data/<uuid>, and a
+            # commit message never reaches the driver, so abort()'s
+            # _cleanup can't see it — remove the orphan here or every
+            # retried batch of a misbehaving stream leaks a staged
+            # group directory until vacuum
+            if writer is not None:
+                writer.close()
+                writer = None
+            if gdir is not None:
+                shutil.rmtree(gdir, ignore_errors=True)
+            raise
         finally:
             if writer is not None:
                 writer.close()

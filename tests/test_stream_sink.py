@@ -850,3 +850,68 @@ def test_sink_generated_missing_source_column_diagnosis(spark, tmp_path):
     wrong_ts = spark.createDataFrame([], "k long, ts string").schema
     with pytest.raises(ValueError, match="not a timestamp"):
         ds.streamWriter(wrong_ts, False)
+
+def test_sink_generated_modulus_zero_gets_precise_diagnosis():
+    """`k % 0` on an integral column is a declaration bug (Catalyst
+    evaluates it to constant NULL) — the compiler must say 'modulus
+    must be >= 1', never the misleading 'not an integral type' path
+    the n >= 1 guard used to fall into."""
+    from netflow_analysis_with_spark_streaming_spark.storage.stream_sink import (
+        _compile_generated,
+    )
+
+    with pytest.raises(ValueError, match="modulus must be >= 1"):
+        _compile_generated("k % 0", {"k": "long"})
+    # a zero modulus is diagnosed FIRST even when the column is also
+    # mistyped — the declaration itself is unacceptable regardless
+    with pytest.raises(ValueError, match="modulus must be >= 1"):
+        _compile_generated("k % 0", {"k": "string"})
+    # n >= 1 with a non-integral column keeps the column diagnosis
+    with pytest.raises(ValueError, match="not an integral type"):
+        _compile_generated("k % 3", {"k": "string"})
+
+
+def test_sink_rejects_negative_scale_decimal():
+    """The type allowlist's contract is 'parquet round-trip is exact';
+    negative-scale decimals (legal in Spark's grammar, never emitted
+    by schema JSON) are not round-trippable and must not slip through
+    the decimal regex."""
+    from netflow_analysis_with_spark_streaming_spark.storage.stream_sink import (
+        _check_type,
+    )
+
+    _check_type("decimal(10,2)")  # the real shape still passes
+    with pytest.raises(ValueError, match="unsupported column type"):
+        _check_type("decimal(10,-2)")
+
+
+def test_sink_write_failure_after_flush_reclaims_staged_group(
+    spark, tmp_path, monkeypatch
+):
+    """A validation failure AFTER a prior flush in the same task must
+    remove the already-staged data/<uuid> group: the commit message
+    never reaches abort()'s _cleanup, so without in-task reclamation
+    every retried batch of a misbehaving stream would leak a staged
+    directory until vacuum."""
+    import pyarrow as pa
+
+    monkeypatch.setattr(VersionedSinkWriter, "FLUSH_ROWS", 1)
+    register_table_sink(spark)
+    t = VersionedTable(str(tmp_path / "t"))
+    t.set_generated_column("shard", "k % 3")
+    ds = VersionedSinkDataSource(options={"path": t.root, "txnappid": "q"})
+    schema = spark.createDataFrame([], "k long, shard long").schema
+    w = ds.streamWriter(schema, False)
+    good = pa.RecordBatch.from_arrays(
+        [pa.array([6], type=pa.int64()), pa.array([0], type=pa.int64())],
+        names=["k", "shard"],
+    )
+    bad = pa.RecordBatch.from_arrays(
+        [pa.array([7], type=pa.int64()), pa.array([2], type=pa.int64())],
+        names=["k", "shard"],
+    )
+    with pytest.raises(ValueError, match="disagree with the declared"):
+        w.write(iter([good, bad]))  # good flushed a group, bad aborts
+    data_dir = os.path.join(t.root, "data")
+    leftover = os.listdir(data_dir) if os.path.isdir(data_dir) else []
+    assert leftover == []  # the flushed group was reclaimed in-task
