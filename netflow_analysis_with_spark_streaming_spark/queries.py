@@ -92,7 +92,12 @@ _DRIVER_ORDER = [
     # storage layer (storage_versioned_delete_dv, below), which had
     # zero driver-tier evidence despite being ~1/3 of the engine
     "stream_stream_join",
-    "stream_exactly_once_sink",
+    # stream_exactly_once_sink retired to the pytest tier round 12
+    # (verdict-r11 ask #2): its batch-id idempotency evidence rides
+    # every storage entry's hash path; the slot went to the medallion
+    # pipeline — the one entry composing the engine's whole streaming
+    # story (paced file source -> native sink -> table stream -> IVM)
+    "pipeline_medallion",
     "stream_sessionize_closed",
     "stream_dedup_watermark",
     # text / profiling suite (text_zscore_by_lang retired to the
@@ -112,7 +117,12 @@ _DRIVER_ORDER = [
     # table-as-stream CDC source (storage_feed_stream, below)
     "dedup_components",
     "similarity_ngram_jaccard",
-    "similarity_cosine_topk",
+    # similarity_cosine_topk retired to the pytest tier round 12
+    # (verdict-r11 ask #8): three slots carried build-path top-k over
+    # the same embeddings; this one went to the SERVING path —
+    # durable IVF index round-trip with manifest-stats pruned probes,
+    # the path whose latency the round-10 probe showed 100x-flat
+    "similarity_ann_serve",
     "similarity_ann_topk",
     "similarity_embedding_neardup",
     # LLM-corpus flagships (promoted rounds 5-6; they subsume the

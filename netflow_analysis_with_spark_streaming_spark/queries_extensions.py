@@ -1073,7 +1073,17 @@ register(
     _SIMHASH_PAIRS_SQL.replace("{SIG}", _SIMHASH_SQL),
     driver=False,
 )
-register("similarity_cosine_topk", _similarity_cosine_topk, _COSINE_TOPK_SQL)
+# Retired to the pytest tier round 12 (verdict-r11 ask #8): three
+# driver slots carried build-path top-k over the same embeddings;
+# the slot went to similarity_ann_serve — the SERVING path (durable
+# range-clustered index, manifest-stats pruning, the 100x-flat one).
+# Oracle intact — still differential in pytest.
+register(
+    "similarity_cosine_topk",
+    _similarity_cosine_topk,
+    _COSINE_TOPK_SQL,
+    driver=False,
+)
 register("similarity_ann_topk", _similarity_ann_topk, _LSH_TOPK_SQL)
 register(
     "similarity_embedding_neardup", _similarity_embedding_neardup, _EMBEDDING_NEARDUP_SQL
@@ -1453,9 +1463,11 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
-register(
-    "similarity_ann_serve", _similarity_ann_serve, _ANN_SERVE_SQL, driver=False
-)
+# Promoted to the driver window round 12 (verdict-r11 ask #8), taking
+# similarity_cosine_topk's slot: the driver window now covers the ANN
+# SERVING path (durable index round-trip + pruned probing) rather
+# than a third build-path variant.
+register("similarity_ann_serve", _similarity_ann_serve, _ANN_SERVE_SQL)
 
 
 def _similarity_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

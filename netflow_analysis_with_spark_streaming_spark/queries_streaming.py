@@ -1036,11 +1036,13 @@ ORDER BY day, event_type
 """
 
 
+# Promoted to the driver window round 12 (verdict-r11 ask #2): the one
+# entry composing the whole streaming story — paced file source ->
+# native sink -> table stream -> incremental view maintenance.
 register(
     "pipeline_medallion",
     _pipeline_medallion,
     _PIPELINE_MEDALLION_SQL,
-    driver=False,
 )
 
 
@@ -2511,7 +2513,16 @@ register(
 register("stream_sessionize_closed", _stream_sessionize_closed, _STREAM_SESS_CLOSED_SQL)
 register("stream_sessionize", _stream_sessionize, driver=False)  # rows-only: open sessions unflushed
 register("stream_dedup_watermark", _stream_dedup_watermark, _STREAM_DEDUP_SQL)
-register("stream_exactly_once_sink", _stream_exactly_once_sink, _STREAM_E1X_SQL)
+# Retired to the pytest tier round 12 (rotation for pipeline_medallion):
+# its batch-id idempotency evidence already rides every storage entry's
+# hash path, and the medallion pipeline re-exercises the same
+# exactly-once sink end to end. Oracle intact — still differential.
+register(
+    "stream_exactly_once_sink",
+    _stream_exactly_once_sink,
+    _STREAM_E1X_SQL,
+    driver=False,
+)
 register("stream_tumbling_window", _stream_tumbling_window, _STREAM_WINDOW_SQL)
 # identical semantics to the batch flatten entry -> same oracle, taken
 # from the leaf operator module (registrar-to-registrar imports break
