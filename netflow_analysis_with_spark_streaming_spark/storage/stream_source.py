@@ -76,10 +76,29 @@ file-idx space is the deterministic raw enumeration of the commit's
 slice files, so replays stay byte-identical and the prune bound only
 skips emission, never shifts offsets; composes with
 maxVersionsPerTrigger — both bounds hold; metadata-only commits pass
-free; first trigger of a (re)started run is uncapped, same as Delta.
+free. The first trigger of a FRESH run is uncapped (Spark fetches
+latestOffset before the reader can learn any position); a RESTART is
+paced from the checkpointed offset (Spark rehydrates the reader via
+AcceptsLatestSeenOffset — see VersionedFeedStreamReader.__init__).
 Rate limits govern CHANGE consumption: an ``initialSnapshot`` opening
 batch always serves the whole pinned snapshot — offsets subdivide
 commits, not snapshots).
+
+Trigger.AvailableNow: Spark 4.1's PythonMicroBatchStream implements
+neither SupportsTriggerAvailableNow nor SupportsAdmissionControl
+(verified against the shipped jars), so availableNow FALLS BACK to
+single-batch execution — there is no Python-side hook to change
+this. Consequences, each pinned by tests/test_available_now.py: a
+fresh availableNow run drains the entire backlog in ONE batch
+(pacing options included — the uncapped-first-trigger rule above);
+a RESTARTED paced availableNow run consumes exactly ONE paced
+window per invocation (loop with ``drain_available_now`` to
+backfill); and a run restarted over a crash between the offset and
+commit logs REPLAYS the planned batch and stops — data committed
+after that plan needs one more invocation (Spark's own warning:
+"may not guarantee processing new data if there is an uncommitted
+batch"). Exactly-once is unaffected throughout — the versioned sink
+dedups replays by (txnAppId, batchId).
 """
 
 from __future__ import annotations
@@ -428,11 +447,25 @@ class VersionedFeedStreamReader(DataSourceStreamReader):
         self._initial_snapshot = initial_snapshot
         self._skip_changes = skip_change_commits
         # last batch end OFFSET seen by partitions(): the rate-limit
-        # anchor. None until the first batch of a (re)started run —
-        # that first batch is uncapped because the reader cannot see
-        # the checkpointed offset before partitions() is called (the
-        # best-effort first-trigger contract Delta's own rate limits
-        # have).
+        # anchor. The anchor's lifecycle differs between fresh starts
+        # and restarts — both verified against Spark 4.1.2's actual
+        # call sequence (tests/test_available_now.py):
+        #
+        # - FRESH run: MicroBatchExecution fetches latestOffset()
+        #   BEFORE resolving the start offset (initialOffset comes
+        #   later, at plan time), so the first planned batch sees
+        #   anchor None and is UNCAPPED — a pre-existing backlog
+        #   lands as one batch.
+        # - RESTART: Spark rehydrates the reader's position through
+        #   AcceptsLatestSeenOffset — PythonMicroBatchStream.
+        #   setLatestSeenOffset(ckpt) invokes partitions(ckpt, ckpt)
+        #   on this reader (a degenerate same-offset plan, empty
+        #   partitions), whose side effect below anchors _last_end at
+        #   the checkpointed offset. Pacing therefore DOES apply from
+        #   the first post-restart batch — including under the
+        #   Trigger.AvailableNow single-batch fallback, where one run
+        #   consumes exactly one paced window (see
+        #   drain_available_now for the backfill loop).
         self._last_end: dict | None = None
 
     # --- file-granular offsets (maxFilesPerTrigger) --------------------
@@ -1125,3 +1158,64 @@ def register_feed_source(spark) -> None:
     """Idempotently register the format with a session (re-register
     is a cheap overwrite; Python data sources are session-scoped)."""
     spark.dataSource.register(VersionedFeedDataSource)
+
+
+def feed_checkpoint_position(checkpoint_dir: str) -> dict | None:
+    """The latest PLANNED feed offset in a single-source query
+    checkpoint (the last line of the newest ``offsets/<n>`` entry),
+    or None before the first plan. An offsets entry is v1-header +
+    metadata + one offset json per source; with one source the last
+    line is ours. 'Planned' equals 'committed' after a clean
+    availableNow termination; a crash between the logs leaves the
+    planned entry ahead — exactly the state drain_available_now's
+    replay run resolves."""
+    odir = os.path.join(checkpoint_dir, "offsets")
+    if not os.path.isdir(odir):
+        return None
+    names = [n for n in os.listdir(odir) if n.isdigit()]
+    if not names:
+        return None
+    latest = os.path.join(odir, max(names, key=int))
+    with open(latest) as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    return json.loads(lines[-1])
+
+
+def drain_available_now(
+    start_query, table_root: str, checkpoint_dir: str, *, max_runs: int = 64
+) -> dict | None:
+    """Run an availableNow query repeatedly until its checkpoint has
+    consumed ``table_root``'s latest commit — the backfill loop for
+    PACED feeds under Spark's single-batch fallback.
+
+    Python sources cannot support Trigger.AvailableNow (no
+    SupportsTriggerAvailableNow hook on PythonMicroBatchStream), so
+    one availableNow invocation of a RESTARTED query consumes exactly
+    one maxVersions/maxFiles/maxBytesPerTrigger window. This loop is
+    the drain: each iteration is one bounded micro-batch — executor
+    memory stays O(window) no matter how monstrous the backlog, which
+    is the point of pacing at 100 TB. ``start_query`` is a zero-arg
+    callable returning a freshly STARTED StreamingQuery wired to the
+    same checkpoint. Returns the final consumed offset. Raises if
+    ``max_runs`` invocations didn't reach the target — a stall, not
+    a pacing artifact (every run must advance at least one file)."""
+    from .versioned import VersionedTable
+
+    target = VersionedTable(table_root).latest_version()
+    pos = None
+    for _ in range(max_runs):
+        q = start_query()
+        q.awaitTermination()
+        pos = feed_checkpoint_position(checkpoint_dir)
+        if target is None:
+            return pos
+        if (
+            pos is not None
+            and pos.get("file_idx") is None
+            and int(pos["version"]) >= target
+        ):
+            return pos
+    raise RuntimeError(
+        f"drain_available_now: {max_runs} runs did not reach version "
+        f"{target} (stuck at {pos}) — the stream is stalled"
+    )

@@ -1,0 +1,200 @@
+"""Trigger.AvailableNow on the Python-source streams: Spark 4.1's
+PythonMicroBatchStream implements neither SupportsTriggerAvailableNow
+nor SupportsAdmissionControl, so availableNow falls back to
+single-batch execution. This battery pins the resulting contract —
+the one FORMAT.md documents — against the real engine:
+
+- a FRESH paced run drains the whole backlog in ONE batch (Spark
+  fetches latestOffset before the reader can learn any position);
+- a RESTARTED paced run consumes exactly one paced window per
+  invocation (Spark rehydrates the anchor via AcceptsLatestSeenOffset
+  -> partitions(ckpt, ckpt)), and drain_available_now loops it dry;
+- a crash between the offset and commit logs REPLAYS the planned
+  batch idempotently and does NOT pick up data committed after the
+  plan — one more invocation does (Spark's own fallback caveat).
+"""
+
+import os
+
+import pytest
+
+from netflow_analysis_with_spark_streaming_spark.storage.stream_sink import (
+    FORMAT_NAME as SINK_FORMAT,
+)
+from netflow_analysis_with_spark_streaming_spark.storage.stream_sink import (
+    register_table_sink,
+)
+from netflow_analysis_with_spark_streaming_spark.storage.stream_source import (
+    FORMAT_NAME as FEED_FORMAT,
+)
+from netflow_analysis_with_spark_streaming_spark.storage.stream_source import (
+    drain_available_now,
+    feed_checkpoint_position,
+    register_feed_source,
+)
+from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+    VersionedTable,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def _mk_src(spark, tmp_path, n_commits: int) -> VersionedTable:
+    src = VersionedTable(str(tmp_path / "src"))
+    for k in range(n_commits):
+        src.append(_df(spark, [(k, f"v{k}")]))
+    return src
+
+
+def _starter(spark, src, dst, ck, **opts):
+    def start():
+        r = spark.readStream.format(FEED_FORMAT).option("path", src.root)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return (
+            r.load()
+            .select("k", "v")
+            .writeStream.format(SINK_FORMAT)
+            .option("path", dst.root)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    return start
+
+
+def test_fresh_paced_available_now_drains_backlog_in_one_batch(
+    spark, tmp_path
+):
+    """A fresh availableNow run over a 5-commit backlog with
+    maxVersionsPerTrigger=1 still lands EVERYTHING in one batch: the
+    uncapped-first-trigger rule (latestOffset precedes initialOffset)
+    makes the fallback's single batch the full drain the trigger
+    promises. Pacing is a steady-cadence bound, not a fresh-run one."""
+    register_feed_source(spark)
+    register_table_sink(spark)
+    src = _mk_src(spark, tmp_path, 5)
+    dst = VersionedTable(str(tmp_path / "dst"))
+    ck = str(tmp_path / "ck")
+    start = _starter(spark, src, dst, ck, maxVersionsPerTrigger="1")
+    q = start()
+    q.awaitTermination()
+    assert dst.read(spark).count() == 5
+    assert dst.latest_version() == 0  # ONE sink commit = one batch
+    pos = feed_checkpoint_position(ck)
+    assert pos == {"version": 4}  # fully consumed, no partial index
+
+
+def test_restarted_paced_available_now_is_one_window_per_run(
+    spark, tmp_path
+):
+    """After a checkpointed run, Spark rehydrates the reader's pacing
+    anchor from the checkpoint (AcceptsLatestSeenOffset ->
+    partitions(ckpt, ckpt)), so each further availableNow invocation
+    consumes exactly ONE maxVersionsPerTrigger window — the fallback
+    does NOT drain a restarted paced stream. drain_available_now is
+    the loop that does, one bounded micro-batch per run."""
+    register_feed_source(spark)
+    register_table_sink(spark)
+    src = _mk_src(spark, tmp_path, 2)
+    dst = VersionedTable(str(tmp_path / "dst"))
+    ck = str(tmp_path / "ck")
+    start = _starter(spark, src, dst, ck, maxVersionsPerTrigger="1")
+    q = start()
+    q.awaitTermination()
+    assert dst.read(spark).count() == 2  # fresh run: full drain
+    for k in range(2, 6):  # 4-commit backlog behind the checkpoint
+        src.append(_df(spark, [(k, f"v{k}")]))
+    q = start()
+    q.awaitTermination()
+    # exactly one paced window advanced, not four
+    assert feed_checkpoint_position(ck) == {"version": 2}
+    assert dst.read(spark).count() == 3
+    # the drain loop runs it dry (3 more invocations here)
+    pos = drain_available_now(start, src.root, ck)
+    assert pos == {"version": 5}
+    assert sorted(r["k"] for r in dst.read(spark).collect()) == list(
+        range(6)
+    )
+    assert dst.fsck() == []
+
+
+def test_restarted_unpaced_available_now_drains_in_one_run(spark, tmp_path):
+    """Without pacing options the rehydrated anchor caps nothing:
+    one availableNow invocation of a restarted stream consumes the
+    whole pending backlog — the common backfill pattern (availableNow
+    without rate limits) keeps single-invocation semantics."""
+    register_feed_source(spark)
+    register_table_sink(spark)
+    src = _mk_src(spark, tmp_path, 2)
+    dst = VersionedTable(str(tmp_path / "dst"))
+    ck = str(tmp_path / "ck")
+    start = _starter(spark, src, dst, ck)
+    q = start()
+    q.awaitTermination()
+    for k in range(2, 7):
+        src.append(_df(spark, [(k, f"v{k}")]))
+    q = start()
+    q.awaitTermination()
+    assert feed_checkpoint_position(ck) == {"version": 6}
+    assert dst.read(spark).count() == 7
+
+
+def test_crash_between_logs_replays_then_needs_one_more_run(
+    spark, tmp_path
+):
+    """The fallback's documented caveat, pinned: kill the query's
+    commit marker (crash between offset and commit logs), append new
+    data, restart with availableNow. The run REPLAYS the planned
+    batch — the versioned sink dedups it by (txnAppId, batchId), so
+    nothing double-lands — and STOPS without processing the new
+    commit; the next invocation picks it up. At-least-one-more-run,
+    never at-least-once data."""
+    register_feed_source(spark)
+    register_table_sink(spark)
+    src = _mk_src(spark, tmp_path, 3)
+    dst = VersionedTable(str(tmp_path / "dst"))
+    ck = str(tmp_path / "ck")
+    start = _starter(spark, src, dst, ck)
+    q = start()
+    q.awaitTermination()
+    assert dst.read(spark).count() == 3
+    # simulate the crash: offsets/0 stays, commits/0 (+ its checksum
+    # twin) disappears — Spark sees an uncommitted planned batch
+    cdir = os.path.join(ck, "commits")
+    latest = max((n for n in os.listdir(cdir) if n.isdigit()), key=int)
+    os.remove(os.path.join(cdir, latest))
+    crc = os.path.join(cdir, f".{latest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    src.append(_df(spark, [(99, "new")]))
+    q = start()
+    q.awaitTermination()
+    got = sorted(r["k"] for r in dst.read(spark).collect())
+    assert got == [0, 1, 2]  # replay deduped; new data NOT processed
+    assert feed_checkpoint_position(ck) == {"version": 2}
+    q = start()
+    q.awaitTermination()
+    got = sorted(r["k"] for r in dst.read(spark).collect())
+    assert got == [0, 1, 2, 99]  # the extra invocation drains it
+    assert dst.fsck() == []
+
+
+def test_drain_available_now_raises_on_stall(spark, tmp_path):
+    """A start_query that never advances the checkpoint fails loudly
+    after max_runs instead of looping forever."""
+    register_feed_source(spark)
+    register_table_sink(spark)
+    src = _mk_src(spark, tmp_path, 1)
+
+    class _Done:
+        def awaitTermination(self):
+            return None
+
+    with pytest.raises(RuntimeError, match="stalled"):
+        drain_available_now(
+            lambda: _Done(), src.root, str(tmp_path / "nock"), max_runs=3
+        )
