@@ -3,12 +3,19 @@
 Design (SURVEY.md §2.9 / north-star extensions): media lives in a
 ``binary`` column next to typed metadata; decode / feature-extract run
 as Arrow-batched ``mapInPandas`` transforms so each Python worker gets
-columnar batches (zero per-row pickling). The actual image/audio codec
-is NOT available in this environment, so ``decode_media`` with
-``fake=False`` raises NotImplementedError at the exact point a codec
-(Pillow/ffmpeg) would plug in; the deterministic fake path keeps the
-Spark-side contract — schema, batch shape, partitioning — fully real
-and differential-testable (md5-derived values, mirrored in DuckDB).
+columnar batches (zero per-row pickling). Codec status by modality:
+
+- AUDIO (round 11) and IMAGE (round 12) are REAL codecs built on the
+  stdlib alone — genuine RIFF/WAVE via ``wave`` (synth_wav/decode_wav)
+  and genuine PNG via ``zlib``+``struct`` (synth_png/decode_png, full
+  chunk/CRC/filter surface) — each with an exact DuckDB oracle over a
+  deterministically synthesized signal/image.
+- VIDEO stays honestly stubbed: ffmpeg does not ship here and pip is
+  blocked, so ``sample_frames``/``decode_media`` with ``fake=False``
+  raise NotImplementedError at the exact plug point; their
+  deterministic fake paths keep the Spark-side contract — schema,
+  batch shape, partitioning — fully real and differential-testable
+  (md5-derived values, mirrored in DuckDB).
 
 Scale: mapInPandas streams batches (spark.sql.execution.arrow.
 maxRecordsPerBatch); payload bytes never hit the driver. For real
@@ -283,3 +290,243 @@ def decode_wav(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, WAV_DECODED_SCHEMA)
+
+# --- REAL image codec path (round 12) -------------------------------------
+#
+# PNG is deflate + per-scanline byte filters — both implementable with
+# the stdlib alone (`zlib` + `struct`), so the IMAGE half of the
+# multimodal story follows the round-11 audio win: payloads are real
+# PNG containers (8-bit grayscale, chunked IHDR/IDAT/IEND with genuine
+# CRC32s, ALL FIVE scanline filter types exercised by the encoder),
+# and decode runs a genuine parser — signature check, chunk walk with
+# CRC verification, multi-IDAT concatenation, inflate, full
+# None/Sub/Up/Average/Paeth unfiltering — before numpy feature
+# extraction over the recovered pixel matrix. The pixel field derives
+# from an integer-hash formula expressible in SQL, so a DuckDB oracle
+# recomputes the EXPECTED image and its features exactly: a byte
+# mangled anywhere in the binary plumbing, a filter mis-applied on
+# either side, a CRC slip, or an IDAT split bug breaks the hash.
+# Video stays honestly stubbed — ffmpeg genuinely can't be had here.
+
+PNG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+PNG_DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_lum", DoubleType()),
+        StructField("frac_bright", DoubleType()),
+        StructField("px_checksum", LongType()),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_params(doc_id: int) -> tuple[int, int]:
+    """(width, height) — deterministic per doc, mirrored in the
+    oracle SQL."""
+    return 4 + (doc_id % 13), 3 + (doc_id % 11)
+
+
+def _png_pixel(doc_id: int, x: int, y: int) -> int:
+    """Grayscale value of pixel (x, y): an integer-hash field exactly
+    expressible in SQL (no intermediate exceeds int64)."""
+    return (doc_id * 2654435761 + y * 131 + x * 17) % 256
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (left, up, up-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def synth_png(docs: DataFrame) -> DataFrame:
+    """Real PNG payloads (8-bit grayscale), one per doc_id, built with
+    stdlib ``zlib``/``struct`` inside an Arrow-batched mapInPandas.
+    Scanline y is filtered with type y % 5 — every PNG filter (None/
+    Sub/Up/Average/Paeth) appears in the corpus, so the decoder's
+    whole unfilter surface is live, not just the trivial row. The
+    compressed stream is split across TWO IDAT chunks when it's big
+    enough — multi-IDAT concatenation is part of the format, and a
+    decoder that reads only the first chunk must fail the oracle."""
+    import struct
+    import zlib
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = _png_params(d)
+                prior = [0] * w
+                raw = bytearray()
+                for y in range(h):
+                    row = [_png_pixel(d, x, y) for x in range(w)]
+                    ft = y % 5
+                    raw.append(ft)
+                    for x in range(w):
+                        left = row[x - 1] if x else 0
+                        up = prior[x]
+                        ul = prior[x - 1] if x else 0
+                        if ft == 0:
+                            v = row[x]
+                        elif ft == 1:
+                            v = row[x] - left
+                        elif ft == 2:
+                            v = row[x] - up
+                        elif ft == 3:
+                            v = row[x] - (left + up) // 2
+                        else:
+                            v = row[x] - _paeth(left, up, ul)
+                        raw.append(v & 0xFF)
+                    prior = row
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+                comp = zlib.compress(bytes(raw), 6)
+                mid = len(comp) // 2 if len(comp) >= 32 else len(comp)
+                idats = _png_chunk(b"IDAT", comp[:mid])
+                if mid < len(comp):
+                    idats += _png_chunk(b"IDAT", comp[mid:])
+                ids.append(d)
+                payloads.append(
+                    _PNG_SIG
+                    + _png_chunk(b"IHDR", ihdr)
+                    + idats
+                    + _png_chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(batches, PNG_SCHEMA)
+
+
+def decode_png(media: DataFrame) -> DataFrame:
+    """REAL image decode: parse the binary column with a genuine PNG
+    reader — signature, chunk walk with CRC32 verification, IHDR
+    validation, multi-IDAT concatenation, zlib inflate, and full
+    scanline unfiltering (all five filter types) — then extract
+    features from the recovered pixel matrix with numpy: mean
+    luminance, bright-pixel fraction, and a POSITION-WEIGHTED checksum
+    (sum of pixel * (y*w + x + 1)) that pins every pixel to its exact
+    location. Malformed payloads raise loudly — a corrupted media
+    column must never produce silent garbage features."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        def parse(doc_id: int, buf: bytes) -> tuple:
+            if buf[:8] != _PNG_SIG:
+                raise ValueError(f"doc {doc_id}: not a PNG (bad signature)")
+            pos, ihdr, idat, ended = 8, None, bytearray(), False
+            while pos < len(buf):
+                (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+                ctype = buf[pos + 4 : pos + 8]
+                data = buf[pos + 8 : pos + 8 + ln]
+                (crc,) = struct.unpack(
+                    ">I", buf[pos + 8 + ln : pos + 12 + ln]
+                )
+                if zlib.crc32(ctype + data) != crc:
+                    raise ValueError(
+                        f"doc {doc_id}: CRC mismatch in {ctype!r} chunk"
+                    )
+                if ctype == b"IHDR":
+                    ihdr = struct.unpack(">IIBBBBB", data)
+                elif ctype == b"IDAT":
+                    idat.extend(data)
+                elif ctype == b"IEND":
+                    ended = True
+                    break
+                pos += 12 + ln
+            if ihdr is None or not ended:
+                raise ValueError(f"doc {doc_id}: truncated PNG")
+            w, h, depth, ctype_i, comp, filt, interlace = ihdr
+            if (depth, ctype_i, comp, filt, interlace) != (8, 0, 0, 0, 0):
+                raise ValueError(
+                    f"doc {doc_id}: unsupported PNG variant "
+                    f"(depth={depth} color={ctype_i} interlace={interlace})"
+                )
+            raw = zlib.decompress(bytes(idat))
+            if len(raw) != h * (w + 1):
+                raise ValueError(
+                    f"doc {doc_id}: inflate length {len(raw)} != {h*(w+1)}"
+                )
+            px = np.zeros((h, w), dtype=np.int64)
+            prior = np.zeros(w, dtype=np.int64)
+            for y in range(h):
+                line = raw[y * (w + 1) : (y + 1) * (w + 1)]
+                ft, vals = line[0], list(line[1:])
+                row = [0] * w
+                for x in range(w):
+                    left = row[x - 1] if x else 0
+                    up = int(prior[x])
+                    ul = int(prior[x - 1]) if x else 0
+                    if ft == 0:
+                        v = vals[x]
+                    elif ft == 1:
+                        v = vals[x] + left
+                    elif ft == 2:
+                        v = vals[x] + up
+                    elif ft == 3:
+                        v = vals[x] + (left + up) // 2
+                    elif ft == 4:
+                        v = vals[x] + _paeth(left, up, ul)
+                    else:
+                        raise ValueError(
+                            f"doc {doc_id}: unknown filter type {ft}"
+                        )
+                    row[x] = v & 0xFF
+                px[y] = row
+                prior = px[y]
+            return w, h, px
+
+        for pdf in it:
+            out = {
+                "doc_id": [],
+                "width": [],
+                "height": [],
+                "mean_lum": [],
+                "frac_bright": [],
+                "px_checksum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = parse(int(doc_id), bytes(payload))
+                n = w * h
+                weights = np.arange(1, n + 1, dtype=np.int64)
+                flat = px.reshape(-1)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_lum"].append(round(int(flat.sum()) / n, 6))
+                out["frac_bright"].append(
+                    round(int((flat >= 128).sum()) / n, 6)
+                )
+                out["px_checksum"].append(int((flat * weights).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, PNG_DECODED_SCHEMA)

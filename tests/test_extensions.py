@@ -1125,3 +1125,69 @@ def test_multimodal_wav_real_codec_roundtrip(spark):
     )
     with pytest.raises(Exception, match="wave|WAVE|EOF|Error"):
         M.decode_wav(bad).collect()
+
+
+def test_multimodal_png_real_codec_roundtrip(spark):
+    """The REAL image path: synth_png emits genuine PNG containers
+    (verified structurally: signature, CRC-checked chunk walk, two
+    IDAT chunks when the stream is big enough, every filter type in
+    the corpus), decode_png recovers the exact synthesized pixel
+    matrix (position-weighted checksum equals the formula's), and
+    corrupted payloads — bit-flipped IDAT, bad CRC, truncation — fail
+    LOUDLY instead of producing garbage features."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from netflow_analysis_with_spark_streaming_spark.functions import (
+        multimodal as M,
+    )
+
+    # doc 7 -> h = 3 + 7%11 = 10 scanlines: filters 0..4 all appear
+    docs = spark.createDataFrame([(7,), (40,)], "doc_id long")
+    media = M.synth_png(docs)
+    rows = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    buf = rows[7]
+    assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+    # independent chunk walk: CRCs hold, multi-IDAT present
+    pos, types = 8, []
+    while pos < len(buf):
+        (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", buf[pos + 8 + ln : pos + 12 + ln])
+        assert zlib.crc32(ctype + data) == crc
+        types.append(ctype)
+        pos += 12 + ln
+    assert types[0] == b"IHDR" and types[-1] == b"IEND"
+    # doc 7's 120-byte raw stream compresses past the 32-byte split
+    # threshold -> the multi-IDAT concatenation path is genuinely live
+    assert types.count(b"IDAT") == 2
+    # decode recovers the exact synthetic image
+    dec = {r["doc_id"]: r for r in M.decode_png(media).collect()}
+    for d in (7, 40):
+        w, h = M._png_params(d)
+        assert (dec[d]["width"], dec[d]["height"]) == (w, h)
+        expect = sum(
+            M._png_pixel(d, x, y) * (y * w + x + 1)
+            for y in range(h)
+            for x in range(w)
+        )
+        assert dec[d]["px_checksum"] == expect
+        assert 0.0 <= dec[d]["frac_bright"] <= 1.0
+    # corruption fails loudly: flip a byte INSIDE an IDAT chunk -> CRC
+    idat_at = buf.index(b"IDAT") + 6
+    flipped = bytearray(buf)
+    flipped[idat_at] ^= 0xFF
+    bad = spark.createDataFrame(
+        [(1, flipped)], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="CRC mismatch"):
+        M.decode_png(bad).collect()
+    # truncation fails loudly too
+    trunc = spark.createDataFrame(
+        [(2, bytearray(buf[:24]))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="truncated|out of range|unpack"):
+        M.decode_png(trunc).collect()
