@@ -198,3 +198,52 @@ def test_drain_available_now_raises_on_stall(spark, tmp_path):
         drain_available_now(
             lambda: _Done(), src.root, str(tmp_path / "nock"), max_runs=3
         )
+
+
+def test_feed_stream_checkpoint_across_protocol_flip(spark, tmp_path):
+    """ONE checkpointed feed stream consumes continuously ACROSS the
+    table's protocol-2 -> 4 upgrade wall: the delta-log threshold can
+    flip a table from full manifests to delta-encoded commit records
+    mid-stream, and because offsets are commit VERSIONS either side of
+    the flip, the stream must neither skip, duplicate, nor stall.
+    Directed tests cover readers of each record form; this pins the
+    UPGRADE SEAM on a live checkpoint (verdict-r11 ask #6)."""
+    import glob
+    import json
+
+    register_feed_source(spark)
+    register_table_sink(spark)
+    # threshold 3: the table starts on full manifests (protocol <= 3)
+    # and flips to delta records once 3 file groups are live
+    src = VersionedTable(str(tmp_path / "src"), delta_log_min_files=3)
+    src.append(_df(spark, [(0, "v0")]))
+    src.append(_df(spark, [(1, "v1")]))
+    dst = VersionedTable(str(tmp_path / "dst"))
+    ck = str(tmp_path / "ck")
+    start = _starter(spark, src, dst, ck, maxVersionsPerTrigger="1")
+    q = start()
+    q.awaitTermination()
+    assert dst.read(spark).count() == 2  # pre-flip consumption
+    # grow past the threshold mid-stream: versions 2.. are delta
+    # records (protocol 4) while 0..1 stay full manifests
+    for k in range(2, 7):
+        src.append(_df(spark, [(k, f"v{k}")]))
+    recs = [
+        json.load(open(f))
+        for f in sorted(glob.glob(os.path.join(src.root, "_log", "*.json")))
+    ]
+    assert any("delta_of" in r for r in recs), "flip never happened"
+    assert any("delta_of" not in r for r in recs), "no protocol-2 past"
+    # the SAME checkpoint drains across the wall, one paced batch per
+    # run — versions are versions, whatever the record encoding
+    drain_available_now(start, src.root, ck)
+    got = sorted(r["k"] for r in dst.read(spark).collect())
+    assert got == list(range(7))  # exactly-once: every row, once
+    # and consumption continues past the flip on the same checkpoint
+    src.append(_df(spark, [(7, "v7")]))
+    q = start()
+    q.awaitTermination()
+    got = sorted(r["k"] for r in dst.read(spark).collect())
+    assert got == list(range(8))
+    assert dst.fsck() == []
+    assert src.fsck() == []
