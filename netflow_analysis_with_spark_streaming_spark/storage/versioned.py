@@ -588,7 +588,24 @@ class VersionedTable:
         provenance: dict | None = None,
         column_mapping: dict[str, str] | None = None,
         retired_physical: list[str] | None = None,
+        adds_hint: list[str] | None = None,
     ) -> int:
+        """``adds_hint`` (round 12): the APPEND-SHAPED fast path.
+        A caller that KNOWS this commit only adds ``adds_hint`` to the
+        parent's live set — ``files == parent files + adds_hint``
+        (disjoint), ``stats == parent stats plus the new adds'
+        entries`` (no surviving entry changed), nothing removed —
+        declares it, and the commit skips every O(live groups) string
+        pass: the DV live-set rebuild, the stats/fileset filter, and
+        _encode_delta_record's three set diffs all become O(change).
+        The hint is VALIDATED in O(change · log N) (bisect each add
+        against the parent's sorted file list + count arithmetic), so
+        a wrong hint raises instead of corrupting the delta chain;
+        equivalence with the re-diff encoder is differentially
+        fuzzed in tests/test_versioned.py. This is what makes a
+        steady-state streaming commit O(change) CPU at 1e5+ live
+        groups (measured: tools/delta_log_probe.py --checkpoint-cost),
+        not just O(change) bytes."""
         if version is None:
             version = (self.latest_version() + 1) if self.versions() else 0
         # one materialized parent read serves DV inheritance, mapping
@@ -620,16 +637,45 @@ class VersionedTable:
         # resurrect deleted rows. `inherit_dvs=False` is for restore,
         # which must adopt the TARGET snapshot's DV set verbatim.
         merged_dvs: dict[str, list[str]] = {}
+        if adds_hint is not None and prev_m:
+            # validate the hint BEFORE trusting it anywhere: each add
+            # must be absent from the parent's (sorted) live list, and
+            # the file count must balance — O(change · log N)
+            import bisect as _bisect
+
+            plist = prev_m.get("files") or []
+            for a in adds_hint:
+                i = _bisect.bisect_left(plist, a)
+                if i < len(plist) and plist[i] == a:
+                    raise ValueError(
+                        f"adds_hint names already-live file {a!r} — the "
+                        "commit is not append-shaped; drop the hint"
+                    )
+            if len(files) != len(plist) + len(adds_hint) or len(
+                set(adds_hint)
+            ) != len(adds_hint):
+                raise ValueError(
+                    "adds_hint does not balance: "
+                    f"{len(plist)} parent + {len(adds_hint)} adds != "
+                    f"{len(files)} files (or duplicate adds)"
+                )
         if inherit_dvs and prev_m:
             prev_dvs = prev_m.get("dvs") or {}
             if prev_dvs:
-                # the live-group set costs O(files) string splits —
-                # only pay it when there ARE vectors to carry (profiled
-                # at 0.1 s/commit on a DV-free 131k-group ingest table)
-                live = {self._group_of(f) for f in files}
-                merged_dvs = {
-                    g: list(v) for g, v in prev_dvs.items() if g in live
-                }
+                if adds_hint is not None:
+                    # append-shaped: every parent group stays live, so
+                    # inheritance is a verbatim copy — no O(files)
+                    # live-set rebuild
+                    merged_dvs = {g: list(v) for g, v in prev_dvs.items()}
+                else:
+                    # the live-group set costs O(files) string splits —
+                    # only pay it when there ARE vectors to carry
+                    # (profiled at 0.1 s/commit on a DV-free 131k-group
+                    # ingest table)
+                    live = {self._group_of(f) for f in files}
+                    merged_dvs = {
+                        g: list(v) for g, v in prev_dvs.items() if g in live
+                    }
         for g, v in (dvs or {}).items():
             merged_dvs.setdefault(g, []).extend(v)
         # Column mapping rides the manifest like DVs do: inherited
@@ -646,8 +692,11 @@ class VersionedTable:
         # hoisted: inside the stats comprehension below, `set(files)`
         # would rebuild per ITEM — O(groups^2) string hashing on every
         # commit (measured 0.3 s/commit at 3.3k groups; minutes at the
-        # 1e5-group target scale)
-        fileset = set(files)
+        # 1e5-group target scale). With a VALIDATED adds_hint the
+        # filter itself is skippable: the parent's stats only cover
+        # live files (manifest invariant) and the adds are new, so the
+        # union the caller passed is already exactly live-scoped.
+        fileset = set(files) if adds_hint is None else None
         manifest = {
             "version": version,
             # readers at a lower protocol refuse this manifest; the
@@ -676,7 +725,11 @@ class VersionedTable:
             # data-skipping index: {file: {col: [min, max]}} — what
             # Delta/Iceberg keep per data file; lets read() prune file
             # groups without opening them
-            "stats": {f: s for f, s in (stats or {}).items() if f in fileset},
+            "stats": (
+                dict(stats or {})
+                if adds_hint is not None
+                else {f: s for f, s in (stats or {}).items() if f in fileset}
+            ),
             # optional change-capture group ("changes/<uuid>"): the
             # rows this commit REMOVED, for CDF consumers
             "changes": changes,
@@ -706,7 +759,13 @@ class VersionedTable:
             and self._ckpt_every > 0
             and (version % self._ckpt_every) != 0
         ):
-            record = self._encode_delta_record(manifest, prev_m)
+            record = (
+                self._encode_delta_record_appended(
+                    manifest, adds_hint, dvs or {}
+                )
+                if adds_hint is not None
+                else self._encode_delta_record(manifest, prev_m)
+            )
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(record, f, default=str)
@@ -785,6 +844,44 @@ class VersionedTable:
                 g: v for g, v in cur_dvs.items() if prev_dvs.get(g) != v
             },
             "dvs_del": sorted(g for g in prev_dvs if g not in cur_dvs),
+        }
+        for k in ("column_mapping", "retired_physical", "provenance"):
+            if k in full:
+                rec[k] = full[k]
+        return rec
+
+    @staticmethod
+    def _encode_delta_record_appended(
+        full: dict, adds: list[str], new_dvs: dict[str, list[str]]
+    ) -> dict:
+        """O(change) twin of ``_encode_delta_record`` for VALIDATED
+        append-shaped commits (``adds_hint``): nothing was removed and
+        no surviving stat entry changed, so the diff IS the adds list
+        — no parent set constructions, no full-stats walk. The record
+        is semantically identical to the re-diff encoder's (same
+        fields, same values; JSON key order may differ) — fuzzed
+        equivalent in tests; materialization cannot tell them apart."""
+        cur_stats = full["stats"]
+        cur_dvs = full["dvs"]
+        rec = {
+            "version": full["version"],
+            "writer_version": _WRITER_VERSION,  # delta needs protocol 4
+            "ts": full["ts"],
+            "action": full["action"],
+            "delta_of": full["version"] - 1,
+            "add_files": sorted(adds),
+            "remove_files": [],
+            "n_files": full["n_files"],
+            "schema": full["schema"],
+            "batch_id": full["batch_id"],
+            "changes": full["changes"],
+            "stats_set": {f: cur_stats[f] for f in sorted(adds) if f in cur_stats},
+            "stats_del": [],
+            # explicit per-commit DVs are the only entries that can
+            # differ from the parent on an append-shaped commit (the
+            # inherited set is a verbatim copy)
+            "dvs_set": {g: cur_dvs[g] for g in sorted(new_dvs) if g in cur_dvs},
+            "dvs_del": [],
         }
         for k in ("column_mapping", "retired_physical", "provenance"):
             if k in full:
@@ -1386,6 +1483,7 @@ class VersionedTable:
                     batch_id,
                     stats={**prev_stats, **new_stats},
                     version=version,
+                    adds_hint=new,
                 )
             except CommitConflictError as e:
                 if batch_id is not None and batch_id in self.committed_batch_ids():
@@ -1524,6 +1622,7 @@ class VersionedTable:
                     batch_id,
                     stats={**prev_stats, **stats},
                     version=version,
+                    adds_hint=list(groups),
                 )
             except CommitConflictError as e:
                 if batch_id is not None and batch_id in self.committed_batch_ids():

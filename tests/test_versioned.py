@@ -5151,3 +5151,85 @@ def test_concurrent_vacuum_stress(spark, tmp_path):
     mirror_from_feed(spark, t, mirror, keys=["k"], since_version=floor)
     got = {(r["k"], r["v"]) for r in mirror.read(spark).collect()}
     assert got == set(rows.items())
+
+
+def test_commit_adds_hint_equivalent_to_rediff(tmp_path):
+    """The O(change) append-shaped commit path (adds_hint, round 12)
+    is differentially fuzzed against the re-diff encoder: the SAME
+    randomized commit sequence driven through both paths yields
+    semantically identical on-disk records (parsed equality modulo
+    the wall-clock stamp) and identical materialized snapshots at
+    every version — including across full-checkpoint versions, DV
+    carriage, and the protocol-2 -> 4 flip."""
+    import random
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema_json = StructType([StructField("k", LongType())]).json()
+    rng = random.Random(12)
+    a = VersionedTable(str(tmp_path / "hint"), delta_log_min_files=4)
+    b = VersionedTable(str(tmp_path / "diff"), delta_log_min_files=4)
+    files: list[str] = []
+    stats: dict = {}
+    for v in range(40):
+        adds = [f"data/g{v:03d}_{j}" for j in range(rng.randint(1, 3))]
+        for g in adds:
+            stats[g] = {"k": [v * 10, v * 10 + 9], "__rows__": 10}
+        files.extend(adds)
+        dvs = (
+            {adds[0]: [f"dv/d{v:03d}"]} if rng.random() < 0.3 else None
+        )
+        a._commit(
+            list(files),
+            "append",
+            schema_json,
+            stats=dict(stats),
+            dvs=dvs,
+            adds_hint=list(adds),
+        )
+        b._commit(
+            list(files), "append", schema_json, stats=dict(stats), dvs=dvs
+        )
+
+    def norm(rec: dict) -> dict:
+        rec = dict(rec)
+        rec.pop("ts", None)
+        return rec
+
+    for v in range(40):
+        assert norm(a._load_record(v)) == norm(b._load_record(v)), v
+        ma, mb = norm(a._manifest(v)), norm(b._manifest(v))
+        assert ma == mb, v
+    # (no fsck here: the groups are synthetic metadata-only paths —
+    # real-data fsck coverage rides every append/commit_staged test)
+
+
+def test_commit_adds_hint_validation_fails_closed(tmp_path):
+    """A WRONG adds_hint raises before anything is published: an add
+    already live in the parent, or a count that doesn't balance, is a
+    caller bug that would otherwise corrupt the delta chain."""
+    import pytest as _p
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema_json = StructType([StructField("k", LongType())]).json()
+    t = VersionedTable(str(tmp_path / "t"), delta_log_min_files=1)
+    t._commit(["data/g0"], "append", schema_json, stats={})
+    with _p.raises(ValueError, match="already-live"):
+        t._commit(
+            ["data/g0", "data/g1"],
+            "append",
+            schema_json,
+            stats={},
+            adds_hint=["data/g0"],
+        )
+    with _p.raises(ValueError, match="does not balance"):
+        t._commit(
+            ["data/g0", "data/g1"],
+            "append",
+            schema_json,
+            stats={},
+            adds_hint=["data/g1", "data/g2"],
+        )
+    # nothing was published by the failed attempts
+    assert t.latest_version() == 0

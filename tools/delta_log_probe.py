@@ -91,17 +91,28 @@ def _checkpoint_cost(sizes: list[int]) -> list[dict]:
                 for i, g in enumerate(files)
             }
             t._commit(list(files), "append", SCHEMA_JSON, stats=dict(stats))
-            # versions 1..15: steady-state delta commits
-            dt_delta = None
+            # versions 1..15: steady-state delta commits. Odd versions
+            # exercise the re-diff encoder (no hint), even versions the
+            # O(change) adds_hint path EVERY REAL APPEND CALLER USES
+            # (round 12) — both timings reported.
+            dt_delta = dt_hint = None
             for j in range(1, 16):
                 g = groups[n + j]
                 files.append(g)
                 stats[g] = {"k": [0, 9], "__rows__": 10}
+                hint = [g] if j % 2 == 0 else None
                 t0 = _time.perf_counter()
                 t._commit(
-                    list(files), "append", SCHEMA_JSON, stats=dict(stats)
+                    list(files),
+                    "append",
+                    SCHEMA_JSON,
+                    stats=dict(stats),
+                    adds_hint=hint,
                 )
-                dt_delta = _time.perf_counter() - t0
+                if hint is None:
+                    dt_delta = _time.perf_counter() - t0
+                else:
+                    dt_hint = _time.perf_counter() - t0
             # version 16: the FULL checkpoint (version % 16 == 0)
             g = groups[n + 16]
             files.append(g)
@@ -136,6 +147,7 @@ def _checkpoint_cost(sizes: list[int]) -> list[dict]:
                     "checkpoint_write_s": round(ckpt_s, 3),
                     "checkpoint_bytes": os.path.getsize(rec16),
                     "steady_delta_commit_s": round(dt_delta, 4),
+                    "steady_delta_commit_hint_s": round(dt_hint, 4),
                     "cold_manifest_s": round(cold_s, 3),
                     "warm_manifest_s": round(warm_s, 6),
                 }
