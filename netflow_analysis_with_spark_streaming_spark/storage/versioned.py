@@ -637,6 +637,15 @@ class VersionedTable:
         # resurrect deleted rows. `inherit_dvs=False` is for restore,
         # which must adopt the TARGET snapshot's DV set verbatim.
         merged_dvs: dict[str, list[str]] = {}
+        if adds_hint is not None and not inherit_dvs:
+            # restore-style commits adopt a target DV set verbatim —
+            # the parent's entries are implicitly DROPPED, which the
+            # O(change) encoder cannot express (it emits no dvs_del).
+            # No caller combines these; fail closed if one ever does.
+            raise ValueError(
+                "adds_hint requires inherit_dvs=True (an append-shaped "
+                "commit carries the parent's deletion vectors forward)"
+            )
         if adds_hint is not None and prev_m:
             # validate the hint BEFORE trusting it anywhere: each add
             # must be absent from the parent's (sorted) live list, and

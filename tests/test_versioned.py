@@ -5233,3 +5233,26 @@ def test_commit_adds_hint_validation_fails_closed(tmp_path):
         )
     # nothing was published by the failed attempts
     assert t.latest_version() == 0
+
+
+def test_commit_adds_hint_refuses_uninherited_dvs(tmp_path):
+    """adds_hint + inherit_dvs=False fails closed: dropping the
+    parent's DV set is not append-shaped, and the O(change) encoder
+    emits no dvs_del — a silent combination would resurrect deleted
+    rows in the delta chain."""
+    import pytest as _p
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema_json = StructType([StructField("k", LongType())]).json()
+    t = VersionedTable(str(tmp_path / "t"), delta_log_min_files=1)
+    t._commit(["data/g0"], "append", schema_json, stats={})
+    with _p.raises(ValueError, match="inherit_dvs"):
+        t._commit(
+            ["data/g0", "data/g1"],
+            "append",
+            schema_json,
+            stats={},
+            inherit_dvs=False,
+            adds_hint=["data/g1"],
+        )
