@@ -362,17 +362,56 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def synth_png(docs: DataFrame) -> DataFrame:
-    """Real PNG payloads (8-bit grayscale), one per doc_id, built with
-    stdlib ``zlib``/``struct`` inside an Arrow-batched mapInPandas.
-    Scanline y is filtered with type y % 5 — every PNG filter (None/
-    Sub/Up/Average/Paeth) appears in the corpus, so the decoder's
-    whole unfilter surface is live, not just the trivial row. The
-    compressed stream is split across TWO IDAT chunks when it's big
-    enough — multi-IDAT concatenation is part of the format, and a
-    decoder that reads only the first chunk must fail the oracle."""
+def _encode_gray_png(rows: list) -> bytes:
+    """Encode a pixel matrix (list of equal-length rows of 0..255
+    ints) as a genuine 8-bit grayscale PNG. Scanline y is filtered
+    with type y % 5 — every PNG filter (None/Sub/Up/Average/Paeth)
+    appears in any image of 5+ rows, so the decoder's whole unfilter
+    surface is live, not just the trivial row. The compressed stream
+    is split across TWO IDAT chunks when it's big enough —
+    multi-IDAT concatenation is part of the format, and a decoder
+    that reads only the first chunk must fail the oracle. Shared by
+    synth_png (formula-synthesized corpus) and resize_png
+    (re-encoding real thumbnails)."""
     import struct
     import zlib
+
+    h, w = len(rows), len(rows[0])
+    prior = [0] * w
+    raw = bytearray()
+    for y in range(h):
+        row = [int(v) for v in rows[y]]
+        ft = y % 5
+        raw.append(ft)
+        for x in range(w):
+            left = row[x - 1] if x else 0
+            up = prior[x]
+            ul = prior[x - 1] if x else 0
+            if ft == 0:
+                v = row[x]
+            elif ft == 1:
+                v = row[x] - left
+            elif ft == 2:
+                v = row[x] - up
+            elif ft == 3:
+                v = row[x] - (left + up) // 2
+            else:
+                v = row[x] - _paeth(left, up, ul)
+            raw.append(v & 0xFF)
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    comp = zlib.compress(bytes(raw), 6)
+    mid = len(comp) // 2 if len(comp) >= 32 else len(comp)
+    idats = _png_chunk(b"IDAT", comp[:mid])
+    if mid < len(comp):
+        idats += _png_chunk(b"IDAT", comp[mid:])
+    return _PNG_SIG + _png_chunk(b"IHDR", ihdr) + idats + _png_chunk(b"IEND", b"")
+
+
+def synth_png(docs: DataFrame) -> DataFrame:
+    """Real PNG payloads (8-bit grayscale), one per doc_id, built with
+    stdlib ``zlib``/``struct`` inside an Arrow-batched mapInPandas
+    (see ``_encode_gray_png`` for the filter/IDAT coverage story)."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -382,129 +421,139 @@ def synth_png(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 w, h = _png_params(d)
-                prior = [0] * w
-                raw = bytearray()
-                for y in range(h):
-                    row = [_png_pixel(d, x, y) for x in range(w)]
-                    ft = y % 5
-                    raw.append(ft)
-                    for x in range(w):
-                        left = row[x - 1] if x else 0
-                        up = prior[x]
-                        ul = prior[x - 1] if x else 0
-                        if ft == 0:
-                            v = row[x]
-                        elif ft == 1:
-                            v = row[x] - left
-                        elif ft == 2:
-                            v = row[x] - up
-                        elif ft == 3:
-                            v = row[x] - (left + up) // 2
-                        else:
-                            v = row[x] - _paeth(left, up, ul)
-                        raw.append(v & 0xFF)
-                    prior = row
-                ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-                comp = zlib.compress(bytes(raw), 6)
-                mid = len(comp) // 2 if len(comp) >= 32 else len(comp)
-                idats = _png_chunk(b"IDAT", comp[:mid])
-                if mid < len(comp):
-                    idats += _png_chunk(b"IDAT", comp[mid:])
                 ids.append(d)
                 payloads.append(
-                    _PNG_SIG
-                    + _png_chunk(b"IHDR", ihdr)
-                    + idats
-                    + _png_chunk(b"IEND", b"")
+                    _encode_gray_png(
+                        [
+                            [_png_pixel(d, x, y) for x in range(w)]
+                            for y in range(h)
+                        ]
+                    )
                 )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(batches, PNG_SCHEMA)
 
 
-def decode_png(media: DataFrame) -> DataFrame:
-    """REAL image decode: parse the binary column with a genuine PNG
-    reader — signature, chunk walk with CRC32 verification, IHDR
-    validation, multi-IDAT concatenation, zlib inflate, and full
-    scanline unfiltering (all five filter types) — then extract
-    features from the recovered pixel matrix with numpy: mean
-    luminance, bright-pixel fraction, and a POSITION-WEIGHTED checksum
-    (sum of pixel * (y*w + x + 1)) that pins every pixel to its exact
-    location. Malformed payloads raise loudly — a corrupted media
-    column must never produce silent garbage features."""
+def _parse_gray_png(doc_id: int, buf: bytes):
+    """Genuine PNG reader for the 8-bit grayscale subset: signature,
+    chunk walk with CRC32 verification, IHDR validation, multi-IDAT
+    concatenation, zlib inflate, and full scanline unfiltering (all
+    five filter types). Returns (width, height, int64 pixel matrix);
+    malformed payloads raise loudly. Shared by decode_png and
+    resize_png."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if buf[:8] != _PNG_SIG:
+        raise ValueError(f"doc {doc_id}: not a PNG (bad signature)")
+    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    while pos < len(buf):
+        (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", buf[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(ctype + data) != crc:
+            raise ValueError(f"doc {doc_id}: CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            ended = True
+            break
+        pos += 12 + ln
+    if ihdr is None or not ended:
+        raise ValueError(f"doc {doc_id}: truncated PNG")
+    w, h, depth, ctype_i, comp, filt, interlace = ihdr
+    if (depth, ctype_i, comp, filt, interlace) != (8, 0, 0, 0, 0):
+        raise ValueError(
+            f"doc {doc_id}: unsupported PNG variant "
+            f"(depth={depth} color={ctype_i} interlace={interlace})"
+        )
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError(
+            f"doc {doc_id}: inflate length {len(raw)} != {h*(w+1)}"
+        )
+    px = np.zeros((h, w), dtype=np.int64)
+    prior = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        line = raw[y * (w + 1) : (y + 1) * (w + 1)]
+        ft, vals = line[0], list(line[1:])
+        row = [0] * w
+        for x in range(w):
+            left = row[x - 1] if x else 0
+            up = int(prior[x])
+            ul = int(prior[x - 1]) if x else 0
+            if ft == 0:
+                v = vals[x]
+            elif ft == 1:
+                v = vals[x] + left
+            elif ft == 2:
+                v = vals[x] + up
+            elif ft == 3:
+                v = vals[x] + (left + up) // 2
+            elif ft == 4:
+                v = vals[x] + _paeth(left, up, ul)
+            else:
+                raise ValueError(f"doc {doc_id}: unknown filter type {ft}")
+            row[x] = v & 0xFF
+        px[y] = row
+        prior = px[y]
+    return w, h, px
+
+
+def resize_png(media: DataFrame, tw: int, th: int) -> DataFrame:
+    """REAL image resize — the thumbnail op of a multimodal training
+    pipeline, end to end through genuine codecs: each payload is
+    PARSED (full CRC/filter surface), nearest-neighbor resampled to
+    (tw, th) — source pixel (floor(x*w/tw), floor(y*h/th)), both
+    down- and up-sampling — and RE-ENCODED as a real PNG, so the
+    output column carries valid thumbnail containers, not feature
+    rows. Runs as an Arrow-batched mapInPandas; payload bytes never
+    leave the executors. The sampling rule is integer-exact, so a
+    DuckDB oracle can recompute the expected thumbnail from the
+    synthesized corpus formula — decode(resize(synth)) pins BOTH
+    codec directions and the resampler in one hash."""
+    if tw < 1 or th < 1:
+        raise ValueError(f"resize target must be >= 1x1, got {tw}x{th}")
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import struct
-        import zlib
-
         import numpy as np
         import pandas as pd
 
-        def parse(doc_id: int, buf: bytes) -> tuple:
-            if buf[:8] != _PNG_SIG:
-                raise ValueError(f"doc {doc_id}: not a PNG (bad signature)")
-            pos, ihdr, idat, ended = 8, None, bytearray(), False
-            while pos < len(buf):
-                (ln,) = struct.unpack(">I", buf[pos : pos + 4])
-                ctype = buf[pos + 4 : pos + 8]
-                data = buf[pos + 8 : pos + 8 + ln]
-                (crc,) = struct.unpack(
-                    ">I", buf[pos + 8 + ln : pos + 12 + ln]
-                )
-                if zlib.crc32(ctype + data) != crc:
-                    raise ValueError(
-                        f"doc {doc_id}: CRC mismatch in {ctype!r} chunk"
-                    )
-                if ctype == b"IHDR":
-                    ihdr = struct.unpack(">IIBBBBB", data)
-                elif ctype == b"IDAT":
-                    idat.extend(data)
-                elif ctype == b"IEND":
-                    ended = True
-                    break
-                pos += 12 + ln
-            if ihdr is None or not ended:
-                raise ValueError(f"doc {doc_id}: truncated PNG")
-            w, h, depth, ctype_i, comp, filt, interlace = ihdr
-            if (depth, ctype_i, comp, filt, interlace) != (8, 0, 0, 0, 0):
-                raise ValueError(
-                    f"doc {doc_id}: unsupported PNG variant "
-                    f"(depth={depth} color={ctype_i} interlace={interlace})"
-                )
-            raw = zlib.decompress(bytes(idat))
-            if len(raw) != h * (w + 1):
-                raise ValueError(
-                    f"doc {doc_id}: inflate length {len(raw)} != {h*(w+1)}"
-                )
-            px = np.zeros((h, w), dtype=np.int64)
-            prior = np.zeros(w, dtype=np.int64)
-            for y in range(h):
-                line = raw[y * (w + 1) : (y + 1) * (w + 1)]
-                ft, vals = line[0], list(line[1:])
-                row = [0] * w
-                for x in range(w):
-                    left = row[x - 1] if x else 0
-                    up = int(prior[x])
-                    ul = int(prior[x - 1]) if x else 0
-                    if ft == 0:
-                        v = vals[x]
-                    elif ft == 1:
-                        v = vals[x] + left
-                    elif ft == 2:
-                        v = vals[x] + up
-                    elif ft == 3:
-                        v = vals[x] + (left + up) // 2
-                    elif ft == 4:
-                        v = vals[x] + _paeth(left, up, ul)
-                    else:
-                        raise ValueError(
-                            f"doc {doc_id}: unknown filter type {ft}"
-                        )
-                    row[x] = v & 0xFF
-                px[y] = row
-                prior = px[y]
-            return w, h, px
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = int(doc_id)
+                w, h, px = _parse_gray_png(d, bytes(payload))
+                sx = (np.arange(tw, dtype=np.int64) * w) // tw
+                sy = (np.arange(th, dtype=np.int64) * h) // th
+                thumb = px[np.ix_(sy, sx)]
+                ids.append(d)
+                payloads.append(_encode_gray_png(thumb.tolist()))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
+    return media.mapInPandas(batches, PNG_SCHEMA)
+
+
+def decode_png(media: DataFrame) -> DataFrame:
+    """REAL image decode: parse the binary column with the genuine PNG
+    reader (``_parse_gray_png``) then extract features from the
+    recovered pixel matrix with numpy: mean luminance, bright-pixel
+    fraction, and a POSITION-WEIGHTED checksum (sum of pixel *
+    (y*w + x + 1)) that pins every pixel to its exact location.
+    Malformed payloads raise loudly — a corrupted media column must
+    never produce silent garbage features."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        parse = _parse_gray_png
         for pdf in it:
             out = {
                 "doc_id": [],

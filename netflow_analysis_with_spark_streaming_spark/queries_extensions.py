@@ -1103,7 +1103,73 @@ ORDER BY doc_id
 """
 
 
+def _multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize through genuine codecs end to end (round 12):
+    synth_png's containers are PARSED (CRC-verified chunk walk, full
+    unfilter), nearest-neighbor resampled to an 8x6 thumbnail — source
+    pixel (floor(x*w/8), floor(y*h/6)), downsampling most docs and
+    UPsampling the narrow ones (w ranges 4..16), so both directions
+    are live — RE-ENCODED as real PNGs (functions/multimodal.
+    resize_png), and decoded AGAIN for features. One hash pins the
+    encoder, the parser, and the resampler in both directions: the
+    oracle recomputes the expected thumbnail straight from the
+    integer-hash pixel formula in SQL, so a sampling off-by-one, a
+    re-encode filter bug, or a mangled thumbnail byte all break it.
+    This is the 'resize' op of the multimodal training-data pipeline
+    (SURVEY §2.9), previously impossible to do genuinely under the
+    fake codec."""
+    from .functions import multimodal as M
+
+    docs = tables.load(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 20 == 0
+    )
+    return (
+        M.decode_png(M.resize_png(M.synth_png(docs), 8, 6))
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "mean_lum",
+            "frac_bright",
+            "px_checksum",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PNG_RESIZE_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         4 + doc_id % 13 AS w,
+         3 + doc_id % 11 AS h
+  FROM documents WHERE doc_id % 20 = 0
+),
+px AS (
+  SELECT d.doc_id, x, y,
+         (d.doc_id * 2654435761
+          + (CAST(FLOOR(y * d.h / 6.0) AS BIGINT)) * 131
+          + (CAST(FLOOR(x * d.w / 8.0) AS BIGINT)) * 17) % 256 AS p
+  FROM docs d,
+       unnest(range(0, 6)) ty(y),
+       unnest(range(0, 8)) tx(x)
+)
+SELECT doc_id,
+       CAST(8 AS INTEGER) AS width,
+       CAST(6 AS INTEGER) AS height,
+       ROUND(CAST(SUM(p) AS DOUBLE) / 48, 6) AS mean_lum,
+       ROUND(CAST(SUM(CASE WHEN p >= 128 THEN 1 ELSE 0 END) AS DOUBLE)
+             / 48, 6) AS frac_bright,
+       CAST(SUM(p * (y * 8 + x + 1)) AS BIGINT) AS px_checksum
+FROM px
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 register("multimodal_decode", _multimodal_decode, _MULTIMODAL_SQL)
+register(
+    "multimodal_png_resize", _multimodal_png_resize, _PNG_RESIZE_SQL, driver=False
+)
 register(
     "multimodal_wav_decode", _multimodal_wav_decode, _WAV_DECODE_SQL, driver=False
 )

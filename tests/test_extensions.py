@@ -1191,3 +1191,32 @@ def test_multimodal_png_real_codec_roundtrip(spark):
     )
     with pytest.raises(Exception, match="truncated|out of range|unpack"):
         M.decode_png(trunc).collect()
+
+
+def test_multimodal_png_resize_real_roundtrip(spark):
+    """resize_png parses, nearest-neighbor resamples, and RE-ENCODES
+    genuine PNG thumbnails: the output payloads are valid containers
+    (independently re-parsed), the sampled pixels equal the formula's
+    at the sampled source coordinates for BOTH directions (doc 7
+    downsamples 11x10 -> 8x6; doc 40 upsamples width 5 -> 8), and a
+    degenerate target refuses."""
+    import pytest
+
+    from netflow_analysis_with_spark_streaming_spark.functions import (
+        multimodal as M,
+    )
+
+    docs = spark.createDataFrame([(7,), (40,)], "doc_id long")
+    thumbs = M.resize_png(M.synth_png(docs), 8, 6)
+    rows = {r["doc_id"]: bytes(r["payload"]) for r in thumbs.collect()}
+    for d in (7, 40):
+        w, h = M._png_params(d)
+        tw_, th_, px = M._parse_gray_png(d, rows[d])  # real container
+        assert (tw_, th_) == (8, 6)
+        for y in range(6):
+            for x in range(8):
+                assert px[y][x] == M._png_pixel(
+                    d, (x * w) // 8, (y * h) // 6
+                ), (d, x, y)
+    with pytest.raises(ValueError, match=">= 1x1"):
+        M.resize_png(M.synth_png(docs), 0, 6)
