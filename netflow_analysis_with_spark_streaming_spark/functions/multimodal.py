@@ -579,3 +579,61 @@ def decode_png(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, PNG_DECODED_SCHEMA)
+
+
+def resample_wav(media: DataFrame, target_rate: int) -> DataFrame:
+    """REAL audio resample — the sample-rate-conversion op of a
+    multimodal training pipeline, end to end through genuine codecs:
+    each payload is PARSED with the stdlib ``wave`` reader,
+    nearest-neighbor resampled to ``target_rate`` — output length
+    floor(n * R / sr), output sample i taken from source index
+    floor(i * sr / R), so 8 kHz docs upsample 2x (duplication) and
+    16 kHz docs pass through identity — and RE-ENCODED as a real
+    16-bit PCM mono WAV at the new rate, so the output column carries
+    valid audio containers. Arrow-batched mapInPandas; the sampling
+    rule is integer-exact, so a DuckDB oracle recomputes the expected
+    resampled signal from the corpus formula —
+    decode(resample(synth)) pins BOTH codec directions and the
+    resampler in one hash."""
+    if target_rate < 1:
+        raise ValueError(f"target_rate must be >= 1, got {target_rate}")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+        import struct
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = int(doc_id)
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                        raise ValueError(
+                            f"doc {d}: expected 16-bit mono PCM, got "
+                            f"{w.getnchannels()}ch/{w.getsampwidth()*8}-bit"
+                        )
+                    sr = w.getframerate()
+                    n = w.getnframes()
+                    pcm = np.frombuffer(w.readframes(n), dtype="<i2")
+                n_out = (n * target_rate) // sr
+                idx = (
+                    np.arange(n_out, dtype=np.int64) * sr
+                ) // target_rate
+                out = pcm[idx]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(target_rate)
+                    w.writeframes(
+                        struct.pack(f"<{n_out}h", *out.tolist())
+                    )
+                ids.append(d)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return media.mapInPandas(batches, WAV_SCHEMA)

@@ -1166,9 +1166,82 @@ ORDER BY doc_id
 """
 
 
+def _multimodal_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resample through genuine codecs end to end (round
+    12, the audio twin of _multimodal_png_resize): synth_wav's
+    containers are PARSED with the stdlib ``wave`` reader,
+    nearest-neighbor resampled to 16 kHz — 8 kHz docs upsample 2x
+    (sample duplication), 12 kHz docs hit the 4/3 fractional path,
+    16 kHz docs pass through identity — RE-ENCODED as real WAV
+    containers at the new rate (functions/multimodal.resample_wav),
+    and decoded AGAIN for signal features. The oracle recomputes the
+    resampled sample stream straight from the integer-hash formula in
+    SQL (output sample i = source sample floor(i*sr/16000)), so an
+    index off-by-one, a re-pack bug, or a mangled byte breaks the
+    hash. This is the sample-rate-conversion op of the multimodal
+    training pipeline (SURVEY §2.9)."""
+    from .functions import multimodal as M
+
+    docs = tables.load(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 20 == 0
+    )
+    return (
+        M.decode_wav(M.resample_wav(M.synth_wav(docs), 16000))
+        # duration_s is omitted on purpose: n_out/16000 lands on exact
+        # half-ties at 6 decimals for odd n_out (e.g. 373/16000 =
+        # 0.0233125) where Python and DuckDB round differently; it is
+        # fully derivable from n_samples/sample_rate, so the hash loses
+        # nothing by excluding the tie-rounding artifact
+        .select("doc_id", "sample_rate", "n_samples", "rms", "zcr")
+        .orderBy("doc_id")
+    )
+
+
+_WAV_RESAMPLE_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         8000 + (doc_id % 3) * 4000 AS sr,
+         256 + (doc_id % 64) AS n
+  FROM documents WHERE doc_id % 20 = 0
+),
+sized AS (
+  SELECT doc_id, sr, n,
+         CAST(FLOOR(n * 16000.0 / sr) AS BIGINT) AS n_out
+  FROM docs
+),
+samples AS (
+  SELECT d.doc_id, d.n_out, i,
+         ((d.doc_id * 2654435761
+           + CAST(FLOOR(i * d.sr / 16000.0) AS BIGINT) * 97) % 65536)
+         - 32768 AS s
+  FROM sized d, unnest(range(0, d.n_out)) t(i)
+),
+lagged AS (
+  SELECT doc_id, n_out, i, s,
+         LAG(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM samples
+)
+SELECT doc_id,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       CAST(n_out AS INTEGER) AS n_samples,
+       ROUND(SQRT(CAST(SUM(s * s) AS DOUBLE) / n_out), 6) AS rms,
+       ROUND(CAST(SUM(CASE WHEN s * prev < 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / (n_out - 1), 6) AS zcr
+FROM lagged
+GROUP BY doc_id, n_out
+ORDER BY doc_id
+"""
+
+
 register("multimodal_decode", _multimodal_decode, _MULTIMODAL_SQL)
 register(
     "multimodal_png_resize", _multimodal_png_resize, _PNG_RESIZE_SQL, driver=False
+)
+register(
+    "multimodal_wav_resample",
+    _multimodal_wav_resample,
+    _WAV_RESAMPLE_SQL,
+    driver=False,
 )
 register(
     "multimodal_wav_decode", _multimodal_wav_decode, _WAV_DECODE_SQL, driver=False

@@ -1220,3 +1220,35 @@ def test_multimodal_png_resize_real_roundtrip(spark):
                 ), (d, x, y)
     with pytest.raises(ValueError, match=">= 1x1"):
         M.resize_png(M.synth_png(docs), 0, 6)
+
+
+def test_multimodal_wav_resample_real_roundtrip(spark):
+    """resample_wav parses, nearest-neighbor resamples, and RE-PACKS
+    genuine WAV containers: the output payloads are valid (re-parsed
+    independently), the 8 kHz doc's 2x upsample duplicates each
+    source sample, the 16 kHz doc passes through identity, and a
+    degenerate target rate refuses."""
+    import io
+    import struct
+    import wave
+
+    import pytest
+
+    from netflow_analysis_with_spark_streaming_spark.functions import (
+        multimodal as M,
+    )
+
+    # doc 60: sr 8000 (60%3=0) -> 2x upsample; doc 62: sr 16000 -> identity
+    docs = spark.createDataFrame([(60,), (62,)], "doc_id long")
+    out = M.resample_wav(M.synth_wav(docs), 16000)
+    rows = {r["doc_id"]: bytes(r["payload"]) for r in out.collect()}
+    for d in (60, 62):
+        sr, n = M._wav_params(d)
+        n_out = (n * 16000) // sr
+        with wave.open(io.BytesIO(rows[d]), "rb") as w:
+            assert (w.getframerate(), w.getnframes()) == (16000, n_out)
+            pcm = struct.unpack(f"<{n_out}h", w.readframes(n_out))
+        for i in range(n_out):
+            assert pcm[i] == M._wav_sample(d, (i * sr) // 16000), (d, i)
+    with pytest.raises(ValueError, match="target_rate"):
+        M.resample_wav(M.synth_wav(docs), 0)
