@@ -448,9 +448,16 @@ class VersionedSinkWriter(DataSourceStreamArrowWriter, DataSourceArrowWriter):
             # commit message never reaches the driver, so abort()'s
             # _cleanup can't see it — remove the orphan here or every
             # retried batch of a misbehaving stream leaks a staged
-            # group directory until vacuum
+            # group directory until vacuum. close() is guarded: on a
+            # disk-full write failure the footer flush raises the SAME
+            # error — letting it propagate would skip the rmtree (the
+            # exact leak this handler exists to stop) and mask the
+            # root-cause traceback with the close() one
             if writer is not None:
-                writer.close()
+                try:
+                    writer.close()
+                except Exception:
+                    pass
                 writer = None
             if gdir is not None:
                 shutil.rmtree(gdir, ignore_errors=True)

@@ -1202,8 +1202,8 @@ def drain_available_now(
     from .versioned import VersionedTable
 
     target = VersionedTable(table_root).latest_version()
-    pos = None
-    for _ in range(max_runs):
+    pos = prev = None
+    for i in range(max_runs):
         q = start_query()
         q.awaitTermination()
         pos = feed_checkpoint_position(checkpoint_dir)
@@ -1215,7 +1215,18 @@ def drain_available_now(
             and int(pos["version"]) >= target
         ):
             return pos
+        if i > 0 and pos == prev:
+            # a genuine stall: the run completed but the planned offset
+            # did not move — fail fast instead of burning the remaining
+            # query start-ups (a healthy paced backlog ALWAYS advances
+            # at least one file per run — the no-stall rule)
+            raise RuntimeError(
+                f"drain_available_now: offset did not advance past "
+                f"{pos} between runs — the stream is stalled"
+            )
+        prev = pos
     raise RuntimeError(
-        f"drain_available_now: {max_runs} runs did not reach version "
-        f"{target} (stuck at {pos}) — the stream is stalled"
+        f"drain_available_now: still advancing but version {target} not "
+        f"reached within max_runs={max_runs} (at {pos}) — raise max_runs "
+        "for this backlog depth"
     )

@@ -592,20 +592,22 @@ class VersionedTable:
     ) -> int:
         """``adds_hint`` (round 12): the APPEND-SHAPED fast path.
         A caller that KNOWS this commit only adds ``adds_hint`` to the
-        parent's live set — ``files == parent files + adds_hint``
-        (disjoint), ``stats == parent stats plus the new adds'
-        entries`` (no surviving entry changed), nothing removed —
-        declares it, and the commit skips every O(live groups) string
-        pass: the DV live-set rebuild, the stats/fileset filter, and
-        _encode_delta_record's three set diffs all become O(change).
-        The hint is VALIDATED in O(change · log N) (bisect each add
-        against the parent's sorted file list + count arithmetic), so
-        a wrong hint raises instead of corrupting the delta chain;
-        equivalence with the re-diff encoder is differentially
-        fuzzed in tests/test_versioned.py. This is what makes a
-        steady-state streaming commit O(change) CPU at 1e5+ live
-        groups (measured: tools/delta_log_probe.py --checkpoint-cost),
-        not just O(change) bytes."""
+        parent's live set declares it, and the commit skips every
+        O(live groups) STRING pass: the DV live-set rebuild, the
+        stats/fileset filter, and _encode_delta_record's three set
+        diffs all become O(change). The hint contract is STRUCTURAL
+        and CHECKED: ``files`` must be the parent's manifest file list
+        followed by exactly ``adds_hint`` (prefix/tail pointer-equality
+        + disjointness bisect — a wrong hint raises instead of
+        corrupting the delta chain), and the committed stats are
+        DERIVED as parent entries + the adds' entries from ``stats``
+        (a mutated surviving entry is ignored whole, never
+        half-applied into a memo/record split-brain). Equivalence with
+        the re-diff encoder is differentially fuzzed in
+        tests/test_versioned.py. This is what makes a steady-state
+        streaming commit O(change) CPU at 1e5+ live groups (measured:
+        tools/delta_log_probe.py --checkpoint-cost), not just
+        O(change) bytes."""
         if version is None:
             version = (self.latest_version() + 1) if self.versions() else 0
         # one materialized parent read serves DV inheritance, mapping
@@ -647,9 +649,16 @@ class VersionedTable:
                 "commit carries the parent's deletion vectors forward)"
             )
         if adds_hint is not None and prev_m:
-            # validate the hint BEFORE trusting it anywhere: each add
-            # must be absent from the parent's (sorted) live list, and
-            # the file count must balance — O(change · log N)
+            # validate the hint BEFORE trusting it anywhere. The
+            # contract is STRUCTURAL: ``files`` must be the parent's
+            # manifest file list followed by exactly ``adds_hint``, in
+            # that order, adds absent from the parent. The prefix/tail
+            # equality is O(N) POINTER compares (callers pass the
+            # memoized parent list itself), the disjointness bisect
+            # O(change · log N) — together they make 'files == parent
+            # ∪ adds' a checked fact, not a trusted claim, so a wrong
+            # hint raises instead of splitting the warm memo from what
+            # cold readers materialize out of the delta chain.
             import bisect as _bisect
 
             plist = prev_m.get("files") or []
@@ -660,13 +669,17 @@ class VersionedTable:
                         f"adds_hint names already-live file {a!r} — the "
                         "commit is not append-shaped; drop the hint"
                     )
-            if len(files) != len(plist) + len(adds_hint) or len(
-                set(adds_hint)
-            ) != len(adds_hint):
+            if (
+                len(files) != len(plist) + len(adds_hint)
+                or len(set(adds_hint)) != len(adds_hint)
+                or files[: len(plist)] != plist
+                or files[len(plist) :] != list(adds_hint)
+            ):
                 raise ValueError(
-                    "adds_hint does not balance: "
-                    f"{len(plist)} parent + {len(adds_hint)} adds != "
-                    f"{len(files)} files (or duplicate adds)"
+                    "adds_hint is not structurally append-shaped: files "
+                    "must be the parent's manifest file list followed by "
+                    f"exactly the {len(adds_hint)} hinted adds "
+                    f"(parent {len(plist)}, got {len(files)} files)"
                 )
         if inherit_dvs and prev_m:
             prev_dvs = prev_m.get("dvs") or {}
@@ -702,10 +715,23 @@ class VersionedTable:
         # would rebuild per ITEM — O(groups^2) string hashing on every
         # commit (measured 0.3 s/commit at 3.3k groups; minutes at the
         # 1e5-group target scale). With a VALIDATED adds_hint the
-        # filter itself is skippable: the parent's stats only cover
-        # live files (manifest invariant) and the adds are new, so the
-        # union the caller passed is already exactly live-scoped.
-        fileset = set(files) if adds_hint is None else None
+        # filter is replaced by DERIVATION: the committed stats are the
+        # parent's entries (manifest invariant: live-scoped) plus the
+        # adds' entries read from ``stats`` — by construction the memo,
+        # the delta record's stats_set, and a cold materialization all
+        # agree, even against a caller that mutated a surviving entry
+        # in its passed dict (such a mutation is NOT append-shaped and
+        # is ignored, not half-applied).
+        if adds_hint is not None:
+            hs = stats or {}
+            hinted_stats = {
+                **(prev_m.get("stats") or {}),
+                **{f: hs[f] for f in adds_hint if f in hs},
+            }
+            fileset = None
+        else:
+            hinted_stats = None
+            fileset = set(files)
         manifest = {
             "version": version,
             # readers at a lower protocol refuse this manifest; the
@@ -735,7 +761,7 @@ class VersionedTable:
             # Delta/Iceberg keep per data file; lets read() prune file
             # groups without opening them
             "stats": (
-                dict(stats or {})
+                hinted_stats
                 if adds_hint is not None
                 else {f: s for f, s in (stats or {}).items() if f in fileset}
             ),

@@ -5223,7 +5223,7 @@ def test_commit_adds_hint_validation_fails_closed(tmp_path):
             stats={},
             adds_hint=["data/g0"],
         )
-    with _p.raises(ValueError, match="does not balance"):
+    with _p.raises(ValueError, match="not structurally append-shaped"):
         t._commit(
             ["data/g0", "data/g1"],
             "append",
@@ -5231,8 +5231,46 @@ def test_commit_adds_hint_validation_fails_closed(tmp_path):
             stats={},
             adds_hint=["data/g1", "data/g2"],
         )
+    # the resurrect-and-swap shape (counts balance, adds disjoint, but
+    # a parent file dropped and an un-hinted file slipped in) — the
+    # class the structural prefix/tail check exists to catch
+    with _p.raises(ValueError, match="not structurally append-shaped"):
+        t._commit(
+            ["data/gX", "data/g1"],
+            "append",
+            schema_json,
+            stats={},
+            adds_hint=["data/g1"],
+        )
     # nothing was published by the failed attempts
     assert t.latest_version() == 0
+
+
+def test_commit_adds_hint_ignores_mutated_surviving_stats(tmp_path):
+    """A caller that mutates a SURVIVING file's stats entry in its
+    passed dict is not append-shaped: the mutation is ignored WHOLE
+    (committed stats derive from the parent + the adds' entries), so
+    the warm memo, the delta record, and a cold materialization all
+    agree — never a half-applied split-brain."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema_json = StructType([StructField("k", LongType())]).json()
+    t = VersionedTable(str(tmp_path / "t"), delta_log_min_files=1)
+    t._commit(
+        ["data/g0"], "append", schema_json, stats={"data/g0": {"k": [0, 9]}}
+    )
+    t._commit(
+        ["data/g0", "data/g1"],
+        "append",
+        schema_json,
+        stats={"data/g0": {"k": [999, 999]}, "data/g1": {"k": [10, 19]}},
+        adds_hint=["data/g1"],
+    )
+    # warm memo and a cold handle agree: parent entry inherited intact
+    for handle in (t, VersionedTable(str(tmp_path / "t"))):
+        m = handle._manifest(1)
+        assert m["stats"]["data/g0"] == {"k": [0, 9]}
+        assert m["stats"]["data/g1"] == {"k": [10, 19]}
 
 
 def test_commit_adds_hint_refuses_uninherited_dvs(tmp_path):
