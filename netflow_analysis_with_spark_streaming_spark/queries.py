@@ -137,7 +137,11 @@ _DRIVER_ORDER = [
     # pytest tier round 9 — its hash evidence near-duplicated
     # multimodal_decode's mapInPandas plumbing; slot went to
     # storage_versioned_merge below)
-    "multimodal_decode",
+    # multimodal_decode (fake md5 codec) retired to the pytest tier
+    # round 12: the REAL stdlib PNG codec entry is strictly stronger
+    # evidence of the same binary-column + mapInPandas plumbing —
+    # genuine parse (CRC walk, full unfilter), exact formula oracle
+    "multimodal_png_decode",
     "udf_surface",
     # reference parity (parity_live_path / parity_cidr_filter retired
     # to the pytest tier in round 6 — their P8-P12 semantics are

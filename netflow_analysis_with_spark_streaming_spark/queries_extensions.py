@@ -1233,7 +1233,12 @@ ORDER BY doc_id
 """
 
 
-register("multimodal_decode", _multimodal_decode, _MULTIMODAL_SQL)
+# multimodal_decode retired to the pytest tier round 12 (rotation for
+# multimodal_png_decode): the fake md5 codec's driver evidence is a
+# strict subset of the real PNG codec's — same binary-column +
+# mapInPandas plumbing, but the real entry adds a genuine parser with
+# CRC/filter coverage. Oracle intact — still differential in pytest.
+register("multimodal_decode", _multimodal_decode, _MULTIMODAL_SQL, driver=False)
 register(
     "multimodal_png_resize", _multimodal_png_resize, _PNG_RESIZE_SQL, driver=False
 )
@@ -1247,7 +1252,9 @@ register(
     "multimodal_wav_decode", _multimodal_wav_decode, _WAV_DECODE_SQL, driver=False
 )
 register(
-    "multimodal_png_decode", _multimodal_png_decode, _PNG_DECODE_SQL, driver=False
+    # promoted to the driver window round 12 in multimodal_decode's
+    # slot (see the rotation note above)
+    "multimodal_png_decode", _multimodal_png_decode, _PNG_DECODE_SQL
 )
 # retired to the pytest tier round 9 (slot went to
 # storage_versioned_merge): its driver hash evidence near-duplicated
