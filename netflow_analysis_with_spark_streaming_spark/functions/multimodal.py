@@ -637,3 +637,244 @@ def resample_wav(media: DataFrame, target_rate: int) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return media.mapInPandas(batches, WAV_SCHEMA)
+
+
+# --- REAL video container path (round 12) ---------------------------------
+#
+# A video CODEC (H.264 etc.) genuinely cannot be had here — no ffmpeg,
+# pip blocked — but a video CONTAINER needs none: uncompressed AVI is
+# RIFF chunks + raw DIB frames, all `struct`. So the frame-sampling op
+# (the §2.9 'frame-sample' bullet) gets the same treatment audio and
+# image got: payloads are genuine AVI files (RIFF/LIST walk, real avih/
+# strh/strf headers, 8-bit DIB frames with the format's ACTUAL quirks —
+# 4-byte row stride padding, bottom-up row order, 256-entry grayscale
+# palette), and sampling runs a genuine parser. Compressed-codec decode
+# stays honestly out of reach; the container layer — which is what
+# frame EXTRACTION actually exercises — is real.
+
+AVI_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+AVI_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("mean_lum", DoubleType()),
+        StructField("px_checksum", LongType()),
+    ]
+)
+
+
+def _avi_params(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) — deterministic per doc, mirrored in
+    the oracle SQL. Width 5..9 guarantees the DIB stride-padding path
+    is live (stride 8 or 12 != width for most docs)."""
+    return 5 + (doc_id % 5), 3 + (doc_id % 4), 4 + (doc_id % 9)
+
+
+def _avi_pixel(doc_id: int, f: int, x: int, y: int) -> int:
+    """Grayscale value of pixel (x, y) in frame f — an integer-hash
+    field exactly expressible in SQL."""
+    return (doc_id * 2654435761 + f * 509 + y * 131 + x * 17) % 256
+
+
+def _encode_avi(doc_id: int) -> bytes:
+    """Encode one doc's synthetic frames as a genuine uncompressed
+    AVI: a real RIFF container — avih main header, a 'vids/DIB '
+    stream with BITMAPINFOHEADER + 256-entry grayscale palette, and
+    one '00db' chunk per frame holding the raw 8-bit DIB with the
+    format's real semantics (rows padded to 4-byte stride, stored
+    BOTTOM-UP), plus an idx1 index."""
+    import struct
+
+    w, h, n = _avi_params(doc_id)
+    stride = ((w + 3) // 4) * 4
+    frames = []
+    for f in range(n):
+        dib = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up, the DIB rule
+            row = bytes(
+                _avi_pixel(doc_id, f, x, y) for x in range(w)
+            ) + b"\x00" * (stride - w)
+            dib.extend(row)
+        frames.append(bytes(dib))
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(four: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", four + data)
+
+    frame_bytes = stride * h
+    avih = struct.pack(
+        "<14I",
+        40000,  # usec/frame (25 fps)
+        frame_bytes * 25,
+        0,
+        0x10,  # AVIF_HASINDEX
+        n,
+        0,
+        1,
+        frame_bytes,
+        w,
+        h,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, 25, 0, n,
+        frame_bytes, 0, 0xFFFFFFFF, 0, 0, w, h,
+    )
+    bmih = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, frame_bytes, 0, 0, 256, 256
+    )
+    palette = b"".join(
+        struct.pack("<BBBB", i, i, i, 0) for i in range(256)
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", bmih + palette)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", fr) for fr in frames))
+    idx = chunk(
+        b"idx1",
+        b"".join(
+            struct.pack("<4sII I".replace(" ", ""), b"00db", 0x10, 0, len(fr))
+            for fr in frames
+        ),
+    )
+    body = b"AVI " + hdrl + movi + idx
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+def synth_avi(docs: DataFrame) -> DataFrame:
+    """Real uncompressed-AVI payloads, one per doc_id, built with
+    ``_encode_avi`` inside an Arrow-batched mapInPandas — genuine
+    RIFF containers with raw DIB frames, not placeholders."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            ids = [int(d) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [_encode_avi(d) for d in ids]}
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, AVI_SCHEMA)
+
+
+
+def _parse_avi(doc_id: int, buf: bytes):
+    """Genuine RIFF/AVI reader for the uncompressed 8-bit DIB subset:
+    validates the RIFF signature, walks LIST/chunk structure, reads
+    the stream format (BITMAPINFOHEADER), collects '00db' frame
+    chunks, and un-pads/flips each bottom-up DIB into a top-down
+    pixel matrix. Returns (width, height, [frame matrices]);
+    malformed containers raise loudly."""
+    import struct
+
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError(f"doc {doc_id}: not a RIFF/AVI container")
+    (riff_len,) = struct.unpack("<I", buf[4:8])
+    if riff_len + 8 != len(buf):
+        raise ValueError(
+            f"doc {doc_id}: RIFF length {riff_len + 8} != {len(buf)}"
+        )
+
+    def walk(data: bytes):
+        pos = 0
+        while pos + 8 <= len(data):
+            fourcc = data[pos : pos + 4]
+            (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body = data[pos + 8 : pos + 8 + ln]
+            yield fourcc, body
+            pos += 8 + ln + (ln % 2)
+
+    w = h = bits = None
+    frames_raw: list[bytes] = []
+    declared = None
+    for fourcc, body in walk(buf[12:]):
+        if fourcc != b"LIST":
+            continue
+        kind, inner = body[:4], body[4:]
+        if kind == b"hdrl":
+            for c2, b2 in walk(inner):
+                if c2 == b"avih":
+                    declared = struct.unpack("<14I", b2[:56])[4]
+                elif c2 == b"LIST" and b2[:4] == b"strl":
+                    for c3, b3 in walk(b2[4:]):
+                        if c3 == b"strf":
+                            (_sz, w, h, _planes, bits) = struct.unpack(
+                                "<IiiHH", b3[:16]
+                            )
+        elif kind == b"movi":
+            for c2, b2 in walk(inner):
+                if c2 == b"00db":
+                    frames_raw.append(b2)
+    if w is None or not frames_raw:
+        raise ValueError(f"doc {doc_id}: no stream format or frames")
+    if bits != 8 or h <= 0:
+        raise ValueError(
+            f"doc {doc_id}: unsupported DIB ({bits}-bit, height {h})"
+        )
+    if declared is not None and declared != len(frames_raw):
+        raise ValueError(
+            f"doc {doc_id}: avih declares {declared} frames, "
+            f"movi holds {len(frames_raw)}"
+        )
+    stride = ((w + 3) // 4) * 4
+    out = []
+    for i, raw in enumerate(frames_raw):
+        if len(raw) != stride * h:
+            raise ValueError(
+                f"doc {doc_id}: frame {i} is {len(raw)} bytes, "
+                f"expected {stride * h}"
+            )
+        m = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)[:, :w]
+        out.append(m[::-1].astype(np.int64))  # bottom-up -> top-down
+    return w, h, out
+
+
+def sample_frames_avi(media: DataFrame, step: int = 3) -> DataFrame:
+    """REAL frame sampling: parse the AVI container, take every
+    ``step``-th frame, and emit one OUTPUT row per sampled frame
+    (the 1-to-N mapInPandas shape) with its mean luminance and
+    position-weighted pixel checksum. This upgrades sample_frames'
+    fake path to a genuine container parse — the compressed-codec
+    half stays honestly stubbed (no ffmpeg)."""
+    if step < 1:
+        raise ValueError(f"step must be >= 1, got {step}")
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {
+                "doc_id": [],
+                "frame_idx": [],
+                "mean_lum": [],
+                "px_checksum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = int(doc_id)
+                w, h, frames = _parse_avi(d, bytes(payload))
+                n = w * h
+                weights = np.arange(1, n + 1, dtype=np.int64)
+                for f in range(0, len(frames), step):
+                    flat = frames[f].reshape(-1)
+                    out["doc_id"].append(d)
+                    out["frame_idx"].append(f)
+                    out["mean_lum"].append(round(int(flat.sum()) / n, 6))
+                    out["px_checksum"].append(int((flat * weights).sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, AVI_FRAME_SCHEMA)

@@ -1233,6 +1233,66 @@ ORDER BY doc_id
 """
 
 
+def _multimodal_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container frame sampling (round 12): a video CODEC
+    genuinely can't be had here (no ffmpeg), but frame EXTRACTION is a
+    container operation, and uncompressed AVI needs only ``struct`` —
+    payloads are genuine RIFF containers (avih/strh/strf headers,
+    8-bit DIB frames with real 4-byte stride padding and bottom-up row
+    order, idx1 index), and sampling runs a genuine parser
+    (functions/multimodal.synth_avi + sample_frames_avi): every 3rd
+    frame emits one row (the 1-to-N mapInPandas shape) with mean
+    luminance and a position-weighted pixel checksum. The oracle
+    recomputes the sampled frames straight from the integer-hash pixel
+    formula in SQL — a stride/flip bug, a frame-count mismatch between
+    avih and movi, or a mangled chunk breaks the hash. The fake
+    ``sample_frames`` stays as the documented plug point for real
+    compressed codecs."""
+    from .functions import multimodal as M
+
+    docs = tables.load(spark, "documents", sf_dir).filter(
+        F.col("doc_id") % 20 == 0
+    )
+    return (
+        M.sample_frames_avi(M.synth_avi(docs), step=3)
+        .select("doc_id", "frame_idx", "mean_lum", "px_checksum")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+_AVI_FRAME_SAMPLE_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         5 + doc_id % 5 AS w,
+         3 + doc_id % 4 AS h,
+         4 + doc_id % 9 AS n
+  FROM documents WHERE doc_id % 20 = 0
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h, f, x, y,
+         (d.doc_id * 2654435761 + f * 509 + y * 131 + x * 17) % 256 AS p
+  FROM docs d,
+       unnest(range(0, d.n)) tf(f),
+       unnest(range(0, d.h)) ty(y),
+       unnest(range(0, d.w)) tx(x)
+  WHERE f % 3 = 0
+)
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       ROUND(CAST(SUM(p) AS DOUBLE) / (w * h), 6) AS mean_lum,
+       CAST(SUM(p * (y * w + x + 1)) AS BIGINT) AS px_checksum
+FROM px
+GROUP BY doc_id, f, w, h
+ORDER BY doc_id, frame_idx
+"""
+
+
+register(
+    "multimodal_avi_frame_sample",
+    _multimodal_avi_frame_sample,
+    _AVI_FRAME_SAMPLE_SQL,
+    driver=False,
+)
 # multimodal_decode retired to the pytest tier round 12 (rotation for
 # multimodal_png_decode): the fake md5 codec's driver evidence is a
 # strict subset of the real PNG codec's — same binary-column +
