@@ -10,12 +10,15 @@ columnar batches (zero per-row pickling). Codec status by modality:
   and genuine PNG via ``zlib``+``struct`` (synth_png/decode_png, full
   chunk/CRC/filter surface) — each with an exact DuckDB oracle over a
   deterministically synthesized signal/image.
-- VIDEO stays honestly stubbed: ffmpeg does not ship here and pip is
-  blocked, so ``sample_frames``/``decode_media`` with ``fake=False``
-  raise NotImplementedError at the exact plug point; their
-  deterministic fake paths keep the Spark-side contract — schema,
-  batch shape, partitioning — fully real and differential-testable
-  (md5-derived values, mirrored in DuckDB).
+- VIDEO (round 12) carries a real CONTAINER layer: uncompressed AVI
+  via ``struct`` (synth_avi/_parse_avi/sample_frames_avi — genuine
+  RIFF walk, DIB stride/flip semantics, exact oracle). Compressed
+  CODEC decode stays honestly stubbed: ffmpeg does not ship here and
+  pip is blocked, so ``sample_frames``/``decode_media`` with
+  ``fake=False`` raise NotImplementedError at the exact plug point;
+  their deterministic fake paths keep the Spark-side contract —
+  schema, batch shape, partitioning — fully real and
+  differential-testable (md5-derived values, mirrored in DuckDB).
 
 Scale: mapInPandas streams batches (spark.sql.execution.arrow.
 maxRecordsPerBatch); payload bytes never hit the driver. For real
