@@ -919,13 +919,19 @@ def _pipeline_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
     - BRONZE: raw events replayed as a paced file stream (3 files,
       maxFilesPerTrigger=1) land through the native arrow sink as 3
       exactly-once commits.
-    - SILVER + GOLD: the bronze TABLE STREAM (insert-only, paced
-      1 commit/trigger) is cleaned declaratively (null/negative
-      values dropped, day bucket derived) and lands through
-      StreamingViewMaintainer — silver appends batch-id-stamped, the
-      gold per-(day, event_type) aggregate advanced from silver's
-      typed change feed ONLY (IVM: the silver table is never
-      rescanned).
+    - SILVER + GOLD: the bronze TABLE STREAM (insert-only,
+      maxVersionsPerTrigger=1) is cleaned declaratively
+      (null/negative values dropped, day bucket derived) and lands
+      through StreamingViewMaintainer — silver appends
+      batch-id-stamped, the gold per-(day, event_type) aggregate
+      advanced from silver's typed change feed ONLY (IVM: the silver
+      table is never rescanned). Honest note on the pacing option
+      under this entry's FRESH checkpoint: Python sources fall back
+      to single-batch execution for availableNow, and a fresh run's
+      first trigger is uncapped (FORMAT.md), so the three bronze
+      commits drain here as ONE silver batch — the cap bites on
+      RESTARTED checkpoints (tests/test_available_now.py), not in
+      this entry's single pass.
 
     The oracle recomputes gold from raw events in one SQL statement;
     a dropped batch, a double-landed replay, or IVM drift at any hop
