@@ -211,13 +211,50 @@ def _wav_sample(doc_id: int, i: int) -> int:
     return ((doc_id * 2654435761 + i * 97) % 65536) - 32768
 
 
-def synth_wav(docs: DataFrame) -> DataFrame:
-    """Real RIFF/WAVE payloads (16-bit PCM mono), one per doc_id, via
-    the stdlib ``wave`` writer inside an Arrow-batched mapInPandas —
-    the engine carries genuine media bytes, not placeholders."""
+def _pack_wav(sample_rate: int, samples: list) -> bytes:
+    """Pack 16-bit PCM mono samples into a real RIFF/WAVE container
+    via the stdlib ``wave`` writer. Shared by synth_wav (synthesized
+    corpus) and resample_wav (re-packing converted signals) — one
+    pack path, so a format fix can never apply to one and not the
+    other."""
     import io
     import struct
     import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def _parse_wav(doc_id: int, buf: bytes):
+    """Genuine WAV read for the 16-bit-mono subset: stdlib ``wave``
+    parse + the channel/width validation, returning (sample_rate,
+    int16 numpy sample array). Malformed or out-of-subset payloads
+    raise loudly. Shared by decode_wav and resample_wav."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(buf), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError(
+                f"doc {doc_id}: expected 16-bit mono PCM, got "
+                f"{w.getnchannels()}ch/{w.getsampwidth()*8}-bit"
+            )
+        sr = w.getframerate()
+        n = w.getnframes()
+        return sr, np.frombuffer(w.readframes(n), dtype="<i2")
+
+
+def synth_wav(docs: DataFrame) -> DataFrame:
+    """Real RIFF/WAVE payloads (16-bit PCM mono), one per doc_id, via
+    ``_pack_wav`` inside an Arrow-batched mapInPandas — the engine
+    carries genuine media bytes, not placeholders."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -227,15 +264,10 @@ def synth_wav(docs: DataFrame) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 sr, n = _wav_params(d)
-                samples = [_wav_sample(d, i) for i in range(n)]
-                buf = io.BytesIO()
-                with wave.open(buf, "wb") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(2)
-                    w.setframerate(sr)
-                    w.writeframes(struct.pack(f"<{n}h", *samples))
                 ids.append(d)
-                payloads.append(buf.getvalue())
+                payloads.append(
+                    _pack_wav(sr, [_wav_sample(d, i) for i in range(n)])
+                )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(batches, WAV_SCHEMA)
@@ -249,10 +281,6 @@ def decode_wav(media: DataFrame) -> DataFrame:
     produce silent garbage features."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import io
-        import wave
-
-        import numpy as np
         import pandas as pd
 
         for pdf in it:
@@ -265,17 +293,11 @@ def decode_wav(media: DataFrame) -> DataFrame:
                 "zcr": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-                    if w.getnchannels() != 1 or w.getsampwidth() != 2:
-                        raise ValueError(
-                            f"doc {doc_id}: expected 16-bit mono PCM, got "
-                            f"{w.getnchannels()}ch/{w.getsampwidth()*8}-bit"
-                        )
-                    sr = w.getframerate()
-                    n = w.getnframes()
-                    pcm = np.frombuffer(
-                        w.readframes(n), dtype="<i2"
-                    ).astype(np.int64)
+                import numpy as np
+
+                sr, raw = _parse_wav(int(doc_id), bytes(payload))
+                n = len(raw)
+                pcm = raw.astype(np.int64)
                 # integer-exact sum of squares, then one double divide +
                 # IEEE sqrt: bit-identical to the SQL mirror (math.sqrt
                 # is correctly rounded; `** 0.5` via C pow is not
@@ -602,10 +624,6 @@ def resample_wav(media: DataFrame, target_rate: int) -> DataFrame:
         raise ValueError(f"target_rate must be >= 1, got {target_rate}")
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import io
-        import struct
-        import wave
-
         import numpy as np
         import pandas as pd
 
@@ -613,30 +631,16 @@ def resample_wav(media: DataFrame, target_rate: int) -> DataFrame:
             ids, payloads = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 d = int(doc_id)
-                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
-                    if w.getnchannels() != 1 or w.getsampwidth() != 2:
-                        raise ValueError(
-                            f"doc {d}: expected 16-bit mono PCM, got "
-                            f"{w.getnchannels()}ch/{w.getsampwidth()*8}-bit"
-                        )
-                    sr = w.getframerate()
-                    n = w.getnframes()
-                    pcm = np.frombuffer(w.readframes(n), dtype="<i2")
+                sr, pcm = _parse_wav(d, bytes(payload))
+                n = len(pcm)
                 n_out = (n * target_rate) // sr
                 idx = (
                     np.arange(n_out, dtype=np.int64) * sr
                 ) // target_rate
-                out = pcm[idx]
-                buf = io.BytesIO()
-                with wave.open(buf, "wb") as w:
-                    w.setnchannels(1)
-                    w.setsampwidth(2)
-                    w.setframerate(target_rate)
-                    w.writeframes(
-                        struct.pack(f"<{n_out}h", *out.tolist())
-                    )
                 ids.append(d)
-                payloads.append(buf.getvalue())
+                payloads.append(
+                    _pack_wav(target_rate, pcm[idx].tolist())
+                )
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return media.mapInPandas(batches, WAV_SCHEMA)
@@ -728,10 +732,14 @@ def _encode_avi(doc_id: int) -> bytes:
         h,
         0, 0, 0, 0,
     )
+    # AVISTREAMHEADER field order: ...dwSuggestedBufferSize,
+    # dwQuality, dwSampleSize, rcFrame. dwSampleSize MUST be 0 for
+    # video (one frame per chunk — a standards-conforming reader uses
+    # it to map chunks to samples); quality -1 = driver default.
     strh = struct.pack(
         "<4s4sIHHIIIIIIII4H",
         b"vids", b"DIB ", 0, 0, 0, 0, 1, 25, 0, n,
-        frame_bytes, 0, 0xFFFFFFFF, 0, 0, w, h,
+        frame_bytes, 0xFFFFFFFF, 0, 0, 0, w, h,
     )
     bmih = struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, 8, 0, frame_bytes, 0, 0, 256, 256
@@ -744,14 +752,20 @@ def _encode_avi(doc_id: int) -> bytes:
         chunk(b"avih", avih)
         + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", bmih + palette)),
     )
-    movi = lst(b"movi", b"".join(chunk(b"00db", fr) for fr in frames))
-    idx = chunk(
-        b"idx1",
-        b"".join(
-            struct.pack("<4sII I".replace(" ", ""), b"00db", 0x10, 0, len(fr))
-            for fr in frames
-        ),
-    )
+    # idx1 entries carry REAL movi-relative chunk offsets (the
+    # convention: offset of each chunk header from the 'movi' fourcc,
+    # so the first chunk sits at 4) — AVIF_HASINDEX is advertised, so
+    # an index-trusting reader must be able to seek by these
+    movi_chunks, idx_entries, off = [], [], 4
+    for fr in frames:
+        c = chunk(b"00db", fr)
+        movi_chunks.append(c)
+        idx_entries.append(
+            struct.pack("<4sIII", b"00db", 0x10, off, len(fr))
+        )
+        off += len(c)
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx = chunk(b"idx1", b"".join(idx_entries))
     body = b"AVI " + hdrl + movi + idx
     return b"RIFF" + struct.pack("<I", len(body)) + body
 

@@ -648,17 +648,21 @@ class VersionedTable:
                 "adds_hint requires inherit_dvs=True (an append-shaped "
                 "commit carries the parent's deletion vectors forward)"
             )
-        if adds_hint is not None and prev_m:
-            # validate the hint BEFORE trusting it anywhere. The
-            # contract is STRUCTURAL: ``files`` must be the parent's
-            # manifest file list followed by exactly ``adds_hint``, in
-            # that order, adds absent from the parent. The prefix/tail
+        if adds_hint is not None:
+            # validate the hint BEFORE trusting it anywhere — ALSO on
+            # a parentless slot (version 0 / rollback-vacated parent),
+            # where fail-open would silently drop un-hinted files'
+            # stats. The contract is STRUCTURAL: ``files`` must be the
+            # parent's manifest file list (empty for a parentless
+            # commit) followed by exactly ``adds_hint``, in that
+            # order, adds absent from the parent. The prefix/tail
             # equality is O(N) POINTER compares (callers pass the
-            # memoized parent list itself), the disjointness bisect
-            # O(change · log N) — together they make 'files == parent
-            # ∪ adds' a checked fact, not a trusted claim, so a wrong
-            # hint raises instead of splitting the warm memo from what
-            # cold readers materialize out of the delta chain.
+            # memoized parent list itself) and alone pins the length
+            # arithmetic; the disjointness bisect is O(change · log N)
+            # — together they make 'files == parent ∪ adds' a checked
+            # fact, not a trusted claim, so a wrong hint raises
+            # instead of splitting the warm memo from what cold
+            # readers materialize out of the delta chain.
             import bisect as _bisect
 
             plist = prev_m.get("files") or []
@@ -670,8 +674,7 @@ class VersionedTable:
                         "commit is not append-shaped; drop the hint"
                     )
             if (
-                len(files) != len(plist) + len(adds_hint)
-                or len(set(adds_hint)) != len(adds_hint)
+                len(set(adds_hint)) != len(adds_hint)
                 or files[: len(plist)] != plist
                 or files[len(plist) :] != list(adds_hint)
             ):

@@ -1293,5 +1293,42 @@ def test_multimodal_avi_real_container_roundtrip(spark):
     declared[at : at + 4] = struct.pack("<I", 99)
     with pytest.raises(Exception, match="declares 99 frames"):
         M._parse_avi(7, bytes(declared))
+    # corruption: a truncated FRAME — 4 data bytes dropped with every
+    # enclosing length (chunk, movi LIST, RIFF) fixed up so the walk
+    # stays aligned — fails the stride*height check with its own
+    # diagnosis (the walk-desync variants fail earlier, via the
+    # frame-count cross-check)
+    buf7 = rows[7]
+    w, h, _n = M._avi_params(7)
+    stride = ((w + 3) // 4) * 4
+    at = buf7.index(b"00db")  # first frame chunk header
+    (orig_len,) = struct.unpack("<I", buf7[at + 4 : at + 8])
+    assert orig_len == stride * h
+    frame_end = at + 8 + orig_len
+    trunc = bytearray()
+    trunc += buf7[: at + 4]
+    trunc += struct.pack("<I", orig_len - 4)
+    trunc += buf7[at + 8 : frame_end - 4]  # frame data minus 4 bytes
+    trunc += buf7[frame_end:]
+    mv = buf7.index(b"movi") - 8  # movi LIST header (precedes frame)
+    (mlen,) = struct.unpack("<I", buf7[mv + 4 : mv + 8])
+    trunc[mv + 4 : mv + 8] = struct.pack("<I", mlen - 4)
+    (rlen,) = struct.unpack("<I", buf7[4:8])
+    trunc[4:8] = struct.pack("<I", rlen - 4)
+    with pytest.raises(Exception, match="frame 0 is"):
+        M._parse_avi(7, bytes(trunc))
+    # header honesty (nothing in-repo reads these, so pin the bytes):
+    # AVISTREAMHEADER dwSampleSize MUST be 0 for video (one frame per
+    # chunk), quality -1 = default; idx1 offsets are REAL
+    # movi-relative chunk positions (first chunk at 4), since
+    # AVIF_HASINDEX is advertised
+    sh = buf7.index(b"strh") + 8  # dwQuality at +40, dwSampleSize +44
+    quality, sample_size = struct.unpack("<II", buf7[sh + 40 : sh + 48])
+    assert (quality, sample_size) == (0xFFFFFFFF, 0)
+    ix = buf7.index(b"idx1") + 8
+    e0 = struct.unpack("<4sIII", buf7[ix : ix + 16])
+    e1 = struct.unpack("<4sIII", buf7[ix + 16 : ix + 32])
+    assert e0 == (b"00db", 0x10, 4, stride * h)
+    assert e1[2] == 4 + 8 + stride * h  # next chunk: header + data
     with pytest.raises(ValueError, match="step"):
         M.sample_frames_avi(media, step=0)

@@ -5294,3 +5294,35 @@ def test_commit_adds_hint_refuses_uninherited_dvs(tmp_path):
             inherit_dvs=False,
             adds_hint=["data/g1"],
         )
+
+
+def test_commit_adds_hint_validates_on_parentless_slot(tmp_path):
+    """The structural check also runs when there is NO parent manifest
+    (version 0): a hinted commit whose files exceed its adds would
+    otherwise silently drop the un-hinted files' stats (fail-open).
+    With an exact hint the parentless commit works and keeps every
+    stats entry."""
+    import pytest as _p
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema_json = StructType([StructField("k", LongType())]).json()
+    t = VersionedTable(str(tmp_path / "t"))
+    with _p.raises(ValueError, match="not structurally append-shaped"):
+        t._commit(
+            ["data/a", "data/b"],
+            "append",
+            schema_json,
+            stats={"data/a": {"k": [0, 1]}, "data/b": {"k": [2, 3]}},
+            adds_hint=["data/b"],
+        )
+    assert t.latest_version() is None
+    v = t._commit(
+        ["data/a", "data/b"],
+        "append",
+        schema_json,
+        stats={"data/a": {"k": [0, 1]}, "data/b": {"k": [2, 3]}},
+        adds_hint=["data/a", "data/b"],
+    )
+    m = t._manifest(v)
+    assert set(m["stats"]) == {"data/a", "data/b"}
