@@ -817,6 +817,7 @@ def _parse_avi(doc_id: int, buf: bytes):
 
     w = h = bits = None
     frames_raw: list[bytes] = []
+    frame_offsets: list[tuple] = []
     declared = None
     for fourcc, body in walk(buf[12:]):
         if fourcc != b"LIST":
@@ -833,9 +834,31 @@ def _parse_avi(doc_id: int, buf: bytes):
                                 "<IiiHH", b3[:16]
                             )
         elif kind == b"movi":
+            pos = 4  # movi-relative offset of the first chunk header
             for c2, b2 in walk(inner):
                 if c2 == b"00db":
                     frames_raw.append(b2)
+                    frame_offsets.append((pos, len(b2)))
+                pos += 8 + len(b2) + (len(b2) % 2)
+    # idx1 cross-check (the container advertises AVIF_HASINDEX): the
+    # index's movi-relative offsets/sizes must agree with where the
+    # chunks actually sit — a stale or zeroed index is the class of
+    # defect nothing else reads, so verify it here rather than let a
+    # seek-by-index consumer discover it
+    for fourcc, body in walk(buf[12:]):
+        if fourcc != b"idx1":
+            continue
+        entries = [
+            struct.unpack("<4sIII", body[k : k + 16])
+            for k in range(0, len(body) - len(body) % 16, 16)
+        ]
+        db = [(off, ln) for cc, _fl, off, ln in entries if cc == b"00db"]
+        if db != frame_offsets:
+            raise ValueError(
+                f"doc {doc_id}: idx1 disagrees with movi layout "
+                f"({len(db)} index entries vs {len(frame_offsets)} "
+                "frames, or offsets/sizes drifted)"
+            )
     if w is None or not frames_raw:
         raise ValueError(f"doc {doc_id}: no stream format or frames")
     if bits != 8 or h <= 0:

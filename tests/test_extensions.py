@@ -1313,8 +1313,12 @@ def test_multimodal_avi_real_container_roundtrip(spark):
     mv = buf7.index(b"movi") - 8  # movi LIST header (precedes frame)
     (mlen,) = struct.unpack("<I", buf7[mv + 4 : mv + 8])
     trunc[mv + 4 : mv + 8] = struct.pack("<I", mlen - 4)
-    (rlen,) = struct.unpack("<I", buf7[4:8])
-    trunc[4:8] = struct.pack("<I", rlen - 4)
+    # drop the (now-stale) trailing idx1 so the index cross-check —
+    # which would correctly fire first — doesn't shadow the
+    # frame-length branch this case exists to pin
+    cut = bytes(trunc).index(b"idx1")
+    trunc = trunc[:cut]
+    trunc[4:8] = struct.pack("<I", len(trunc) - 8)
     with pytest.raises(Exception, match="frame 0 is"):
         M._parse_avi(7, bytes(trunc))
     # header honesty (nothing in-repo reads these, so pin the bytes):
@@ -1332,3 +1336,25 @@ def test_multimodal_avi_real_container_roundtrip(spark):
     assert e1[2] == 4 + 8 + stride * h  # next chunk: header + data
     with pytest.raises(ValueError, match="step"):
         M.sample_frames_avi(media, step=0)
+
+
+def test_multimodal_avi_index_is_verified(spark):
+    """_parse_avi cross-checks idx1 against the actual movi layout
+    (the container advertises AVIF_HASINDEX): a zeroed or drifted
+    index offset — the defect class nothing else reads — raises
+    instead of riding along undetected."""
+    import struct
+
+    import pytest
+
+    from netflow_analysis_with_spark_streaming_spark.functions import (
+        multimodal as M,
+    )
+
+    buf = M._encode_avi(7)
+    M._parse_avi(7, buf)  # healthy container parses
+    bad = bytearray(buf)
+    ix = bad.index(b"idx1") + 8 + 8  # first entry's dwChunkOffset
+    bad[ix : ix + 4] = struct.pack("<I", 0)
+    with pytest.raises(ValueError, match="idx1 disagrees"):
+        M._parse_avi(7, bytes(bad))
