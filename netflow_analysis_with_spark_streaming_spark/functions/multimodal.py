@@ -345,8 +345,14 @@ PNG_DECODED_SCHEMA = StructType(
         StructField("doc_id", LongType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
-        StructField("mean_lum", DoubleType()),
-        StructField("frac_bright", DoubleType()),
+        # integer numerators, not rounded fractions: mean luminance is
+        # lum_sum/(w*h) and bright fraction is bright_px/(w*h), but
+        # k/(w*h) hits an EXACT 6-decimal tie when w*h = 128 and k is
+        # odd, where Python round() (half-even) and SQL ROUND (half
+        # away from zero) disagree — emitting the raw counts keeps the
+        # features hash-stable under any rounding convention.
+        StructField("lum_sum", LongType()),
+        StructField("bright_px", LongType()),
         StructField("px_checksum", LongType()),
     ]
 )
@@ -476,12 +482,20 @@ def _parse_gray_png(doc_id: int, buf: bytes):
         raise ValueError(f"doc {doc_id}: not a PNG (bad signature)")
     pos, ihdr, idat, ended = 8, None, bytearray(), False
     while pos < len(buf):
+        # bounds-check BEFORE unpacking: a buffer cut mid-chunk must
+        # raise the documented 'truncated PNG' diagnosis, not a bare
+        # struct.error / opaque CRC failure
+        if pos + 8 > len(buf):
+            raise ValueError(f"doc {doc_id}: truncated PNG")
         (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+        if pos + 12 + ln > len(buf):
+            raise ValueError(f"doc {doc_id}: truncated PNG")
         ctype = buf[pos + 4 : pos + 8]
         data = buf[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack(">I", buf[pos + 8 + ln : pos + 12 + ln])
         if zlib.crc32(ctype + data) != crc:
             raise ValueError(f"doc {doc_id}: CRC mismatch in {ctype!r} chunk")
+        pos += 12 + ln
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
@@ -489,9 +503,12 @@ def _parse_gray_png(doc_id: int, buf: bytes):
         elif ctype == b"IEND":
             ended = True
             break
-        pos += 12 + ln
     if ihdr is None or not ended:
         raise ValueError(f"doc {doc_id}: truncated PNG")
+    if pos != len(buf):
+        raise ValueError(
+            f"doc {doc_id}: {len(buf) - pos} trailing bytes after IEND"
+        )
     w, h, depth, ctype_i, comp, filt, interlace = ihdr
     if (depth, ctype_i, comp, filt, interlace) != (8, 0, 0, 0, 0):
         raise ValueError(
@@ -568,9 +585,11 @@ def resize_png(media: DataFrame, tw: int, th: int) -> DataFrame:
 def decode_png(media: DataFrame) -> DataFrame:
     """REAL image decode: parse the binary column with the genuine PNG
     reader (``_parse_gray_png``) then extract features from the
-    recovered pixel matrix with numpy: mean luminance, bright-pixel
-    fraction, and a POSITION-WEIGHTED checksum (sum of pixel *
-    (y*w + x + 1)) that pins every pixel to its exact location.
+    recovered pixel matrix with numpy: luminance sum, bright-pixel
+    count (integer numerators — see PNG_DECODED_SCHEMA for why raw
+    counts beat rounded fractions), and a POSITION-WEIGHTED checksum
+    (sum of pixel * (y*w + x + 1)) that pins every pixel to its
+    exact location.
     Malformed payloads raise loudly — a corrupted media column must
     never produce silent garbage features."""
 
@@ -584,8 +603,8 @@ def decode_png(media: DataFrame) -> DataFrame:
                 "doc_id": [],
                 "width": [],
                 "height": [],
-                "mean_lum": [],
-                "frac_bright": [],
+                "lum_sum": [],
+                "bright_px": [],
                 "px_checksum": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -596,10 +615,8 @@ def decode_png(media: DataFrame) -> DataFrame:
                 out["doc_id"].append(int(doc_id))
                 out["width"].append(w)
                 out["height"].append(h)
-                out["mean_lum"].append(round(int(flat.sum()) / n, 6))
-                out["frac_bright"].append(
-                    round(int((flat >= 128).sum()) / n, 6)
-                )
+                out["lum_sum"].append(int(flat.sum()))
+                out["bright_px"].append(int((flat >= 128).sum()))
                 out["px_checksum"].append(int((flat * weights).sum()))
             yield pd.DataFrame(out)
 

@@ -177,3 +177,106 @@ def lang_guess(text: Column) -> Column:
             cond = ge if cond is None else (cond & ge)
         expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
     return expr.otherwise(F.lit(langs[0]))
+
+
+# --- iterative BPE trainer (round 13) ---------------------------------------
+
+
+def bpe_apply_merge(syms: Column, a: str, b: str) -> Column:
+    """Apply ONE BPE merge (a, b) -> a+b to a symbol array, greedy
+    left-to-right non-overlapping (the textbook rule: 'aaa' under
+    (a, a) becomes ['aa', 'a']). Pure higher-order-function fold —
+    executor-side, no Python in the loop: the aggregate state carries
+    the emitted prefix plus one pending symbol; each input symbol
+    either completes a merge with the carry, flushes the carry, or
+    becomes the new carry."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("carry"),
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        return (
+            F.when(
+                acc["carry"].isNull(),
+                F.struct(acc["out"].alias("out"), s.alias("carry")),
+            )
+            .when(
+                (acc["carry"] == a) & (s == b),
+                F.struct(
+                    F.concat(acc["out"], F.array(F.lit(a + b))).alias("out"),
+                    F.lit(None).cast("string").alias("carry"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["carry"])).alias("out"),
+                    s.alias("carry"),
+                )
+            )
+        )
+
+    return F.aggregate(
+        syms,
+        init,
+        step,
+        lambda acc: F.when(
+            acc["carry"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["carry"]))),
+    )
+
+
+def bpe_train(wf, k: int) -> list[tuple[int, str, str, str, int]]:
+    """Train ``k`` BPE merges over a word-frequency DataFrame
+    (columns ``word``, ``n_word``) — the real tokenizer-prep loop,
+    not one iteration. Returns [(step, left, right, merged, count)].
+
+    Every iteration is ONE hash aggregation over the VOCABULARY-sized
+    symbol table (never the corpus): adjacent-pair explode ->
+    sum(n_word) -> a 1-row argmax collect (count desc, then pair
+    lexicographic — deterministic), then the winning merge applied to
+    every word's symbol array via the executor-side fold above. Each
+    round persists its symbol table and unpersists the parent (the
+    standard Spark iterative pattern, same as the pagerank entry), so
+    lineage stays O(1) per round. 100 TB shape: the word table is
+    orders of magnitude smaller than the corpus (the classic BPE
+    optimization the single-merge entry already measures); k rounds
+    cost k vocab-sized aggs + k narrow map stages.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cur = wf.select(
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+        ).alias("syms"),
+        "n_word",
+    ).persist()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step_i in range(k):
+        pairs = cur.filter(F.size("syms") >= 2).select(
+            "n_word",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n_word").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()  # bounded: exactly one argmax row per round
+        )
+        if not top:
+            break  # vocabulary fully merged before k rounds
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((step_i, a, b, a + b, cnt))
+        nxt = cur.withColumn("syms", bpe_apply_merge(F.col("syms"), a, b))
+        nxt = nxt.persist()
+        nxt.count()  # materialize before dropping the parent
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return merges

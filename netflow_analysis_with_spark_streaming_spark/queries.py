@@ -149,8 +149,14 @@ _DRIVER_ORDER = [
     "parity_kafka_roundtrip",
     # parity_flatten_nested retired round 6: its oracle is the same SQL
     # stream_path2_flatten (driver tier) hashes against; replaced by the
-    # late-data dead-letter router — a capability class the window lacked
-    "stream_late_dlq",
+    # late-data dead-letter router — a capability class the window lacked.
+    # stream_late_dlq itself retired to the pytest tier round 13
+    # (verdict-r12 ask #4): its durable-watermark DLQ routing is the
+    # closest-overlapping evidence to the DLT-style expectations sink,
+    # which gates on DECLARED predicates (warn/drop/fail + audited
+    # violation counts) — the first-class LLM-pipeline quality-gate
+    # surface. Oracle + test battery intact in the extra tier.
+    "stream_expectations",
     # relational completeness
     "sql_returned_items",
     "sql_local_supplier_volume",

@@ -210,6 +210,59 @@ _MINHASH_CAND_SQL = (
 )
 
 
+def _dedup_minhash_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAR-reduced LSH candidate edges — the viral-bucket scale path
+    (round 13): per band bucket, emit (bucket-min doc, other doc)
+    instead of all pairs. A bucket of B docs yields B-1 edges, not
+    B(B-1)/2 — and since the star spans exactly the docs the clique
+    spans, CONNECTED COMPONENTS over star edges equal components over
+    all-pairs candidates (pinned by
+    test_star_edges_components_equivalence). That matters because a
+    20%-hot band key (one boilerplate template across a 100 TB corpus)
+    makes the all-pairs output itself quadratic — no join strategy
+    fixes SEMANTICS that emit C(0.2n, 2) rows. Dedup pipelines only
+    need the components, so the star is the honest representation.
+
+    Scale shape: min(doc_id) per band key partial-aggregates map-side
+    (the hot key collapses before the shuffle); the join back is an
+    AQE-skew-splittable equi-join; output is linear in corpus size no
+    matter how viral the bucket. Measured: tools/scaling_probe.py
+    --skew, BASELINE.md round-13 skew probes."""
+    sig = _dedup_minhash_signatures(spark, sf_dir)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                F.lit(str(b)),
+                *[
+                    F.col(f"sig_{b * _ROWS_PER_BAND + r}").cast("string")
+                    for r in range(_ROWS_PER_BAND)
+                ],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_keys).alias("band_key"))
+    hubs = banded.groupBy("band_key").agg(F.min("doc_id").alias("hub"))
+    return (
+        banded.join(hubs, "band_key")
+        .filter(F.col("doc_id") > F.col("hub"))
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_MINHASH_STAR_SQL = (
+    "WITH "
+    + _MINHASH_CAND_CTES
+    + ", hubs AS (SELECT band_key, MIN(doc_id) AS hub FROM banded GROUP BY 1) "
+    "SELECT DISTINCT hub AS doc_a, doc_id AS doc_b "
+    "FROM banded JOIN hubs USING (band_key) WHERE doc_id > hub "
+    "ORDER BY doc_a, doc_b"
+)
+
+
 # --- n-gram Jaccard similarity join ----------------------------------------
 
 
@@ -1070,8 +1123,8 @@ def _multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "width",
             "height",
-            "mean_lum",
-            "frac_bright",
+            "lum_sum",
+            "bright_px",
             "px_checksum",
         )
         .orderBy("doc_id")
@@ -1093,9 +1146,9 @@ px AS (
        unnest(range(0, d.width)) tx(x)
 )
 SELECT doc_id, width, height,
-       ROUND(CAST(SUM(p) AS DOUBLE) / (width * height), 6) AS mean_lum,
-       ROUND(CAST(SUM(CASE WHEN p >= 128 THEN 1 ELSE 0 END) AS DOUBLE)
-             / (width * height), 6) AS frac_bright,
+       CAST(SUM(p) AS BIGINT) AS lum_sum,
+       CAST(SUM(CASE WHEN p >= 128 THEN 1 ELSE 0 END) AS BIGINT)
+           AS bright_px,
        CAST(SUM(p * (y * width + x + 1)) AS BIGINT) AS px_checksum
 FROM px
 GROUP BY doc_id, width, height
@@ -1129,8 +1182,8 @@ def _multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "width",
             "height",
-            "mean_lum",
-            "frac_bright",
+            "lum_sum",
+            "bright_px",
             "px_checksum",
         )
         .orderBy("doc_id")
@@ -1156,9 +1209,9 @@ px AS (
 SELECT doc_id,
        CAST(8 AS INTEGER) AS width,
        CAST(6 AS INTEGER) AS height,
-       ROUND(CAST(SUM(p) AS DOUBLE) / 48, 6) AS mean_lum,
-       ROUND(CAST(SUM(CASE WHEN p >= 128 THEN 1 ELSE 0 END) AS DOUBLE)
-             / 48, 6) AS frac_bright,
+       CAST(SUM(p) AS BIGINT) AS lum_sum,
+       CAST(SUM(CASE WHEN p >= 128 THEN 1 ELSE 0 END) AS BIGINT)
+           AS bright_px,
        CAST(SUM(p * (y * 8 + x + 1)) AS BIGINT) AS px_checksum
 FROM px
 GROUP BY doc_id
@@ -1331,6 +1384,9 @@ register("multimodal_batch_collate", _multimodal_batch_collate, _COLLATE_SQL, dr
 register("udf_surface", _udf_surface, _UDF_SURFACE_SQL)
 register("dedup_fingerprint", _dedup_fingerprint, _DEDUP_FINGERPRINT_SQL)
 register("dedup_minhash_candidates", _dedup_minhash_candidates, _MINHASH_CAND_SQL)
+register(
+    "dedup_minhash_star_edges", _dedup_minhash_star_edges, _MINHASH_STAR_SQL, driver=False
+)
 register("similarity_ngram_jaccard", _similarity_ngram_jaccard, _NGRAM_JACCARD_SQL)
 register(
     # retired to the pytest tier round 10: its hamming-band hash
@@ -1617,28 +1673,43 @@ def _similarity_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment, routing, and re-rank from raw embeddings in SQL."""
     import tempfile
 
-    emb = tables.load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    cent_df = (
-        emb.filter(F.col("vec_id") < 32)
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cluster"),
-            F.col("embedding").alias("c_emb"),
-        )
-    )
-    # assignment: argmax cosine over the 32 centroids, ties -> lower id
-    aw = Window.partitionBy("vec_id").orderBy(
-        V.cosine(F.col("embedding"), F.col("c_emb")).desc(), F.col("cluster")
-    )
-    assigned = (
-        emb.crossJoin(F.broadcast(cent_df))
-        .withColumn("rn", F.row_number().over(aw))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cluster")
-    )
     import numpy as np
 
-    cent_rows = sorted(cent_df.collect(), key=lambda r: r["cluster"])
-    cent = np.array([r["c_emb"] for r in cent_rows], dtype=np.float64)
+    emb = tables.load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    # centroid numbering: the 32 seed embeddings are a bounded collect
+    # by construction — number them driver-side instead of an
+    # unpartitioned Window.orderBy (round 13 hygiene: same 32 rows,
+    # warning-free plan, hash unchanged)
+    seed_rows = sorted(
+        emb.filter(F.col("vec_id") < 32).collect(), key=lambda r: r["vec_id"]
+    )
+    cent_df = spark.createDataFrame(
+        [(i, list(r["embedding"])) for i, r in enumerate(seed_rows)],
+        "cluster int, c_emb array<float>",
+    )
+    # assignment: argmax cosine over the 32 centroids, ties -> lower
+    # cluster id. max(struct(cos, -cluster)) instead of a row_number
+    # window: the aggregate partial-aggregates map-side (the window
+    # shuffled and sorted all n x 32 scored rows), and the narrow
+    # best-cluster table joins back to re-attach the embedding —
+    # identical output ordering semantics, smaller shuffle.
+    best = (
+        emb.crossJoin(F.broadcast(cent_df))
+        .select(
+            "vec_id",
+            F.struct(
+                V.cosine(F.col("embedding"), F.col("c_emb")).alias("cos"),
+                (-F.col("cluster")).alias("negc"),
+            ).alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("s"))
+        .select("vec_id", (-F.col("s.negc")).cast("int").alias("cluster"))
+    )
+    assigned = emb.join(best, "vec_id").select(
+        "vec_id", "embedding", "cluster"
+    )
+    cent = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
     root = tempfile.mkdtemp(prefix="netflow_annserve_") + "/ivf"
     V.save_ivf_index(root, assigned, cent)  # the durable inverted file
     # ---- serving: route queries, read ONLY the probed lists ----
@@ -2937,10 +3008,28 @@ def _corpus_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "fp"),
     )
-    occ_rank = Window.partitionBy("fp").orderBy("doc_id", "pos")
+    # "every non-first occurrence of a dup window" via min-struct agg +
+    # equi-join, NOT row_number over Window.partitionBy("fp"): the two
+    # are output-identical (rn > 1 <=> (doc_id, pos) != argmin), but a
+    # WindowExec partition is unsplittable — one viral 15-token shingle
+    # covering 20% of the corpus would sort 20% of all window rows in
+    # ONE task. The min-struct aggregate partial-aggregates map-side
+    # (the hot key collapses to one row per map task before the
+    # shuffle), and the join back is AQE-skew-splittable. The n_occ > 1
+    # filter keeps the build side to actually-duplicated fingerprints
+    # (the long tail of unique windows never joins). Measured on the
+    # planted-hot-key corpus (tools/scaling_probe.py --skew): see
+    # BASELINE.md round-13 skew probes.
+    firsts = win.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first_occ"),
+        F.count("*").alias("n_occ"),
+    )
     removers = (
-        win.withColumn("rn", F.row_number().over(occ_rank))
-        .filter(F.col("rn") > 1)  # every non-first occurrence of a dup window
+        win.join(firsts.filter(F.col("n_occ") > 1), "fp")
+        .filter(
+            (F.col("doc_id") != F.col("first_occ.doc_id"))
+            | (F.col("pos") != F.col("first_occ.pos"))
+        )
     )
     # per-doc covered-position ARRAY (collect_set dedups overlapping
     # windows), joined back once — reassembly is then a narrow
@@ -3340,6 +3429,40 @@ ORDER BY merge_count DESC, pair LIMIT {_BPE_TOPK}
 
 
 register("corpus_bpe_merges", _corpus_bpe_merges, _BPE_SQL, driver=False)
+
+
+_BPE_TRAIN_STEPS = 8
+
+
+def _corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE BPE training (round 13, verdict-r12 ask #6):
+    ``corpus_bpe_merges`` computes one merge iteration; a real
+    tokenizer trainer runs hundreds. This entry runs
+    ``_BPE_TRAIN_STEPS`` full rounds of functions/text.bpe_train —
+    each round one adjacent-pair aggregation over the DISTINCT-WORD
+    frequency table (vocab-sized, never corpus-sized), a 1-row argmax
+    collect, and the winning merge applied to every word's symbol
+    array with an executor-side HOF fold (greedy left-to-right
+    non-overlapping, the textbook rule). Deterministic: ties break on
+    (count desc, pair lexicographic). The merge table itself is the
+    output — data-dependent argmax per round puts it beyond a single
+    SQL statement, so correctness is pinned by an exact Python-BPE
+    differential (tests/test_extensions.py::test_bpe_train_*),
+    the same recount pattern the single-merge entry's oracle uses."""
+    docs = tables.load_parallel(spark, "documents", sf_dir)
+    wf = (
+        docs.select(F.explode(T.words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n_word"))
+    )
+    merges = T.bpe_train(wf, _BPE_TRAIN_STEPS)
+    return spark.createDataFrame(
+        merges,
+        "step int, left string, right string, merged string, merge_count long",
+    ).orderBy("step")
+
+
+register("corpus_bpe_train", _corpus_bpe_train, None, driver=False)
 
 
 _NB_TEST_MOD = 5  # doc_id % 5 == 0 is the held-out fold

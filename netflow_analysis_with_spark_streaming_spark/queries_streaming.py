@@ -2384,7 +2384,11 @@ FROM events ORDER BY event_id
 """
 
 
-register("stream_late_dlq", _stream_late_dlq, _STREAM_DLQ_SQL)  # promoted round 6
+# Retired to the pytest tier round 13 (rotation for stream_expectations,
+# verdict-r12 ask #4): the durable-watermark DLQ routing evidence
+# overlaps the expectations sink's declared-predicate routing; oracle
+# stays exact in tests/test_oracle_corpus.py.
+register("stream_late_dlq", _stream_late_dlq, _STREAM_DLQ_SQL, driver=False)
 
 
 def _stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2765,11 +2769,14 @@ ORDER BY e.event_id
 """
 
 
+# Promoted to the driver tier round 13 (verdict-r12 ask #4): the
+# DLT-style quality-gate surface (warn/drop/fail expectations, one
+# combined violation agg, exactly-once DLQ landings) is a first-class
+# LLM-pipeline capability; it takes stream_late_dlq's slot.
 register(
     "stream_expectations",
     _stream_expectations,
     _STREAM_EXPECTATIONS_SQL,
-    driver=False,
 )
 
 

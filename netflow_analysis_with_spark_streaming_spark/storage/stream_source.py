@@ -1198,15 +1198,25 @@ def drain_available_now(
     callable returning a freshly STARTED StreamingQuery wired to the
     same checkpoint. Returns the final consumed offset. Raises if
     ``max_runs`` invocations didn't reach the target — a stall, not
-    a pacing artifact (every run must advance at least one file)."""
+    a pacing artifact (every run must advance at least one file).
+
+    The target is DRAIN-TO-EMPTY: ``latest_version()`` is re-read
+    every iteration, so commits that land on the source WHILE the
+    drain is running are drained by this same call (a concurrent
+    writer outpacing the drain exhausts ``max_runs`` rather than
+    looping forever). To drain only up to a snapshot pinned at call
+    time, capture ``latest_version()`` yourself and stop the writer
+    first."""
     from .versioned import VersionedTable
 
-    target = VersionedTable(table_root).latest_version()
+    table = VersionedTable(table_root)
     pos = prev = None
     for i in range(max_runs):
         q = start_query()
         q.awaitTermination()
         pos = feed_checkpoint_position(checkpoint_dir)
+        # re-read AFTER the run: commits landed mid-drain raise the bar
+        target = table.latest_version()
         if target is None:
             return pos
         if (

@@ -113,6 +113,19 @@ _WRITER_VERSION_NO_MAPPING = 2
 # the threshold every record is a full manifest, exactly as before.
 _DELTA_LOG_MIN_FILES = 64
 _CHECKPOINT_EVERY = 16
+# Deferred checkpoints (round 13): past this many live groups, the
+# every-16th-commit FULL checkpoint no longer rides the commit path —
+# measured 9.1 s / 125 MB at 1e6 groups (tools/delta_log_probe.py),
+# which blows any sub-10 s trigger cadence. Instead the checkpoint-due
+# commit writes its normal O(change) delta record and the full
+# snapshot lands OUT-OF-BAND as an idempotent SIDECAR file
+# (NNNNNNNN.ckpt.json — Delta Lake's post-commit N.checkpoint.parquet
+# analog), written by a daemon thread from the already-materialized
+# manifest. Readers use a sidecar as a replay base when present; a
+# crash that loses one only lengthens the replay chain (correctness
+# never depends on it). 200k groups ~ 1.5 s inline cost — the knee
+# where the stall starts to matter against streaming cadences.
+_CHECKPOINT_DEFER_FILES = 200_000
 # commits that may DELETE their own manifest on a detected race
 # (restore's vacuum-race rollback) must stay full: unlinking a delta
 # record a concurrent commit already chained on would orphan the chain
@@ -282,6 +295,7 @@ class VersionedTable:
         *,
         delta_log_min_files: int | None = None,
         checkpoint_every: int | None = None,
+        checkpoint_defer_files: int | None = None,
     ) -> None:
         self.root = root
         self._log = os.path.join(root, "_log")
@@ -302,6 +316,20 @@ class VersionedTable:
         self._ckpt_every = (
             _CHECKPOINT_EVERY if checkpoint_every is None else checkpoint_every
         )
+        # live-group count past which a due checkpoint defers to the
+        # out-of-band sidecar writer instead of stalling the commit
+        self._ckpt_defer = (
+            _CHECKPOINT_DEFER_FILES
+            if checkpoint_defer_files is None
+            else checkpoint_defer_files
+        )
+        # the in-flight sidecar writer, if any (daemon thread; tests
+        # and probes join it via wait_for_checkpoint)
+        self._ckpt_thread = None
+        # read-side sidecar gate: fsck flips this off to rebuild
+        # snapshots by pure chain replay and diff them against the
+        # sidecars (the integrity check a sidecar must survive)
+        self._use_sidecars = True
         # materialized-snapshot memo for delta chains (records are
         # immutable once published; vacuum's checkpoint rewrite
         # invalidates its entry explicitly)
@@ -379,6 +407,14 @@ class VersionedTable:
                     self._mat_cache.clear()
                 self._mat_cache[version] = rec
                 return rec
+            side = self._load_ckpt_sidecar(version)
+            if side is not None:
+                # a deferred checkpoint landed for this exact version:
+                # the sidecar IS the materialized snapshot
+                if len(self._mat_cache) > 8:
+                    self._mat_cache.clear()
+                self._mat_cache[version] = side
+                return side
             try:
                 return self._materialize(version, rec)
             except FileNotFoundError:
@@ -396,6 +432,9 @@ class VersionedTable:
             base = self._mat_cache.get(v)
             if base is not None:
                 break  # a memoized snapshot is a valid replay base
+            base = self._load_ckpt_sidecar(v)
+            if base is not None:
+                break  # a deferred-checkpoint sidecar is a full snapshot
             base = self._load_record(v)
             if "delta_of" not in base:
                 break
@@ -790,20 +829,28 @@ class VersionedTable:
         # _ckpt_every versions to bound read-side replay. Small tables
         # always write full manifests (and keep protocol <= 3).
         record = manifest
+        defer_ckpt = False
         if (
             prev_m
             and action not in _ALWAYS_FULL_ACTIONS
             and len(files) >= self._delta_min
             and self._ckpt_every > 0
-            and (version % self._ckpt_every) != 0
         ):
-            record = (
-                self._encode_delta_record_appended(
-                    manifest, adds_hint, dvs or {}
+            due = (version % self._ckpt_every) == 0
+            if due and len(files) >= self._ckpt_defer:
+                # deferred checkpoint: the full snapshot would stall
+                # this commit O(live groups) (9.1 s at 1e6 — above
+                # streaming cadences); write the O(change) record now
+                # and the sidecar out-of-band after the fence
+                defer_ckpt = True
+            if not due or defer_ckpt:
+                record = (
+                    self._encode_delta_record_appended(
+                        manifest, adds_hint, dvs or {}
+                    )
+                    if adds_hint is not None
+                    else self._encode_delta_record(manifest, prev_m)
                 )
-                if adds_hint is not None
-                else self._encode_delta_record(manifest, prev_m)
-            )
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(record, f, default=str)
@@ -836,7 +883,95 @@ class VersionedTable:
         if len(self._mat_cache) > 8:
             self._mat_cache.clear()
         self._mat_cache[version] = manifest
+        if defer_ckpt:
+            # post-commit checkpoint (Delta's N.checkpoint analog):
+            # serialize the manifest we ALREADY materialized — no
+            # re-read, no replay — off the commit path. The dict is
+            # immutable once memoized (later commits build fresh
+            # dicts from it), so the concurrent read is safe; a crash
+            # before the sidecar lands only lengthens cold replay.
+            import threading
+
+            th = threading.Thread(
+                target=self._write_checkpoint_sidecar,
+                args=(version, manifest),
+                daemon=True,
+            )
+            self._ckpt_thread = th
+            th.start()
         return version
+
+    # --- deferred checkpoint sidecars (round 13) ---------------------------
+
+    def _sidecar_path(self, version: int) -> str:
+        return os.path.join(self._log, f"{version:08d}.ckpt.json")
+
+    def _load_ckpt_sidecar(self, version: int) -> dict | None:
+        """The version's checkpoint sidecar as a FULL manifest dict,
+        or None when absent/unreadable. A torn sidecar is impossible
+        (tmp + atomic link), but a half-vacuumed or hand-damaged one
+        must degrade to chain replay, not crash the read path."""
+        if not self._use_sidecars:
+            return None
+        try:
+            with open(self._sidecar_path(version), encoding="utf-8") as f:
+                m = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError, OSError):
+            return None
+        if m.get("version") != version or "delta_of" in m:
+            return None  # mislabeled — ignore, the chain is the truth
+        wv = m.get("writer_version", 1)
+        if wv > _WRITER_VERSION:
+            raise ValueError(
+                f"table {self.root} checkpoint sidecar {version} was "
+                f"written by protocol {wv}; this reader implements "
+                f"protocol {_WRITER_VERSION} — upgrade before reading"
+            )
+        return m
+
+    def _write_checkpoint_sidecar(self, version: int, manifest: dict) -> None:
+        """Idempotent atomic publish of ``version``'s full snapshot as
+        a sidecar. Concurrent/duplicate writers race benignly: the
+        content is deterministic per version, EEXIST means someone
+        already landed it."""
+        target = self._sidecar_path(version)
+        if os.path.exists(target):
+            return
+        tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.ckpt.json")
+        try:
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(manifest, f, default=str)
+            os.link(tmp, target)
+        except FileExistsError:
+            pass
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
+
+    def wait_for_checkpoint(self, timeout: float | None = None) -> None:
+        """Join the in-flight sidecar writer, if any — determinism
+        hook for tests, probes, and orderly shutdown."""
+        th = self._ckpt_thread
+        if th is not None and th.is_alive():
+            th.join(timeout)
+
+    def write_checkpoint(self, version: int | None = None) -> str | None:
+        """Maintenance API: materialize ``version`` (default latest)
+        and publish its checkpoint sidecar synchronously. Returns the
+        sidecar path, or None for an empty table or a version whose
+        record is already a full manifest (a sidecar would duplicate
+        it byte-for-byte for zero replay benefit)."""
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                return None
+        rec = self._load_record(version)
+        if "delta_of" not in rec:
+            return None
+        self._write_checkpoint_sidecar(version, self._manifest(version))
+        return self._sidecar_path(version)
 
     @staticmethod
     def _encode_delta_record(full: dict, prev: dict) -> dict:
@@ -4595,6 +4730,34 @@ class VersionedTable:
                 for d in lst:
                     if not os.path.exists(os.path.join(self.root, d)):
                         issues.append(f"manifest {v}: missing dv group {d}")
+        # deferred-checkpoint sidecars: each must belong to a live
+        # version and match the snapshot a PURE chain replay rebuilds
+        # (a sidecar is an acceleration, never an alternate truth)
+        live = set(self.versions())
+        for fn in sorted(os.listdir(self._log)):
+            if not (fn.endswith(".ckpt.json") and fn[: -len(".ckpt.json")].isdigit()):
+                continue
+            sv = int(fn[: -len(".ckpt.json")])
+            if sv not in live:
+                issues.append(f"checkpoint sidecar {sv}: orphaned (no record)")
+                continue
+            side = self._load_ckpt_sidecar(sv)
+            if side is None:
+                issues.append(f"checkpoint sidecar {sv}: unreadable or mislabeled")
+                continue
+            self._use_sidecars = False
+            self._mat_cache.clear()
+            try:
+                truth = self._manifest(sv)
+            finally:
+                self._use_sidecars = True
+                self._mat_cache.clear()
+            for k in ("files", "n_files", "stats", "dvs", "schema"):
+                if side.get(k) != truth.get(k):
+                    issues.append(
+                        f"checkpoint sidecar {sv}: {k} diverges from "
+                        "chain replay"
+                    )
         return issues
 
     def vacuum(
@@ -4695,6 +4858,10 @@ class VersionedTable:
                     shutil.rmtree(path, ignore_errors=True)
                 removed += 1
         if not dry_run:
+            # join our own in-flight sidecar writer first: a deferred
+            # checkpoint landing AFTER the removal pass below would
+            # orphan a sidecar for a version this vacuum just doomed
+            self.wait_for_checkpoint()
             kept_set = set(kept_versions)
             doomed = [v for v in vs if v not in kept_set]
             if doomed:
@@ -4708,6 +4875,13 @@ class VersionedTable:
                 self._checkpoint_record(min(kept_set))
             for v in doomed:
                 os.remove(os.path.join(self._log, f"{v:08d}.json"))
+                # a doomed version's deferred-checkpoint sidecar ages
+                # out with its record (surviving sidecars stay — they
+                # accelerate replay for kept versions)
+                try:
+                    os.remove(self._sidecar_path(v))
+                except FileNotFoundError:
+                    pass
         return removed
 
     def _checkpoint_record(self, version: int) -> None:
@@ -4732,6 +4906,12 @@ class VersionedTable:
             json.dump(full, f, default=str)
         os.replace(tmp, os.path.join(self._log, f"{version:08d}.json"))
         self._mat_cache.pop(version, None)
+        # the record is now full — a sidecar for it is a byte-for-byte
+        # duplicate with zero replay benefit; drop it
+        try:
+            os.remove(self._sidecar_path(version))
+        except FileNotFoundError:
+            pass
 
     # --- streaming integration --------------------------------------------
 

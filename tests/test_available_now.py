@@ -17,6 +17,7 @@ the one FORMAT.md documents — against the real engine:
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from netflow_analysis_with_spark_streaming_spark.storage.stream_sink import (
     FORMAT_NAME as SINK_FORMAT,
@@ -266,7 +267,7 @@ def test_media_payloads_stream_through_storage_intact(spark, tmp_path):
     docs = spark.createDataFrame([(i * 20,) for i in range(6)], "doc_id long")
     media = M.synth_png(docs)
     direct = {
-        r["doc_id"]: (r["px_checksum"], r["mean_lum"])
+        r["doc_id"]: (r["px_checksum"], r["lum_sum"])
         for r in M.decode_png(media).collect()
     }
     # land the media table as a stream (rate-limited to force several
@@ -303,7 +304,151 @@ def test_media_payloads_stream_through_storage_intact(spark, tmp_path):
     got_df = spark.table("media_back")
     assert got_df.count() == 6
     roundtrip = {
-        r["doc_id"]: (r["px_checksum"], r["mean_lum"])
+        r["doc_id"]: (r["px_checksum"], r["lum_sum"])
         for r in M.decode_png(got_df).collect()
     }
     assert roundtrip == direct
+
+
+def test_drain_available_now_is_drain_to_empty_under_mid_drain_commits(
+    spark, tmp_path
+):
+    """Commits that land on the source WHILE the drain loop is running
+    must be drained by the SAME call: drain_available_now re-reads
+    latest_version() every iteration instead of pinning the target
+    once, so a backfill racing a live writer converges on the true
+    tail (bounded by max_runs) rather than returning one window early
+    with silently-unconsumed commits behind it."""
+    register_feed_source(spark)
+    register_table_sink(spark)
+    src = _mk_src(spark, tmp_path, 2)
+    dst = VersionedTable(str(tmp_path / "dst"))
+    ck = str(tmp_path / "ck")
+    inner = _starter(spark, src, dst, ck, maxVersionsPerTrigger="1")
+    # anchor the checkpoint (fresh run drains the 2-commit backlog),
+    # then build a 3-commit backlog behind it
+    q = inner()
+    q.awaitTermination()
+    for k in range(2, 5):
+        src.append(_df(spark, [(k, f"v{k}")]))
+    landed = []
+
+    def start():
+        # a writer racing the drain: one extra commit lands right as
+        # the SECOND paced run starts — after the old call-time pin
+        # (version 4) would already have been captured
+        if len(landed) == 1:
+            src.append(_df(spark, [(5, "v5")]))
+            landed.append("late")
+        landed.append("run")
+        return inner()
+
+    pos = drain_available_now(start, src.root, ck)
+    assert pos == {"version": 5}  # the mid-drain commit was drained
+    assert sorted(r["k"] for r in dst.read(spark).collect()) == list(
+        range(6)
+    )
+    assert dst.fsck() == []
+
+
+def test_bounded_backfill_medallion_every_silver_batch_capped(
+    spark, tmp_path
+):
+    """The 100 TB-backfill medallion shape (verdict-r12 ask #5): the
+    driver entry honestly documents that a FRESH availableNow run
+    drains the whole bronze backlog in ONE uncapped silver batch; a
+    real backfill must instead page through drain_available_now so
+    EVERY silver micro-batch is bounded by maxVersionsPerTrigger.
+    Here: bronze gets 4 commits; the silver checkpoint is anchored on
+    the first (a 1-commit 'backlog' is within the cap by
+    construction), the other 3 land behind it, and the drain loop
+    pages them through at one bronze version per run. Proof of the
+    bound: silver lands one batch-stamped version PER bronze version
+    (4 total — an uncapped drain would land the 3-commit backlog as
+    one), each silver version's row delta equals its bronze version's
+    cleaned rows, and the gold end state is hash-equal to the
+    single-pass (uncapped) pipeline AND to a batch recompute."""
+    from netflow_analysis_with_spark_streaming_spark.storage import (
+        incremental as IVM,
+    )
+
+    register_feed_source(spark)
+    register_table_sink(spark)
+
+    rows = [
+        # (event_id, event_type, day-bucket key via value sign)
+        (i, "click" if i % 2 == 0 else "view", float(i % 7) - 1.0)
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    bronze = VersionedTable(str(tmp_path / "bronze"))
+    slices = [df.filter(F.col("event_id") % 4 == k) for k in range(4)]
+    bronze.append(slices[0])
+
+    def topology(tag: str):
+        silver = VersionedTable(str(tmp_path / f"silver_{tag}"))
+        gold = VersionedTable(str(tmp_path / f"gold_{tag}"))
+        sink = IVM.StreamingViewMaintainer(
+            silver, gold, ["event_type"], ["value"]
+        )
+        def start():
+            b = (
+                spark.readStream.format(FEED_FORMAT)
+                .option("path", bronze.root)
+                .option("maxVersionsPerTrigger", "1")
+                .load()
+            )
+            cleaned = b.filter(F.col("value") >= 0).select(
+                "event_id", "event_type", "value"
+            )
+            return (
+                cleaned.writeStream.foreachBatch(sink)
+                .option(
+                    "checkpointLocation", str(tmp_path / f"ck_{tag}")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+        return silver, gold, start
+
+    silver, gold, start = topology("paced")
+    q = start()
+    q.awaitTermination()  # anchors the checkpoint on the 1-commit backlog
+    for k in range(1, 4):
+        bronze.append(slices[k])
+    pos = drain_available_now(start, bronze.root, str(tmp_path / "ck_paced"))
+    assert pos == {"version": 3}
+    # one silver version per bronze version = every batch was capped
+    assert len(silver.versions()) == 4
+    per_version = []
+    for v in silver.versions():
+        n = silver.read(spark, version=v).count()
+        per_version.append(n - (per_version[-1] if per_version else 0) if v else n)
+    expect_per_bronze = [
+        s.filter(F.col("value") >= 0).count() for s in slices
+    ]
+    # silver versions land in bronze-version order under the drain
+    cum = []
+    total = 0
+    for n in expect_per_bronze:
+        total += n
+        cum.append(total)
+    assert [silver.read(spark, version=v).count() for v in silver.versions()] == cum
+    # end-state equality: paced gold == single-pass gold == batch truth
+    _, gold_single, start_single = topology("single")
+    q = start_single()
+    q.awaitTermination()  # fresh checkpoint: full-backlog single batch
+    def snap(g):
+        return sorted(
+            (r["event_type"], r["n_rows"], round(r["sum_value"], 6))
+            for r in g.read(spark).collect()
+        )
+    truth = sorted(
+        (r["event_type"], r["n"], round(r["s"], 6))
+        for r in df.filter(F.col("value") >= 0)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    )
+    assert snap(gold) == snap(gold_single) == truth
+    assert bronze.fsck() == [] and silver.fsck() == [] and gold.fsck() == []

@@ -79,8 +79,6 @@ def test_unpartitioned_windows_are_allowlisted():
             "corpus_domain_mix min: one row per language (#sources)",
         ("queries_relational.py", 'Window.orderBy("day")'):
             "day-series analytics: one row per day in the fixture range",
-        ("queries_extensions.py", 'Window.orderBy("vec_id")'):
-            "ann_serve centroid numbering: exactly the 32 seed embeddings",
     }
     violations = []
     matched = set()

@@ -1175,7 +1175,7 @@ def test_multimodal_png_real_codec_roundtrip(spark):
             for x in range(w)
         )
         assert dec[d]["px_checksum"] == expect
-        assert 0.0 <= dec[d]["frac_bright"] <= 1.0
+        assert 0 <= dec[d]["bright_px"] <= w * h
     # corruption fails loudly: flip a byte INSIDE an IDAT chunk -> CRC
     idat_at = buf.index(b"IDAT") + 6
     flipped = bytearray(buf)
@@ -1358,3 +1358,116 @@ def test_multimodal_avi_index_is_verified(spark):
     bad[ix : ix + 4] = struct.pack("<I", 0)
     with pytest.raises(ValueError, match="idx1 disagrees"):
         M._parse_avi(7, bytes(bad))
+
+
+def test_star_edges_components_equivalence(spark):
+    """The star-reduced LSH edges (per-bucket min -> others, B-1 rows)
+    must induce EXACTLY the connected components of the all-pairs
+    candidate clique — the property that makes the star the honest
+    100 TB representation for viral buckets (a 20%-hot band key makes
+    all-pairs output quadratic by semantics; components are what the
+    dedup pipeline actually consumes)."""
+    from netflow_analysis_with_spark_streaming_spark.operators.components import (
+        connected_components,
+    )
+    from netflow_analysis_with_spark_streaming_spark.queries_extensions import (
+        _dedup_minhash_candidates,
+        _dedup_minhash_star_edges,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    full = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            _dedup_minhash_candidates(spark, sf)
+        ).collect()
+    }
+    star = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            _dedup_minhash_star_edges(spark, sf)
+        ).collect()
+    }
+    assert full == star and len(full) > 0
+
+
+def _py_bpe(word_freqs: dict[str, int], k: int):
+    """Reference BPE trainer: plain-Python recount, the differential
+    truth for bpe_train (same tie-break: count desc, pair lex)."""
+    vocab = {tuple(w): n for w, n in word_freqs.items()}
+    merges = []
+    for step in range(k):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, a, b, a + b, cnt))
+        new_vocab: dict[tuple, int] = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_differential_exact(spark):
+    """The distributed iterative BPE trainer must reproduce the
+    plain-Python trainer's merge table EXACTLY — every round's winning
+    pair, its weighted count, and the greedy non-overlapping merge
+    application (which feeds the NEXT round's counts, so a round-1
+    application bug surfaces as a round-2 count mismatch)."""
+    from netflow_analysis_with_spark_streaming_spark.functions import (
+        text as T,
+    )
+    from netflow_analysis_with_spark_streaming_spark.queries_extensions import (
+        _corpus_bpe_train,
+        _BPE_TRAIN_STEPS,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["merge_count"])
+        for r in _corpus_bpe_train(spark, sf).collect()
+    ]
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    wf = {}
+    for r in docs.select(T.words(F.col("text")).alias("w")).collect():
+        for w in r["w"]:
+            wf[w] = wf.get(w, 0) + 1
+    expect = _py_bpe(wf, _BPE_TRAIN_STEPS)
+    assert got == expect and len(got) == _BPE_TRAIN_STEPS
+
+
+def test_bpe_apply_merge_overlap_rule(spark):
+    """Greedy left-to-right non-overlap pinned directly: 'aaa' under
+    (a, a) -> ['aa', 'a'], 'aaaa' -> ['aa', 'aa'], and a merge whose
+    parts don't appear is the identity."""
+    from netflow_analysis_with_spark_streaming_spark.functions.text import (
+        bpe_apply_merge,
+    )
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "a", "a", "a"],), (["x", "y"],), ([],)],
+        "syms array<string>",
+    )
+    got = [
+        r["m"]
+        for r in df.select(
+            bpe_apply_merge(F.col("syms"), "a", "a").alias("m")
+        ).collect()
+    ]
+    assert got == [["aa", "a"], ["aa", "aa"], ["x", "y"], []]

@@ -5326,3 +5326,125 @@ def test_commit_adds_hint_validates_on_parentless_slot(tmp_path):
     )
     m = t._manifest(v)
     assert set(m["stats"]) == {"data/a", "data/b"}
+
+
+# --- deferred checkpoint sidecars (round 13) --------------------------------
+
+
+def _mk_meta_table(tmp_path, name, n_commits, **kw):
+    """Metadata-only table driven through _commit: one synthetic group
+    per version (the delta_log_probe shape)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    import os
+
+    schema_json = StructType([StructField("k", LongType())]).json()
+    t = VersionedTable(str(tmp_path / name), delta_log_min_files=4, **kw)
+    files, stats = [], {}
+    for v in range(n_commits):
+        g = f"data/g{v:04d}"
+        # the group exists on disk (empty) so fsck's existence checks
+        # stay meaningful on these metadata-driven tables
+        os.makedirs(os.path.join(t.root, g), exist_ok=True)
+        files.append(g)
+        stats[g] = {"k": [v * 10, v * 10 + 9], "__rows__": 10}
+        t._commit(list(files), "append", schema_json, stats=dict(stats))
+    return t
+
+
+def test_deferred_checkpoint_writes_delta_plus_sidecar(tmp_path):
+    """Past checkpoint_defer_files, the every-16th commit stays
+    O(change) on disk (a delta record) and the FULL snapshot lands as
+    the idempotent .ckpt.json sidecar — content-identical to what an
+    inline checkpoint would have written."""
+    t = _mk_meta_table(tmp_path, "t", 33, checkpoint_defer_files=8)
+    t.wait_for_checkpoint()
+    for v in (16, 32):
+        rec = t._load_record(v)
+        assert "delta_of" in rec, f"v{v} record should be a delta"
+        import os
+
+        assert os.path.exists(t._sidecar_path(v)), f"v{v} sidecar missing"
+        side = t._load_ckpt_sidecar(v)
+        assert side["version"] == v
+        assert side["files"] == t._manifest(v)["files"]
+    # the small-table behavior is untouched: no deferral config ->
+    # inline full checkpoint, no sidecar
+    u = _mk_meta_table(tmp_path, "u", 17)
+    rec = u._load_record(16)
+    assert "delta_of" not in rec
+    import os
+
+    assert not os.path.exists(u._sidecar_path(16))
+
+
+def test_sidecar_loss_degrades_to_chain_replay(tmp_path):
+    """Crash tolerance: deleting every sidecar only lengthens the
+    replay chain — cold reads rebuild the exact snapshot from the
+    delta records alone (correctness never depends on a sidecar)."""
+    import os
+
+    t = _mk_meta_table(tmp_path, "t", 40, checkpoint_defer_files=8)
+    t.wait_for_checkpoint()
+    expect = t._manifest(39)
+    for v in (16, 32):
+        os.remove(t._sidecar_path(v))
+    cold = VersionedTable(t.root)
+    m = cold._manifest(39)
+    assert m["files"] == expect["files"]
+    assert m["stats"] == expect["stats"]
+    assert cold.fsck() == []
+
+
+def test_sidecar_accelerates_cold_reads_and_fsck_verifies_it(tmp_path):
+    """A cold handle materializes a version PAST a deferred checkpoint
+    through the sidecar (never replaying beneath it), fsck validates
+    every sidecar against pure chain replay, and a corrupted sidecar
+    is both detected by fsck and ignored by the read path."""
+    import json as _json
+    import os
+
+    t = _mk_meta_table(tmp_path, "t", 20, checkpoint_defer_files=8)
+    t.wait_for_checkpoint()
+    assert t.fsck() == []
+    cold = VersionedTable(t.root)
+    m = cold._manifest(19)
+    assert m["files"] == t._manifest(19)["files"]
+    # wrong content, right shape: fsck flags it, reads fall back
+    side = _json.load(open(t._sidecar_path(16)))
+    side["files"] = side["files"][:-1]
+    side["n_files"] -= 1
+    os.remove(t._sidecar_path(16))
+    with open(t._sidecar_path(16), "w") as f:
+        _json.dump(side, f)
+    issues = VersionedTable(t.root).fsck()
+    assert any("sidecar 16" in i and "diverges" in i for i in issues)
+
+
+def test_write_checkpoint_is_idempotent_and_skips_full_records(tmp_path):
+    import os
+
+    t = _mk_meta_table(tmp_path, "t", 18, checkpoint_defer_files=8)
+    t.wait_for_checkpoint()
+    p1 = t.write_checkpoint(16)
+    p2 = t.write_checkpoint(16)
+    assert p1 == p2 == t._sidecar_path(16)
+    # a full record never needs a sidecar
+    assert t.write_checkpoint(0) is None
+    # maintenance call on an arbitrary delta version works too
+    p = t.write_checkpoint(9)
+    assert p is not None and os.path.exists(p)
+    assert t.fsck() == []
+
+
+def test_vacuum_removes_doomed_sidecars(tmp_path):
+    import os
+
+    t = _mk_meta_table(tmp_path, "t", 40, checkpoint_defer_files=8)
+    t.wait_for_checkpoint()
+    assert os.path.exists(t._sidecar_path(16))
+    t.vacuum(keep_last=5, min_age_s=0)
+    assert not os.path.exists(t._sidecar_path(16))
+    assert not os.path.exists(t._sidecar_path(32))  # floor rewrite dropped it
+    assert VersionedTable(t.root).fsck() == []
+    assert VersionedTable(t.root)._manifest(39)["n_files"] == 40

@@ -129,6 +129,17 @@ def _checkpoint_cost(sizes: list[int]) -> list[dict]:
                 list(files), "append", SCHEMA_JSON, stats=dict(stats)
             )
             ckpt_s = _time.perf_counter() - t0
+            # past checkpoint_defer_files (round 13) the v16 commit is
+            # O(change) and the full snapshot lands OUT-OF-BAND as the
+            # .ckpt.json sidecar — join the writer and report its cost
+            # separately (the term that left the commit path)
+            t0 = _time.perf_counter()
+            t.wait_for_checkpoint()
+            sidecar_s = _time.perf_counter() - t0
+            sidecar = t._sidecar_path(16)
+            sidecar_bytes = (
+                os.path.getsize(sidecar) if os.path.exists(sidecar) else 0
+            )
             assert v16 == 16
             rec16 = os.path.join(t.root, "_log", "00000016.json")
             # versions 17..31: deltas past the checkpoint, so the cold
@@ -153,6 +164,8 @@ def _checkpoint_cost(sizes: list[int]) -> list[dict]:
                     "groups": n,
                     "checkpoint_write_s": round(ckpt_s, 3),
                     "checkpoint_bytes": os.path.getsize(rec16),
+                    "sidecar_join_s": round(sidecar_s, 3),
+                    "sidecar_bytes": sidecar_bytes,
                     "steady_delta_commit_s": round(dt_delta, 4),
                     "steady_delta_commit_hint_s": round(dt_hint, 4),
                     "cold_manifest_s": round(cold_s, 3),

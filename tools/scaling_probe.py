@@ -72,6 +72,19 @@ SCALE_DIR = os.environ.get(
 )
 ID_SHIFT = 10_000_000
 NODEGROW = False  # set by --nodegrow: replica k also shifts cust/supp keys
+SKEW = False  # set by --skew: plant a viral doc in 20% of documents
+
+# the planted viral document: ONE 10-word line repeated 5x. In the
+# line-dedup segmentation ALL five segments share one fingerprint, so
+# that single line key covers ~20% of ALL segment rows; the repeats
+# give 10 distinct 15-token window fingerprints each ~0.7% of window
+# rows (vs ~1 occurrence for uniform keys); and planted docs are
+# IDENTICAL, so every band bucket holds the full 20% — the hot
+# band-key case. Uniform replication (the default mode) is NOT an
+# upper bound on any of these: this corpus is.
+VIRAL_TEXT = " ".join(
+    " ".join(f"viralword{i}" for i in range(10)) for _ in range(5)
+)
 
 PROBE_ENTRIES = [
     "text_analysis",
@@ -91,6 +104,10 @@ PROBE_ENTRIES = [
     "corpus_curate_stream_backfill",
     "corpus_split_leakage_safe",
     "corpus_bpe_merges",
+    # round 13: the ITERATIVE trainer — k rounds of vocab-sized pair
+    # aggs; replicas suffix tokens so the vocab grows with K and the
+    # honest target is ~linear in vocab
+    "corpus_bpe_train",
     "text_classifier_nb",
     "text_perplexity_proxy",
     "stream_stream_join",
@@ -181,7 +198,10 @@ def _build_scale_dir() -> str:
     src_docs = os.path.join(SRC_DIR, "documents.parquet")
     st = os.stat(src_docs)
     marker = os.path.join(SCALE_DIR, "_BUILT")
-    key = f"v3:{SRC_DIR}:{st.st_mtime_ns}:{st.st_size}:{REPLICAS}:{NODEGROW}"
+    key = (
+        f"v3:{SRC_DIR}:{st.st_mtime_ns}:{st.st_size}:{REPLICAS}:{NODEGROW}"
+        f":{SKEW}"
+    )
     if os.path.exists(marker) and open(marker).read() == key:
         return SCALE_DIR
     # stale generation: wipe, or writes would go through old symlinks
@@ -201,6 +221,10 @@ def _build_scale_dir() -> str:
             nt = txt if k == 0 else " ".join(
                 f"{w}_{k}" for w in txt.split()
             )
+            if SKEW and ids[i] % 5 == 0:
+                # the plant is IDENTICAL across replicas (no suffix):
+                # a genuinely viral template, the skew worst case
+                nt = VIRAL_TEXT
             out["doc_id"].append(ids[i] + k * ID_SHIFT)
             out["text"].append(nt)
             out["lang"].append(langs[i])
@@ -214,75 +238,78 @@ def _build_scale_dir() -> str:
         os.path.join(SCALE_DIR, "documents.parquet"),
     )
 
-    # embeddings: id shift + per-replica component rotation
-    import numpy as np
+    # skew mode probes the doc-only dedup entries: skip the
+    # expensive fact-table replication and symlink those instead
+    if not SKEW:
+        # embeddings: id shift + per-replica component rotation
+        import numpy as np
 
-    te = pq.read_table(os.path.join(SRC_DIR, "embeddings.parquet"))
-    vec_ids = np.asarray(te["vec_id"].to_pylist())
-    labels = te["label"].to_pylist()
-    embs = np.asarray(te["embedding"].to_pylist(), dtype=np.float32)
-    n, dim = embs.shape
-    all_ids, all_vecs, all_labels = [], [], []
-    for k in range(REPLICAS):
-        all_ids.extend((vec_ids + k * ID_SHIFT).tolist())
-        all_vecs.append(np.roll(embs, k, axis=1))
-        all_labels.extend(labels)
-    flat = np.concatenate(all_vecs).reshape(-1)
-    arr = pa.ListArray.from_arrays(
-        pa.array(range(0, (REPLICAS * n + 1) * dim, dim), type=pa.int32()),
-        pa.array(flat, type=pa.float32()),
-    )
-    pq.write_table(
-        pa.table(
-            {"vec_id": pa.array(all_ids, pa.int64()),
-             "embedding": arr,
-             "label": pa.array(all_labels, pa.int32())}),
-        os.path.join(SCALE_DIR, "embeddings.parquet"),
-    )
-
-    # events: time-extended replicas (same users, 10x the time span)
-    tv = pq.read_table(os.path.join(SRC_DIR, "events.parquet"))
-    ts = tv["ts"].to_pandas()
-    span_us = int((ts.max() - ts.min()).total_seconds() * 1e6) + 3_600_000_000
-    import pandas as pd
-
-    frames = []
-    base = tv.to_pandas()
-    for k in range(REPLICAS):
-        f = base.copy()
-        f["event_id"] = f["event_id"] + k * 10_000_000_000  # keeps %2/%5/%10
-        f["ts"] = f["ts"] + pd.to_timedelta(k * span_us, unit="us")
-        frames.append(f)
-    allev = pd.concat(frames, ignore_index=True)
-    pq.write_table(
-        pa.Table.from_pandas(allev, schema=tv.schema, preserve_index=False),
-        os.path.join(SCALE_DIR, "events.parquet"),
-    )
-
-    # orders + lineitem: lockstep orderkey shift, everything else as-is
-    # (--nodegrow additionally shifts cust/supp keys so the trading
-    # graph's NODE and distinct-edge sets grow with the replicas)
-    for tname, keycols in (("orders", ["o_orderkey"]), ("lineitem", ["l_orderkey"])):
-        tt = pq.read_table(os.path.join(SRC_DIR, f"{tname}.parquet"))
-        fbase = tt.to_pandas()
-        fr = []
+        te = pq.read_table(os.path.join(SRC_DIR, "embeddings.parquet"))
+        vec_ids = np.asarray(te["vec_id"].to_pylist())
+        labels = te["label"].to_pylist()
+        embs = np.asarray(te["embedding"].to_pylist(), dtype=np.float32)
+        n, dim = embs.shape
+        all_ids, all_vecs, all_labels = [], [], []
         for k in range(REPLICAS):
-            f = fbase.copy()
-            for c in keycols:
-                f[c] = f[c] + k * 1_000_000_000
-            if NODEGROW:
-                for c in ("o_custkey", "l_suppkey"):
-                    if c in f.columns:
-                        f[c] = f[c] + k * ID_SHIFT
-            fr.append(f)
-        pq.write_table(
-            pa.Table.from_pandas(
-                pd.concat(fr, ignore_index=True),
-                schema=tt.schema,
-                preserve_index=False,
-            ),
-            os.path.join(SCALE_DIR, f"{tname}.parquet"),
+            all_ids.extend((vec_ids + k * ID_SHIFT).tolist())
+            all_vecs.append(np.roll(embs, k, axis=1))
+            all_labels.extend(labels)
+        flat = np.concatenate(all_vecs).reshape(-1)
+        arr = pa.ListArray.from_arrays(
+            pa.array(range(0, (REPLICAS * n + 1) * dim, dim), type=pa.int32()),
+            pa.array(flat, type=pa.float32()),
         )
+        pq.write_table(
+            pa.table(
+                {"vec_id": pa.array(all_ids, pa.int64()),
+                 "embedding": arr,
+                 "label": pa.array(all_labels, pa.int32())}),
+            os.path.join(SCALE_DIR, "embeddings.parquet"),
+        )
+
+        # events: time-extended replicas (same users, 10x the time span)
+        tv = pq.read_table(os.path.join(SRC_DIR, "events.parquet"))
+        ts = tv["ts"].to_pandas()
+        span_us = int((ts.max() - ts.min()).total_seconds() * 1e6) + 3_600_000_000
+        import pandas as pd
+
+        frames = []
+        base = tv.to_pandas()
+        for k in range(REPLICAS):
+            f = base.copy()
+            f["event_id"] = f["event_id"] + k * 10_000_000_000  # keeps %2/%5/%10
+            f["ts"] = f["ts"] + pd.to_timedelta(k * span_us, unit="us")
+            frames.append(f)
+        allev = pd.concat(frames, ignore_index=True)
+        pq.write_table(
+            pa.Table.from_pandas(allev, schema=tv.schema, preserve_index=False),
+            os.path.join(SCALE_DIR, "events.parquet"),
+        )
+
+        # orders + lineitem: lockstep orderkey shift, everything else as-is
+        # (--nodegrow additionally shifts cust/supp keys so the trading
+        # graph's NODE and distinct-edge sets grow with the replicas)
+        for tname, keycols in (("orders", ["o_orderkey"]), ("lineitem", ["l_orderkey"])):
+            tt = pq.read_table(os.path.join(SRC_DIR, f"{tname}.parquet"))
+            fbase = tt.to_pandas()
+            fr = []
+            for k in range(REPLICAS):
+                f = fbase.copy()
+                for c in keycols:
+                    f[c] = f[c] + k * 1_000_000_000
+                if NODEGROW:
+                    for c in ("o_custkey", "l_suppkey"):
+                        if c in f.columns:
+                            f[c] = f[c] + k * ID_SHIFT
+                fr.append(f)
+            pq.write_table(
+                pa.Table.from_pandas(
+                    pd.concat(fr, ignore_index=True),
+                    schema=tt.schema,
+                    preserve_index=False,
+                ),
+                os.path.join(SCALE_DIR, f"{tname}.parquet"),
+            )
 
     # everything else: unchanged symlinks
     for f in os.listdir(SRC_DIR):
@@ -586,13 +613,20 @@ def _analyze_backfill(spark, sf_dir):
 
 
 def main() -> int:
-    global REPLICAS, SCALE_DIR, NODEGROW
+    global REPLICAS, SCALE_DIR, NODEGROW, SKEW, SRC_DIR
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--out", default=None)
     ap.add_argument("--entries", nargs="*", default=None)
     ap.add_argument("--replicas", type=int, default=None)
     ap.add_argument("--nodegrow", action="store_true")
+    ap.add_argument(
+        "--skew",
+        action="store_true",
+        help="plant a viral doc (one 10-word line x5, identical text) in "
+        "20%% of documents on BOTH sides of the ratio — the hot-key "
+        "corpus the uniform replicas cannot produce",
+    )
     args = ap.parse_args()
     if args.replicas:
         REPLICAS = args.replicas
@@ -612,6 +646,29 @@ def main() -> int:
             # node-grown replicas have dangling dim FKs by design —
             # only the graph entry is meaningful against them
             args.entries = ["graph_pagerank_nodegrow"]
+    if args.skew:
+        SKEW = True
+        # only documents are rebuilt in skew mode (fact tables are
+        # symlinked), so only the doc-shuffle dedup entries are
+        # meaningful against this corpus
+        if args.entries is None:
+            args.entries = [
+                "corpus_line_dedup",
+                "corpus_substring_dedup",
+                "dedup_minhash_star_edges",
+                "dedup_minhash_candidates",
+            ]
+        # the BASE side must be skewed too: the ratio compares the
+        # same hot-key structure at 1x vs Kx, not skew vs uniform
+        base_k, base_dir = REPLICAS, SCALE_DIR
+        REPLICAS, SCALE_DIR = 1, "/tmp/netflow_scale_1x_skew"
+        SRC_DIR = _build_scale_dir()
+        REPLICAS = base_k
+        SCALE_DIR = (
+            base_dir.rstrip("/") + "_skew"
+            if "SPARK_GRAFT_SCALE_DIR" in os.environ
+            else f"/tmp/netflow_scale_{REPLICAS}x_skew"
+        )
 
     scale_dir = _build_scale_dir()
 
@@ -652,9 +709,10 @@ def main() -> int:
     qs["storage_analyze_backfill"] = _analyze_backfill
     qs["similarity_ann_query_steady"] = _ann_query_steady
     qs["storage_compact_where_fixed_hot"] = _compact_where_fixed_hot
-    scale_label = f"{REPLICAS}x"
+    scale_label = f"{REPLICAS}x-skew" if SKEW else f"{REPLICAS}x"
+    base_label = "1x-skew" if SKEW else "sf0.1"
     results: dict[str, dict] = {}
-    for label, sf_dir in (("sf0.1", SRC_DIR), (scale_label, scale_dir)):
+    for label, sf_dir in ((base_label, SRC_DIR), (scale_label, scale_dir)):
         for name in entries:
             best, rows = None, None
             try:
@@ -680,8 +738,8 @@ def main() -> int:
         tables.clear_caches()  # don't carry sf0.1 caches into the 10x pass
     for name, r in results.items():
         r["ratio"] = (
-            round(r[scale_label] / r["sf0.1"], 2)
-            if r.get("sf0.1") and r.get(scale_label)
+            round(r[scale_label] / r[base_label], 2)
+            if r.get(base_label) and r.get(scale_label)
             else None
         )
     spark.stop()
