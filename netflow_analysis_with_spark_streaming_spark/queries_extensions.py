@@ -1678,7 +1678,7 @@ def _similarity_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     # centroid numbering: the 32 seed embeddings are a bounded collect
     # by construction — number them driver-side instead of an
-    # unpartitioned Window.orderBy (round 13 hygiene: same 32 rows,
+    # unpartitioned window rank (round 13 hygiene: same 32 rows,
     # warning-free plan, hash unchanged)
     seed_rows = sorted(
         emb.filter(F.col("vec_id") < 32).collect(), key=lambda r: r["vec_id"]
@@ -1936,14 +1936,25 @@ FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id
 
 
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering end-to-end: MinHash banding -> candidate
-    pairs -> connected components -> canonical doc per cluster. The
-    full LLM-corpus dedup pipeline in one plan (rows-only driver
-    check; cluster correctness is tested on planted clusters)."""
+    """Near-dup clustering end-to-end: MinHash banding -> STAR-reduced
+    candidate edges -> connected components -> canonical doc per
+    cluster. The full LLM-corpus dedup pipeline in one plan (rows-only
+    driver check; cluster correctness is tested on planted clusters).
+
+    Round 13: the components input switched from the all-pairs
+    candidates to the star edges (per band bucket, min-doc -> others)
+    — the LABELS ARE IDENTICAL (a star spans exactly the docs its
+    clique spans; pinned by test_star_edges_components_equivalence,
+    and this entry's own oracle is unchanged), but the edge volume is
+    linear in bucket size instead of quadratic, so one viral
+    boilerplate bucket can no longer blow up the candidate stage
+    (BASELINE.md round-13 skew probes: all-pairs fails outright at
+    10x-skew while the star runs 30x flat). The all-pairs contract
+    stays on the driver tier as dedup_minhash_candidates."""
     from .operators import components as C
     from .queries_streaming import _bounded_state_partitions
 
-    pairs = _dedup_minhash_candidates(spark, sf_dir)
+    pairs = _dedup_minhash_star_edges(spark, sf_dir)
     # iterative rounds shuffle tiny label frames every pass — a vanilla
     # 200-partition session pays 200 empty tasks per round without this
     with _bounded_state_partitions(spark, 8):
