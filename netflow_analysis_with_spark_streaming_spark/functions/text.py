@@ -245,6 +245,10 @@ def bpe_train(wf, k: int) -> list[tuple[int, str, str, str, int]]:
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # empty-word guard: sequence(1, 0) takes Spark's DESCENDING default
+    # step, so '' would explode into two phantom empty symbols whose
+    # ('', '') pair — lexicographically smallest — wins every count tie
+    wf = wf.filter(F.length("word") > 0)
     cur = wf.select(
         F.expr(
             "transform(sequence(1, length(word)), i -> substr(word, i, 1))"

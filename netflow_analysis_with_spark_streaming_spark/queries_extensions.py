@@ -133,20 +133,17 @@ _MINHASH_SIG_SQL = (
 )
 
 
-def _dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: docs sharing any of 4 bands (4 sigs each) become
-    candidate near-dup pairs — never an all-pairs comparison.
-
-    Scale: each band is an equi-join on a concatenated band key; the
-    expected bucket size is tiny unless docs truly collide, and a hot
-    bucket (boilerplate text) is exactly the AQE skew-split case.
-    """
+def _minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_key) frame — the ONE definition of the banding
+    scheme, shared by the all-pairs candidate entry and the star-edge
+    entry so the star-vs-clique component-equivalence invariant
+    (dedup_components' input) cannot drift between them. One explode
+    over an array of band keys instead of an N_BANDS-way union of
+    selects: the union fanned the whole signature pipeline out once
+    per branch in the physical plan (no cross-branch CSE); explode
+    keeps a single signature subtree, and a self-join's identical
+    shuffle children collapse via ReusedExchange."""
     sig = _dedup_minhash_signatures(spark, sf_dir)
-    # one explode over an array of band keys instead of a 4-way union
-    # of selects: the union fanned the whole signature pipeline out
-    # once per branch in the physical plan (no cross-branch CSE);
-    # explode keeps a single signature subtree, and the self-join's
-    # identical shuffle children collapse via ReusedExchange.
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -160,7 +157,20 @@ def _dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    banded = sig.select("doc_id", F.explode(band_keys).alias("band_key"))
+    return sig.select("doc_id", F.explode(band_keys).alias("band_key"))
+
+
+def _dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: docs sharing any of 4 bands (4 sigs each) become
+    candidate near-dup pairs — never an all-pairs comparison.
+
+    Scale: each band is an equi-join on a concatenated band key; the
+    expected bucket size is tiny unless docs truly collide. A HOT
+    band bucket makes this entry's all-pairs OUTPUT quadratic by
+    semantics — _dedup_minhash_star_edges is the scale path for that
+    case (BASELINE.md round-13 skew probes).
+    """
+    banded = _minhash_banded(spark, sf_dir)
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -228,21 +238,7 @@ def _dedup_minhash_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE-skew-splittable equi-join; output is linear in corpus size no
     matter how viral the bucket. Measured: tools/scaling_probe.py
     --skew, BASELINE.md round-13 skew probes."""
-    sig = _dedup_minhash_signatures(spark, sf_dir)
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "-",
-                F.lit(str(b)),
-                *[
-                    F.col(f"sig_{b * _ROWS_PER_BAND + r}").cast("string")
-                    for r in range(_ROWS_PER_BAND)
-                ],
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    banded = sig.select("doc_id", F.explode(band_keys).alias("band_key"))
+    banded = _minhash_banded(spark, sf_dir)
     hubs = banded.groupBy("band_key").agg(F.min("doc_id").alias("hub"))
     return (
         banded.join(hubs, "band_key")

@@ -323,9 +323,13 @@ class VersionedTable:
             if checkpoint_defer_files is None
             else checkpoint_defer_files
         )
-        # the in-flight sidecar writer, if any (daemon thread; tests
-        # and probes join it via wait_for_checkpoint)
-        self._ckpt_thread = None
+        # in-flight sidecar writers (daemon threads; tests, probes and
+        # vacuum join them via wait_for_checkpoint). A LIST, not a
+        # slot: at 1e6 groups a sidecar write (~5.5 s) outlives the 16
+        # hinted commits (~3 s) to the next deferral, so two writers
+        # can legitimately overlap — tracking only the newest would
+        # let vacuum doom a version whose sidecar lands afterwards
+        self._ckpt_threads: list = []
         # read-side sidecar gate: fsck flips this off to rebuild
         # snapshots by pure chain replay and diff them against the
         # sidecars (the integrity check a sidecar must survive)
@@ -897,7 +901,10 @@ class VersionedTable:
                 args=(version, manifest),
                 daemon=True,
             )
-            self._ckpt_thread = th
+            self._ckpt_threads = [
+                t for t in self._ckpt_threads if t.is_alive()
+            ]
+            self._ckpt_threads.append(th)
             th.start()
         return version
 
@@ -920,13 +927,14 @@ class VersionedTable:
             return None
         if m.get("version") != version or "delta_of" in m:
             return None  # mislabeled — ignore, the chain is the truth
-        wv = m.get("writer_version", 1)
-        if wv > _WRITER_VERSION:
-            raise ValueError(
-                f"table {self.root} checkpoint sidecar {version} was "
-                f"written by protocol {wv}; this reader implements "
-                f"protocol {_WRITER_VERSION} — upgrade before reading"
-            )
+        if m.get("writer_version", 1) > _WRITER_VERSION:
+            # a sidecar is an ACCELERATION, never an alternate truth:
+            # unlike a future-protocol commit record (whose semantics
+            # the version genuinely depends on — _load_record fails
+            # closed), a future sidecar can simply be ignored and the
+            # chain replayed; the chain's own records still protocol-
+            # gate the read. fsck reports it as an issue.
+            return None
         return m
 
     def _write_checkpoint_sidecar(self, version: int, manifest: dict) -> None:
@@ -951,11 +959,13 @@ class VersionedTable:
                 pass
 
     def wait_for_checkpoint(self, timeout: float | None = None) -> None:
-        """Join the in-flight sidecar writer, if any — determinism
-        hook for tests, probes, and orderly shutdown."""
-        th = self._ckpt_thread
-        if th is not None and th.is_alive():
-            th.join(timeout)
+        """Join EVERY in-flight sidecar writer — determinism hook for
+        tests, probes, vacuum, and orderly shutdown. ``timeout``
+        applies per thread."""
+        for th in self._ckpt_threads:
+            if th.is_alive():
+                th.join(timeout)
+        self._ckpt_threads = [t for t in self._ckpt_threads if t.is_alive()]
 
     def write_checkpoint(self, version: int | None = None) -> str | None:
         """Maintenance API: materialize ``version`` (default latest)
@@ -4456,7 +4466,21 @@ class VersionedTable:
             return version - 1  # fully indexed already: no-op
         from pyspark.sql import functions as F
 
-        new_stats = {f: dict(prev_stats.get(f, {})) for f in prev_files}
+        # per-file copy must go one level deeper than dict(): the
+        # bloom sub-dict would otherwise be ALIASED with the parent's
+        # memoized manifest, and inserting a new column's bitmap into
+        # the shared dict (a) silently edits the parent snapshot in
+        # memory and (b) makes the delta encoder's parent diff read
+        # "unchanged" — the commit record then OMITS the new blooms
+        # and a cold chain replay loses the index (and, round 13, the
+        # mutation races the deferred-checkpoint sidecar writer's
+        # json.dump of that same manifest).
+        new_stats = {}
+        for f in prev_files:
+            s = dict(prev_stats.get(f, {}))
+            if _BLOOM_KEY in s:
+                s[_BLOOM_KEY] = dict(s[_BLOOM_KEY])
+            new_stats[f] = s
 
         def _with_group(files: list[str]) -> DataFrame:
             # manifest rel path of the group a row's file belongs to:
@@ -4740,6 +4764,20 @@ class VersionedTable:
             sv = int(fn[: -len(".ckpt.json")])
             if sv not in live:
                 issues.append(f"checkpoint sidecar {sv}: orphaned (no record)")
+                continue
+            # raw parse first so a future-protocol stamp is REPORTED
+            # (the read path just ignores such a sidecar)
+            try:
+                with open(os.path.join(self._log, fn), encoding="utf-8") as f:
+                    raw = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                raw = None
+            if raw is not None and raw.get("writer_version", 1) > _WRITER_VERSION:
+                issues.append(
+                    f"checkpoint sidecar {sv}: future protocol "
+                    f"{raw.get('writer_version')} (ignored by reads; "
+                    "upgrade or delete it)"
+                )
                 continue
             side = self._load_ckpt_sidecar(sv)
             if side is None:

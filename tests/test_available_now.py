@@ -420,10 +420,6 @@ def test_bounded_backfill_medallion_every_silver_batch_capped(
     assert pos == {"version": 3}
     # one silver version per bronze version = every batch was capped
     assert len(silver.versions()) == 4
-    per_version = []
-    for v in silver.versions():
-        n = silver.read(spark, version=v).count()
-        per_version.append(n - (per_version[-1] if per_version else 0) if v else n)
     expect_per_bronze = [
         s.filter(F.col("value") >= 0).count() for s in slices
     ]

@@ -5448,3 +5448,88 @@ def test_vacuum_removes_doomed_sidecars(tmp_path):
     assert not os.path.exists(t._sidecar_path(32))  # floor rewrite dropped it
     assert VersionedTable(t.root).fsck() == []
     assert VersionedTable(t.root)._manifest(39)["n_files"] == 40
+
+
+def test_analyze_second_bloom_column_survives_cold_delta_replay(
+    spark, tmp_path
+):
+    """Regression (round-13 review): analyze()'s per-file stats copy
+    aliased the nested bloom dict with the parent's memoized manifest,
+    so adding a SECOND bloom column mutated the parent snapshot in
+    place — the delta encoder's parent diff then read 'unchanged' and
+    the commit record OMITTED the new blooms, silently losing the
+    index on any cold chain replay (and racing the deferred-sidecar
+    writer's json.dump). Pin: on a delta-encoded table that already
+    carries blooms for k, analyze(bloom_cols=['v']) must survive a
+    COLD handle's materialization, and the parent version must NOT
+    grow the new column."""
+    from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+        _BLOOM_KEY,
+    )
+
+    t = VersionedTable(str(tmp_path / "t"), delta_log_min_files=4)
+    for g in range(6):  # > delta_log_min_files -> protocol-4 deltas
+        df = spark.range(50).selectExpr(
+            f"id * 6 + {g} AS k", f"id + {g * 1000} AS v"
+        )
+        t.append(df, stats_cols=["k"], bloom_cols=["k"])
+    parent_v = t.latest_version()
+    av = t.analyze(spark, ["k"], bloom_cols=["v"])
+    rec = t._load_record(av)
+    assert "delta_of" in rec, "analyze on a delta table must stay O(change)"
+    cold = VersionedTable(t.root)
+    m = cold._manifest(av)
+    assert all(
+        "v" in (m["stats"][f].get(_BLOOM_KEY) or {}) for f in m["files"]
+    ), "new bloom column lost on cold replay"
+    # the PARENT snapshot must not have been edited in place
+    parent = cold._manifest(parent_v)
+    assert all(
+        "v" not in (parent["stats"][f].get(_BLOOM_KEY) or {})
+        for f in parent["files"]
+    )
+    assert t.fsck() == []
+
+
+def test_wait_for_checkpoint_joins_every_inflight_writer(tmp_path):
+    """Regression (round-13 review): only the NEWEST sidecar thread
+    was tracked, so an older still-running writer escaped
+    wait_for_checkpoint()/vacuum's join — vacuum could doom a version
+    whose sidecar lands afterwards, leaving an fsck-visible orphan.
+    Pin: with artificially slow writers, two deferred checkpoints
+    overlap and wait_for_checkpoint() returns only after BOTH
+    sidecars are on disk."""
+    import os
+    import threading
+    import time
+
+    t = _mk_meta_table(tmp_path, "t", 15, checkpoint_defer_files=8)
+    started = threading.Event()
+    orig = VersionedTable._write_checkpoint_sidecar
+
+    def slow(self, version, manifest):
+        started.set()
+        time.sleep(0.8)
+        orig(self, version, manifest)
+
+    VersionedTable._write_checkpoint_sidecar = slow
+    try:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema_json = StructType([StructField("k", LongType())]).json()
+        files = [f"data/g{v:04d}" for v in range(15)]
+        stats = {g: {"k": [0, 9], "__rows__": 10} for g in files}
+        for v in range(15, 33):  # crosses checkpoints 16 AND 32
+            g = f"data/g{v:04d}"
+            os.makedirs(os.path.join(t.root, g), exist_ok=True)
+            files.append(g)
+            stats[g] = {"k": [0, 9], "__rows__": 10}
+            t._commit(list(files), "append", schema_json, stats=dict(stats))
+        assert started.wait(5.0)
+        assert len([th for th in t._ckpt_threads if th.is_alive()]) >= 1
+        t.wait_for_checkpoint()
+    finally:
+        VersionedTable._write_checkpoint_sidecar = orig
+    for v in (16, 32):
+        assert os.path.exists(t._sidecar_path(v)), v
+    assert t.fsck() == []

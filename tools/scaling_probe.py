@@ -311,8 +311,13 @@ def _build_scale_dir() -> str:
                 os.path.join(SCALE_DIR, f"{tname}.parquet"),
             )
 
-    # everything else: unchanged symlinks
+    # everything else: unchanged symlinks. NEVER link the cache marker:
+    # in --skew mode SRC_DIR is itself a built scale dir carrying a
+    # real _BUILT file — a symlinked marker would be written THROUGH
+    # below, clobbering the source dir's key and defeating both caches
     for f in os.listdir(SRC_DIR):
+        if f == "_BUILT":
+            continue
         dst = os.path.join(SCALE_DIR, f)
         if not os.path.exists(dst):
             os.symlink(os.path.join(SRC_DIR, f), dst)
