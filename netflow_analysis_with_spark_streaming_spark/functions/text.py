@@ -284,3 +284,21 @@ def bpe_train(wf, k: int) -> list[tuple[int, str, str, str, int]]:
         cur = nxt
     cur.unpersist()
     return merges
+
+
+def bpe_encode_words(wf, merges: list[tuple[int, str, str, str, int]]):
+    """Apply a trained merge list to the word-frequency table: chain
+    the executor-side fold once per merge, IN TRAINING ORDER (BPE
+    encoding applies merges by rank, and later merges can consume
+    earlier merges' outputs — e.g. ('ab','c') only fires after
+    ('a','b')). Returns (word, n_word, n_subtokens) — the per-word
+    token count under the trained tokenizer, word-table-sized, ready
+    to broadcast-join back to the corpus."""
+    syms = F.expr(
+        "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+    )
+    for _, a, b, _, _ in merges:
+        syms = bpe_apply_merge(syms, a, b)
+    return wf.filter(F.length("word") > 0).select(
+        "word", "n_word", F.size(syms).alias("n_subtokens")
+    )

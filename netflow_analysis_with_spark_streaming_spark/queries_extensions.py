@@ -3472,6 +3472,52 @@ def _corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("corpus_bpe_train", _corpus_bpe_train, None, driver=False)
 
 
+def _corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale (round 13) — the other
+    half of the tokenizer-prep story: train _BPE_TRAIN_STEPS merges
+    (functions/text.bpe_train), apply the whole ranked merge list to
+    the distinct-word table with chained executor-side folds
+    (functions/text.bpe_encode_words — word-table-sized, the classic
+    BPE optimization), then broadcast-join the per-word subtoken
+    counts back to the exploded corpus and aggregate per document.
+    Per doc: whitespace word count and the BPE token count under the
+    trained tokenizer — the sequence-length accounting every
+    pretraining data pipeline needs before packing. Data-dependent
+    merges put the output beyond one SQL statement; correctness is
+    pinned by the exact Python-BPE encode differential
+    (tests/test_extensions.py::test_bpe_encode_differential_exact).
+
+    Scale: train is k vocab-sized aggs (probed ~flat, BASELINE.md);
+    encode is a narrow projection over the vocab; the join back is
+    corpus x broadcast(vocab) — no extra shuffle beyond the per-doc
+    hash agg."""
+    docs = tables.load_parallel(spark, "documents", sf_dir)
+    # persist both reused frames: wd feeds the frequency table AND the
+    # final join; wf feeds every training round AND the encode pass —
+    # unpersisted, the tokenize+explode subtree re-executed per use
+    wd = tables.track_persist(
+        docs.select("doc_id", F.explode(T.words(F.col("text"))).alias("word"))
+    )
+    wf = tables.track_persist(
+        wd.groupBy("word").agg(F.count("*").alias("n_word"))
+    )
+    merges = T.bpe_train(wf, _BPE_TRAIN_STEPS)
+    encoded = T.bpe_encode_words(wf, merges).select("word", "n_subtokens")
+    return (
+        wd.join(F.broadcast(encoded), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_subtokens").alias("n_bpe_tokens"),
+        )
+        .filter(F.col("doc_id") % 10 == 0)
+        .orderBy("doc_id")
+    )
+
+
+register("corpus_bpe_encode", _corpus_bpe_encode, None, driver=False)
+
+
 _NB_TEST_MOD = 5  # doc_id % 5 == 0 is the held-out fold
 
 

@@ -1471,3 +1471,57 @@ def test_bpe_apply_merge_overlap_rule(spark):
         ).collect()
     ]
     assert got == [["aa", "a"], ["aa", "aa"], ["x", "y"], []]
+
+
+def test_bpe_encode_differential_exact(spark):
+    """The corpus-scale tokenizer application must reproduce the
+    plain-Python encode exactly: train k merges, apply them by rank
+    to every word, count per-doc subtokens. A merge applied out of
+    order, a fold bug, or a join miscount all surface here."""
+    from netflow_analysis_with_spark_streaming_spark.functions import (
+        text as T,
+    )
+    from netflow_analysis_with_spark_streaming_spark.queries_extensions import (
+        _corpus_bpe_encode,
+        _BPE_TRAIN_STEPS,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in _corpus_bpe_encode(spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    doc_words = {
+        r["doc_id"]: list(r["w"])
+        for r in docs.select(
+            "doc_id", T.words(F.col("text")).alias("w")
+        ).collect()
+    }
+    wf: dict[str, int] = {}
+    for ws in doc_words.values():
+        for w in ws:
+            wf[w] = wf.get(w, 0) + 1
+    merges = _py_bpe(wf, _BPE_TRAIN_STEPS)
+
+    def encode(word: str) -> int:
+        syms = list(word)
+        for _, a, b, m, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    n_sub = {w: encode(w) for w in wf}
+    expect = {
+        d: (len(ws), sum(n_sub[w] for w in ws))
+        for d, ws in doc_words.items()
+        if d % 10 == 0 and ws
+    }
+    assert got == expect and len(got) > 0

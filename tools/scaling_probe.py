@@ -108,6 +108,9 @@ PROBE_ENTRIES = [
     # aggs; replicas suffix tokens so the vocab grows with K and the
     # honest target is ~linear in vocab
     "corpus_bpe_train",
+    # round 13: tokenizer APPLICATION — train + encode the vocab +
+    # broadcast-join back to the corpus; target ~linear in corpus
+    "corpus_bpe_encode",
     "text_classifier_nb",
     "text_perplexity_proxy",
     "stream_stream_join",
