@@ -177,6 +177,60 @@ def _checkpoint_cost(sizes: list[int]) -> list[dict]:
     return out
 
 
+def _cadence(n: int, n_commits: int, defer: bool) -> dict:
+    """Round-13 probe: the per-trigger commit-latency DISTRIBUTION of
+    a steady hinted ingest at ``n`` live groups, driven across
+    multiple checkpoint boundaries — the direct evidence for the
+    deferred-sidecar claim. ``defer=False`` pins the pre-round-13
+    behavior (inline full checkpoint on the trigger path) by setting
+    the defer threshold above n."""
+    import time as _time
+
+    base = tempfile.mkdtemp(prefix="netflow_dlcad_")
+    try:
+        t = VersionedTable(
+            os.path.join(base, "t"),
+            checkpoint_defer_files=(200_000 if defer else 1 << 60),
+        )
+        groups = [f"data/{uuid.uuid4().hex}" for _ in range(n + n_commits)]
+        files = sorted(groups[:n])
+        stats = {
+            g: {"k": [i * 10, i * 10 + 9], "__rows__": 10}
+            for i, g in enumerate(files)
+        }
+        v = t._commit(list(files), "append", SCHEMA_JSON, stats=dict(stats))
+        lat = []
+        for j in range(1, n_commits + 1):
+            g = groups[n + j - 1]
+            # real hinted callers pass the PARENT MANIFEST's list + adds
+            # (memoized — no re-read); the hint contract checks exactly
+            # that shape
+            call_files = t._manifest(v)["files"] + [g]
+            stats[g] = {"k": [0, 9], "__rows__": 10}
+            t0 = _time.perf_counter()
+            v = t._commit(
+                call_files,
+                "append",
+                SCHEMA_JSON,
+                stats=dict(stats),
+                adds_hint=[g],
+            )
+            lat.append(_time.perf_counter() - t0)
+        t.wait_for_checkpoint()
+        lat.sort()
+        k = len(lat)
+        return {
+            "groups": n,
+            "commits": n_commits,
+            "defer": defer,
+            "p50_s": round(lat[k // 2], 4),
+            "p90_s": round(lat[int(k * 0.9)], 4),
+            "max_s": round(lat[-1], 4),
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--groups", type=int, default=2048)
@@ -187,7 +241,23 @@ def main() -> int:
         help="csv of live-group sizes; measures checkpoint-write and "
         "cold-read seconds at each (skips the growth probe)",
     )
+    ap.add_argument(
+        "--cadence",
+        type=int,
+        default=None,
+        metavar="GROUPS",
+        help="per-trigger latency distribution of a hinted ingest at "
+        "GROUPS live groups across 2 checkpoint boundaries, with and "
+        "without sidecar deferral",
+    )
     args = ap.parse_args()
+    if args.cadence:
+        out = [
+            _cadence(args.cadence, 33, defer=False),
+            _cadence(args.cadence, 33, defer=True),
+        ]
+        print(json.dumps({"cadence": out}))
+        return 0
     if args.checkpoint_cost:
         sizes = [int(s) for s in args.checkpoint_cost.split(",") if s]
         print(json.dumps({"checkpoint_cost": _checkpoint_cost(sizes)}))
