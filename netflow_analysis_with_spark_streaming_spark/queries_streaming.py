@@ -789,6 +789,75 @@ ORDER BY a.user_id, click_id, buy_id
 """
 
 
+def _stream_stream_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BUCKETED stream-stream interval join — the viral-key scale
+    path for _stream_stream_join (round 13). Spark's symmetric hash
+    join probes EVERY same-key state row per input row and evaluates
+    the interval predicate per candidate pair, so one viral user
+    holding 20% of both streams costs O(clicks_k x purchases_k) inside
+    a single task — measured: the planted-skew corpus
+    (tools/scaling_probe.py --skew events plant) runs the plain entry
+    9.5 s at 1x-skew and did not complete 10x-skew in 30 minutes,
+    because ~2e5 x 4e4 predicate evaluations land on one key.
+
+    The fix is key decomposition, not salting (state semantics pin
+    rows to their key): purchases take an equi-key of
+    (user_id, day-bucket of bts); clicks EXPLODE into the two buckets
+    a within-1-day purchase can inhabit (cts's day and the next).
+    Every (click, purchase) pair matches in exactly ONE bucket (a
+    purchase has one bts day), so the output is IDENTICAL — this
+    entry's oracle IS the plain entry's SQL — while the viral user's
+    state and probe work split across days: per-composite-key cost is
+    per-day density squared, linear in stream length, at the price of
+    2x click-side state. The same decomposition is how a 100 TB
+    deployment should shape ANY stream-stream interval join whose key
+    distribution is open-ended."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "click") & (F.col("user_id") < 100))
+        .select(
+            "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+        )
+        .withWatermark("cts", "2 days")
+    )
+    buys = (
+        _events_stream(spark, sf_dir)
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") < 100))
+        .select("user_id", F.col("ts").alias("bts"), F.col("event_id").alias("buy_id"))
+        .withWatermark("bts", "2 days")
+    )
+    cday = F.floor(F.unix_timestamp(F.col("cts")) / 86400)
+    clicks_b = clicks.withColumn(
+        "bucket", F.explode(F.array(cday, cday + 1))
+    )
+    buys_b = buys.withColumn(
+        "bucket", F.floor(F.unix_timestamp(F.col("bts")) / 86400)
+    )
+    joined = clicks_b.join(
+        buys_b,
+        (clicks_b.user_id == buys_b.user_id)
+        & (clicks_b.bucket == buys_b.bucket)
+        & (buys_b.bts >= clicks_b.cts)
+        & (buys_b.bts <= clicks_b.cts + F.expr("INTERVAL 1 DAY")),
+    ).select(clicks_b.user_id, "click_id", "buy_id")
+    with _bounded_state_partitions(spark):
+        jobs.run_to_memory(
+            joined, "stream_stream_join_bucketed", output_mode="append"
+        )
+    return spark.table("stream_stream_join_bucketed").orderBy(
+        "user_id", "click_id", "buy_id"
+    )
+
+
+# output-identical by construction: the oracle is the PLAIN entry's SQL
+register(
+    "stream_stream_join_bucketed",
+    _stream_stream_join_bucketed,
+    _STREAM_SSJOIN_SQL,
+    driver=False,
+)
+
+
 def _louter_streams(spark: SparkSession, sf_dir: str):
     """Shared source builder for the outer-join entries: clicks and
     purchases as watermarked file streams over the events slice, with

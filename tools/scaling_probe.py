@@ -202,7 +202,7 @@ def _build_scale_dir() -> str:
     st = os.stat(src_docs)
     marker = os.path.join(SCALE_DIR, "_BUILT")
     key = (
-        f"v3:{SRC_DIR}:{st.st_mtime_ns}:{st.st_size}:{REPLICAS}:{NODEGROW}"
+        f"v4:{SRC_DIR}:{st.st_mtime_ns}:{st.st_size}:{REPLICAS}:{NODEGROW}"
         f":{SKEW}"
     )
     if os.path.exists(marker) and open(marker).read() == key:
@@ -270,25 +270,34 @@ def _build_scale_dir() -> str:
             os.path.join(SCALE_DIR, "embeddings.parquet"),
         )
 
-        # events: time-extended replicas (same users, 10x the time span)
-        tv = pq.read_table(os.path.join(SRC_DIR, "events.parquet"))
-        ts = tv["ts"].to_pandas()
-        span_us = int((ts.max() - ts.min()).total_seconds() * 1e6) + 3_600_000_000
-        import pandas as pd
+    # events: time-extended replicas (same users, Kx the time span).
+    # Built in BOTH modes: skew mode additionally plants a VIRAL USER —
+    # rows with event_id % 5 == 0 (20%, aligned per replica since the
+    # id shift preserves %5) get user_id = 7, which passes every
+    # stateful entry's user filter (< 20, < 100) — so ONE state key
+    # holds 20% of all events, the hot shape uniform replicas cannot
+    # produce for sessionization / stream-stream joins.
+    tv = pq.read_table(os.path.join(SRC_DIR, "events.parquet"))
+    ts = tv["ts"].to_pandas()
+    span_us = int((ts.max() - ts.min()).total_seconds() * 1e6) + 3_600_000_000
+    import pandas as pd
 
-        frames = []
-        base = tv.to_pandas()
-        for k in range(REPLICAS):
-            f = base.copy()
-            f["event_id"] = f["event_id"] + k * 10_000_000_000  # keeps %2/%5/%10
-            f["ts"] = f["ts"] + pd.to_timedelta(k * span_us, unit="us")
-            frames.append(f)
-        allev = pd.concat(frames, ignore_index=True)
-        pq.write_table(
-            pa.Table.from_pandas(allev, schema=tv.schema, preserve_index=False),
-            os.path.join(SCALE_DIR, "events.parquet"),
-        )
+    frames = []
+    base = tv.to_pandas()
+    for k in range(REPLICAS):
+        f = base.copy()
+        f["event_id"] = f["event_id"] + k * 10_000_000_000  # keeps %2/%5/%10
+        f["ts"] = f["ts"] + pd.to_timedelta(k * span_us, unit="us")
+        frames.append(f)
+    allev = pd.concat(frames, ignore_index=True)
+    if SKEW:
+        allev.loc[allev["event_id"] % 5 == 0, "user_id"] = 7
+    pq.write_table(
+        pa.Table.from_pandas(allev, schema=tv.schema, preserve_index=False),
+        os.path.join(SCALE_DIR, "events.parquet"),
+    )
 
+    if not SKEW:
         # orders + lineitem: lockstep orderkey shift, everything else as-is
         # (--nodegrow additionally shifts cust/supp keys so the trading
         # graph's NODE and distinct-edge sets grow with the replicas)
