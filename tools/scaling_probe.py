@@ -629,6 +629,21 @@ def _analyze_backfill(spark, sf_dir):
     )
 
 
+def _ssjoin_bucketed_count(spark, sf_dir):
+    """Probe wrapper: the bucketed stream-stream join's OUTPUT grows
+    linearly with the skew corpus (5.3M pairs at 10x-skew, ~16M at
+    30x) — past what the probe harness's len(collect()) can hold at a
+    4 GB driver. The ENGINE claim is about join work, not result
+    materialization, so this wrapper runs the identical entry and
+    reduces the memory-sink table to one count row (the entry itself
+    is oracle-checked at sf0.01 in the corpus test)."""
+    from netflow_analysis_with_spark_streaming_spark.queries_streaming import (
+        _stream_stream_join_bucketed,
+    )
+
+    return _stream_stream_join_bucketed(spark, sf_dir).groupBy().count()
+
+
 def main() -> int:
     global REPLICAS, SCALE_DIR, NODEGROW, SKEW, SRC_DIR
     ap = argparse.ArgumentParser()
@@ -722,6 +737,7 @@ def main() -> int:
     qs = dict(Q.all_queries())
     qs["graph_pagerank_nodegrow"] = _pagerank_nodegrow
     qs["storage_merge_fixed_source"] = _merge_fixed_source
+    qs["stream_stream_join_bucketed_count"] = _ssjoin_bucketed_count
     qs["storage_merge_fixed_source_captured"] = _merge_fixed_source_captured
     qs["storage_analyze_backfill"] = _analyze_backfill
     qs["similarity_ann_query_steady"] = _ann_query_steady
