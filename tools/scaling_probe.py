@@ -72,7 +72,7 @@ SCALE_DIR = os.environ.get(
 )
 ID_SHIFT = 10_000_000
 NODEGROW = False  # set by --nodegrow: replica k also shifts cust/supp keys
-SKEW = False  # set by --skew: plant a viral doc in 20% of documents
+SKEW = False  # --skew: viral doc in 20% of documents + viral user in 20% of events
 
 # the planted viral document: ONE 10-word line repeated 5x. In the
 # line-dedup segmentation ALL five segments share one fingerprint, so
@@ -680,15 +680,19 @@ def main() -> int:
             args.entries = ["graph_pagerank_nodegrow"]
     if args.skew:
         SKEW = True
-        # only documents are rebuilt in skew mode (fact tables are
-        # symlinked), so only the doc-shuffle dedup entries are
-        # meaningful against this corpus
+        # documents AND events carry plants in skew mode (viral doc /
+        # viral user); orders/lineitem/embeddings are symlinked, so
+        # only doc- and event-shuffle entries are meaningful here
         if args.entries is None:
             args.entries = [
                 "corpus_line_dedup",
                 "corpus_substring_dedup",
                 "dedup_minhash_star_edges",
                 "dedup_minhash_candidates",
+                "stream_sessionize_closed",
+                "stream_stream_join_bucketed_count",
+                "agg_session_windows",
+                "stream_funnel_stages",
             ]
         # the BASE side must be skewed too: the ratio compares the
         # same hot-key structure at 1x vs Kx, not skew vs uniform
