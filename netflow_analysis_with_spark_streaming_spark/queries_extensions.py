@@ -3441,6 +3441,20 @@ register("corpus_bpe_merges", _corpus_bpe_merges, _BPE_SQL, driver=False)
 _BPE_TRAIN_STEPS = 8
 
 
+def _bpe_exploded_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, word) — the ONE definition of the BPE entries'
+    tokenization, shared by the trainer and the encoder so the trained
+    and encoded vocabularies cannot drift."""
+    docs = tables.load_parallel(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", F.explode(T.words(F.col("text"))).alias("word")
+    )
+
+
+def _bpe_word_freqs(wd: DataFrame) -> DataFrame:
+    return wd.groupBy("word").agg(F.count("*").alias("n_word"))
+
+
 def _corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ITERATIVE BPE training (round 13, verdict-r12 ask #6):
     ``corpus_bpe_merges`` computes one merge iteration; a real
@@ -3456,12 +3470,7 @@ def _corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL statement, so correctness is pinned by an exact Python-BPE
     differential (tests/test_extensions.py::test_bpe_train_*),
     the same recount pattern the single-merge entry's oracle uses."""
-    docs = tables.load_parallel(spark, "documents", sf_dir)
-    wf = (
-        docs.select(F.explode(T.words(F.col("text"))).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("n_word"))
-    )
+    wf = _bpe_word_freqs(_bpe_exploded_words(spark, sf_dir))
     merges = T.bpe_train(wf, _BPE_TRAIN_STEPS)
     return spark.createDataFrame(
         merges,
@@ -3491,16 +3500,11 @@ def _corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode is a narrow projection over the vocab; the join back is
     corpus x broadcast(vocab) — no extra shuffle beyond the per-doc
     hash agg."""
-    docs = tables.load_parallel(spark, "documents", sf_dir)
     # persist both reused frames: wd feeds the frequency table AND the
     # final join; wf feeds every training round AND the encode pass —
     # unpersisted, the tokenize+explode subtree re-executed per use
-    wd = tables.track_persist(
-        docs.select("doc_id", F.explode(T.words(F.col("text"))).alias("word"))
-    )
-    wf = tables.track_persist(
-        wd.groupBy("word").agg(F.count("*").alias("n_word"))
-    )
+    wd = tables.track_persist(_bpe_exploded_words(spark, sf_dir))
+    wf = tables.track_persist(_bpe_word_freqs(wd))
     merges = T.bpe_train(wf, _BPE_TRAIN_STEPS)
     encoded = T.bpe_encode_words(wf, merges).select("word", "n_subtokens")
     return (

@@ -4466,21 +4466,16 @@ class VersionedTable:
             return version - 1  # fully indexed already: no-op
         from pyspark.sql import functions as F
 
-        # per-file copy must go one level deeper than dict(): the
-        # bloom sub-dict would otherwise be ALIASED with the parent's
-        # memoized manifest, and inserting a new column's bitmap into
-        # the shared dict (a) silently edits the parent snapshot in
-        # memory and (b) makes the delta encoder's parent diff read
-        # "unchanged" — the commit record then OMITS the new blooms
-        # and a cold chain replay loses the index (and, round 13, the
-        # mutation races the deferred-checkpoint sidecar writer's
-        # json.dump of that same manifest).
-        new_stats = {}
-        for f in prev_files:
-            s = dict(prev_stats.get(f, {}))
-            if _BLOOM_KEY in s:
-                s[_BLOOM_KEY] = dict(s[_BLOOM_KEY])
-            new_stats[f] = s
+        # shallow per-file copies; nested values stay ALIASED with the
+        # parent's memoized manifest, so every mutation below must be
+        # copy-on-write (see the bloom insert) — mutating a shared
+        # nested dict (a) silently edits the parent snapshot in memory,
+        # (b) makes the delta encoder's parent diff read "unchanged" so
+        # the commit record OMITS the change and cold replay loses it,
+        # and (c) races the deferred-sidecar writer's json.dump.
+        # Pinned by test_analyze_second_bloom_column_survives_cold_
+        # delta_replay.
+        new_stats = {f: dict(prev_stats.get(f, {})) for f in prev_files}
 
         def _with_group(files: list[str]) -> DataFrame:
             # manifest rel path of the group a row's file belongs to:
@@ -4586,7 +4581,13 @@ class VersionedTable:
                     for g, bits in bitmaps.items():
                         if g not in new_stats:
                             continue
-                        blooms = new_stats[g].setdefault(_BLOOM_KEY, {})
+                        # copy-on-write: the inherited bloom dict is
+                        # aliased with the parent manifest (see the
+                        # new_stats construction above) — REPLACE it
+                        # with a copy before inserting, same pattern
+                        # as _rekey_stats
+                        blooms = dict(new_stats[g].get(_BLOOM_KEY) or {})
+                        new_stats[g][_BLOOM_KEY] = blooms
                         if c not in blooms:
                             blooms[c] = {
                                 "m": m,
@@ -4765,23 +4766,24 @@ class VersionedTable:
             if sv not in live:
                 issues.append(f"checkpoint sidecar {sv}: orphaned (no record)")
                 continue
-            # raw parse first so a future-protocol stamp is REPORTED
-            # (the read path just ignores such a sidecar)
+            # ONE raw parse, then the same gates _load_ckpt_sidecar
+            # applies — fsck reports the distinct reason for each
+            # (the read path just ignores any of them)
             try:
                 with open(os.path.join(self._log, fn), encoding="utf-8") as f:
-                    raw = json.load(f)
+                    side = json.load(f)
             except (json.JSONDecodeError, OSError):
-                raw = None
-            if raw is not None and raw.get("writer_version", 1) > _WRITER_VERSION:
+                issues.append(f"checkpoint sidecar {sv}: unreadable")
+                continue
+            if side.get("writer_version", 1) > _WRITER_VERSION:
                 issues.append(
                     f"checkpoint sidecar {sv}: future protocol "
-                    f"{raw.get('writer_version')} (ignored by reads; "
+                    f"{side.get('writer_version')} (ignored by reads; "
                     "upgrade or delete it)"
                 )
                 continue
-            side = self._load_ckpt_sidecar(sv)
-            if side is None:
-                issues.append(f"checkpoint sidecar {sv}: unreadable or mislabeled")
+            if side.get("version") != sv or "delta_of" in side:
+                issues.append(f"checkpoint sidecar {sv}: mislabeled")
                 continue
             self._use_sidecars = False
             self._mat_cache.clear()

@@ -190,7 +190,11 @@ def _cadence(n: int, n_commits: int, defer: bool) -> dict:
     try:
         t = VersionedTable(
             os.path.join(base, "t"),
-            checkpoint_defer_files=(200_000 if defer else 1 << 60),
+            # force the branch at ANY probed size: threshold 1 always
+            # defers, 1<<60 never does — using the production default
+            # (200k) instead would silently measure inline behavior
+            # twice for --cadence values below it
+            checkpoint_defer_files=(1 if defer else 1 << 60),
         )
         groups = [f"data/{uuid.uuid4().hex}" for _ in range(n + n_commits)]
         files = sorted(groups[:n])

@@ -633,10 +633,13 @@ def _ssjoin_bucketed_count(spark, sf_dir):
     """Probe wrapper: the bucketed stream-stream join's OUTPUT grows
     linearly with the skew corpus (5.3M pairs at 10x-skew, ~16M at
     30x) — past what the probe harness's len(collect()) can hold at a
-    4 GB driver. The ENGINE claim is about join work, not result
-    materialization, so this wrapper runs the identical entry and
-    reduces the memory-sink table to one count row (the entry itself
-    is oracle-checked at sf0.01 in the corpus test)."""
+    4 GB driver. This wrapper removes only the PYTHON-side collect;
+    the entry's run_to_memory MemorySink still materializes every row
+    on the driver JVM (that is the entry's test harness, not its
+    production shape — a deployment lands in a distributed sink), so
+    30x also needs SPARK_GRAFT_PROBE_DRIVER_MEM=12g. The ENGINE claim
+    is about join work, which both changes leave untouched; the entry
+    itself is oracle-checked at sf0.01 in the corpus test."""
     from netflow_analysis_with_spark_streaming_spark.queries_streaming import (
         _stream_stream_join_bucketed,
     )
