@@ -321,34 +321,11 @@ def _read_partition(partition: FeedPartition) -> Iterator:
     yield from full.to_batches(max_chunksize=1 << 16)
 
 
-def resolve_table_root(root: str) -> str:
-    """Resolve a ``path`` option to the plain filesystem path every
-    other entry point uses. SQL DDL (``CREATE TABLE ... USING
-    versioned_table OPTIONS (path ...)``) hands the option back
-    catalog-QUALIFIED (``file:/x`` or ``file:///x``) rather than as
-    the literal string the user wrote; the engine is
-    local-filesystem-scoped, so a ``file:`` URI unwraps to its path
-    and any other scheme refuses loudly instead of being treated as a
-    relative directory name."""
-    if ":" not in root.split("/", 1)[0]:
-        return root  # plain path (no scheme before the first slash)
-    from urllib.parse import unquote, urlparse
-
-    u = urlparse(root)
-    if u.scheme == "file":
-        if u.netloc not in ("", "localhost"):
-            # file://host/x names a REMOTE authority — silently
-            # resolving it to the local /x would open (or commit
-            # into) a different table than the one named
-            raise ValueError(
-                f"versioned table paths are local-filesystem only; "
-                f"{root!r} names remote authority {u.netloc!r}"
-            )
-        return unquote(u.path)
-    raise ValueError(
-        f"versioned table paths are local-filesystem only; got scheme "
-        f"{u.scheme!r} in {root!r}"
-    )
+# Canonical home moved to versioned.py so VersionedTable.__init__ can
+# apply the same resolution (raw-URI roots used to create junk
+# ``file:/`` trees and read as empty tables); re-exported here because
+# the sink and tests import it from this module.
+from .versioned import resolve_table_root  # noqa: E402,F401
 
 
 def _prune_triples_to_filters(triples: list) -> list:

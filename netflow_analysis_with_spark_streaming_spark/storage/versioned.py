@@ -286,6 +286,41 @@ class SchemaEvolutionError(ValueError):
     float<double) evolve the table schema instead."""
 
 
+def resolve_table_root(root: str) -> str:
+    """Resolve a table ``root`` to the plain filesystem path every
+    entry point uses. SQL DDL (``CREATE TABLE ... USING
+    versioned_table OPTIONS (path ...)``) hands the option back
+    catalog-QUALIFIED (``file:/x`` or ``file:///x``) rather than as
+    the literal string the user wrote; the engine is
+    local-filesystem-scoped, so a ``file:`` URI unwraps to its path
+    and any other scheme refuses loudly instead of being treated as a
+    relative directory name. Called by ``VersionedTable.__init__``
+    itself (not just the sink/source option parsers): before that, a
+    raw ``VersionedTable("file:///x/t")`` silently created a literal
+    ``file:/`` junk tree under the CWD and read as an EMPTY table —
+    a mistyped or catalog-qualified root yielded zero rows instead of
+    an error."""
+    if ":" not in root.split("/", 1)[0]:
+        return root  # plain path (no scheme before the first slash)
+    from urllib.parse import unquote, urlparse
+
+    u = urlparse(root)
+    if u.scheme == "file":
+        if u.netloc not in ("", "localhost"):
+            # file://host/x names a REMOTE authority — silently
+            # resolving it to the local /x would open (or commit
+            # into) a different table than the one named
+            raise ValueError(
+                f"versioned table paths are local-filesystem only; "
+                f"{root!r} names remote authority {u.netloc!r}"
+            )
+        return unquote(u.path)
+    raise ValueError(
+        f"versioned table paths are local-filesystem only; got scheme "
+        f"{u.scheme!r} in {root!r}"
+    )
+
+
 class VersionedTable:
     """A managed, versioned parquet table rooted at ``root``."""
 
@@ -297,7 +332,8 @@ class VersionedTable:
         checkpoint_every: int | None = None,
         checkpoint_defer_files: int | None = None,
     ) -> None:
-        self.root = root
+        self.root = resolve_table_root(root)
+        root = self.root
         self._log = os.path.join(root, "_log")
         self._data = os.path.join(root, "data")
         self._changes_dir = os.path.join(root, "changes")
@@ -330,9 +366,10 @@ class VersionedTable:
         # can legitimately overlap — tracking only the newest would
         # let vacuum doom a version whose sidecar lands afterwards
         self._ckpt_threads: list = []
-        # read-side sidecar gate: fsck flips this off to rebuild
-        # snapshots by pure chain replay and diff them against the
-        # sidecars (the integrity check a sidecar must survive)
+        # read-side sidecar kill-switch (ops/test hook). Integrity
+        # paths no longer toggle it — fsck and vacuum's floor rewrite
+        # replay chains through _pure_manifest, which never consults
+        # sidecars or mutates shared handle state.
         self._use_sidecars = True
         # materialized-snapshot memo for delta chains (records are
         # immutable once published; vacuum's checkpoint rewrite
@@ -444,6 +481,50 @@ class VersionedTable:
                 break
             chain.append(base)
             v = base["delta_of"]
+        m = self._fold_chain(chain, base)
+        # small bound: a materialized snapshot is O(live files) in
+        # memory (10s of MB at 1e5 groups), and ascending walks only
+        # need the immediate predecessor to stay O(1) per version —
+        # worst case after a clear is one replay to the nearest
+        # checkpoint (< _CHECKPOINT_EVERY records)
+        if len(self._mat_cache) > 8:
+            self._mat_cache.clear()
+        self._mat_cache[version] = m
+        return m
+
+    def _pure_manifest(self, version: int) -> dict:
+        """``version``'s FULL snapshot rebuilt by PURE chain replay —
+        no sidecars, no memo reads, no shared-state mutation. This is
+        the ground truth a sidecar must match (sidecars are an
+        acceleration, never an alternate truth): fsck diffs every
+        sidecar against it without toggling handle state a concurrent
+        reader could observe, and vacuum's floor-checkpoint rewrite
+        bakes THIS into the permanent record so a divergent-but-well-
+        formed sidecar can never be promoted to irrecoverable truth
+        when the chain behind it is deleted. Cost: O(chain back to
+        the nearest FULL on-disk record) — deferred checkpoints keep
+        their record a delta, so this can walk past them; acceptable
+        for the integrity/maintenance paths that call it."""
+        rec = self._load_record(version)
+        if "delta_of" not in rec:
+            return rec
+        chain = [rec]
+        v = rec["delta_of"]
+        while True:
+            base = self._load_record(v)
+            if "delta_of" not in base:
+                break
+            chain.append(base)
+            v = base["delta_of"]
+        return self._fold_chain(chain, base)
+
+    @staticmethod
+    def _fold_chain(chain: list, base: dict) -> dict:
+        """Fold delta records (newest-first ``chain``) onto a FULL
+        ``base`` snapshot, returning the top version's materialized
+        manifest. Pure function of its inputs — shared by the memoized
+        read path (_materialize) and the pure-replay integrity path
+        (_pure_manifest)."""
         files = set(base["files"])
         stats = dict(base.get("stats") or {})
         dvs = {g: list(x) for g, x in (base.get("dvs") or {}).items()}
@@ -477,14 +558,6 @@ class VersionedTable:
         for k in ("column_mapping", "retired_physical", "provenance"):
             if k in top:
                 m[k] = top[k]
-        # small bound: a materialized snapshot is O(live files) in
-        # memory (10s of MB at 1e5 groups), and ascending walks only
-        # need the immediate predecessor to stay O(1) per version —
-        # worst case after a clear is one replay to the nearest
-        # checkpoint (< _CHECKPOINT_EVERY records)
-        if len(self._mat_cache) > 8:
-            self._mat_cache.clear()
-        self._mat_cache[version] = m
         return m
 
     def _manifests(self):
@@ -4785,13 +4858,11 @@ class VersionedTable:
             if side.get("version") != sv or "delta_of" in side:
                 issues.append(f"checkpoint sidecar {sv}: mislabeled")
                 continue
-            self._use_sidecars = False
-            self._mat_cache.clear()
-            try:
-                truth = self._manifest(sv)
-            finally:
-                self._use_sidecars = True
-                self._mat_cache.clear()
+            # pure chain replay through a private helper — fsck used
+            # to toggle self._use_sidecars + clear the memo, which a
+            # concurrent reader on the same handle (e.g. a streaming
+            # feed thread) could observe mid-toggle
+            truth = self._pure_manifest(sv)
             for k in ("files", "n_files", "stats", "dvs", "schema"):
                 if side.get(k) != truth.get(k):
                     issues.append(
@@ -4862,9 +4933,27 @@ class VersionedTable:
         # clustered/z-ordered appends, subpaths ("data/{group}/_rb=N") —
         # normalize every kept path to its first two components so a group
         # survives if ANY kept manifest references anything under it.
+        #
+        # The keep-set is computed by PURE chain replay, never through
+        # the sidecar-preferring _manifest(): a divergent-but-well-
+        # formed sidecar (the exact corruption fsck detects) that
+        # dropped files would otherwise shrink the keep-set and make
+        # vacuum DELETE LIVE DATA. One O(chain) replay materializes
+        # the floor; each later kept version folds its own delta on
+        # top (delta_of is always version-1), so the walk is O(total
+        # records), not O(kept × chain).
         keep = set()
+        m = None
+        prev_v = None
         for v in kept_versions:
-            m = self._manifest(v)
+            rec = self._load_record(v)
+            if "delta_of" not in rec:
+                m = rec
+            elif m is not None and rec["delta_of"] == prev_v:
+                m = self._fold_chain([rec], m)
+            else:
+                m = self._pure_manifest(v)
+            prev_v = v
             for f in m["files"]:
                 keep.add("/".join(f.split("/")[:2]))
             if m.get("changes"):
@@ -4922,6 +5011,28 @@ class VersionedTable:
                     os.remove(self._sidecar_path(v))
                 except FileNotFoundError:
                     pass
+            # orphan-sidecar sweep: a SECOND handle/process whose
+            # deferred sidecar landed after a past vacuum's removal
+            # pass leaves a .ckpt.json with no record — inert for
+            # reads, but fsck would report it forever. Existence of
+            # the record file is re-checked per sidecar (not against
+            # a stale version listing) so a sidecar for a version
+            # committed mid-sweep is never touched: its record became
+            # visible BEFORE its sidecar thread spawned.
+            for fn in os.listdir(self._log):
+                if not (
+                    fn.endswith(".ckpt.json")
+                    and fn[: -len(".ckpt.json")].isdigit()
+                ):
+                    continue
+                sv = int(fn[: -len(".ckpt.json")])
+                if not os.path.exists(
+                    os.path.join(self._log, f"{sv:08d}.json")
+                ):
+                    try:
+                        os.remove(os.path.join(self._log, fn))
+                    except FileNotFoundError:
+                        pass
         return removed
 
     def _checkpoint_record(self, version: int) -> None:
@@ -4936,7 +5047,12 @@ class VersionedTable:
             return
         if "delta_of" not in rec:
             return
-        full = dict(self._manifest(version))
+        # PURE chain replay, not _manifest(): _manifest prefers the
+        # .ckpt.json sidecar, and baking a divergent-but-well-formed
+        # sidecar (the exact corruption fsck detects) into the
+        # permanent record right before vacuum deletes the chain
+        # behind it would promote the sidecar to irrecoverable truth
+        full = dict(self._pure_manifest(version))
         # a full manifest needs only the protocol its FEATURES need
         full["writer_version"] = _stamp_protocol(
             full.get("column_mapping"), full.get("retired_physical")

@@ -5533,3 +5533,103 @@ def test_wait_for_checkpoint_joins_every_inflight_writer(tmp_path):
     for v in (16, 32):
         assert os.path.exists(t._sidecar_path(v)), v
     assert t.fsck() == []
+
+
+def test_raw_uri_root_resolves_to_the_same_table(spark, tmp_path, monkeypatch):
+    """VERDICT r13: ``VersionedTable("file:///x/t")`` used to create a
+    literal ``file:/`` junk tree under the CWD and read as an EMPTY
+    table — a mistyped or catalog-qualified root yielded zero rows
+    instead of an error. __init__ now applies resolve_table_root."""
+    monkeypatch.chdir(tmp_path)  # any junk tree would land here
+    plain = VersionedTable(str(tmp_path / "t"))
+    plain.append(_df(spark, [(1, "a"), (2, "b")]))
+
+    via_uri = VersionedTable(f"file://{tmp_path}/t")
+    assert via_uri.root == str(tmp_path / "t")
+    assert via_uri.latest_version() == 0
+    assert via_uri.read(spark).count() == 2
+
+    import os
+
+    import pytest
+
+    assert not os.path.exists(os.path.join(str(tmp_path), "file:"))
+    with pytest.raises(ValueError, match="local-filesystem only"):
+        VersionedTable("s3a://bucket/t")
+    with pytest.raises(ValueError, match="remote authority"):
+        VersionedTable("file://nfs-host/data/t")
+
+
+def test_vacuum_floor_rewrite_ignores_divergent_sidecar(tmp_path):
+    """ADVICE r13 (medium): vacuum's floor rewrite used _manifest(),
+    which prefers the .ckpt.json sidecar — a divergent but well-formed
+    sidecar (the exact corruption fsck detects) was promoted to
+    irrecoverable truth the moment vacuum deleted the chain behind it.
+    The rewrite now replays the pure chain (_pure_manifest): the
+    rewritten full record must match the CHAIN, not the bad sidecar."""
+    import json as _json
+    import os
+
+    t = _mk_meta_table(tmp_path, "t", 40, checkpoint_defer_files=8)
+    t.wait_for_checkpoint()
+    truth_files = t._pure_manifest(32)["files"]
+    # corrupt v32's sidecar: wrong content, right shape
+    side = _json.load(open(t._sidecar_path(32)))
+    side["files"] = side["files"][:-3]
+    side["n_files"] -= 3
+    with open(t._sidecar_path(32), "w") as f:
+        _json.dump(side, f)
+    # vacuum so v32 becomes the floor survivor (keep_last=8 keeps 32..39)
+    fresh = VersionedTable(t.root)
+    fresh.vacuum(keep_last=8, min_age_s=0)
+    rewritten = VersionedTable(t.root)._load_record(32)
+    assert "delta_of" not in rewritten
+    assert rewritten["files"] == truth_files  # chain truth, not sidecar
+    assert VersionedTable(t.root).fsck() == []
+
+
+def test_vacuum_sweeps_orphan_sidecars(tmp_path):
+    """ADVICE r13 (low): a second handle's deferred sidecar landing
+    after a past vacuum's removal pass leaves an orphan .ckpt.json
+    that fsck reports forever. vacuum now sweeps sidecars whose
+    NNNNNNNN.json record no longer exists."""
+    import json as _json
+    import os
+
+    t = _mk_meta_table(tmp_path, "t", 10)
+    # plant an orphan sidecar for a version that never existed
+    orphan = t._sidecar_path(99)
+    with open(orphan, "w") as f:
+        _json.dump({"version": 99, "files": []}, f)
+    issues = t.fsck()
+    assert any("sidecar 99" in i and "orphan" in i for i in issues)
+    t.vacuum(keep_last=10, min_age_s=0)
+    assert not os.path.exists(orphan)
+    assert VersionedTable(t.root).fsck() == []
+
+
+def test_fsck_does_not_mutate_shared_handle_state(tmp_path):
+    """ADVICE r13 (low): fsck used to flip _use_sidecars and clear the
+    memo on the SHARED handle — a concurrent reader could observe the
+    degraded path mid-toggle. Pin: fsck leaves both untouched."""
+    t = _mk_meta_table(tmp_path, "t", 20, checkpoint_defer_files=8)
+    t.wait_for_checkpoint()
+    flips = []
+    cls = type(t)
+    orig = cls.__dict__.get("_load_ckpt_sidecar")
+    import functools
+
+    @functools.wraps(orig)
+    def spy(self, version):
+        flips.append(self._use_sidecars)
+        return orig(self, version)
+
+    cls._load_ckpt_sidecar = spy
+    try:
+        assert t.fsck() == []
+    finally:
+        cls._load_ckpt_sidecar = orig
+    assert t._use_sidecars is True
+    # every sidecar lookup during fsck saw the gate OPEN — the old
+    # implementation flipped it off around the divergence diff
+    assert flips and all(flips)
