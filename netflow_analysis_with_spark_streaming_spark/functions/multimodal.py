@@ -687,7 +687,12 @@ AVI_FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("frame_idx", IntegerType()),
-        StructField("mean_lum", DoubleType()),
+        # integer numerator (ADVICE r13): lum_sum = SUM(pixel) as
+        # BIGINT instead of ROUND(mean, 6) — the rounded mean was the
+        # same Python half-even vs SQL half-away 6-decimal tie hazard
+        # the PNG decode/resize entries migrated off in round 13;
+        # mean_lum stays derivable as lum_sum / (w*h)
+        StructField("lum_sum", LongType()),
         StructField("px_checksum", LongType()),
     ]
 )
@@ -918,7 +923,7 @@ def sample_frames_avi(media: DataFrame, step: int = 3) -> DataFrame:
             out = {
                 "doc_id": [],
                 "frame_idx": [],
-                "mean_lum": [],
+                "lum_sum": [],
                 "px_checksum": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -930,7 +935,7 @@ def sample_frames_avi(media: DataFrame, step: int = 3) -> DataFrame:
                     flat = frames[f].reshape(-1)
                     out["doc_id"].append(d)
                     out["frame_idx"].append(f)
-                    out["mean_lum"].append(round(int(flat.sum()) / n, 6))
+                    out["lum_sum"].append(int(flat.sum()))
                     out["px_checksum"].append(int((flat * weights).sum()))
             yield pd.DataFrame(out)
 

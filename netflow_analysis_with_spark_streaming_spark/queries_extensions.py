@@ -1304,7 +1304,7 @@ def _multimodal_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         M.sample_frames_avi(M.synth_avi(docs), step=3)
-        .select("doc_id", "frame_idx", "mean_lum", "px_checksum")
+        .select("doc_id", "frame_idx", "lum_sum", "px_checksum")
         .orderBy("doc_id", "frame_idx")
     )
 
@@ -1328,7 +1328,7 @@ px AS (
 )
 SELECT doc_id,
        CAST(f AS INTEGER) AS frame_idx,
-       ROUND(CAST(SUM(p) AS DOUBLE) / (w * h), 6) AS mean_lum,
+       CAST(SUM(p) AS BIGINT) AS lum_sum,
        CAST(SUM(p * (y * w + x + 1)) AS BIGINT) AS px_checksum
 FROM px
 GROUP BY doc_id, f, w, h

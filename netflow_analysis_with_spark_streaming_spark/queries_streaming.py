@@ -849,12 +849,14 @@ def _stream_stream_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# output-identical by construction: the oracle is the PLAIN entry's SQL
+# output-identical by construction: the oracle is the PLAIN entry's
+# SQL. Promoted to the driver tier round 14 (VERDICT r13 ask #1): the
+# driver-tier CORRECTNESS surface should be the plan that survives an
+# open-ended key distribution.
 register(
     "stream_stream_join_bucketed",
     _stream_stream_join_bucketed,
     _STREAM_SSJOIN_SQL,
-    driver=False,
 )
 
 
@@ -2623,7 +2625,14 @@ register(
 # aggregation, different output mode); the freed driver slot went to
 # anomaly_rolling_zscore (a capability class the window lacked)
 register("stream_update_mode", _stream_update_mode, _STREAM_UPDATE_SQL, driver=False)
-register("stream_stream_join", _stream_stream_join, _STREAM_SSJOIN_SQL)
+# rotated to the pytest tier round 14 (slot went to
+# stream_stream_join_bucketed): the plain symmetric-hash interval
+# join is correct and fine at benign key distributions but DNFs under
+# a 20%-hot key (r13 planted-skew probe); it stays here as the
+# benign-shape reference with its oracle intact.
+register(
+    "stream_stream_join", _stream_stream_join, _STREAM_SSJOIN_SQL, driver=False
+)
 
 
 def _flagship_managed_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
