@@ -302,3 +302,156 @@ def bpe_encode_words(wf, merges: list[tuple[int, str, str, str, int]]):
     return wf.filter(F.length("word") > 0).select(
         "word", "n_word", F.size(syms).alias("n_subtokens")
     )
+
+
+# --- batched BPE trainer (round 14) ------------------------------------------
+
+_BPE_SEP = "\x00"  # never appears in corpus symbols (tokenized text)
+
+
+def bpe_apply_merges(syms: Column, pairs: list[tuple[str, str]]) -> Column:
+    """Apply a SYMBOL-DISJOINT set of BPE merges in ONE executor-side
+    fold — the batched counterpart of bpe_apply_merge. Because the
+    admitted pairs share no symbols (and no pair's merged output is
+    another's constituent — bpe_train_batched's admission rule), a
+    single greedy left-to-right pass is exactly equivalent to applying
+    the merges sequentially in any order. The per-step dispatch is one
+    O(1) map lookup on carry||SEP||next (a foldable map literal, not a
+    chain of M nested aggregates — M-deep HOF nesting is where
+    Catalyst's expression tree blows up)."""
+    if not pairs:
+        return syms
+    lookup = F.map_from_arrays(
+        F.array(*[F.lit(a + _BPE_SEP + b) for a, b in pairs]),
+        F.array(*[F.lit(a + b) for a, b in pairs]),
+    )
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("carry"),
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        merged = F.element_at(
+            lookup, F.concat(acc["carry"], F.lit(_BPE_SEP), s)
+        )
+        return (
+            F.when(
+                acc["carry"].isNull(),
+                F.struct(acc["out"].alias("out"), s.alias("carry")),
+            )
+            .when(
+                merged.isNotNull(),
+                F.struct(
+                    F.concat(acc["out"], F.array(merged)).alias("out"),
+                    F.lit(None).cast("string").alias("carry"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(acc["carry"])).alias("out"),
+                    s.alias("carry"),
+                )
+            )
+        )
+
+    return F.aggregate(
+        syms,
+        init,
+        step,
+        lambda acc: F.when(
+            acc["carry"].isNull(), acc["out"]
+        ).otherwise(F.concat(acc["out"], F.array(acc["carry"]))),
+    )
+
+
+def bpe_admit_batch(
+    ranked: list[tuple[str, str, int]], batch: int
+) -> list[tuple[str, str, int]]:
+    """Greedy admission of a symbol-disjoint merge batch from a ranked
+    candidate list [(a, b, count)] (count desc, a, b asc): scan in
+    rank order, admit a pair iff its symbol set {a, b, a+b} is
+    disjoint from every previously admitted pair's, stop at ``batch``.
+    Shared verbatim by the Spark trainer and the Python differential
+    so the admission rule cannot drift between them."""
+    admitted: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for a, b, cnt in ranked:
+        trio = {a, b, a + b}
+        if used & trio:
+            continue
+        admitted.append((a, b, cnt))
+        used |= trio
+        if len(admitted) >= batch:
+            break
+    return admitted
+
+
+def bpe_train_batched(
+    wf, k: int, batch: int = 16, cand_factor: int = 4
+) -> list[tuple[int, str, str, str, int]]:
+    """BATCHED BPE training (round 14, VERDICT r13 ask #4): admit up
+    to ``batch`` SYMBOL-DISJOINT merges per Spark round instead of
+    one, so a realistic merge count (32k vocab) costs ~k/batch rounds
+    of fixed per-iteration overhead (driver argmax + job scheduling,
+    ~0.5 s/round) instead of k — the standard batched-greedy variant
+    every at-scale tokenizer trainer uses.
+
+    Per round: ONE adjacent-pair aggregation over the vocabulary-sized
+    symbol table, a bounded top-(cand_factor*batch) collect (count
+    desc, then pair lexicographic — deterministic), driver-side
+    disjoint admission (bpe_admit_batch), and ONE fold applying the
+    whole admitted batch (bpe_apply_merges). Because admitted pairs
+    are symbol-disjoint, their counts are mutually unaffected and the
+    one-pass application equals sequential application; pairs SKIPPED
+    for conflicts are re-ranked next round against post-merge counts.
+
+    Semantics: batched-greedy BPE — identical to textbook sequential
+    BPE (bpe_train) whenever the per-round top pairs don't interact
+    (batch=1 reduces to it exactly); under interaction the admitted
+    ranks can diverge from the sequential argmax, which is the
+    documented trade every batched trainer makes. Correctness is
+    pinned by an exact Python differential implementing the SAME rule
+    (tests/test_extensions.py::test_bpe_train_batched_*)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
+    wf = wf.filter(F.length("word") > 0)
+    cur = wf.select(
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+        ).alias("syms"),
+        "n_word",
+    ).persist()
+    merges: list[tuple[int, str, str, str, int]] = []
+    while len(merges) < k:
+        pairs = cur.filter(F.size("syms") >= 2).select(
+            "n_word",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i - 1] AS a, syms[i] AS b))"
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n_word").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(cand_factor * batch)
+            .collect()  # bounded: at most cand_factor*batch rows
+        )
+        if not top:
+            break  # vocabulary fully merged before k merges
+        ranked = [(r["a"], r["b"], int(r["cnt"])) for r in top]
+        admitted = bpe_admit_batch(ranked, min(batch, k - len(merges)))
+        for a, b, cnt in admitted:
+            merges.append((len(merges), a, b, a + b, cnt))
+        nxt = cur.withColumn(
+            "syms", bpe_apply_merges(F.col("syms"), [(a, b) for a, b, _ in admitted])
+        ).persist()
+        nxt.count()  # materialize before dropping the parent
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return merges

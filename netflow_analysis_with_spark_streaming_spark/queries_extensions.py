@@ -3026,17 +3026,47 @@ def _corpus_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter keeps the build side to actually-duplicated fingerprints
     # (the long tail of unique windows never joins). Measured on the
     # planted-hot-key corpus (tools/scaling_probe.py --skew): see
-    # BASELINE.md round-13 skew probes.
-    firsts = win.groupBy("fp").agg(
-        F.min(F.struct("doc_id", "pos")).alias("first_occ"),
-        F.count("*").alias("n_occ"),
+    # BASELINE.md round-13/14 skew probes.
+    #
+    # Round 14 (VERDICT r13 ask #5): window occurrences PRE-AGGREGATED
+    # per (doc_id, fp) into one persisted frame before anything joins.
+    # Two measured wins from the 100x-skew stage decomposition:
+    # (a) the small firsts frame broadcasts, so the probe side has no
+    #     exchange to reuse and the md5 window explode — the plan's
+    #     single most expensive stage (~8 s of the 28 s total at
+    #     100x-skew, 19.7M windows) — was computed TWICE (firsts agg +
+    #     join probe); wpos is computed once and persisted.
+    # (b) a doc repeating a viral shingle contributes ONE row per
+    #     (doc, fp) to the shuffle and the join instead of one per
+    #     occurrence (3.6x compression on the planted corpus) — the
+    #     map-side partial collect_list collapses it within the doc's
+    #     own scan task, so the hot fingerprint's join fan-out shrinks
+    #     by the per-doc duplication factor.
+    wpos = tables.track_persist(
+        win.groupBy("doc_id", "fp").agg(F.collect_list("pos").alias("poss"))
     )
-    removers = (
-        win.join(firsts.filter(F.col("n_occ") > 1), "fp")
-        .filter(
-            (F.col("doc_id") != F.col("first_occ.doc_id"))
-            | (F.col("pos") != F.col("first_occ.pos"))
+    # first occurrence = lexicographic min over (doc_id, pos): the min
+    # doc holding the fp, at ITS min position — identical to
+    # min(struct(doc_id, pos)) over raw occurrence rows
+    firsts = wpos.groupBy("fp").agg(
+        F.min(F.struct("doc_id", F.array_min("poss").alias("pos"))).alias(
+            "first_occ"
+        ),
+        F.sum(F.size("poss")).alias("n_occ"),
+    )
+    # cut positions per (doc, fp): every position, minus the global
+    # first occurrence when this doc IS the first doc (positions are
+    # unique within a (doc, fp) group, so array_remove drops exactly
+    # one); docs whose only occurrence is the first contribute an
+    # empty array, which the explode below drops naturally
+    removers = wpos.join(firsts.filter(F.col("n_occ") > 1), "fp").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") == F.col("first_occ.doc_id"),
+            F.array_remove(F.col("poss"), F.col("first_occ.pos")),
         )
+        .otherwise(F.col("poss"))
+        .alias("cut"),
     )
     # per-doc covered-position ARRAY (collect_set dedups overlapping
     # windows), joined back once — reassembly is then a narrow
@@ -3049,7 +3079,12 @@ def _corpus_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         removers.select(
             "doc_id",
             F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + _SUBSTR_L - 1)
+                F.flatten(
+                    F.transform(
+                        F.col("cut"),
+                        lambda p: F.sequence(p, p + _SUBSTR_L - 1),
+                    )
+                )
             ).alias("cpos"),
         )
         .groupBy("doc_id")
@@ -3479,6 +3514,37 @@ def _corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("corpus_bpe_train", _corpus_bpe_train, None, driver=False)
+
+
+_BPE_BATCHED_STEPS = 24
+_BPE_BATCH = 8
+
+
+def _corpus_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED BPE training (round 14, VERDICT r13 ask #4): the
+    sequential trainer above pays ~0.5 s of fixed per-round overhead
+    (driver argmax + job scheduling) per merge — days at a real 32k
+    vocabulary. This entry trains _BPE_BATCHED_STEPS merges in
+    ~k/_BPE_BATCH rounds via functions/text.bpe_train_batched: per
+    round one vocab-sized pair aggregation, a bounded top-(4*batch)
+    collect, driver-side SYMBOL-DISJOINT admission, and ONE fold
+    applying the whole batch (disjointness makes the one-pass apply
+    exactly sequential-equivalent and leaves the other admitted pairs'
+    counts untouched). Pinned by an exact Python differential of the
+    same batched rule (tests/test_extensions.py::
+    test_bpe_train_batched_differential_exact); k=64/k=256 wall-clock
+    probe points in BASELINE.md show cost ~k/batch, sub-linear in k."""
+    wf = _bpe_word_freqs(_bpe_exploded_words(spark, sf_dir))
+    merges = T.bpe_train_batched(wf, _BPE_BATCHED_STEPS, batch=_BPE_BATCH)
+    return spark.createDataFrame(
+        merges,
+        "step int, left string, right string, merged string, merge_count long",
+    ).orderBy("step")
+
+
+register(
+    "corpus_bpe_train_batched", _corpus_bpe_train_batched, None, driver=False
+)
 
 
 def _corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:

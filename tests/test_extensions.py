@@ -1525,3 +1525,157 @@ def test_bpe_encode_differential_exact(spark):
         if d % 10 == 0 and ws
     }
     assert got == expect and len(got) > 0
+
+
+def _py_bpe_batched(word_freqs: dict, k: int, batch: int, cand_factor: int = 4):
+    """Python differential for bpe_train_batched: the SAME batched-
+    greedy rule (ranked candidates cut at cand_factor*batch, disjoint
+    admission via the shared bpe_admit_batch, one-pass greedy apply),
+    recounted from scratch each round."""
+    from netflow_analysis_with_spark_streaming_spark.functions.text import (
+        bpe_admit_batch,
+    )
+
+    vocab = {tuple(w): n for w, n in word_freqs.items() if w}
+    merges = []
+    while len(merges) < k:
+        counts: dict = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        ranked = sorted(
+            ((a, b, c) for (a, b), c in counts.items()),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )[: cand_factor * batch]
+        admitted = bpe_admit_batch(ranked, min(batch, k - len(merges)))
+        merge_map = {(a, b): a + b for a, b, _ in admitted}
+        for a, b, cnt in admitted:
+            merges.append((len(merges), a, b, a + b, cnt))
+        new_vocab: dict = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) in merge_map:
+                    out.append(merge_map[(syms[i], syms[i + 1])])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_batched_differential_exact(spark):
+    """The batched distributed trainer must reproduce the plain-Python
+    batched trainer's merge table EXACTLY — same ranked candidate cut,
+    same disjoint admission, same one-pass application (whose output
+    feeds the NEXT round's counts, so an application bug surfaces as a
+    later-round count mismatch)."""
+    from netflow_analysis_with_spark_streaming_spark.functions import (
+        text as T,
+    )
+    from netflow_analysis_with_spark_streaming_spark.queries_extensions import (
+        _corpus_bpe_train_batched,
+        _BPE_BATCHED_STEPS,
+        _BPE_BATCH,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["merge_count"])
+        for r in _corpus_bpe_train_batched(spark, sf).collect()
+    ]
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    wf = {}
+    for r in docs.select(T.words(F.col("text")).alias("w")).collect():
+        for w in r["w"]:
+            wf[w] = wf.get(w, 0) + 1
+    expect = _py_bpe_batched(wf, _BPE_BATCHED_STEPS, _BPE_BATCH)
+    assert got == expect and len(got) == _BPE_BATCHED_STEPS
+
+
+def test_bpe_batched_reduces_to_sequential_at_batch_one(spark):
+    """batch=1 must reproduce the textbook sequential trainer exactly
+    (the candidate cut never matters for the rank-1 pair), pinning
+    that the batched path is a strict generalization."""
+    from netflow_analysis_with_spark_streaming_spark.functions import (
+        text as T,
+    )
+
+    wf = spark.createDataFrame(
+        [("banana", 5), ("bandana", 3), ("cabana", 2), ("nab", 7)],
+        "word string, n_word long",
+    )
+    assert T.bpe_train_batched(wf, 5, batch=1) == T.bpe_train(wf, 5)
+
+
+def test_bpe_apply_merges_disjoint_one_pass(spark):
+    """One-pass multi-merge semantics pinned directly: disjoint merges
+    applied together equal sequential application, greedy left-to-
+    right non-overlap per merge, identity on empty merge list."""
+    from netflow_analysis_with_spark_streaming_spark.functions.text import (
+        bpe_apply_merge,
+        bpe_apply_merges,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (["a", "a", "a", "x", "y", "a", "a"],),
+            (["x", "y", "x", "y"],),
+            (["a", "x", "a", "y"],),
+            ([],),
+        ],
+        "syms array<string>",
+    )
+    both = [
+        (r["m"], r["s"])
+        for r in df.select(
+            bpe_apply_merges(F.col("syms"), [("a", "a"), ("x", "y")]).alias("m"),
+            bpe_apply_merge(
+                bpe_apply_merge(F.col("syms"), "a", "a"), "x", "y"
+            ).alias("s"),
+        ).collect()
+    ]
+    for m, s in both:
+        assert m == s
+    assert both[0][0] == ["aa", "a", "xy", "aa"]
+    assert both[1][0] == ["xy", "xy"]
+    ident = [
+        r["m"]
+        for r in df.select(
+            bpe_apply_merges(F.col("syms"), []).alias("m")
+        ).collect()
+    ]
+    assert ident == [r["syms"] for r in df.collect()]
+
+
+def test_bpe_admit_batch_disjointness():
+    """Admission rule pinned: conflicting pairs are skipped (not
+    stopped at), the merged output counts as a used symbol, and the
+    batch cap binds."""
+    from netflow_analysis_with_spark_streaming_spark.functions.text import (
+        bpe_admit_batch,
+    )
+
+    ranked = [
+        ("t", "h", 100),
+        ("h", "e", 90),  # conflicts on 'h'
+        ("a", "n", 80),
+        ("n", "d", 70),  # conflicts on 'n'
+        ("i", "s", 60),
+    ]
+    assert bpe_admit_batch(ranked, 8) == [
+        ("t", "h", 100),
+        ("a", "n", 80),
+        ("i", "s", 60),
+    ]
+    assert bpe_admit_batch(ranked, 2) == [("t", "h", 100), ("a", "n", 80)]
+    # merged-output collision: ("ab","c") then ("a","bc") both make "abc"
+    assert bpe_admit_batch([("ab", "c", 9), ("a", "bc", 8)], 8) == [
+        ("ab", "c", 9)
+    ]

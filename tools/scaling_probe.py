@@ -696,6 +696,15 @@ def main() -> int:
                 "stream_stream_join_bucketed_count",
                 "agg_session_windows",
                 "stream_funnel_stages",
+                # round 14 (VERDICT r13 ask #7): the CDC/storage
+                # streaming path under the same viral user — user 7
+                # holding 20% of all events makes the delete_where
+                # commits capture ~20%+ of the table as ONE change
+                # slice, the hot-feed shape uniform replicas cannot
+                # produce; mirror apply + feed consumption must stay
+                # ~linear in change volume
+                "storage_feed_stream",
+                "storage_cdc_mirror",
             ]
         # the BASE side must be skewed too: the ratio compares the
         # same hot-key structure at 1x vs Kx, not skew vs uniform
