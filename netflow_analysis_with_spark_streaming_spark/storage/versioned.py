@@ -47,6 +47,7 @@ import os
 import shutil
 import time
 import uuid
+import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StringType, StructField, StructType
@@ -126,10 +127,56 @@ _CHECKPOINT_EVERY = 16
 # never depends on it). 200k groups ~ 1.5 s inline cost — the knee
 # where the stall starts to matter against streaming cadences.
 _CHECKPOINT_DEFER_FILES = 200_000
+# Sharded (multi-part) checkpoint sidecars (round 14): at 1e7 live
+# groups the SINGLE-FILE sidecar write measured 59 s / 1.27 GB
+# (tools/delta_log_probe.py --checkpoint-cost) — longer than the ~38 s
+# of hinted commits between two checkpoint triggers, so background
+# writers would back up without bound. Past ~_SIDECAR_PART_TARGET
+# live groups the snapshot therefore shards by crc32(group path) into
+# power-of-two part files (NNNNNNNN.ckpt.part-KKK.json — Delta's
+# multi-part N.checkpoint.K.M.parquet analog) under a small root
+# index, and a shard NO changed key maps to since the previous
+# sharded sidecar is HARD-LINKED from it instead of re-serialized
+# (changed keys come from the O(change) delta records in between) —
+# the background write drops from O(live groups) to O(change +
+# changed shards * target). The target sizes the REUSE granularity:
+# a steady ingest touches ~1-2 groups per commit (~16-32 keys per
+# checkpoint period), and rewrite cost is ~min(parts, changed keys) *
+# target — 32k groups/part (~4 MB JSON, Delta-checkpoint-part scale)
+# keeps that a few seconds at any table size while the 256-part cap
+# bounds file-count/assembly overhead (390k groups/part at 1e8 —
+# the coarse regime returns only past that).
+_SIDECAR_PART_TARGET = 32_000
+_SIDECAR_MAX_PARTS = 256
 # commits that may DELETE their own manifest on a detected race
 # (restore's vacuum-race rollback) must stay full: unlinking a delta
 # record a concurrent commit already chained on would orphan the chain
 _ALWAYS_FULL_ACTIONS = frozenset({"restore"})
+
+
+def _is_older(path: str, now: float, age_s: float) -> bool:
+    """mtime-age gate that treats a vanished file as NOT older (the
+    caller then leaves it alone — someone else already handled it)."""
+    try:
+        return now - os.path.getmtime(path) >= age_s
+    except OSError:
+        return False
+
+
+def _parse_sidecar_part_name(fn: str) -> int | None:
+    """Version of a ``NNNNNNNN.ckpt.part-KKK.json`` file name, or
+    None for anything else (shared by fsck's rootless-part report and
+    vacuum's debris sweep, so the two can never disagree on what a
+    part file is)."""
+    if not fn.endswith(".json"):
+        return None
+    stem = fn[: -len(".json")]
+    head, sep, tail = stem.partition(".ckpt.part-")
+    if not sep or not head.isdigit() or len(head) != 8:
+        return None
+    if len(tail) != 3 or not tail.isdigit():
+        return None
+    return int(head)
 
 
 def _stamp_protocol(
@@ -331,6 +378,7 @@ class VersionedTable:
         delta_log_min_files: int | None = None,
         checkpoint_every: int | None = None,
         checkpoint_defer_files: int | None = None,
+        sidecar_part_target: int | None = None,
     ) -> None:
         self.root = resolve_table_root(root)
         root = self.root
@@ -358,6 +406,15 @@ class VersionedTable:
             _CHECKPOINT_DEFER_FILES
             if checkpoint_defer_files is None
             else checkpoint_defer_files
+        )
+        # ~live groups per checkpoint-sidecar part file; a snapshot
+        # larger than one target shards into power-of-two parts with
+        # unchanged-shard hard-link reuse (WRITER-side only — readers
+        # assemble whatever part count the root index declares)
+        self._sidecar_target = (
+            _SIDECAR_PART_TARGET
+            if sidecar_part_target is None
+            else sidecar_part_target
         )
         # in-flight sidecar writers (daemon threads; tests, probes and
         # vacuum join them via wait_for_checkpoint). A LIST, not a
@@ -969,15 +1026,20 @@ class VersionedTable:
             # before the sidecar lands only lengthens cold replay.
             import threading
 
+            # chain behind this handle's still-running sidecar
+            # writers (round 14): the sharded writer link-reuses from
+            # the PREVIOUS sidecar, which must be fully published
+            # (root last) before the next one scans for a donor — and
+            # serializing also keeps a slow O(N) write from fanning
+            # out into concurrent full serializations when checkpoints
+            # trigger faster than one write completes
+            prev = [t for t in self._ckpt_threads if t.is_alive()]
             th = threading.Thread(
-                target=self._write_checkpoint_sidecar,
-                args=(version, manifest),
+                target=self._sidecar_write_after,
+                args=(version, manifest, prev),
                 daemon=True,
             )
-            self._ckpt_threads = [
-                t for t in self._ckpt_threads if t.is_alive()
-            ]
-            self._ckpt_threads.append(th)
+            self._ckpt_threads = prev + [th]
             th.start()
         return version
 
@@ -985,6 +1047,34 @@ class VersionedTable:
 
     def _sidecar_path(self, version: int) -> str:
         return os.path.join(self._log, f"{version:08d}.ckpt.json")
+
+    def _sidecar_part_path(self, version: int, k: int) -> str:
+        return os.path.join(
+            self._log, f"{version:08d}.ckpt.part-{k:03d}.json"
+        )
+
+    @staticmethod
+    def _sidecar_shard(key: str, parts: int) -> int:
+        """Stable shard assignment for a group path / stats key / DV
+        key — crc32, NOT Python hash() (which is salted per process;
+        link-reuse needs every writer to agree on the partition)."""
+        return zlib.crc32(key.encode("utf-8")) % parts
+
+    def _sidecar_part_count(
+        self, n_files: int, prev_parts: int | None = None
+    ) -> int:
+        """Power-of-two part count targeting ~_sidecar_target groups
+        per part. When the PREVIOUS sharded sidecar's count is within
+        one band (x2 either way) of the computed one, keep it — a
+        table hovering at a band edge would otherwise flip counts
+        between consecutive checkpoints and forfeit all link reuse."""
+        need = max(1, -(-n_files // self._sidecar_target))
+        p = 1
+        while p < need and p < _SIDECAR_MAX_PARTS:
+            p *= 2
+        if prev_parts and p // 2 <= prev_parts <= p * 2:
+            return prev_parts
+        return p
 
     def _load_ckpt_sidecar(self, version: int) -> dict | None:
         """The version's checkpoint sidecar as a FULL manifest dict,
@@ -1008,20 +1098,210 @@ class VersionedTable:
             # chain replayed; the chain's own records still protocol-
             # gate the read. fsck reports it as an issue.
             return None
+        if "ckpt_parts" in m:
+            # sharded (multi-part) sidecar: the root is an index; the
+            # snapshot's files/stats/dvs live in the part files
+            return self._assemble_sidecar_parts(m, version)
         return m
+
+    def _assemble_sidecar_parts(
+        self, root: dict, version: int
+    ) -> dict | None:
+        """Reassemble a sharded sidecar's FULL manifest from its part
+        files, or None when any part is missing/unreadable or the
+        assembled snapshot fails the root's own n_files stamp — the
+        reader then degrades to pure chain replay (a sidecar is an
+        acceleration, never an alternate truth)."""
+        parts = root.get("ckpt_parts")
+        if not isinstance(parts, int) or not (
+            1 <= parts <= _SIDECAR_MAX_PARTS
+        ):
+            return None
+        files: list = []
+        stats: dict = {}
+        dvs: dict = {}
+        for k in range(parts):
+            try:
+                with open(
+                    self._sidecar_part_path(version, k), encoding="utf-8"
+                ) as f:
+                    sh = json.load(f)
+            except (FileNotFoundError, json.JSONDecodeError, OSError):
+                return None
+            files.extend(sh.get("files") or ())
+            stats.update(sh.get("stats") or {})
+            dvs.update(sh.get("dvs") or {})
+        if root.get("n_files") is not None and root["n_files"] != len(files):
+            return None  # torn/mixed parts: replay is the truth
+        m = {k: v for k, v in root.items() if k != "ckpt_parts"}
+        m["files"] = sorted(files)
+        m["stats"] = stats
+        m["dvs"] = dvs
+        return m
+
+    def _changed_keys_since(
+        self, prev_version: int, version: int
+    ) -> set | None:
+        """Every group path / stats key / DV key touched by the delta
+        records in (prev_version, version] — the exact key set whose
+        shards a sharded sidecar must re-serialize; every other shard
+        is byte-reusable from the previous sidecar. None when any
+        record in the range is missing or not a delta (restore /
+        vacuum floor rewrites are full records with no diff basis) —
+        the writer then serializes every shard fresh."""
+        keys: set = set()
+        for u in range(prev_version + 1, version + 1):
+            try:
+                r = self._load_record(u)
+            except (FileNotFoundError, ValueError, json.JSONDecodeError,
+                    OSError):
+                return None
+            if r.get("delta_of") != u - 1:
+                return None
+            keys.update(r.get("add_files") or ())
+            keys.update(r.get("remove_files") or ())
+            keys.update((r.get("stats_set") or {}).keys())
+            keys.update(r.get("stats_del") or ())
+            keys.update((r.get("dvs_set") or {}).keys())
+            keys.update(r.get("dvs_del") or ())
+        return keys
+
+    def _latest_sharded_sidecar(
+        self, before: int
+    ) -> tuple[int, int] | tuple[None, None]:
+        """(version, part count) of the newest sharded sidecar older
+        than ``before`` — the link-reuse donor — or (None, None)."""
+        best = None
+        try:
+            names = os.listdir(self._log)
+        except OSError:
+            return (None, None)
+        for fn in names:
+            if not (
+                fn.endswith(".ckpt.json")
+                and fn[: -len(".ckpt.json")].isdigit()
+            ):
+                continue
+            sv = int(fn[: -len(".ckpt.json")])
+            if sv < before and (best is None or sv > best):
+                best = sv
+        if best is None:
+            return (None, None)
+        try:
+            with open(self._sidecar_path(best), encoding="utf-8") as f:
+                root = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError, OSError):
+            return (None, None)
+        parts = root.get("ckpt_parts")
+        if (
+            root.get("version") == best
+            and isinstance(parts, int)
+            and 1 <= parts <= _SIDECAR_MAX_PARTS
+        ):
+            return (best, parts)
+        return (None, None)
+
+    def _sidecar_write_after(
+        self, version: int, manifest: dict, prev_threads: list
+    ) -> None:
+        """Deferred-sidecar thread body: drain the handle's earlier
+        writers, then publish — so sidecars land in version order and
+        the sharded writer always sees its donor fully published."""
+        for t in prev_threads:
+            t.join()
+        self._write_checkpoint_sidecar(version, manifest)
 
     def _write_checkpoint_sidecar(self, version: int, manifest: dict) -> None:
         """Idempotent atomic publish of ``version``'s full snapshot as
         a sidecar. Concurrent/duplicate writers race benignly: the
-        content is deterministic per version, EEXIST means someone
-        already landed it."""
+        content is semantically deterministic per version, EEXIST
+        means someone already landed it.
+
+        Snapshots larger than one part target shard by
+        crc32(key) % parts into NNNNNNNN.ckpt.part-KKK.json files
+        under a small root index written LAST (readers enter only
+        through the root, so a crash mid-parts leaves inert part
+        files — vacuum sweeps them). A shard none of the delta
+        records since the previous sharded sidecar touched is
+        HARD-LINKED from that sidecar's same-index part instead of
+        re-serialized: the background write is then O(change +
+        changed shards), not O(live groups) — at 1e7 groups the
+        single-file form measured 59 s, past the ~38 s of commits
+        between checkpoint triggers, i.e. writer backlog."""
         target = self._sidecar_path(version)
         if os.path.exists(target):
             return
+        files = manifest["files"]
+        prev_v, prev_parts = self._latest_sharded_sidecar(version)
+        parts = self._sidecar_part_count(len(files), prev_parts)
+        if parts <= 1:
+            tmp = os.path.join(
+                self._log, f".tmp-{uuid.uuid4().hex}.ckpt.json"
+            )
+            try:
+                with open(tmp, "w", encoding="utf-8") as f:
+                    json.dump(manifest, f, default=str)
+                os.link(tmp, target)
+            except FileExistsError:
+                pass
+            finally:
+                try:
+                    os.unlink(tmp)
+                except FileNotFoundError:
+                    pass
+            return
+        changed_shards: set | None = None
+        if prev_v is not None and prev_parts == parts:
+            keys = self._changed_keys_since(prev_v, version)
+            if keys is not None:
+                changed_shards = {
+                    self._sidecar_shard(k, parts) for k in keys
+                }
+        shards = [
+            {"files": [], "stats": {}, "dvs": {}} for _ in range(parts)
+        ]
+        for f in files:
+            shards[self._sidecar_shard(f, parts)]["files"].append(f)
+        for f, s in (manifest.get("stats") or {}).items():
+            shards[self._sidecar_shard(f, parts)]["stats"][f] = s
+        for g, x in (manifest.get("dvs") or {}).items():
+            shards[self._sidecar_shard(g, parts)]["dvs"][g] = x
+        for k in range(parts):
+            pt = self._sidecar_part_path(version, k)
+            if os.path.exists(pt):
+                continue  # a concurrent writer landed this part
+            if changed_shards is not None and k not in changed_shards:
+                try:
+                    os.link(self._sidecar_part_path(prev_v, k), pt)
+                    continue
+                except FileExistsError:
+                    continue
+                except OSError:
+                    pass  # donor vanished (vacuumed): serialize fresh
+            tmp = os.path.join(
+                self._log, f".tmp-{uuid.uuid4().hex}.ckpt.json"
+            )
+            try:
+                with open(tmp, "w", encoding="utf-8") as f:
+                    json.dump(shards[k], f, default=str)
+                os.link(tmp, pt)
+            except FileExistsError:
+                pass
+            finally:
+                try:
+                    os.unlink(tmp)
+                except FileNotFoundError:
+                    pass
+        root = {
+            k: v
+            for k, v in manifest.items()
+            if k not in ("files", "stats", "dvs")
+        }
+        root["ckpt_parts"] = parts
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.ckpt.json")
         try:
             with open(tmp, "w", encoding="utf-8") as f:
-                json.dump(manifest, f, default=str)
+                json.dump(root, f, default=str)
             os.link(tmp, target)
         except FileExistsError:
             pass
@@ -4858,6 +5138,19 @@ class VersionedTable:
             if side.get("version") != sv or "delta_of" in side:
                 issues.append(f"checkpoint sidecar {sv}: mislabeled")
                 continue
+            if "ckpt_parts" in side:
+                # sharded sidecar: the root is an index — reassemble
+                # through the same helper the read path uses, so fsck
+                # validates exactly what a reader would consume
+                assembled = self._assemble_sidecar_parts(side, sv)
+                if assembled is None:
+                    issues.append(
+                        f"checkpoint sidecar {sv}: part files missing, "
+                        "unreadable, or inconsistent with the root "
+                        "index (reads degrade to chain replay)"
+                    )
+                    continue
+                side = assembled
             # pure chain replay through a private helper — fsck used
             # to toggle self._use_sidecars + clear the memo, which a
             # concurrent reader on the same handle (e.g. a streaming
@@ -4869,6 +5162,21 @@ class VersionedTable:
                         f"checkpoint sidecar {sv}: {k} diverges from "
                         "chain replay"
                     )
+        # rootless checkpoint parts: a crash between the part writes
+        # and the root link (or a sweep that removed only the root)
+        # leaves part files no reader will ever consult. Inert, but
+        # surfaced so vacuum's debris sweep is auditable. NOTE: a
+        # deferred sidecar landing CONCURRENTLY with fsck can report
+        # here transiently — its root links last by design.
+        for fn in sorted(os.listdir(self._log)):
+            pv = _parse_sidecar_part_name(fn)
+            if pv is None:
+                continue
+            if not os.path.exists(self._sidecar_path(pv)):
+                issues.append(
+                    f"checkpoint part {fn}: no root sidecar "
+                    "(crashed or half-swept write; vacuum removes it)"
+                )
         return issues
 
     def vacuum(
@@ -5002,15 +5310,28 @@ class VersionedTable:
                 # this see either the delta (ancestors still present —
                 # deletion happens after) or the full record.
                 self._checkpoint_record(min(kept_set))
+            part_files: dict[int, list[str]] = {}
+            for fn in os.listdir(self._log):
+                pv = _parse_sidecar_part_name(fn)
+                if pv is not None:
+                    part_files.setdefault(pv, []).append(fn)
             for v in doomed:
                 os.remove(os.path.join(self._log, f"{v:08d}.json"))
                 # a doomed version's deferred-checkpoint sidecar ages
                 # out with its record (surviving sidecars stay — they
-                # accelerate replay for kept versions)
+                # accelerate replay for kept versions). Part files go
+                # with their root; hard links shared with a SURVIVING
+                # sidecar's parts are independent directory entries,
+                # so unlinking here never damages the survivor.
                 try:
                     os.remove(self._sidecar_path(v))
                 except FileNotFoundError:
                     pass
+                for fn in part_files.get(v, ()):
+                    try:
+                        os.remove(os.path.join(self._log, fn))
+                    except FileNotFoundError:
+                        pass
             # orphan-sidecar sweep: a SECOND handle/process whose
             # deferred sidecar landed after a past vacuum's removal
             # pass leaves a .ckpt.json with no record — inert for
@@ -5031,6 +5352,27 @@ class VersionedTable:
                 ):
                     try:
                         os.remove(os.path.join(self._log, fn))
+                    except FileNotFoundError:
+                        pass
+            # part-file debris sweep: (a) parts whose RECORD is gone
+            # age out like their root above; (b) parts whose record
+            # survives but whose root never landed are a crashed
+            # writer's leftovers — removable once older than
+            # min_age_s (a LIVE deferred write links its root last,
+            # so a younger rootless part may be mid-publish)
+            now2 = time.time()
+            for fn in os.listdir(self._log):
+                pv = _parse_sidecar_part_name(fn)
+                if pv is None:
+                    continue
+                path = os.path.join(self._log, fn)
+                record_gone = not os.path.exists(
+                    os.path.join(self._log, f"{pv:08d}.json")
+                )
+                rootless = not os.path.exists(self._sidecar_path(pv))
+                if record_gone or (rootless and _is_older(path, now2, min_age_s)):
+                    try:
+                        os.remove(path)
                     except FileNotFoundError:
                         pass
         return removed
@@ -5063,11 +5405,18 @@ class VersionedTable:
         os.replace(tmp, os.path.join(self._log, f"{version:08d}.json"))
         self._mat_cache.pop(version, None)
         # the record is now full — a sidecar for it is a byte-for-byte
-        # duplicate with zero replay benefit; drop it
+        # duplicate with zero replay benefit; drop it (its part files
+        # too, or they'd linger as rootless debris until a sweep)
         try:
             os.remove(self._sidecar_path(version))
         except FileNotFoundError:
             pass
+        for fn in os.listdir(self._log):
+            if _parse_sidecar_part_name(fn) == version:
+                try:
+                    os.remove(os.path.join(self._log, fn))
+                except FileNotFoundError:
+                    pass
 
     # --- streaming integration --------------------------------------------
 

@@ -5633,3 +5633,176 @@ def test_fsck_does_not_mutate_shared_handle_state(tmp_path):
     # every sidecar lookup during fsck saw the gate OPEN — the old
     # implementation flipped it off around the divergence diff
     assert flips and all(flips)
+
+
+# --- sharded (multi-part) checkpoint sidecars (round 14) ---------------------
+
+
+def test_sharded_sidecar_roundtrip_cold_read_and_fsck(tmp_path):
+    """Past sidecar_part_target groups a deferred checkpoint shards
+    into part files under a small root index; the read path
+    reassembles the exact snapshot, cold handles materialize through
+    it, and fsck validates the assembled content against pure chain
+    replay."""
+    import json as _json
+    import os
+
+    t = _mk_meta_table(
+        tmp_path, "t", 33, checkpoint_defer_files=8, sidecar_part_target=4
+    )
+    t.wait_for_checkpoint()
+    for v in (16, 32):
+        root = _json.load(open(t._sidecar_path(v)))
+        assert root["ckpt_parts"] >= 2, "snapshot should have sharded"
+        assert "files" not in root, "big keys belong to parts, not root"
+        assert os.path.exists(t._sidecar_part_path(v, 0))
+        side = t._load_ckpt_sidecar(v)
+        truth = t._manifest(v)
+        assert side["files"] == truth["files"]
+        assert side["stats"] == truth["stats"]
+        assert side["n_files"] == truth["n_files"]
+    cold = VersionedTable(t.root)
+    assert cold._manifest(32)["files"] == t._manifest(32)["files"]
+    assert VersionedTable(t.root).fsck() == []
+
+
+def test_sharded_sidecar_links_unchanged_parts(tmp_path):
+    """Link reuse: a shard none of the 16 delta records since the
+    previous sharded sidecar touched is HARD-LINKED (same inode) from
+    it, while shards holding changed keys are re-serialized — the
+    background write is O(changed shards), not O(live groups)."""
+    import json as _json
+    import os
+    import zlib as _zlib
+
+    t = _mk_meta_table(
+        tmp_path, "t", 33, checkpoint_defer_files=8, sidecar_part_target=2
+    )
+    t.wait_for_checkpoint()
+    p16 = _json.load(open(t._sidecar_path(16)))["ckpt_parts"]
+    p32 = _json.load(open(t._sidecar_path(32)))["ckpt_parts"]
+    assert p16 == p32, "hysteresis should keep the part count stable"
+    changed = {
+        _zlib.crc32(f"data/g{v:04d}".encode()) % p32 for v in range(17, 33)
+    }
+    linked = fresh = 0
+    for k in range(p32):
+        same = (
+            os.stat(t._sidecar_part_path(16, k)).st_ino
+            == os.stat(t._sidecar_part_path(32, k)).st_ino
+        )
+        if k in changed:
+            assert not same, f"changed shard {k} must be re-serialized"
+            fresh += 1
+        else:
+            assert same, f"untouched shard {k} should be a hard link"
+            linked += 1
+    assert linked > 0 and fresh > 0, "fixture must exercise both paths"
+
+
+def test_sharded_sidecar_missing_part_degrades_and_fsck_flags(tmp_path):
+    """Losing one part file makes the sidecar unusable as a unit —
+    reads silently fall back to pure chain replay (same snapshot),
+    fsck names the damage."""
+    import os
+
+    t = _mk_meta_table(
+        tmp_path, "t", 20, checkpoint_defer_files=8, sidecar_part_target=4
+    )
+    t.wait_for_checkpoint()
+    expect = t._manifest(19)
+    os.remove(t._sidecar_part_path(16, 0))
+    cold = VersionedTable(t.root)
+    assert cold._load_ckpt_sidecar(16) is None
+    m = cold._manifest(19)
+    assert m["files"] == expect["files"] and m["stats"] == expect["stats"]
+    issues = VersionedTable(t.root).fsck()
+    assert any(
+        "sidecar 16" in i and "part files missing" in i for i in issues
+    )
+
+
+def test_sharded_sidecar_divergent_part_detected(tmp_path):
+    """A well-formed but content-divergent part (bit rot, foreign
+    copy) is caught by fsck's assembled-vs-replay diff — same
+    invariant as the single-file sidecar."""
+    import json as _json
+
+    t = _mk_meta_table(
+        tmp_path, "t", 20, checkpoint_defer_files=8, sidecar_part_target=4
+    )
+    t.wait_for_checkpoint()
+    # find a part carrying at least one stats entry and corrupt it
+    root = _json.load(open(t._sidecar_path(16)))
+    for k in range(root["ckpt_parts"]):
+        pp = t._sidecar_part_path(16, k)
+        sh = _json.load(open(pp))
+        if sh["stats"]:
+            f0 = next(iter(sh["stats"]))
+            sh["stats"][f0] = {"k": [-1, -1], "__rows__": 1}
+            with open(pp, "w") as f:
+                _json.dump(sh, f)
+            break
+    issues = VersionedTable(t.root).fsck()
+    assert any("sidecar 16" in i and "diverges" in i for i in issues)
+
+
+def test_rootless_parts_flagged_by_fsck_and_swept_by_vacuum(tmp_path):
+    """A crash between the part writes and the root link leaves inert
+    rootless parts: fsck reports them, vacuum's debris sweep removes
+    them (age-gated so an in-flight writer's parts survive), and the
+    table stays healthy throughout."""
+    import os
+
+    t = _mk_meta_table(
+        tmp_path, "t", 20, checkpoint_defer_files=8, sidecar_part_target=4
+    )
+    t.wait_for_checkpoint()
+    os.remove(t._sidecar_path(16))  # simulate crash-before-root-link
+    issues = t.fsck()
+    assert any("no root sidecar" in i for i in issues)
+    # age gate: a young rootless part set survives a sweep
+    t.vacuum(keep_last=100, min_age_s=3600.0)
+    assert os.path.exists(t._sidecar_part_path(16, 0))
+    # old debris goes
+    t.vacuum(keep_last=100, min_age_s=0.0)
+    assert not os.path.exists(t._sidecar_part_path(16, 0))
+    assert t.fsck() == []
+
+
+def test_vacuum_removes_doomed_sharded_parts(tmp_path):
+    """Doomed versions' roots AND parts age out together; a surviving
+    sidecar that hard-links shards shared with a doomed one keeps its
+    content (hard links are independent directory entries)."""
+    import os
+
+    t = _mk_meta_table(
+        tmp_path, "t", 40, checkpoint_defer_files=8, sidecar_part_target=4
+    )
+    t.wait_for_checkpoint()
+    survivor = t._load_ckpt_sidecar(32)
+    t.vacuum(keep_last=9, min_age_s=0.0)  # keeps 31..39, dooms <= 30
+    assert not os.path.exists(t._sidecar_path(16))
+    assert not os.path.exists(t._sidecar_part_path(16, 0))
+    cold = VersionedTable(t.root)
+    side = cold._load_ckpt_sidecar(32)
+    assert side is not None and side["files"] == survivor["files"]
+    assert cold.fsck() == []
+
+
+def test_sidecar_part_count_hysteresis(tmp_path):
+    """Band-edge stability: the computed power-of-two count yields to
+    the previous sidecar's count within one band either way, so a
+    table hovering at a boundary never flips counts (and never
+    forfeits link reuse); two bands away it re-bases."""
+    t = VersionedTable(str(tmp_path / "t"), sidecar_part_target=100)
+    assert t._sidecar_part_count(99) == 1
+    assert t._sidecar_part_count(101) == 2
+    assert t._sidecar_part_count(350) == 4
+    # hovering at the 4->8 edge: previous count sticks
+    assert t._sidecar_part_count(450, prev_parts=4) == 4
+    assert t._sidecar_part_count(450, prev_parts=8) == 8
+    # two bands of growth re-bases
+    assert t._sidecar_part_count(1700, prev_parts=4) == 32
+    # cap
+    assert t._sidecar_part_count(10**9) == 256

@@ -140,6 +140,11 @@ def _checkpoint_cost(sizes: list[int]) -> list[dict]:
             sidecar_bytes = (
                 os.path.getsize(sidecar) if os.path.exists(sidecar) else 0
             )
+            # sharded sidecars put the bulk in part files
+            k = 0
+            while os.path.exists(t._sidecar_part_path(16, k)):
+                sidecar_bytes += os.path.getsize(t._sidecar_part_path(16, k))
+                k += 1
             assert v16 == 16
             rec16 = os.path.join(t.root, "_log", "00000016.json")
             # versions 17..31: deltas past the checkpoint, so the cold
@@ -159,6 +164,33 @@ def _checkpoint_cost(sizes: list[int]) -> list[dict]:
             t0 = _time.perf_counter()
             cold._manifest(31)  # memoized (the round-11 memo fix)
             warm_s = _time.perf_counter() - t0
+            # round 14: the SECOND deferred checkpoint (v32) is the
+            # steady-state one — its sharded writer hard-links every
+            # part the 16 delta records since v16 didn't touch, so
+            # its background cost is O(change + changed shards), not
+            # O(live groups). Report its wall + the link/fresh split.
+            g = f"data/{uuid.uuid4().hex}"
+            files.append(g)
+            stats[g] = {"k": [0, 9], "__rows__": 10}
+            t._commit(list(files), "append", SCHEMA_JSON, stats=dict(stats))
+            t0 = _time.perf_counter()
+            t.wait_for_checkpoint()
+            sidecar2_s = _time.perf_counter() - t0
+            parts2 = linked2 = 0
+            side_root = t._sidecar_path(32)
+            if os.path.exists(side_root):
+                with open(side_root, encoding="utf-8") as fh:
+                    root = json.load(fh)
+                parts2 = root.get("ckpt_parts", 0) or 0
+                for k in range(parts2):
+                    p16p = t._sidecar_part_path(16, k)
+                    p32p = t._sidecar_part_path(32, k)
+                    if (
+                        os.path.exists(p16p)
+                        and os.path.exists(p32p)
+                        and os.stat(p16p).st_ino == os.stat(p32p).st_ino
+                    ):
+                        linked2 += 1
             out.append(
                 {
                     "groups": n,
@@ -166,6 +198,9 @@ def _checkpoint_cost(sizes: list[int]) -> list[dict]:
                     "checkpoint_bytes": os.path.getsize(rec16),
                     "sidecar_join_s": round(sidecar_s, 3),
                     "sidecar_bytes": sidecar_bytes,
+                    "sidecar2_join_s": round(sidecar2_s, 3),
+                    "sidecar2_parts": parts2,
+                    "sidecar2_linked": linked2,
                     "steady_delta_commit_s": round(dt_delta, 4),
                     "steady_delta_commit_hint_s": round(dt_hint, 4),
                     "cold_manifest_s": round(cold_s, 3),
