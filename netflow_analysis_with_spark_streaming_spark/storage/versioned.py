@@ -423,6 +423,11 @@ class VersionedTable:
         # can legitimately overlap — tracking only the newest would
         # let vacuum doom a version whose sidecar lands afterwards
         self._ckpt_threads: list = []
+        # newest version ever queued for a deferred sidecar write on
+        # this handle — the backlog cap in _sidecar_write_after
+        # compares against it so a writer lagging >= 2 checkpoint
+        # periods yields instead of pinning its manifest in memory
+        self._ckpt_queued_hwm = -1
         # read-side sidecar kill-switch (ops/test hook). Integrity
         # paths no longer toggle it — fsck and vacuum's floor rewrite
         # replay chains through _pure_manifest, which never consults
@@ -1040,6 +1045,7 @@ class VersionedTable:
                 daemon=True,
             )
             self._ckpt_threads = prev + [th]
+            self._ckpt_queued_hwm = version  # backlog-cap watermark
             th.start()
         return version
 
@@ -1206,9 +1212,21 @@ class VersionedTable:
     ) -> None:
         """Deferred-sidecar thread body: drain the handle's earlier
         writers, then publish — so sidecars land in version order and
-        the sharded writer always sees its donor fully published."""
+        the sharded writer always sees its donor fully published.
+
+        Backlog cap: each queued writer pins its O(live groups)
+        manifest dict, so a commit burst outrunning the write rate
+        would otherwise grow memory without bound. A sidecar is an
+        ACCELERATION — skipping one only lengthens replay until the
+        next lands, and the next writer's donor lookup and
+        changed-key diff are donor-version-relative, so gaps are
+        harmless. A writer that finds itself >= 2 checkpoint periods
+        behind the newest queued one therefore yields to it."""
         for t in prev_threads:
             t.join()
+        behind = self._ckpt_queued_hwm - version
+        if self._ckpt_every > 0 and behind >= 2 * self._ckpt_every:
+            return
         self._write_checkpoint_sidecar(version, manifest)
 
     def _write_checkpoint_sidecar(self, version: int, manifest: dict) -> None:

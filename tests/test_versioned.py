@@ -5806,3 +5806,26 @@ def test_sidecar_part_count_hysteresis(tmp_path):
     assert t._sidecar_part_count(1700, prev_parts=4) == 32
     # cap
     assert t._sidecar_part_count(10**9) == 256
+
+
+def test_sidecar_backlog_cap_skips_stale_writers(tmp_path):
+    """A sidecar writer that falls >= 2 checkpoint periods behind the
+    newest queued one yields (a sidecar is an acceleration — skipping
+    only lengthens replay), bounding how many O(live groups)
+    manifests a commit burst can pin in memory; a writer within the
+    window still publishes."""
+    import os
+
+    t = _mk_meta_table(tmp_path, "t", 20, checkpoint_defer_files=8)
+    t.wait_for_checkpoint()
+    m16 = t._manifest(16)
+    os.remove(t._sidecar_path(16))
+    # stale: the handle has since queued version 16 + 2*_ckpt_every
+    t._ckpt_queued_hwm = 16 + 2 * t._ckpt_every
+    t._sidecar_write_after(16, m16, [])
+    assert not os.path.exists(t._sidecar_path(16))
+    # within the window: publishes normally
+    t._ckpt_queued_hwm = 16 + t._ckpt_every
+    t._sidecar_write_after(16, m16, [])
+    assert os.path.exists(t._sidecar_path(16))
+    assert t.fsck() == []
