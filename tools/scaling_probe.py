@@ -705,6 +705,11 @@ def main() -> int:
                 # ~linear in change volume
                 "storage_feed_stream",
                 "storage_cdc_mirror",
+                # the native sink under the same plant: the hot user
+                # concentrates one partition's worth of rows into a
+                # single staged group per micro-batch — commit +
+                # idempotency bookkeeping must stay ~linear in rows
+                "storage_sink_stream",
             ]
         # the BASE side must be skewed too: the ratio compares the
         # same hot-key structure at 1x vs Kx, not skew vs uniform
