@@ -154,6 +154,16 @@ _SIDECAR_MAX_PARTS = 256
 _ALWAYS_FULL_ACTIONS = frozenset({"restore"})
 
 
+def _crc_file(path: str) -> int | None:
+    """crc32 of a file's bytes, or None if it vanished/unreadable —
+    the caller then simply omits the content check for that part."""
+    try:
+        with open(path, "rb") as f:
+            return zlib.crc32(f.read())
+    except OSError:
+        return None
+
+
 def _is_older(path: str, now: float, age_s: float) -> bool:
     """mtime-age gate that treats a vanished file as NOT older (the
     caller then leaves it alone — someone else already handled it)."""
@@ -167,12 +177,14 @@ def _parse_sidecar_part_name(fn: str) -> int | None:
     """Version of a ``NNNNNNNN.ckpt.part-KKK.json`` file name, or
     None for anything else (shared by fsck's rootless-part report and
     vacuum's debris sweep, so the two can never disagree on what a
-    part file is)."""
+    part file is). Width-tolerant like the root-name parse: the
+    ``{version:08d}`` formatting WIDENS past 1e8 versions, and a part
+    the sweeps can't parse would leak forever."""
     if not fn.endswith(".json"):
         return None
     stem = fn[: -len(".json")]
     head, sep, tail = stem.partition(".ckpt.part-")
-    if not sep or not head.isdigit() or len(head) != 8:
+    if not sep or not head.isdigit() or len(head) < 8:
         return None
     if len(tail) != 3 or not tail.isdigit():
         return None
@@ -566,10 +578,32 @@ class VersionedTable:
         when the chain behind it is deleted. Cost: O(chain back to
         the nearest FULL on-disk record) — deferred checkpoints keep
         their record a delta, so this can walk past them; acceptable
-        for the integrity/maintenance paths that call it."""
+        for the integrity/maintenance paths that call it.
+
+        Same concurrent-vacuum tolerance as _manifest: a CONCURRENT
+        vacuum can delete an ancestor mid-walk after rewriting the
+        floor checkpoint — restart from the top record, which now
+        resolves through the rewritten full record. Only a version
+        whose OWN record is gone (genuinely vacuumed) or a torn chain
+        that persists across retries surfaces an error."""
         rec = self._load_record(version)
         if "delta_of" not in rec:
             return rec
+        for _ in range(5):
+            chain = [rec]
+            v = rec["delta_of"]
+            try:
+                while True:
+                    base = self._load_record(v)
+                    if "delta_of" not in base:
+                        break
+                    chain.append(base)
+                    v = base["delta_of"]
+            except FileNotFoundError:
+                continue  # ancestor vanished mid-walk: restart
+            return self._fold_chain(chain, base)
+        # persistent hole (crash mid-vacuum left a doomed suffix):
+        # surface the broken chain loudly
         chain = [rec]
         v = rec["delta_of"]
         while True:
@@ -1123,23 +1157,40 @@ class VersionedTable:
             1 <= parts <= _SIDECAR_MAX_PARTS
         ):
             return None
+        crcs = root.get("part_crcs")
+        if not (isinstance(crcs, list) and len(crcs) == parts):
+            crcs = None
         files: list = []
         stats: dict = {}
         dvs: dict = {}
         for k in range(parts):
             try:
-                with open(
-                    self._sidecar_part_path(version, k), encoding="utf-8"
-                ) as f:
-                    sh = json.load(f)
-            except (FileNotFoundError, json.JSONDecodeError, OSError):
+                with open(self._sidecar_part_path(version, k), "rb") as f:
+                    raw = f.read()
+                # content check BEFORE parse: hard-link reuse shares
+                # one inode across sidecar generations, so a single
+                # rotted part would otherwise silently corrupt every
+                # generation that linked it
+                if (
+                    crcs is not None
+                    and crcs[k] is not None
+                    and zlib.crc32(raw) != crcs[k]
+                ):
+                    return None
+                sh = json.loads(raw)
+            except (FileNotFoundError, json.JSONDecodeError, OSError,
+                    UnicodeDecodeError):
                 return None
             files.extend(sh.get("files") or ())
             stats.update(sh.get("stats") or {})
             dvs.update(sh.get("dvs") or {})
         if root.get("n_files") is not None and root["n_files"] != len(files):
             return None  # torn/mixed parts: replay is the truth
-        m = {k: v for k, v in root.items() if k != "ckpt_parts"}
+        m = {
+            k: v
+            for k, v in root.items()
+            if k not in ("ckpt_parts", "part_crcs")
+        }
         m["files"] = sorted(files)
         m["stats"] = stats
         m["dvs"] = dvs
@@ -1174,14 +1225,16 @@ class VersionedTable:
 
     def _latest_sharded_sidecar(
         self, before: int
-    ) -> tuple[int, int] | tuple[None, None]:
-        """(version, part count) of the newest sharded sidecar older
-        than ``before`` — the link-reuse donor — or (None, None)."""
+    ) -> tuple[int, int, list | None] | tuple[None, None, None]:
+        """(version, part count, recorded part crcs) of the newest
+        sharded sidecar older than ``before`` — the link-reuse donor
+        — or (None, None, None). The crcs let a linking writer stamp
+        its root without re-reading the donor's bytes."""
         best = None
         try:
             names = os.listdir(self._log)
         except OSError:
-            return (None, None)
+            return (None, None, None)
         for fn in names:
             if not (
                 fn.endswith(".ckpt.json")
@@ -1192,20 +1245,23 @@ class VersionedTable:
             if sv < before and (best is None or sv > best):
                 best = sv
         if best is None:
-            return (None, None)
+            return (None, None, None)
         try:
             with open(self._sidecar_path(best), encoding="utf-8") as f:
                 root = json.load(f)
         except (FileNotFoundError, json.JSONDecodeError, OSError):
-            return (None, None)
+            return (None, None, None)
         parts = root.get("ckpt_parts")
         if (
             root.get("version") == best
             and isinstance(parts, int)
             and 1 <= parts <= _SIDECAR_MAX_PARTS
         ):
-            return (best, parts)
-        return (None, None)
+            crcs = root.get("part_crcs")
+            if not (isinstance(crcs, list) and len(crcs) == parts):
+                crcs = None
+            return (best, parts, crcs)
+        return (None, None, None)
 
     def _sidecar_write_after(
         self, version: int, manifest: dict, prev_threads: list
@@ -1250,7 +1306,7 @@ class VersionedTable:
         if os.path.exists(target):
             return
         files = manifest["files"]
-        prev_v, prev_parts = self._latest_sharded_sidecar(version)
+        prev_v, prev_parts, prev_crcs = self._latest_sharded_sidecar(version)
         parts = self._sidecar_part_count(len(files), prev_parts)
         if parts <= 1:
             tmp = os.path.join(
@@ -1275,36 +1331,74 @@ class VersionedTable:
                 changed_shards = {
                     self._sidecar_shard(k, parts) for k in keys
                 }
-        shards = [
-            {"files": [], "stats": {}, "dvs": {}} for _ in range(parts)
-        ]
-        for f in files:
-            shards[self._sidecar_shard(f, parts)]["files"].append(f)
-        for f, s in (manifest.get("stats") or {}).items():
-            shards[self._sidecar_shard(f, parts)]["stats"][f] = s
-        for g, x in (manifest.get("dvs") or {}).items():
-            shards[self._sidecar_shard(g, parts)]["dvs"][g] = x
-        for k in range(parts):
-            pt = self._sidecar_part_path(version, k)
-            if os.path.exists(pt):
-                continue  # a concurrent writer landed this part
-            if changed_shards is not None and k not in changed_shards:
+        # phase 1 — LINK the unchanged shards first, so the bucketing
+        # walk below only has to build the shards actually being
+        # serialized (O(change + changed shards), not O(live groups);
+        # the walk still routes every key, but skips the dict inserts
+        # for ~all of them in steady state). part_crcs records each
+        # part's content crc32 in the root so assembly can reject
+        # single-part bit rot — essential with links, where one
+        # rotted inode is shared by every subsequent generation that
+        # reused it (round-13's independent serializations confined
+        # rot to one version; the checksum restores that isolation).
+        part_crcs: list = [None] * parts
+        to_build = (
+            set(range(parts))
+            if changed_shards is None
+            else set(changed_shards)
+        )
+        if changed_shards is not None:
+            for k in range(parts):
+                if k in to_build:
+                    continue
+                pt = self._sidecar_part_path(version, k)
+                if os.path.exists(pt):
+                    part_crcs[k] = _crc_file(pt)
+                    continue  # a concurrent writer landed this part
                 try:
                     os.link(self._sidecar_part_path(prev_v, k), pt)
-                    continue
-                except FileExistsError:
-                    continue
-                except OSError:
-                    pass  # donor vanished (vacuumed): serialize fresh
+                    part_crcs[k] = (
+                        prev_crcs[k]
+                        if prev_crcs is not None and prev_crcs[k] is not None
+                        else _crc_file(pt)
+                    )
+                except (FileExistsError, OSError):
+                    if os.path.exists(pt):
+                        part_crcs[k] = _crc_file(pt)
+                    else:
+                        to_build.add(k)  # donor vanished: build fresh
+        # phase 2 — ONE bucketing walk, building only the needed shards
+        shards: dict[int, dict] = {
+            k: {"files": [], "stats": {}, "dvs": {}} for k in to_build
+        }
+        for f in files:
+            sh = shards.get(self._sidecar_shard(f, parts))
+            if sh is not None:
+                sh["files"].append(f)
+        for f, s in (manifest.get("stats") or {}).items():
+            sh = shards.get(self._sidecar_shard(f, parts))
+            if sh is not None:
+                sh["stats"][f] = s
+        for g, x in (manifest.get("dvs") or {}).items():
+            sh = shards.get(self._sidecar_shard(g, parts))
+            if sh is not None:
+                sh["dvs"][g] = x
+        for k in sorted(to_build):
+            pt = self._sidecar_part_path(version, k)
+            if os.path.exists(pt):
+                part_crcs[k] = _crc_file(pt)
+                continue
+            data = json.dumps(shards[k], default=str).encode("utf-8")
             tmp = os.path.join(
                 self._log, f".tmp-{uuid.uuid4().hex}.ckpt.json"
             )
             try:
-                with open(tmp, "w", encoding="utf-8") as f:
-                    json.dump(shards[k], f, default=str)
+                with open(tmp, "wb") as f:
+                    f.write(data)
                 os.link(tmp, pt)
+                part_crcs[k] = zlib.crc32(data)
             except FileExistsError:
-                pass
+                part_crcs[k] = _crc_file(pt)
             finally:
                 try:
                     os.unlink(tmp)
@@ -1316,6 +1410,7 @@ class VersionedTable:
             if k not in ("files", "stats", "dvs")
         }
         root["ckpt_parts"] = parts
+        root["part_crcs"] = part_crcs
         tmp = os.path.join(self._log, f".tmp-{uuid.uuid4().hex}.ckpt.json")
         try:
             with open(tmp, "w", encoding="utf-8") as f:

@@ -5724,16 +5724,22 @@ def test_sharded_sidecar_missing_part_degrades_and_fsck_flags(tmp_path):
 
 def test_sharded_sidecar_divergent_part_detected(tmp_path):
     """A well-formed but content-divergent part (bit rot, foreign
-    copy) is caught by fsck's assembled-vs-replay diff — same
-    invariant as the single-file sidecar."""
+    copy) is rejected by the per-part crc recorded in the root — at
+    ASSEMBLY time, by readers and fsck alike. This matters because
+    hard-link reuse shares one inode across sidecar generations: a
+    rotted shared part would otherwise silently corrupt every
+    generation that linked it, where round-13's independent
+    serializations confined rot to one version."""
     import json as _json
 
     t = _mk_meta_table(
         tmp_path, "t", 20, checkpoint_defer_files=8, sidecar_part_target=4
     )
     t.wait_for_checkpoint()
+    expect = t._manifest(19)
     # find a part carrying at least one stats entry and corrupt it
     root = _json.load(open(t._sidecar_path(16)))
+    assert isinstance(root.get("part_crcs"), list)
     for k in range(root["ckpt_parts"]):
         pp = t._sidecar_part_path(16, k)
         sh = _json.load(open(pp))
@@ -5743,8 +5749,68 @@ def test_sharded_sidecar_divergent_part_detected(tmp_path):
             with open(pp, "w") as f:
                 _json.dump(sh, f)
             break
+    cold = VersionedTable(t.root)
+    # the read path refuses the rotted sidecar and replays the chain
+    assert cold._load_ckpt_sidecar(16) is None
+    m = cold._manifest(19)
+    assert m["files"] == expect["files"] and m["stats"] == expect["stats"]
     issues = VersionedTable(t.root).fsck()
-    assert any("sidecar 16" in i and "diverges" in i for i in issues)
+    assert any(
+        "sidecar 16" in i and ("inconsistent" in i or "diverges" in i)
+        for i in issues
+    )
+
+
+def test_pure_manifest_retries_through_concurrent_vacuum(tmp_path):
+    """_pure_manifest restarts its chain walk when a CONCURRENT
+    vacuum deletes an ancestor after rewriting the floor checkpoint —
+    the same tolerance _manifest has (fsck/vacuum keep-set/floor
+    rewrite would otherwise crash mid-operation on a live table)."""
+    t = _mk_meta_table(tmp_path, "t", 20, checkpoint_defer_files=8)
+    t.wait_for_checkpoint()
+    expect = t._pure_manifest(19)
+    # simulate the race: the first time the walk touches version 17,
+    # rewrite v18 as a full checkpoint and delete v17 and v16 — the
+    # restarted walk must resolve through the rewritten record
+    import os
+
+    cls = type(t)
+    orig = cls._load_record
+    fired = {"n": 0}
+
+    def racy(self, version):
+        if version == 17 and fired["n"] == 0:
+            fired["n"] = 1
+            self._checkpoint_record(18)
+            os.remove(os.path.join(self._log, "00000017.json"))
+            os.remove(os.path.join(self._log, "00000016.json"))
+            raise FileNotFoundError("vacuumed under the walk")
+        return orig(self, version)
+
+    cls._load_record = racy
+    try:
+        m = t._pure_manifest(19)
+    finally:
+        cls._load_record = orig
+    assert fired["n"] == 1
+    assert m["files"] == expect["files"] and m["stats"] == expect["stats"]
+
+
+def test_parse_sidecar_part_name_width_tolerant():
+    """{version:08d} WIDENS past 1e8 — the part parser must accept
+    what the formatter writes or sweeps would leak those parts."""
+    from netflow_analysis_with_spark_streaming_spark.storage.versioned import (
+        _parse_sidecar_part_name,
+    )
+
+    assert _parse_sidecar_part_name("00000016.ckpt.part-003.json") == 16
+    assert (
+        _parse_sidecar_part_name("100000000.ckpt.part-000.json") == 100000000
+    )
+    assert _parse_sidecar_part_name("0000016.ckpt.part-003.json") is None
+    assert _parse_sidecar_part_name("00000016.ckpt.json") is None
+    assert _parse_sidecar_part_name("00000016.ckpt.part-03.json") is None
+    assert _parse_sidecar_part_name("x0000016.ckpt.part-003.json") is None
 
 
 def test_rootless_parts_flagged_by_fsck_and_swept_by_vacuum(tmp_path):
