@@ -1679,3 +1679,25 @@ def test_bpe_admit_batch_disjointness():
     assert bpe_admit_batch([("ab", "c", 9), ("a", "bc", 8)], 8) == [
         ("ab", "c", 9)
     ]
+
+
+def test_bpe_batched_stops_at_vocab_exhaustion(spark):
+    """k far beyond what the vocabulary can sustain: the trainer
+    stops when no adjacent pair remains (every word fully merged to
+    one symbol) instead of looping, and the differential agrees on
+    the exact truncated merge table."""
+    from netflow_analysis_with_spark_streaming_spark.functions import (
+        text as T,
+    )
+
+    wf = spark.createDataFrame(
+        [("ab", 3), ("abc", 2)], "word string, n_word long"
+    )
+    got = T.bpe_train_batched(wf, 50, batch=8)
+    # 3 possible merges total: (a,b) -> ab; then (ab,c) -> abc
+    assert [m[1:4] for m in got] == [
+        ("a", "b", "ab"),
+        ("ab", "c", "abc"),
+    ]
+    expect = _py_bpe_batched({"ab": 3, "abc": 2}, 50, 8)
+    assert got == expect
