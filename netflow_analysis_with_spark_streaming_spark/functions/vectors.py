@@ -542,7 +542,19 @@ def save_ivf_index(root: str, assigned, cent) -> None:
     rows = [
         (int(i), [float(x) for x in cent[i]]) for i in range(cent.shape[0])
     ]
-    c.overwrite(spark.createDataFrame(rows, "cluster int, centroid array<double>"))
+    # parallelize(rows, 1): createDataFrame alone slices k rows across
+    # defaultParallelism Python partitions (a 32-task write of
+    # near-empty files for a table that is k rows BY CONSTRUCTION);
+    # coalesce(1) is WORSE — its one task evaluates all 32 Python
+    # partitions sequentially (~6 s measured). One explicit slice =
+    # one task, one file, and load_ivf_centroids stays a single-file
+    # footer walk.
+    c.overwrite(
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            "cluster int, centroid array<double>",
+        )
+    )
 
 
 def load_ivf_centroids(spark, root: str):

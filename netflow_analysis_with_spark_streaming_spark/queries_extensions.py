@@ -1667,11 +1667,17 @@ def _similarity_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     group over-pruned by the stats index, a stale snapshot mixed in,
     or a re-rank error all break the hash; the oracle recomputes
     assignment, routing, and re-rank from raw embeddings in SQL."""
+    import math
     import tempfile
 
     import numpy as np
 
-    emb = tables.load(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    # load_parallel: the single-file scan otherwise runs the per-row
+    # 32-centroid scoring projection below as ONE task (round 14 —
+    # the same fix every CPU-heavy per-row entry uses)
+    emb = tables.load_parallel(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
     # centroid numbering: the 32 seed embeddings are a bounded collect
     # by construction — number them driver-side instead of an
     # unpartitioned window rank (round 13 hygiene: same 32 rows,
@@ -1679,54 +1685,106 @@ def _similarity_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed_rows = sorted(
         emb.filter(F.col("vec_id") < 32).collect(), key=lambda r: r["vec_id"]
     )
-    cent_df = spark.createDataFrame(
-        [(i, list(r["embedding"])) for i, r in enumerate(seed_rows)],
-        "cluster int, c_emb array<float>",
-    )
     # assignment: argmax cosine over the 32 centroids, ties -> lower
-    # cluster id. max(struct(cos, -cluster)) instead of a row_number
-    # window: the aggregate partial-aggregates map-side (the window
-    # shuffled and sorted all n x 32 scored rows), and the narrow
-    # best-cluster table joins back to re-attach the embedding —
-    # identical output ordering semantics, smaller shuffle.
-    best = (
-        emb.crossJoin(F.broadcast(cent_df))
+    # cluster id — as ONE NARROW PROJECTION (round 14, guide §2.4):
+    # the centroids are a bounded driver-side list, so each row can
+    # score all 32 inline via array_max over literal-centroid structs.
+    # The previous crossJoin(broadcast) + groupBy(vec_id) +
+    # join-back-on-vec_id shape exploded n rows into n x 32, shuffled
+    # them for the max-aggregate, and shuffled AGAIN to re-attach the
+    # embedding — two Exchanges and a join for what is per-row math.
+    # Bit-identical semantics, piece by piece:
+    # - cosine = dot(a,b) / (norm(a) * norm(b)); the row norm is
+    #   hoisted into ONE column (the 32 per-element cosines shared it
+    #   anyway — no expression-level CSE exists across array elements),
+    #   and each centroid norm is precomputed driver-side with the
+    #   SAME left-to-right double accumulation + sqrt the aggregate()
+    #   HOF performs, so every IEEE operation matches the old plan's;
+    # - the literal centroid arrays hold the exact float32 values
+    #   widened to double, the same widening V.cosine's cast applied;
+    # - struct(cos, -cluster) under array_max uses the same ordering
+    #   F.max used (NaN greatest, ties -> higher negc = lower id).
+    def _py_norm(vals) -> float:
+        acc = 0.0
+        for x in vals:
+            xd = float(x)
+            acc = acc + xd * xd
+        return math.sqrt(acc)
+
+    cands = F.array(
+        *[
+            F.struct(
+                (
+                    V.dot(
+                        F.col("embedding"),
+                        F.lit([float(x) for x in r["embedding"]]),
+                    )
+                    / (F.col("_na") * F.lit(_py_norm(r["embedding"])))
+                ).alias("cos"),
+                F.lit(-i).alias("negc"),
+            )
+            for i, r in enumerate(seed_rows)
+        ]
+    )
+    assigned = (
+        emb.withColumn("_na", V.norm(F.col("embedding")))
         .select(
             "vec_id",
-            F.struct(
-                V.cosine(F.col("embedding"), F.col("c_emb")).alias("cos"),
-                (-F.col("cluster")).alias("negc"),
-            ).alias("s"),
+            "embedding",
+            (-F.array_max(cands)["negc"]).cast("int").alias("cluster"),
         )
-        .groupBy("vec_id")
-        .agg(F.max("s").alias("s"))
-        .select("vec_id", (-F.col("s.negc")).cast("int").alias("cluster"))
-    )
-    assigned = emb.join(best, "vec_id").select(
-        "vec_id", "embedding", "cluster"
     )
     cent = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
     root = tempfile.mkdtemp(prefix="netflow_annserve_") + "/ivf"
     V.save_ivf_index(root, assigned, cent)  # the durable inverted file
     # ---- serving: route queries, read ONLY the probed lists ----
+    # query routing is DRIVER-SIDE small-row math (round 14, guide §8
+    # "decide with small rows"): the query set is 8 rows BY
+    # CONSTRUCTION and every one of them is already in seed_rows
+    # (vec_id < 8 is a subset of the vec_id < 32 seed collect), so the
+    # 8 x 32 cosine ranking needs no crossJoin + window job at all.
+    # Python float arithmetic IS IEEE double with the same
+    # left-to-right accumulation the aggregate() HOF performs, so the
+    # ranking (cos desc, cluster asc; NaN first, Spark's descending
+    # NaN-greatest rule) is value-identical to the plan it replaces.
+    def _py_cos(a, b) -> float:
+        num = 0.0
+        for x, y in zip(a, b):
+            num = num + float(x) * float(y)
+        return num / (_py_norm(a) * _py_norm(b))
+
+    probe_rows = []
+    for r in seed_rows:
+        if r["vec_id"] >= 8:
+            continue
+        scored_c = [
+            (_py_cos(r["embedding"], s["embedding"]), j)
+            for j, s in enumerate(seed_rows)
+        ]
+        ranked = sorted(
+            range(len(scored_c)),
+            key=lambda j: (
+                -(
+                    float("inf")
+                    if math.isnan(scored_c[j][0])
+                    else scored_c[j][0]
+                ),
+                j,
+            ),
+        )
+        probe_rows.extend(
+            {"query_id": int(r["vec_id"]), "cluster": j} for j in ranked[:4]
+        )
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    pw = Window.partitionBy("query_id").orderBy(
-        V.cosine(F.col("q_emb"), F.col("c_emb")).desc(), F.col("cluster")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cent_df))
-        .withColumn("rn", F.row_number().over(pw))
-        .filter(F.col("rn") <= 4)
-        .select("query_id", "cluster")
-    )
-    probe_rows = probes.collect()  # 8 queries x 4 probes: bounded
     lists = V.read_ivf_clusters(
         spark, root, {int(r["cluster"]) for r in probe_rows}
     )
     probe_df = spark.createDataFrame(
-        [(int(r["query_id"]), int(r["cluster"])) for r in probe_rows],
+        spark.sparkContext.parallelize(
+            [(int(r["query_id"]), int(r["cluster"])) for r in probe_rows], 1
+        ),
         "query_id long, cluster int",
     )
     scored = (

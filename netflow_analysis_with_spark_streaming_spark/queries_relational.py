@@ -1047,31 +1047,88 @@ ORDER BY variant, dim1, dim2
 """
 
 
+_STATS_PCTS = [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.99, "p99")]
+
+
 def _agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates + exact percentiles in ONE groupBy pass
-    (stddev/variance/corr/covar + quantile array) — one shuffle, one
-    partial+final aggregate pair for the whole stat dashboard."""
+    """Statistical aggregates + exact percentiles over lineitem.
+
+    Round 14 rewrite (guide §2.3 "aggregate before you shuffle" /
+    §5 per-task state): ``percentile(col, array(...))`` forced the
+    whole groupBy into an ObjectHashAggregate whose per-group buffer
+    holds a value->count map of EVERY row — ~n/3 doubles per group in
+    one final task, the wrong plan at 100 TB and the reason the cheap
+    moment statistics ran object-mode too. The exact quantiles are now
+    derived from the (flag, price) DISTINCT-VALUE counts: a codegen
+    hash aggregate collapses rows map-side, a per-flag running count
+    orders the distinct values, and the interpolation reproduces
+    Spark's Percentile.getPercentile arithmetic step for step —
+    position = p * (n-1); lowerKey/higherKey = first value whose
+    running count reaches floor/ceil(position)+1; result =
+    (ceil - position) * lowerKey + (position - floor) * higherKey,
+    with the same integral-position and equal-key short-circuits —
+    so the emitted doubles are bit-identical to the removed
+    expression's. The moment statistics keep their own single codegen
+    hash-aggregate pass (same expressions, same partial/final tree).
+    """
     lineitem = tables.load(spark, "lineitem", sf_dir)
-    ps = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))")
-    return (
-        lineitem.groupBy("l_returnflag")
-        .agg(
-            F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_sd"),
-            F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
-            F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
-            F.round(F.covar_samp("l_extendedprice", "l_discount"), 2).alias("price_disc_cov"),
-            ps.alias("_ps"),
+    stats = lineitem.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_sd"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 2).alias("price_disc_cov"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    dv = lineitem.groupBy("l_returnflag", "l_extendedprice").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dv.withColumn("_cum", F.sum("_c").over(w)).join(
+        F.broadcast(stats.select("l_returnflag", "_n")), "l_returnflag"
+    )
+    key_aggs = []
+    for p, name in _STATS_PCTS:
+        pos = F.lit(p) * (F.col("_n") - F.lit(1)).cast("double")
+        for bound, tag in ((F.floor(pos), "lo"), (F.ceil(pos), "hi")):
+            key_aggs.append(
+                F.min(
+                    F.when(
+                        F.col("_cum") >= bound + F.lit(1),
+                        F.col("l_extendedprice"),
+                    )
+                ).alias(f"_{tag}k_{name}")
+            )
+    keys = cum.groupBy("l_returnflag", "_n").agg(*key_aggs)
+    pct_cols = []
+    for p, name in _STATS_PCTS:
+        pos = F.lit(p) * (F.col("_n") - F.lit(1)).cast("double")
+        lo, hi = F.floor(pos), F.ceil(pos)
+        lk, hk = F.col(f"_lok_{name}"), F.col(f"_hik_{name}")
+        pct_cols.append(
+            F.round(
+                F.when(hi == lo, lk)
+                .when(hk == lk, lk)
+                .otherwise(
+                    (hi.cast("double") - pos) * lk
+                    + (pos - lo.cast("double")) * hk
+                ),
+                4,
+            ).alias(name)
         )
+    pcts = keys.select("l_returnflag", *pct_cols)
+    return (
+        stats.join(F.broadcast(pcts), "l_returnflag")
         .select(
             "l_returnflag",
             "price_sd",
             "disc_var",
             "price_qty_corr",
             "price_disc_cov",
-            *[
-                F.round(F.element_at("_ps", i + 1), 4).alias(name)
-                for i, name in enumerate(["p25", "p50", "p75", "p99"])
-            ],
+            *[name for _, name in _STATS_PCTS],
         )
         .orderBy("l_returnflag")
     )

@@ -2288,14 +2288,58 @@ class VersionedTable:
         own file group with tight min/max stats; returns (files, stats)
         for the caller's commit."""
         from pyspark.sql import functions as F
+        from pyspark.sql.types import (
+            ByteType,
+            IntegerType,
+            LongType,
+            ShortType,
+        )
 
+        group = uuid.uuid4().hex
+        out = os.path.join(self._data, group)
+        mapping = self._mapping()
+        # Integral cluster keys (every engine call site): ONE Spark job
+        # — write the ranged groups, then take each range's min/max/row
+        # count from the parquet FOOTERS just written (driver-local
+        # metadata reads bounded by the files of THIS group, the same
+        # discipline as _footer_rows). The previous shape cost three
+        # jobs plus a cache pin: count() to pin the sampled range
+        # boundaries, the write, and a groupBy(_rb) stats agg — the
+        # pin existed only because two downstream jobs had to observe
+        # identical boundaries; with footer-derived stats a single job
+        # observes them, so nothing needs pinning. Non-integral keys
+        # keep the agg path: parquet truncates string statistics, so
+        # footer min/max are not exact for them.
+        if isinstance(
+            df.schema[col].dataType,
+            (ByteType, ShortType, IntegerType, LongType),
+        ):
+            ranged = df.repartitionByRange(n_groups, col)
+            with_bucket = ranged.withColumn("_rb", F.spark_partition_id())
+            self._to_physical(with_bucket, mapping).write.mode(
+                "overwrite"
+            ).partitionBy("_rb").parquet(out)
+            footer = self._clustered_footer_stats(
+                out, mapping.get(col, col)
+            )
+            if footer is not None:
+                files = [f"data/{group}/_rb={rb}" for rb in sorted(footer)]
+                stats = {
+                    f"data/{group}/_rb={rb}": {
+                        col: [footer[rb][0], footer[rb][1]],
+                        _ROWS_KEY: footer[rb][2],
+                    }
+                    for rb in footer
+                }
+                return files, stats
+            # a writer configuration without column statistics: fall
+            # through to the agg path below (re-ranging is fine — the
+            # fresh write replaces the directory wholesale)
         ranged = df.repartitionByRange(n_groups, col).cache()
         try:
             ranged.count()  # pin the sampled range boundaries
-            group = uuid.uuid4().hex
-            out = os.path.join(self._data, group)
             with_bucket = ranged.withColumn("_rb", F.spark_partition_id())
-            self._to_physical(with_bucket, self._mapping()).write.mode(
+            self._to_physical(with_bucket, mapping).write.mode(
                 "overwrite"
             ).partitionBy("_rb").parquet(out)
             stat_rows = (
@@ -2318,6 +2362,52 @@ class VersionedTable:
             for r in stat_rows
         }
         return files, stats
+
+    @staticmethod
+    def _clustered_footer_stats(
+        out: str, phys_col: str
+    ) -> dict[int, tuple] | None:
+        """Per-_rb (min, max, rows) of ``phys_col`` from the parquet
+        footers under ``out`` — exact for integral columns (parquet
+        stores full-width int statistics). Returns None if any row
+        group lacks statistics (caller falls back to an agg job).
+        All-NULL ranges surface as (None, None, rows), matching what
+        F.min/F.max would have returned."""
+        import pyarrow.parquet as pq
+
+        result: dict[int, tuple] = {}
+        for entry in sorted(os.listdir(out)):
+            if not entry.startswith("_rb="):
+                continue
+            rb = int(entry.split("=", 1)[1])
+            lo = hi = None
+            rows = 0
+            rb_dir = os.path.join(out, entry)
+            for fn in sorted(os.listdir(rb_dir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                md = pq.read_metadata(os.path.join(rb_dir, fn))
+                rows += md.num_rows
+                try:
+                    ci = md.schema.to_arrow_schema().names.index(phys_col)
+                except ValueError:
+                    return None  # column pruned from footer: bail out
+                for g in range(md.num_row_groups):
+                    cc = md.row_group(g).column(ci)
+                    st = cc.statistics
+                    if st is None:
+                        return None
+                    if not st.has_min_max:
+                        if (
+                            st.has_null_count
+                            and st.null_count == cc.num_values
+                        ):
+                            continue  # all-NULL row group: no range
+                        return None
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            result[rb] = (lo, hi, rows)
+        return result
 
     def append_clustered(
         self, df: DataFrame, col: str, n_groups: int = 8
@@ -4150,26 +4240,44 @@ class VersionedTable:
                         if c not in _RESERVED_STATS_KEYS
                     }
                 )
-                # an all-rows-deleted rewrite would land a file-less
-                # group dir (empty-partition tasks write nothing) that
-                # a later multi-path read trips over — commit no group
-                if not survivors.isEmpty():
-                    new, new_stats = self._write_files(
-                        survivors, stats_cols=stat_cols or None
+                # write first, probe the FOOTERS after (round 14: the
+                # separate isEmpty() pre-jobs cost one cache-scan each
+                # on the path pitched as the 100 TB erasure primitive;
+                # the row count is already in the metadata of the files
+                # just written). An all-rows-deleted rewrite would land
+                # a file-less group dir (empty-partition tasks write
+                # nothing) that a later multi-path read trips over —
+                # detected by rows==0 and dropped, so no empty group is
+                # ever committed, exactly as before.
+                new, new_stats = self._write_files(
+                    survivors, stats_cols=stat_cols or None
+                )
+                if new_stats[new[0]][_ROWS_KEY] == 0:
+                    import shutil
+
+                    shutil.rmtree(
+                        os.path.join(self.root, new[0]), ignore_errors=True
                     )
+                    new, new_stats = [], {}
                 if emit_changes:
                     removed = df.filter(
                         F.coalesce(F.expr(predicate), F.lit(False))
                     )
-                    if not removed.isEmpty():
-                        group = uuid.uuid4().hex
-                        # physical names, like every landed file — the
-                        # feed reads captures through _read_files too
-                        self._to_physical(
-                            removed, self._mapping(version - 1)
-                        ).write.mode("overwrite").parquet(
-                            os.path.join(self._changes_dir, group)
-                        )
+                    group = uuid.uuid4().hex
+                    # physical names, like every landed file — the
+                    # feed reads captures through _read_files too
+                    cdir = os.path.join(self._changes_dir, group)
+                    self._to_physical(
+                        removed, self._mapping(version - 1)
+                    ).write.mode("overwrite").parquet(cdir)
+                    if _footer_rows(cdir) == 0:
+                        import shutil
+
+                        # zero rows removed: keep the feed's no-op
+                        # slice semantics ("" = capture enabled,
+                        # nothing captured), drop the empty dir
+                        shutil.rmtree(cdir, ignore_errors=True)
+                    else:
                         changes_rel = f"changes/{group}"
             finally:
                 df.unpersist()
@@ -4289,16 +4397,35 @@ class VersionedTable:
                     F.col("__pos_file").alias("file"),
                     F.col("__pos_idx").alias("idx"),
                 )
-                if not matched.isEmpty():
-                    group = uuid.uuid4().hex
-                    positions.write.mode("overwrite").parquet(
-                        os.path.join(self._dv_dir, group)
-                    )
+                # write first, probe the FOOTERS after (round 14): the
+                # isEmpty() pre-job and the distinct-hit-groups Spark
+                # job were two extra cache scans; the written vector
+                # itself answers both — its footer row count says
+                # whether anything matched, and its (dictionary-
+                # encoded, group-count-bounded) `file` column names
+                # the hit groups via one driver-local column read.
+                group = uuid.uuid4().hex
+                dv_dir = os.path.join(self._dv_dir, group)
+                positions.write.mode("overwrite").parquet(dv_dir)
+                if _footer_rows(dv_dir) == 0:
+                    import shutil
+
+                    shutil.rmtree(dv_dir, ignore_errors=True)
+                else:
+                    import pyarrow.parquet as pq
+
                     rel = f"dv/{group}"
-                    hit_groups = {
-                        self._group_of(r["file"])
-                        for r in positions.select("file").distinct().collect()
-                    }
+                    hit_groups: set = set()
+                    for fn in sorted(os.listdir(dv_dir)):
+                        if not fn.endswith(".parquet"):
+                            continue  # skip _SUCCESS and friends
+                        col = pq.read_table(
+                            os.path.join(dv_dir, fn), columns=["file"]
+                        ).column("file")
+                        hit_groups.update(
+                            self._group_of(f)
+                            for f in col.unique().to_pylist()
+                        )
                     dvs = {g: [rel] for g in sorted(hit_groups)}
                     if emit_changes:
                         cgroup = uuid.uuid4().hex

@@ -188,9 +188,13 @@ class ExpectationsSink:
             )
             for e in self.expectations
         ]
+        # parallelize(rows, 1): the frame is len(expectations) rows BY
+        # CONSTRUCTION — createDataFrame alone would slice it across
+        # defaultParallelism Python partitions and land a wide job of
+        # near-empty files every batch (round 14)
         self.metrics.append(
             spark.createDataFrame(
-                metrics_rows,
+                spark.sparkContext.parallelize(metrics_rows, 1),
                 "batch_id long, expectation string, action string, "
                 "rows_in long, violations long",
             ),
