@@ -110,9 +110,18 @@ def _dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature computation is embarrassingly parallel at any scale.
     The k hashes derive from ONE md5 via an affine family (k md5 calls
     measured ~5x slower); md5 base makes it exactly oracle-checked.
+
+    No ``.distinct()`` before the aggregate (round 14, guide §2.4):
+    MIN over a multiset equals MIN over its set, so deduplicating the
+    exploded (doc_id, shingle) rows first only added a full shuffle of
+    the wide string key ahead of the one shuffle the groupBy needs —
+    and it blocked map-side partial aggregation, which is what
+    actually collapses a hot shingle before the exchange.
     """
     docs = tables.load_parallel(spark, "documents", sf_dir)
-    sh = _shingle_sets(docs)
+    sh = docs.select("doc_id", T.words(F.col("text")).alias("w")).select(
+        "doc_id", F.explode(T.shingles_from_words(F.col("w"), 3)).alias("shingle")
+    )
     return (
         sh.groupBy("doc_id")
         .agg(*T.minhash_sig_aggs(F.col("shingle"), N_MINHASH))
@@ -238,6 +247,16 @@ def _dedup_minhash_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE-skew-splittable equi-join; output is linear in corpus size no
     matter how viral the bucket. Measured: tools/scaling_probe.py
     --skew, BASELINE.md round-13 skew probes."""
+    return _star_edges_frame(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _star_edges_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The star-reduced edge set WITHOUT the presentation sort — the
+    form consumers that don't need ordering (dedup_components' persist
+    + union-find) should take: the trailing orderBy added a global
+    range exchange + sort that the component labels are invariant to
+    (round 14, guide §2.4 'an orderBy used only to make output
+    deterministic')."""
     banded = _minhash_banded(spark, sf_dir)
     hubs = banded.groupBy("band_key").agg(F.min("doc_id").alias("hub"))
     return (
@@ -245,7 +264,6 @@ def _dedup_minhash_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") > F.col("hub"))
         .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -1711,20 +1729,24 @@ def _similarity_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = acc + xd * xd
         return math.sqrt(acc)
 
-    cands = F.array(
-        *[
-            F.struct(
-                (
-                    V.dot(
-                        F.col("embedding"),
-                        F.lit([float(x) for x in r["embedding"]]),
-                    )
-                    / (F.col("_na") * F.lit(_py_norm(r["embedding"])))
-                ).alias("cos"),
-                F.lit(-i).alias("negc"),
-            )
-            for i, r in enumerate(seed_rows)
-        ]
+    # ONE nested-array literal + transform-with-index, not 32 separate
+    # dot/lit branches: each F.lit / HOF lambda costs driver->JVM round
+    # trips, and building the 32-branch tree measured 2.4 s of pure
+    # DRIVER time per call (phase probe, round 14) — more than the
+    # whole query's executor work. Two literals + one lambda build the
+    # SAME per-element expressions (element i divides by norms[i+1],
+    # negc = -i), so the evaluated math is unchanged op for op.
+    cents_lit = F.lit([[float(x) for x in r["embedding"]] for r in seed_rows])
+    norms_lit = F.lit([_py_norm(r["embedding"]) for r in seed_rows])
+    cands = F.transform(
+        cents_lit,
+        lambda c, i: F.struct(
+            (
+                V.dot(F.col("embedding"), c)
+                / (F.col("_na") * F.element_at(norms_lit, i + F.lit(1)))
+            ).alias("cos"),
+            (-i).alias("negc"),
+        ),
     )
     assigned = (
         emb.withColumn("_na", V.norm(F.col("embedding")))
@@ -2008,7 +2030,9 @@ def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import components as C
     from .queries_streaming import _bounded_state_partitions
 
-    pairs = _dedup_minhash_star_edges(spark, sf_dir)
+    # unordered edge frame: the star entry's presentation orderBy is
+    # label-invariant here and only cost a global sort (round 14)
+    pairs = _star_edges_frame(spark, sf_dir)
     # iterative rounds shuffle tiny label frames every pass — a vanilla
     # 200-partition session pays 200 empty tasks per round without this
     with _bounded_state_partitions(spark, 8):
@@ -2469,10 +2493,14 @@ def _corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = quality.withColumn("fp", T.fingerprint(F.col("text")))
     keep_ids = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     exact = tables.track_persist(fp.join(keep_ids, ["fp", "doc_id"], "left_semi"))
-    # near-dup removal over the survivors: banding -> components
+    # near-dup removal over the survivors: banding -> components.
+    # No .distinct() before the MIN aggregate (round 14): duplicate
+    # (doc_id, shingle) rows cannot change a MIN, and the dedup cost a
+    # full wide-string shuffle while blocking map-side partial
+    # aggregation — same reasoning as _dedup_minhash_signatures.
     sh = exact.select(
         "doc_id", F.explode(T.shingles_from_words(F.col("w"), 3)).alias("shingle")
-    ).distinct()
+    )
     sig = sh.groupBy("doc_id").agg(*T.minhash_sig_aggs(F.col("shingle"), N_MINHASH))
     band_keys = F.array(
         *[
@@ -2507,9 +2535,14 @@ def _corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # cand5 is NOT pre-deduplicated (round 14): it probes a broadcast
+    # hash join (no exchange on this side), and the trailing
+    # distinct-on-doc_id absorbs repeated hits — the old .distinct()
+    # was a full shuffle of (doc_id, 5-gram string) rows purely to
+    # shrink broadcast-probe input, a bad trade at any scale.
     cand5 = canon.select(
         "doc_id", F.explode(T.shingles_from_words(F.col("w"), 5)).alias("shingle")
-    ).distinct()
+    )
     contaminated = cand5.join(F.broadcast(eval_sh), "shingle").select("doc_id").distinct()
     # `exact` stays cached (3 downstream consumers: shingles, canon,
     # final join — uncached it re-executes the quality+dedup subtree
@@ -2965,6 +2998,13 @@ def _corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         segs.join(counts, "fp")
         .filter(F.col("n_occur") < _LINE_MAX_OCCUR)
     )
+    # total_segments == nseg BY CONSTRUCTION (posexplode emits exactly
+    # nseg rows per doc), so the per-doc total comes straight off the
+    # pre-explode frame — the old third explode + groupBy(doc_id)
+    # branch re-evaluated the segmentation and paid one more shuffle
+    # for a count the driver-side arithmetic already knows (round 14,
+    # guide §2.4 "don't compute things you throw away").
+    totals = wd.select("doc_id", nseg.cast("long").alias("total_segments"))
     return (
         kept.groupBy("doc_id")
         .agg(
@@ -2979,10 +3019,7 @@ def _corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("cleaned_md5"),
         )
-        .join(
-            segs.groupBy("doc_id").agg(F.count("*").alias("total_segments")),
-            "doc_id",
-        )
+        .join(totals, "doc_id")
         .select(
             "doc_id",
             "total_segments",
