@@ -1758,7 +1758,13 @@ def _similarity_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent = np.array([r["embedding"] for r in seed_rows], dtype=np.float64)
     root = tempfile.mkdtemp(prefix="netflow_annserve_") + "/ivf"
+    # persist across save_ivf_index's two passes (round 14): the
+    # clustered overwrite samples range boundaries and then writes —
+    # two evaluations of the 32-way scoring projection without the
+    # cache, one with. Unpersisted right after the index lands.
+    assigned = assigned.persist()
     V.save_ivf_index(root, assigned, cent)  # the durable inverted file
+    assigned.unpersist()
     # ---- serving: route queries, read ONLY the probed lists ----
     # query routing is DRIVER-SIDE small-row math (round 14, guide §8
     # "decide with small rows"): the query set is 8 rows BY

@@ -1102,7 +1102,14 @@ def _agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias(f"_{tag}k_{name}")
             )
-    keys = cum.groupBy("l_returnflag", "_n").agg(*key_aggs)
+    # group by the flag ALONE so the aggregate reuses the window's
+    # hashpartitioning(l_returnflag) exchange (round 14, guide §2.4);
+    # grouping by (flag, _n) — _n is constant per flag — required a
+    # fresh Exchange on the composite key. max(_n) re-attaches the
+    # per-flag constant without widening the grouping key.
+    keys = cum.groupBy("l_returnflag").agg(
+        F.max("_n").alias("_n"), *key_aggs
+    )
     pct_cols = []
     for p, name in _STATS_PCTS:
         pos = F.lit(p) * (F.col("_n") - F.lit(1)).cast("double")

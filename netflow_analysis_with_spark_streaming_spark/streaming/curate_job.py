@@ -199,26 +199,17 @@ class StreamingCurator:
         # the quality projection) rather than re-splitting text.
         from .neardup_index import band_keys_from_words
 
-        # persist, not an EAGER localCheckpoint (round 14): bands'
-        # lineage roots at the batch_unique checkpoint — a pure,
-        # already-stabilized input — so a cache miss recomputes the
-        # same values no matter what the index has registered since.
-        # The eager checkpoint spent one dedicated job per micro-batch
-        # to materialize what the detect job materializes anyway.
         bands = band_keys_from_words(
             batch_unique.select("doc_id", "_w"),
             self.index.n_minhash,
             self.index.n_bands,
             words_col="_w",
-        ).persist()
+        ).localCheckpoint(eager=True)
         # near-dup vs previously ACCEPTED docs (the index mirrors the
         # curated corpus: detect over the batch, register survivors
         # only — a doc dropped here never shadows future arrivals)
-        # materialize=False: the pairs fold straight into `accepted`
-        # (persisted below) and the index read is version-pinned, so
-        # the dedicated per-batch checkpoint job bought nothing
         pairs = self.index.detect_bands(
-            bands, batch_df.sparkSession, batch_id, materialize=False
+            bands, batch_df.sparkSession, batch_id
         )
         neardup_ids = pairs.select(F.col("new_doc_id").alias("doc_id")).distinct()
         accepted = batch_unique.join(neardup_ids, "doc_id", "left_anti")
@@ -226,18 +217,12 @@ class StreamingCurator:
         # decontaminate BEFORE dropping _w so its 5-gram shingles come
         # from the checkpointed array, not a re-tokenize of text
         accepted = self._decontaminate(accepted).drop("_w")
-        # persist for the same reason as bands: every input (the
-        # batch_unique checkpoint, the detection checkpoint, the
-        # broadcast eval list) is stable, so recompute-on-miss is
-        # value-identical and the eager-checkpoint job is pure cost;
-        # the register job below materializes the cache for the append
-        accepted = accepted.persist()
+        accepted = accepted.localCheckpoint(eager=True)
         self.index.register_bands(
             bands.join(accepted.select("doc_id"), "doc_id", "left_semi"),
             batch_id=batch_id,
         )
         self.curated.append(accepted, batch_id=batch_id)
-        bands.unpersist()
         if self.audit_rejections:
             reasons.append(
                 neardup_ids.withColumn("reason", F.lit("near_dup"))
@@ -253,4 +238,3 @@ class StreamingCurator:
             # same idempotent landing as the curated table: a replayed
             # batch audits nothing twice
             self.rejected.append(rejected, batch_id=batch_id)
-        accepted.unpersist()

@@ -63,14 +63,9 @@ def band_keys_from_words(
     metrics cache) feeds the array straight in, so each document is
     regex-tokenized once per batch instead of once per consumer."""
     rows_per_band = n_minhash // n_bands
-    # no .distinct() before the MIN aggregate (round 14): duplicate
-    # (id, shingle) rows cannot change a MIN, and the dedup added a
-    # full wide-string shuffle while blocking map-side partial
-    # aggregation — same fix as queries_extensions'
-    # _dedup_minhash_signatures, so index hits still agree exactly
     sh = docs.select(
         id_col, F.explode(T.shingles_from_words(F.col(words_col), 3)).alias("shingle")
-    )
+    ).distinct()
     sig = sh.groupBy(id_col).agg(*T.minhash_sig_aggs(F.col("shingle"), n_minhash))
     keys = F.array(
         *[
@@ -121,23 +116,13 @@ class NearDupIndex:
         return self.detect_bands(bands, batch_df.sparkSession, batch_id)
 
     def detect_bands(
-        self, bands: DataFrame, spark, batch_id: int, materialize: bool = True
+        self, bands: DataFrame, spark, batch_id: int
     ) -> DataFrame:
         """``detect`` over PRECOMPUTED (doc_id, band_key) rows — the
         shared-signature path: a caller that also registers a subset of
         the same batch (e.g. the streaming curator registering only
         ACCEPTED docs) computes MinHash once and feeds both sides,
-        instead of hashing every document twice per micro-batch.
-
-        ``materialize=False`` skips the eager checkpoint and returns
-        the lazy frame (round 14): ``VersionedTable.read`` pins the
-        snapshot version and file list at CALL time and groups are
-        immutable until vacuum, so re-evaluating the join after
-        ``register`` still sees exactly the pre-batch index state —
-        the checkpoint is a materialization convenience, not a
-        correctness requirement. Callers that immediately fold the
-        pairs into their own persisted/checkpointed frame (the
-        streaming curator) save one dedicated job per micro-batch."""
+        instead of hashing every document twice per micro-batch."""
         if self.table.versions():
             prior = (
                 self.table.read(spark)
@@ -151,8 +136,6 @@ class NearDupIndex:
             )
         else:
             pairs = spark.createDataFrame([], "new_doc_id long, prior_doc_id long")
-        if not materialize:
-            return pairs
         if self.durable:
             # reliable checkpoint next to the index table: survives
             # executor death mid-batch (cluster deployments point root
