@@ -56,11 +56,23 @@ def get_spark(
         # UTC-instant TIMESTAMP, not TIMESTAMP_NTZ (see harden_session).
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
+        # Heap sizing (round 14, guide §5/§9): in local mode the ONE
+        # JVM is driver + every executor, and an unset driver.memory
+        # leaves it at spark-submit's 1g default — measured on this
+        # 128 GiB sandbox: 32 concurrent tasks sharing ~600 MB of
+        # execution+storage memory with all table caches, i.e. ~19 MB
+        # execution memory per task slot and constant GC/eviction
+        # churn. A builder value takes effect whenever THIS process
+        # starts the JVM (bench.py, tools, tests); when getOrCreate()
+        # attaches to an already-running JVM it is a documented no-op,
+        # so an embedding application's own sizing always wins.
+        # Env-overridable for cluster runs, where executor memory is
+        # sized separately and the driver needs no data heap.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     )
-    # NOTE: spark.driver.memory must be set BEFORE the JVM starts
-    # (spark-submit / env), so it is deliberately not set here — a
-    # builder value is a silent no-op when getOrCreate() reuses a
-    # running JVM. See SPARK_DRIVER_MEMORY in the launch environment.
     kafka_pkg = _kafka_packages_from_env()
     if kafka_pkg:
         # opportunistic live-Kafka path (S1/S6/K2): resolve the
