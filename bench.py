@@ -35,6 +35,40 @@ REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 # regressions. min-of-N over PROBE_REPS passes.
 PROBE_REPS = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "6"))
 
+# CPU-bound calibration probe (round 15, VERDICT-r14 ask #2): the
+# engine entries at sf0.1 are dominated by fixed per-job overhead
+# (~0.2-0.5 s of scheduling/stream start/py4j per job), so their
+# 8-core/32-core ratios sit near 1 and cannot DEMONSTRATE that the
+# bench honors $SPARK_GRAFT_CPUS. This probe is pure whole-stage
+# codegen over a generated range — embarrassingly parallel, no
+# input I/O, a chained-xxhash64 per row — sized to ~2 s at 32 cores
+# so its runtime is compute-bound and its low/high-core ratio tracks
+# the core ratio. It rides in the "queries" dict (additions are
+# sanctioned by the bench contract) so the driver's scaling block
+# picks it up per-query; it has no oracle because it computes no
+# engine semantics — it is measurement apparatus, like the ambient
+# probes, and is deliberately NOT registered in __spark_entry__.
+CALIBRATION_ROWS = int(
+    os.environ.get("SPARK_GRAFT_CALIBRATION_ROWS", "1800000000")
+)
+
+
+def _cpu_calibration(spark) -> float:
+    """min-of-2 of a fixed amount of codegen compute; partitions follow
+    defaultParallelism (spark.range default), so the same work spreads
+    over however many cores the master grants."""
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        # bit_xor, not sum: ANSI mode (Spark 4 default) raises on the
+        # long overflow a 1.8e9-hash sum is guaranteed to hit
+        spark.range(CALIBRATION_ROWS).selectExpr(
+            "bit_xor(xxhash64(xxhash64(xxhash64(xxhash64(id)))))"
+        ).collect()
+        dt = round(time.time() - t0, 3)
+        best = dt if best is None else min(best, dt)
+    return best
+
 
 def _ambient_probes(spark, sf_dir: str) -> dict[str, float]:
     probes = {
@@ -86,18 +120,33 @@ def main() -> int:
             except Exception as ex:  # noqa: BLE001 — record, keep benching
                 errors[name] = f"{type(ex).__name__}: {ex}"[:300]
                 timings.pop(name, None)
+    timings["probe_cpu_calibration"] = _cpu_calibration(spark)
     probes = _ambient_probes(spark, SF_DIR)
+    # scaling evidence (round 15): the master/parallelism the session
+    # ACTUALLY runs with, next to the numbers — additions-only so
+    # round-over-round comparisons stay valid
+    master = spark.sparkContext.master
+    parallelism = spark.sparkContext.defaultParallelism
     spark.stop()
 
     out = {
         "metric": "total_query_sec",
-        "value": round(sum(timings.values()), 3),
+        # the calibration probe is apparatus, not an engine query: it
+        # rides in "queries" for the driver's per-query scaling table
+        # but stays OUT of the headline total so totals remain
+        # comparable with every earlier round
+        "value": round(
+            sum(v for k, v in timings.items() if k != "probe_cpu_calibration"),
+            3,
+        ),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         # ambient probes ride along so every BENCH_r{N}.json carries
         # its own environment fingerprint next to the query timings
         "probes": probes,
+        "master": master,
+        "parallelism": parallelism,
     }
     if errors:
         out["errors"] = errors

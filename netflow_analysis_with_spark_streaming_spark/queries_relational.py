@@ -1077,7 +1077,6 @@ def _agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
         F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
         F.round(F.covar_samp("l_extendedprice", "l_discount"), 2).alias("price_disc_cov"),
-        F.count(F.lit(1)).alias("_n"),
     )
     dv = lineitem.groupBy("l_returnflag", "l_extendedprice").agg(
         F.count(F.lit(1)).alias("_c")
@@ -1087,8 +1086,17 @@ def _agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = dv.withColumn("_cum", F.sum("_c").over(w)).join(
-        F.broadcast(stats.select("l_returnflag", "_n")), "l_returnflag"
+    # _n (per-flag row count) derived from the dv frame ITSELF — sum of
+    # the distinct-value counts over the flag partition is exactly the
+    # count(1) the r14 version broadcast from the moments pass, but
+    # computing it here drops a whole third lineitem scan + agg +
+    # BroadcastExchange from the plan (round 15, guide §6 — at 100 TB
+    # that third scan is a full pass over the fact table). The
+    # partition-only window shares the cumulative window's
+    # hashpartitioning(l_returnflag) exchange and sort.
+    wn = Window.partitionBy("l_returnflag")
+    cum = dv.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+        "_n", F.sum("_c").over(wn)
     )
     key_aggs = []
     for p, name in _STATS_PCTS:
