@@ -531,7 +531,6 @@ def save_ivf_index(root: str, assigned, cent) -> None:
     """
     from ..storage.versioned import VersionedTable
 
-    spark = assigned.sparkSession
     a = VersionedTable(root + "/assignments")
     # OVERWRITE, not append: re-saving a retrained index must replace
     # the posting lists — an append would return the union of stale
@@ -542,18 +541,30 @@ def save_ivf_index(root: str, assigned, cent) -> None:
     rows = [
         (int(i), [float(x) for x in cent[i]]) for i in range(cent.shape[0])
     ]
-    # parallelize(rows, 1): createDataFrame alone slices k rows across
-    # defaultParallelism Python partitions (a 32-task write of
-    # near-empty files for a table that is k rows BY CONSTRUCTION);
-    # coalesce(1) is WORSE — its one task evaluates all 32 Python
-    # partitions sequentially (~6 s measured). One explicit slice =
-    # one task, one file, and load_ivf_centroids stays a single-file
-    # footer walk.
-    c.overwrite(
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(rows, 1),
-            "cluster int, centroid array<double>",
-        )
+    # driver-local landing (round 15): the centroid matrix is k rows
+    # the DRIVER already holds (cent is a numpy array), so shipping it
+    # through createDataFrame + a one-task Spark write job (the round-14
+    # parallelize(rows, 1) shape) paid a whole job for bytes that never
+    # needed an executor. append_rows writes the parquet driver-side
+    # and commits pure metadata; load_ivf_centroids stays a
+    # single-file read.
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    c.append_rows(
+        rows,
+        StructType(
+            [
+                StructField("cluster", IntegerType()),
+                StructField("centroid", ArrayType(DoubleType())),
+            ]
+        ),
+        overwrite=True,
     )
 
 

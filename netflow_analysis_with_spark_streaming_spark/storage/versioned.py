@@ -2281,6 +2281,106 @@ class VersionedTable:
                 version, prev_files, prev_stats = self._snapshot_state()
         raise conflict
 
+    _LOCAL_ROW_TYPES = frozenset(
+        {"byte", "short", "integer", "long", "float", "double", "string",
+         "boolean", "binary"}
+    )
+
+    def append_rows(
+        self,
+        rows: list[tuple],
+        schema,
+        batch_id: int | None = None,
+        stats_cols: list[str] | None = None,
+        overwrite: bool = False,
+    ) -> int:
+        """Land a SMALL driver-local row set as one commit with ZERO
+        Spark jobs (round 15, guide §1.2 job-count): per-batch metrics
+        and audit frames are a handful of rows BY CONSTRUCTION, yet the
+        ``createDataFrame -> append`` path paid a full Spark job
+        (parallelize + parquet write + commit) per micro-batch just to
+        move bytes the driver already holds. Here the rows are written
+        to one parquet file via pyarrow under Spark's own
+        logical->arrow schema mapping — the exact staged format the
+        native sink's executors produce — and published through
+        ``commit_staged`` (pure metadata), so the read path, schema
+        evolution, mapping-race handling and batch-id replay discipline
+        are all the already-tested ones.
+
+        ``schema`` is a pyspark StructType of NON-TEMPORAL scalars or
+        arrays of them (the metrics/centroid-frame shapes;
+        timestamps/dates would need the session-zone negotiation the
+        Spark write path does, so they fail closed here). CHECK
+        constraints / generated columns are refused by commit_staged
+        (no SQL evaluator driver-side). ``overwrite=True`` publishes
+        as a truncating overwrite commit (the retrain-replace shape).
+        NOT for data frames: anything whose size scales with input
+        belongs on the distributed ``append`` path.
+        """
+        import shutil as _shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.types import StructType
+
+        from .stream_sink import _staged_schema
+
+        if not isinstance(schema, StructType):
+            raise TypeError("append_rows requires a pyspark StructType")
+
+        def _local_ok(dt) -> bool:
+            if dt.typeName() == "array":
+                return dt.elementType.typeName() in self._LOCAL_ROW_TYPES
+            return dt.typeName() in self._LOCAL_ROW_TYPES
+
+        bad = [f.name for f in schema.fields if not _local_ok(f.dataType)]
+        if bad:
+            raise TypeError(
+                f"append_rows supports non-temporal scalar columns only; "
+                f"{bad} are not (write via append)"
+            )
+        if batch_id is not None and batch_id in self.committed_batch_ids():
+            return self.latest_version()  # replay: no staging, no-op
+        schema_json = schema.json()
+        write_mapping, write_retired = self._mapping_identity(
+            self.latest_version()
+        )
+        pa_schema = _staged_schema(schema_json, write_mapping)
+        names = [f.name for f in schema.fields]
+        cols = [
+            pa.array([r[i] for r in rows], type=pa_schema.field(i).type)
+            for i in range(len(names))
+        ]
+        group = uuid.uuid4().hex
+        gdir = os.path.join(self._data, group)
+        os.makedirs(gdir, exist_ok=True)
+        try:
+            pq.write_table(
+                pa.Table.from_arrays(cols, schema=pa_schema),
+                os.path.join(gdir, "part-0.parquet"),
+            )
+            gstats: dict = {_ROWS_KEY: len(rows)}
+            for c in stats_cols or []:
+                i = names.index(c)
+                vals = [r[i] for r in rows if r[i] is not None]
+                if vals:
+                    gstats[c] = [min(vals), max(vals)]
+            return self.commit_staged(
+                [f"data/{group}"],
+                {f"data/{group}": gstats},
+                schema_json,
+                batch_id=batch_id,
+                write_mapping=write_mapping,
+                write_retired=write_retired,
+                overwrite=overwrite,
+            )
+        except Exception:
+            # commit_staged's sanctioned failure paths drop staged
+            # groups themselves; anything else (schema evolution
+            # conflict, bad row shape) must not leak the directory
+            _shutil.rmtree(gdir, ignore_errors=True)
+            raise
+
     def _write_clustered_group(
         self, df: DataFrame, col: str, n_groups: int
     ) -> tuple[list[str], dict]:

@@ -173,11 +173,25 @@ class ExpectationsSink:
                     ),
                 )
             )
-            self.dlq.append(dead, batch_id=batch_id)
+            # the two DATA landings are independent (different tables,
+            # both before the metrics fence) — overlap them so the
+            # second write job back-fills the first's task tail
+            # instead of queuing behind it (round 15, guide §2.6;
+            # each append stays batch-id idempotent, so a failure of
+            # either surfaces and the replay re-resolves both)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_dlq = pool.submit(self.dlq.append, dead, batch_id=batch_id)
+                f_dest = pool.submit(
+                    self.dest.append, clean, batch_id=batch_id
+                )
+                f_dlq.result()
+                f_dest.result()
         else:
             clean = flagged.select(*data_cols)
-        # data first, metrics LAST (the replay detector)
-        self.dest.append(clean, batch_id=batch_id)
+            # data first, metrics LAST (the replay detector)
+            self.dest.append(clean, batch_id=batch_id)
         metrics_rows = [
             (
                 int(batch_id),
@@ -188,15 +202,28 @@ class ExpectationsSink:
             )
             for e in self.expectations
         ]
-        # parallelize(rows, 1): the frame is len(expectations) rows BY
-        # CONSTRUCTION — createDataFrame alone would slice it across
-        # defaultParallelism Python partitions and land a wide job of
-        # near-empty files every batch (round 14)
-        self.metrics.append(
-            spark.createDataFrame(
-                spark.sparkContext.parallelize(metrics_rows, 1),
-                "batch_id long, expectation string, action string, "
-                "rows_in long, violations long",
+        # driver-local landing (round 15): the metrics frame is
+        # len(expectations) rows BY CONSTRUCTION — append_rows writes
+        # the parquet bytes driver-side and commits pure metadata,
+        # zero Spark jobs, replacing the one-task parallelize job the
+        # round-14 version still paid per batch
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        self.metrics.append_rows(
+            metrics_rows,
+            StructType(
+                [
+                    StructField("batch_id", LongType()),
+                    StructField("expectation", StringType()),
+                    StructField("action", StringType()),
+                    StructField("rows_in", LongType()),
+                    StructField("violations", LongType()),
+                ]
             ),
             batch_id=batch_id,
         )

@@ -5895,3 +5895,94 @@ def test_sidecar_backlog_cap_skips_stale_writers(tmp_path):
     t._sidecar_write_after(16, m16, [])
     assert os.path.exists(t._sidecar_path(16))
     assert t.fsck() == []
+
+
+# --- append_rows: driver-local landings (round 15) -----------------------
+
+
+def test_append_rows_roundtrip_and_replay(spark, tmp_path):
+    """Zero-Spark-job landing reads back identically to a distributed
+    append of the same rows, interleaves with Spark-side appends
+    (schema evolution union), and replays batch ids as no-ops."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    st = StructType(
+        [StructField("k", LongType()), StructField("v", StringType())]
+    )
+    t = VersionedTable(str(tmp_path / "t"))
+    v0 = t.append_rows([(1, "a"), (2, "b")], st, batch_id=0)
+    assert v0 == 0
+    # replay: same batch id is a no-op and stages nothing
+    assert t.append_rows([(9, "z")], st, batch_id=0) == 0
+    assert sorted(
+        (r["k"], r["v"]) for r in t.read(spark).collect()
+    ) == [(1, "a"), (2, "b")]
+    # interleave a Spark append, then another local one
+    t.append(_df(spark, [(3, "c")]), batch_id=1)
+    t.append_rows([(4, "d")], st, batch_id=2)
+    assert sorted(r["k"] for r in t.read(spark).collect()) == [1, 2, 3, 4]
+    # stats ride the manifest like any other group's
+    assert t.count_rows() == 4
+
+
+def test_append_rows_overwrite_and_arrays(spark, tmp_path):
+    """overwrite=True truncates (the retrain-replace shape, e.g. IVF
+    centroids) and array<double> columns round-trip exactly."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    st = StructType(
+        [
+            StructField("cluster", IntegerType()),
+            StructField("centroid", ArrayType(DoubleType())),
+        ]
+    )
+    t = VersionedTable(str(tmp_path / "c"))
+    t.append_rows([(0, [1.5, -2.25])], st, overwrite=True)
+    t.append_rows([(1, [0.125, 3.0]), (2, [4.0, 5.0])], st, overwrite=True)
+    rows = sorted(
+        (r["cluster"], r["centroid"]) for r in t.read(spark).collect()
+    )
+    assert rows == [(1, [0.125, 3.0]), (2, [4.0, 5.0])]  # v0 replaced
+    # time travel still sees the first generation
+    assert t.read(spark, version=0).count() == 1
+
+
+def test_append_rows_fails_closed(spark, tmp_path):
+    """Temporal columns and CHECK-constrained tables are refused (no
+    session-zone negotiation / SQL evaluator driver-side), and a
+    refused landing leaks no staged group directory."""
+    import os
+
+    import pytest
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    t = VersionedTable(str(tmp_path / "t"))
+    with pytest.raises(TypeError, match="non-temporal"):
+        t.append_rows(
+            [],
+            StructType([StructField("ts", TimestampType())]),
+        )
+    st = StructType([StructField("k", LongType())])
+    t.append(_df(spark, [(1, "a")]).select("k"))
+    t.set_check_constraint("pos", "k > 0")
+    with pytest.raises(ValueError, match="CHECK"):
+        t.append_rows([(2,)], st)
+    data_dir = os.path.join(str(tmp_path / "t"), "data")
+    groups = os.listdir(data_dir)
+    assert len(groups) == 1  # only the Spark append's group remains
