@@ -531,12 +531,32 @@ def save_ivf_index(root: str, assigned, cent) -> None:
     """
     from ..storage.versioned import VersionedTable
 
+    import os
+
     a = VersionedTable(root + "/assignments")
+    # Posting-group count derived from DATA VOLUME (round 15,
+    # guide §6 file sizing), not fixed at k: one group per centroid
+    # wrote k near-empty files at small scale (32 write tasks + a
+    # 32-directory footer walk for a few MB of assignments) and, at
+    # 100 TB, would pile multi-GB posting lists into single files.
+    # Catalyst's plan-size estimate is free (no job); the group count
+    # targets NETFLOW_IVF_GROUP_BYTES per group (default 128 MB),
+    # clamped to [min(k, 4), k] — the floor keeps the layout an
+    # inverted FILE structure (range pruning stays demonstrably
+    # selective), the cap keeps a group from spanning less than one
+    # centroid's list. Any value is CORRECT (read_ivf_clusters prunes
+    # by range and filters exactly); this only sizes files.
+    k = int(cent.shape[0])
+    est = int(
+        assigned._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    target = int(os.environ.get("NETFLOW_IVF_GROUP_BYTES", str(128 << 20)))
+    n_groups = max(min(k, 4), min(k, -(-est // target)))
     # OVERWRITE, not append: re-saving a retrained index must replace
     # the posting lists — an append would return the union of stale
     # and fresh assignments (duplicate vec_ids against the new
     # centroid matrix)
-    a.overwrite_clustered(assigned, "cluster", n_groups=int(cent.shape[0]))
+    a.overwrite_clustered(assigned, "cluster", n_groups=n_groups)
     c = VersionedTable(root + "/centroids")
     rows = [
         (int(i), [float(x) for x in cent[i]]) for i in range(cent.shape[0])

@@ -132,12 +132,19 @@ class StreamingCurator:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Quality -> exact dedup (in-batch + vs accepted) -> near-dup
         vs index -> decontaminate -> idempotent landing."""
-        done = batch_id in self.curated.committed_batch_ids()
+        # skip only when EVERY landing of this batch committed — the
+        # curated table, the index registration (concurrent with it
+        # since round 15), and the audit table when enabled. A crash
+        # that left any of them missing re-runs the batch; every
+        # landing below is batch-id idempotent, so the re-run
+        # double-commits nothing, and detection filters
+        # `_src_batch < batch_id`, so a partially-registered index
+        # replays to exactly the original pairs.
+        done = (
+            batch_id in self.curated.committed_batch_ids()
+            and batch_id in self.index.table.committed_batch_ids()
+        )
         if done and self.audit_rejections:
-            # a crash BETWEEN the curated landing and the audit landing
-            # leaves the batch half-recorded; only skip when both
-            # tables have it, else re-run (every landing below is
-            # batch-id idempotent, so the re-run double-commits nothing)
             done = batch_id in self.rejected.committed_batch_ids()
         if done:
             # replayed batch: the index's detect path is replay-safe on
@@ -218,11 +225,25 @@ class StreamingCurator:
         # from the checkpointed array, not a re-tokenize of text
         accepted = self._decontaminate(accepted).drop("_w")
         accepted = accepted.localCheckpoint(eager=True)
-        self.index.register_bands(
-            bands.join(accepted.select("doc_id"), "doc_id", "left_semi"),
-            batch_id=batch_id,
-        )
-        self.curated.append(accepted, batch_id=batch_id)
+        # the index registration and the curated landing are
+        # independent (different tables, both inputs eagerly
+        # checkpointed above) — overlap them so the second write job
+        # back-fills the first's task tail instead of queuing behind
+        # it (round 15, guide §2.6). Idempotence + the two-table done
+        # check above make any crash/ordering interleaving safe.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_reg = pool.submit(
+                self.index.register_bands,
+                bands.join(accepted.select("doc_id"), "doc_id", "left_semi"),
+                batch_id=batch_id,
+            )
+            f_land = pool.submit(
+                self.curated.append, accepted, batch_id=batch_id
+            )
+            f_reg.result()
+            f_land.result()
         if self.audit_rejections:
             reasons.append(
                 neardup_ids.withColumn("reason", F.lit("near_dup"))
