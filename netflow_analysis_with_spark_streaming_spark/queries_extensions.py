@@ -2522,11 +2522,21 @@ def _corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     banded = sig.select("doc_id", F.explode(band_keys).alias("band_key"))
+    # STAR-reduced edges, not the all-pairs self-join (round 15): the
+    # components consumer only needs connectivity, and a star (bucket-
+    # min doc -> others) spans exactly the docs the bucket's clique
+    # spans, so the labels are identical (pinned by
+    # test_star_edges_components_equivalence and this entry's own
+    # oracle, whose SQL keeps the all-pairs formulation). Edge volume
+    # is linear in bucket size instead of quadratic — the r13 viral-
+    # bucket fix (dedup_components) applied to the flagship
+    # composition; min(doc_id) partial-aggregates map-side and the
+    # join back is AQE-skew-splittable.
+    hubs = banded.groupBy("band_key").agg(F.min("doc_id").alias("hub"))
     pairs = (
-        banded.alias("a")
-        .join(banded.alias("b"), "band_key")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        banded.join(hubs, "band_key")
+        .filter(F.col("doc_id") > F.col("hub"))
+        .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         .distinct()
     )
     comp = C.connected_components(pairs)
