@@ -24,6 +24,73 @@ import pytest
 
 RUN_BATTERIES = os.environ.get("SPARK_GRAFT_FULL_TESTS", "") not in ("", "0")
 
+# The battery tier, by test name (one auditable list, applied at
+# collection — safer than scattering decorators through hypothesis /
+# parametrize stacks). Classes, from the full-run duration profile
+# (792 tests / 40m40s on this sandbox, --durations=0, 2026-08-17):
+# model-based fuzz + randomized differentials, concurrency stress,
+# scale probes (O(change) delta-log / feed planning), hypothesis
+# property sweeps, equals-naive differentials, cross-library
+# agreement sweeps (Spark ML LSH/BRP), session-restart + availableNow
+# restart matrices, real-codec round-trips, and the all-entries x SF
+# schema sweep. Together ~16 min of the 40; the default tier (oracle
+# corpus + contract + per-operator pinning tests) runs in ~24 min.
+# NOTHING here is weaker coverage: the same tests run, unmodified,
+# in the full tier.
+BATTERY_TESTS = frozenset(
+    {
+        # model fuzz / randomized differentials / stress
+        "test_model_based_op_sequences",
+        "test_interleaved_analyze_capture_rename_stress",
+        "test_merge_all_clause_combinations_match_model",
+        "test_ivm_randomized_differential",
+        "test_concurrent_vacuum_stress",
+        "test_mirror_from_feed_random_op_sequences",
+        "test_concurrent_appenders_and_mergers_stress",
+        "test_late_router_randomized_differential",
+        "test_merge_mor_matches_model_and_adds_no_files",
+        "test_scd2_randomized_differential",
+        "test_pagerank_randomized_differential",
+        "test_column_mapping_model_fuzz",
+        # scale probes
+        "test_delta_log_record_is_o_change",
+        "test_delta_log_differential_vs_full",
+        "test_feed_planning_is_o_change_on_delta_history",
+        # hypothesis / property sweeps + equals-naive differentials
+        "test_text_function_invariants",
+        "test_asof_join_equals_naive",
+        "test_asof_join_row_atomic_under_nulls",
+        "test_interval_join_equals_naive",
+        "test_substring_dedup_equals_naive",
+        "test_leakage_safe_split_properties",
+        "test_deterministic_sampling_properties",
+        "test_quantile_sketch_merge_invariants",
+        "test_quantile_sketch_random_ranges_vs_python",
+        "test_cohort_retention_invariants",
+        "test_pack_bins_invariants",
+        "test_bpe_train_differential_exact",
+        "test_bpe_encode_differential_exact",
+        "test_bpe_train_batched_differential_exact",
+        "test_nb_classifier_learns_planted_vocab",
+        # cross-library agreement sweeps
+        "test_minhash_agrees_with_sparkml_lsh",
+        "test_engine_lsh_agrees_with_sparkml_brp",
+        # session-restart / availableNow restart matrices (the core
+        # exactly-once pinning tests — crash_between_logs,
+        # restarted_unpaced drain — STAY in the default tier)
+        "test_neardup_index_durable_survives_session_restart",
+        "test_bounded_backfill_medallion_every_silver_batch_capped",
+        "test_fresh_paced_available_now_drains_backlog_in_one_batch",
+        "test_drain_available_now_is_drain_to_empty_under_mid_drain_commits",
+        "test_feed_stream_checkpoint_across_protocol_flip",
+        "test_restarted_paced_available_now_is_one_window_per_run",
+        "test_media_payloads_stream_through_storage_intact",
+        # real-codec round-trips / all-entries x SF sweep
+        "test_multimodal_png_real_codec_roundtrip",
+        "test_driver_schemas_stable_across_sf",
+    }
+)
+
 
 def pytest_configure(config):
     config.addinivalue_line(
@@ -34,13 +101,15 @@ def pytest_configure(config):
 
 
 def pytest_collection_modifyitems(config, items):
-    if RUN_BATTERIES:
-        return
+    battery = pytest.mark.battery
     skip = pytest.mark.skip(
         reason="battery tier: set SPARK_GRAFT_FULL_TESTS=1 to run"
     )
     for item in items:
-        if "battery" in item.keywords:
+        base = item.name.split("[", 1)[0]
+        if base in BATTERY_TESTS:
+            item.add_marker(battery)
+        if not RUN_BATTERIES and "battery" in item.keywords:
             item.add_marker(skip)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
