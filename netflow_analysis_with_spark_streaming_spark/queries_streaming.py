@@ -2014,8 +2014,17 @@ def _feed_source_history(spark: SparkSession, sf_dir: str, root: str):
         .filter(F.col("event_id") % 10 == 0)
         .select("event_id", "user_id", F.round("value", 2).alias("value"))
     )
-    src.append(ev.filter(F.col("user_id") % 2 == 0))  # v0
-    src.append(ev.filter(F.col("user_id") % 2 == 1))  # v1
+    # v0 (even users) / v1 (odd users): the two file writes are
+    # independent Spark jobs — stage them concurrently and publish the
+    # commits in order (VersionedTable.append_all, round 15, guide
+    # §2.6): same two versions, same per-commit feed slices, one
+    # write-tail shorter
+    src.append_all(
+        [
+            ev.filter(F.col("user_id") % 2 == 0),  # v0
+            ev.filter(F.col("user_id") % 2 == 1),  # v1
+        ]
+    )
     src.delete_where(spark, "user_id % 7 = 0", emit_changes=True)  # v2
     src.compact(spark, target_partitions=2)  # v3: row-preserving
     src.delete_where_dv(spark, "user_id % 5 = 1", emit_changes=True)  # v4

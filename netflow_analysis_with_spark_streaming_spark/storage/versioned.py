@@ -2381,6 +2381,86 @@ class VersionedTable:
             _shutil.rmtree(gdir, ignore_errors=True)
             raise
 
+    def append_all(
+        self,
+        dfs: list[DataFrame],
+        stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
+    ) -> list[int]:
+        """Land N independent frames as N CONSECUTIVE commits (list
+        order = version order, same result as N sequential ``append``
+        calls) with the expensive half — the file-group writes —
+        running CONCURRENTLY (round 15, guide §2.6 overlap +
+        VERDICT-r14 ask #4 staged-commit batching): each frame's
+        parquet write is an independent Spark job submitted from a
+        small thread pool, so the later frames' tasks back-fill the
+        earlier frames' task tails instead of queuing behind a full
+        commit cycle each; the commits themselves are pure metadata
+        (``commit_staged``) and publish sequentially, which is what
+        keeps version numbering — and therefore the change feed's
+        per-commit slices — deterministic.
+
+        Restrictions, all fail-closed: tables with CHECK constraints
+        or GENERATED columns refuse (the publish half is
+        ``commit_staged``, which cannot enforce/attest them — use
+        sequential ``append``); a concurrent RENAME/DROP between
+        staging and publish fails the remaining commits closed with
+        the staged groups dropped (same stance as the native sink).
+        No batch ids: streaming callers land one frame per batch and
+        belong on ``append``."""
+        if self.check_constraints() or self.generated_columns():
+            raise ValueError(
+                f"table {self.root} has CHECK constraints or generated "
+                "columns; append_all publishes via commit_staged, which "
+                "cannot enforce them — append sequentially"
+            )
+        if len(dfs) == 1:
+            return [self.append(dfs[0], stats_cols=stats_cols,
+                                bloom_cols=bloom_cols)]
+        from concurrent.futures import ThreadPoolExecutor
+
+        write_mapping, write_retired = self._mapping_identity(
+            self.latest_version()
+        )
+
+        def _stage(df: DataFrame) -> tuple[list[str], dict, str]:
+            new, new_stats = self._write_files(
+                df, stats_cols, bloom_cols, mapping=write_mapping
+            )
+            return new, new_stats, df.schema.json()
+
+        with ThreadPoolExecutor(max_workers=min(4, len(dfs))) as pool:
+            staged = list(pool.map(_stage, dfs))
+        versions: list[int] = []
+        try:
+            for groups, stats, schema_json in staged:
+                versions.append(
+                    self.commit_staged(
+                        list(groups),
+                        stats,
+                        schema_json,
+                        write_mapping=write_mapping,
+                        write_retired=write_retired,
+                    )
+                )
+        except Exception:
+            # a failed publish leaves the failing frame's groups (when
+            # the raise came from a path commit_staged does not clean,
+            # e.g. schema-evolution conflict) and every later frame's
+            # groups unreferenced — drop them all (rmtree is idempotent,
+            # double-dropping a sanctioned-path cleanup is harmless);
+            # already-published commits stand, same as a sequential
+            # caller that failed mid-list
+            import shutil as _shutil
+
+            for groups, _, _ in staged[len(versions):]:
+                for g in groups:
+                    _shutil.rmtree(
+                        os.path.join(self.root, g), ignore_errors=True
+                    )
+            raise
+        return versions
+
     def _write_clustered_group(
         self, df: DataFrame, col: str, n_groups: int
     ) -> tuple[list[str], dict]:
@@ -4349,17 +4429,12 @@ class VersionedTable:
                 # nothing) that a later multi-path read trips over —
                 # detected by rows==0 and dropped, so no empty group is
                 # ever committed, exactly as before.
-                new, new_stats = self._write_files(
-                    survivors, stats_cols=stat_cols or None
-                )
-                if new_stats[new[0]][_ROWS_KEY] == 0:
-                    import shutil
-
-                    shutil.rmtree(
-                        os.path.join(self.root, new[0]), ignore_errors=True
+                def _stage_survivors():
+                    return self._write_files(
+                        survivors, stats_cols=stat_cols or None
                     )
-                    new, new_stats = [], {}
-                if emit_changes:
+
+                def _stage_capture():
                     removed = df.filter(
                         F.coalesce(F.expr(predicate), F.lit(False))
                     )
@@ -4370,15 +4445,41 @@ class VersionedTable:
                     self._to_physical(
                         removed, self._mapping(version - 1)
                     ).write.mode("overwrite").parquet(cdir)
-                    if _footer_rows(cdir) == 0:
+                    return group, cdir
+
+                if emit_changes:
+                    # the survivor rewrite and the removed-rows capture
+                    # are independent jobs over the SAME persisted
+                    # frame — overlap them (round 15, guide §2.6) so
+                    # the capture back-fills the rewrite's task tail;
+                    # a failure of either surfaces here and leaves only
+                    # unreferenced staged files, same as a crash
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(max_workers=2) as pool:
+                        f_s = pool.submit(_stage_survivors)
+                        f_c = pool.submit(_stage_capture)
+                        new, new_stats = f_s.result()
+                        cap_group, cap_dir = f_c.result()
+                else:
+                    new, new_stats = _stage_survivors()
+                if new_stats[new[0]][_ROWS_KEY] == 0:
+                    import shutil
+
+                    shutil.rmtree(
+                        os.path.join(self.root, new[0]), ignore_errors=True
+                    )
+                    new, new_stats = [], {}
+                if emit_changes:
+                    if _footer_rows(cap_dir) == 0:
                         import shutil
 
                         # zero rows removed: keep the feed's no-op
                         # slice semantics ("" = capture enabled,
                         # nothing captured), drop the empty dir
-                        shutil.rmtree(cdir, ignore_errors=True)
+                        shutil.rmtree(cap_dir, ignore_errors=True)
                     else:
-                        changes_rel = f"changes/{group}"
+                        changes_rel = f"changes/{cap_group}"
             finally:
                 df.unpersist()
         kept_stats = {f: s for f, s in prev_stats.items() if f not in affected}
@@ -4506,11 +4607,44 @@ class VersionedTable:
                 # the hit groups via one driver-local column read.
                 group = uuid.uuid4().hex
                 dv_dir = os.path.join(self._dv_dir, group)
-                positions.write.mode("overwrite").parquet(dv_dir)
+
+                def _stage_positions():
+                    positions.write.mode("overwrite").parquet(dv_dir)
+
+                def _stage_capture():
+                    cgroup = uuid.uuid4().hex
+                    cdir = os.path.join(self._changes_dir, cgroup)
+                    self._to_physical(
+                        matched.drop("__pos_file", "__pos_idx"),
+                        self._mapping(version - 1),
+                    ).write.mode("overwrite").parquet(cdir)
+                    return cgroup, cdir
+
+                cap_group = cap_dir = None
+                if emit_changes:
+                    # the position vector and the removed-rows capture
+                    # are independent jobs over the SAME persisted
+                    # frame — overlap them (round 15, guide §2.6); the
+                    # zero-match case drops BOTH empty dirs below
+                    # (matched is one frame, so the two row counts
+                    # agree by construction)
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(max_workers=2) as pool:
+                        f_p = pool.submit(_stage_positions)
+                        f_c = pool.submit(_stage_capture)
+                        f_p.result()
+                        cap_group, cap_dir = f_c.result()
+                else:
+                    _stage_positions()
                 if _footer_rows(dv_dir) == 0:
                     import shutil
 
                     shutil.rmtree(dv_dir, ignore_errors=True)
+                    if cap_dir is not None:
+                        # capture of the same empty match set: drop it,
+                        # keep the "" no-op slice semantics
+                        shutil.rmtree(cap_dir, ignore_errors=True)
                 else:
                     import pyarrow.parquet as pq
 
@@ -4528,14 +4662,7 @@ class VersionedTable:
                         )
                     dvs = {g: [rel] for g in sorted(hit_groups)}
                     if emit_changes:
-                        cgroup = uuid.uuid4().hex
-                        self._to_physical(
-                            matched.drop("__pos_file", "__pos_idx"),
-                            self._mapping(version - 1),
-                        ).write.mode("overwrite").parquet(
-                            os.path.join(self._changes_dir, cgroup)
-                        )
-                        changes_rel = f"changes/{cgroup}"
+                        changes_rel = f"changes/{cap_group}"
             finally:
                 matched.unpersist()
         files = list(prev_files)
@@ -4712,8 +4839,13 @@ class VersionedTable:
         # persist: the write + min/max agg + NDV agg + one bloom job
         # per column each consume df — without the cache every
         # consumer re-scans the ENTIRE pre-compaction snapshot (same
-        # reasoning as delete_where/replace_where)
-        df = df.persist()
+        # reasoning as delete_where/replace_where). When the table
+        # carries NO skipping index (no stats, no blooms), the write
+        # is the only consumer and the cache would be pure overhead
+        # (round 15): skip it.
+        multi_consumer = bool(stat_cols or bloom_cols)
+        if multi_consumer:
+            df = df.persist()
         try:
             bloom_cols, bloom_m = self._size_rebuilt_blooms(df, bloom_cols)
             new, new_stats = self._write_files(
@@ -4723,7 +4855,8 @@ class VersionedTable:
                 bloom_m=bloom_m or None,
             )
         finally:
-            df.unpersist()
+            if multi_consumer:
+                df.unpersist()
         return self._commit(
             new, "compact", df.schema.json(), stats=new_stats, version=version
         )

@@ -5986,3 +5986,42 @@ def test_append_rows_fails_closed(spark, tmp_path):
     data_dir = os.path.join(str(tmp_path / "t"), "data")
     groups = os.listdir(data_dir)
     assert len(groups) == 1  # only the Spark append's group remains
+
+
+def test_append_all_matches_sequential_appends(spark, tmp_path):
+    """append_all (round 15): N frames staged concurrently publish as
+    N consecutive commits whose versions, per-commit feed slices and
+    read-back rows are IDENTICAL to N sequential append() calls —
+    the overlap is wall-clock only."""
+    a = VersionedTable(str(tmp_path / "a"))
+    b = VersionedTable(str(tmp_path / "b"))
+    frames = [
+        _df(spark, [(1, "a"), (2, "b")]),
+        _df(spark, [(3, "c")]),
+        _df(spark, [(4, "d"), (5, "e")]),
+    ]
+    assert a.append_all(frames) == [0, 1, 2]
+    for f in frames:
+        b.append(f)
+    assert a.versions() == b.versions()
+    assert sorted(map(tuple, a.read(spark).collect())) == sorted(
+        map(tuple, b.read(spark).collect())
+    )
+    # per-commit slices (what the change feed serves) agree version
+    # by version — commit ORDER, not staging order, owns the slices
+    for v in (0, 1, 2):
+        sa = sorted(map(tuple, a.read_change_feed(spark, v - 1, v).collect()))
+        sb = sorted(map(tuple, b.read_change_feed(spark, v - 1, v).collect()))
+        assert sa == sb
+
+
+def test_append_all_fails_closed(spark, tmp_path):
+    """CHECK-constrained / generated-column tables refuse append_all
+    (its publish half is commit_staged, which cannot enforce them)."""
+    import pytest
+
+    t = VersionedTable(str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "a")]))
+    t.set_check_constraint("pos", "k > 0")
+    with pytest.raises(ValueError, match="CHECK"):
+        t.append_all([_df(spark, [(2, "b")]), _df(spark, [(3, "c")])])
