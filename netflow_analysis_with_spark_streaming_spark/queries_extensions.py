@@ -118,15 +118,22 @@ def _dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     and it blocked map-side partial aggregation, which is what
     actually collapses a hot shingle before the exchange.
     """
+    return _minhash_sig_frame(spark, sf_dir).orderBy("doc_id")
+
+
+def _minhash_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature frame WITHOUT the entry's presentation orderBy.
+    Consumers (banding, candidates, star edges) must take this form:
+    the orderBy leaked a rangepartitioning exchange + global sort (and
+    its sampling pass) into every downstream plan — twice in the
+    self-join/hub-join plans, since each side re-evaluated the subtree
+    (round 15, guide §2.4 'an orderBy used only to make output
+    deterministic')."""
     docs = tables.load_parallel(spark, "documents", sf_dir)
     sh = docs.select("doc_id", T.words(F.col("text")).alias("w")).select(
         "doc_id", F.explode(T.shingles_from_words(F.col("w"), 3)).alias("shingle")
     )
-    return (
-        sh.groupBy("doc_id")
-        .agg(*T.minhash_sig_aggs(F.col("shingle"), N_MINHASH))
-        .orderBy("doc_id")
-    )
+    return sh.groupBy("doc_id").agg(*T.minhash_sig_aggs(F.col("shingle"), N_MINHASH))
 
 
 _BASE_H_SQL = T.md5_hash32_sql("shingle", 0)
@@ -149,10 +156,11 @@ def _minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_components' input) cannot drift between them. One explode
     over an array of band keys instead of an N_BANDS-way union of
     selects: the union fanned the whole signature pipeline out once
-    per branch in the physical plan (no cross-branch CSE); explode
-    keeps a single signature subtree, and a self-join's identical
-    shuffle children collapse via ReusedExchange."""
-    sig = _dedup_minhash_signatures(spark, sf_dir)
+    per branch in the physical plan (no cross-branch CSE). Consumes
+    the UNORDERED signature frame — the signatures entry's
+    presentation orderBy leaked a rangepartitioning exchange + global
+    sort into every banded plan (round 15)."""
+    sig = _minhash_sig_frame(spark, sf_dir)
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -178,8 +186,16 @@ def _dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     band bucket makes this entry's all-pairs OUTPUT quadratic by
     semantics — _dedup_minhash_star_edges is the scale path for that
     case (BASELINE.md round-13 skew probes).
+
+    The banded frame is persisted across the self-join (round 15,
+    guide §5 'reused AND recomputing is more expensive'): the two
+    join sides are the same subtree, but the planner broadcasts one
+    side, so nothing is shared and the tokenize->shingle->MinHash
+    pipeline ran once PER SIDE. Banded rows are (doc_id, band_key) —
+    4 narrow rows per doc, a small fraction of the corpus — and
+    track_persist hands the handle to tables.clear_caches.
     """
-    banded = _minhash_banded(spark, sf_dir)
+    banded = tables.track_persist(_minhash_banded(spark, sf_dir))
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -256,11 +272,23 @@ def _star_edges_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     + union-find) should take: the trailing orderBy added a global
     range exchange + sort that the component labels are invariant to
     (round 14, guide §2.4 'an orderBy used only to make output
-    deterministic')."""
+    deterministic').
+
+    Hub via WINDOW min, not groupBy+join-back (round 15): the join
+    form evaluated the whole tokenize->shingle->MinHash subtree once
+    PER SIDE — the hub aggregate's exchange carries partial aggs, so
+    the probe side's exchange cannot be reused, and at small scale the
+    static planner turns the join into a broadcast, which shares
+    nothing. The window computes signatures ONCE behind a single
+    band_key exchange; min-over-the-whole-partition equals the groupBy
+    min row for row, so the edge set (and the component labels built
+    from it) is unchanged. Per-bucket work stays linear in bucket size
+    — the rows are (doc_id, band_key), never pairs — so the
+    viral-bucket story is intact."""
     banded = _minhash_banded(spark, sf_dir)
-    hubs = banded.groupBy("band_key").agg(F.min("doc_id").alias("hub"))
+    hub = F.min("doc_id").over(Window.partitionBy("band_key"))
     return (
-        banded.join(hubs, "band_key")
+        banded.withColumn("hub", hub)
         .filter(F.col("doc_id") > F.col("hub"))
         .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         .distinct()
@@ -2530,11 +2558,15 @@ def _corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle, whose SQL keeps the all-pairs formulation). Edge volume
     # is linear in bucket size instead of quadratic — the r13 viral-
     # bucket fix (dedup_components) applied to the flagship
-    # composition; min(doc_id) partial-aggregates map-side and the
-    # join back is AQE-skew-splittable.
-    hubs = banded.groupBy("band_key").agg(F.min("doc_id").alias("hub"))
+    # composition. Hub via WINDOW min over band_key, not
+    # groupBy+join-back: the join form re-evaluated the shingle+
+    # MinHash subtree (over the `exact` cache) once per side; the
+    # window computes it once behind a single band_key exchange, and
+    # min-over-partition equals the groupBy min row for row
+    # (see _star_edges_frame).
+    hub = F.min("doc_id").over(Window.partitionBy("band_key"))
     pairs = (
-        banded.join(hubs, "band_key")
+        banded.withColumn("hub", hub)
         .filter(F.col("doc_id") > F.col("hub"))
         .select(F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         .distinct()
