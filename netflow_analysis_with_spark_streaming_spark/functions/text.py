@@ -107,6 +107,30 @@ def minhash_sig_aggs(shingle: Column, n: int) -> list[Column]:
     return [F.min(affine_hash32(base, i)).alias(f"sig_{i}") for i in range(n)]
 
 
+def minhash_sig_cols(hashed: Column, n: int) -> list[Column]:
+    """Per-ROW MinHash signatures over an already-hashed shingle
+    array (``transform(shingles, md5_hash32)``): sig_i =
+    array_min(transform(hashed, affine_i)). Value-identical to
+    ``minhash_sig_aggs`` over the exploded multiset — MIN over a
+    doc's shingle rows IS the min over its shingle array — but needs
+    NO explode and NO groupBy(doc_id) shuffle: the signature is a
+    per-document quantity, so computing it as a row expression
+    removes the widest shuffle of the dedup family (round 15, guide
+    §2.4/§2.3 — the exchange carried one (doc_id, shingle-string)
+    row per shingle). Callers must (a) filter out empty shingle
+    arrays first (explode dropped those docs; array_min over [] is
+    NULL and concat_ws would silently bucket the NULL sigs together)
+    and (b) materialize ``hashed`` in its own projection so the n
+    consumers share one md5 pass (CollapseProject declines to inline
+    a non-cheap producer used n times)."""
+    return [
+        F.array_min(F.transform(hashed, lambda h: affine_hash32(h, i))).alias(
+            f"sig_{i}"
+        )
+        for i in range(n)
+    ]
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the normalized text (lower, trim,
     collapsed whitespace). Identical duplicates collide, nothing else."""

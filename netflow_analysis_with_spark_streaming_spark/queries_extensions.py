@@ -106,17 +106,12 @@ def _shingle_sets(docs: DataFrame) -> DataFrame:
 def _dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures: sig_i = min over shingles of h_i(shingle).
 
-    One explode + one groupBy(doc_id): the shuffle key is doc_id, so
-    signature computation is embarrassingly parallel at any scale.
-    The k hashes derive from ONE md5 via an affine family (k md5 calls
-    measured ~5x slower); md5 base makes it exactly oracle-checked.
-
-    No ``.distinct()`` before the aggregate (round 14, guide §2.4):
-    MIN over a multiset equals MIN over its set, so deduplicating the
-    exploded (doc_id, shingle) rows first only added a full shuffle of
-    the wide string key ahead of the one shuffle the groupBy needs —
-    and it blocked map-side partial aggregation, which is what
-    actually collapses a hot shingle before the exchange.
+    Computed per ROW — array_min over the doc's hashed shingle array
+    (round 15; see _minhash_sig_frame): the signature is a
+    per-document quantity, so no explode and no groupBy(doc_id)
+    shuffle exist anymore. The k hashes derive from ONE md5 via an
+    affine family (k md5 calls measured ~5x slower); md5 base makes
+    it exactly oracle-checked.
     """
     return _minhash_sig_frame(spark, sf_dir).orderBy("doc_id")
 
@@ -128,12 +123,26 @@ def _minhash_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     its sampling pass) into every downstream plan — twice in the
     self-join/hub-join plans, since each side re-evaluated the subtree
     (round 15, guide §2.4 'an orderBy used only to make output
-    deterministic')."""
+    deterministic').
+
+    Signatures are computed PER ROW (array_min over the doc's hashed
+    shingle array, T.minhash_sig_cols) instead of explode +
+    groupBy(doc_id): the signature is a per-document quantity, so the
+    old form shuffled one (doc_id, shingle-string) row per shingle
+    purely to regroup what was never apart. ZERO exchanges remain in
+    this frame. The empty-array filter reproduces explode's
+    drop-empty-docs semantics exactly; MIN over the exploded multiset
+    equals array_min over the array, so the signatures entry and every
+    downstream oracle are unchanged (hash-verified)."""
     docs = tables.load_parallel(spark, "documents", sf_dir)
-    sh = docs.select("doc_id", T.words(F.col("text")).alias("w")).select(
-        "doc_id", F.explode(T.shingles_from_words(F.col("w"), 3)).alias("shingle")
+    sh = docs.select(
+        "doc_id",
+        T.shingles_from_words(T.words(F.col("text")), 3).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    hashed = sh.select(
+        "doc_id", F.transform("_sh", lambda s: T.md5_hash32(s)).alias("_h")
     )
-    return sh.groupBy("doc_id").agg(*T.minhash_sig_aggs(F.col("shingle"), N_MINHASH))
+    return hashed.select("doc_id", *T.minhash_sig_cols(F.col("_h"), N_MINHASH))
 
 
 _BASE_H_SQL = T.md5_hash32_sql("shingle", 0)
@@ -2528,14 +2537,19 @@ def _corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep_ids = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     exact = tables.track_persist(fp.join(keep_ids, ["fp", "doc_id"], "left_semi"))
     # near-dup removal over the survivors: banding -> components.
-    # No .distinct() before the MIN aggregate (round 14): duplicate
-    # (doc_id, shingle) rows cannot change a MIN, and the dedup cost a
-    # full wide-string shuffle while blocking map-side partial
-    # aggregation — same reasoning as _dedup_minhash_signatures.
-    sh = exact.select(
-        "doc_id", F.explode(T.shingles_from_words(F.col("w"), 3)).alias("shingle")
+    # Signatures per ROW (array_min over the hashed shingle array,
+    # round 15 — see _minhash_sig_frame): no explode, no
+    # groupBy(doc_id) shuffle; the empty-array filter reproduces
+    # explode's drop-empty-docs semantics and MIN over the exploded
+    # multiset equals array_min over the array, so the oracle's
+    # explode+GROUP BY formulation still pins the values.
+    shing = exact.select(
+        "doc_id", T.shingles_from_words(F.col("w"), 3).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    hashed = shing.select(
+        "doc_id", F.transform("_sh", lambda s: T.md5_hash32(s)).alias("_h")
     )
-    sig = sh.groupBy("doc_id").agg(*T.minhash_sig_aggs(F.col("shingle"), N_MINHASH))
+    sig = hashed.select("doc_id", *T.minhash_sig_cols(F.col("_h"), N_MINHASH))
     band_keys = F.array(
         *[
             F.concat_ws(

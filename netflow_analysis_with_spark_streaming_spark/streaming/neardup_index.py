@@ -63,10 +63,20 @@ def band_keys_from_words(
     metrics cache) feeds the array straight in, so each document is
     regex-tokenized once per batch instead of once per consumer."""
     rows_per_band = n_minhash // n_bands
+    # signatures per ROW (round 15, same rewrite as the batch family's
+    # _minhash_sig_frame): array_min over the doc's hashed shingle
+    # array — no explode, no distinct, no groupBy(id) shuffle. MIN
+    # over the exploded (distinct or not) multiset equals array_min
+    # over the array; the empty-array filter reproduces explode's
+    # drop-empty-docs semantics. Each micro-batch's banding is now a
+    # pure row pipeline, so its eager checkpoint is a single stage.
     sh = docs.select(
-        id_col, F.explode(T.shingles_from_words(F.col(words_col), 3)).alias("shingle")
-    ).distinct()
-    sig = sh.groupBy(id_col).agg(*T.minhash_sig_aggs(F.col("shingle"), n_minhash))
+        id_col, T.shingles_from_words(F.col(words_col), 3).alias("_sh")
+    ).filter(F.size("_sh") > 0)
+    hashed = sh.select(
+        id_col, F.transform("_sh", lambda s: T.md5_hash32(s)).alias("_h")
+    )
+    sig = hashed.select(id_col, *T.minhash_sig_cols(F.col("_h"), n_minhash))
     keys = F.array(
         *[
             F.concat_ws(
@@ -135,7 +145,11 @@ class NearDupIndex:
                 .distinct()
             )
         else:
-            pairs = spark.createDataFrame([], "new_doc_id long, prior_doc_id long")
+            # empty index (first batch): the empty local frame is
+            # already stable — no register can change it — so skip the
+            # checkpoint, which cost one Spark job per stream start
+            # purely to materialize zero rows (round 15, job floor)
+            return spark.createDataFrame([], "new_doc_id long, prior_doc_id long")
         if self.durable:
             # reliable checkpoint next to the index table: survives
             # executor death mid-batch (cluster deployments point root

@@ -84,6 +84,36 @@ def test_minhash_catches_planted_neardups(spark):
     assert len(found) >= 4, (found, pairs)
 
 
+def test_minhash_sig_cols_equal_sig_aggs(spark):
+    """Pins the round-15 per-row signature rewrite: array_min over the
+    doc's hashed shingle array (minhash_sig_cols, zero shuffles) must
+    reproduce the explode+groupBy aggregate (minhash_sig_aggs) row for
+    row, INCLUDING the drop-empty-docs semantics (a doc with fewer
+    than 3 words has no shingles: explode emits nothing, the per-row
+    form must filter it rather than emit NULL sigs)."""
+    from netflow_analysis_with_spark_streaming_spark.functions import text as T
+
+    docs = _planted_docs(spark).unionByName(
+        spark.createDataFrame([(900, "too short")], ["doc_id", "text"])
+    )
+    sh_arr = T.shingles(F.col("text"), 3)
+    agg = (
+        docs.select("doc_id", F.explode(sh_arr).alias("shingle"))
+        .groupBy("doc_id")
+        .agg(*T.minhash_sig_aggs(F.col("shingle"), 16))
+    )
+    hashed = (
+        docs.select("doc_id", sh_arr.alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .select("doc_id", F.transform("_sh", lambda s: T.md5_hash32(s)).alias("_h"))
+    )
+    per_row = hashed.select("doc_id", *T.minhash_sig_cols(F.col("_h"), 16))
+    a = {r["doc_id"]: tuple(r)[1:] for r in agg.collect()}
+    b = {r["doc_id"]: tuple(r)[1:] for r in per_row.collect()}
+    assert 900 not in b  # empty-shingle doc dropped, not NULL-sig'd
+    assert a == b
+
+
 def test_simhash_neardup_small_hamming(spark):
     """Planted near-dups differ in few SimHash bits; unrelated docs in
     many (the property that makes SimHash a dedup key)."""
