@@ -148,7 +148,15 @@ class NearDupIndex:
             # empty index (first batch): the empty local frame is
             # already stable — no register can change it — so skip the
             # checkpoint, which cost one Spark job per stream start
-            # purely to materialize zero rows (round 15, job floor)
+            # purely to materialize zero rows (round 15, job floor).
+            # A durable index still claims the context checkpoint dir
+            # HERE: first-durable-component-wins is this class's
+            # documented contract, and callers (and the clobber test)
+            # rely on batch 0 establishing it.
+            if self.durable:
+                sc = spark.sparkContext
+                if sc.getCheckpointDir() is None:
+                    sc.setCheckpointDir(self.root + "/_ckpt")
             return spark.createDataFrame([], "new_doc_id long, prior_doc_id long")
         if self.durable:
             # reliable checkpoint next to the index table: survives
