@@ -95,11 +95,21 @@ def _shingle_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle) distinct pairs — the inverted-index base.
 
     Words are materialized into a column before shingling so the
-    tokenizer runs once per document, not once per lambda element."""
-    return (
-        docs.select("doc_id", T.words(F.col("text")).alias("w"))
-        .select("doc_id", F.explode(T.shingles_from_words(F.col("w"), 3)).alias("shingle"))
-        .distinct()
+    tokenizer runs once per document, not once per lambda element.
+
+    Distinct via per-row ``array_distinct`` BEFORE the explode (round
+    15, guide §2.4): a (doc_id, shingle) pair is unique iff the
+    shingle is unique within its own document, so the global
+    ``.distinct()`` — a full shuffle of every wide (doc_id,
+    shingle-string) row — was deduplicating rows that only ever
+    collide inside one array. Same rows out, zero exchanges."""
+    return docs.select(
+        "doc_id", T.words(F.col("text")).alias("w")
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(T.shingles_from_words(F.col("w"), 3))).alias(
+            "shingle"
+        ),
     )
 
 
