@@ -39,6 +39,13 @@ def _join_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan task joins locally. The groupBy(n_name) shuffle moves only
     25 partial rows per task.
     """
+    return _join_broadcast_enrich_frame(spark, sf_dir).orderBy("n_name")
+
+
+def _join_broadcast_enrich_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered form — the dim-star suite takes this: the entry's
+    presentation orderBy leaked a rangepartitioning exchange + sort
+    under the suite's union (round 15, guide §2.4)."""
     orders = tables.load(spark, "orders", sf_dir)
     customer = tables.load(spark, "customer", sf_dir)
     nation = tables.load(spark, "nation", sf_dir)
@@ -50,7 +57,6 @@ def _join_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("order_cnt"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
-        .orderBy("n_name")
     )
 
 
@@ -107,6 +113,11 @@ def _join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplication, and the right side reduces to distinct keys
     before the probe. The status filter pushes into the orders scan.
     """
+    return _join_semi_frame(spark, sf_dir).orderBy("c_mktsegment")
+
+
+def _join_semi_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered form (see _join_broadcast_enrich_frame)."""
     customer = tables.load(spark, "customer", sf_dir)
     orders = tables.load(spark, "orders", sf_dir)
     finished = orders.filter(F.col("o_orderstatus") == "F")
@@ -114,7 +125,6 @@ def _join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.join(finished, customer.c_custkey == finished.o_custkey, "left_semi")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("cust_cnt"))
-        .orderBy("c_mktsegment")
     )
 
 
@@ -129,6 +139,11 @@ ORDER BY c_mktsegment
 
 def _join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti: customers who never placed an URGENT order, per nation."""
+    return _join_anti_frame(spark, sf_dir).orderBy("n_name")
+
+
+def _join_anti_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered form (see _join_broadcast_enrich_frame)."""
     customer = tables.load(spark, "customer", sf_dir)
     orders = tables.load(spark, "orders", sf_dir)
     nation = tables.load(spark, "nation", sf_dir)
@@ -138,7 +153,6 @@ def _join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(F.count("*").alias("cust_cnt"))
-        .orderBy("n_name")
     )
 
 
@@ -160,6 +174,11 @@ def _join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit; the orders fact streams through one BroadcastHashJoin chain
     with zero fact-side shuffles before the 5-key aggregate.
     """
+    return _join_star_frame(spark, sf_dir).orderBy("r_name")
+
+
+def _join_star_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered form (see _join_broadcast_enrich_frame)."""
     region = tables.load(spark, "region", sf_dir)
     nation = tables.load(spark, "nation", sf_dir)
     customer = tables.load(spark, "customer", sf_dir)
@@ -176,7 +195,6 @@ def _join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
             F.count("*").alias("order_cnt"),
         )
-        .orderBy("r_name")
     )
 
 
@@ -308,19 +326,23 @@ def _agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: ROLLUP expands each input row once per grouping set in the
     partial aggregate — output stays dim-sized, no extra fact shuffle.
     """
+    return _agg_rollup_frame(spark, sf_dir).orderBy("r_name", "n_name")
+
+
+def _agg_rollup_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered form — the multidim suite takes this: the entry's
+    presentation orderBy leaked a rangepartitioning exchange + sort
+    under the suite's union that its final ORDER BY redoes anyway
+    (round 15, guide §2.4)."""
     customer = tables.load(spark, "customer", sf_dir)
     nation = tables.load(spark, "nation", sf_dir)
     region = tables.load(spark, "region", sf_dir)
     joined = customer.join(
         F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
     ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-    return (
-        joined.rollup("r_name", "n_name")
-        .agg(
-            F.count("*").alias("cust_cnt"),
-            F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
-        )
-        .orderBy("r_name", "n_name")
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("cust_cnt"),
+        F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
     )
 
 
@@ -454,6 +476,14 @@ LIMIT 10
 
 def _set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers who placed both an URGENT and a LOW priority order."""
+    return _set_intersect_frame(spark, sf_dir).orderBy("custkey")
+
+
+def _set_intersect_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered form — composed consumers (set_ops_suite) take this:
+    the entry's presentation orderBy leaked a rangepartitioning
+    exchange + sort under the suite's union, which the suite's own
+    final ORDER BY makes redundant (round 15, guide §2.4)."""
     orders = tables.load(spark, "orders", sf_dir)
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_custkey").alias("custkey")
@@ -461,7 +491,7 @@ def _set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
         F.col("o_custkey").alias("custkey")
     )
-    return urgent.intersect(low).orderBy("custkey")
+    return urgent.intersect(low)
 
 
 _SET_INTERSECT_SQL = """
@@ -474,6 +504,11 @@ ORDER BY custkey
 
 def _set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with URGENT orders but never a LOW one."""
+    return _set_except_frame(spark, sf_dir).orderBy("custkey")
+
+
+def _set_except_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered form (see _set_intersect_frame)."""
     orders = tables.load(spark, "orders", sf_dir)
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_custkey").alias("custkey")
@@ -481,7 +516,7 @@ def _set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
         F.col("o_custkey").alias("custkey")
     )
-    return urgent.subtract(low).orderBy("custkey")
+    return urgent.subtract(low)
 
 
 _SET_EXCEPT_SQL = """
@@ -494,6 +529,11 @@ ORDER BY custkey
 
 def _set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct union of two customer segments (schema-aligned unionByName)."""
+    return _set_union_frame(spark, sf_dir).orderBy("custkey")
+
+
+def _set_union_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered form (see _set_intersect_frame)."""
     customer = tables.load(spark, "customer", sf_dir)
     a = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
         F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
@@ -501,7 +541,7 @@ def _set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = customer.filter(F.col("c_acctbal") > 9000).select(
         F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
     )
-    return a.unionByName(b).distinct().orderBy("custkey")
+    return a.unionByName(b).distinct()
 
 
 _SET_UNION_SQL = """
@@ -677,11 +717,16 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 def _agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): all 4 grouping-set combos in
     one pass (rollup's lattice sibling — SURVEY §2.7 grouping sets)."""
+    return _agg_cube_frame(spark, sf_dir).orderBy(
+        "l_returnflag", "l_linestatus"
+    )
+
+
+def _agg_cube_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered form (see _agg_rollup_frame)."""
     lineitem = tables.load(spark, "lineitem", sf_dir)
-    return (
-        lineitem.cube("l_returnflag", "l_linestatus")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("qty"))
-        .orderBy("l_returnflag", "l_linestatus")
+    return lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 2).alias("qty")
     )
 
 
@@ -775,6 +820,11 @@ def _set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-semantics set ops (intersectAll/exceptAll keep
     multiplicities — the DISTINCT variants are registered separately):
     order-priority custkey multisets."""
+    return _set_ops_bag_frame(spark, sf_dir).orderBy("op", "custkey")
+
+
+def _set_ops_bag_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered form (see _set_intersect_frame)."""
     orders = tables.load(spark, "orders", sf_dir)
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_custkey").alias("custkey")
@@ -788,10 +838,8 @@ def _set_ops_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     only_urgent = urgent.exceptAll(high).groupBy("custkey").agg(
         F.count("*").alias("n")
     )
-    return (
-        both.withColumn("op", F.lit("intersect_all"))
-        .unionByName(only_urgent.withColumn("op", F.lit("except_all")))
-        .orderBy("op", "custkey")
+    return both.withColumn("op", F.lit("intersect_all")).unionByName(
+        only_urgent.withColumn("op", F.lit("except_all"))
     )
 
 
@@ -967,6 +1015,14 @@ LIMIT 20
 def _agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (disjoint dimension summaries in one
     pass — rollup/cube's general form), via the SQL surface."""
+    return _agg_grouping_sets_frame(spark, sf_dir).orderBy(
+        "c_mktsegment", "o_orderpriority"
+    )
+
+
+def _agg_grouping_sets_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered form (see _agg_rollup_frame); same SQL minus the
+    presentation ORDER BY."""
     tables.register_views(spark, sf_dir)
     return spark.sql(
         """
@@ -975,7 +1031,6 @@ def _agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(SUM(o_totalprice), 2) AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority))
-        ORDER BY c_mktsegment, o_orderpriority
         """
     )
 
@@ -1012,14 +1067,17 @@ def _agg_multidim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(val).cast("double").alias("val"),
         )
 
+    # unordered branch frames: each constituent entry's presentation
+    # orderBy leaked a rangepartitioning exchange + sort under this
+    # union (round 15, guide §2.4) — 3 range exchanges removed
     return (
-        shape(_agg_rollup(spark, sf_dir), "rollup", "r_name", "n_name", "cust_cnt", "acctbal_sum")
+        shape(_agg_rollup_frame(spark, sf_dir), "rollup", "r_name", "n_name", "cust_cnt", "acctbal_sum")
         .unionByName(
-            shape(_agg_cube(spark, sf_dir), "cube", "l_returnflag", "l_linestatus", "cnt", "qty")
+            shape(_agg_cube_frame(spark, sf_dir), "cube", "l_returnflag", "l_linestatus", "cnt", "qty")
         )
         .unionByName(
             shape(
-                _agg_grouping_sets(spark, sf_dir),
+                _agg_grouping_sets_frame(spark, sf_dir),
                 "gsets",
                 "c_mktsegment",
                 "o_orderpriority",
@@ -1177,9 +1235,12 @@ def _join_dim_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue"),
         )
 
+    # unordered branch frames (round 15, guide §2.4): the branch
+    # entries' presentation orderBys leaked range exchanges + sorts
+    # under this union
     return (
-        shape(_join_broadcast_enrich(spark, sf_dir), "nation_enrich", "n_name")
-        .unionByName(shape(_join_star(spark, sf_dir), "region_star", "r_name"))
+        shape(_join_broadcast_enrich_frame(spark, sf_dir), "nation_enrich", "n_name")
+        .unionByName(shape(_join_star_frame(spark, sf_dir), "region_star", "r_name"))
         .orderBy("op", "grp")
     )
 
@@ -1202,9 +1263,10 @@ def _join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(op).alias("op"), F.col(grp).alias("grp"), F.col("cust_cnt")
         )
 
+    # unordered branch frames (round 15, guide §2.4)
     return (
-        shape(_join_semi(spark, sf_dir), "semi_finished", "c_mktsegment")
-        .unionByName(shape(_join_anti(spark, sf_dir), "anti_urgent", "n_name"))
+        shape(_join_semi_frame(spark, sf_dir), "semi_finished", "c_mktsegment")
+        .unionByName(shape(_join_anti_frame(spark, sf_dir), "anti_urgent", "n_name"))
         .orderBy("op", "grp")
     )
 
@@ -1233,21 +1295,25 @@ def _set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             null_seg.alias("segment"),
         )
 
-    bag = _set_ops_bag(spark, sf_dir).select(
+    # consume the UNORDERED branch frames: each branch entry's
+    # presentation orderBy leaked a rangepartitioning exchange + sort
+    # under this union that the final orderBy re-does anyway
+    # (round 15, guide §2.4) — 4 range exchanges removed
+    bag = _set_ops_bag_frame(spark, sf_dir).select(
         F.concat(F.lit("bag_"), F.col("op")).alias("op"),
         F.col("custkey"),
         F.col("n"),
         null_seg.alias("segment"),
     )
-    union_d = _set_union(spark, sf_dir).select(
+    union_d = _set_union_frame(spark, sf_dir).select(
         F.lit("union").alias("op"),
         F.col("custkey"),
         null_n.alias("n"),
         F.col("segment"),
     )
     return (
-        dshape(_set_intersect(spark, sf_dir), "intersect")
-        .unionByName(dshape(_set_except(spark, sf_dir), "except"))
+        dshape(_set_intersect_frame(spark, sf_dir), "intersect")
+        .unionByName(dshape(_set_except_frame(spark, sf_dir), "except"))
         .unionByName(union_d)
         .unionByName(bag)
         .orderBy("op", "custkey")
